@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{DecayMode, ForgetParams, ForgetTable}
+import graft.sources.Tables
+
+/** Driver-contract queries for the forget-table core (SURVEY.md §2.1),
+  * each paired with an ANSI-SQL DuckDB oracle over the same parquet.
+  *
+  * Determinism rules shared by both sides (SURVEY.md §7.3):
+  *   - `now` is the fixed literal 2024-01-31T00:00:00Z (epoch 1706659200),
+  *     never wall-clock.
+  *   - Default decay mode is Expected (l = floor(rate * dt)) — a single
+  *     IEEE double multiply + floor, bit-identical across engines. All
+  *     rate literals are CAST(... AS DOUBLE) in the SQL because DuckDB
+  *     parses bare decimal literals as DECIMAL, whose exact arithmetic
+  *     could round differently from Spark's double math.
+  *   - Aggregates on BIGINT are CAST back to BIGINT in DuckDB (its SUM
+  *     returns HUGEINT, which would break the schema compare).
+  *   - Every query ends in a total-order ORDER BY.
+  */
+object ForgetQueries {
+
+  /** 2024-01-31T00:00:00Z — one day past the last event in testdata. */
+  final val Now = 1706659200L
+
+  private def ft(s: SparkSession, dir: String): ForgetTable =
+    ForgetTable.fromEvents(Tables.events(s, dir))
+
+  // ----------------------------------------------------------------- SQL
+  // Shared oracle fragments (DuckDB dialect).
+
+  private val countsCte =
+    """counts AS (
+      |  SELECT event_type AS dist, CAST(user_id AS VARCHAR) AS bin,
+      |         CAST(COUNT(*) AS BIGINT) AS count
+      |  FROM events GROUP BY 1, 2
+      |)""".stripMargin
+
+  private val metaCte =
+    """meta AS (
+      |  SELECT event_type AS dist, CAST(COUNT(*) AS BIGINT) AS z,
+      |         CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS t
+      |  FROM events GROUP BY 1
+      |)""".stripMargin
+
+  /** Expected-mode decay + goforget clamp over a CTE named `sel` that has
+    * (dist, bin, count-as-cnt, z, t [, extras]).
+    */
+  private def decayCte(rate: Double, prune: Boolean): String = {
+    val clamped = if (prune) "cnt" else "cnt - 1"
+    s"""dec AS (
+       |  SELECT *, CASE WHEN cnt < 1 THEN 0
+       |                 ELSE CAST(FLOOR(CAST($rate AS DOUBLE) * CAST($Now - t AS DOUBLE)) AS BIGINT)
+       |            END AS lraw
+       |  FROM sel
+       |), clamped AS (
+       |  SELECT *, CASE WHEN lraw >= cnt THEN $clamped ELSE lraw END AS l
+       |  FROM dec
+       |), d2 AS (
+       |  SELECT *, cnt - l AS newc FROM clamped
+       |)""".stripMargin
+  }
+
+  // -------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ft_counts" -> ((s, dir) =>
+      ft(s, dir).counts.orderBy("dist", "bin")),
+
+    "ft_counts_weighted" -> ((s, dir) =>
+      ForgetTable.fromEventsWeighted(Tables.events(s, dir))
+        .counts.orderBy("dist", "bin")),
+
+    "ft_meta" -> ((s, dir) =>
+      ft(s, dir).meta.orderBy("dist")),
+
+    "ft_dist" -> ((s, dir) =>
+      ft(s, dir).dist(ForgetParams(rate = 0.002, nowEpoch = Now))),
+
+    "ft_dist_one" -> ((s, dir) =>
+      ft(s, dir).dist(ForgetParams(rate = 0.002, nowEpoch = Now), Some("click"))),
+
+    "ft_get" -> ((s, dir) =>
+      ft(s, dir).get("click", Seq("1", "3", "7", "11", "99999"),
+        ForgetParams(rate = 0.001, nowEpoch = Now))),
+
+    "ft_topk" -> ((s, dir) =>
+      ft(s, dir).topK(10, ForgetParams(rate = 0.0005, nowEpoch = Now))),
+
+    "ft_prune" -> ((s, dir) =>
+      ft(s, dir).compacted(ForgetParams(rate = 0.002, nowEpoch = Now))
+        .counts.orderBy("dist", "bin")),
+
+    "ft_noprune" -> ((s, dir) =>
+      ft(s, dir).decayedState(
+        ForgetParams(rate = 0.002, nowEpoch = Now, prune = false))),
+
+    "ft_proportional" -> ((s, dir) =>
+      ft(s, dir).dist(
+        ForgetParams(rate = 0.0001, nowEpoch = Now, mode = DecayMode.Proportional))),
+
+    "ft_expiry" -> ((s, dir) =>
+      ft(s, dir).expiry(ForgetParams(rate = 0.002, nowEpoch = Now))),
+
+    "ft_dbsize" -> ((s, dir) =>
+      ft(s, dir).dbsize),
+
+    "ft_incr_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cutoff = "2024-01-15 00:00:00"
+      val old = ForgetTable.fromEvents(ev.filter(col("ts") < lit(cutoff).cast("timestamp")))
+      val incr = ev.filter(col("ts") >= lit(cutoff).cast("timestamp")).select(
+        col("event_type").as("dist"),
+        col("user_id").cast("string").as("bin"),
+        greatest(lit(1L), lit(1L) + floor(col("value")).cast("long")).as("n"),
+        unix_timestamp(col("ts")).as("t"))
+      old.merged(incr).counts.orderBy("dist", "bin")
+    }),
+
+    // Sampled (seeded-Poisson) decay: the reference's stochastic semantics,
+    // replay-stable but not SQL-expressible -> rows-only driver check.
+    "ft_sampled" -> ((s, dir) =>
+      ft(s, dir).dist(
+        ForgetParams(rate = 0.002, nowEpoch = Now, mode = DecayMode.Sampled)))
+  )
+
+  // -------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "ft_counts" ->
+      s"""WITH $countsCte
+         |SELECT dist, bin, "count" FROM counts ORDER BY dist, bin""".stripMargin,
+
+    "ft_counts_weighted" ->
+      """SELECT event_type AS dist, CAST(user_id AS VARCHAR) AS bin,
+        |       CAST(SUM(GREATEST(1, 1 + CAST(FLOOR(value) AS BIGINT))) AS BIGINT) AS count
+        |FROM events GROUP BY 1, 2 ORDER BY dist, bin""".stripMargin,
+
+    "ft_meta" ->
+      s"""WITH $metaCte
+         |SELECT dist, z, t, CAST(0.5 AS DOUBLE) AS rate FROM meta ORDER BY dist""".stripMargin,
+
+    "ft_dist" ->
+      s"""WITH $countsCte, $metaCte,
+         |sel AS (
+         |  SELECT c.dist, c.bin, c."count" AS cnt, m.z, m.t
+         |  FROM counts c JOIN meta m USING (dist)
+         |), ${decayCte(0.002, prune = true)},
+         |z2 AS (SELECT dist, CAST(SUM(newc) AS BIGINT) AS z2 FROM d2 GROUP BY 1)
+         |SELECT d2.dist, d2.bin, newc AS "count",
+         |       CASE WHEN z2 = 0 THEN CAST(0 AS DOUBLE)
+         |            ELSE CAST(newc AS DOUBLE) / CAST(z2 AS DOUBLE) END AS p
+         |FROM d2 JOIN z2 USING (dist)
+         |ORDER BY dist, bin""".stripMargin,
+
+    "ft_dist_one" ->
+      s"""WITH $countsCte, $metaCte,
+         |sel AS (
+         |  SELECT c.dist, c.bin, c."count" AS cnt, m.z, m.t
+         |  FROM counts c JOIN meta m USING (dist)
+         |  WHERE c.dist = 'click'
+         |), ${decayCte(0.002, prune = true)},
+         |z2 AS (SELECT dist, CAST(SUM(newc) AS BIGINT) AS z2 FROM d2 GROUP BY 1)
+         |SELECT d2.dist, d2.bin, newc AS "count",
+         |       CASE WHEN z2 = 0 THEN CAST(0 AS DOUBLE)
+         |            ELSE CAST(newc AS DOUBLE) / CAST(z2 AS DOUBLE) END AS p
+         |FROM d2 JOIN z2 USING (dist)
+         |ORDER BY dist, bin""".stripMargin,
+
+    "ft_get" ->
+      s"""WITH $countsCte, $metaCte,
+         |fields AS (SELECT UNNEST(['1','3','7','11','99999']) AS bin),
+         |sel AS (
+         |  SELECT m.dist, f.bin, CAST(COALESCE(c."count", 0) AS BIGINT) AS cnt, m.z, m.t
+         |  FROM fields f
+         |  CROSS JOIN (SELECT * FROM meta WHERE dist = 'click') m
+         |  LEFT JOIN counts c ON c.dist = m.dist AND c.bin = f.bin
+         |), ${decayCte(0.001, prune = true)},
+         |zadj AS (SELECT dist, CAST(SUM(l) AS BIGINT) AS lsel FROM d2 GROUP BY 1)
+         |SELECT d2.dist, d2.bin, newc AS "count",
+         |       CASE WHEN (z - lsel) = 0 THEN CAST(0 AS DOUBLE)
+         |            ELSE CAST(newc AS DOUBLE) / CAST(z - lsel AS DOUBLE) END AS p
+         |FROM d2 JOIN zadj USING (dist)
+         |ORDER BY dist, bin""".stripMargin,
+
+    "ft_topk" ->
+      s"""WITH $countsCte, $metaCte,
+         |ranked AS (
+         |  SELECT dist, bin, "count",
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY dist ORDER BY "count" DESC, bin DESC) AS BIGINT) AS rnk
+         |  FROM counts
+         |),
+         |sel AS (
+         |  SELECT r.dist, r.rnk, r.bin, r."count" AS cnt, m.z, m.t
+         |  FROM ranked r JOIN meta m USING (dist) WHERE r.rnk <= 10
+         |), ${decayCte(0.0005, prune = true)},
+         |zadj AS (SELECT dist, CAST(SUM(l) AS BIGINT) AS lsel FROM d2 GROUP BY 1)
+         |SELECT d2.dist, d2.rnk, d2.bin, newc AS "count",
+         |       CASE WHEN (z - lsel) = 0 THEN CAST(0 AS DOUBLE)
+         |            ELSE CAST(newc AS DOUBLE) / CAST(z - lsel AS DOUBLE) END AS p
+         |FROM d2 JOIN zadj USING (dist)
+         |ORDER BY dist, rnk""".stripMargin,
+
+    "ft_prune" ->
+      s"""WITH $countsCte, $metaCte,
+         |sel AS (
+         |  SELECT c.dist, c.bin, c."count" AS cnt, m.z, m.t
+         |  FROM counts c JOIN meta m USING (dist)
+         |), ${decayCte(0.002, prune = true)}
+         |SELECT dist, bin, newc AS "count" FROM d2 WHERE newc > 0
+         |ORDER BY dist, bin""".stripMargin,
+
+    "ft_noprune" ->
+      s"""WITH $countsCte, $metaCte,
+         |sel AS (
+         |  SELECT c.dist, c.bin, c."count" AS cnt, m.z, m.t
+         |  FROM counts c JOIN meta m USING (dist)
+         |), ${decayCte(0.002, prune = false)}
+         |SELECT dist, bin, newc AS "count" FROM d2
+         |ORDER BY dist, bin""".stripMargin,
+
+    "ft_proportional" ->
+      s"""WITH $countsCte, $metaCte,
+         |sel AS (
+         |  SELECT c.dist, c.bin, c."count" AS cnt, m.z, m.t
+         |  FROM counts c JOIN meta m USING (dist)
+         |), dec AS (
+         |  SELECT *, CASE WHEN cnt < 1 THEN 0
+         |                 ELSE CAST(FLOOR(CAST(cnt AS DOUBLE) * CAST(0.0001 AS DOUBLE) * CAST($Now - t AS DOUBLE)) AS BIGINT)
+         |            END AS lraw
+         |  FROM sel
+         |), d2 AS (
+         |  SELECT *, CASE WHEN cnt - lraw <= 0 THEN 1 ELSE cnt - lraw END AS newc
+         |  FROM dec
+         |),
+         |z2 AS (SELECT dist, CAST(SUM(newc) AS BIGINT) AS z2 FROM d2 GROUP BY 1)
+         |SELECT d2.dist, d2.bin, newc AS "count",
+         |       CASE WHEN z2 = 0 THEN CAST(0 AS DOUBLE)
+         |            ELSE CAST(newc AS DOUBLE) / CAST(z2 AS DOUBLE) END AS p
+         |FROM d2 JOIN z2 USING (dist)
+         |ORDER BY dist, bin""".stripMargin,
+
+    "ft_expiry" ->
+      s"""WITH $countsCte, $metaCte,
+         |sel AS (
+         |  SELECT c.dist, c.bin, c."count" AS cnt, m.z, m.t
+         |  FROM counts c JOIN meta m USING (dist)
+         |), ${decayCte(0.002, prune = true)},
+         |mx AS (
+         |  SELECT dist, CAST(MAX(newc) AS BIGINT) AS max_count
+         |  FROM d2 WHERE newc > 0 GROUP BY 1
+         |)
+         |SELECT dist, max_count,
+         |       CAST(FLOOR((CAST(2.0 AS DOUBLE) + SQRT(CAST(max_count AS DOUBLE) / CAST(0.002 AS DOUBLE)))
+         |                  * SQRT(CAST(max_count AS DOUBLE) / CAST(0.002 AS DOUBLE))) AS BIGINT) AS expire_sec,
+         |       $Now + CAST(FLOOR((CAST(2.0 AS DOUBLE) + SQRT(CAST(max_count AS DOUBLE) / CAST(0.002 AS DOUBLE)))
+         |                  * SQRT(CAST(max_count AS DOUBLE) / CAST(0.002 AS DOUBLE))) AS BIGINT) AS expire_at
+         |FROM mx ORDER BY dist""".stripMargin,
+
+    "ft_dbsize" ->
+      "SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_dists FROM events",
+
+    "ft_incr_merge" ->
+      """WITH old_counts AS (
+        |  SELECT event_type AS dist, CAST(user_id AS VARCHAR) AS bin,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1, 2
+        |), incr AS (
+        |  SELECT event_type AS dist, CAST(user_id AS VARCHAR) AS bin,
+        |         CAST(SUM(GREATEST(1, 1 + CAST(FLOOR(value) AS BIGINT))) AS BIGINT) AS c
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1, 2
+        |), unioned AS (
+        |  SELECT * FROM old_counts UNION ALL SELECT * FROM incr
+        |)
+        |SELECT dist, bin, CAST(SUM(c) AS BIGINT) AS count
+        |FROM unioned GROUP BY 1, 2 ORDER BY dist, bin""".stripMargin
+  )
+}
