@@ -27,12 +27,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ForgetQueries.queries
+    ForgetQueries.queries ++
+      graft.queries.RelationalQueries.queries ++
+      graft.queries.TextQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (stochastic sampled decay, etc.) -> driver records a rows-only check.
     */
   def oracleSql: Map[String, String] =
-    ForgetQueries.oracleSql
+    ForgetQueries.oracleSql ++
+      graft.queries.RelationalQueries.oracleSql ++
+      graft.queries.TextQueries.oracleSql
 }

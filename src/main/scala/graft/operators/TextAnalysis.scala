@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID, fingerprinting. All are
+  * pure `functions._` column compositions — no UDFs — so they stay inside
+  * whole-stage codegen and scale linearly with the scan; every double is
+  * produced by a fixed-order arithmetic tree so the DuckDB oracle matches
+  * bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped (robust to repeated spaces). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct-token count — the numerator of type/token ratio. */
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Sum of token lengths (chars excluding spaces). */
+  def tokenCharCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t).cast("long"))
+
+  /** Tokens matching a BPE-ish word shape (pure lowercase alpha runs vs
+    * anything else) — a cheap proxy for subword-friendliness.
+    */
+  def alphaTokenCount(text: Column): Column =
+    size(filter(tokens(text), t => t.rlike("^[a-z]+$")))
+
+  /** Small multilingual stopword profiles for the n-gram/stopword
+    * language-ID heuristic. Deterministic, alphabetical language order.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans", "pour", "que"),
+    "zh" -> Seq("de_zh", "shi", "bu", "wo", "le_zh", "ren", "you", "ta"))
+
+  /** Hits of one stopword profile in the token stream (with repeats —
+    * frequency matters, unlike array_intersect).
+    */
+  def profileHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words: _*)))
+
+  /** Predicted language: argmax of profile hits, ties broken by
+    * alphabetical language code (fixed evaluation order).
+    */
+  def langId(text: Column): Column = {
+    val scored = LangProfiles.map { case (lang, words) =>
+      struct(profileHits(text, words).as("hits"), lit(lang).as("lang"))
+    }
+    // array_max on struct(hits, lang): max hits, then max lang — to get
+    // alphabetical-FIRST tie-break, compare on (hits, reversed-rank) via
+    // explicit fold keeping the earlier element on ties.
+    val folded = scored.reduceLeft { (best, cand) =>
+      when(cand.getField("hits") > best.getField("hits"), cand).otherwise(best)
+    }
+    folded.getField("lang")
+  }
+
+  def langIdScore(text: Column): Column = {
+    val scored = LangProfiles.map { case (_, words) =>
+      profileHits(text, words)
+    }
+    greatest(scored: _*)
+  }
+
+  /** Quality score in [0,1]: weighted blend of stopword ratio, mean token
+    * length band, and type/token ratio — the standard cheap heuristics
+    * (length/punct/stopword) for filtering web-scale corpora. Fixed
+    * parenthesization; mirror it exactly in oracle SQL.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text).cast("double")
+    val stopRatio = profileHits(text, LangProfiles.toMap.apply("en")).cast("double") / toks
+    val ttr = distinctTokenCount(text).cast("double") / toks
+    val meanLen = tokenCharCount(text).cast("double") / toks
+    // band score: 1 when mean token length in [3, 8], linearly less outside
+    val lenScore = greatest(lit(0.0), lit(1.0) - abs(meanLen - lit(5.5)) / lit(5.5))
+    (stopRatio * lit(0.25)) + (ttr * lit(0.35)) + (lenScore * lit(0.4))
+  }
+
+  /** Word n-gram shingles (default 3). Shorter docs fall back to the whole
+    * text as a single shingle (keeps the column total and ANSI-safe —
+    * Spark 4's element_at throws on out-of-bounds).
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    val idx = sequence(lit(1), size(toks) - lit(n - 1))
+    val grams = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
+    when(size(toks) < n, array(text)).otherwise(grams)
+  }
+
+  /** Whole-document fingerprint: md5 of the space-normalized text. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** Locality-sensitive document fingerprint: the minimum md5 over word
+    * 3-gram shingles (a 1-permutation MinHash). Documents sharing their
+    * rarest shingle collide — a rolling-hash-style near-dup key.
+    */
+  def minShingleFingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(text, n), s => md5(s)))
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational-core queries over the TPC-H-ish star schema (SURVEY.md §2.2
+  * sweep: scan/filter/projection, equi-join incl. broadcast, sum/count
+  * aggregation, window top-K, sort/limit, semi/anti join).
+  *
+  * Determinism rule for money math: doubles are cast to DECIMAL before
+  * any aggregation (a double can never sit exactly on a decimal rounding
+  * midpoint, so the cast is unambiguous in every engine), summed exactly,
+  * and cast to DOUBLE once at the end. Raw doubles pass through untouched.
+  */
+object RelationalQueries {
+
+  private def dec(c: org.apache.spark.sql.Column, p: Int, s: Int) =
+    c.cast(s"decimal($p,$s)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Pricing-summary aggregation (TPC-H Q1 shape): scan + filter pushdown
+    // + hash partial/final aggregate.
+    "rel_q1" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"), 18, 2)).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"), 18, 2)).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice"), 18, 2) * dec(lit(1.0) - col("l_discount"), 5, 2))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec(col("l_quantity"), 18, 2)).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Revenue-per-customer top-10: fact-fact equi-join (shuffle) + dim
+    // broadcast join + TakeOrderedAndProject.
+    "rel_top_customers" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val rev = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec(col("l_extendedprice"), 18, 2) * dec(lit(1.0) - col("l_discount"), 5, 2))
+          .as("rev_exact"))
+      rev.join(broadcast(c), rev("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("rev_exact").cast("double").as("revenue"))
+        .orderBy(col("rev_exact").desc, col("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", "revenue")
+    }),
+
+    // Per-customer top-3 orders by totalprice: rank window + group-limit
+    // (WindowGroupLimit pushes the <=3 below the shuffle).
+    "rel_window_orders" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    // Raw scan with projection + predicate pushdown (ReadSchema should be
+    // 3 columns, PushedFilters non-empty).
+    "rel_scan_pushdown" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_quantity") < 5.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Customers with no orders per nation: anti join + dim joins.
+    "rel_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val n = Tables.nation(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("idle_customers"))
+        .orderBy("n_name")
+    }),
+
+    // High-value open orders' customers: semi join + filter.
+    "rel_semi_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o.filter(col("o_totalprice") > 100000.0 && col("o_orderstatus") === "O"),
+          c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "rel_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(5,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "rel_top_customers" ->
+      """WITH rev AS (
+        |  SELECT o.o_custkey,
+        |         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l.l_discount AS DECIMAL(5,2))) AS rev_exact
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY o.o_custkey
+        |)
+        |SELECT c.c_custkey, c.c_name, CAST(rev_exact AS DOUBLE) AS revenue
+        |FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+        |ORDER BY rev_exact DESC, c.c_custkey
+        |LIMIT 10""".stripMargin,
+
+    "rel_window_orders" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |  FROM orders
+        |)
+        |SELECT o_custkey, rnk, o_orderkey, o_totalprice
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin,
+
+    "rel_scan_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_quantity < 5.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "rel_anti_join" ->
+      """SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS idle_customers
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
+
+    "rel_semi_join" ->
+      """SELECT c.c_custkey, c.c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_totalprice > 100000.0 AND o.o_orderstatus = 'O')
+        |ORDER BY c.c_custkey""".stripMargin
+  )
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+import graft.sources.Tables
+
+/** Text-analysis queries over `documents` (the training-data-pipeline
+  * surface): token statistics, quality scoring, language-ID,
+  * fingerprinting. Every double mirrors the exact arithmetic tree of its
+  * oracle SQL (single divisions of exact integer counts; fixed-order
+  * weighted sum for the quality score).
+  */
+object TextQueries {
+
+  import TextAnalysis._
+
+  private val langHitsSql: String = LangProfiles.map { case (lang, words) =>
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, t -> t IN ($list))) AS h_$lang"
+  }.mkString(",\n  ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "text_stats" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(
+          col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"),
+          distinctTokenCount(col("text")).cast("long").as("n_distinct"),
+          tokenCharCount(col("text")).as("n_token_chars"),
+          alphaTokenCount(col("text")).cast("long").as("n_alpha"),
+          (tokenCharCount(col("text")).cast("double") /
+            tokenCount(col("text")).cast("double")).as("mean_token_len"))
+        .orderBy("doc_id")
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(
+          col("doc_id"),
+          qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "text_langid" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(
+          col("doc_id"),
+          col("lang").as("lang_labeled"),
+          langId(col("text")).as("lang_pred"),
+          langIdScore(col("text")).cast("long").as("lang_hits"))
+        .orderBy("doc_id")
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(
+          col("doc_id"),
+          fingerprint(col("text")).as("fp_exact"),
+          minShingleFingerprint(col("text")).as("fp_min_shingle"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "text_stats" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  CAST(list_aggregate(list_transform(toks, t -> CAST(length(t) AS BIGINT)), 'sum') AS BIGINT) AS n_token_chars,
+        |  CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$'))) AS BIGINT) AS n_alpha,
+        |  CAST(list_aggregate(list_transform(toks, t -> CAST(length(t) AS BIGINT)), 'sum') AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS mean_token_len
+        |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "text_quality" -> {
+      val en = LangProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS DOUBLE) AS n,
+         |    CAST(len(list_filter(toks, t -> t IN ($en))) AS DOUBLE) AS stop_hits,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct,
+         |    CAST(list_aggregate(list_transform(toks, t -> CAST(length(t) AS BIGINT)), 'sum') AS DOUBLE) AS chars
+         |  FROM tok
+         |)
+         |SELECT doc_id,
+         |  ((stop_hits / n) * CAST(0.25 AS DOUBLE))
+         |  + ((n_distinct / n) * CAST(0.35 AS DOUBLE))
+         |  + (GREATEST(CAST(0.0 AS DOUBLE),
+         |       CAST(1.0 AS DOUBLE) - ABS((chars / n) - CAST(5.5 AS DOUBLE)) / CAST(5.5 AS DOUBLE))
+         |     * CAST(0.4 AS DOUBLE)) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "text_langid" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t != '') AS toks
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, lang,
+         |  $langHitsSql
+         |  FROM tok
+         |), mx AS (
+         |  SELECT *, GREATEST(h_de, h_en, h_es, h_fr, h_zh) AS best FROM h
+         |)
+         |SELECT doc_id, lang AS lang_labeled,
+         |  CASE WHEN h_de = best THEN 'de'
+         |       WHEN h_en = best THEN 'en'
+         |       WHEN h_es = best THEN 'es'
+         |       WHEN h_fr = best THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred,
+         |  CAST(best AS BIGINT) AS lang_hits
+         |FROM mx ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, text, toks,
+        |    CASE WHEN len(toks) < 3 THEN [text]
+        |         ELSE list_transform(generate_series(1, len(toks) - 2),
+        |                i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+        |    END AS grams
+        |  FROM tok
+        |)
+        |SELECT doc_id,
+        |  md5(array_to_string(toks, ' ')) AS fp_exact,
+        |  list_aggregate(list_transform(grams, g -> md5(g)), 'min') AS fp_min_shingle
+        |FROM sh ORDER BY doc_id""".stripMargin
+  )
+}
