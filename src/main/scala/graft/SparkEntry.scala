@@ -29,7 +29,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ForgetQueries.queries ++
       graft.queries.RelationalQueries.queries ++
-      graft.queries.TextQueries.queries
+      graft.queries.TextQueries.queries ++
+      graft.queries.DedupQueries.queries ++
+      graft.queries.SimilarityQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -38,5 +41,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ForgetQueries.oracleSql ++
       graft.queries.RelationalQueries.oracleSql ++
-      graft.queries.TextQueries.oracleSql
+      graft.queries.TextQueries.oracleSql ++
+      graft.queries.DedupQueries.oracleSql ++
+      graft.queries.SimilarityQueries.oracleSql ++
+      graft.queries.MultimodalQueries.oracleSql
 }

@@ -52,8 +52,11 @@ object Decay {
       when(count < 1L, lit(0L))
         .otherwise(floor(count.cast("double") * lit(rate) * dtSec.cast("double")).cast("long"))
     case DecayMode.Sampled =>
+      // native codegen Expression, not the UDF bridge — keeps the whole
+      // decay+clamp pipeline inside one WholeStageCodegen span
       when(count < 1L, lit(0L)).otherwise(
-        PoissonUdfs.poissonDecay(lit(rate) * dtSec.cast("double"), seed))
+        graft.functions.PoissonDecayExpr(
+          lit(rate) * dtSec.cast("double"), seed))
   }
 
   /** goforget clamp (`distribution.go:158-164`): if the draw meets or

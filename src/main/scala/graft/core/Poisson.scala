@@ -58,6 +58,16 @@ object Poisson {
   def sample(lambda: Double, seed: Long): Int =
     sampleWithUniform(lambda, uniform(seed))
 
+  /** Seeded draw with the `-1 => 0` caller contract applied
+    * (`goforget/decay.go:50-54`: a non-converged sample decays nothing).
+    * Static entry point for generated code — see
+    * `graft.functions.PoissonDecayExpr`.
+    */
+  def decayDraw(lambda: Double, seed: Long): Long = {
+    val k = sampleWithUniform(lambda, uniform(seed))
+    if (k == -1) 0L else k.toLong
+  }
+
   /** Decay amount for one bin, mirroring `goforget/decay.go:40-56`
     * (`DecayTime`): count < 1 decays by 0; a non-converged sample (-1)
     * decays by 0; otherwise the Poisson draw with lambda = rate * dtSec.

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash
+  * groupBy), MinHash+LSH banding, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * Engine-parity design: every hash is derived from md5 (the one hash
+  * both Spark and DuckDB compute identically), widened to a 60-bit
+  * non-negative long from the first 15 hex chars. xxhash64/murmur would
+  * be faster but are engine-specific; md5 keeps every dedup decision
+  * oracle-checkable. Swap [[md5Long]] for xxhash64 when oracle parity is
+  * not required.
+  *
+  * Scale notes:
+  *   - Exact dedup shuffles on the md5 fingerprint — uniformly
+  *     distributed by construction, no skew.
+  *   - MinHash signatures and band keys are computed entirely row-local
+  *     (array transforms over the shingle set — no explode, no shuffle);
+  *     only the band-key equi-join shuffles, and its fan-out is bounded
+  *     by the banding scheme, not by document size.
+  *   - n-gram Jaccard's shingle join drops "stop shingles" (appearing in
+  *     more than `maxDocFreq` docs) before the pair join — the classic
+  *     guard against quadratic blowup on hot shingles.
+  */
+object Dedup {
+
+  /** 60-bit salted hash: first 15 hex chars of md5("salt:value"). */
+  def md5Long(c: Column, salt: Int): Column =
+    conv(substring(md5(concat(lit(s"$salt:"), c)), 1, 15), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles of a document. Native kernel
+    * ([[graft.functions.ShingleSetExpr]]) with the same semantics as
+    * `array_distinct(TextAnalysis.shingles(text, n))`.
+    */
+  def shingleSet(text: Column, n: Int = 3): Column =
+    graft.functions.ShingleSetExpr(text, n)
+
+  /** k-permutation MinHash signature over a shingle-set column.
+    * Element i = `array_min(transform(sh, s -> md5Long(s, i)))`, computed
+    * by the native kernel ([[graft.functions.MinHashSig]]) — one JVM call
+    * per row instead of k interpreted lambda passes.
+    */
+  def minhashSignature(sh: Column, k: Int): Column =
+    graft.functions.MinHashSig(sh, k)
+
+  /** LSH band keys: md5 over each band's comma-joined signature rows.
+    * Two docs are candidates iff any band key matches.
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws(",",
+        (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*))
+    }: _*)
+
+  /** SimHash width: 60 bits (all of the md5-derived hash). 32 bits is too
+    * narrow for a shared-vocabulary corpus — random documents land within
+    * Hamming distance 3 and the candidate set grows quadratically.
+    */
+  final val SimhashBits = 60
+
+  /** 60-bit SimHash over the (repeated) token stream: per bit, sum +1/-1
+    * of each token-hash's (salt 0) bit, sign of the sum. Native kernel
+    * ([[graft.functions.SimHash60]]): one md5 pass per token. Expects a
+    * column named `text`; yields a non-negative long.
+    */
+  val simhashExpr: Column =
+    graft.functions.SimHash60(expr("text"))
+
+  /** Jaccard similarity of two distinct-shingle arrays: |A∩B| / |A∪B|,
+    * one integer division pair -> bit-stable across engines.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = (size(a) + size(b)).cast("double") - size(array_intersect(a, b)).cast("double")
+    inter / uni
+  }
+
+  /** Candidate pairs from any banded key column: self-join on
+    * (band_id, key) with id_a < id_b, deduped across bands.
+    */
+  def candidatePairs(banded: DataFrame, idCol: String, keysCol: String): DataFrame = {
+    val ex = banded.select(col(idCol).as("id"), posexplode(col(keysCol)).as(Seq("band", "key")))
+    val a = ex.select(col("id").as("id_a"), col("band"), col("key"))
+    val b = ex.select(col("id").as("id_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  // ------------------------------------------------------------ embeddings
+
+  /** Elementwise float->double widening (exact, no rounding). */
+  def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential left-fold dot product — matches DuckDB's list_aggregate
+    * 'sum' evaluation order so doubles agree bit-for-bit.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bucket key from the first `bits` dimensions: bit i set iff
+    * v[i] >= 0. A deterministic coarse quantization — exact duplicates
+    * always share a bucket, so bucket-local search finds them without an
+    * all-pairs join.
+    */
+  def signBucket(v: Column, bits: Int = 8): Column =
+    (0 until bits).map { i =>
+      when(element_at(v, i + 1) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.Tables
+
+/** Deduplication queries over a synthetic "re-crawl" corpus: the
+  * documents table plus exact copies (30% of docs, id+10M) and near-dup
+  * copies with the two leading tokens dropped (10%, id+20M). Both engines
+  * build the identical corpus, so every dedup decision — candidate
+  * generation through verification — is oracle-checkable.
+  */
+object DedupQueries {
+
+  final val MinhashK = 16
+  final val Bands = 4
+  final val RowsPerBand = 4
+  final val JaccardThreshold = 0.4
+  final val MaxDocFreq = 50
+  final val HammingMax = 3
+  final val CosineThreshold = 0.999
+
+  /** documents + exact dups + near dups (leading 2 tokens dropped). */
+  def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val exact = d.filter(col("doc_id") % 10 < 3)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val near = d.filter(col("doc_id") % 10 === 3 && size(toks) >= 10)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        array_join(slice(toks, lit(3), size(toks) - 2), " ").as("text"))
+    d.unionByName(exact).unionByName(near)
+  }
+
+  private val corpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 < 3
+      |  UNION ALL
+      |  SELECT doc_id + 20000000,
+      |         array_to_string(list_filter(string_split(text, ' '), t -> t != '')[3:], ' ')
+      |  FROM documents
+      |  WHERE doc_id % 10 = 3
+      |    AND len(list_filter(string_split(text, ' '), t -> t != '')) >= 10
+      |)""".stripMargin
+
+  /** Distinct 3-gram shingle set, as a CTE adding `sh` to corpus. */
+  private val shinglesCte =
+    """tok AS (
+      |  SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
+      |  FROM corpus
+      |), shs AS (
+      |  SELECT doc_id, text,
+      |    list_distinct(CASE WHEN len(toks) < 3 THEN [text]
+      |         ELSE list_transform(generate_series(1, len(toks) - 2),
+      |                i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+      |    END) AS sh
+      |  FROM tok
+      |)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: hash-groupBy on the text fingerprint.
+    "dedup_exact" -> ((s, dir) =>
+      corpus(s, dir)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("fp")),
+
+    // MinHash + LSH banding: row-local signatures, band-key join for
+    // candidates, exact-Jaccard verification.
+    "dedup_minhash" -> ((s, dir) => {
+      // Persist the signature table: it feeds candidate generation AND
+      // both sides of the verify join — without it Spark re-derives the
+      // shingle+signature subtree per reference. At pipeline scale this
+      // is the materialized signatures table every LSH dedup job writes.
+      val c = corpus(s, dir)
+        .withColumn("sh", Dedup.shingleSet(col("text")))
+        .withColumn("sig", Dedup.minhashSignature(col("sh"), MinhashK))
+        .withColumn("keys", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val pairs = Dedup.candidatePairs(c, "doc_id", "keys")
+      pairs
+        .join(c.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(c.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash: 60-bit signature, 15-bit band blocking (4 bands ⇒ any pair
+    // within Hamming distance 3 shares a band), Hamming verify.
+    "dedup_simhash" -> ((s, dir) => {
+      val c = corpus(s, dir).withColumn("sim", Dedup.simhashExpr)
+        .withColumn("keys", array((0 until 4).map(b =>
+          shiftright(col("sim"), 15 * b).bitwiseAND(lit(32767L))): _*))
+        .persist(StorageLevel.MEMORY_AND_DISK) // reused 3x, see dedup_minhash
+      val pairs = Dedup.candidatePairs(c, "doc_id", "keys")
+      pairs
+        .join(c.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
+        .join(c.select(col("doc_id").as("id_b"), col("sim").as("sim_b")), "id_b")
+        .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+        .filter(col("hamming") <= HammingMax)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // n-gram Jaccard via the relational plan: explode shingles, drop stop
+    // shingles (doc-freq > MaxDocFreq), shared-count join, verify.
+    "dedup_ngram" -> ((s, dir) => {
+      val c = corpus(s, dir).withColumn("sh", Dedup.shingleSet(col("text")))
+      // The exploded posting list feeds doc-freq pruning, per-doc sizes,
+      // and both sides of the shared-shingle join — persist it once
+      // (the materialized inverted index of this pipeline stage).
+      val ex = c.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val keep = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxDocFreq).select("shingle")
+      val fx = ex.join(keep, "shingle").persist(StorageLevel.MEMORY_AND_DISK)
+      val sizes = fx.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val shared = fx.select(col("doc_id").as("id_a"), col("shingle"))
+        .join(fx.select(col("doc_id").as("id_b"), col("shingle")), "shingle")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      shared
+        .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            ((col("sz_a") + col("sz_b")).cast("double") - col("inter").cast("double")))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Embedding near-dup: sign-bucket blocking + exact cosine verify.
+    "dedup_embedding" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val cps = e.unionByName(
+        e.filter(col("vec_id") % 10 < 3)
+          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+      val withVec = cps.withColumn("v", Dedup.toDoubleVec(col("embedding")))
+        .withColumn("bucket", Dedup.signBucket(col("v"), 8))
+        .select("vec_id", "bucket", "v")
+      val a = withVec.select(col("vec_id").as("id_a"), col("bucket"), col("v").as("v_a"))
+      val b = withVec.select(col("vec_id").as("id_b"), col("bucket"), col("v").as("v_b"))
+      a.join(b, "bucket")
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", Dedup.cosine(col("v_a"), col("v_b")))
+        .filter(col("cosine") >= CosineThreshold)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  private def minhashSigSql: String =
+    (0 until MinhashK).map { i =>
+      s"list_aggregate(list_transform(sh, s -> CAST(concat('0x', substr(md5(concat('$i:', s)), 1, 15)) AS BIGINT)), 'min') AS mh$i"
+    }.mkString(",\n    ")
+
+  private def bandKeySql(b: Int): String = {
+    val parts = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+    "md5(concat(" + parts.mkString(", ',', ") + "))"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+
+    "dedup_exact" ->
+      s"""WITH $corpusCte
+         |SELECT md5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keeper,
+         |       CAST(COUNT(*) AS BIGINT) AS n_copies
+         |FROM corpus GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH $corpusCte, $shinglesCte,
+         |sigs AS (
+         |  SELECT doc_id, sh,
+         |    $minhashSigSql
+         |  FROM shs
+         |), bands AS (
+         |  ${(0 until Bands).map(b =>
+              s"SELECT doc_id, $b AS band, ${bandKeySql(b)} AS key FROM sigs").mkString("\n  UNION ALL\n  ")}
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band, key)
+         |  WHERE a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b,
+         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |    / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) AS jaccard
+         |FROM cand
+         |JOIN sigs sa ON sa.doc_id = id_a
+         |JOIN sigs sb ON sb.doc_id = id_b
+         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |    / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) >= $JaccardThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $corpusCte,
+         |tok AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+         |  FROM corpus
+         |), hx AS (
+         |  SELECT doc_id,
+         |    list_transform(toks, t -> CAST(concat('0x', substr(md5(concat('0:', t)), 1, 15)) AS BIGINT)) AS hashes
+         |  FROM tok
+         |), cnt AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(0, 59), b ->
+         |      list_aggregate(list_transform(hashes, h -> ((h >> b) & 1) * 2 - 1), 'sum')) AS counters
+         |  FROM hx
+         |), sims AS (
+         |  SELECT doc_id,
+         |    CAST(list_aggregate(list_transform(generate_series(0, 59), b ->
+         |      CASE WHEN counters[b + 1] > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END), 'sum') AS BIGINT) AS sim
+         |  FROM cnt
+         |), bands AS (
+         |  ${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, (sim >> ${15 * b}) & 32767 AS key FROM sims").mkString("\n  UNION ALL\n  ")}
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band, key)
+         |  WHERE a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa.sim, sb.sim)) AS BIGINT) AS hamming
+         |FROM cand
+         |JOIN sims sa ON sa.doc_id = id_a
+         |JOIN sims sb ON sb.doc_id = id_b
+         |WHERE bit_count(xor(sa.sim, sb.sim)) <= $HammingMax
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_ngram" ->
+      s"""WITH $corpusCte, $shinglesCte,
+         |ex AS (
+         |  SELECT doc_id, unnest(sh) AS shingle FROM shs
+         |), keep AS (
+         |  SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= $MaxDocFreq
+         |), fx AS (
+         |  SELECT ex.doc_id, ex.shingle FROM ex JOIN keep USING (shingle)
+         |), sizes AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM fx GROUP BY doc_id
+         |), shared AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM fx a JOIN fx b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b,
+         |  CAST(inter AS DOUBLE) / (CAST(sa.sz + sb.sz AS DOUBLE) - CAST(inter AS DOUBLE)) AS jaccard
+         |FROM shared
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(inter AS DOUBLE) / (CAST(sa.sz + sb.sz AS DOUBLE) - CAST(inter AS DOUBLE)) >= $JaccardThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH ecorpus AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id % 10 < 3
+         |), bk AS (
+         |  SELECT vec_id, v,
+         |    ${(0 until 8).map(i =>
+              s"(CASE WHEN v[${i + 1}] >= 0.0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)").mkString("\n    + ")} AS bucket
+         |  FROM ecorpus
+         |)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  list_aggregate(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]), 'sum')
+         |    / (sqrt(list_aggregate(list_transform(list_zip(a.v, a.v), s -> s[1] * s[2]), 'sum'))
+         |       * sqrt(list_aggregate(list_transform(list_zip(b.v, b.v), s -> s[1] * s[2]), 'sum'))) AS cosine
+         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE list_aggregate(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]), 'sum')
+         |    / (sqrt(list_aggregate(list_transform(list_zip(a.v, a.v), s -> s[1] * s[2]), 'sum'))
+         |       * sqrt(list_aggregate(list_transform(list_zip(b.v, b.v), s -> s[1] * s[2]), 'sum'))) >= $CosineThreshold
+         |ORDER BY id_a, id_b""".stripMargin
+  )
+}

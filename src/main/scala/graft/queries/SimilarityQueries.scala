@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor queries over `embeddings`: brute-force
+  * cosine top-k (the exactness baseline) and sign-hyperplane LSH (the
+  * bucketed scale path). Query set = vec_id < 5.
+  */
+object SimilarityQueries {
+
+  final val K = 10
+  final val LshBits = 6
+  final val Dim = 64
+
+  private lazy val Signs = Similarity.signMatrix(LshBits, Dim)
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), Dedup.toDoubleVec(col("embedding")).as("v"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "sim_ann_brute" -> ((s, dir) => {
+      val all = vecs(s, dir)
+      Similarity.bruteForceTopK(all.filter(col("vec_id") < 5), all, K)
+        .orderBy("q_id", "rnk")
+    }),
+
+    "sim_ann_lsh" -> ((s, dir) => {
+      val all = vecs(s, dir).withColumn("bucket", Similarity.lshBucket(col("v"), Signs))
+      val q = broadcast(all.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("bucket")))
+      val c = all.select(col("vec_id").as("c_id"), col("v").as("c_v"), col("bucket"))
+      val scored = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine", Dedup.cosine(col("q_v"), col("c_v")))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= K)
+        .select("q_id", "rnk", "c_id", "cosine")
+        .orderBy("q_id", "rnk")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  private val dotSql: (String, String) => String = (a, b) =>
+    s"list_aggregate(list_transform(list_zip($a, $b), s -> s[1] * s[2]), 'sum')"
+
+  private def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Bucket expression mirroring [[Similarity.lshBucket]]: literal ±1
+    * signs folded through the identical sequential dot product.
+    */
+  private def bucketSql(v: String): String =
+    Signs.zipWithIndex.map { case (row, p) =>
+      val arr = row.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN ${dotSql(v, s"CAST($arr AS DOUBLE[])")} >= 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+    }.mkString("\n    + ")
+
+  def oracleSql: Map[String, String] = Map(
+
+    "sim_ann_brute" ->
+      s"""WITH vecs AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |         ${cosineSql("q.v", "c.v")} AS cosine
+         |  FROM vecs q JOIN vecs c ON q.vec_id < 5 AND q.vec_id != c.vec_id
+         |), ranked AS (
+         |  SELECT q_id, c_id, cosine,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT q_id, rnk, c_id, cosine FROM ranked WHERE rnk <= $K
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "sim_ann_lsh" ->
+      s"""WITH vecs AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), bucketed AS (
+         |  SELECT vec_id, v,
+         |    ${bucketSql("v")} AS bucket
+         |  FROM vecs
+         |), scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |         ${cosineSql("q.v", "c.v")} AS cosine
+         |  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket
+         |  WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
+         |), ranked AS (
+         |  SELECT q_id, c_id, cosine,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT q_id, rnk, c_id, cosine FROM ranked WHERE rnk <= $K
+         |ORDER BY q_id, rnk""".stripMargin
+  )
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{MinHashSig, SimHash60}
+import graft.operators.{Dedup, TextAnalysis}
+
+/** The native hash kernels must agree exactly with the SQL column algebra
+  * they replace — that equivalence is what keeps every dedup decision
+  * DuckDB-oracle-checkable (the oracle computes the SQL form).
+  */
+class HashExprsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def sampleDocs = {
+    import spark.implicits._
+    Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one",
+      "",
+      "  double  spaced   tokens here ",
+      "unicode tökens école 北京 mixed in",
+      (1 to 500).map(i => s"tok$i").mkString(" ")
+    ).toDF("text")
+  }
+
+  test("SimHash60 kernel == higher-order-function SQL algebra") {
+    val hofSimhash = {
+      val hashes =
+        "transform(filter(split(text, ' '), t -> t != ''), " +
+          "t -> cast(conv(substring(md5(concat('0:', t)), 1, 15), 16, 10) as bigint))"
+      val counters =
+        s"transform(sequence(0, 59), b -> aggregate($hashes, cast(0 as bigint), " +
+          "(acc, h) -> acc + ((cast(shiftright(h, b) & 1 as bigint) * 2) - 1)))"
+      expr(
+        s"aggregate(transform(sequence(0, 59), b -> " +
+          s"if(element_at($counters, b + 1) > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))), " +
+          "cast(0 as bigint), (acc, x) -> acc + x)")
+    }
+    val rows = sampleDocs
+      .withColumn("fast", Dedup.simhashExpr)
+      .withColumn("slow", hofSimhash)
+      .collect()
+    rows.foreach(r => assert(r.getAs[Long]("fast") == r.getAs[Long]("slow"), r))
+  }
+
+  test("MinHashSig kernel == per-permutation array_min algebra") {
+    val k = 16
+    val sh = Dedup.shingleSet(col("text"))
+    val hofSig = array((0 until k).map(i =>
+      array_min(transform(sh, s => Dedup.md5Long(s, i)))): _*)
+    val rows = sampleDocs.filter(col("text") =!= "")
+      .withColumn("fast", Dedup.minhashSignature(sh, k))
+      .withColumn("slow", hofSig)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Long]]("fast").toSeq ==
+        r.getAs[scala.collection.Seq[Long]]("slow").toSeq, r)
+    }
+  }
+
+  test("band keys from kernel signatures are stable") {
+    val c = sampleDocs.filter(col("text") =!= "")
+      .withColumn("sig", Dedup.minhashSignature(Dedup.shingleSet(col("text")), 16))
+      .withColumn("keys", Dedup.bandKeys(col("sig"), 4, 4))
+    val rows = c.select(size(col("keys"))).collect()
+    rows.foreach(r => assert(r.getInt(0) == 4))
+  }
+
+  test("kernels run inside whole-stage codegen") {
+    // range (not a local relation): ConvertToLocalRelation would
+    // constant-fold a LocalTableScan and hide the codegen stage
+    val df = spark.range(64)
+      .withColumn("text", concat_ws(" ", lit("alpha"), col("id").cast("string")))
+      .withColumn("sim", Dedup.simhashExpr)
+      .withColumn("sig", Dedup.minhashSignature(Dedup.shingleSet(col("text")), 4))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(df.count() == 64)
+  }
+}
