@@ -13,11 +13,17 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     names.foreach { n =>
-      val t0 = System.nanoTime()
-      val cnt = try SparkEntry.queries(n)(spark, sfDir).count()
-                catch { case e: Throwable => println(s"FAIL $n: $e"); -1L }
-      println(f"[scratch] $n%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$cnt")
+      if (explain) {
+        println(s"========== $n ==========")
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      } else {
+        val t0 = System.nanoTime()
+        val cnt = try SparkEntry.queries(n)(spark, sfDir).count()
+                  catch { case e: Throwable => println(s"FAIL $n: $e"); -1L }
+        println(f"[scratch] $n%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$cnt")
+      }
     }
     spark.stop()
   }

@@ -124,7 +124,19 @@ object ForgetQueries {
     // replay-stable but not SQL-expressible -> rows-only driver check.
     "ft_sampled" -> ((s, dir) =>
       ft(s, dir).dist(
-        ForgetParams(rate = 0.002, nowEpoch = Now, mode = DecayMode.Sampled)))
+        ForgetParams(rate = 0.002, nowEpoch = Now, mode = DecayMode.Sampled))),
+
+    // JSON wire shape (SURVEY.md §1.4): each distribution serialized as
+    // the reference's response payload `[{bin, count}, ...]`
+    // (distribution.go:18-28), bins in sorted order for determinism.
+    "ft_json" -> ((s, dir) =>
+      ft(s, dir).counts
+        .groupBy("dist")
+        .agg(
+          sum("count").as("z"),
+          to_json(sort_array(collect_list(struct(col("bin"), col("count")))))
+            .as("data_json"))
+        .orderBy("dist"))
   )
 
   // -------------------------------------------------------------- oracles
@@ -262,6 +274,13 @@ object ForgetQueries {
 
     "ft_dbsize" ->
       "SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_dists FROM events",
+
+    "ft_json" ->
+      s"""WITH $countsCte
+         |SELECT dist, CAST(SUM("count") AS BIGINT) AS z,
+         |       to_json(list(struct_pack(bin := bin, "count" := "count")
+         |                    ORDER BY bin, "count")) AS data_json
+         |FROM counts GROUP BY dist ORDER BY dist""".stripMargin,
 
     "ft_incr_merge" ->
       """WITH old_counts AS (

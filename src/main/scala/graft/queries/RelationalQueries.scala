@@ -99,6 +99,21 @@ object RelationalQueries {
           c("c_custkey") === o("o_custkey"), "left_semi")
         .select("c_custkey", "c_mktsegment")
         .orderBy("c_custkey")
+    }),
+
+    // Set operators: customers active in BOTH 1995 and 1996 (INTERSECT),
+    // minus customers who ever placed a very large order (EXCEPT). Set ops
+    // plan as aggregate/join under the hood — distinct semantics shuffle
+    // on the key, no row blowup.
+    "rel_set_ops" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      def activeIn(year: Int) =
+        o.filter(col("o_orderdate") >= lit(s"$year-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit(s"${year + 1}-01-01 00:00:00").cast("timestamp"))
+          .select(col("o_custkey"))
+      val big = o.filter(col("o_totalprice") > 450000.0).select(col("o_custkey"))
+      activeIn(1995).intersect(activeIn(1996)).except(big)
+        .orderBy("o_custkey")
     })
   )
 
@@ -161,6 +176,18 @@ object RelationalQueries {
         |  SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey
         |    AND o.o_totalprice > 100000.0 AND o.o_orderstatus = 'O')
-        |ORDER BY c.c_custkey""".stripMargin
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "rel_set_ops" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0
+        |ORDER BY o_custkey""".stripMargin
   )
 }

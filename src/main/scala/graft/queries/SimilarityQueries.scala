@@ -31,6 +31,36 @@ object SimilarityQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // IVF-style ANN: a deterministic coarse quantizer (centroids =
+    // vec_id % 29 == 3, broadcast) assigns every vector to its nearest
+    // cell; queries probe their top-2 cells only. The candidate scan is
+    // bounded by cell sizes instead of the full corpus — the scale path
+    // when the LSH bucket distribution is too skewed. Real deployments
+    // swap the modulo centroids for k-means means; the plan shape
+    // (broadcast quantizer -> cell equi-join -> per-query top-k) is
+    // identical.
+    "sim_ann_ivf" -> ((s, dir) => {
+      val all = vecs(s, dir)
+      val cents = broadcast(all.filter(col("vec_id") % 29 === 3)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv")))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+      val ranked = all.crossJoin(cents)
+        .withColumn("ccos", Dedup.cosine(col("v"), col("cv")))
+        .withColumn("crn", row_number().over(wAssign))
+      val assign = ranked.filter(col("crn") === 1)
+        .select(col("vec_id").as("c_id"), col("cent_id").as("cell"), col("v").as("c_v"))
+      val probes = ranked.filter(col("vec_id") < 5 && col("crn") <= 2)
+        .select(col("vec_id").as("q_id"), col("cent_id").as("cell"), col("v").as("q_v"))
+      val scored = broadcast(probes).join(assign, Seq("cell"))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine", Dedup.cosine(col("q_v"), col("c_v")))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= K)
+        .select("q_id", "rnk", "c_id", "cosine")
+        .orderBy("q_id", "rnk")
+    }),
+
     "sim_ann_lsh" -> ((s, dir) => {
       val all = vecs(s, dir).withColumn("bucket", Similarity.lshBucket(col("v"), Signs))
       val q = broadcast(all.filter(col("vec_id") < 5)
@@ -78,6 +108,33 @@ object SimilarityQueries {
          |  FROM scored
          |)
          |SELECT q_id, rnk, c_id, cosine FROM ranked WHERE rnk <= $K
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "sim_ann_ivf" ->
+      s"""WITH vecs AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % 29 = 3
+         |), ranked AS (
+         |  SELECT a.vec_id, a.v, c.cent_id,
+         |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |                            ORDER BY ${cosineSql("a.v", "c.cv")} DESC, c.cent_id) AS crn
+         |  FROM vecs a CROSS JOIN cents c
+         |), assign AS (
+         |  SELECT vec_id AS c_id, cent_id AS cell, v AS c_v FROM ranked WHERE crn = 1
+         |), probes AS (
+         |  SELECT vec_id AS q_id, cent_id AS cell, v AS q_v
+         |  FROM ranked WHERE vec_id < 5 AND crn <= 2
+         |), scored AS (
+         |  SELECT q_id, c_id, ${cosineSql("q_v", "c_v")} AS cosine
+         |  FROM probes JOIN assign USING (cell)
+         |  WHERE q_id != c_id
+         |), rankedq AS (
+         |  SELECT q_id, c_id, cosine,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT q_id, rnk, c_id, cosine FROM rankedq WHERE rnk <= $K
          |ORDER BY q_id, rnk""".stripMargin,
 
     "sim_ann_lsh" ->
