@@ -43,9 +43,9 @@ final case class ForgetParams(
   *   - Top-K uses `row_number` over (dist, count desc) + `<= k` filter,
   *     which Spark's WindowGroupLimit rewrites into a per-partition
   *     group-limit before the shuffle — distributed partial top-K.
-  *   - All decay arithmetic is built from `functions._` columns, so the
-  *     whole read path stays inside whole-stage codegen (Sampled mode's
-  *     UDF is the one deliberate exception).
+  *   - All decay arithmetic is built from `functions._` columns plus the
+  *     codegen `PoissonDecayExpr`, so every read path — including Sampled
+  *     mode — stays inside whole-stage codegen.
   */
 final class ForgetTable(val counts: DataFrame, val meta: DataFrame) {
 

@@ -105,6 +105,13 @@ object ForgetQueries {
     "ft_expiry" -> ((s, dir) =>
       ft(s, dir).expiry(ForgetParams(rate = 0.002, nowEpoch = Now))),
 
+    // GC keep-filter (batch analog of Redis EXPIRE firing): distributions
+    // still alive at `now` given expiry stamped at their last write time.
+    // rate=0.01 decays 4 of the 5 event-type dists past their TTL.
+    "ft_alive" -> ((s, dir) =>
+      ft(s, dir).alive(ForgetParams(rate = 0.01, nowEpoch = Now))
+        .orderBy("dist")),
+
     "ft_dbsize" -> ((s, dir) =>
       ft(s, dir).dbsize),
 
@@ -274,6 +281,21 @@ object ForgetQueries {
 
     "ft_dbsize" ->
       "SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_dists FROM events",
+
+    "ft_alive" ->
+      s"""WITH $countsCte, $metaCte,
+         |sel AS (
+         |  SELECT c.dist, c.bin, c."count" AS cnt, m.z, m.t
+         |  FROM counts c JOIN meta m USING (dist)
+         |), ${decayCte(0.01, prune = true)},
+         |mx AS (
+         |  SELECT dist, t, CAST(MAX(newc) AS BIGINT) AS max_count
+         |  FROM d2 WHERE newc > 0 GROUP BY 1, 2
+         |)
+         |SELECT dist FROM mx
+         |WHERE $Now < t + CAST(FLOOR((CAST(2.0 AS DOUBLE) + SQRT(CAST(max_count AS DOUBLE) / CAST(0.01 AS DOUBLE)))
+         |                            * SQRT(CAST(max_count AS DOUBLE) / CAST(0.01 AS DOUBLE))) AS BIGINT)
+         |ORDER BY dist""".stripMargin,
 
     "ft_json" ->
       s"""WITH $countsCte
