@@ -238,3 +238,26 @@ object ShingleSetExpr {
   def apply(text: Column, n: Int): Column =
     ExpressionUtils.column(ShingleSetExpr(ExpressionUtils.expression(text), n))
 }
+
+/** Single salted 60-bit hash of a string — native form of
+  * `Dedup.md5Long` for hot join-key paths.
+  */
+case class Md5Long60Expr(child: Expression, salt: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5long60"
+
+  override protected def nullSafeEval(s: Any): Any =
+    HashKernels.md5Long60(salt, s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.md5Long60($salt, $c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Long60Expr =
+    copy(child = newChild)
+}
+
+object Md5Long60Expr {
+  def apply(s: Column, salt: Int): Column =
+    ExpressionUtils.column(Md5Long60Expr(ExpressionUtils.expression(s), salt))
+}

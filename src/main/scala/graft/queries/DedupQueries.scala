@@ -111,20 +111,26 @@ object DedupQueries {
     }),
 
     // n-gram Jaccard via the relational plan: explode shingles, drop stop
-    // shingles (doc-freq > MaxDocFreq), shared-count join, verify.
+    // shingles (doc-freq > MaxDocFreq), shared-count join, verify. The
+    // posting list carries the shingle's 60-bit fingerprint, not the
+    // string: 8-byte shuffle/join keys instead of ~25-byte text. Both
+    // engines hash identically, so the (astronomically rare) fingerprint
+    // collision would alter both results the same way — cross-engine
+    // parity is preserved by construction.
     "dedup_ngram" -> ((s, dir) => {
       val c = corpus(s, dir).withColumn("sh", Dedup.shingleSet(col("text")))
       // The exploded posting list feeds doc-freq pruning, per-doc sizes,
       // and both sides of the shared-shingle join — persist it once
       // (the materialized inverted index of this pipeline stage).
       val ex = c.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), graft.functions.Md5Long60Expr(col("shingle"), 0).as("sid"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val keep = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxDocFreq).select("shingle")
-      val fx = ex.join(keep, "shingle").persist(StorageLevel.MEMORY_AND_DISK)
+      val keep = ex.groupBy("sid").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxDocFreq).select("sid")
+      val fx = ex.join(keep, "sid").persist(StorageLevel.MEMORY_AND_DISK)
       val sizes = fx.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val shared = fx.select(col("doc_id").as("id_a"), col("shingle"))
-        .join(fx.select(col("doc_id").as("id_b"), col("shingle")), "shingle")
+      val shared = fx.select(col("doc_id").as("id_a"), col("sid"))
+        .join(fx.select(col("doc_id").as("id_b"), col("sid")), "sid")
         .filter(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
       shared
@@ -239,16 +245,18 @@ object DedupQueries {
     "dedup_ngram" ->
       s"""WITH $corpusCte, $shinglesCte,
          |ex AS (
-         |  SELECT doc_id, unnest(sh) AS shingle FROM shs
+         |  SELECT doc_id,
+         |         CAST(concat('0x', substr(md5(concat('0:', s)), 1, 15)) AS BIGINT) AS sid
+         |  FROM (SELECT doc_id, unnest(sh) AS s FROM shs) t
          |), keep AS (
-         |  SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= $MaxDocFreq
+         |  SELECT sid FROM ex GROUP BY sid HAVING COUNT(*) <= $MaxDocFreq
          |), fx AS (
-         |  SELECT ex.doc_id, ex.shingle FROM ex JOIN keep USING (shingle)
+         |  SELECT ex.doc_id, ex.sid FROM ex JOIN keep USING (sid)
          |), sizes AS (
          |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM fx GROUP BY doc_id
          |), shared AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
-         |  FROM fx a JOIN fx b USING (shingle)
+         |  FROM fx a JOIN fx b USING (sid)
          |  WHERE a.doc_id < b.doc_id
          |  GROUP BY 1, 2
          |)

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guards on physical-plan shape — the properties that keep
+  * the engine viable at 1000x the test data. A change that silently drops
+  * a pushdown, a broadcast, or a group-limit would still pass value
+  * checks on small SF but fall over at scale; these specs pin the plan.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def qe(name: String): QueryExecution =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution
+
+  test("rel_scan_pushdown: filters reach the parquet scan; schema pruned") {
+    val formatted = qe("rel_scan_pushdown").explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters: [IsNotNull(l_shipdate)"), formatted)
+    // projection + filter columns only — not the full 10-column lineitem
+    val readSchema = formatted.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.split(",").length == 4, readSchema)
+  }
+
+  test("ft_topk: WindowGroupLimit partial top-K runs below the shuffle") {
+    val plan = qe("ft_topk").executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("rel_top_customers: global top-10 plans as TakeOrderedAndProject") {
+    val plan = qe("rel_top_customers").executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("ft_dist_one: single-dist read pushes the dist predicate to scan") {
+    val formatted = qe("ft_dist_one").explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("EqualTo(event_type,click)"), formatted)
+  }
+
+  test("sim_ann_lsh: candidate join is an equi-join on bucket, not a cross join") {
+    val plan = qe("sim_ann_lsh").executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("dedup queries: no ScalaUDF anywhere in the hot paths") {
+    Seq("dedup_minhash", "dedup_simhash", "dedup_ngram", "ft_sampled").foreach { n =>
+      val plan = qe(n).executedPlan.toString
+      assert(!plan.contains("ScalaUDF"), s"$n: $plan")
+    }
+  }
+}
