@@ -103,7 +103,8 @@ final class ForgetTable(val counts: DataFrame, val meta: DataFrame) {
   def topK(k: Int, params: ForgetParams, name: Option[String] = None): DataFrame = {
     val base = name.fold(counts)(n => counts.filter(col("dist") === n))
     val w = Window.partitionBy("dist").orderBy(col("count").desc, col("bin").desc)
-    val sel = base.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    val sel = base.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
     decayAgainstStoredZ(joinMeta(sel), params)
       .select(col("dist"), col("rnk"), col("bin"), col("count"), col("p"))
       .orderBy("dist", "rnk")

@@ -133,6 +133,18 @@ object ForgetQueries {
       ft(s, dir).dist(
         ForgetParams(rate = 0.002, nowEpoch = Now, mode = DecayMode.Sampled))),
 
+    // Event-time tumbling-window totals per dist (StreamOps): batch form
+    // of the windowed aggregation the streaming layer runs with a
+    // watermark. 1-day windows align to the unix epoch on both engines.
+    "ft_windowed" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type").as("dist"),
+        col("user_id").cast("string").as("bin"),
+        col("ts"))
+      graft.streaming.StreamOps.windowedTotals(ev, "1 day", "1 day", "0 seconds")
+        .orderBy("w_start", "dist")
+    }),
+
     // JSON wire shape (SURVEY.md §1.4): each distribution serialized as
     // the reference's response payload `[{bin, count}, ...]`
     // (distribution.go:18-28), bins in sorted order for determinism.
@@ -296,6 +308,12 @@ object ForgetQueries {
          |WHERE $Now < t + CAST(FLOOR((CAST(2.0 AS DOUBLE) + SQRT(CAST(max_count AS DOUBLE) / CAST(0.01 AS DOUBLE)))
          |                            * SQRT(CAST(max_count AS DOUBLE) / CAST(0.01 AS DOUBLE))) AS BIGINT)
          |ORDER BY dist""".stripMargin,
+
+    "ft_windowed" ->
+      """SELECT make_timestamp(CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) * 86400 * 1000000) AS w_start,
+        |       make_timestamp((CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) + 1) * 86400 * 1000000) AS w_end,
+        |       event_type AS dist, CAST(COUNT(*) AS BIGINT) AS z
+        |FROM events GROUP BY 1, 2, 3 ORDER BY w_start, dist""".stripMargin,
 
     "ft_json" ->
       s"""WITH $countsCte

@@ -44,9 +44,12 @@ object SimilarityQueries {
       val cents = broadcast(all.filter(col("vec_id") % 29 === 3)
         .select(col("vec_id").as("cent_id"), col("v").as("cv")))
       val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+      // persisted: cell assignment feeds both the corpus side and the
+      // probe side (at scale this is the stored cell-assignment table)
       val ranked = all.crossJoin(cents)
         .withColumn("ccos", Dedup.cosine(col("v"), col("cv")))
         .withColumn("crn", row_number().over(wAssign))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val assign = ranked.filter(col("crn") === 1)
         .select(col("vec_id").as("c_id"), col("cent_id").as("cell"), col("v").as("c_v"))
       val probes = ranked.filter(col("vec_id") < 5 && col("crn") <= 2)

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregation with watermarked late-event handling.
+  *
+  * The reference has no windowing at all — its exponential decay IS the
+  * alternative to sliding windows (SURVEY.md §2.2 "Streaming"): instead
+  * of dropping observations at a window edge, counts fade continuously.
+  * An engine replacing it in a large-scale pipeline needs both forms, so
+  * this exposes the standard Structured-Streaming surface:
+  *
+  *   - tumbling/sliding windows over the event-time column,
+  *   - a watermark bounding state: windows older than
+  *     `max(event time) - watermark` are finalized and their state
+  *     dropped; events arriving later than that are discarded.
+  *
+  * Works identically on batch DataFrames (the watermark is a no-op
+  * there), which is what makes the batch query oracle-checkable while
+  * the streaming path is covered by StreamOpsSpec.
+  */
+object StreamOps {
+
+  /** Per-(dist, bin) counts in event-time windows.
+    *
+    * @param events    input with columns (dist, bin, ts: timestamp)
+    * @param windowDur window length, e.g. "1 day"
+    * @param slideDur  slide, equal to windowDur for tumbling windows
+    * @param watermark lateness bound, e.g. "1 hour" (streaming only)
+    */
+  def windowedBinCounts(events: DataFrame, windowDur: String,
+                        slideDur: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slideDur), col("dist"), col("bin"))
+      .agg(count(lit(1)).as("count"))
+      .select(
+        col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("dist"), col("bin"), col("count"))
+
+  /** Per-dist window totals (the windowed analog of Z). */
+  def windowedTotals(events: DataFrame, windowDur: String,
+                     slideDur: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slideDur), col("dist"))
+      .agg(count(lit(1)).as("z"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("dist"), col("z"))
+}
