@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Registers the engine's custom Catalyst expressions as SQL functions,
+  * so every kernel is reachable from `spark.sql(...)` as well as the
+  * Column API:
+  *
+  *   poisson_decay(lambda, seed)   seeded decay draw (LONG)
+  *   simhash60(text | tokens)      60-bit SimHash (LONG)
+  *   minhash_sig(shingles, k)      k-permutation MinHash (ARRAY<LONG>)
+  *   shingle_set(text, n)          distinct word n-grams (ARRAY<STRING>)
+  *   md5long60(s, salt)            salted 60-bit fingerprint (LONG)
+  *
+  * Wire up either way:
+  *   - config: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *   - code:   `GraftExtensions.register(spark)`
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder)] = Seq(
+    (FunctionIdentifier("poisson_decay"),
+      info("poisson_decay", "poisson_decay(lambda, seed) - seeded Poisson decay draw"),
+      (args: Seq[Expression]) => PoissonDecayExpr(args(0), args(1))),
+    (FunctionIdentifier("simhash60"),
+      info("simhash60", "simhash60(text_or_tokens) - 60-bit SimHash"),
+      (args: Seq[Expression]) => SimHash60(args.head)),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles, k) - k-permutation MinHash signature"),
+      (args: Seq[Expression]) => MinHashSig(args(0), intLit(args(1), "minhash_sig k"))),
+    (FunctionIdentifier("shingle_set"),
+      info("shingle_set", "shingle_set(text, n) - distinct word n-gram shingles"),
+      (args: Seq[Expression]) => ShingleSetExpr(args(0), intLit(args(1), "shingle_set n"))),
+    (FunctionIdentifier("md5long60"),
+      info("md5long60", "md5long60(s, salt) - salted 60-bit md5 fingerprint"),
+      (args: Seq[Expression]) => Md5Long60Expr(args(0), intLit(args(1), "md5long60 salt"))))
+
+  /** Imperative registration on an existing session (tests, notebooks). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    descriptors.foreach { case (ident, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
+    }
+}
