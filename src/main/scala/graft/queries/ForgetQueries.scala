@@ -115,6 +115,13 @@ object ForgetQueries {
     "ft_dbsize" -> ((s, dir) =>
       ft(s, dir).dbsize),
 
+    // HLL++ variant for the 100 TB case (no exact-distinct shuffle).
+    // approx_count_distinct's sketch is engine-specific, so there is no
+    // DuckDB oracle -> rows-only driver check; the exact result at these
+    // cardinalities (5 dists, far below sketch error) matches ft_dbsize.
+    "ft_dbsize_approx" -> ((s, dir) =>
+      ft(s, dir).dbsizeApprox()),
+
     "ft_incr_merge" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val cutoff = "2024-01-15 00:00:00"
