@@ -44,11 +44,15 @@ object SimilarityQueries {
       val cents = broadcast(all.filter(col("vec_id") % 29 === 3)
         .select(col("vec_id").as("cent_id"), col("v").as("cv")))
       val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-      // persisted: cell assignment feeds both the corpus side and the
-      // probe side (at scale this is the stored cell-assignment table)
+      // Persist only what both consumers read — top-2 cells per vector,
+      // centroid vectors and scores dropped (at scale this IS the stored
+      // cell-assignment table: 2 small rows per vector, not the
+      // vector x centroid score matrix).
       val ranked = all.crossJoin(cents)
         .withColumn("ccos", Dedup.cosine(col("v"), col("cv")))
         .withColumn("crn", row_number().over(wAssign))
+        .filter(col("crn") <= 2)
+        .select("vec_id", "v", "cent_id", "crn")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val assign = ranked.filter(col("crn") === 1)
         .select(col("vec_id").as("c_id"), col("cent_id").as("cell"), col("v").as("c_v"))
