@@ -66,6 +66,30 @@ class HashExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("ShingleSet kernel == array_distinct over the HOF shingle algebra") {
+    val hof = array_distinct(TextAnalysis.shingles(col("text"), 3))
+    val rows = sampleDocs
+      .withColumn("fast", Dedup.shingleSet(col("text"), 3))
+      .withColumn("slow", hof)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[String]]("fast").toSeq ==
+        r.getAs[scala.collection.Seq[String]]("slow").toSeq, r.getString(0))
+    }
+  }
+
+  test("tokenize kernel == filter(split) SQL semantics") {
+    val rows = sampleDocs
+      .withColumn("slow", filter(split(col("text"), " "), t => t =!= ""))
+      .collect()
+    rows.foreach { r =>
+      val fast = graft.functions.HashKernels
+        .tokenize(org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)))
+        .map(_.toString).toSeq
+      assert(fast == r.getAs[scala.collection.Seq[String]]("slow").toSeq, r.getString(0))
+    }
+  }
+
   test("band keys from kernel signatures are stable") {
     val c = sampleDocs.filter(col("text") =!= "")
       .withColumn("sig", Dedup.minhashSignature(Dedup.shingleSet(col("text")), 16))
