@@ -101,10 +101,23 @@ final class ForgetTable(val counts: DataFrame, val meta: DataFrame) {
     * @param name optional single distribution; None ranks every dist
     */
   def topK(k: Int, params: ForgetParams, name: Option[String] = None): DataFrame = {
-    val base = name.fold(counts)(n => counts.filter(col("dist") === n))
     val w = Window.partitionBy("dist").orderBy(col("count").desc, col("bin").desc)
-    val sel = base.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    val sel = name match {
+      case Some(n) =>
+        // Single distribution: sort+limit plans as TakeOrderedAndProject
+        // (per-partition partial top-K, merged on one reducer) — no
+        // window shuffle of the dist's full bin set. The rank window
+        // then runs over at most k rows.
+        counts.filter(col("dist") === n)
+          .orderBy(col("count").desc, col("bin").desc).limit(k)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+      case None =>
+        // All distributions: rank window + <=k filter, which Spark
+        // rewrites via WindowGroupLimit into a partial group-limit
+        // below the shuffle.
+        counts.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= k)
+    }
     decayAgainstStoredZ(joinMeta(sel), params)
       .select(col("dist"), col("rnk"), col("bin"), col("count"), col("p"))
       .orderBy("dist", "rnk")

@@ -90,6 +90,11 @@ object ForgetQueries {
     "ft_topk" -> ((s, dir) =>
       ft(s, dir).topK(10, ForgetParams(rate = 0.0005, nowEpoch = Now))),
 
+    // Single-dist top-K: the TakeOrderedAndProject fast path.
+    "ft_topk_one" -> ((s, dir) =>
+      ft(s, dir).topK(10, ForgetParams(rate = 0.0005, nowEpoch = Now),
+        Some("click"))),
+
     "ft_prune" -> ((s, dir) =>
       ft(s, dir).compacted(ForgetParams(rate = 0.002, nowEpoch = Now))
         .counts.orderBy("dist", "bin")),
@@ -230,6 +235,24 @@ object ForgetQueries {
          |  SELECT dist, bin, "count",
          |         CAST(ROW_NUMBER() OVER (PARTITION BY dist ORDER BY "count" DESC, bin DESC) AS BIGINT) AS rnk
          |  FROM counts
+         |),
+         |sel AS (
+         |  SELECT r.dist, r.rnk, r.bin, r."count" AS cnt, m.z, m.t
+         |  FROM ranked r JOIN meta m USING (dist) WHERE r.rnk <= 10
+         |), ${decayCte(0.0005, prune = true)},
+         |zadj AS (SELECT dist, CAST(SUM(l) AS BIGINT) AS lsel FROM d2 GROUP BY 1)
+         |SELECT d2.dist, d2.rnk, d2.bin, newc AS "count",
+         |       CASE WHEN (z - lsel) = 0 THEN CAST(0 AS DOUBLE)
+         |            ELSE CAST(newc AS DOUBLE) / CAST(z - lsel AS DOUBLE) END AS p
+         |FROM d2 JOIN zadj USING (dist)
+         |ORDER BY dist, rnk""".stripMargin,
+
+    "ft_topk_one" ->
+      s"""WITH $countsCte, $metaCte,
+         |ranked AS (
+         |  SELECT dist, bin, "count",
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY dist ORDER BY "count" DESC, bin DESC) AS BIGINT) AS rnk
+         |  FROM counts WHERE dist = 'click'
          |),
          |sel AS (
          |  SELECT r.dist, r.rnk, r.bin, r."count" AS cnt, m.z, m.t

@@ -37,6 +37,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("ft_topk_one: single-dist top-K takes the TakeOrderedAndProject path") {
+    val plan = qe("ft_topk_one").executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("rel_top_customers: global top-10 plans as TakeOrderedAndProject") {
     val plan = qe("rel_top_customers").executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
