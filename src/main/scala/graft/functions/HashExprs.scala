@@ -142,6 +142,37 @@ object HashKernels {
     sim
   }
 
+  /** Rolling-hash document fingerprint (winnowing-style): per token the
+    * salt-0 60-bit hash mod M, then a degree-`w` polynomial combine over
+    * each length-`w` token window (base B mod M), fingerprint = min over
+    * windows. Documents shorter than `w` tokens hash their whole token
+    * stream as one window; no tokens => -1. B and M chosen so
+    * `acc * B + h` never overflows a signed 64-bit in either engine.
+    */
+  final val RollB = 257L
+  final val RollM = 1000000007L
+
+  def rollingFingerprint(text: UTF8String, w: Int): Long = {
+    val toks = tokenize(text)
+    val n = toks.length
+    if (n == 0) return -1L
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = md5Long60(0, toks(i)) % RollM; i += 1 }
+    val nWin = math.max(1, n - w + 1)
+    var minH = Long.MaxValue
+    var s = 0
+    while (s < nWin) {
+      var acc = 0L
+      var j = s
+      val end = math.min(n, s + w)
+      while (j < end) { acc = (acc * RollB + hs(j)) % RollM; j += 1 }
+      if (acc < minH) minH = acc
+      s += 1
+    }
+    minH
+  }
+
   /** k-permutation MinHash signature: element i is the min over shingles
     * of the salt-i 60-bit hash. Empty input yields all-null (the
     * `array_min` of an empty array), matching the column-algebra form.
@@ -237,6 +268,27 @@ case class ShingleSetExpr(child: Expression, n: Int)
 object ShingleSetExpr {
   def apply(text: Column, n: Int): Column =
     ExpressionUtils.column(ShingleSetExpr(ExpressionUtils.expression(text), n))
+}
+
+/** Winnowing-style rolling-hash fingerprint over the token stream. */
+case class RollingFingerprintExpr(child: Expression, w: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fp"
+
+  override protected def nullSafeEval(text: Any): Any =
+    HashKernels.rollingFingerprint(text.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.rollingFingerprint($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprintExpr =
+    copy(child = newChild)
+}
+
+object RollingFingerprintExpr {
+  def apply(text: Column, w: Int): Column =
+    ExpressionUtils.column(RollingFingerprintExpr(ExpressionUtils.expression(text), w))
 }
 
 /** Single salted 60-bit hash of a string — native form of

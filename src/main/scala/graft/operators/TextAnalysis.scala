@@ -107,4 +107,12 @@ object TextAnalysis {
     */
   def minShingleFingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(text, n), s => md5(s)))
+
+  /** True rolling-hash fingerprint (winnowing): min over all length-`w`
+    * token windows of a base-257 polynomial hash of the tokens' 60-bit
+    * hashes. Native kernel ([[graft.functions.RollingFingerprintExpr]]),
+    * O(tokens) per document.
+    */
+  def rollingFingerprint(text: Column, w: Int = 4): Column =
+    graft.functions.RollingFingerprintExpr(text, w)
 }

@@ -59,7 +59,8 @@ object TextQueries {
       d.select(
           col("doc_id"),
           fingerprint(col("text")).as("fp_exact"),
-          minShingleFingerprint(col("text")).as("fp_min_shingle"))
+          minShingleFingerprint(col("text")).as("fp_min_shingle"),
+          rollingFingerprint(col("text"), 4).as("fp_rolling"))
         .orderBy("doc_id")
     })
   )
@@ -134,9 +135,20 @@ object TextQueries {
         |    END AS grams
         |  FROM tok
         |)
+        |, hs AS (
+        |  SELECT doc_id,
+        |    list_transform(toks, t ->
+        |      CAST(concat('0x', substr(md5(concat('0:', t)), 1, 15)) AS BIGINT) % 1000000007) AS h
+        |  FROM sh
+        |)
         |SELECT doc_id,
         |  md5(array_to_string(toks, ' ')) AS fp_exact,
-        |  list_aggregate(list_transform(grams, g -> md5(g)), 'min') AS fp_min_shingle
-        |FROM sh ORDER BY doc_id""".stripMargin
+        |  list_aggregate(list_transform(grams, g -> md5(g)), 'min') AS fp_min_shingle,
+        |  CASE WHEN len(h) = 0 THEN CAST(-1 AS BIGINT)
+        |       ELSE CAST(list_aggregate(list_transform(generate_series(1, greatest(1, len(h) - 4 + 1)),
+        |              i -> list_reduce(h[i : least(i + 3, len(h))],
+        |                     (a, b) -> (a * 257 + b) % 1000000007)), 'min') AS BIGINT)
+        |  END AS fp_rolling
+        |FROM sh JOIN hs USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

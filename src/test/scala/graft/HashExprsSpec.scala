@@ -90,6 +90,20 @@ class HashExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling fingerprint: empty text => -1; short docs hash one window") {
+    import graft.functions.HashKernels
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(HashKernels.rollingFingerprint(u(""), 4) == -1L)
+    assert(HashKernels.rollingFingerprint(u("   "), 4) == -1L)
+    // < w tokens: single window over all tokens, stable value
+    val one = HashKernels.rollingFingerprint(u("ab cd"), 4)
+    assert(one == HashKernels.rollingFingerprint(u("  ab  cd "), 4))
+    assert(one >= 0L && one < 1000000007L)
+    // value changes when a window token changes
+    assert(HashKernels.rollingFingerprint(u("a b c d e"), 4) !=
+      HashKernels.rollingFingerprint(u("a b c d f"), 4))
+  }
+
   test("band keys from kernel signatures are stable") {
     val c = sampleDocs.filter(col("text") =!= "")
       .withColumn("sig", Dedup.minhashSignature(Dedup.shingleSet(col("text")), 16))
