@@ -51,7 +51,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => ShingleSetExpr(args(0), intLit(args(1), "shingle_set n"))),
     (FunctionIdentifier("md5long60"),
       info("md5long60", "md5long60(s, salt) - salted 60-bit md5 fingerprint"),
-      (args: Seq[Expression]) => Md5Long60Expr(args(0), intLit(args(1), "md5long60 salt"))))
+      (args: Seq[Expression]) => Md5Long60Expr(args(0), intLit(args(1), "md5long60 salt"))),
+    (FunctionIdentifier("rolling_fp"),
+      info("rolling_fp", "rolling_fp(text, w) - winnowing rolling-hash fingerprint"),
+      (args: Seq[Expression]) => RollingFingerprintExpr(args(0), intLit(args(1), "rolling_fp w"))))
 
   /** Imperative registration on an existing session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

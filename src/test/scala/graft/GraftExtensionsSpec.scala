@@ -31,7 +31,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions()(ext)
     val names = GraftExtensions.descriptors.map(_._1.funcName).toSet
     assert(names == Set("poisson_decay", "simhash60", "minhash_sig",
-      "shingle_set", "md5long60"))
+      "shingle_set", "md5long60", "rolling_fp"))
   }
 
   test("functions resolve from SQL") {
