@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Dev tool: empirical scaling check of the heaviest operators.
+  *
+  * Blows the sf0.1 tables up Nx in /tmp (ids shifted per copy so
+  * cardinalities scale too, not just row counts), runs the heavy queries
+  * at 1x and Nx, and prints the time ratio. A plan that is secretly
+  * quadratic shows ratio >> N; the linear-ish ratios are the evidence
+  * that these plans survive scale-up. Not part of the driver contract.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 4
+    val base = "/root/testdata/sf0.1"
+    val stage = java.nio.file.Files.createTempDirectory("graft_scale_").toString
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Nx documents: shift doc_id per copy and rotate letters per copy so
+    // copies are genuinely DIFFERENT documents — otherwise every doc has
+    // N near-dup variants and the dedup result set grows quadratically
+    // by construction, which would mask the plan's own scaling.
+    val docs = Tables.documents(spark, base)
+    val rot = "abcdefghijklmnopqrstuvwxyz"
+    val docsN = (0 until factor).map { c =>
+      val shifted = rot.drop(c % 26) + rot.take(c % 26)
+      docs.select((col("doc_id") + lit(c.toLong * 100000000L)).as("doc_id"),
+        translate(col("text"), rot, shifted).as("text"),
+        col("lang"))
+    }.reduce(_ unionByName _)
+    docsN.write.mode("overwrite").parquet(s"$stage/documents.parquet")
+
+    // events.ts must round-trip as epoch-nanos LONG (Tables.events applies
+    // the TIMESTAMP(NANOS) shim on read).
+    val ev = Tables.events(spark, base)
+    val evN = (0 until factor).map { c =>
+      ev.withColumn("user_id", col("user_id") + lit(c.toLong * 10000000L))
+    }.reduce(_ unionByName _)
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+    evN.write.mode("overwrite").parquet(s"$stage/events.parquet")
+    spark.read.parquet(s"$base/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$stage/embeddings.parquet")
+
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val targets = Seq("dedup_ngram", "dedup_minhash", "dedup_simhash",
+      "ft_dist", "ft_topk", "text_quality")
+    println(f"[probe] query                  1x(s)   ${factor}x(s)  ratio (rows 1x -> ${factor}x)")
+    targets.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      var r1 = 0L; var rN = 0L
+      val warm = time(fn(spark, base).count()) // warm JIT on the 1x shape
+      val t1 = time { r1 = fn(spark, base).count(); r1 }
+      val tN = time { rN = fn(spark, stage).count(); rN }
+      println(f"[probe] $n%-22s $t1%6.2f  $tN%6.2f  ${tN / t1}%5.2f  ($r1%d -> $rN%d)")
+    }
+    spark.stop()
+  }
+}
