@@ -18,12 +18,7 @@ object ScaleProbe {
     val factor = if (args.nonEmpty) args(0).toInt else 4
     val base = "/root/testdata/sf0.1"
     val stage = java.nio.file.Files.createTempDirectory("graft_scale_").toString
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.sources.GraftSession.local("local[4]", 8)
     spark.sparkContext.setLogLevel("WARN")
 
     // Nx documents: shift doc_id per copy and rotate letters per copy so

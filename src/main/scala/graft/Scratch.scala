@@ -7,11 +7,7 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.sources.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     names.foreach { n =>

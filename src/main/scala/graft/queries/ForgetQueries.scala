@@ -26,6 +26,12 @@ object ForgetQueries {
   /** 2024-01-31T00:00:00Z — one day past the last event in testdata. */
   final val Now = 1706659200L
 
+  /** Bins per serialized JSON page (ft_json). Small enough to exercise
+    * page boundaries at sf0.01; at scale it bounds the per-row payload
+    * regardless of how hot a distribution is.
+    */
+  final val JsonPageSize = 64
+
   private def ft(s: SparkSession, dir: String): ForgetTable =
     ForgetTable.fromEvents(Tables.events(s, dir))
 
@@ -157,17 +163,39 @@ object ForgetQueries {
         .orderBy("w_start", "dist")
     }),
 
-    // JSON wire shape (SURVEY.md §1.4): each distribution serialized as
-    // the reference's response payload `[{bin, count}, ...]`
-    // (distribution.go:18-28), bins in sorted order for determinism.
-    "ft_json" -> ((s, dir) =>
+    // JSON wire shape (SURVEY.md §1.4): the reference's full response
+    // payload — data entries `{bin, count, p}` (distribution.go:18-28,
+    // Value carries count AND p) under an envelope with Z, rate, prune
+    // (distribution.go:31-36, filled by forget.go:114). Serialization is
+    // PAGED: bins are chunked `JsonPageSize` per row (row_number DIV
+    // pageSize in bin order) so a hot distribution with 10^8 bins yields
+    // bounded rows, never one multi-GB collect_list row. `p` is printed
+    // with an explicit %.9f on both engines — double-to-string shortest
+    // repr differs between JVMs and DuckDB (scientific-notation cutoffs),
+    // so to_json on a raw double would break hash parity.
+    "ft_json" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("dist").orderBy("bin")
+      val wz = org.apache.spark.sql.expressions.Window.partitionBy("dist")
       ft(s, dir).counts
-        .groupBy("dist")
+        .withColumn("z", sum("count").over(wz))
+        .withColumn("p", col("count").cast("double") / col("z").cast("double"))
+        .withColumn("page", ((row_number().over(w) - 1) / lit(JsonPageSize)).cast("long"))
+        .groupBy("dist", "page")
         .agg(
-          sum("count").as("z"),
-          to_json(sort_array(collect_list(struct(col("bin"), col("count")))))
-            .as("data_json"))
-        .orderBy("dist"))
+          max("z").as("z"),
+          concat(lit("["),
+            array_join(
+              transform(
+                sort_array(collect_list(struct(col("bin"), col("count"), col("p")))),
+                e => format_string("""{"bin":"%s","count":%d,"p":%.9f}""",
+                  e.getField("bin"), e.getField("count"), e.getField("p"))),
+              ","),
+            lit("]")).as("data_json"))
+        .select(col("dist"), col("page"), col("z"),
+          lit(0.5).cast("double").as("rate"), lit(true).as("prune"),
+          col("data_json"))
+        .orderBy("dist", "page")
+    })
   )
 
   // -------------------------------------------------------------- oracles
@@ -346,11 +374,21 @@ object ForgetQueries {
         |FROM events GROUP BY 1, 2, 3 ORDER BY w_start, dist""".stripMargin,
 
     "ft_json" ->
-      s"""WITH $countsCte
-         |SELECT dist, CAST(SUM("count") AS BIGINT) AS z,
-         |       to_json(list(struct_pack(bin := bin, "count" := "count")
-         |                    ORDER BY bin, "count")) AS data_json
-         |FROM counts GROUP BY dist ORDER BY dist""".stripMargin,
+      s"""WITH $countsCte,
+         |zs AS (
+         |  SELECT dist, CAST(SUM("count") AS BIGINT) AS z FROM counts GROUP BY 1
+         |), pg AS (
+         |  SELECT c.dist, c.bin, c."count", zs.z,
+         |         CAST(c."count" AS DOUBLE) / CAST(zs.z AS DOUBLE) AS p,
+         |         CAST((ROW_NUMBER() OVER (PARTITION BY c.dist ORDER BY c.bin) - 1)
+         |              // $JsonPageSize AS BIGINT) AS page
+         |  FROM counts c JOIN zs USING (dist)
+         |)
+         |SELECT dist, page, z, CAST(0.5 AS DOUBLE) AS rate, TRUE AS prune,
+         |       '[' || string_agg(
+         |         printf('{"bin":"%s","count":%d,"p":%.9f}', bin, "count", p),
+         |         ',' ORDER BY bin) || ']' AS data_json
+         |FROM pg GROUP BY dist, page, z ORDER BY dist, page""".stripMargin,
 
     "ft_incr_merge" ->
       """WITH old_counts AS (

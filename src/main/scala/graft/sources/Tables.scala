@@ -12,16 +12,16 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to TimestampType (micros). We read it as a long under the legacy
-    * conf and rebuild a proper TimestampType column with integer `DIV`
-    * (never double division: epoch-nanos ~1.7e18 exceeds a double's 2^53
-    * integer range, so `/ 1000` would corrupt low-order digits).
+    * to TimestampType (micros). Under `spark.sql.legacy.parquet.nanosAsLong`
+    * (set once at session build — [[GraftSession]]) it arrives as an
+    * epoch-nanos long; we rebuild a proper TimestampType column with
+    * integer `DIV` (never double division: epoch-nanos ~1.7e18 exceeds a
+    * double's 2^53 integer range, so `/ 1000` would corrupt low digits).
+    * The reader is pure: it never mutates session conf.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")

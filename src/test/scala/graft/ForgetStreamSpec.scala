@@ -13,12 +13,7 @@ import graft.streaming.{BinSnapshot, DistState, ForgetStream, IncrEvent}
   */
 class ForgetStreamSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.sources.GraftSession.local()
 
   private val T0 = 1706659200L
   private val params = ForgetStream.Params(rate = 0.5)

@@ -17,11 +17,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
   // SQL tests register imperatively; the spark.sql.extensions hook is
   // verified unit-level against a fresh SparkSessionExtensions below.
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = graft.sources.GraftSession.local()
     GraftExtensions.register(s)
     s
   }

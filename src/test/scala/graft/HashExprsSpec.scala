@@ -13,11 +13,7 @@ import graft.operators.{Dedup, TextAnalysis}
   */
 class HashExprsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.sources.GraftSession.local()
 
   private def sampleDocs = {
     import spark.implicits._

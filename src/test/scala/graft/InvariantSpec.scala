@@ -16,12 +16,7 @@ import graft.core.{DecayMode, ForgetParams, ForgetTable}
   */
 class InvariantSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.sources.GraftSession.local()
 
   private val T0 = 1706659200L
 

@@ -12,12 +12,7 @@ import graft.operators.Multimodal.{MediaDecoder, MediaRow}
   */
 class MultimodalSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.sources.GraftSession.local()
 
   private def docs = {
     import spark.implicits._

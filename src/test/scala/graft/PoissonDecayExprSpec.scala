@@ -12,11 +12,7 @@ import graft.functions.PoissonDecayExpr
   */
 class PoissonDecayExprSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.sources.GraftSession.local()
 
   test("expression agrees with Poisson.decayDraw over a seed/lambda grid") {
     import spark.implicits._

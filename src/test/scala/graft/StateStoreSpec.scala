@@ -14,12 +14,7 @@ import graft.sources.{StateStore, Tables}
   */
 class StateStoreSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.sources.GraftSession.local()
 
   private def tmpDir = Files.createTempDirectory("graft_state_").toString
 

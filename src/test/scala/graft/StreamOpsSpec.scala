@@ -15,12 +15,7 @@ import graft.streaming.StreamOps
   */
 class StreamOpsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.sources.GraftSession.local()
 
   private val T0 = 1706659200L // 2024-01-31T00:00:00Z, window-aligned
   private def ts(offsetSec: Long) = new Timestamp((T0 + offsetSec) * 1000L)

@@ -18,12 +18,7 @@ import graft.streaming.{BinSnapshot, ForgetStream, IncrEvent}
   */
 class StreamSourceSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.sources.GraftSession.local()
 
   test("readStream over events parquet -> ForgetStream == batch fromEvents") {
     import spark.implicits._
