@@ -105,13 +105,24 @@ object Dedup {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Sign-bucket key from the first `bits` dimensions: bit i set iff
-    * v[i] >= 0. A deterministic coarse quantization — exact duplicates
-    * always share a bucket, so bucket-local search finds them without an
-    * all-pairs join.
+  /** Banded sign-bucket keys: key b = the `bitsPerBand` sign bits of
+    * dimensions [b*bitsPerBand, (b+1)*bitsPerBand). Feed to
+    * [[candidatePairs]]: a pair is a candidate iff ALL signs of at least
+    * one band agree.
+    *
+    * Scale design (vs a single fixed-width bucket): per-(band, key)
+    * population is ~N / 2^bitsPerBand per band, so the self-join cost is
+    * bands * N^2 / 2^bitsPerBand — at 100 TB raise `bitsPerBand` (and/or
+    * `bands`) so the per-bucket population stays bounded; a single 8-bit
+    * bucket is a hard O(N^2/256) floor no parameter can fix. Recall: a
+    * near-dup pair (cosine >= 0.999) disagrees on a dimension's sign only
+    * where the coordinate is ~0, so the chance all `bands` bands are hit
+    * is negligible — and exact copies always collide on every band.
     */
-  def signBucket(v: Column, bits: Int = 8): Column =
-    (0 until bits).map { i =>
-      when(element_at(v, i + 1) >= 0.0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def signBandKeys(v: Column, bands: Int, bitsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      (0 until bitsPerBand).map { i =>
+        when(element_at(v, b * bitsPerBand + i + 1) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
 }

@@ -50,6 +50,56 @@ object Similarity {
       when(planeDot >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Fixed-k seeded k-means centroids for an IVF coarse quantizer.
+    *
+    * Scale design: every input is bounded INDEPENDENT of corpus size —
+    * the training set is the `sampleSize` vectors with the smallest
+    * md5-derived hash of their id (a deterministic uniform sample picked
+    * by TakeOrderedAndProject, not a modulo slice that grows with N),
+    * seeds are the first `k` of those, and Lloyd runs a fixed `iters`
+    * rounds. The downstream assignment crossJoin is therefore O(N*k)
+    * with a k-row broadcast, never O(N^2/c).
+    *
+    * Oracle parity: assignment distance is the shared sequential-fold
+    * cosine; the centroid update sums member vectors in ascending-id
+    * order via a left fold (sort_array + aggregate) and divides by the
+    * member count — the exact IEEE op sequence DuckDB's
+    * `list_aggregate(list_transform(ms, m -> m[j]), 'sum') / len(ms)`
+    * performs, so both engines derive bit-identical centroids. The
+    * fold work is bounded by sampleSize, so the interpreted HOFs stay
+    * off the hot path.
+    *
+    * Returns (cent_id: long 1..k, cv: array<double>); cells whose
+    * population empties during an iteration drop out on both engines.
+    */
+  def kmeansCentroids(vecs: DataFrame, k: Int, sampleSize: Int, iters: Int,
+                      dim: Int, salt: Int,
+                      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val h = Dedup.md5Long(col(idCol).cast("string"), salt)
+    val samp = vecs
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"), h.as("h"))
+      .orderBy("h", "vec_id").limit(sampleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = samp.orderBy("h", "vec_id").limit(k)
+      .select(
+        row_number().over(Window.orderBy("h", "vec_id")).cast("long").as("cent_id"),
+        col("v").as("cv"))
+    (1 to iters).foldLeft(seeds) { (cents, _) =>
+      val wA = Window.partitionBy("vec_id").orderBy(col("cc").desc, col("cent_id"))
+      val assigned = samp.crossJoin(broadcast(cents))
+        .withColumn("cc", Dedup.cosine(col("v"), col("cv")))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+      assigned.groupBy("cent_id")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("ms"))
+        .select(col("cent_id"),
+          transform(
+            aggregate(col("ms"), array_repeat(lit(0.0), dim),
+              (acc, m) => zip_with(acc, m.getField("v"), (x, y) => x + y)),
+            x => x / size(col("ms")).cast("double")).as("cv"))
+    }
+  }
+
   /** Exact cosine top-k of `queries` (small: broadcast) against `corpus`.
     * Both must carry (`idCol`, `vecCol`) with double vectors. Ties broken
     * by corpus id ascending.

@@ -22,6 +22,9 @@ object DedupQueries {
   final val MaxDocFreq = 50
   final val HammingMax = 3
   final val CosineThreshold = 0.999
+  /** dedup_embedding blocking: 4 bands x 16 sign bits over the 64 dims. */
+  final val EmbBands = 4
+  final val EmbBitsPerBand = 16
 
   /** documents + exact dups + near dups (leading 2 tokens dropped). */
   def corpus(s: SparkSession, dir: String): DataFrame = {
@@ -144,19 +147,24 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // Embedding near-dup: sign-bucket blocking + exact cosine verify.
+    // Embedding near-dup: banded sign-key blocking (EmbBands bands of
+    // EmbBitsPerBand sign bits each -> candidatePairs) + exact cosine
+    // verify. Banding keeps per-bucket population ~N/2^bits PER BAND,
+    // the knob that holds the pair join sub-quadratic as N grows; a
+    // near-dup pair only needs one fully-agreeing band to surface.
     "dedup_embedding" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val cps = e.unionByName(
         e.filter(col("vec_id") % 10 < 3)
           .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
       val withVec = cps.withColumn("v", Dedup.toDoubleVec(col("embedding")))
-        .withColumn("bucket", Dedup.signBucket(col("v"), 8))
-        .select("vec_id", "bucket", "v")
-      val a = withVec.select(col("vec_id").as("id_a"), col("bucket"), col("v").as("v_a"))
-      val b = withVec.select(col("vec_id").as("id_b"), col("bucket"), col("v").as("v_b"))
-      a.join(b, "bucket")
-        .filter(col("id_a") < col("id_b"))
+        .withColumn("keys", Dedup.signBandKeys(col("v"), EmbBands, EmbBitsPerBand))
+        .select("vec_id", "keys", "v")
+        .persist(StorageLevel.MEMORY_AND_DISK) // feeds candidates + both verify sides
+      val pairs = Dedup.candidatePairs(withVec, "vec_id", "keys")
+      pairs
+        .join(withVec.select(col("vec_id").as("id_a"), col("v").as("v_a")), "id_a")
+        .join(withVec.select(col("vec_id").as("id_b"), col("v").as("v_b")), "id_b")
         .withColumn("cosine", Dedup.cosine(col("v_a"), col("v_b")))
         .filter(col("cosine") >= CosineThreshold)
         .select("id_a", "id_b", "cosine")
@@ -274,20 +282,28 @@ object DedupQueries {
          |  UNION ALL
          |  SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings WHERE vec_id % 10 < 3
-         |), bk AS (
-         |  SELECT vec_id, v,
-         |    ${(0 until 8).map(i =>
-              s"(CASE WHEN v[${i + 1}] >= 0.0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)").mkString("\n    + ")} AS bucket
-         |  FROM ecorpus
+         |), bands AS (
+         |  ${(0 until EmbBands).map { b =>
+              val key = (0 until EmbBitsPerBand).map(i =>
+                s"(CASE WHEN v[${b * EmbBitsPerBand + i + 1}] >= 0.0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+                .mkString(" + ")
+              s"SELECT vec_id, $b AS band, $key AS key FROM ecorpus"
+            }.mkString("\n  UNION ALL\n  ")}
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b USING (band, key)
+         |  WHERE a.vec_id < b.vec_id
          |)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  list_aggregate(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]), 'sum')
-         |    / (sqrt(list_aggregate(list_transform(list_zip(a.v, a.v), s -> s[1] * s[2]), 'sum'))
-         |       * sqrt(list_aggregate(list_transform(list_zip(b.v, b.v), s -> s[1] * s[2]), 'sum'))) AS cosine
-         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE list_aggregate(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]), 'sum')
-         |    / (sqrt(list_aggregate(list_transform(list_zip(a.v, a.v), s -> s[1] * s[2]), 'sum'))
-         |       * sqrt(list_aggregate(list_transform(list_zip(b.v, b.v), s -> s[1] * s[2]), 'sum'))) >= $CosineThreshold
+         |SELECT id_a, id_b,
+         |  list_aggregate(list_transform(list_zip(va.v, vb.v), s -> s[1] * s[2]), 'sum')
+         |    / (sqrt(list_aggregate(list_transform(list_zip(va.v, va.v), s -> s[1] * s[2]), 'sum'))
+         |       * sqrt(list_aggregate(list_transform(list_zip(vb.v, vb.v), s -> s[1] * s[2]), 'sum'))) AS cosine
+         |FROM cand
+         |JOIN ecorpus va ON va.vec_id = id_a
+         |JOIN ecorpus vb ON vb.vec_id = id_b
+         |WHERE list_aggregate(list_transform(list_zip(va.v, vb.v), s -> s[1] * s[2]), 'sum')
+         |    / (sqrt(list_aggregate(list_transform(list_zip(va.v, va.v), s -> s[1] * s[2]), 'sum'))
+         |       * sqrt(list_aggregate(list_transform(list_zip(vb.v, vb.v), s -> s[1] * s[2]), 'sum'))) >= $CosineThreshold
          |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -8,14 +8,24 @@ import graft.operators.{Dedup, Similarity}
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor queries over `embeddings`: brute-force
-  * cosine top-k (the exactness baseline) and sign-hyperplane LSH (the
-  * bucketed scale path). Query set = vec_id < 5.
+  * cosine top-k (the exactness baseline), sign-hyperplane LSH (bucketed),
+  * IVF with a fixed-k k-means coarse quantizer (the 100 TB path), and a
+  * recall@K metric of each approximate method against brute-force truth —
+  * the number a real user tunes nBits / k / nProbe against. Query set =
+  * vec_id < 5.
   */
 object SimilarityQueries {
 
   final val K = 10
   final val LshBits = 6
   final val Dim = 64
+  /** IVF quantizer: k centroids from `IvfSample` training vectors (both
+    * fixed — independent of corpus size), `IvfIters` Lloyd rounds.
+    */
+  final val IvfK = 16
+  final val IvfSample = 256
+  final val IvfIters = 2
+  final val IvfSalt = 7
 
   private lazy val Signs = Similarity.signMatrix(LshBits, Dim)
 
@@ -23,63 +33,84 @@ object SimilarityQueries {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), Dedup.toDoubleVec(col("embedding")).as("v"))
 
+  // ------------------------------------------------------- result builders
+
+  private def bruteRes(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    Similarity.bruteForceTopK(all.filter(col("vec_id") < 5), all, K)
+  }
+
+  private def lshRes(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir).withColumn("bucket", Similarity.lshBucket(col("v"), Signs))
+    val q = broadcast(all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("bucket")))
+    val c = all.select(col("vec_id").as("c_id"), col("v").as("c_v"), col("bucket"))
+    val scored = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", Dedup.cosine(col("q_v"), col("c_v")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= K)
+      .select("q_id", "rnk", "c_id", "cosine")
+  }
+
+  /** IVF ANN: a fixed-k k-means coarse quantizer
+    * ([[Similarity.kmeansCentroids]] — bounded sample, seeded init, fixed
+    * iterations) assigns every vector to its nearest cell; queries probe
+    * their top-2 cells only. The quantizer broadcast is k rows and the
+    * assignment crossJoin is O(N*k) — both independent of corpus growth,
+    * unlike a sampled-centroid scheme whose centroid count (and thus the
+    * assignment cost and broadcast size) scales with N.
+    */
+  private def ivfRes(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val cents = broadcast(
+      Similarity.kmeansCentroids(all, IvfK, IvfSample, IvfIters, Dim, IvfSalt))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    // Persist only what both consumers read — top-2 cells per vector,
+    // centroid vectors and scores dropped (at scale this IS the stored
+    // cell-assignment table: 2 small rows per vector).
+    val ranked = all.crossJoin(cents)
+      .withColumn("ccos", Dedup.cosine(col("v"), col("cv")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") <= 2)
+      .select("vec_id", "v", "cent_id", "crn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assign = ranked.filter(col("crn") === 1)
+      .select(col("vec_id").as("c_id"), col("cent_id").as("cell"), col("v").as("c_v"))
+    val probes = ranked.filter(col("vec_id") < 5 && col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("cell"), col("v").as("q_v"))
+    val scored = broadcast(probes).join(assign, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", Dedup.cosine(col("q_v"), col("c_v")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= K)
+      .select("q_id", "rnk", "c_id", "cosine")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    "sim_ann_brute" -> ((s, dir) => {
-      val all = vecs(s, dir)
-      Similarity.bruteForceTopK(all.filter(col("vec_id") < 5), all, K)
-        .orderBy("q_id", "rnk")
-    }),
+    "sim_ann_brute" -> ((s, dir) => bruteRes(s, dir).orderBy("q_id", "rnk")),
 
-    // IVF-style ANN: a deterministic coarse quantizer (centroids =
-    // vec_id % 29 == 3, broadcast) assigns every vector to its nearest
-    // cell; queries probe their top-2 cells only. The candidate scan is
-    // bounded by cell sizes instead of the full corpus — the scale path
-    // when the LSH bucket distribution is too skewed. Real deployments
-    // swap the modulo centroids for k-means means; the plan shape
-    // (broadcast quantizer -> cell equi-join -> per-query top-k) is
-    // identical.
-    "sim_ann_ivf" -> ((s, dir) => {
-      val all = vecs(s, dir)
-      val cents = broadcast(all.filter(col("vec_id") % 29 === 3)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv")))
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-      // Persist only what both consumers read — top-2 cells per vector,
-      // centroid vectors and scores dropped (at scale this IS the stored
-      // cell-assignment table: 2 small rows per vector, not the
-      // vector x centroid score matrix).
-      val ranked = all.crossJoin(cents)
-        .withColumn("ccos", Dedup.cosine(col("v"), col("cv")))
-        .withColumn("crn", row_number().over(wAssign))
-        .filter(col("crn") <= 2)
-        .select("vec_id", "v", "cent_id", "crn")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val assign = ranked.filter(col("crn") === 1)
-        .select(col("vec_id").as("c_id"), col("cent_id").as("cell"), col("v").as("c_v"))
-      val probes = ranked.filter(col("vec_id") < 5 && col("crn") <= 2)
-        .select(col("vec_id").as("q_id"), col("cent_id").as("cell"), col("v").as("q_v"))
-      val scored = broadcast(probes).join(assign, Seq("cell"))
-        .filter(col("q_id") =!= col("c_id"))
-        .withColumn("cosine", Dedup.cosine(col("q_v"), col("c_v")))
-      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
-      scored.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= K)
-        .select("q_id", "rnk", "c_id", "cosine")
-        .orderBy("q_id", "rnk")
-    }),
+    "sim_ann_ivf" -> ((s, dir) => ivfRes(s, dir).orderBy("q_id", "rnk")),
 
-    "sim_ann_lsh" -> ((s, dir) => {
-      val all = vecs(s, dir).withColumn("bucket", Similarity.lshBucket(col("v"), Signs))
-      val q = broadcast(all.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("bucket")))
-      val c = all.select(col("vec_id").as("c_id"), col("v").as("c_v"), col("bucket"))
-      val scored = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
-        .withColumn("cosine", Dedup.cosine(col("q_v"), col("c_v")))
-      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
-      scored.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= K)
-        .select("q_id", "rnk", "c_id", "cosine")
-        .orderBy("q_id", "rnk")
+    "sim_ann_lsh" -> ((s, dir) => lshRes(s, dir).orderBy("q_id", "rnk")),
+
+    // recall@K per query: |approx ∩ truth| / K against brute-force truth,
+    // for each approximate method. Exactly what an operator watches when
+    // tuning nBits (lsh) or k / nProbe (ivf) at scale.
+    "sim_ann_recall" -> ((s, dir) => {
+      val truth = bruteRes(s, dir).select("q_id", "c_id")
+      def recallOf(approx: DataFrame, method: String): DataFrame =
+        truth.join(
+            approx.select("q_id", "c_id").withColumn("hit", lit(1)),
+            Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / lit(K)).as("recall"))
+          .select(lit(method).as("method"), col("q_id"), col("recall"))
+      recallOf(lshRes(s, dir), "lsh")
+        .unionByName(recallOf(ivfRes(s, dir), "ivf"))
+        .orderBy("method", "q_id")
     })
   )
 
@@ -100,68 +131,125 @@ object SimilarityQueries {
       s"(CASE WHEN ${dotSql(v, s"CAST($arr AS DOUBLE[])")} >= 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
     }.mkString("\n    + ")
 
+  private val vecsCte =
+    """vecs AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |)""".stripMargin
+
+  /** brute_res(q_id, c_id, cosine, rnk): exact top-K per query. */
+  private val bruteCtes =
+    s"""b_scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |         ${cosineSql("q.v", "c.v")} AS cosine
+       |  FROM vecs q JOIN vecs c ON q.vec_id < 5 AND q.vec_id != c.vec_id
+       |), brute_res AS (
+       |  SELECT q_id, rnk, c_id, cosine FROM (
+       |    SELECT q_id, c_id, cosine,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
+       |    FROM b_scored
+       |  ) t WHERE rnk <= $K
+       |)""".stripMargin
+
+  /** lsh_res(q_id, c_id, cosine, rnk): bucketed top-K per query. */
+  private lazy val lshCtes =
+    s"""bucketed AS (
+       |  SELECT vec_id, v,
+       |    ${bucketSql("v")} AS bucket
+       |  FROM vecs
+       |), l_scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |         ${cosineSql("q.v", "c.v")} AS cosine
+       |  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket
+       |  WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
+       |), lsh_res AS (
+       |  SELECT q_id, rnk, c_id, cosine FROM (
+       |    SELECT q_id, c_id, cosine,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
+       |    FROM l_scored
+       |  ) t WHERE rnk <= $K
+       |)""".stripMargin
+
+  /** One Lloyd round: assign `samp` to `prevC`, mean members per cell.
+    * The mean divides the ascending-vec_id sequential coordinate sum by
+    * the member count — the IEEE op sequence the Spark side replays with
+    * sort_array + aggregate (see [[Similarity.kmeansCentroids]]).
+    */
+  private def lloydCtes(i: Int, sampCte: String, prevC: String): String =
+    s"""ivf_a$i AS (
+       |  SELECT s.vec_id, s.v, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |                            ORDER BY ${cosineSql("s.v", "c.cv")} DESC, c.cent_id) AS rn
+       |  FROM $sampCte s CROSS JOIN $prevC c
+       |), ivf_c$i AS (
+       |  SELECT cent_id,
+       |         list_transform(generate_series(1, $Dim), j ->
+       |           list_aggregate(list_transform(ms, m -> m[j]), 'sum') / len(ms)) AS cv
+       |  FROM (
+       |    SELECT cent_id, list(v ORDER BY vec_id) AS ms
+       |    FROM ivf_a$i WHERE rn = 1 GROUP BY cent_id
+       |  ) g
+       |)""".stripMargin
+
+  /** ivf_res(q_id, c_id, cosine, rnk): k-means-quantized IVF top-K. */
+  private lazy val ivfCtes = {
+    val hashSql =
+      s"CAST(concat('0x', substr(md5(concat('$IvfSalt:', CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+    val lloyd = (1 to IvfIters).map(i =>
+      lloydCtes(i, "ivf_samp", s"ivf_c${i - 1}")).mkString(", ")
+    s"""ivf_samp AS (
+       |  SELECT vec_id, v, $hashSql AS h FROM vecs
+       |  ORDER BY h, vec_id LIMIT $IvfSample
+       |), ivf_c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS BIGINT) AS cent_id, v AS cv
+       |  FROM (SELECT * FROM ivf_samp ORDER BY h, vec_id LIMIT $IvfK) s
+       |), $lloyd, ivf_ranked AS (
+       |  SELECT a.vec_id, a.v, c.cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |                            ORDER BY ${cosineSql("a.v", "c.cv")} DESC, c.cent_id) AS crn
+       |  FROM vecs a CROSS JOIN ivf_c$IvfIters c
+       |), ivf_assign AS (
+       |  SELECT vec_id AS c_id, cent_id AS cell, v AS c_v FROM ivf_ranked WHERE crn = 1
+       |), ivf_probes AS (
+       |  SELECT vec_id AS q_id, cent_id AS cell, v AS q_v
+       |  FROM ivf_ranked WHERE vec_id < 5 AND crn <= 2
+       |), ivf_scored AS (
+       |  SELECT q_id, c_id, ${cosineSql("q_v", "c_v")} AS cosine
+       |  FROM ivf_probes JOIN ivf_assign USING (cell)
+       |  WHERE q_id != c_id
+       |), ivf_res AS (
+       |  SELECT q_id, rnk, c_id, cosine FROM (
+       |    SELECT q_id, c_id, cosine,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
+       |    FROM ivf_scored
+       |  ) t WHERE rnk <= $K
+       |)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "sim_ann_brute" ->
-      s"""WITH vecs AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |), scored AS (
-         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-         |         ${cosineSql("q.v", "c.v")} AS cosine
-         |  FROM vecs q JOIN vecs c ON q.vec_id < 5 AND q.vec_id != c.vec_id
-         |), ranked AS (
-         |  SELECT q_id, c_id, cosine,
-         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
-         |  FROM scored
-         |)
-         |SELECT q_id, rnk, c_id, cosine FROM ranked WHERE rnk <= $K
-         |ORDER BY q_id, rnk""".stripMargin,
+      s"""WITH $vecsCte, $bruteCtes
+         |SELECT q_id, rnk, c_id, cosine FROM brute_res ORDER BY q_id, rnk""".stripMargin,
 
     "sim_ann_ivf" ->
-      s"""WITH vecs AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |), cents AS (
-         |  SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % 29 = 3
-         |), ranked AS (
-         |  SELECT a.vec_id, a.v, c.cent_id,
-         |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
-         |                            ORDER BY ${cosineSql("a.v", "c.cv")} DESC, c.cent_id) AS crn
-         |  FROM vecs a CROSS JOIN cents c
-         |), assign AS (
-         |  SELECT vec_id AS c_id, cent_id AS cell, v AS c_v FROM ranked WHERE crn = 1
-         |), probes AS (
-         |  SELECT vec_id AS q_id, cent_id AS cell, v AS q_v
-         |  FROM ranked WHERE vec_id < 5 AND crn <= 2
-         |), scored AS (
-         |  SELECT q_id, c_id, ${cosineSql("q_v", "c_v")} AS cosine
-         |  FROM probes JOIN assign USING (cell)
-         |  WHERE q_id != c_id
-         |), rankedq AS (
-         |  SELECT q_id, c_id, cosine,
-         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
-         |  FROM scored
-         |)
-         |SELECT q_id, rnk, c_id, cosine FROM rankedq WHERE rnk <= $K
-         |ORDER BY q_id, rnk""".stripMargin,
+      s"""WITH $vecsCte, $ivfCtes
+         |SELECT q_id, rnk, c_id, cosine FROM ivf_res ORDER BY q_id, rnk""".stripMargin,
 
     "sim_ann_lsh" ->
-      s"""WITH vecs AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |), bucketed AS (
-         |  SELECT vec_id, v,
-         |    ${bucketSql("v")} AS bucket
-         |  FROM vecs
-         |), scored AS (
-         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-         |         ${cosineSql("q.v", "c.v")} AS cosine
-         |  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket
-         |  WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
-         |), ranked AS (
-         |  SELECT q_id, c_id, cosine,
-         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
-         |  FROM scored
-         |)
-         |SELECT q_id, rnk, c_id, cosine FROM ranked WHERE rnk <= $K
-         |ORDER BY q_id, rnk""".stripMargin
+      s"""WITH $vecsCte, $lshCtes
+         |SELECT q_id, rnk, c_id, cosine FROM lsh_res ORDER BY q_id, rnk""".stripMargin,
+
+    "sim_ann_recall" ->
+      s"""WITH $vecsCte, $bruteCtes, $lshCtes, $ivfCtes
+         |SELECT 'lsh' AS method, t.q_id,
+         |       CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $K AS recall
+         |FROM brute_res t LEFT JOIN lsh_res a ON t.q_id = a.q_id AND t.c_id = a.c_id
+         |GROUP BY t.q_id
+         |UNION ALL
+         |SELECT 'ivf' AS method, t.q_id,
+         |       CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $K AS recall
+         |FROM brute_res t LEFT JOIN ivf_res a ON t.q_id = a.q_id AND t.c_id = a.c_id
+         |GROUP BY t.q_id
+         |ORDER BY method, q_id""".stripMargin
   )
 }
