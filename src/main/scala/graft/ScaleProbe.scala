@@ -43,13 +43,29 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
       .withColumn("ts", expr("unix_micros(ts) * 1000"))
     evN.write.mode("overwrite").parquet(s"$stage/events.parquet")
-    spark.read.parquet(s"$base/embeddings.parquet")
-      .write.mode("overwrite").parquet(s"$stage/embeddings.parquet")
+
+    // Nx embeddings: shift vec_id per copy and ROTATE the vector's
+    // dimensions by the copy index, so copies are genuinely different
+    // vectors (same norm, low mutual cosine). Without the rotation every
+    // vector would gain N exact twins and the near-dup result set itself
+    // would grow quadratically, masking the plan's own scaling. Copy 0
+    // is untouched, so the ANN query set (vec_id < 5) stays fixed while
+    // the corpus grows — exactly the 100 TB read pattern.
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val embN = (0 until factor).map { c =>
+      val rot =
+        if (c == 0) col("embedding")
+        else concat(slice(col("embedding"), c + 1, 64 - c), slice(col("embedding"), 1, c))
+      emb.select((col("vec_id") + lit(c.toLong * 100000000L)).as("vec_id"),
+        rot.as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+    embN.write.mode("overwrite").parquet(s"$stage/embeddings.parquet")
 
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val targets = Seq("dedup_ngram", "dedup_minhash", "dedup_simhash",
+      "dedup_embedding", "sim_ann_ivf", "sim_ann_lsh",
       "ft_dist", "ft_topk", "text_quality")
     println(f"[probe] query                  1x(s)   ${factor}x(s)  ratio (rows 1x -> ${factor}x)")
     targets.foreach { n =>
