@@ -80,11 +80,24 @@ object Similarity {
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"), h.as("h"))
       .orderBy("h", "vec_id").limit(sampleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seeds = samp.orderBy("h", "vec_id").limit(k)
-      .select(
-        row_number().over(Window.orderBy("h", "vec_id")).cast("long").as("cent_id"),
-        col("v").as("cv"))
-    (1 to iters).foldLeft(seeds) { (cents, _) =>
+    // Number the <= k seed rows driver-side: the frame is already
+    // limit(k)-bounded (TakeOrderedAndProject), and ranking it with an
+    // unpartitioned window would make WindowExec warn "Moving all data to
+    // a single partition" — noise indistinguishable from a real scale bug
+    // in log review (Catalyst strips foldable partitionBy(lit) exprs, so
+    // that spelling doesn't avoid it either). collect() here is k rows.
+    val spark = vecs.sparkSession
+    val seedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cent_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cv", samp.schema("v").dataType)))
+    val seedRows = samp.orderBy("h", "vec_id").limit(k).select("v").collect()
+      .zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row((i + 1).toLong, r.get(0))
+      }
+    val seeds = spark.createDataFrame(
+      java.util.Arrays.asList(seedRows: _*), seedSchema)
+    val fitted = (1 to iters).foldLeft(seeds) { (cents, _) =>
       val wA = Window.partitionBy("vec_id").orderBy(col("cc").desc, col("cent_id"))
       val assigned = samp.crossJoin(broadcast(cents))
         .withColumn("cc", Dedup.cosine(col("v"), col("cv")))
@@ -98,6 +111,14 @@ object Similarity {
               (acc, m) => zip_with(acc, m.getField("v"), (x, y) => x + y)),
             x => x / size(col("ms")).cast("double")).as("cv"))
     }
+    // Materialize the k centroid rows so (a) the training sample cache can
+    // be released immediately — callers invoke this repeatedly per session
+    // and the cached copies otherwise accumulate — and (b) downstream
+    // consumers (an O(N*k) assignment crossJoin, reused by both sim_ann_ivf
+    // and sim_ann_recall) never re-execute the Lloyd subtree.
+    val centRows = fitted.collect()
+    samp.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(centRows: _*), fitted.schema)
   }
 
   /** Exact cosine top-k of `queries` (small: broadcast) against `corpus`.

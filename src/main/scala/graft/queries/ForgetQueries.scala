@@ -169,16 +169,31 @@ object ForgetQueries {
     // (distribution.go:31-36, filled by forget.go:114). Serialization is
     // PAGED: bins are chunked `JsonPageSize` per row (row_number DIV
     // pageSize in bin order) so a hot distribution with 10^8 bins yields
-    // bounded rows, never one multi-GB collect_list row. `p` is printed
-    // with an explicit %.9f on both engines — double-to-string shortest
-    // repr differs between JVMs and DuckDB (scientific-notation cutoffs),
-    // so to_json on a raw double would break hash parity.
+    // bounded rows, never one multi-GB collect_list row.
+    //
+    // Cross-engine formatting rules (the oracle mirrors each):
+    //   - `p` is ROUNDED to 9 decimals before the explicit %.9f print.
+    //     Raw doubles would differ two ways: shortest-repr/scientific
+    //     cutoffs (hence %.9f), and tie-rounding at the 10th digit —
+    //     java.util.Formatter rounds HALF_UP, DuckDB's fmt rounds
+    //     half-to-even, so a dyadic p like 0.0009765625 would format as
+    //     ...63 vs ...62. Rounding first resolves the tie identically
+    //     (both engines round positive halves up/away at round()).
+    //   - `bin` is JSON-escaped (backslash, then quote) like the
+    //     reference's encoding/json; control characters inside bins are
+    //     not escaped (user_id-derived bins are printable by contract).
+    //   - the envelope `rate` flows from the meta table (forget.go:114
+    //     fills Rate from the distribution), not a literal.
     "ft_json" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("dist").orderBy("bin")
       val wz = org.apache.spark.sql.expressions.Window.partitionBy("dist")
-      ft(s, dir).counts
+      val t = ft(s, dir)
+      def esc(c: org.apache.spark.sql.Column) =
+        replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\""))
+      t.counts
         .withColumn("z", sum("count").over(wz))
-        .withColumn("p", col("count").cast("double") / col("z").cast("double"))
+        .withColumn("p",
+          round(col("count").cast("double") / col("z").cast("double"), 9))
         .withColumn("page", ((row_number().over(w) - 1) / lit(JsonPageSize)).cast("long"))
         .groupBy("dist", "page")
         .agg(
@@ -188,11 +203,12 @@ object ForgetQueries {
               transform(
                 sort_array(collect_list(struct(col("bin"), col("count"), col("p")))),
                 e => format_string("""{"bin":"%s","count":%d,"p":%.9f}""",
-                  e.getField("bin"), e.getField("count"), e.getField("p"))),
+                  esc(e.getField("bin")), e.getField("count"), e.getField("p"))),
               ","),
             lit("]")).as("data_json"))
+        .join(t.meta.select(col("dist"), col("rate")), Seq("dist"))
         .select(col("dist"), col("page"), col("z"),
-          lit(0.5).cast("double").as("rate"), lit(true).as("prune"),
+          col("rate"), lit(true).as("prune"),
           col("data_json"))
         .orderBy("dist", "page")
     })
@@ -374,21 +390,25 @@ object ForgetQueries {
         |FROM events GROUP BY 1, 2, 3 ORDER BY w_start, dist""".stripMargin,
 
     "ft_json" ->
-      s"""WITH $countsCte,
-         |zs AS (
+      s"""WITH $countsCte, $metaCte,
+         |mrate AS (
+         |  SELECT dist, CAST(0.5 AS DOUBLE) AS rate FROM meta
+         |), zs AS (
          |  SELECT dist, CAST(SUM("count") AS BIGINT) AS z FROM counts GROUP BY 1
          |), pg AS (
          |  SELECT c.dist, c.bin, c."count", zs.z,
-         |         CAST(c."count" AS DOUBLE) / CAST(zs.z AS DOUBLE) AS p,
+         |         round(CAST(c."count" AS DOUBLE) / CAST(zs.z AS DOUBLE), 9) AS p,
          |         CAST((ROW_NUMBER() OVER (PARTITION BY c.dist ORDER BY c.bin) - 1)
          |              // $JsonPageSize AS BIGINT) AS page
          |  FROM counts c JOIN zs USING (dist)
          |)
-         |SELECT dist, page, z, CAST(0.5 AS DOUBLE) AS rate, TRUE AS prune,
+         |SELECT dist, page, z, m.rate, TRUE AS prune,
          |       '[' || string_agg(
-         |         printf('{"bin":"%s","count":%d,"p":%.9f}', bin, "count", p),
+         |         printf('{"bin":"%s","count":%d,"p":%.9f}',
+         |                replace(replace(bin, '\', '\\'), '"', '\"'), "count", p),
          |         ',' ORDER BY bin) || ']' AS data_json
-         |FROM pg GROUP BY dist, page, z ORDER BY dist, page""".stripMargin,
+         |FROM pg JOIN mrate m USING (dist)
+         |GROUP BY dist, page, z, m.rate ORDER BY dist, page""".stripMargin,
 
     "ft_incr_merge" ->
       """WITH old_counts AS (

@@ -19,9 +19,15 @@ object Tables {
     * double's 2^53 integer range, so `/ 1000` would corrupt low digits).
     * The reader is pure: it never mutates session conf.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet carries TIMESTAMP(NANOS): build the session via " +
+        "graft.sources.GraftSession (or set spark.sql.legacy.parquet.nanosAsLong=true " +
+        "BEFORE any events scan captures its schema)")
     table(spark, sfDir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")

@@ -49,6 +49,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(formatted.contains("EqualTo(event_type,click)"), formatted)
   }
 
+  test("sim_ann_ivf: cell assignment rank runs as a partial WindowGroupLimit") {
+    // The O(N*k) -> O(2N) shuffle bound of the IVF assignment rests on the
+    // `crn <= 2` row_number filter rewriting to WindowGroupLimit (partial
+    // top-k per vec_id BEFORE the shuffle). If the rewrite ever stops
+    // firing this silently becomes a full N*k-row shuffle+sort.
+    val plan = qe("sim_ann_ivf").executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("sim_ann_lsh: candidate join is an equi-join on bucket, not a cross join") {
     val plan = qe("sim_ann_lsh").executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
