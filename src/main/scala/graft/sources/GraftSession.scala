@@ -32,4 +32,39 @@ object GraftSession {
   /** The standard local session used by mains and specs. */
   def local(master: String = "local[4]", shufflePartitions: Int = 4): SparkSession =
     builder(master, shufflePartitions).getOrCreate()
+
+  /** Production state-store wiring for the streaming forget-table: back
+    * `flatMapGroupsWithState` state with RocksDB instead of the default
+    * in-heap HDFSBackedStateStoreProvider.
+    *
+    * At the reference's ambition — "millions of distributions"
+    * (reference `README.md:5`), each an unbounded bins→count map — the
+    * default provider keeps every version of every state row on the
+    * executor heap; RocksDB keeps state off-heap with incremental
+    * (changelog) checkpoints, so state size is bounded by local disk,
+    * not heap. These are dynamic SQL confs: set them on the session
+    * before `start()`; each streaming query pins the provider it started
+    * with in its checkpoint.
+    *
+    * [[graft.RocksDBStreamSpec]] proves ForgetStream end-to-end on this
+    * provider (and that RocksDB actually served the state, via the
+    * query's `rocksdb*` custom metrics).
+    */
+  def enableRocksDBStateStore(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // incremental checkpointing: upload the changelog per batch, compact
+    // full snapshots in the background — the at-scale default
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+  }
+
+  /** Undo [[enableRocksDBStateStore]] (tests restore the default provider
+    * so suites sharing the session are unaffected).
+    */
+  def disableRocksDBStateStore(spark: SparkSession): Unit = {
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.unset(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+  }
 }

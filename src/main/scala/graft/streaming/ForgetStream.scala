@@ -17,6 +17,29 @@ final case class DistState(counts: Map[String, Long], z: Long, t: Long)
 /** Emitted snapshot row after each state update. */
 final case class BinSnapshot(dist: String, bin: String, count: Long, z: Long, t: Long)
 
+/** One request against the streaming forget-table — the stream analog of
+  * the reference's HTTP surface. `op` is one of:
+  *
+  *   - `"incr"` — `/incr` (goforget/forget.go:55-69): merge `n` into
+  *     `bin`, then the update worker's full decay
+  *   - `"topk"` — `/nmostprobable` (forget.go:171-215): read the `k`
+  *     most-probable bins, decay ONLY those, write only their decay back
+  *   - `"dist"` — `/dist` (forget.go:71-115): full read-repair of every
+  *     bin
+  *
+  * `bin`/`n` are meaningful for `"incr"`; `k` for `"topk"`.
+  */
+final case class FtRequest(dist: String, bin: String, n: Long, tsSec: Long, op: String, k: Int)
+
+object FtRequest {
+  def incr(dist: String, bin: String, n: Long, tsSec: Long): FtRequest =
+    FtRequest(dist, bin, n, tsSec, "incr", 0)
+  def topK(dist: String, k: Int, tsSec: Long): FtRequest =
+    FtRequest(dist, "", 0L, tsSec, "topk", k)
+  def dist(dist: String, tsSec: Long): FtRequest =
+    FtRequest(dist, "", 0L, tsSec, "dist", 0)
+}
+
 /** Structured-Streaming forget-table: `flatMapGroupsWithState` keyed by
   * distribution, mirroring the reference's update-worker loop
   * (goforget/redis_utils.go:124-196):
@@ -66,6 +89,84 @@ object ForgetStream {
     DistState(pruned, pruned.values.sum, nowSec)
   }
 
+  /** Partial read-repair: decay ONLY the `k` most-probable bins and
+    * advance the distribution clock — the reference's top-K write-back
+    * drift. After `/nmostprobable` the handler enqueues a distribution
+    * holding just the K fetched bins (forget.go:213-214,
+    * distribution.go:41-54); when the worker's refill is skipped the
+    * write-back persists only those bins' decay plus the new `_T`
+    * (redis_utils.go:146-175 via the distribution.go:84-86 early
+    * return). The observable semantic: the HEAD of a distribution ages
+    * on every top-K read, while the TAIL's decay clock skips the
+    * interval entirely (its pending decay is forgotten when `_T`
+    * advances) — replaying reference traffic progressively flattens the
+    * head relative to the tail.
+    *
+    * Bin order mirrors `ZREVRANGEBYSCORE` (count desc, bin desc on ties;
+    * redis_utils.go:218). Returns the new state plus the K fetched bins
+    * post-decay (the read response; 0-count bins stay in the response
+    * but are pruned from state, like ZREM'd bins still present in the
+    * handler's in-memory Data).
+    */
+  def topKDecay(dist: String, s: DistState, k: Int, nowSec: Long,
+                p: Params): (DistState, Seq[(String, Long)]) = {
+    val dt = math.max(0L, nowSec - s.t)
+    val head = s.counts.toSeq.sortBy { case (b, c) => (-c, b) }(
+      Ordering.Tuple2(Ordering.Long, Ordering.String.reverse)).take(k)
+    val decayedHead = head.map { case (bin, count) =>
+      val seed = scala.util.hashing.MurmurHash3.stringHash(s"$dist:$bin").toLong ^ (nowSec << 20)
+      val raw = Poisson.decayAmount(count, p.rate, dt, seed)
+      val l =
+        if (raw >= count) { if (p.prune) count else count - 1 }
+        else raw
+      bin -> (count - l)
+    }
+    val merged = s.counts ++ decayedHead
+    val pruned = if (p.prune) merged.filter(_._2 > 0L) else merged
+    (DistState(pruned, pruned.values.sum, nowSec), decayedHead)
+  }
+
+  /** Fold a micro-batch of mixed requests through the state, mirroring
+    * the reference's serialized update worker: increments merge first
+    * (they commute), then reads apply in event-time order — `"topk"` as
+    * [[topKDecay]] (partial write-back), `"dist"` as a full
+    * [[transition]] read-repair. Returns the next state (None = the
+    * distribution emptied / never existed) and the rows each op emitted:
+    * incr batches emit the whole post-decay distribution (as
+    * [[updateFn]] does), reads emit exactly the bins they fetched.
+    */
+  def transitionRequests(dist: String, reqs: Seq[FtRequest], prev: Option[DistState],
+                         nowSec: Long, p: Params): (Option[DistState], Vector[BinSnapshot]) = {
+    val (incrs, reads) = reqs.partition(_.op == "incr")
+    var out = Vector.empty[BinSnapshot]
+    var state: Option[DistState] =
+      if (incrs.isEmpty) prev
+      else {
+        val s = transition(dist, incrs.map(r => IncrEvent(r.dist, r.bin, r.n, r.tsSec)),
+          prev, nowSec, p)
+        out ++= s.counts.map { case (b, c) => BinSnapshot(dist, b, c, s.z, s.t) }
+        Some(s)
+      }
+    reads.sortBy(_.tsSec).foreach { r =>
+      state match {
+        case None => // absent distribution: empty response, nothing to repair
+        case Some(s) =>
+          r.op match {
+            case "topk" =>
+              val (next, fetched) = topKDecay(dist, s, r.k, nowSec, p)
+              out ++= fetched.map { case (b, c) => BinSnapshot(dist, b, c, next.z, next.t) }
+              state = Some(next)
+            case _ => // "dist": full lazy read-repair
+              val next = transition(dist, Seq.empty, Some(s), nowSec, p)
+              out ++= next.counts.map { case (b, c) => BinSnapshot(dist, b, c, next.z, next.t) }
+              state = Some(next)
+          }
+      }
+    }
+    val terminal = state.filterNot(s => s.z == 0L && p.prune)
+    (terminal, out)
+  }
+
   /** Expiry timeout (seconds) for a state snapshot — O9. */
   def expirySec(s: DistState, p: Params): Long = {
     val maxCount = if (s.counts.isEmpty) 0L else s.counts.values.max
@@ -94,6 +195,43 @@ object ForgetStream {
         next.counts.iterator.map { case (bin, c) => BinSnapshot(dist, bin, c, next.z, next.t) }
       }
     }
+  }
+
+  def requestsFn(p: Params, clock: () => Long, withExpiry: Boolean = true)(
+      dist: String, reqs: Iterator[FtRequest],
+      state: GroupState[DistState]): Iterator[BinSnapshot] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val (next, out) = transitionRequests(dist, reqs.toSeq, state.getOption, clock(), p)
+      next match {
+        case Some(s) =>
+          state.update(s)
+          if (withExpiry)
+            state.setTimeoutDuration(math.max(1L, expirySec(s, p)) * 1000L)
+        case None if state.exists => state.remove()
+        case None =>
+      }
+      out.iterator
+    }
+  }
+
+  /** Wire a stream of mixed read/write requests into the stateful
+    * forget-table — the full reference HTTP surface as a stream,
+    * including the top-K partial write-back drift (see [[topKDecay]]).
+    * [[apply]] remains the increments-only fast path.
+    */
+  def requests(events: Dataset[FtRequest], p: Params,
+               clock: () => Long = () => System.currentTimeMillis() / 1000L,
+               withExpiry: Boolean = true): Dataset[BinSnapshot] = {
+    implicit val stateEnc = Encoders.product[DistState]
+    implicit val outEnc = Encoders.product[BinSnapshot]
+    val timeout =
+      if (withExpiry) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.dist)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Update, timeout)(requestsFn(p, clock, withExpiry))
   }
 
   /** Wire a stream of increments into the stateful forget-table.

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{BinSnapshot, DistState, ForgetStream, IncrEvent}
+import graft.streaming.{BinSnapshot, DistState, ForgetStream, FtRequest, IncrEvent}
 
 /** Streaming forget-table: pure transition semantics + an end-to-end
   * micro-batch run through MemoryStream, checked against the same
@@ -45,6 +45,92 @@ class ForgetStreamSpec extends AnyFunSuite {
     // eta = sqrt(3/0.5) = sqrt(6); ttl = floor((2+eta)*eta) = 10
     assert(ForgetStream.expirySec(s, params) == 10L)
     assert(ForgetStream.expirySec(DistState(Map.empty, 0L, T0), params) == 0L)
+  }
+
+  test("topKDecay repairs only the fetched head: tail count AND tail clock untouched") {
+    val s = DistState(Map("head" -> 500L, "tail" -> 400L), 900L, T0)
+    val (next, fetched) = ForgetStream.topKDecay("colors", s, 1, T0 + 10L, params)
+    // only the most-probable bin was fetched and decayed
+    assert(fetched.map(_._1) == Seq("head"))
+    val headAfter = fetched.head._2
+    assert(headAfter < 500L, "seeded Poisson draw over dt=10 at rate .5 must decay the head")
+    assert(next.counts("head") == headAfter)
+    // the tail's count is byte-identical — its pending decay was forgotten
+    assert(next.counts("tail") == 400L)
+    assert(next.z == headAfter + 400L)
+    // ...because _T advanced for the WHOLE distribution (the drift)
+    assert(next.t == T0 + 10L)
+  }
+
+  test("top-K read drift: head ages across both intervals, tail only after its clock restarts") {
+    // reference traffic replay: incr at T0, /nmostprobable at T0+10, /dist at T0+20
+    val (s1, _) = ForgetStream.transitionRequests("colors", Seq(
+      FtRequest.incr("colors", "head", 500L, T0),
+      FtRequest.incr("colors", "tail", 400L, T0)), None, T0, params)
+    val (s2, fetched) = ForgetStream.transitionRequests("colors",
+      Seq(FtRequest.topK("colors", 1, T0 + 10L)), s1, T0 + 10L, params)
+    val (s3, _) = ForgetStream.transitionRequests("colors",
+      Seq(FtRequest.dist("colors", T0 + 20L)), s2, T0 + 20L, params)
+
+    assert(fetched.map(_.bin) == Seq("head"))
+    val headDrifted = s3.get.counts("head")
+    val tailFinal = s3.get.counts("tail")
+
+    // the tail's final count is what a FULL-repair-only history gives it
+    // from T0+10 (its decay over [T0, T0+10] never happened)...
+    val tailSkip = ForgetStream.transition("colors", Seq.empty,
+      Some(DistState(Map("tail" -> 400L), 400L, T0 + 10L)), T0 + 20L, params)
+    assert(tailFinal == tailSkip.counts("tail"))
+    // ...while the head decayed over BOTH intervals
+    val headBoth0 = ForgetStream.topKDecay("colors",
+      DistState(Map("head" -> 500L), 500L, T0), 1, T0 + 10L, params)._1
+    val headBoth = ForgetStream.transition("colors", Seq.empty,
+      Some(headBoth0), T0 + 20L, params)
+    assert(headDrifted == headBoth.counts("head"))
+    assert(500L - headDrifted > 400L - tailFinal,
+      "head must have aged strictly more than the tail")
+  }
+
+  test("end-to-end mixed-request run (incr -> topk -> dist) equals pure replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    var now = T0
+    val mem = MemoryStream[FtRequest]
+    val out = ForgetStream.requests(mem.toDS(), params, clock = () => now, withExpiry = false)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("ft_requests").start()
+    try {
+      val incrs = Seq(
+        FtRequest.incr("colors", "head", 500L, T0),
+        FtRequest.incr("colors", "tail", 400L, T0))
+      mem.addData(incrs: _*)
+      q.processAllAvailable()
+      now = T0 + 10L
+      mem.addData(FtRequest.topK("colors", 1, T0 + 10L))
+      q.processAllAvailable()
+      val topkRows = spark.table("ft_requests").as[BinSnapshot].collect()
+        .filter(_.t == T0 + 10L)
+      now = T0 + 20L
+      mem.addData(FtRequest.dist("colors", T0 + 20L))
+      q.processAllAvailable()
+      val finalRows = spark.table("ft_requests").as[BinSnapshot].collect()
+        .filter(_.t == T0 + 20L).map(r => r.bin -> r.count).toMap
+
+      // pure replay of the same traffic
+      val (s1, _) = ForgetStream.transitionRequests("colors", incrs, None, T0, params)
+      val (s2, fetched) = ForgetStream.transitionRequests("colors",
+        Seq(FtRequest.topK("colors", 1, T0 + 10L)), s1, T0 + 10L, params)
+      val (s3, _) = ForgetStream.transitionRequests("colors",
+        Seq(FtRequest.dist("colors", T0 + 20L)), s2, T0 + 20L, params)
+
+      // the topk micro-batch emitted exactly the fetched head bin
+      assert(topkRows.map(r => r.bin -> r.count).toMap ==
+        fetched.map(r => r.bin -> r.count).toMap)
+      assert(topkRows.map(_.bin).toSeq == Seq("head"))
+      // the dist micro-batch emitted the drifted state
+      assert(finalRows == s3.get.counts)
+      assert(finalRows.nonEmpty)
+    } finally q.stop()
   }
 
   test("end-to-end micro-batch run equals pure-transition replay") {
