@@ -1,6 +1,18 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
 object Bench {
+  /** Force-materialize EVERY output column: checksum-aggregate all
+    * columns through xxhash64 (codegen'd, type-complete for our
+    * schemas) down to one row. A bare count() lets Catalyst prune the
+    * unreferenced columns out of the plan, flattering any query whose
+    * cost lives in computed columns; this harness pays for them.
+    */
+  private def force(df: DataFrame): Long = {
+    val hashed = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+    hashed.agg(sum("h")).collect()
+    0L
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -13,11 +25,11 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try force(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

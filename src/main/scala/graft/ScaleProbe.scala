@@ -65,7 +65,7 @@ object ScaleProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val targets = Seq("dedup_ngram", "dedup_minhash", "dedup_simhash",
-      "dedup_embedding", "sim_ann_ivf", "sim_ann_lsh",
+      "dedup_embedding", "sim_ann_ivf", "sim_ann_lsh", "sim_ann_lsh_mp",
       "ft_dist", "ft_topk", "text_quality")
     println(f"[probe] query                  1x(s)   ${factor}x(s)  ratio (rows 1x -> ${factor}x)")
     targets.foreach { n =>

@@ -53,6 +53,35 @@ object SimilarityQueries {
       .select("q_id", "rnk", "c_id", "cosine")
   }
 
+  /** XOR masks for multi-probe: the identity probe plus one per flipped
+    * signature bit (Hamming-1 neighborhood).
+    */
+  private lazy val MpMasks: Seq[Long] = 0L +: (0 until LshBits).map(i => 1L << i)
+
+  /** Multi-probe LSH: each query probes its own bucket AND the `LshBits`
+    * buckets at Hamming distance 1 (signature bits near a hyperplane flip
+    * under small perturbations, so most misses land one bit away). This
+    * is the standard production recall knob at FIXED nBits (Lv et al.,
+    * "Multi-Probe LSH", VLDB 2007): recall rises without rebucketing the
+    * corpus — only the query side fans out, x(nBits+1) probe rows, all
+    * still broadcast-sized, while the corpus keeps its single bucket per
+    * vector. Probe buckets are distinct per query (distinct masks), so a
+    * corpus vector is scored at most once — no dedup pass needed.
+    */
+  private def lshMpRes(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir).withColumn("bucket", Similarity.lshBucket(col("v"), Signs))
+    val q = broadcast(all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        explode(array(MpMasks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket")))
+    val c = all.select(col("vec_id").as("c_id"), col("v").as("c_v"), col("bucket"))
+    val scored = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", Dedup.cosine(col("q_v"), col("c_v")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= K)
+      .select("q_id", "rnk", "c_id", "cosine")
+  }
+
   /** IVF ANN: a fixed-k k-means coarse quantizer
     * ([[Similarity.kmeansCentroids]] — bounded sample, seeded init, fixed
     * iterations) assigns every vector to its nearest cell; queries probe
@@ -96,6 +125,8 @@ object SimilarityQueries {
 
     "sim_ann_lsh" -> ((s, dir) => lshRes(s, dir).orderBy("q_id", "rnk")),
 
+    "sim_ann_lsh_mp" -> ((s, dir) => lshMpRes(s, dir).orderBy("q_id", "rnk")),
+
     // recall@K per query: |approx ∩ truth| / K against brute-force truth,
     // for each approximate method. Exactly what an operator watches when
     // tuning nBits (lsh) or k / nProbe (ivf) at scale.
@@ -109,6 +140,7 @@ object SimilarityQueries {
           .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / lit(K)).as("recall"))
           .select(lit(method).as("method"), col("q_id"), col("recall"))
       recallOf(lshRes(s, dir), "lsh")
+        .unionByName(recallOf(lshMpRes(s, dir), "lsh_mp"))
         .unionByName(recallOf(ivfRes(s, dir), "ivf"))
         .orderBy("method", "q_id")
     })
@@ -168,6 +200,30 @@ object SimilarityQueries {
        |    FROM l_scored
        |  ) t WHERE rnk <= $K
        |)""".stripMargin
+
+  /** lsh_mp_res(q_id, c_id, cosine, rnk): multi-probe (Hamming-1) top-K.
+    * The probe fan-out is the query side cross-joined with the XOR mask
+    * list — identical masks, identical xor, identical re-rank.
+    */
+  private lazy val lshMpCtes = {
+    val maskList = MpMasks.map(m => s"CAST($m AS BIGINT)").mkString("[", ", ", "]")
+    s"""mp_probes AS (
+       |  SELECT vec_id AS q_id, v AS q_v, xor(bucket, m.mask) AS bucket
+       |  FROM bucketed CROSS JOIN (SELECT UNNEST($maskList) AS mask) m
+       |  WHERE vec_id < 5
+       |), mp_scored AS (
+       |  SELECT q.q_id, c.vec_id AS c_id,
+       |         ${cosineSql("q.q_v", "c.v")} AS cosine
+       |  FROM mp_probes q JOIN bucketed c USING (bucket)
+       |  WHERE q.q_id != c.vec_id
+       |), lsh_mp_res AS (
+       |  SELECT q_id, rnk, c_id, cosine FROM (
+       |    SELECT q_id, c_id, cosine,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
+       |    FROM mp_scored
+       |  ) t WHERE rnk <= $K
+       |)""".stripMargin
+  }
 
   /** One Lloyd round: assign `samp` to `prevC`, mean members per cell.
     * The mean divides the ascending-vec_id sequential coordinate sum by
@@ -239,11 +295,20 @@ object SimilarityQueries {
       s"""WITH $vecsCte, $lshCtes
          |SELECT q_id, rnk, c_id, cosine FROM lsh_res ORDER BY q_id, rnk""".stripMargin,
 
+    "sim_ann_lsh_mp" ->
+      s"""WITH $vecsCte, $lshCtes, $lshMpCtes
+         |SELECT q_id, rnk, c_id, cosine FROM lsh_mp_res ORDER BY q_id, rnk""".stripMargin,
+
     "sim_ann_recall" ->
-      s"""WITH $vecsCte, $bruteCtes, $lshCtes, $ivfCtes
+      s"""WITH $vecsCte, $bruteCtes, $lshCtes, $lshMpCtes, $ivfCtes
          |SELECT 'lsh' AS method, t.q_id,
          |       CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $K AS recall
          |FROM brute_res t LEFT JOIN lsh_res a ON t.q_id = a.q_id AND t.c_id = a.c_id
+         |GROUP BY t.q_id
+         |UNION ALL
+         |SELECT 'lsh_mp' AS method, t.q_id,
+         |       CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $K AS recall
+         |FROM brute_res t LEFT JOIN lsh_mp_res a ON t.q_id = a.q_id AND t.c_id = a.c_id
          |GROUP BY t.q_id
          |UNION ALL
          |SELECT 'ivf' AS method, t.q_id,

@@ -63,6 +63,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("sim_ann_lsh_mp: probe fan-out stays on the broadcast side of a bucket equi-join") {
+    // Multi-probe explodes ONLY the query side x(nBits+1); the corpus must
+    // keep one bucket per vector and join by equality — a cross join (or
+    // the fan-out landing corpus-side) would undo the whole design.
+    val plan = qe("sim_ann_lsh_mp").executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("dedup queries: no ScalaUDF anywhere in the hot paths") {
     Seq("dedup_minhash", "dedup_simhash", "dedup_ngram", "ft_sampled").foreach { n =>
       val plan = qe(n).executedPlan.toString

@@ -63,4 +63,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(joined.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
     assert(vecs.select(size(col("keys"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(4))
   }
+
+  test("multi-probe LSH lifts recall over single-probe at fixed nBits") {
+    // the tuning claim the sim_ann_recall metric exists for: probing the
+    // Hamming-1 neighborhood must never lose candidates (the identity
+    // mask is probe 0) and, on real data, must find strictly more
+    val dir = "/root/testdata/sf0.001"
+    val recall = graft.queries.SimilarityQueries.queries("sim_ann_recall")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val qids = recall.keys.map(_._2).toSeq.distinct
+    qids.foreach { q =>
+      assert(recall(("lsh_mp", q)) >= recall(("lsh", q)),
+        s"multi-probe lost recall for query $q")
+    }
+    val lift = qids.map(q => recall(("lsh_mp", q)) - recall(("lsh", q))).sum
+    assert(lift > 0.0, "multi-probe showed no recall lift on testdata")
+  }
 }
