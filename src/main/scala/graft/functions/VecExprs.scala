@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftx.{Shim => ExpressionUtils}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Tight-loop kernels for the embedding operators (ANN, embedding dedup).
+  *
+  * The column-algebra forms (`aggregate(zip_with(a, b, *), 0.0, +)` for a
+  * dot product; one such fold per hyperplane for an LSH bucket) are
+  * oracle-exact but evaluate INTERPRETED — Spark runs higher-order
+  * lambda bodies without codegen, boxing every element. On the join hot
+  * paths (a cosine per candidate pair; N·k cosines for the IVF
+  * assignment) that interpretation dominates the query. These kernels
+  * compute the SAME IEEE-754 operation sequence in one codegen'd JVM
+  * call per row:
+  *
+  *   - [[VecKernels.cosine]] folds `a·b`, `a·a`, `b·b` in ascending
+  *     index order with one accumulator each — exactly the evaluation
+  *     order of the sequential-fold dot in `Dedup.dot` and of DuckDB's
+  *     `list_aggregate(..., 'sum')` (see SimilarityQueries.dotSql) —
+  *     then combines as `dab / (sqrt(daa) * sqrt(dbb))`. Results are
+  *     bit-identical to the HOF form (pinned by VecExprsSpec).
+  *   - [[VecKernels.lshBucket]] runs the per-plane sign dot for all
+  *     planes in one traversal of the plane matrix, same per-plane fold
+  *     order as `Similarity.lshBucketHof`.
+  *
+  * Assumptions (enforced by the embeddings schema, asserted nowhere
+  * hot): vectors are non-null `array<double>` of one fixed dimension.
+  * The HOF forms return null / drop a plane on a length mismatch where
+  * the kernels compute over the common prefix — a state our tables
+  * cannot represent.
+  */
+object VecKernels {
+
+  /** Cosine similarity; see object scaladoc for the exact op order. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dab = 0.0
+    var daa = 0.0
+    var dbb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dab += x * y
+      daa += x * x
+      dbb += y * y
+      i += 1
+    }
+    dab / (math.sqrt(daa) * math.sqrt(dbb))
+  }
+
+  /** Sign-hyperplane LSH bucket: bit p set iff v · signs(p) >= 0. */
+  def lshBucket(v: ArrayData, signs: Array[Array[Double]]): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < signs.length) {
+      val row = signs(p)
+      val n = math.min(v.numElements(), row.length)
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        dot += v.getDouble(d) * row(d)
+        d += 1
+      }
+      if (dot >= 0.0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+}
+
+/** Codegen cosine similarity of two `array<double>` columns. */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernels.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimExpr {
+  def apply(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      CosineSimExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
+/** Codegen sign-hyperplane LSH bucket of an `array<double>` column over
+  * a literal ±1 plane matrix.
+  */
+case class LshBucketExpr(child: Expression, signs: Array[Array[Double]])
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bucket"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.lshBucket(v.asInstanceOf[ArrayData], signs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signs", signs, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernels.lshBucket($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
+    copy(child = newChild)
+}
+
+object LshBucketExpr {
+  def apply(v: Column, signs: Array[Array[Double]]): Column =
+    ExpressionUtils.column(LshBucketExpr(ExpressionUtils.expression(v), signs))
+}

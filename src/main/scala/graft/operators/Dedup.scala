@@ -96,14 +96,24 @@ object Dedup {
   def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
 
   /** Sequential left-fold dot product — matches DuckDB's list_aggregate
-    * 'sum' evaluation order so doubles agree bit-for-bit.
+    * 'sum' evaluation order so doubles agree bit-for-bit. HOF form:
+    * interpreted; kept for bounded inputs (k-means centroid update) and
+    * as the bit-identity reference for the codegen kernel.
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Interpreted HOF cosine — reference implementation for VecExprsSpec. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity — native codegen kernel with the identical IEEE
+    * op sequence (one pass instead of three interpreted folds); the form
+    * every hot path uses. See [[graft.functions.VecKernels.cosine]].
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimExpr(a, b)
 
   /** Banded sign-bucket keys: key b = the `bitsPerBand` sign bits of
     * dimensions [b*bitsPerBand, (b+1)*bitsPerBand). Feed to

@@ -39,16 +39,22 @@ object Similarity {
   def signMatrix(nBits: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(nBits, dim)(planeSign)
 
-  /** LSH bucket id of a double-vector column: bit p set iff
-    * sum_d(v[d] * sign[p][d]) >= 0, folded left like the oracle.
-    */
-  def lshBucket(v: Column, signs: Array[Array[Double]]): Column =
+  /** Interpreted HOF bucket — bit-identity reference for VecExprsSpec. */
+  def lshBucketHof(v: Column, signs: Array[Array[Double]]): Column =
     signs.zipWithIndex.map { case (row, p) =>
       val planeDot = aggregate(
         zip_with(v, array(row.map(lit): _*), (x, s) => x * s),
         lit(0.0), (acc, x) => acc + x)
       when(planeDot >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** LSH bucket id of a double-vector column: bit p set iff
+    * sum_d(v[d] * sign[p][d]) >= 0, folded left like the oracle —
+    * native codegen kernel ([[graft.functions.VecKernels.lshBucket]]),
+    * one traversal for all planes.
+    */
+  def lshBucket(v: Column, signs: Array[Array[Double]]): Column =
+    graft.functions.LshBucketExpr(v, signs)
 
   /** Fixed-k seeded k-means centroids for an IVF coarse quantizer.
     *
