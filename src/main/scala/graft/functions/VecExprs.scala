@@ -54,6 +54,20 @@ object VecKernels {
     dab / (math.sqrt(daa) * math.sqrt(dbb))
   }
 
+  /** float[] -> double[] exact widening (identical to elementwise CAST);
+    * one primitive-array pass instead of an interpreted transform().
+    */
+  def floatToDoubleVec(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = v.getFloat(i).toDouble
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Sign-hyperplane LSH bucket: bit p set iff v · signs(p) >= 0. */
   def lshBucket(v: ArrayData, signs: Array[Array[Double]]): Long = {
     var bucket = 0L
@@ -120,4 +134,26 @@ case class LshBucketExpr(child: Expression, signs: Array[Array[Double]])
 object LshBucketExpr {
   def apply(v: Column, signs: Array[Array[Double]]): Column =
     ExpressionUtils.column(LshBucketExpr(ExpressionUtils.expression(v), signs))
+}
+
+/** Codegen float[] -> double[] widening for the embedding scan edge. */
+case class FloatToDoubleVecExpr(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "to_double_vec"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.floatToDoubleVec(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernels.floatToDoubleVec($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): FloatToDoubleVecExpr =
+    copy(child = newChild)
+}
+
+object FloatToDoubleVecExpr {
+  def apply(v: Column): Column =
+    ExpressionUtils.column(FloatToDoubleVecExpr(ExpressionUtils.expression(v)))
 }

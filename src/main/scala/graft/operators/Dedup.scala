@@ -92,8 +92,15 @@ object Dedup {
 
   // ------------------------------------------------------------ embeddings
 
-  /** Elementwise float->double widening (exact, no rounding). */
-  def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Interpreted HOF widening — bit-identity reference for VecExprsSpec. */
+  def toDoubleVecHof(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Elementwise float->double widening (exact, no rounding) — codegen
+    * kernel at the embedding scan edge, so the whole scan->signature->
+    * score pipeline stays in one whole-stage-codegen span.
+    */
+  def toDoubleVec(v: Column): Column =
+    graft.functions.FloatToDoubleVecExpr(v)
 
   /** Sequential left-fold dot product — matches DuckDB's list_aggregate
     * 'sum' evaluation order so doubles agree bit-for-bit. HOF form:

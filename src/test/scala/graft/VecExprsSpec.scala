@@ -54,6 +54,23 @@ class VecExprsSpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("FloatToDoubleVecExpr is bit-identical to the transform(cast) HOF") {
+    val vecs = spark.range(500L).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        j => ((pmod(col("id") * lit(37) + j * lit(13), lit(1000)) - lit(500)) / lit(250.0)).cast("float")
+      ).as("f"))
+    val rows = vecs.select(
+        Dedup.toDoubleVec(col("f")).as("kernel"),
+        Dedup.toDoubleVecHof(col("f")).as("hof"))
+      .collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val k = r.getSeq[Double](0).map(java.lang.Double.doubleToRawLongBits)
+      val h = r.getSeq[Double](1).map(java.lang.Double.doubleToRawLongBits)
+      assert(k == h)
+    }
+  }
+
   test("kernels run inside whole-stage codegen (the HOF forms cannot)") {
     val signs = Similarity.signMatrix(6, 64)
     val df = synthVecs(10).select(
