@@ -1,16 +1,23 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, sum, xxhash64}
+import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
 object Bench {
   /** Force-materialize EVERY output column: checksum-aggregate all
     * columns through xxhash64 (codegen'd, type-complete for our
     * schemas) down to one row. A bare count() lets Catalyst prune the
     * unreferenced columns out of the plan, flattering any query whose
     * cost lives in computed columns; this harness pays for them.
+    *
+    * The combine is bit_xor, NOT sum: Spark 4 defaults
+    * spark.sql.ansi.enabled=true, and summing uniformly-distributed
+    * 64-bit hashes throws ARITHMETIC_OVERFLOW with near-certainty on
+    * any multi-row result (it aborted the checksum stage of ~every
+    * query in the round-3 bench). XOR is closed over Long — overflow
+    * is impossible — and still consumes every hashed row.
     */
-  private def force(df: DataFrame): Long = {
+  private[graft] def force(df: DataFrame): Long = {
     val hashed = df.select(xxhash64(df.columns.map(col): _*).as("h"))
-    hashed.agg(sum("h")).collect()
+    hashed.agg(bit_xor(col("h"))).collect()
     0L
   }
   def main(args: Array[String]): Unit = {
@@ -27,15 +34,25 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try force(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
+    // Timed pass. A query that throws is NOT hidden behind a
+    // normal-looking timing: it's reported on stderr immediately and
+    // carried in the output JSON's "failed" list so the driver can
+    // distinguish "ran" from "died".
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { force(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
+      try { force(fn(spark, sfDir)) } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fs = failed.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -61,19 +61,26 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
     embN.write.mode("overwrite").parquet(s"$stage/embeddings.parquet")
 
-    def time(f: => Long): Double = {
+    // Same materialization as graft.Bench: checksum-force EVERY output
+    // column (a bare count() lets Catalyst prune computed columns, so a
+    // probe on count-plans flatters any query whose cost is in them —
+    // the round-3 bench moved off count for exactly this reason, and the
+    // two harnesses must agree for the BASELINE.md ratios to mean
+    // anything).
+    def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val targets = Seq("dedup_ngram", "dedup_minhash", "dedup_simhash",
       "dedup_embedding", "sim_ann_ivf", "sim_ann_lsh", "sim_ann_lsh_mp",
-      "ft_dist", "ft_topk", "text_quality")
+      "ft_dist", "ft_topk", "ft_json", "text_quality")
     println(f"[probe] query                  1x(s)   ${factor}x(s)  ratio (rows 1x -> ${factor}x)")
     targets.foreach { n =>
       val fn = SparkEntry.queries(n)
       var r1 = 0L; var rN = 0L
-      val warm = time(fn(spark, base).count()) // warm JIT on the 1x shape
-      val t1 = time { r1 = fn(spark, base).count(); r1 }
-      val tN = time { rN = fn(spark, stage).count(); rN }
+      time(Bench.force(fn(spark, base))) // warm JIT on the 1x shape
+      val t1 = time(Bench.force(fn(spark, base)))
+      val tN = time(Bench.force(fn(spark, stage)))
+      r1 = fn(spark, base).count(); rN = fn(spark, stage).count()
       println(f"[probe] $n%-22s $t1%6.2f  $tN%6.2f  ${tN / t1}%5.2f  ($r1%d -> $rN%d)")
     }
     spark.stop()

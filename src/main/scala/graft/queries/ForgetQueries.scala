@@ -45,10 +45,16 @@ object ForgetQueries {
       |  FROM events GROUP BY 1, 2
       |)""".stripMargin
 
+  /** Mirrors `ForgetTable.fromEvents` exactly, including its pinned
+    * default rate — the ONE place the oracle defines `rate`, so a future
+    * rate parameterization changes Spark and oracle together (every
+    * oracle that surfaces rate reads it from this CTE).
+    */
   private val metaCte =
     """meta AS (
       |  SELECT event_type AS dist, CAST(COUNT(*) AS BIGINT) AS z,
-      |         CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS t
+      |         CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS t,
+      |         CAST(0.5 AS DOUBLE) AS rate
       |  FROM events GROUP BY 1
       |)""".stripMargin
 
@@ -184,17 +190,41 @@ object ForgetQueries {
     //     not escaped (user_id-derived bins are printable by contract).
     //   - the envelope `rate` flows from the meta table (forget.go:114
     //     fills Rate from the distribution), not a literal.
+    //
+    // Scale shape (ForgetTable's design rule at the top of that file):
+    // NO per-dist window anywhere. `z` is groupBy(dist)+broadcast join.
+    // The page rank is two-phase: bins are coarse-bucketed by an
+    // ORDER-PRESERVING key (the 2-char bin prefix — a string prefix
+    // preserves lexicographic order, so global bin rank = bucket offset
+    // + rank within bucket, exactly), per-(dist,bucket) row counts are
+    // aggregated map-side into a tiny table, bucket offsets come from a
+    // self-join on that aggregate, and the only row_number runs inside
+    // bounded (dist,bucket) partitions. A 10^8-bin hot distribution
+    // spreads across its buckets instead of landing on one straggler.
     "ft_json" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("dist").orderBy("bin")
-      val wz = org.apache.spark.sql.expressions.Window.partitionBy("dist")
       val t = ft(s, dir)
       def esc(c: org.apache.spark.sql.Column) =
         replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\""))
-      t.counts
-        .withColumn("z", sum("count").over(wz))
+      val counts = t.counts
+      val zs = counts.groupBy("dist").agg(sum("count").as("z"))
+      val bucketed = counts.withColumn("bkt", substring(col("bin"), 1, 2))
+      val perBkt = bucketed.groupBy("dist", "bkt").agg(count(lit(1)).as("n"))
+      val lower = perBkt.select(col("dist").as("o_dist"),
+        col("bkt").as("o_bkt"), col("n").as("o_n"))
+      val off = perBkt
+        .join(lower,
+          col("dist") === col("o_dist") && col("o_bkt") < col("bkt"), "left")
+        .groupBy("dist", "bkt")
+        .agg(coalesce(sum("o_n"), lit(0L)).as("offset"))
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy("dist", "bkt").orderBy("bin")
+      bucketed
+        .join(broadcast(off), Seq("dist", "bkt"))
+        .withColumn("rank", col("offset") + row_number().over(wB))
+        .withColumn("page", ((col("rank") - 1) / lit(JsonPageSize)).cast("long"))
+        .join(broadcast(zs), Seq("dist"))
         .withColumn("p",
           round(col("count").cast("double") / col("z").cast("double"), 9))
-        .withColumn("page", ((row_number().over(w) - 1) / lit(JsonPageSize)).cast("long"))
         .groupBy("dist", "page")
         .agg(
           max("z").as("z"),
@@ -228,7 +258,7 @@ object ForgetQueries {
 
     "ft_meta" ->
       s"""WITH $metaCte
-         |SELECT dist, z, t, CAST(0.5 AS DOUBLE) AS rate FROM meta ORDER BY dist""".stripMargin,
+         |SELECT dist, z, t, rate FROM meta ORDER BY dist""".stripMargin,
 
     "ft_dist" ->
       s"""WITH $countsCte, $metaCte,
@@ -392,7 +422,7 @@ object ForgetQueries {
     "ft_json" ->
       s"""WITH $countsCte, $metaCte,
          |mrate AS (
-         |  SELECT dist, CAST(0.5 AS DOUBLE) AS rate FROM meta
+         |  SELECT dist, rate FROM meta
          |), zs AS (
          |  SELECT dist, CAST(SUM("count") AS BIGINT) AS z FROM counts GROUP BY 1
          |), pg AS (

@@ -127,42 +127,54 @@ object ForgetStream {
   }
 
   /** Fold a micro-batch of mixed requests through the state, mirroring
-    * the reference's serialized update worker: increments merge first
-    * (they commute), then reads apply in event-time order — `"topk"` as
-    * [[topKDecay]] (partial write-back), `"dist"` as a full
-    * [[transition]] read-repair. Returns the next state (None = the
-    * distribution emptied / never existed) and the rows each op emitted:
-    * incr batches emit the whole post-decay distribution (as
-    * [[updateFn]] does), reads emit exactly the bins they fetched.
+    * the reference's serialized update worker: requests apply strictly
+    * in EVENT-TIME order (`tsSec`; ties keep arrival order — the sort is
+    * stable). A maximal run of consecutive increments folds as ONE
+    * [[transition]] — increments commute with each other, so merging a
+    * run is identical to applying them singly — but every read
+    * (`"topk"` as [[topKDecay]] partial write-back, `"dist"` as a full
+    * [[transition]] read-repair) is a sequence point: an increment that
+    * arrives AFTER a read in the same micro-batch lands after that
+    * read's decay, never inside it, matching the reference worker's
+    * one-request-at-a-time serialization (goforget/redis_utils.go:
+    * 124-137). Returns the next state (None = the distribution emptied /
+    * never existed) and the rows each op emitted: incr runs emit the
+    * whole post-decay distribution (as [[updateFn]] does), reads emit
+    * exactly the bins they fetched.
     */
   def transitionRequests(dist: String, reqs: Seq[FtRequest], prev: Option[DistState],
                          nowSec: Long, p: Params): (Option[DistState], Vector[BinSnapshot]) = {
-    val (incrs, reads) = reqs.partition(_.op == "incr")
     var out = Vector.empty[BinSnapshot]
-    var state: Option[DistState] =
-      if (incrs.isEmpty) prev
+    var state: Option[DistState] = prev
+    var run = Vector.empty[FtRequest]
+    def flushIncrs(): Unit = if (run.nonEmpty) {
+      val s = transition(dist, run.map(r => IncrEvent(r.dist, r.bin, r.n, r.tsSec)),
+        state, nowSec, p)
+      out ++= s.counts.map { case (b, c) => BinSnapshot(dist, b, c, s.z, s.t) }
+      state = Some(s)
+      run = Vector.empty
+    }
+    reqs.toVector.sortBy(_.tsSec).foreach { r =>
+      if (r.op == "incr") run :+= r
       else {
-        val s = transition(dist, incrs.map(r => IncrEvent(r.dist, r.bin, r.n, r.tsSec)),
-          prev, nowSec, p)
-        out ++= s.counts.map { case (b, c) => BinSnapshot(dist, b, c, s.z, s.t) }
-        Some(s)
-      }
-    reads.sortBy(_.tsSec).foreach { r =>
-      state match {
-        case None => // absent distribution: empty response, nothing to repair
-        case Some(s) =>
-          r.op match {
-            case "topk" =>
-              val (next, fetched) = topKDecay(dist, s, r.k, nowSec, p)
-              out ++= fetched.map { case (b, c) => BinSnapshot(dist, b, c, next.z, next.t) }
-              state = Some(next)
-            case _ => // "dist": full lazy read-repair
-              val next = transition(dist, Seq.empty, Some(s), nowSec, p)
-              out ++= next.counts.map { case (b, c) => BinSnapshot(dist, b, c, next.z, next.t) }
-              state = Some(next)
-          }
+        flushIncrs()
+        state match {
+          case None => // absent distribution: empty response, nothing to repair
+          case Some(s) =>
+            r.op match {
+              case "topk" =>
+                val (next, fetched) = topKDecay(dist, s, r.k, nowSec, p)
+                out ++= fetched.map { case (b, c) => BinSnapshot(dist, b, c, next.z, next.t) }
+                state = Some(next)
+              case _ => // "dist": full lazy read-repair
+                val next = transition(dist, Seq.empty, Some(s), nowSec, p)
+                out ++= next.counts.map { case (b, c) => BinSnapshot(dist, b, c, next.z, next.t) }
+                state = Some(next)
+            }
+        }
       }
     }
+    flushIncrs()
     val terminal = state.filterNot(s => s.z == 0L && p.prune)
     (terminal, out)
   }

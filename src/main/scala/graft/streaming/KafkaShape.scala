@@ -56,7 +56,11 @@ object KafkaShape {
       .select(
         from_json(col("value").cast("string"), requestSchema).as("v"),
         col("timestamp").cast("long").as("tsSec"))
-      .where(col("v.dist").isNotNull)
+      // An incr envelope with no bin is malformed — the reference 500s it
+      // (forget.go:36-44); dropping it here matches incrEvents, instead
+      // of silently incrementing a spurious "" bin. Reads carry no bin.
+      .where(col("v.dist").isNotNull &&
+        (coalesce(col("v.op"), lit("incr")) =!= "incr" || col("v.bin").isNotNull))
       .select(
         col("v.dist").as("dist"), coalesce(col("v.bin"), lit("")).as("bin"),
         coalesce(col("v.n"), lit(1L)).as("n"), col("tsSec"),

@@ -91,6 +91,25 @@ class ForgetStreamSpec extends AnyFunSuite {
       "head must have aged strictly more than the tail")
   }
 
+  test("mixed batch folds in event-time order: an incr after a read is not decayed by it") {
+    // One micro-batch carrying topk(t1) and incr(t2 > t1) — listed in
+    // REVERSE arrival order to prove the fold sorts by tsSec. The
+    // serialized-worker semantics: the read wipes the stale head (huge
+    // dt at rate .5), then the increment lands fresh, after the read's
+    // decay. The old merge-all-increments-first ordering would have
+    // decayed the incremented count to zero along with the stale one.
+    val prev = DistState(Map("head" -> 2L), 2L, T0)
+    val now = T0 + 100000L
+    val (next, out) = ForgetStream.transitionRequests("colors", Seq(
+      FtRequest.incr("colors", "head", 100L, now + 1L),
+      FtRequest.topK("colors", 1, now)), Some(prev), now, params)
+    // the read fetched the stale head, fully decayed
+    assert(out.head.count == 0L)
+    // the post-read increment survives undecayed (dt=0 after the read)
+    assert(next.get.counts == Map("head" -> 100L))
+    assert(next.get.z == 100L)
+  }
+
   test("end-to-end mixed-request run (incr -> topk -> dist) equals pure replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

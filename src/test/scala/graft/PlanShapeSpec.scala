@@ -72,6 +72,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("ft_json: no unbounded per-dist window — rank is bucket-bounded, z is agg+join") {
+    // The repo rule (ForgetTable scaladoc): per-dist scalars come from
+    // groupBy(dist)+join, never Window.partitionBy(dist) — a hot dist
+    // would otherwise become one straggler task. ft_json's only window
+    // must be the page-rank inside bounded (dist, bkt) buckets.
+    val plan = qe("ft_json").executedPlan.toString
+    val windowLines = plan.linesIterator
+      .filter(l => l.contains("Window [") && !l.contains("WindowGroupLimit"))
+      .toList
+    assert(windowLines.nonEmpty, plan)
+    windowLines.foreach { l =>
+      assert("""\], \[dist#\d+, bkt#\d+\], \[""".r.findFirstIn(l).isDefined,
+        s"window not bounded by bucket key: $l")
+    }
+  }
+
   test("dedup queries: no ScalaUDF anywhere in the hot paths") {
     Seq("dedup_minhash", "dedup_simhash", "dedup_ngram", "ft_sampled").foreach { n =>
       val plan = qe(n).executedPlan.toString

@@ -122,7 +122,9 @@ class StreamSourceSpec extends AnyFunSuite {
       ("""{"dist":"colors","bin":"blue"}""", 101L),               // incr, default n=1
       ("""{"dist":"colors","op":"topk","k":5}""", 102L),          // read op
       ("""{"dist":"colors","op":"dist"}""", 103L),                // full read, default k
-      ("""not json at all""", 104L))                              // malformed: dropped
+      ("""not json at all""", 104L),                              // malformed: dropped
+      ("""{"dist":"colors","n":2}""", 105L),                      // incr w/o bin: dropped (ref 500s)
+      ("""{"dist":"colors","op":"incr"}""", 106L))                // explicit incr w/o bin: dropped
       .toDF("payload", "sec")
       .select(
         lit(null).cast("binary").as("key"),
