@@ -17,17 +17,25 @@ import graft.sources.Tables
 object SimilarityQueries {
 
   final val K = 10
+  /** Default LSH signature width. A PARAMETER of the lsh builders (more
+    * bits = smaller buckets = faster + lower recall) — this is only the
+    * default the driver queries run at.
+    */
   final val LshBits = 6
   final val Dim = 64
   /** IVF quantizer: k centroids from `IvfSample` training vectors (both
     * fixed — independent of corpus size), `IvfIters` Lloyd rounds.
+    * `IvfProbe` is the default probe depth (cells searched per query) —
+    * the first knob an operator turns at scale, so the builders take it
+    * as a parameter and `sim_ann_recall` measures nProbe ∈ {1, 2, 4}.
     */
   final val IvfK = 16
   final val IvfSample = 256
   final val IvfIters = 2
   final val IvfSalt = 7
+  final val IvfProbe = 2
 
-  private lazy val Signs = Similarity.signMatrix(LshBits, Dim)
+  private def signs(nBits: Int) = Similarity.signMatrix(nBits, Dim)
 
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -40,8 +48,8 @@ object SimilarityQueries {
     Similarity.bruteForceTopK(all.filter(col("vec_id") < 5), all, K)
   }
 
-  private def lshRes(s: SparkSession, dir: String): DataFrame = {
-    val all = vecs(s, dir).withColumn("bucket", Similarity.lshBucket(col("v"), Signs))
+  private def lshRes(s: SparkSession, dir: String, nBits: Int = LshBits): DataFrame = {
+    val all = vecs(s, dir).withColumn("bucket", Similarity.lshBucket(col("v"), signs(nBits)))
     val q = broadcast(all.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("bucket")))
     val c = all.select(col("vec_id").as("c_id"), col("v").as("c_v"), col("bucket"))
@@ -56,7 +64,7 @@ object SimilarityQueries {
   /** XOR masks for multi-probe: the identity probe plus one per flipped
     * signature bit (Hamming-1 neighborhood).
     */
-  private lazy val MpMasks: Seq[Long] = 0L +: (0 until LshBits).map(i => 1L << i)
+  private def mpMasks(nBits: Int): Seq[Long] = 0L +: (0 until nBits).map(i => 1L << i)
 
   /** Multi-probe LSH: each query probes its own bucket AND the `LshBits`
     * buckets at Hamming distance 1 (signature bits near a hyperplane flip
@@ -68,11 +76,11 @@ object SimilarityQueries {
     * vector. Probe buckets are distinct per query (distinct masks), so a
     * corpus vector is scored at most once — no dedup pass needed.
     */
-  private def lshMpRes(s: SparkSession, dir: String): DataFrame = {
-    val all = vecs(s, dir).withColumn("bucket", Similarity.lshBucket(col("v"), Signs))
+  private def lshMpRes(s: SparkSession, dir: String, nBits: Int = LshBits): DataFrame = {
+    val all = vecs(s, dir).withColumn("bucket", Similarity.lshBucket(col("v"), signs(nBits)))
     val q = broadcast(all.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"),
-        explode(array(MpMasks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket")))
+        explode(array(mpMasks(nBits).map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket")))
     val c = all.select(col("vec_id").as("c_id"), col("v").as("c_v"), col("bucket"))
     val scored = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine", Dedup.cosine(col("q_v"), col("c_v")))
@@ -90,23 +98,32 @@ object SimilarityQueries {
     * unlike a sampled-centroid scheme whose centroid count (and thus the
     * assignment cost and broadcast size) scales with N.
     */
-  private def ivfRes(s: SparkSession, dir: String): DataFrame = {
+  /** Cell-assignment table: top-`maxProbe` cells per vector, persisted.
+    * At scale this IS the stored assignment table (`maxProbe` small rows
+    * per vector — centroid vectors and scores dropped). One table serves
+    * every probe depth ≤ `maxProbe`, so `sim_ann_recall`'s three IVF
+    * legs share a single quantizer pass.
+    */
+  private def ivfRanked(s: SparkSession, dir: String, maxProbe: Int): DataFrame = {
     val all = vecs(s, dir)
     val cents = broadcast(
       Similarity.kmeansCentroids(all, IvfK, IvfSample, IvfIters, Dim, IvfSalt))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-    // Persist only what both consumers read — top-2 cells per vector,
-    // centroid vectors and scores dropped (at scale this IS the stored
-    // cell-assignment table: 2 small rows per vector).
-    val ranked = all.crossJoin(cents)
+    all.crossJoin(cents)
       .withColumn("ccos", Dedup.cosine(col("v"), col("cv")))
       .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") <= 2)
+      .filter(col("crn") <= maxProbe)
       .select("vec_id", "v", "cent_id", "crn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Probe the top-`nProbe` cells of each query against the crn=1 cell
+    * assignment. `ranked` must hold at least `nProbe` cells per vector.
+    */
+  private def ivfResFrom(ranked: DataFrame, nProbe: Int): DataFrame = {
     val assign = ranked.filter(col("crn") === 1)
       .select(col("vec_id").as("c_id"), col("cent_id").as("cell"), col("v").as("c_v"))
-    val probes = ranked.filter(col("vec_id") < 5 && col("crn") <= 2)
+    val probes = ranked.filter(col("vec_id") < 5 && col("crn") <= nProbe)
       .select(col("vec_id").as("q_id"), col("cent_id").as("cell"), col("v").as("q_v"))
     val scored = broadcast(probes).join(assign, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
@@ -116,6 +133,9 @@ object SimilarityQueries {
       .filter(col("rnk") <= K)
       .select("q_id", "rnk", "c_id", "cosine")
   }
+
+  private def ivfRes(s: SparkSession, dir: String, nProbe: Int = IvfProbe): DataFrame =
+    ivfResFrom(ivfRanked(s, dir, nProbe), nProbe)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -129,7 +149,9 @@ object SimilarityQueries {
 
     // recall@K per query: |approx ∩ truth| / K against brute-force truth,
     // for each approximate method. Exactly what an operator watches when
-    // tuning nBits (lsh) or k / nProbe (ivf) at scale.
+    // tuning nBits (lsh) or k / nProbe (ivf) at scale — so the IVF leg
+    // is measured at nProbe ∈ {1, 2, 4} (one shared quantizer pass; the
+    // probe depth only changes which stored cells a query searches).
     "sim_ann_recall" -> ((s, dir) => {
       val truth = bruteRes(s, dir).select("q_id", "c_id")
       def recallOf(approx: DataFrame, method: String): DataFrame =
@@ -139,9 +161,12 @@ object SimilarityQueries {
           .groupBy("q_id")
           .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / lit(K)).as("recall"))
           .select(lit(method).as("method"), col("q_id"), col("recall"))
+      val ranked = ivfRanked(s, dir, maxProbe = 4)
       recallOf(lshRes(s, dir), "lsh")
         .unionByName(recallOf(lshMpRes(s, dir), "lsh_mp"))
-        .unionByName(recallOf(ivfRes(s, dir), "ivf"))
+        .unionByName(recallOf(ivfResFrom(ranked, 1), "ivf_p1"))
+        .unionByName(recallOf(ivfResFrom(ranked, IvfProbe), "ivf"))
+        .unionByName(recallOf(ivfResFrom(ranked, 4), "ivf_p4"))
         .orderBy("method", "q_id")
     })
   )
@@ -155,10 +180,12 @@ object SimilarityQueries {
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   /** Bucket expression mirroring [[Similarity.lshBucket]]: literal ±1
-    * signs folded through the identical sequential dot product.
+    * signs folded through the identical sequential dot product (at the
+    * default nBits — oracles check the driver queries, which run at the
+    * defaults).
     */
   private def bucketSql(v: String): String =
-    Signs.zipWithIndex.map { case (row, p) =>
+    signs(LshBits).zipWithIndex.map { case (row, p) =>
       val arr = row.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
       s"(CASE WHEN ${dotSql(v, s"CAST($arr AS DOUBLE[])")} >= 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
     }.mkString("\n    + ")
@@ -206,7 +233,7 @@ object SimilarityQueries {
     * list — identical masks, identical xor, identical re-rank.
     */
   private lazy val lshMpCtes = {
-    val maskList = MpMasks.map(m => s"CAST($m AS BIGINT)").mkString("[", ", ", "]")
+    val maskList = mpMasks(LshBits).map(m => s"CAST($m AS BIGINT)").mkString("[", ", ", "]")
     s"""mp_probes AS (
        |  SELECT vec_id AS q_id, v AS q_v, xor(bucket, m.mask) AS bucket
        |  FROM bucketed CROSS JOIN (SELECT UNNEST($maskList) AS mask) m
@@ -246,8 +273,11 @@ object SimilarityQueries {
        |  ) g
        |)""".stripMargin
 
-  /** ivf_res(q_id, c_id, cosine, rnk): k-means-quantized IVF top-K. */
-  private lazy val ivfCtes = {
+  /** Shared IVF base: sample, Lloyd rounds, full cell ranking, crn=1
+    * assignment. Probe-depth-specific CTEs layer on top via
+    * [[ivfResCtes]].
+    */
+  private lazy val ivfBaseCtes = {
     val hashSql =
       s"CAST(concat('0x', substr(md5(concat('$IvfSalt:', CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT)"
     val lloyd = (1 to IvfIters).map(i =>
@@ -265,21 +295,29 @@ object SimilarityQueries {
        |  FROM vecs a CROSS JOIN ivf_c$IvfIters c
        |), ivf_assign AS (
        |  SELECT vec_id AS c_id, cent_id AS cell, v AS c_v FROM ivf_ranked WHERE crn = 1
-       |), ivf_probes AS (
+       |)""".stripMargin
+  }
+
+  /** ivf_res&lt;suffix&gt;(q_id, rnk, c_id, cosine): top-K searching the
+    * query's top-`nProbe` cells.
+    */
+  private def ivfResCtes(nProbe: Int, suffix: String): String =
+    s"""ivf_probes$suffix AS (
        |  SELECT vec_id AS q_id, cent_id AS cell, v AS q_v
-       |  FROM ivf_ranked WHERE vec_id < 5 AND crn <= 2
-       |), ivf_scored AS (
+       |  FROM ivf_ranked WHERE vec_id < 5 AND crn <= $nProbe
+       |), ivf_scored$suffix AS (
        |  SELECT q_id, c_id, ${cosineSql("q_v", "c_v")} AS cosine
-       |  FROM ivf_probes JOIN ivf_assign USING (cell)
+       |  FROM ivf_probes$suffix JOIN ivf_assign USING (cell)
        |  WHERE q_id != c_id
-       |), ivf_res AS (
+       |), ivf_res$suffix AS (
        |  SELECT q_id, rnk, c_id, cosine FROM (
        |    SELECT q_id, c_id, cosine,
        |           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
-       |    FROM ivf_scored
+       |    FROM ivf_scored$suffix
        |  ) t WHERE rnk <= $K
        |)""".stripMargin
-  }
+
+  private lazy val ivfCtes = s"$ivfBaseCtes, ${ivfResCtes(IvfProbe, "")}"
 
   def oracleSql: Map[String, String] = Map(
 
@@ -299,22 +337,24 @@ object SimilarityQueries {
       s"""WITH $vecsCte, $lshCtes, $lshMpCtes
          |SELECT q_id, rnk, c_id, cosine FROM lsh_mp_res ORDER BY q_id, rnk""".stripMargin,
 
-    "sim_ann_recall" ->
-      s"""WITH $vecsCte, $bruteCtes, $lshCtes, $lshMpCtes, $ivfCtes
-         |SELECT 'lsh' AS method, t.q_id,
-         |       CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $K AS recall
-         |FROM brute_res t LEFT JOIN lsh_res a ON t.q_id = a.q_id AND t.c_id = a.c_id
-         |GROUP BY t.q_id
+    "sim_ann_recall" -> {
+      def leg(method: String, res: String): String =
+        s"""SELECT '$method' AS method, t.q_id,
+           |       CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $K AS recall
+           |FROM brute_res t LEFT JOIN $res a ON t.q_id = a.q_id AND t.c_id = a.c_id
+           |GROUP BY t.q_id""".stripMargin
+      s"""WITH $vecsCte, $bruteCtes, $lshCtes, $lshMpCtes, $ivfBaseCtes,
+         |${ivfResCtes(1, "_p1")}, ${ivfResCtes(IvfProbe, "")}, ${ivfResCtes(4, "_p4")}
+         |${leg("lsh", "lsh_res")}
          |UNION ALL
-         |SELECT 'lsh_mp' AS method, t.q_id,
-         |       CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $K AS recall
-         |FROM brute_res t LEFT JOIN lsh_mp_res a ON t.q_id = a.q_id AND t.c_id = a.c_id
-         |GROUP BY t.q_id
+         |${leg("lsh_mp", "lsh_mp_res")}
          |UNION ALL
-         |SELECT 'ivf' AS method, t.q_id,
-         |       CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $K AS recall
-         |FROM brute_res t LEFT JOIN ivf_res a ON t.q_id = a.q_id AND t.c_id = a.c_id
-         |GROUP BY t.q_id
+         |${leg("ivf_p1", "ivf_res_p1")}
+         |UNION ALL
+         |${leg("ivf", "ivf_res")}
+         |UNION ALL
+         |${leg("ivf_p4", "ivf_res_p4")}
          |ORDER BY method, q_id""".stripMargin
+    }
   )
 }

@@ -78,5 +78,16 @@ class SimilaritySpec extends AnyFunSuite {
     }
     val lift = qids.map(q => recall(("lsh_mp", q)) - recall(("lsh", q))).sum
     assert(lift > 0.0, "multi-probe showed no recall lift on testdata")
+
+    // IVF probe depth: a deeper probe searches a superset of cells, so
+    // per-query recall is monotone in nProbe — the trade the parameter
+    // exists to tune (more cells searched = more cost, never less
+    // recall). "ivf" is the default depth (IvfProbe = 2).
+    qids.foreach { q =>
+      assert(recall(("ivf", q)) >= recall(("ivf_p1", q)),
+        s"nProbe=2 lost recall vs nProbe=1 for query $q")
+      assert(recall(("ivf_p4", q)) >= recall(("ivf", q)),
+        s"nProbe=4 lost recall vs nProbe=2 for query $q")
+    }
   }
 }
