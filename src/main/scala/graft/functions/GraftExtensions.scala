@@ -14,6 +14,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   minhash_sig(shingles, k)      k-permutation MinHash (ARRAY<LONG>)
   *   shingle_set(text, n)          distinct word n-grams (ARRAY<STRING>)
   *   md5long60(s, salt)            salted 60-bit fingerprint (LONG)
+  *   rolling_fp(text, w)           winnowing rolling-hash fingerprint (LONG)
+  *   norm_md5(text)                md5 of normalized token stream (STRING)
+  *   min_shingle_fp(text, n)       min md5 over word n-gram shingles (STRING)
   *
   * Wire up either way:
   *   - config: `spark.sql.extensions=graft.functions.GraftExtensions`
@@ -54,7 +57,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => Md5Long60Expr(args(0), intLit(args(1), "md5long60 salt"))),
     (FunctionIdentifier("rolling_fp"),
       info("rolling_fp", "rolling_fp(text, w) - winnowing rolling-hash fingerprint"),
-      (args: Seq[Expression]) => RollingFingerprintExpr(args(0), intLit(args(1), "rolling_fp w"))))
+      (args: Seq[Expression]) => RollingFingerprintExpr(args(0), intLit(args(1), "rolling_fp w"))),
+    (FunctionIdentifier("norm_md5"),
+      info("norm_md5", "norm_md5(text) - md5 of the space-normalized token stream"),
+      (args: Seq[Expression]) => NormalizedMd5Expr(args.head)),
+    (FunctionIdentifier("min_shingle_fp"),
+      info("min_shingle_fp", "min_shingle_fp(text, n) - min md5 over word n-gram shingles"),
+      (args: Seq[Expression]) => MinShingleFpExpr(args(0), intLit(args(1), "min_shingle_fp n"))))
 
   /** Imperative registration on an existing session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -173,6 +173,84 @@ object HashKernels {
     minH
   }
 
+  private val hexDigits = "0123456789abcdef".getBytes("US-ASCII")
+
+  /** Lowercase hex of a 16-byte md5 digest — byte-identical to the
+    * engines' `md5()` string form.
+    */
+  private def hex16(b: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((b(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(b(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Unsigned bytewise less-than over 16-byte digests. The nibble→hex-char
+    * map is monotone ('0'..'9' < 'a'..'f'), so this IS lexicographic order
+    * of the hex strings — the min can be tracked on raw digests and
+    * hex-encoded once at the end.
+    */
+  private def digestLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
+  /** md5 hex of the space-normalized token stream — identical to
+    * `md5(concat_ws(' ', tokenize(text)))` without the interpreted
+    * `filter` HOF in the plan.
+    */
+  def normalizedMd5(text: UTF8String): UTF8String = {
+    val toks = tokenize(text)
+    val d = md.get()
+    var i = 0
+    while (i < toks.length) {
+      if (i > 0) d.update(' '.toByte)
+      d.update(toks(i).getBytes)
+      i += 1
+    }
+    hex16(d.digest())
+  }
+
+  /** Min md5 hex over word n-gram shingles (1-permutation MinHash as a
+    * string key) — identical to `array_min(transform(shingles(text, n),
+    * md5))`, whose per-shingle md5 ran INTERPRETED inside the transform
+    * lambda. Docs shorter than n tokens hash the raw text (the whole-doc
+    * fallback shingle); one digest per window, min tracked on raw digest
+    * bytes.
+    */
+  def minShingleFp(text: UTF8String, n: Int): UTF8String = {
+    val d = md.get()
+    val toks = tokenize(text)
+    if (toks.length < n) {
+      d.update(text.getBytes)
+      return hex16(d.digest())
+    }
+    var minD: Array[Byte] = null
+    var i = 0
+    while (i + n <= toks.length) {
+      var o = 0
+      while (o < n) {
+        if (o > 0) d.update(' '.toByte)
+        d.update(toks(i + o).getBytes)
+        o += 1
+      }
+      val cur = d.digest()
+      if (minD == null || digestLess(cur, minD)) minD = cur
+      i += 1
+    }
+    hex16(minD)
+  }
+
   /** k-permutation MinHash signature: element i is the min over shingles
     * of the salt-i 60-bit hash. Empty input yields all-null (the
     * `array_min` of an empty array), matching the column-algebra form.
@@ -289,6 +367,48 @@ case class RollingFingerprintExpr(child: Expression, w: Int)
 object RollingFingerprintExpr {
   def apply(text: Column, w: Int): Column =
     ExpressionUtils.column(RollingFingerprintExpr(ExpressionUtils.expression(text), w))
+}
+
+/** md5 hex of the space-normalized token stream (whole-doc fingerprint). */
+case class NormalizedMd5Expr(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "norm_md5"
+
+  override protected def nullSafeEval(text: Any): Any =
+    HashKernels.normalizedMd5(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.normalizedMd5($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizedMd5Expr =
+    copy(child = newChild)
+}
+
+object NormalizedMd5Expr {
+  def apply(text: Column): Column =
+    ExpressionUtils.column(NormalizedMd5Expr(ExpressionUtils.expression(text)))
+}
+
+/** Min md5 hex over word n-gram shingles (1-permutation MinHash key). */
+case class MinShingleFpExpr(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "min_shingle_fp"
+
+  override protected def nullSafeEval(text: Any): Any =
+    HashKernels.minShingleFp(text.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minShingleFp($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinShingleFpExpr =
+    copy(child = newChild)
+}
+
+object MinShingleFpExpr {
+  def apply(text: Column, n: Int): Column =
+    ExpressionUtils.column(MinShingleFpExpr(ExpressionUtils.expression(text), n))
 }
 
 /** Single salted 60-bit hash of a string — native form of

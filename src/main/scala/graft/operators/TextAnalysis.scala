@@ -97,15 +97,30 @@ object TextAnalysis {
     when(size(toks) < n, array(text)).otherwise(grams)
   }
 
-  /** Whole-document fingerprint: md5 of the space-normalized text. */
+  /** Whole-document fingerprint: md5 of the space-normalized text.
+    * Native kernel ([[graft.functions.NormalizedMd5Expr]]) — the column
+    * algebra `md5(concat_ws(" ", tokens(text)))` carries an interpreted
+    * `filter` HOF; the kernel is one codegen call per document.
+    */
   def fingerprint(text: Column): Column =
-    md5(concat_ws(" ", tokens(text)))
+    graft.functions.NormalizedMd5Expr(text)
 
   /** Locality-sensitive document fingerprint: the minimum md5 over word
     * 3-gram shingles (a 1-permutation MinHash). Documents sharing their
     * rarest shingle collide — a rolling-hash-style near-dup key.
+    * Native kernel ([[graft.functions.MinShingleFpExpr]]): the algebra
+    * form `array_min(transform(shingles(text, n), md5))` evaluates one
+    * md5 per shingle INTERPRETED inside the transform lambda (HOF lambda
+    * bodies never enter codegen) — the dominant cost of the whole
+    * text_fingerprint query before the kernel.
     */
   def minShingleFingerprint(text: Column, n: Int = 3): Column =
+    graft.functions.MinShingleFpExpr(text, n)
+
+  /** The pre-kernel column-algebra form of [[minShingleFingerprint]] —
+    * kept as the equivalence oracle for the kernel (HashExprsSpec).
+    */
+  def minShingleFingerprintAlgebra(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(text, n), s => md5(s)))
 
   /** True rolling-hash fingerprint (winnowing): min over all length-`w`

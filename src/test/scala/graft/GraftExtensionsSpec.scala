@@ -27,7 +27,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions()(ext)
     val names = GraftExtensions.descriptors.map(_._1.funcName).toSet
     assert(names == Set("poisson_decay", "simhash60", "minhash_sig",
-      "shingle_set", "md5long60", "rolling_fp"))
+      "shingle_set", "md5long60", "rolling_fp", "norm_md5", "min_shingle_fp"))
   }
 
   test("functions resolve from SQL") {

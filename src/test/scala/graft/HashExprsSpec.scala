@@ -86,6 +86,24 @@ class HashExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("MinShingleFp kernel == array_min(transform(shingles, md5)) algebra") {
+    val rows = sampleDocs
+      .withColumn("fast", TextAnalysis.minShingleFingerprint(col("text"), 3))
+      .withColumn("slow", TextAnalysis.minShingleFingerprintAlgebra(col("text"), 3))
+      .collect()
+    rows.foreach(r =>
+      assert(r.getAs[String]("fast") == r.getAs[String]("slow"), r.getString(0)))
+  }
+
+  test("NormalizedMd5 kernel == md5(concat_ws(' ', tokens)) algebra") {
+    val rows = sampleDocs
+      .withColumn("fast", TextAnalysis.fingerprint(col("text")))
+      .withColumn("slow", md5(concat_ws(" ", TextAnalysis.tokens(col("text")))))
+      .collect()
+    rows.foreach(r =>
+      assert(r.getAs[String]("fast") == r.getAs[String]("slow"), r.getString(0)))
+  }
+
   test("rolling fingerprint: empty text => -1; short docs hash one window") {
     import graft.functions.HashKernels
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
