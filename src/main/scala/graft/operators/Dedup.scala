@@ -90,6 +90,77 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Connected components over duplicate pairs: the step between pair
+    * detection and "keep one document per duplicate CLUSTER" — pairwise
+    * output alone under-deletes (a∼b, b∼c must retire both b and c even
+    * if (a,c) never surfaced as a pair).
+    *
+    * Algorithm: BSP min-label propagation. label(x) starts as x's own
+    * id; each round takes the min of x's label and its neighbors'
+    * labels; at fixpoint every member of a component carries the
+    * component's minimum id — the canonical keeper. Each round is one
+    * equi-join of the (persisted, symmetrized) edge list with the label
+    * table plus a groupBy-min — both shuffle on the same id key, so AQE
+    * can reuse the partitioning — and rounds are bounded by component
+    * DIAMETER, not component size. Duplicate clusters from banded
+    * candidate generation are near-cliques (every member shares a band
+    * key with most others), so diameter — and the round count — is
+    * small and independent of corpus scale; `maxIter` guards the
+    * pathological chain. (For adversarial graph shapes the upgrade path
+    * is alternating large-star/small-star — Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014 — which bounds
+    * rounds at O(log n) with the same join/groupBy primitives.) The
+    * driver-side loop holds no data — it only counts changed labels to
+    * detect the fixpoint, the standard Pregel-style termination check.
+    *
+    * @param nodes single-column `id` DataFrame (every corpus member —
+    *              isolated docs become their own singleton cluster)
+    * @param edges `id_a`/`id_b` pair DataFrame (undirected; symmetrized
+    *              internally)
+    * @return (id, label) — label = min id of the component
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // localCheckpoint (eager), NOT persist: persist caches the DATA but
+    // every action still re-analyzes the full logical lineage, which here
+    // grows by one join+agg layer per round on top of the entire
+    // upstream pair pipeline — planning time alone was super-linear in
+    // round count before truncation. Checkpointing cuts the plan to the
+    // materialized blocks, so every round plans against a 2-column
+    // table, whatever produced the edges. (At cluster scale swap in
+    // reliable `checkpoint` if executor loss during the short loop
+    // matters; the structure is identical.)
+    val sym = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true) // re-joined every round
+    // Iterate ONLY over edge-touched nodes: an isolated doc's label can
+    // never change, so keeping it in the loop would drag the full corpus
+    // through every round's shuffle. At pipeline scale the dup graph is
+    // a small fraction of the corpus — the loop works on that fraction,
+    // and the untouched majority joins back in one final pass.
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0L && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"))
+        .select(col("id"), least(col("label"), col("nbr_min")).as("label"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("id"), col("label").as("prev")), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    // untouched nodes are their own singleton clusters
+    nodes.select(col("id")).join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
   // ------------------------------------------------------------ embeddings
 
   /** Interpreted HOF widening — bit-identity reference for VecExprsSpec. */

@@ -65,6 +65,27 @@ object DedupQueries {
       |  FROM tok
       |)""".stripMargin
 
+  /** Verified MinHash near-dup pairs (id_a < id_b, jaccard >= threshold).
+    * Persists the signature table: it feeds candidate generation AND
+    * both sides of the verify join — without it Spark re-derives the
+    * shingle+signature subtree per reference. At pipeline scale this is
+    * the materialized signatures table every LSH dedup job writes.
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+      .withColumn("sh", Dedup.shingleSet(col("text")))
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), MinhashK))
+      .withColumn("keys", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.candidatePairs(c, "doc_id", "keys")
+    pairs
+      .join(c.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(c.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy on the text fingerprint.
@@ -76,24 +97,26 @@ object DedupQueries {
 
     // MinHash + LSH banding: row-local signatures, band-key join for
     // candidates, exact-Jaccard verification.
-    "dedup_minhash" -> ((s, dir) => {
-      // Persist the signature table: it feeds candidate generation AND
-      // both sides of the verify join — without it Spark re-derives the
-      // shingle+signature subtree per reference. At pipeline scale this
-      // is the materialized signatures table every LSH dedup job writes.
-      val c = corpus(s, dir)
-        .withColumn("sh", Dedup.shingleSet(col("text")))
-        .withColumn("sig", Dedup.minhashSignature(col("sh"), MinhashK))
-        .withColumn("keys", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val pairs = Dedup.candidatePairs(c, "doc_id", "keys")
-      pairs
-        .join(c.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(c.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
-        .filter(col("jaccard") >= JaccardThreshold)
-        .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
+    "dedup_minhash" -> ((s, dir) =>
+      minhashPairs(s, dir).orderBy("id_a", "id_b")),
+
+    // Duplicate CLUSTERS: connected components over the verified MinHash
+    // pairs ([[Dedup.connectedComponents]] — BSP min-label propagation,
+    // rounds bounded by component diameter). Pairwise output alone
+    // under-deletes (a~b, b~c retires only one doc unless the transitive
+    // cluster is closed); this emits every corpus doc with its canonical
+    // cluster id (= min doc_id of the component — the keeper) and the
+    // cluster's size. The dedup a real pipeline runs: keep rows where
+    // doc_id = cluster_id.
+    "dedup_clusters" -> ((s, dir) => {
+      val nodes = corpus(s, dir).select(col("doc_id").as("id"))
+      val cc = Dedup.connectedComponents(nodes,
+        minhashPairs(s, dir).select("id_a", "id_b"))
+      val sizes = cc.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "label")
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"))
+        .orderBy("doc_id")
     }),
 
     // SimHash: 60-bit signature, 15-bit band blocking (4 bands ⇒ any pair
@@ -184,6 +207,33 @@ object DedupQueries {
     "md5(concat(" + parts.mkString(", ',', ") + "))"
   }
 
+  /** sigs/bands/cand/pairs CTEs: the verified MinHash pair pipeline
+    * (mirrors [[minhashPairs]]), shared by dedup_minhash and
+    * dedup_clusters.
+    */
+  private def minhashPairsCtes: String =
+    s"""sigs AS (
+       |  SELECT doc_id, sh,
+       |    $minhashSigSql
+       |  FROM shs
+       |), bands AS (
+       |  ${(0 until Bands).map(b =>
+            s"SELECT doc_id, $b AS band, ${bandKeySql(b)} AS key FROM sigs").mkString("\n  UNION ALL\n  ")}
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b USING (band, key)
+       |  WHERE a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) AS jaccard
+       |  FROM cand
+       |  JOIN sigs sa ON sa.doc_id = id_a
+       |  JOIN sigs sb ON sb.doc_id = id_b
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) >= $JaccardThreshold
+       |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "dedup_exact" ->
@@ -193,28 +243,30 @@ object DedupQueries {
          |FROM corpus GROUP BY 1 ORDER BY fp""".stripMargin,
 
     "dedup_minhash" ->
-      s"""WITH $corpusCte, $shinglesCte,
-         |sigs AS (
-         |  SELECT doc_id, sh,
-         |    $minhashSigSql
-         |  FROM shs
-         |), bands AS (
-         |  ${(0 until Bands).map(b =>
-              s"SELECT doc_id, $b AS band, ${bandKeySql(b)} AS key FROM sigs").mkString("\n  UNION ALL\n  ")}
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b USING (band, key)
-         |  WHERE a.doc_id < b.doc_id
+      s"""WITH $corpusCte, $shinglesCte, $minhashPairsCtes
+         |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin,
+
+    // Min reachable id per doc via a recursive closure over the
+    // symmetrized pair edges == the component's min id (cluster_id).
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $corpusCte, $shinglesCte, $minhashPairsCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM pairs
+         |), reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM corpus
+         |  UNION
+         |  SELECT e.dst AS id, r.r FROM reach r JOIN edges e ON e.src = r.id
+         |), lbl AS (
+         |  SELECT id, CAST(MIN(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id
+         |), szs AS (
+         |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM lbl GROUP BY 1
          |)
-         |SELECT id_a, id_b,
-         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-         |    / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) AS jaccard
-         |FROM cand
-         |JOIN sigs sa ON sa.doc_id = id_a
-         |JOIN sigs sb ON sb.doc_id = id_b
-         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-         |    / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) >= $JaccardThreshold
-         |ORDER BY id_a, id_b""".stripMargin,
+         |SELECT l.id AS doc_id, l.cluster_id, s.cluster_size
+         |FROM lbl l JOIN szs s USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $corpusCte,

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Connected-components closure over duplicate pairs: the properties that
+  * make `dedup_clusters` a correct keep-one-per-cluster dedup.
+  */
+class DedupClusterSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.sources.GraftSession.local()
+
+  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val n = nodes.toDF("id")
+    val e = edges.toDF("id_a", "id_b")
+    Dedup.connectedComponents(n, e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("transitive chain closes into one cluster labeled by its min id") {
+    // a-b, b-c, c-d: no (a,d) pair ever surfaced, yet all four must join.
+    // A chain is also the worst case for propagation rounds (diameter 3).
+    val got = cc(Seq(1L, 2L, 3L, 4L), Seq((3L, 4L), (2L, 3L), (1L, 2L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("isolated nodes stay singleton clusters; components do not merge") {
+    val got = cc(Seq(1L, 2L, 3L, 10L, 11L, 99L),
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      99L -> 99L))
+  }
+
+  test("edge direction is irrelevant (symmetrized internally)") {
+    assert(cc(Seq(5L, 9L), Seq((9L, 5L))) == Map(5L -> 5L, 9L -> 5L))
+    assert(cc(Seq(5L, 9L), Seq((5L, 9L))) == Map(5L -> 5L, 9L -> 5L))
+  }
+
+  test("empty edge set: every node is its own cluster") {
+    val got = cc(Seq(7L, 8L), Seq.empty)
+    assert(got == Map(7L -> 7L, 8L -> 8L))
+  }
+
+  test("dedup_clusters on testdata: labels partition the corpus, keeper is min") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.DedupQueries.queries("dedup_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // every cluster contains its own label (the keeper), which is its min
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, ms) =>
+      assert(ms.map(_._1).min == cid, s"cluster $cid keeper is not min")
+      assert(ms.forall(_._3 == ms.length), s"cluster $cid size mismatch")
+    }
+    // near-dup corpus construction: doc X, exact copy X+10M and near-dup
+    // X+20M must all land in X's cluster for at least one X
+    assert(rows.exists { case (id, cid, sz) => id >= 10000000L && cid < 10000000L && sz >= 2 },
+      "no duplicate copy was clustered with its original")
+  }
+}
