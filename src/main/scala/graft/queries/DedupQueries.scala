@@ -38,7 +38,7 @@ object DedupQueries {
     d.unionByName(exact).unionByName(near)
   }
 
-  private val corpusCte =
+  private[queries] val corpusCte =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -52,7 +52,7 @@ object DedupQueries {
       |)""".stripMargin
 
   /** Distinct 3-gram shingle set, as a CTE adding `sh` to corpus. */
-  private val shinglesCte =
+  private[queries] val shinglesCte =
     """tok AS (
       |  SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
       |  FROM corpus
@@ -71,7 +71,7 @@ object DedupQueries {
     * shingle+signature subtree per reference. At pipeline scale this is
     * the materialized signatures table every LSH dedup job writes.
     */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
       .withColumn("sh", Dedup.shingleSet(col("text")))
       .withColumn("sig", Dedup.minhashSignature(col("sh"), MinhashK))
@@ -211,7 +211,7 @@ object DedupQueries {
     * (mirrors [[minhashPairs]]), shared by dedup_minhash and
     * dedup_clusters.
     */
-  private def minhashPairsCtes: String =
+  private[queries] def minhashPairsCtes: String =
     s"""sigs AS (
        |  SELECT doc_id, sh,
        |    $minhashSigSql

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.Tables
+
+/** Whole-pipeline queries: the compositions a training-data curator
+  * actually runs on top of the individual operators.
+  *
+  *   - `sample_split`: deterministic hash-bucket train/val/test
+  *     assignment. Row-local (one salted md5 per doc, no shuffle except
+  *     the output sort), stable under corpus growth — a doc's split
+  *     never changes when other docs are added, the property that keeps
+  *     eval sets honest across recrawls. The 100-bucket md5 scheme is
+  *     the standard deterministic splitter; salt rotation yields fresh
+  *     assignments.
+  *   - `pipe_curate`: dedup -> quality -> language, composed: keep only
+  *     duplicate-cluster keepers (min doc_id of each component over the
+  *     verified MinHash pairs), then quality-gate and language-filter
+  *     them. Every stage is the already-oracle-checked operator; this
+  *     query pins that they compose without semantic drift.
+  */
+object PipelineQueries {
+
+  final val SplitSalt = 42
+  final val TrainPct = 90
+  final val ValPct = 5 // test gets the remainder
+  final val QualityMin = 0.5
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "sample_split" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(
+          col("doc_id"),
+          (graft.functions.Md5Long60Expr(col("doc_id").cast("string"), SplitSalt)
+            % lit(100L)).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < TrainPct, "train")
+            .when(col("bucket") < TrainPct + ValPct, "val")
+            .otherwise("test"))
+        .orderBy("doc_id")
+    }),
+
+    "pipe_curate" -> ((s, dir) => {
+      val c = DedupQueries.corpus(s, dir)
+      val cc = Dedup.connectedComponents(
+        c.select(col("doc_id").as("id")),
+        DedupQueries.minhashPairs(s, dir).select("id_a", "id_b"))
+      val keepers = cc.filter(col("id") === col("label"))
+        .select(col("id").as("doc_id"))
+      c.join(keepers, "doc_id")
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .filter(col("quality") >= lit(QualityMin) && col("lang_pred") === "en")
+        .select("doc_id", "lang_pred", "quality")
+        .orderBy("doc_id")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  private val enStopsSql: String =
+    TextAnalysis.LangProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+
+  private val langHitsSql: String = TextAnalysis.LangProfiles.map { case (lang, words) =>
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, t -> t IN ($list))) AS h_$lang"
+  }.mkString(",\n  ")
+
+  def oracleSql: Map[String, String] = Map(
+
+    "sample_split" ->
+      s"""SELECT doc_id,
+         |  CAST(concat('0x', substr(md5(concat('$SplitSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS bucket,
+         |  CASE WHEN CAST(concat('0x', substr(md5(concat('$SplitSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 < $TrainPct THEN 'train'
+         |       WHEN CAST(concat('0x', substr(md5(concat('$SplitSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 < ${TrainPct + ValPct} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipe_curate" ->
+      s"""WITH RECURSIVE ${DedupQueries.corpusCte}, ${DedupQueries.shinglesCte}, ${DedupQueries.minhashPairsCtes},
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM pairs
+         |), reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM corpus
+         |  UNION
+         |  SELECT e.dst AS id, r.r FROM reach r JOIN edges e ON e.src = r.id
+         |), lbl AS (
+         |  SELECT id, CAST(MIN(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id
+         |), kept AS (
+         |  SELECT c.doc_id, c.text,
+         |         list_filter(string_split(c.text, ' '), t -> t != '') AS toks
+         |  FROM corpus c JOIN lbl ON lbl.id = c.doc_id AND lbl.id = lbl.cluster_id
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS DOUBLE) AS n,
+         |    CAST(len(list_filter(toks, t -> t IN ($enStopsSql))) AS DOUBLE) AS stop_hits,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct,
+         |    CAST(list_aggregate(list_transform(toks, t -> CAST(length(t) AS BIGINT)), 'sum') AS DOUBLE) AS chars,
+         |    $langHitsSql
+         |  FROM kept
+         |), q AS (
+         |  SELECT doc_id,
+         |    ((stop_hits / n) * CAST(0.25 AS DOUBLE))
+         |    + ((n_distinct / n) * CAST(0.35 AS DOUBLE))
+         |    + (GREATEST(CAST(0.0 AS DOUBLE),
+         |         CAST(1.0 AS DOUBLE) - ABS((chars / n) - CAST(5.5 AS DOUBLE)) / CAST(5.5 AS DOUBLE))
+         |       * CAST(0.4 AS DOUBLE)) AS quality,
+         |    GREATEST(h_de, h_en, h_es, h_fr, h_zh) AS best,
+         |    h_de, h_en, h_es, h_fr
+         |  FROM m
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN h_de = best THEN 'de'
+         |       WHEN h_en = best THEN 'en'
+         |       WHEN h_es = best THEN 'es'
+         |       WHEN h_fr = best THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred,
+         |  quality
+         |FROM q
+         |WHERE quality >= CAST($QualityMin AS DOUBLE)
+         |  AND (CASE WHEN h_de = best THEN 'de'
+         |            WHEN h_en = best THEN 'en'
+         |            WHEN h_es = best THEN 'es'
+         |            WHEN h_fr = best THEN 'fr'
+         |            ELSE 'zh' END) = 'en'
+         |ORDER BY doc_id""".stripMargin
+  )
+}
