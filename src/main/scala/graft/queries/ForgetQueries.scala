@@ -169,6 +169,29 @@ object ForgetQueries {
         .orderBy("w_start", "dist")
     }),
 
+    // SLIDING windows (2-day window, 1-day slide): every event lands in
+    // exactly 2 epoch-aligned windows. Same streaming machinery as
+    // ft_windowed; the overlap is what tumbling can't express.
+    "ft_windowed_sliding" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type").as("dist"), col("ts"))
+      graft.streaming.StreamOps.windowedTotals(ev, "2 days", "1 day", "0 seconds")
+        .orderBy("w_start", "dist")
+    }),
+
+    // SESSION windows per (dist, bin), 1-day gap (StreamOps.sessionCounts
+    // — see its scaladoc for the composite-key scale argument). Sessions
+    // close at last-event + gap; the oracle reproduces the merge with
+    // lag/cumsum island detection and exact interval arithmetic.
+    "ft_sessions" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type").as("dist"),
+        col("user_id").cast("string").as("bin"),
+        col("ts"))
+      graft.streaming.StreamOps.sessionCounts(ev, "1 day", "0 seconds")
+        .orderBy("dist", "bin", "s_start")
+    }),
+
     // JSON wire shape (SURVEY.md §1.4): the reference's full response
     // payload — data entries `{bin, count, p}` (distribution.go:18-28,
     // Value carries count AND p) under an envelope with Z, rate, prune
@@ -418,6 +441,41 @@ object ForgetQueries {
         |       make_timestamp((CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) + 1) * 86400 * 1000000) AS w_end,
         |       event_type AS dist, CAST(COUNT(*) AS BIGINT) AS z
         |FROM events GROUP BY 1, 2, 3 ORDER BY w_start, dist""".stripMargin,
+
+    "ft_windowed_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type AS dist, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS d
+        |  FROM events
+        |)
+        |SELECT make_timestamp((d - o) * 86400 * 1000000) AS w_start,
+        |       make_timestamp((d - o + 2) * 86400 * 1000000) AS w_end,
+        |       dist, CAST(COUNT(*) AS BIGINT) AS z
+        |FROM e CROSS JOIN (SELECT UNNEST([0, 1]) AS o) off
+        |GROUP BY 1, 2, 3 ORDER BY w_start, dist""".stripMargin,
+
+    "ft_sessions" ->
+      """WITH e AS (
+        |  SELECT event_type AS dist, CAST(user_id AS VARCHAR) AS bin, ts FROM events
+        |), l AS (
+        |  SELECT dist, bin, ts,
+        |         lag(ts) OVER (PARTITION BY dist, bin ORDER BY ts) AS pts
+        |  FROM e
+        |), f AS (
+        |  SELECT dist, bin, ts,
+        |         -- break strictly PAST the gap: Spark merges an event
+        |         -- landing exactly at previous + gap (StreamOpsSpec pins
+        |         -- the boundary)
+        |         CASE WHEN pts IS NULL OR ts - pts > INTERVAL 1 DAY THEN 1 ELSE 0 END AS brk
+        |  FROM l
+        |), s AS (
+        |  SELECT dist, bin, ts,
+        |         SUM(brk) OVER (PARTITION BY dist, bin ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f
+        |)
+        |SELECT MIN(ts) AS s_start, MAX(ts) + INTERVAL 1 DAY AS s_end,
+        |       dist, bin, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM s GROUP BY dist, bin, sid ORDER BY dist, bin, s_start""".stripMargin,
 
     "ft_json" ->
       s"""WITH $countsCte, $metaCte,

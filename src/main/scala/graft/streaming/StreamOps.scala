@@ -48,4 +48,33 @@ object StreamOps {
       .agg(count(lit(1)).as("z"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("dist"), col("z"))
+
+  /** Per-(dist, bin) event-time SESSIONS: maximal event runs where each
+    * gap to the previous event stays under `gap`; the session closes at
+    * `last event + gap`. Spark's `session_window` aggregation — the
+    * dynamic-window form tumbling/sliding can't express, and the shape
+    * user-activity analysis actually wants.
+    *
+    * Scale note: session merging inherently needs all of a key's events
+    * together in event-time order — that ordering constraint is the
+    * semantics, not an implementation accident. Keying by the COMPOSITE
+    * (dist, bin) keeps the shuffle spread over bins (no hot-dist
+    * straggler, same argument as `counts`' groupBy key); sessionizing
+    * per dist alone would concentrate a hot distribution on one task.
+    *
+    * Streaming: requires the watermark; finalized sessions emit in
+    * Append mode once the watermark passes their close (state for open
+    * sessions is bounded by the watermark delay). Batch: watermark is a
+    * no-op, every session finalizes — which is what makes the query
+    * oracle-checkable.
+    */
+  def sessionCounts(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("dist"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("dist"), col("bin"), col("n"))
 }

@@ -78,6 +78,52 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows merge within the gap, close at last+gap, finalize on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Timestamp)]
+    val events = mem.toDF().toDF("dist", "bin", "ts")
+    val out = StreamOps.sessionCounts(events, "200 seconds", "10 seconds")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_counts").start()
+    try {
+      // one session: gaps of 100s < 200s merge; a second bin is isolated
+      mem.addData(row("click", "u1", 0), row("click", "u1", 100),
+        row("click", "u1", 200), row("click", "u2", 50))
+      q.processAllAvailable()
+      assert(spark.table("sess_counts").count() == 0) // nothing finalized yet
+      // event far in the future pushes the watermark past both sessions
+      mem.addData(row("click", "u1", 100000))
+      q.processAllAvailable()
+      val got = spark.table("sess_counts")
+        .select(col("bin"), unix_timestamp(col("s_start")),
+          unix_timestamp(col("s_end")), col("n"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      // u1: one session [T0, T0+200+200), 3 events; u2: singleton
+      assert(got == Set(
+        ("u1", T0, T0 + 400L, 3L),
+        ("u2", T0 + 50L, T0 + 250L, 1L)))
+    } finally q.stop()
+  }
+
+  test("session window boundary: an event exactly at previous + gap MERGES") {
+    import spark.implicits._
+    // Spark's merge condition is non-strict at the session end — an event
+    // at ts == prev + gap joins the session (verified here, mirrored by
+    // the ft_sessions oracle's strictly-greater break condition) — while
+    // one microsecond past the gap starts a new session.
+    val df = Seq(row("click", "u1", 0), row("click", "u1", 200)).toDF("dist", "bin", "ts")
+    val res = StreamOps.sessionCounts(df, "200 seconds", "0 seconds")
+      .select(unix_timestamp(col("s_start")).as[Long], col("n").as[Long])
+      .collect().toSet
+    assert(res == Set((T0, 2L)))
+    val df2 = Seq(row("click", "u1", 0), row("click", "u1", 201)).toDF("dist", "bin", "ts")
+    val res2 = StreamOps.sessionCounts(df2, "200 seconds", "0 seconds")
+      .select(unix_timestamp(col("s_start")).as[Long], col("n").as[Long])
+      .collect().toSet
+    assert(res2 == Set((T0, 1L), (T0 + 201L, 1L)))
+  }
+
   test("windowed totals align 1-day windows to the epoch") {
     import spark.implicits._
     val df = Seq(row("click", "u1", 3600), row("click", "u2", 90000))
