@@ -1,9 +1,11 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
 import graft.core.ForgetTable
+import graft.streaming.BinSnapshot
 
 /** Persistent layout for forget-table state — the storage side of the
   * 100 TB design.
@@ -58,4 +60,77 @@ object StateStore {
     val meta = spark.read.parquet(s"$dir/meta").filter(col("dist") === name)
     new ForgetTable(counts, meta)
   }
+
+  /** Replace whole distributions in the store with a batch of
+    * [[BinSnapshot]]s — the persistent side of the reference's async
+    * write-back (goforget/redis_utils.go:156-191, which rewrites a
+    * distribution's surviving bins and its `_Z`/`_T` after each
+    * update). The snapshot batch must carry each touched dist's FULL
+    * surviving bin set (exactly what `ForgetStream.apply` emits per
+    * micro-batch), so bins pruned by decay disappear from the store.
+    *
+    * Scale/correctness shape:
+    *   - Only the hash buckets containing touched dists are read and
+    *     rewritten (dynamic partition overwrite; untouched buckets'
+    *     files are never opened). Per-batch write amplification =
+    *     touched buckets' row count, bounded by the bucket fan-out —
+    *     the parquet-native upsert; a table format with row-level MERGE
+    *     slots in here unchanged.
+    *   - The rewrite is DETERMINISTIC given (previous store, batch), so
+    *     a foreachBatch retry converges — at-least-once delivery plus
+    *     idempotent replacement = effectively-once store contents.
+    *   - Kept rows are localCheckpoint'ed before the write: Spark
+    *     (correctly) refuses to overwrite a path that an in-flight plan
+    *     still reads from; truncating lineage to materialized blocks
+    *     breaks the self-read.
+    */
+  def upsertDistributions(spark: SparkSession, dir: String, snaps: DataFrame,
+                          nBuckets: Int = DefaultBuckets): Unit = {
+    val touched = snaps.select("dist").distinct()
+      .withColumn("dist_bucket", bucketCol(col("dist"), nBuckets))
+      .localCheckpoint(true)
+    if (touched.isEmpty) return
+    val buckets = touched.select("dist_bucket").distinct()
+      .collect().map(_.getLong(0)) // bounded by nBuckets, driver-safe
+    val existing = spark.read.parquet(s"$dir/counts")
+      .filter(col("dist_bucket").isin(buckets.map(Long.box): _*))
+    val kept = existing
+      .join(touched.select("dist"), Seq("dist"), "left_anti")
+      .select("dist", "bin", "count", "dist_bucket")
+      .localCheckpoint(true)
+    val newRows = snaps.select(col("dist"), col("bin"), col("count"))
+      .withColumn("dist_bucket", bucketCol(col("dist"), nBuckets))
+    kept.unionByName(newRows)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dist_bucket")
+      .parquet(s"$dir/counts")
+    // meta: new z/t from the snapshots; rate carried over from the
+    // stored row (new dists get the reference default, forget.go:22)
+    val newMeta = snaps.groupBy("dist")
+      .agg(max("z").as("z"), max("t").as("t"))
+    val oldMeta = spark.read.parquet(s"$dir/meta")
+    val mergedMeta = oldMeta.join(newMeta.select("dist"), Seq("dist"), "left_anti")
+      .unionByName(
+        newMeta.join(oldMeta.select(col("dist"), col("rate").as("old_rate")),
+            Seq("dist"), "left")
+          .select(col("dist"), col("z"), col("t"),
+            coalesce(col("old_rate"), lit(0.5)).as("rate")))
+      .localCheckpoint(true)
+    mergedMeta.write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+  }
+
+  /** Wire a [[graft.streaming.ForgetStream]] snapshot stream into the
+    * persistent store: each micro-batch's emissions (the full surviving
+    * bin set of every touched dist) replace those distributions —
+    * streaming ingest in front, queryable bucketed parquet behind.
+    */
+  def streamInto(snaps: Dataset[BinSnapshot], dir: String,
+                 checkpoint: String, nBuckets: Int = DefaultBuckets): StreamingQuery =
+    snaps.writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: Dataset[BinSnapshot], _: Long) =>
+        upsertDistributions(df.sparkSession, dir, df.toDF(), nBuckets)
+      }
+      .start()
 }

@@ -56,4 +56,51 @@ class StateStoreSpec extends AnyFunSuite {
     val direct = ft.dist(params, Some("click")).collect()
     assert(fromStore.sameElements(direct))
   }
+
+  test("streaming write-back: micro-batches replace whole distributions in the store") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{ForgetStream, IncrEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir
+    val T0 = 1706659200L
+    StateStore.save(fixture, dir, nBuckets = 8)
+    val beforeView = StateStore.load(spark, dir).counts
+      .filter(col("dist") === "view").orderBy("bin").collect()
+
+    val mem = MemoryStream[IncrEvent]
+    val out = ForgetStream(mem.toDS(), ForgetStream.Params(rate = 0.0),
+      clock = () => T0, withExpiry = false)
+    val q = StateStore.streamInto(out, dir,
+      Files.createTempDirectory("graft_wb_ckpt_").toString, nBuckets = 8)
+    try {
+      // batch 1: the stream takes ownership of "click" (replacing the
+      // batch-written rows — the stream's state IS the dist now) and
+      // creates a brand-new distribution
+      mem.addData(IncrEvent("click", "1", 5L, T0), IncrEvent("newdist", "x", 3L, T0))
+      q.processAllAvailable()
+      val after1 = StateStore.load(spark, dir)
+      assert(after1.counts.filter(col("dist") === "click")
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap == Map("1" -> 5L))
+      assert(after1.counts.filter(col("dist") === "newdist")
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap == Map("x" -> 3L))
+      // untouched dist in an untouched-or-rewritten bucket survives intact
+      assert(after1.counts.filter(col("dist") === "view").orderBy("bin")
+        .collect().sameElements(beforeView))
+      // meta: new z/t from the stream, rate preserved / defaulted
+      val meta1 = after1.meta.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+      assert(meta1("click") == (5L, 0.5))
+      assert(meta1("newdist") == (3L, 0.5))
+
+      // batch 2: stream state carries bin 1 forward; store shows the FULL
+      // surviving set after the second micro-batch
+      mem.addData(IncrEvent("click", "2", 1L, T0))
+      q.processAllAvailable()
+      val after2 = StateStore.load(spark, dir)
+      assert(after2.counts.filter(col("dist") === "click")
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap ==
+        Map("1" -> 5L, "2" -> 1L))
+    } finally q.stop()
+  }
 }
