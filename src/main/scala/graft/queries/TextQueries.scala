@@ -62,6 +62,23 @@ object TextQueries {
           minShingleFingerprint(col("text")).as("fp_min_shingle"),
           rollingFingerprint(col("text"), 4).as("fp_rolling"))
         .orderBy("doc_id")
+    }),
+
+    // Grouped EXACT percentiles (linear interpolation) of document
+    // length per language — the corpus-profiling aggregate a curation
+    // run reports. Exact `percentile`, not approx_percentile, so the
+    // DuckDB quantile_cont oracle can hash-match; at 100 TB swap in
+    // approx_percentile (t-digest, one pass, mergeable) when the
+    // sketch's engine-specific bits outweigh oracle parity.
+    "text_len_quantiles" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("lang"), tokenCount(col("text")).cast("double").as("n"))
+        .groupBy("lang")
+        .agg(
+          percentile(col("n"), lit(0.5)).as("p50"),
+          percentile(col("n"), lit(0.9)).as("p90"),
+          percentile(col("n"), lit(0.99)).as("p99"))
+        .orderBy("lang")
     })
   )
 
@@ -149,6 +166,18 @@ object TextQueries {
         |              i -> list_reduce(h[i : least(i + 3, len(h))],
         |                     (a, b) -> (a * 257 + b) % 1000000007)), 'min') AS BIGINT)
         |  END AS fp_rolling
-        |FROM sh JOIN hs USING (doc_id) ORDER BY doc_id""".stripMargin
+        |FROM sh JOIN hs USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "text_len_quantiles" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |         CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS DOUBLE) AS n
+        |  FROM documents
+        |)
+        |SELECT lang,
+        |       quantile_cont(n, 0.5) AS p50,
+        |       quantile_cont(n, 0.9) AS p90,
+        |       quantile_cont(n, 0.99) AS p99
+        |FROM tok GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
