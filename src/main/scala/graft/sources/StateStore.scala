@@ -120,6 +120,31 @@ object StateStore {
     mergedMeta.write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
   }
 
+  /** Drop expired distributions from the store — the persistent analog
+    * of Redis EXPIRE firing (O9): a dist whose last write `t` plus its
+    * `(σ+η)·η` TTL is behind `now` is removed from counts and meta.
+    * The streaming layer self-destructs expired state
+    * (`ForgetStream`'s ProcessingTimeTimeout) but can only do so for
+    * dists it still sees traffic/timeouts for after a restart; this
+    * compaction is the storage-side GC a long-lived store schedules
+    * (daily, say). Full rewrite by design — it's the rare maintenance
+    * pass, and `alive` needs every dist's max-count anyway.
+    */
+  def compact(spark: SparkSession, dir: String, params: graft.core.ForgetParams,
+              nBuckets: Int = DefaultBuckets): Long = {
+    val ft = load(spark, dir)
+    val alive = ft.alive(params).localCheckpoint(true)
+    val nAlive = alive.count()
+    val counts = ft.counts.join(alive, Seq("dist"))
+      .withColumn("dist_bucket", bucketCol(col("dist"), nBuckets))
+      .localCheckpoint(true)
+    val meta = ft.meta.join(alive, Seq("dist")).localCheckpoint(true)
+    counts.write.mode(SaveMode.Overwrite)
+      .partitionBy("dist_bucket").parquet(s"$dir/counts")
+    meta.write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    nAlive
+  }
+
   /** Wire a [[graft.streaming.ForgetStream]] snapshot stream into the
     * persistent store: each micro-batch's emissions (the full surviving
     * bin set of every touched dist) replace those distributions —

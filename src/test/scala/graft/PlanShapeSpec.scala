@@ -86,6 +86,10 @@ class PlanShapeSpec extends AnyFunSuite {
       assert("""\], \[dist#\d+, bkt#\d+\], \[""".r.findFirstIn(l).isDefined,
         s"window not bounded by bucket key: $l")
     }
+    // the per-dist scalars (z, bucket offsets, rate) ride broadcast
+    // joins — a sort-merge join on dist would mean the tiny aggregate
+    // side stopped broadcasting
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
   test("dedup queries: no ScalaUDF anywhere in the hot paths") {

@@ -57,6 +57,28 @@ class StateStoreSpec extends AnyFunSuite {
     assert(fromStore.sameElements(direct))
   }
 
+  test("compact drops expired distributions (persistent Redis-EXPIRE analog)") {
+    val dir = tmpDir
+    val ft = fixture
+    StateStore.save(ft, dir, nBuckets = 8)
+    // rate 0.001 at sf0.001: 2 of the 5 dists outlive their TTL
+    val params = ForgetParams(rate = 0.001, nowEpoch = 1706659200L)
+    val expectedAlive = ft.alive(params).collect().map(_.getString(0)).toSet
+    val allDists = ft.meta.select("dist").collect().map(_.getString(0)).toSet
+    assert(expectedAlive.nonEmpty && expectedAlive != allDists,
+      s"fixture must have both alive and expired dists: $expectedAlive of $allDists")
+    val nAlive = StateStore.compact(spark, dir, params, nBuckets = 8)
+    assert(nAlive == expectedAlive.size)
+    val back = StateStore.load(spark, dir)
+    assert(back.meta.select("dist").collect().map(_.getString(0)).toSet == expectedAlive)
+    assert(back.counts.select("dist").distinct()
+      .collect().map(_.getString(0)).toSet == expectedAlive)
+    // surviving rows are untouched (compact only deletes, never rewrites values)
+    val kept = expectedAlive.head
+    assert(back.counts.filter(col("dist") === kept).orderBy("bin").collect()
+      .sameElements(ft.counts.filter(col("dist") === kept).orderBy("bin").collect()))
+  }
+
   test("streaming write-back: micro-batches replace whole distributions in the store") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
