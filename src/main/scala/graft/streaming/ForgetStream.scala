@@ -253,16 +253,48 @@ object ForgetStream {
     *        engine then schedules continuous timeout-check micro-batches;
     *        deterministic tests pass false (the expiry formula itself is
     *        covered by pure-function tests on [[expirySec]]).
+    * @param initial warm-restart state (see [[initialStateFrom]]) — the
+    *        reference's restart-from-Redis: a rebooted worker resumes
+    *        from the store, not from zero. Only consulted on the FIRST
+    *        run of a checkpoint; afterwards the checkpointed state wins.
     */
   def apply(events: Dataset[IncrEvent], p: Params,
             clock: () => Long = () => System.currentTimeMillis() / 1000L,
-            withExpiry: Boolean = true): Dataset[BinSnapshot] = {
+            withExpiry: Boolean = true,
+            initial: Option[Dataset[(String, DistState)]] = None): Dataset[BinSnapshot] = {
     implicit val stateEnc = Encoders.product[DistState]
     implicit val outEnc = Encoders.product[BinSnapshot]
     val timeout =
       if (withExpiry) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    events.groupByKey(_.dist)(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Update, timeout)(updateFn(p, clock, withExpiry))
+    val grouped = events.groupByKey(_.dist)(Encoders.STRING)
+    initial match {
+      case Some(init) =>
+        val initKV = init.groupByKey(_._1)(Encoders.STRING)
+          .mapValues(_._2)(stateEnc)
+        grouped.flatMapGroupsWithState(OutputMode.Update, timeout, initKV)(
+          updateFn(p, clock, withExpiry))
+      case None =>
+        grouped.flatMapGroupsWithState(OutputMode.Update, timeout)(
+          updateFn(p, clock, withExpiry))
+    }
+  }
+
+  /** Per-dist [[DistState]] rows from a batch forget-table — feed a
+    * [[graft.sources.StateStore]]-loaded table to [[apply]]'s `initial`
+    * for a warm restart. The collect happens inside Spark's
+    * initial-state machinery (distributed, co-partitioned with the
+    * stream's groupBy), not on the driver.
+    */
+  def initialStateFrom(counts: org.apache.spark.sql.DataFrame,
+                       meta: org.apache.spark.sql.DataFrame): Dataset[(String, DistState)] = {
+    import org.apache.spark.sql.functions._
+    implicit val enc = Encoders.tuple(Encoders.STRING, Encoders.product[DistState])
+    counts.groupBy("dist")
+      .agg(map_from_entries(collect_list(struct(col("bin"), col("count")))).as("counts"))
+      .join(meta.select(col("dist"), col("z"), col("t")), "dist")
+      .select(col("dist").as("_1"),
+        struct(col("counts"), col("z"), col("t")).as("_2"))
+      .as[(String, DistState)]
   }
 }

@@ -79,6 +79,38 @@ class StateStoreSpec extends AnyFunSuite {
       .sameElements(ft.counts.filter(col("dist") === kept).orderBy("bin").collect()))
   }
 
+  test("warm restart: stream resumes from store-loaded initial state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{BinSnapshot, ForgetStream, IncrEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir
+    val T0 = 1706659200L
+    val ft = fixture
+    StateStore.save(ft, dir, nBuckets = 8)
+    val restored = StateStore.load(spark, dir)
+    val clickBefore = ft.counts.filter(col("dist") === "click")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+
+    val mem = MemoryStream[IncrEvent]
+    val out = ForgetStream(mem.toDS(), ForgetStream.Params(rate = 0.0),
+      clock = () => T0, withExpiry = false,
+      initial = Some(ForgetStream.initialStateFrom(restored.counts, restored.meta)))
+    val q = out.writeStream.outputMode(
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("warm_restart").start()
+    try {
+      mem.addData(IncrEvent("click", "1", 5L, T0))
+      q.processAllAvailable()
+      val got = spark.table("warm_restart").as[BinSnapshot].collect()
+        .map(r => r.bin -> r.count).toMap
+      // the store's full click distribution came back as state: bin "1"
+      // merged on top of its stored count, every other stored bin intact
+      assert(got == clickBefore.updated("1", clickBefore.getOrElse("1", 0L) + 5L))
+      assert(got.size == clickBefore.size || !clickBefore.contains("1"))
+    } finally q.stop()
+  }
+
   test("streaming write-back: micro-batches replace whole distributions in the store") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
