@@ -92,6 +92,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("rel_asof_join: one running-frame window pass, no range-join blowup") {
+    // The distributed as-of merge: both sides union into ONE window over
+    // user_id with a growing frame (evaluated incrementally). A
+    // CartesianProduct or BroadcastNestedLoopJoin here would mean the
+    // plan degraded to a range join — O(clicks x purchases) per user.
+    val plan = qe("rel_asof_join").executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    val windows = plan.linesIterator.filter(l =>
+      l.trim.startsWith("Window ") || l.contains("+- Window [")).toList
+    assert(windows.size == 1, s"expected exactly 1 WindowExec:\n$plan")
+  }
+
   test("dedup queries: no ScalaUDF anywhere in the hot paths") {
     Seq("dedup_minhash", "dedup_simhash", "dedup_ngram", "ft_sampled").foreach { n =>
       val plan = qe(n).executedPlan.toString
