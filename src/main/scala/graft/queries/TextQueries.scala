@@ -21,6 +21,15 @@ object TextQueries {
     s"len(list_filter(toks, t -> t IN ($list))) AS h_$lang"
   }.mkString(",\n  ")
 
+  /** PII patterns, shared between the Spark side and the DuckDB oracle.
+    * Restricted to the regex subset both engines (java.util.regex, RE2)
+    * evaluate identically — character classes, bounded repeats, word
+    * boundaries; no lookaround, no backrefs.
+    */
+  final val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  final val PhoneRe = """\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"""
+  final val IpRe = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "text_stats" -> ((s, dir) => {
@@ -61,6 +70,49 @@ object TextQueries {
           fingerprint(col("text")).as("fp_exact"),
           minShingleFingerprint(col("text")).as("fp_min_shingle"),
           rollingFingerprint(col("text"), 4).as("fp_rolling"))
+        .orderBy("doc_id")
+    }),
+
+    // PII detection + redaction — the scrub pass every training-data
+    // pipeline runs before anything ships. Pure row-local column algebra
+    // (regexp_count / chained regexp_replace, all whole-stage codegen):
+    // linear scan, no shuffle except the output sort — the same scale
+    // shape as text_quality. The synthetic documents carry no PII, so
+    // both engines deterministically inject email/phone/IP substrings
+    // into overlapping doc_id subsets first (doc_id mod 7/11/13 — same
+    // corpus-synthesis trick as DedupQueries): match counts are
+    // non-trivial and the redacted text is hash-compared byte-for-byte.
+    // Patterns stick to the regex subset Java and RE2 (DuckDB) evaluate
+    // identically: character classes, bounded repeats, \b.
+    "text_pii" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val id = col("doc_id")
+      val aug = concat(
+        col("text"),
+        when(id % 7 === 0,
+          concat(lit(" reach agent"), id.cast("string"), lit("@mail-example.org")))
+          .otherwise(lit("")),
+        when(id % 11 === 0,
+          concat(lit(" call 555-"), lpad((id % 1000).cast("string"), 3, "0"),
+            lit("-"), lpad((id % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(id % 13 === 0,
+          concat(lit(" from 10."), (id % 200).cast("string"),
+            lit("."), (id % 250).cast("string"),
+            lit("."), (id % 256).cast("string")))
+          .otherwise(lit("")))
+      val redacted =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(aug, lit(EmailRe), lit("<EMAIL>")),
+            lit(PhoneRe), lit("<PHONE>")),
+          lit(IpRe), lit("<IP>"))
+      d.select(
+          col("doc_id"),
+          regexp_count(aug, lit(EmailRe)).cast("long").as("n_emails"),
+          regexp_count(aug, lit(PhoneRe)).cast("long").as("n_phones"),
+          regexp_count(aug, lit(IpRe)).cast("long").as("n_ips"),
+          redacted.as("redacted"))
         .orderBy("doc_id")
     }),
 
@@ -167,6 +219,35 @@ object TextQueries {
         |                     (a, b) -> (a * 257 + b) % 1000000007)), 'min') AS BIGINT)
         |  END AS fp_rolling
         |FROM sh JOIN hs USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "text_pii" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    concat(text,
+         |      CASE WHEN doc_id % 7 = 0
+         |           THEN concat(' reach agent', CAST(doc_id AS VARCHAR), '@mail-example.org')
+         |           ELSE '' END,
+         |      CASE WHEN doc_id % 11 = 0
+         |           THEN concat(' call 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+         |                       '-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+         |           ELSE '' END,
+         |      CASE WHEN doc_id % 13 = 0
+         |           THEN concat(' from 10.', CAST(doc_id % 200 AS VARCHAR),
+         |                       '.', CAST(doc_id % 250 AS VARCHAR),
+         |                       '.', CAST(doc_id % 256 AS VARCHAR))
+         |           ELSE '' END) AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '$IpRe')) AS BIGINT) AS n_ips,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+         |      '$PhoneRe', '<PHONE>', 'g'),
+         |    '$IpRe', '<IP>', 'g') AS redacted
+         |FROM aug ORDER BY doc_id""".stripMargin,
 
     "text_len_quantiles" ->
       """WITH tok AS (
