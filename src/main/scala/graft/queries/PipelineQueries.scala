@@ -28,6 +28,13 @@ object PipelineQueries {
   final val TrainPct = 90
   final val ValPct = 5 // test gets the remainder
   final val QualityMin = 0.5
+  /** pipe_decontam: shingles appearing in more docs than this carry no
+    * contamination signal (shared boilerplate) AND are the quadratic hot
+    * keys of the train x test join — same guard as dedup_ngram's.
+    */
+  final val DecontamMaxDf = 50
+  /** Salt for the 8-byte shingle fingerprints the decontam join runs on. */
+  final val DecontamSalt = 9
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -42,6 +49,43 @@ object PipelineQueries {
             .when(col("bucket") < TrainPct + ValPct, "val")
             .otherwise("test"))
         .orderBy("doc_id")
+    }),
+
+    // Train/test DECONTAMINATION: which training docs share rare
+    // 3-gram shingles with the held-out test split — the leakage check
+    // every eval pipeline runs before trusting its numbers (an eval doc
+    // whose n-grams sit in the training set is compromised). Reuses the
+    // sample_split bucket assignment (train <TrainPct, test >=TrainPct+
+    // ValPct) and the dedup shingle kernel. Scale shape mirrors
+    // dedup_ngram: row-local shingle sets, one explode, doc-frequency
+    // prune BEFORE the train x test join (df > DecontamMaxDf shingles
+    // are boilerplate, not leakage — and they're the hot keys), and the
+    // join runs on 8-byte md5-derived fingerprints, not shingle strings.
+    // Output: per contaminated train doc, how many distinct rare
+    // shingles it shares with the test split and how many test docs
+    // those hits touch.
+    "pipe_decontam" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val bucket = graft.functions.Md5Long60Expr(col("doc_id").cast("string"), SplitSalt) % lit(100L)
+      val ex = d.select(col("doc_id"), bucket.as("bucket"),
+          explode(Dedup.shingleSet(col("text"))).as("sh"))
+        .withColumn("fp", Dedup.md5Long(col("sh"), DecontamSalt))
+        .select("doc_id", "bucket", "fp")
+      // shingle sets are distinct per doc, so plain count == doc freq
+      val rareFps = ex.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= lit(DecontamMaxDf))
+        .select("fp")
+      val rare = ex.join(rareFps, "fp")
+      val train = rare.filter(col("bucket") < TrainPct)
+        .select(col("doc_id").as("train_doc"), col("fp"))
+      val test = rare.filter(col("bucket") >= TrainPct + ValPct)
+        .select(col("doc_id").as("test_doc"), col("fp"))
+      train.join(test, "fp")
+        .groupBy("train_doc")
+        .agg(
+          countDistinct("fp").as("n_shared_shingles"),
+          countDistinct("test_doc").as("n_test_docs"))
+        .orderBy("train_doc")
     }),
 
     "pipe_curate" -> ((s, dir) => {
@@ -79,6 +123,38 @@ object PipelineQueries {
          |       WHEN CAST(concat('0x', substr(md5(concat('$SplitSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 < ${TrainPct + ValPct} THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipe_decontam" -> {
+      val bucketSql =
+        s"CAST(concat('0x', substr(md5(concat('$SplitSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100"
+      s"""WITH tok AS (
+         |  SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
+         |  FROM documents
+         |), shs AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(toks) < 3 THEN [text]
+         |         ELSE list_transform(generate_series(1, len(toks) - 2),
+         |                i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+         |    END) AS sh
+         |  FROM tok
+         |), ex AS (
+         |  SELECT doc_id, $bucketSql AS bucket,
+         |         CAST(concat('0x', substr(md5(concat('$DecontamSalt:', s.sh1)), 1, 15)) AS BIGINT) AS fp
+         |  FROM shs, UNNEST(shs.sh) AS s(sh1)
+         |), rare AS (
+         |  SELECT ex.* FROM ex
+         |  JOIN (SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) <= $DecontamMaxDf) r USING (fp)
+         |), tr AS (
+         |  SELECT doc_id AS train_doc, fp FROM rare WHERE bucket < $TrainPct
+         |), te AS (
+         |  SELECT doc_id AS test_doc, fp FROM rare WHERE bucket >= ${TrainPct + ValPct}
+         |)
+         |SELECT tr.train_doc,
+         |       CAST(COUNT(DISTINCT tr.fp) AS BIGINT) AS n_shared_shingles,
+         |       CAST(COUNT(DISTINCT te.test_doc) AS BIGINT) AS n_test_docs
+         |FROM tr JOIN te USING (fp)
+         |GROUP BY tr.train_doc ORDER BY train_doc""".stripMargin
+    },
 
     "pipe_curate" ->
       s"""WITH RECURSIVE ${DedupQueries.corpusCte}, ${DedupQueries.shinglesCte}, ${DedupQueries.minhashPairsCtes},
