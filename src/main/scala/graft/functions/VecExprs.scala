@@ -68,6 +68,56 @@ object VecKernels {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Max absolute coordinate — the symmetric-quantization range stat.
+    * Fold order is irrelevant (max is exact), but kept ascending for
+    * uniformity with the other kernels.
+    */
+  def maxAbs(v: ArrayData): Double = {
+    val n = v.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getDouble(i))
+      if (a > m) m = a
+      i += 1
+    }
+    m
+  }
+
+  /** Symmetric int8 quantize-dequantize round trip: s = maxAbs/127,
+    * q_i = floor(v_i/s + 0.5) (always in [-127, 127] since |v_i| <=
+    * maxAbs — no clamp needed), dq_i = q_i * s. The IEEE op sequence
+    * per element is exactly `floor(x / s + 0.5) * s`, the form the
+    * DuckDB oracle replays with list_transform. All-zero vectors
+    * (s = 0) dequantize to zeros.
+    */
+  def int8Dequant(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val s = maxAbs(v) / 127.0
+    val out = new Array[Double](n)
+    if (s != 0.0) {
+      var i = 0
+      while (i < n) {
+        out(i) = math.floor(v.getDouble(i) / s + 0.5) * s
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Max absolute elementwise difference — reconstruction-error stat. */
+  def maxAbsDiff(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val d = math.abs(a.getDouble(i) - b.getDouble(i))
+      if (d > m) m = d
+      i += 1
+    }
+    m
+  }
+
   /** Sign-hyperplane LSH bucket: bit p set iff v · signs(p) >= 0. */
   def lshBucket(v: ArrayData, signs: Array[Array[Double]]): Long = {
     var bucket = 0L
@@ -134,6 +184,76 @@ case class LshBucketExpr(child: Expression, signs: Array[Array[Double]])
 object LshBucketExpr {
   def apply(v: Column, signs: Array[Array[Double]]): Column =
     ExpressionUtils.column(LshBucketExpr(ExpressionUtils.expression(v), signs))
+}
+
+/** Codegen max-abs-coordinate of an `array<double>` column. */
+case class VecMaxAbsExpr(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_max_abs"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.maxAbs(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernels.maxAbs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): VecMaxAbsExpr =
+    copy(child = newChild)
+}
+
+object VecMaxAbsExpr {
+  def apply(v: Column): Column =
+    ExpressionUtils.column(VecMaxAbsExpr(ExpressionUtils.expression(v)))
+}
+
+/** Codegen symmetric int8 quantize-dequantize of an `array<double>`
+  * column; see [[VecKernels.int8Dequant]] for the exact op sequence.
+  */
+case class Int8DequantExpr(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "int8_dequant"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.int8Dequant(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernels.int8Dequant($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Int8DequantExpr =
+    copy(child = newChild)
+}
+
+object Int8DequantExpr {
+  def apply(v: Column): Column =
+    ExpressionUtils.column(Int8DequantExpr(ExpressionUtils.expression(v)))
+}
+
+/** Codegen max absolute elementwise difference of two `array<double>`
+  * columns.
+  */
+case class MaxAbsDiffExpr(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "max_abs_diff"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.maxAbsDiff(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernels.maxAbsDiff($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MaxAbsDiffExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object MaxAbsDiffExpr {
+  def apply(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      MaxAbsDiffExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
 
 /** Codegen float[] -> double[] widening for the embedding scan edge. */

@@ -147,6 +147,27 @@ object SimilarityQueries {
 
     "sim_ann_lsh_mp" -> ((s, dir) => lshMpRes(s, dir).orderBy("q_id", "rnk")),
 
+    // Symmetric int8 embedding quantization with reconstruction-quality
+    // report — the 4x memory/bandwidth knob of a 100 TB vector corpus
+    // (store int8 + one scale per vector; dequantize on read). Per
+    // vector: scale = maxAbs/127, dq = dequant(quantize(v)), and the
+    // two numbers an operator actually checks before flipping the
+    // switch: cosine(v, dq) (how much ANN ranking can drift) and the
+    // max absolute reconstruction error (bounded by scale/2). All four
+    // stats are one-pass codegen kernels — row-local, linear scan, no
+    // shuffle except the output sort.
+    "embed_quant" -> ((s, dir) => {
+      val v = col("v")
+      val dq = graft.functions.Int8DequantExpr(v)
+      vecs(s, dir)
+        .select(
+          col("vec_id"),
+          (graft.functions.VecMaxAbsExpr(v) / lit(127.0)).as("scale"),
+          Dedup.cosine(v, dq).as("recon_cosine"),
+          graft.functions.MaxAbsDiffExpr(v, dq).as("max_abs_err"))
+        .orderBy("vec_id")
+    }),
+
     // recall@K per query: |approx ∩ truth| / K against brute-force truth,
     // for each approximate method. Exactly what an operator watches when
     // tuning nBits (lsh) or k / nProbe (ivf) at scale — so the IVF leg
@@ -336,6 +357,22 @@ object SimilarityQueries {
     "sim_ann_lsh_mp" ->
       s"""WITH $vecsCte, $lshCtes, $lshMpCtes
          |SELECT q_id, rnk, c_id, cosine FROM lsh_mp_res ORDER BY q_id, rnk""".stripMargin,
+
+    "embed_quant" ->
+      s"""WITH $vecsCte, sc AS (
+         |  SELECT vec_id, v,
+         |         list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS s
+         |  FROM vecs
+         |), dqt AS (
+         |  SELECT vec_id, v, s,
+         |         CASE WHEN s = 0.0 THEN list_transform(v, x -> 0.0)
+         |              ELSE list_transform(v, x -> floor(x / s + 0.5) * s) END AS dq
+         |  FROM sc
+         |)
+         |SELECT vec_id, s AS scale,
+         |       ${cosineSql("v", "dq")} AS recon_cosine,
+         |       list_aggregate(list_transform(list_zip(v, dq), p -> abs(p[1] - p[2])), 'max') AS max_abs_err
+         |FROM dqt ORDER BY vec_id""".stripMargin,
 
     "sim_ann_recall" -> {
       def leg(method: String, res: String): String =

@@ -71,6 +71,50 @@ class VecExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quant kernels are bit-identical to their HOF algebra") {
+    val vecs = synthVecs(500)
+    val hofMaxAbs = array_max(transform(col("v"), x => abs(x)))
+    val hofScale = hofMaxAbs / lit(127.0)
+    val hofDq = transform(col("v"), x => floor(x / hofScale + lit(0.5)) * hofScale)
+    val dq = graft.functions.Int8DequantExpr(col("v"))
+    val rows = vecs.select(
+        (graft.functions.VecMaxAbsExpr(col("v")) / lit(127.0)).as("k_scale"),
+        hofScale.as("h_scale"),
+        dq.as("k_dq"),
+        hofDq.as("h_dq"),
+        graft.functions.MaxAbsDiffExpr(col("v"), dq).as("k_err"),
+        array_max(zip_with(col("v"), hofDq, (a, b) => abs(a - b))).as("h_err"))
+      .collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+      val k = r.getSeq[Double](2).map(java.lang.Double.doubleToRawLongBits)
+      val h = r.getSeq[Double](3).map(java.lang.Double.doubleToRawLongBits)
+      assert(k == h)
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(4)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(5)))
+    }
+  }
+
+  test("int8 dequant error is bounded by scale/2 and zero vectors stay zero") {
+    val vecs = synthVecs(200)
+    val dq = graft.functions.Int8DequantExpr(col("v"))
+    // scale/2 is the real-arithmetic bound; coordinates landing exactly
+    // on a quantization midpoint (x/s + 0.5 integral) can exceed it by
+    // one rounding ulp — hence the relative epsilon.
+    val bad = vecs.select(
+        (graft.functions.VecMaxAbsExpr(col("v")) / lit(127.0)).as("scale"),
+        graft.functions.MaxAbsDiffExpr(col("v"), dq).as("err"))
+      .where(col("err") > col("scale") * lit(0.5) * lit(1.0 + 1e-9))
+      .count()
+    assert(bad == 0L)
+    val zeros = spark.range(3L).select(
+      transform(sequence(lit(1), lit(8)), _ => lit(0.0)).as("v"))
+    val out = zeros.select(graft.functions.Int8DequantExpr(col("v")).as("dq")).collect()
+    out.foreach(r => assert(r.getSeq[Double](0).forall(_ == 0.0)))
+  }
+
   test("kernels run inside whole-stage codegen (the HOF forms cannot)") {
     val signs = Similarity.signMatrix(6, 64)
     val df = synthVecs(10).select(
