@@ -168,6 +168,26 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // End-to-end quality impact of int8 quantization on ANN: recall@K
+    // of exact search over DEQUANTIZED vectors against full-precision
+    // brute truth — the one number that says whether the embed_quant 4x
+    // memory saving is free at this corpus's geometry. (Tie-breaks on
+    // near-equal cosines make this sensitive exactly where quantization
+    // hurts: rank boundaries.)
+    "sim_ann_quant" -> ((s, dir) => {
+      val truth = bruteRes(s, dir).select("q_id", "c_id")
+      val dq = vecs(s, dir)
+        .withColumn("v", graft.functions.Int8DequantExpr(col("v")))
+      val approx = Similarity.bruteForceTopK(dq.filter(col("vec_id") < 5), dq, K)
+      truth.join(
+          approx.select("q_id", "c_id").withColumn("hit", lit(1)),
+          Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / lit(K)).as("recall"))
+        .select(lit("brute_int8").as("method"), col("q_id"), col("recall"))
+        .orderBy("q_id")
+    }),
+
     // recall@K per query: |approx ∩ truth| / K against brute-force truth,
     // for each approximate method. Exactly what an operator watches when
     // tuning nBits (lsh) or k / nProbe (ivf) at scale — so the IVF leg
@@ -373,6 +393,31 @@ object SimilarityQueries {
          |       ${cosineSql("v", "dq")} AS recon_cosine,
          |       list_aggregate(list_transform(list_zip(v, dq), p -> abs(p[1] - p[2])), 'max') AS max_abs_err
          |FROM dqt ORDER BY vec_id""".stripMargin,
+
+    "sim_ann_quant" ->
+      s"""WITH $vecsCte, $bruteCtes, dqv AS (
+         |  SELECT vec_id,
+         |         CASE WHEN list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 = 0.0
+         |              THEN list_transform(v, x -> 0.0)
+         |              ELSE list_transform(v, x ->
+         |                floor(x / (list_aggregate(list_transform(v, y -> abs(y)), 'max') / 127.0) + 0.5)
+         |                * (list_aggregate(list_transform(v, y -> abs(y)), 'max') / 127.0)) END AS v
+         |  FROM vecs
+         |), q_scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |         ${cosineSql("q.v", "c.v")} AS cosine
+         |  FROM dqv q JOIN dqv c ON q.vec_id < 5 AND q.vec_id != c.vec_id
+         |), quant_res AS (
+         |  SELECT q_id, rnk, c_id FROM (
+         |    SELECT q_id, c_id, cosine,
+         |           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
+         |    FROM q_scored
+         |  ) t WHERE rnk <= $K
+         |)
+         |SELECT 'brute_int8' AS method, t.q_id,
+         |       CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $K AS recall
+         |FROM brute_res t LEFT JOIN quant_res a ON t.q_id = a.q_id AND t.c_id = a.c_id
+         |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin,
 
     "sim_ann_recall" -> {
       def leg(method: String, res: String): String =
