@@ -71,8 +71,9 @@ object ScaleProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val targets = Seq("dedup_ngram", "dedup_minhash", "dedup_simhash",
-      "dedup_embedding", "dedup_clusters", "pipe_curate",
-      "sim_ann_ivf", "sim_ann_lsh", "sim_ann_lsh_mp",
+      "dedup_embedding", "dedup_clusters", "pipe_curate", "pipe_decontam",
+      "sim_ann_ivf", "sim_ann_lsh", "sim_ann_lsh_mp", "sim_ann_quant",
+      "rel_asof_join", "text_pii", "embed_quant",
       "ft_dist", "ft_topk", "ft_json", "ft_sessions", "text_quality")
     println(f"[probe] query                  1x(s)   ${factor}x(s)  ratio (rows 1x -> ${factor}x)")
     targets.foreach { n =>

@@ -17,6 +17,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   rolling_fp(text, w)           winnowing rolling-hash fingerprint (LONG)
   *   norm_md5(text)                md5 of normalized token stream (STRING)
   *   min_shingle_fp(text, n)       min md5 over word n-gram shingles (STRING)
+  *   cosine_sim(a, b)              cosine of two double vectors (DOUBLE)
+  *   to_double_vec(v)              exact float[]->double[] widening (ARRAY<DOUBLE>)
+  *   vec_max_abs(v)                max |coordinate| (DOUBLE)
+  *   int8_dequant(v)               int8 quantize-dequantize round trip (ARRAY<DOUBLE>)
+  *   max_abs_diff(a, b)            max |a_i - b_i| (DOUBLE)
   *
   * Wire up either way:
   *   - config: `spark.sql.extensions=graft.functions.GraftExtensions`
@@ -63,7 +68,22 @@ object GraftExtensions {
       (args: Seq[Expression]) => NormalizedMd5Expr(args.head)),
     (FunctionIdentifier("min_shingle_fp"),
       info("min_shingle_fp", "min_shingle_fp(text, n) - min md5 over word n-gram shingles"),
-      (args: Seq[Expression]) => MinShingleFpExpr(args(0), intLit(args(1), "min_shingle_fp n"))))
+      (args: Seq[Expression]) => MinShingleFpExpr(args(0), intLit(args(1), "min_shingle_fp n"))),
+    (FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double vectors"),
+      (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))),
+    (FunctionIdentifier("to_double_vec"),
+      info("to_double_vec", "to_double_vec(v) - exact float[] -> double[] widening"),
+      (args: Seq[Expression]) => FloatToDoubleVecExpr(args.head)),
+    (FunctionIdentifier("vec_max_abs"),
+      info("vec_max_abs", "vec_max_abs(v) - max absolute coordinate of a double vector"),
+      (args: Seq[Expression]) => VecMaxAbsExpr(args.head)),
+    (FunctionIdentifier("int8_dequant"),
+      info("int8_dequant", "int8_dequant(v) - symmetric int8 quantize-dequantize round trip"),
+      (args: Seq[Expression]) => Int8DequantExpr(args.head)),
+    (FunctionIdentifier("max_abs_diff"),
+      info("max_abs_diff", "max_abs_diff(a, b) - max absolute elementwise difference"),
+      (args: Seq[Expression]) => MaxAbsDiffExpr(args(0), args(1))))
 
   /** Imperative registration on an existing session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

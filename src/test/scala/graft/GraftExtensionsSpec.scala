@@ -27,7 +27,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions()(ext)
     val names = GraftExtensions.descriptors.map(_._1.funcName).toSet
     assert(names == Set("poisson_decay", "simhash60", "minhash_sig",
-      "shingle_set", "md5long60", "rolling_fp", "norm_md5", "min_shingle_fp"))
+      "shingle_set", "md5long60", "rolling_fp", "norm_md5", "min_shingle_fp",
+      "cosine_sim", "to_double_vec", "vec_max_abs", "int8_dequant",
+      "max_abs_diff"))
+  }
+
+  test("vector kernels resolve from SQL") {
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0d, 2.0d), array(2.0d, 4.0d)) AS cos,
+        |       vec_max_abs(array(-3.0d, 2.0d)) AS ma,
+        |       max_abs_diff(array(1.0d, 2.0d), array(1.5d, 1.0d)) AS mad,
+        |       int8_dequant(array(0.0d, 127.0d))[1] AS dq1
+        |""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 3.0)
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 127.0)
   }
 
   test("functions resolve from SQL") {
