@@ -49,6 +49,27 @@ object StreamOps {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("dist"), col("z"))
 
+  /** Streaming ingestion dedup: drop events whose id was already seen
+    * within the watermark horizon — the exactly-once guard in front of
+    * an at-least-once source (a Kafka redelivery, a producer retry).
+    * `dropDuplicatesWithinWatermark` keys state by `idCols` only and
+    * expires each key once the watermark passes its event time +
+    * delay, so state is bounded by the delivery-delay bound instead of
+    * growing with the stream (plain `dropDuplicates` on a stream holds
+    * every id forever). Batch: falls back to plain dropDuplicates —
+    * batch inputs have no redelivery, so the semantics coincide.
+    *
+    * @param events  input with an event-time `ts` column
+    * @param idCols  the identity columns (e.g. "event_id")
+    * @param watermark lateness/redelivery bound, e.g. "1 hour"
+    */
+  def dedupWithinWatermark(events: DataFrame, idCols: Seq[String],
+                           watermark: String): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(idCols)
+    else events.dropDuplicates(idCols)
+
   /** Per-(dist, bin) event-time SESSIONS: maximal event runs where each
     * gap to the previous event stays under `gap`; the session closes at
     * `last event + gap`. Spark's `session_window` aggregation — the

@@ -106,6 +106,44 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingestion dedup: redeliveries within the watermark drop, state expires after it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val events = mem.toDF().toDF("event_id", "dist", "ts")
+    val out = StreamOps.dedupWithinWatermark(events, Seq("event_id"), "100 seconds")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      // first delivery + an in-batch duplicate
+      mem.addData((1L, "click", ts(0)), (1L, "click", ts(0)), (2L, "view", ts(10)))
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 2)
+      // redelivery in a later micro-batch, still inside the watermark
+      mem.addData((1L, "click", ts(5)))
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 2)
+      // advance the watermark far past id 1's expiry, then redeliver:
+      // state for id 1 is gone, so the "duplicate" passes — exactly the
+      // documented dropDuplicatesWithinWatermark contract (dedup within
+      // the delivery-delay bound, bounded state; NOT forever-dedup)
+      mem.addData((99L, "click", ts(100000)))
+      q.processAllAvailable()
+      mem.addData((1L, "click", ts(100010)))
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 4)
+    } finally q.stop()
+  }
+
+  test("ingestion dedup on a batch frame coincides with plain dropDuplicates") {
+    import spark.implicits._
+    val df = Seq((1L, "click", ts(0)), (1L, "click", ts(5)), (2L, "view", ts(10)))
+      .toDF("event_id", "dist", "ts")
+    val got = StreamOps.dedupWithinWatermark(df, Seq("event_id"), "100 seconds")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
   test("session window boundary: an event exactly at previous + gap MERGES") {
     import spark.implicits._
     // Spark's merge condition is non-strict at the session end — an event
