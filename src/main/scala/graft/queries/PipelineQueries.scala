@@ -35,6 +35,13 @@ object PipelineQueries {
   final val DecontamMaxDf = 50
   /** Salt for the 8-byte shingle fingerprints the decontam join runs on. */
   final val DecontamSalt = 9
+  /** sample_stratified: per-language keep rates in percent. English
+    * dominates the corpus ~2x, so it downsamples to rebalance; a rate
+    * table in a real pipeline would come from [[PipelineQueries]]'
+    * pipe_mix-style weights.
+    */
+  final val StratifiedPctEn = 25
+  final val StratifiedSalt = 11
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -48,6 +55,45 @@ object PipelineQueries {
           when(col("bucket") < TrainPct, "train")
             .when(col("bucket") < TrainPct + ValPct, "val")
             .otherwise("test"))
+        .orderBy("doc_id")
+    }),
+
+    // Domain-mixture reweighting: per-source sampling weights that
+    // rebalance the corpus toward a UNIFORM source mix — the knob a
+    // curation run turns when one crawl domain dominates. Two tiny
+    // aggregates (per-source counts; corpus total + source count) and
+    // one broadcast join of a 1-row frame: at 100 TB this is a
+    // map-side-combined groupBy over the scan plus driver-sized
+    // arithmetic — no other shuffle.
+    "pipe_mix" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val cur = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val tot = cur.agg(
+        sum("n_docs").cast("long").as("total"),
+        count(lit(1)).cast("long").as("k"))
+      val share = col("n_docs").cast("double") / col("total").cast("double")
+      val target = lit(1.0) / col("k").cast("double")
+      cur.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          share.as("share"),
+          (target / share).as("weight"))
+        .orderBy("source")
+    }),
+
+    // Stratified downsampling: deterministic per-language keep rates
+    // via the same salted md5-bucket scheme as sample_split (row-local,
+    // stable under corpus growth — a doc's keep/drop never changes when
+    // other docs arrive). English (the ~2x-dominant stratum) keeps
+    // StratifiedPctEn%; every other language keeps 100%.
+    "sample_stratified" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val bucket = graft.functions.Md5Long60Expr(
+        col("doc_id").cast("string"), StratifiedSalt) % lit(100L)
+      val rate = when(col("lang") === "en", lit(StratifiedPctEn.toLong))
+        .otherwise(lit(100L))
+      d.select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .filter(col("bucket") < rate)
+        .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
 
@@ -123,6 +169,26 @@ object PipelineQueries {
          |       WHEN CAST(concat('0x', substr(md5(concat('$SplitSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 < ${TrainPct + ValPct} THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipe_mix" ->
+      """WITH cur AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+        |), tot AS (
+        |  SELECT CAST(SUM(n_docs) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS k FROM cur
+        |)
+        |SELECT source, n_docs,
+        |       CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |       (CAST(1.0 AS DOUBLE) / CAST(k AS DOUBLE))
+        |         / (CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) AS weight
+        |FROM cur CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    "sample_stratified" -> {
+      val bucketSql =
+        s"CAST(concat('0x', substr(md5(concat('$StratifiedSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100"
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $bucketSql < CASE WHEN lang = 'en' THEN $StratifiedPctEn ELSE 100 END
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "pipe_decontam" -> {
       val bucketSql =

@@ -73,6 +73,39 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Repetition signals (the Gopher-style quality rules): fraction of
+    // repeated tokens and the share of the most frequent word bigram —
+    // the two cheapest detectors of degenerate/boilerplate text. Scale
+    // shape: one explode over bigrams, groupBy on the composite
+    // (doc_id, bigram) then (doc_id) — linear, no hot key (the doc_id
+    // prefix spreads any globally-common bigram).
+    "text_repetition" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val base = d.select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          col("toks"))
+      // bigrams via the same 1-based element_at tree as the oracle's
+      // generate_series form
+      val bg = base.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat(element_at(col("toks"), i), lit(" "),
+              element_at(col("toks"), i + 1)))).as("g"))
+      val mx = bg.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("mx"))
+      base.join(mx, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          ((col("n_tokens") - col("n_distinct")).cast("double") /
+            col("n_tokens").cast("double")).as("dup_token_frac"),
+          when(col("n_tokens") >= 2,
+            coalesce(col("mx"), lit(0L)).cast("double") /
+              (col("n_tokens") - 1).cast("double"))
+            .otherwise(lit(0.0)).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
     // PII detection + redaction — the scrub pass every training-data
     // pipeline runs before anything ships. Pure row-local column algebra
     // (regexp_count / chained regexp_replace, all whole-stage codegen):
@@ -219,6 +252,31 @@ object TextQueries {
         |                     (a, b) -> (a * 257 + b) % 1000000007)), 'min') AS BIGINT)
         |  END AS fp_rolling
         |FROM sh JOIN hs USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+        |         CAST(len(list_distinct(toks)) AS BIGINT) AS nd
+        |  FROM tok
+        |), bg AS (
+        |  SELECT doc_id,
+        |         UNNEST(list_transform(generate_series(1, len(toks) - 1),
+        |                i -> concat(toks[i], ' ', toks[i+1]))) AS g
+        |  FROM tok WHERE len(toks) >= 2
+        |), bgc AS (
+        |  SELECT doc_id, MAX(c) AS mx FROM (
+        |    SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2
+        |  ) t GROUP BY doc_id
+        |)
+        |SELECT st.doc_id, st.n AS n_tokens,
+        |       CAST(st.n - st.nd AS DOUBLE) / CAST(st.n AS DOUBLE) AS dup_token_frac,
+        |       CASE WHEN st.n >= 2
+        |            THEN CAST(COALESCE(bgc.mx, 0) AS DOUBLE) / CAST(st.n - 1 AS DOUBLE)
+        |            ELSE CAST(0.0 AS DOUBLE) END AS top_bigram_frac
+        |FROM st LEFT JOIN bgc USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "text_pii" ->
       s"""WITH aug AS (
