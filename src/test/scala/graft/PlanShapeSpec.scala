@@ -106,9 +106,19 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("dedup queries: no ScalaUDF anywhere in the hot paths") {
-    Seq("dedup_minhash", "dedup_simhash", "dedup_ngram", "ft_sampled").foreach { n =>
+    Seq("dedup_minhash", "dedup_simhash", "dedup_ngram", "ft_sampled",
+      "text_pii", "text_repetition", "embed_quant", "pipe_decontam").foreach { n =>
       val plan = qe(n).executedPlan.toString
       assert(!plan.contains("ScalaUDF"), s"$n: $plan")
     }
+  }
+
+  test("pipe_decontam: df-pruned fingerprint equi-joins, no cartesian blowup") {
+    // The contamination join must stay an equi-join on the 8-byte
+    // shingle fingerprint (train side x test side); a CartesianProduct
+    // would be the all-pairs disaster the df prune exists to prevent.
+    val plan = qe("pipe_decontam").executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
   }
 }
