@@ -42,6 +42,8 @@ object PipelineQueries {
     */
   final val StratifiedPctEn = 25
   final val StratifiedSalt = 11
+  /** pipe_shuffle: the epoch number IS the shuffle salt. */
+  final val ShuffleEpoch = 1
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -95,6 +97,36 @@ object PipelineQueries {
         .filter(col("bucket") < rate)
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    }),
+
+    // Deterministic epoch shuffle: a stable pseudo-random global order
+    // from a salted hash — the fixed-seed shuffle a training run uses so
+    // an epoch's batch sequence is reproducible (and re-shufflable by
+    // rotating the salt = epoch number). Spark-first shape: the hash is
+    // row-local; the ORDER BY is a range-partitioned sort on a uniform
+    // 60-bit key — no skew by construction, and at 100 TB this is
+    // exactly the sort-based shuffle write a training-data export runs.
+    "pipe_shuffle" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pos = graft.functions.Md5Long60Expr(col("doc_id").cast("string"), ShuffleEpoch)
+      d.select(col("doc_id"), pos.as("shuffle_pos"))
+        .orderBy("shuffle_pos", "doc_id")
+    }),
+
+    // Referential-integrity audit between the document corpus and its
+    // embedding table — the alignment check before any training export
+    // (a doc without a vector silently vanishes from ANN curation; a
+    // vector without a doc is leaked compute). One full-outer equi-join
+    // reduced to three counts.
+    "pipe_integrity" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      val e = Tables.embeddings(s, dir).select(col("vec_id"))
+      val j = d.join(e, d("doc_id") === e("vec_id"), "full_outer")
+      j.agg(
+          sum(when(col("doc_id").isNotNull && col("vec_id").isNotNull, 1L)
+            .otherwise(0L)).as("n_aligned"),
+          sum(when(col("vec_id").isNull, 1L).otherwise(0L)).as("n_docs_unembedded"),
+          sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("n_vecs_orphaned"))
     }),
 
     // Train/test DECONTAMINATION: which training docs share rare
@@ -189,6 +221,18 @@ object PipelineQueries {
          |WHERE $bucketSql < CASE WHEN lang = 'en' THEN $StratifiedPctEn ELSE 100 END
          |ORDER BY doc_id""".stripMargin
     },
+
+    "pipe_shuffle" ->
+      s"""SELECT doc_id,
+         |  CAST(concat('0x', substr(md5(concat('$ShuffleEpoch:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS shuffle_pos
+         |FROM documents ORDER BY shuffle_pos, doc_id""".stripMargin,
+
+    "pipe_integrity" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_aligned,
+        |  CAST(SUM(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_unembedded,
+        |  CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_vecs_orphaned
+        |FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,
 
     "pipe_decontam" -> {
       val bucketSql =
