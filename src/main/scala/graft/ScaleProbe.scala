@@ -73,7 +73,8 @@ object ScaleProbe {
     val targets = Seq("dedup_ngram", "dedup_minhash", "dedup_simhash",
       "dedup_embedding", "dedup_clusters", "pipe_curate", "pipe_decontam",
       "sim_ann_ivf", "sim_ann_lsh", "sim_ann_lsh_mp", "sim_ann_quant",
-      "rel_asof_join", "text_pii", "embed_quant",
+      "rel_asof_join", "text_pii", "embed_quant", "text_repetition",
+      "pipe_shuffle", "sample_stratified",
       "ft_dist", "ft_topk", "ft_json", "ft_sessions", "text_quality")
     println(f"[probe] query                  1x(s)   ${factor}x(s)  ratio (rows 1x -> ${factor}x)")
     targets.foreach { n =>
