@@ -103,50 +103,24 @@ object RelationalQueries {
 
     // AS-OF (point-in-time) join: for each purchase event, the most
     // recent click by the same user at or before the purchase — the
-    // operator Spark lacks natively (DuckDB's ASOF JOIN is the oracle).
-    // Spark-first form is the distributed union-merge: tag both sides,
-    // hash-partition by user, sort each partition ONCE by event time,
-    // and carry the latest click forward with a RUNNING (growing-frame)
-    // window — one shuffle per side into a single sort + single-pass
-    // WindowExec, no per-row rescan, no range-join row blowup, and no
-    // unbounded-frame recompute (the frame only ever grows, so Spark
-    // evaluates it incrementally). Partition key = user_id: bounded rows
-    // per user, high cardinality — no straggler risk at 100 TB. Ties on
-    // (ts): clicks sort before purchases (a click AT the purchase
-    // instant is eligible, `<=`), and among clicks the highest event_id
-    // wins — deterministic where native ASOF leaves ties unspecified
-    // (the events table has no (user, ts) ties; the tie-break is belt
-    // and braces for inputs that do). INNER semantics: purchases with
-    // no prior click are dropped, keeping the output null-free (null
-    // timestamps compare NaT != NaT in the driver gate).
+    // operator Spark lacks natively (DuckDB's native ASOF JOIN is the
+    // oracle). Mechanism and determinism contract live on
+    // [[graft.operators.AsofJoin]] (distributed union-merge: one
+    // shuffle per side, one growing-frame window pass). INNER
+    // semantics: purchases with no prior click are dropped, keeping
+    // the output null-free (null timestamps compare NaT != NaT in the
+    // driver gate).
     "rel_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), lit(0).as("side"),
-          col("event_id").as("sort_id"),
-          col("event_id").as("c_id"), col("ts").as("c_ts_src"),
-          col("value").as("c_value_src"),
-          lit(null).cast("long").as("purchase_id"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), lit(1).as("side"),
-          lit(-1L).as("sort_id"),
-          lit(null).cast("long").as("c_id"),
-          lit(null).cast("timestamp").as("c_ts_src"),
-          lit(null).cast("double").as("c_value_src"),
-          col("event_id").as("purchase_id"))
-      // Sort keys are null-free by construction (sort_id = -1 on the
-      // purchase side): Spark orders nulls first ASC, DuckDB last — a
-      // null key would silently diverge between engines.
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts"), col("side"), col("sort_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      clicks.unionByName(purchases)
-        .withColumn("click_id", last(col("c_id"), ignoreNulls = true).over(w))
-        .withColumn("click_ts", last(col("c_ts_src"), ignoreNulls = true).over(w))
-        .withColumn("click_value", last(col("c_value_src"), ignoreNulls = true).over(w))
-        .filter(col("side") === 1 && col("click_id").isNotNull)
-        .select(col("purchase_id"), col("user_id"), col("ts").as("p_ts"),
-          col("click_id"), col("click_ts"), col("click_value"))
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"), col("value").as("click_value"))
+      graft.operators.AsofJoin.join(purchases, clicks,
+          key = "user_id", leftTs = "p_ts", rightTs = "click_ts",
+          rightOrder = "click_id",
+          rightCols = Seq("click_id", "click_ts", "click_value"))
         .orderBy("purchase_id")
     }),
 

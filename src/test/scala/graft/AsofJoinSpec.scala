@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsofJoin
+
+/** The as-of join's determinism contract on the cases native ASOF
+  * implementations leave unspecified: exact-timestamp matches, ties on
+  * the right side, no-match rows, and multiple left rows per key.
+  */
+class AsofJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.sources.GraftSession.local()
+
+  private val T0 = 1706659200L
+  private def ts(off: Long) = new Timestamp((T0 + off) * 1000L)
+
+  private def frames = {
+    import spark.implicits._
+    val left = Seq(
+      (100L, 1L, ts(50)),  // after r1/r2, before r3
+      (101L, 1L, ts(20)),  // exactly AT r2's ts — r2 must match (<=)
+      (102L, 1L, ts(5)),   // before every right row: no match
+      (103L, 2L, ts(99))   // key with no right rows at all
+    ).toDF("p_id", "k", "p_ts")
+    val right = Seq(
+      (10L, 1L, ts(10), 1.0),
+      (11L, 1L, ts(20), 2.0), // tie on ts with r12
+      (12L, 1L, ts(20), 3.0), // same ts, higher id — must win the tie
+      (13L, 1L, ts(80), 4.0)
+    ).toDF("r_id", "k", "r_ts", "r_v")
+    (left, right)
+  }
+
+  test("inner: latest at-or-before match per left row; ties pick highest order; no-match drops") {
+    import spark.implicits._
+    val (left, right) = frames
+    val got = AsofJoin.join(left, right, key = "k",
+        leftTs = "p_ts", rightTs = "r_ts", rightOrder = "r_id",
+        rightCols = Seq("r_id", "r_v"))
+      .select("p_id", "r_id", "r_v").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(got == Set(
+      (100L, 12L, 3.0), // ts(20) tie resolved to the higher r_id
+      (101L, 12L, 3.0)  // exact-instant match is eligible
+    ))
+  }
+
+  test("outer: no-match left rows survive with null right columns") {
+    import spark.implicits._
+    val (left, right) = frames
+    val got = AsofJoin.join(left, right, key = "k",
+        leftTs = "p_ts", rightTs = "r_ts", rightOrder = "r_id",
+        rightCols = Seq("r_id", "r_v"), inner = false)
+      .select("p_id", "r_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got == Set((100L, 12L), (101L, 12L), (102L, -1L), (103L, -1L)))
+  }
+
+  test("plan: single window pass, no cartesian/nested-loop fallback") {
+    val (left, right) = frames
+    val plan = AsofJoin.join(left, right, key = "k",
+        leftTs = "p_ts", rightTs = "r_ts", rightOrder = "r_id",
+        rightCols = Seq("r_id", "r_v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    val windows = plan.linesIterator.filter(l =>
+      l.trim.startsWith("Window ") || l.contains("+- Window [")).toList
+    assert(windows.size == 1, plan)
+  }
+}
