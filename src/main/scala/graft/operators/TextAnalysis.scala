@@ -31,6 +31,32 @@ object TextAnalysis {
   def alphaTokenCount(text: Column): Column =
     size(filter(tokens(text), t => t.rlike("^[a-z]+$")))
 
+  /** PII patterns, shared between the Spark side and the DuckDB oracle.
+    * Restricted to the regex subset both engines (java.util.regex, RE2)
+    * evaluate identically — character classes, bounded repeats, word
+    * boundaries; no lookaround, no backrefs.
+    */
+  final val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  final val PhoneRe = """\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"""
+  final val IpRe = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+
+  /** Redact all three PII classes, email -> phone -> ip — the fixed
+    * order matters where patterns could overlap and is mirrored by the
+    * oracle SQL. Pure regexp_replace chain: codegen, row-local.
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>")),
+      lit(IpRe), lit("<IP>"))
+
+  /** Count matches of one PII pattern (use [[EmailRe]]/[[PhoneRe]]/
+    * [[IpRe]] or any engine-portable regex).
+    */
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("long")
+
   /** Small multilingual stopword profiles for the n-gram/stopword
     * language-ID heuristic. Deterministic, alphabetical language order.
     */

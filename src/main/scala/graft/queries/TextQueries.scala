@@ -21,14 +21,8 @@ object TextQueries {
     s"len(list_filter(toks, t -> t IN ($list))) AS h_$lang"
   }.mkString(",\n  ")
 
-  /** PII patterns, shared between the Spark side and the DuckDB oracle.
-    * Restricted to the regex subset both engines (java.util.regex, RE2)
-    * evaluate identically — character classes, bounded repeats, word
-    * boundaries; no lookaround, no backrefs.
-    */
-  final val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-  final val PhoneRe = """\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"""
-  final val IpRe = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+  // PII patterns + redaction live on TextAnalysis (library API);
+  // EmailRe/PhoneRe/IpRe resolve through the TextAnalysis._ import.
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -134,18 +128,12 @@ object TextQueries {
             lit("."), (id % 250).cast("string"),
             lit("."), (id % 256).cast("string")))
           .otherwise(lit("")))
-      val redacted =
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(aug, lit(EmailRe), lit("<EMAIL>")),
-            lit(PhoneRe), lit("<PHONE>")),
-          lit(IpRe), lit("<IP>"))
       d.select(
           col("doc_id"),
-          regexp_count(aug, lit(EmailRe)).cast("long").as("n_emails"),
-          regexp_count(aug, lit(PhoneRe)).cast("long").as("n_phones"),
-          regexp_count(aug, lit(IpRe)).cast("long").as("n_ips"),
-          redacted.as("redacted"))
+          piiCount(aug, EmailRe).as("n_emails"),
+          piiCount(aug, PhoneRe).as("n_phones"),
+          piiCount(aug, IpRe).as("n_ips"),
+          piiRedact(aug).as("redacted"))
         .orderBy("doc_id")
     }),
 
