@@ -193,6 +193,21 @@ object Dedup {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimExpr(a, b)
 
+  /** Symmetric int8 quantize-dequantize round trip (one-pass codegen
+    * kernel); pair with [[quantScale]] / [[maxAbsDiff]] for the
+    * reconstruction report the embed_quant query emits.
+    */
+  def int8Dequant(v: Column): Column =
+    graft.functions.Int8DequantExpr(v)
+
+  /** The symmetric-int8 scale: maxAbs / 127. */
+  def quantScale(v: Column): Column =
+    graft.functions.VecMaxAbsExpr(v) / lit(127.0)
+
+  /** Max absolute elementwise difference (codegen kernel). */
+  def maxAbsDiff(a: Column, b: Column): Column =
+    graft.functions.MaxAbsDiffExpr(a, b)
+
   /** Banded sign-bucket keys: key b = the `bitsPerBand` sign bits of
     * dimensions [b*bitsPerBand, (b+1)*bitsPerBand). Feed to
     * [[candidatePairs]]: a pair is a candidate iff ALL signs of at least

@@ -158,13 +158,13 @@ object SimilarityQueries {
     // shuffle except the output sort.
     "embed_quant" -> ((s, dir) => {
       val v = col("v")
-      val dq = graft.functions.Int8DequantExpr(v)
+      val dq = Dedup.int8Dequant(v)
       vecs(s, dir)
         .select(
           col("vec_id"),
-          (graft.functions.VecMaxAbsExpr(v) / lit(127.0)).as("scale"),
+          Dedup.quantScale(v).as("scale"),
           Dedup.cosine(v, dq).as("recon_cosine"),
-          graft.functions.MaxAbsDiffExpr(v, dq).as("max_abs_err"))
+          Dedup.maxAbsDiff(v, dq).as("max_abs_err"))
         .orderBy("vec_id")
     }),
 
@@ -177,7 +177,7 @@ object SimilarityQueries {
     "sim_ann_quant" -> ((s, dir) => {
       val truth = bruteRes(s, dir).select("q_id", "c_id")
       val dq = vecs(s, dir)
-        .withColumn("v", graft.functions.Int8DequantExpr(col("v")))
+        .withColumn("v", Dedup.int8Dequant(col("v")))
       val approx = Similarity.bruteForceTopK(dq.filter(col("vec_id") < 5), dq, K)
       truth.join(
           approx.select("q_id", "c_id").withColumn("hit", lit(1)),
