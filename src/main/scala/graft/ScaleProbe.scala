@@ -70,12 +70,15 @@ object ScaleProbe {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val targets = Seq("dedup_ngram", "dedup_minhash", "dedup_simhash",
+    val allTargets = Seq("dedup_ngram", "dedup_minhash", "dedup_simhash",
       "dedup_embedding", "dedup_clusters", "pipe_curate", "pipe_decontam",
       "sim_ann_ivf", "sim_ann_lsh", "sim_ann_lsh_mp", "sim_ann_quant",
       "rel_asof_join", "text_pii", "embed_quant", "text_repetition",
       "pipe_shuffle", "sample_stratified",
       "ft_dist", "ft_topk", "ft_json", "ft_sessions", "text_quality")
+    // arg 2+: restrict to named queries (fast re-probe of one operator)
+    val targets =
+      if (args.length > 1) allTargets.filter(args.drop(1).toSet) else allTargets
     println(f"[probe] query                  1x(s)   ${factor}x(s)  ratio (rows 1x -> ${factor}x)")
     targets.foreach { n =>
       val fn = SparkEntry.queries(n)
