@@ -35,7 +35,9 @@ import org.apache.spark.sql.functions._
   *                   be non-null and never negative — `-1` is the
   *                   left-side sentinel
   * @param rightCols  right columns to carry onto each left row (names
-  *                   must not collide with left columns)
+  *                   must not collide with left columns; the FIRST one
+  *                   doubles as the match indicator for `inner`, so it
+  *                   must be non-null in `right` — an id column)
   * @param inner      true drops left rows with no match (null-free
   *                   output); false keeps them with null right columns
   */
@@ -48,7 +50,7 @@ object AsofJoin {
     val carried = rightCols.map(c => s"__asof_$c")
     val rTagged = right.select(
       Seq(col(key), col(rightTs).as("__asof_ts"), lit(0).as("__asof_side"),
-        col(rightOrder).as("__asof_ord")) ++
+        col(rightOrder).cast("long").as("__asof_ord")) ++
         rightCols.zip(carried).map { case (c, a) => col(c).as(a) } ++
         leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val lTagged = left.select(
