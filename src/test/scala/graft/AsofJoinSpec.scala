@@ -60,6 +60,18 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got == Set((100L, 12L), (101L, 12L), (102L, -1L), (103L, -1L)))
   }
 
+  test("an integer rightOrder column widens instead of clashing with the sentinel") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, ts(50))).toDF("p_id", "k", "p_ts")
+    val right = Seq((7, 1L, ts(10), 1.0), (8, 1L, ts(10), 2.0))
+      .toDF("r_id", "k", "r_ts", "r_v") // r_id is Int, not Long
+    val got = AsofJoin.join(left, right, key = "k",
+        leftTs = "p_ts", rightTs = "r_ts", rightOrder = "r_id",
+        rightCols = Seq("r_id", "r_v"))
+      .select("p_id", "r_id").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 8)))
+  }
+
   test("plan: single window pass, no cartesian/nested-loop fallback") {
     val (left, right) = frames
     val plan = AsofJoin.join(left, right, key = "k",
