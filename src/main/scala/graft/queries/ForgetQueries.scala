@@ -179,6 +179,30 @@ object ForgetQueries {
         .orderBy("w_start", "dist")
     }),
 
+    // Windowed TOP-K: the 3 most active bins per (1-day window, dist) —
+    // the time-bucketed analog of /nmostprobable ("what trended per
+    // day"), composing the windowed aggregation with the same
+    // rank-within-group limit ft_topk uses. Plan: groupBy on the
+    // composite (window, dist, bin) — partial map-side agg, no hot
+    // key — then row_number <= 3 over (w_start, dist), which rewrites
+    // to WindowGroupLimit (partial per-partition top-K before the
+    // shuffle). Ties break by count desc, bin asc on both engines.
+    "ft_windowed_topk" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type").as("dist"),
+        col("user_id").cast("string").as("bin"),
+        col("ts"))
+      val counts = graft.streaming.StreamOps
+        .windowedBinCounts(ev, "1 day", "1 day", "0 seconds")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("w_start", "dist")
+        .orderBy(col("count").desc, col("bin"))
+      counts.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("w_start", "w_end", "dist", "rnk", "bin", "count")
+        .orderBy("w_start", "dist", "rnk")
+    }),
+
     // SESSION windows per (dist, bin), 1-day gap (StreamOps.sessionCounts
     // — see its scaladoc for the composite-key scale argument). Sessions
     // close at last-event + gap; the oracle reproduces the merge with
@@ -452,6 +476,22 @@ object ForgetQueries {
         |       dist, CAST(COUNT(*) AS BIGINT) AS z
         |FROM e CROSS JOIN (SELECT UNNEST([0, 1]) AS o) off
         |GROUP BY 1, 2, 3 ORDER BY w_start, dist""".stripMargin,
+
+    "ft_windowed_topk" ->
+      """WITH wc AS (
+        |  SELECT make_timestamp(CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) * 86400 * 1000000) AS w_start,
+        |         make_timestamp((CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) + 1) * 86400 * 1000000) AS w_end,
+        |         event_type AS dist, CAST(user_id AS VARCHAR) AS bin,
+        |         CAST(COUNT(*) AS BIGINT) AS "count"
+        |  FROM events GROUP BY 1, 2, 3, 4
+        |), r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY w_start, dist
+        |                                    ORDER BY "count" DESC, bin) AS BIGINT) AS rnk
+        |  FROM wc
+        |)
+        |SELECT w_start, w_end, dist, rnk, bin, "count"
+        |FROM r WHERE rnk <= 3
+        |ORDER BY w_start, dist, rnk""".stripMargin,
 
     "ft_sessions" ->
       """WITH e AS (

@@ -32,6 +32,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("ft_windowed_topk: per-window rank runs as a partial WindowGroupLimit") {
+    val plan = qe("ft_windowed_topk").executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("ft_topk_one: single-dist top-K takes the TakeOrderedAndProject path") {
     val plan = qe("ft_topk_one").executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
