@@ -72,6 +72,34 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got == Seq((1L, 8)))
   }
 
+  test("matches a naive per-key reference on 2k rows with engineered ts ties") {
+    import spark.implicits._
+    // Deterministic synthetic load: 40 keys, colliding timestamps by
+    // construction (ts mod 97 buckets), so tie-break paths actually run.
+    val leftRows = (0 until 800).map { i =>
+      (i.toLong, (i * 7 % 40).toLong, ts((i * 13) % 97))
+    }
+    val rightRows = (0 until 1200).map { j =>
+      (j.toLong, (j * 11 % 40).toLong, ts((j * 17) % 97), j * 0.5)
+    }
+    val left = leftRows.toDF("p_id", "k", "p_ts")
+    val right = rightRows.toDF("r_id", "k", "r_ts", "r_v")
+    val got = AsofJoin.join(left, right, key = "k",
+        leftTs = "p_ts", rightTs = "r_ts", rightOrder = "r_id",
+        rightCols = Seq("r_id", "r_v"))
+      .select("p_id", "r_id").as[(Long, Long)].collect().toMap
+    // naive reference: per left row, scan all right rows of the key
+    val byKey = rightRows.groupBy(_._2)
+    val want = leftRows.flatMap { case (pId, k, pTs) =>
+      byKey.getOrElse(k, Seq.empty)
+        .filter { case (_, _, rTs, _) => !rTs.after(pTs) }
+        .sortBy { case (rId, _, rTs, _) => (rTs.getTime, rId) }
+        .lastOption.map { case (rId, _, _, _) => pId -> rId }
+    }.toMap
+    assert(got.size == want.size)
+    assert(got == want)
+  }
+
   test("plan: single window pass, no cartesian/nested-loop fallback") {
     val (left, right) = frames
     val plan = AsofJoin.join(left, right, key = "k",
