@@ -105,9 +105,14 @@ object VecKernels {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  /** Max absolute elementwise difference — reconstruction-error stat. */
+  /** Max absolute elementwise difference — reconstruction-error stat.
+    * Lengths must match: a dimension mismatch is schema drift, not a
+    * small error, so it throws instead of silently truncating.
+    */
   def maxAbsDiff(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"maxAbsDiff: vector length mismatch ($n vs ${b.numElements()})")
     var m = 0.0
     var i = 0
     while (i < n) {

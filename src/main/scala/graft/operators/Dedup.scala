@@ -73,18 +73,47 @@ object Dedup {
     * one integer division pair -> bit-stable across engines.
     */
   def jaccard(a: Column, b: Column): Column = {
+    // one array_intersect evaluation shared by both operands (codegen
+    // subexpression elimination usually rescues a duplicate, but a
+    // single node needs no rescuing)
     val inter = size(array_intersect(a, b)).cast("double")
-    val uni = (size(a) + size(b)).cast("double") - size(array_intersect(a, b)).cast("double")
-    inter / uni
+    inter / ((size(a) + size(b)).cast("double") - inter)
   }
+
+  /** Default hot-bucket cap for [[candidatePairs]]. A web-scale corpus
+    * has boilerplate mega-clusters (thousands of near-identical pages)
+    * whose members all share band keys; one such bucket emits
+    * |bucket|^2/2 pairs — the skewed-key quadratic blowup that kills
+    * banded dedup at 100 TB. 10k bounds any single bucket's pair count
+    * at ~5*10^7 (one task's worth) while being far above what honest
+    * banding produces on non-degenerate data.
+    */
+  final val DefaultMaxBucket = 10000
 
   /** Candidate pairs from any banded key column: self-join on
     * (band_id, key) with id_a < id_b, deduped across bands.
+    *
+    * `maxBucket` drops (band, key) buckets whose population exceeds the
+    * cap BEFORE the self-join — the banded analog of the n-gram path's
+    * stop-shingle prune. A capped bucket's members still pair through
+    * their other bands (and exact copies are caught by the exact-dedup
+    * fast path), so recall degrades gracefully while the worst-case
+    * join cost becomes bands * N * maxBucket instead of |hottest|^2.
+    * The hot-bucket list is tiny by construction (only buckets with
+    * > maxBucket members), so AQE broadcasts the anti-join probe.
     */
-  def candidatePairs(banded: DataFrame, idCol: String, keysCol: String): DataFrame = {
+  def candidatePairs(banded: DataFrame, idCol: String, keysCol: String,
+                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val ex = banded.select(col(idCol).as("id"), posexplode(col(keysCol)).as(Seq("band", "key")))
-    val a = ex.select(col("id").as("id_a"), col("band"), col("key"))
-    val b = ex.select(col("id").as("id_b"), col("band"), col("key"))
+    val kept =
+      if (maxBucket == Int.MaxValue) ex
+      else {
+        val hot = ex.groupBy("band", "key").agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucket).select("band", "key")
+        ex.join(hot, Seq("band", "key"), "left_anti")
+      }
+    val a = kept.select(col("id").as("id_a"), col("band"), col("key"))
+    val b = kept.select(col("id").as("id_b"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()

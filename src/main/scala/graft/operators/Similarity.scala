@@ -130,6 +130,12 @@ object Similarity {
   /** Exact cosine top-k of `queries` (small: broadcast) against `corpus`.
     * Both must carry (`idCol`, `vecCol`) with double vectors. Ties broken
     * by corpus id ascending.
+    *
+    * Q-BOUND ASSUMPTION: the non-equi join condition makes this a
+    * broadcast nested-loop scoring all Q x N pairs BY DESIGN — it is the
+    * exactness baseline for query sets small enough to broadcast
+    * (Q in the hundreds, not 10^5). For large query sets use the stored
+    * [[graft.sources.AnnIndex]] probes, which join on bucket/cell keys.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {

@@ -22,6 +22,15 @@ object DedupQueries {
   final val MaxDocFreq = 50
   final val HammingMax = 3
   final val CosineThreshold = 0.999
+  /** Hot-bucket cap for banded candidate generation (minhash / simhash /
+    * embedding): (band, key) buckets above this population are dropped
+    * before the pair self-join — the guard against boilerplate
+    * mega-clusters turning one bucket into |bucket|^2/2 pairs. Encoded
+    * in the DuckDB oracles too, so the guard itself is oracle-checked.
+    * 100 at sf<=0.1 plays the same role 10k does at corpus scale
+    * ([[graft.operators.Dedup.DefaultMaxBucket]]).
+    */
+  final val MaxBucket = 100
   /** dedup_embedding blocking: 4 bands x 16 sign bits over the 64 dims. */
   final val EmbBands = 4
   final val EmbBitsPerBand = 16
@@ -77,7 +86,7 @@ object DedupQueries {
       .withColumn("sig", Dedup.minhashSignature(col("sh"), MinhashK))
       .withColumn("keys", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = Dedup.candidatePairs(c, "doc_id", "keys")
+    val pairs = Dedup.candidatePairs(c, "doc_id", "keys", MaxBucket)
     pairs
       .join(c.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(c.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -126,7 +135,7 @@ object DedupQueries {
         .withColumn("keys", array((0 until 4).map(b =>
           shiftright(col("sim"), 15 * b).bitwiseAND(lit(32767L))): _*))
         .persist(StorageLevel.MEMORY_AND_DISK) // reused 3x, see dedup_minhash
-      val pairs = Dedup.candidatePairs(c, "doc_id", "keys")
+      val pairs = Dedup.candidatePairs(c, "doc_id", "keys", MaxBucket)
       pairs
         .join(c.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
         .join(c.select(col("doc_id").as("id_b"), col("sim").as("sim_b")), "id_b")
@@ -184,7 +193,7 @@ object DedupQueries {
         .withColumn("keys", Dedup.signBandKeys(col("v"), EmbBands, EmbBitsPerBand))
         .select("vec_id", "keys", "v")
         .persist(StorageLevel.MEMORY_AND_DISK) // feeds candidates + both verify sides
-      val pairs = Dedup.candidatePairs(withVec, "vec_id", "keys")
+      val pairs = Dedup.candidatePairs(withVec, "vec_id", "keys", MaxBucket)
       pairs
         .join(withVec.select(col("vec_id").as("id_a"), col("v").as("v_a")), "id_a")
         .join(withVec.select(col("vec_id").as("id_b"), col("v").as("v_b")), "id_b")
@@ -219,9 +228,13 @@ object DedupQueries {
        |), bands AS (
        |  ${(0 until Bands).map(b =>
             s"SELECT doc_id, $b AS band, ${bandKeySql(b)} AS key FROM sigs").mkString("\n  UNION ALL\n  ")}
+       |), bok AS (
+       |  SELECT band, key FROM bands GROUP BY band, key HAVING COUNT(*) <= $MaxBucket
+       |), bkept AS (
+       |  SELECT doc_id, band, key FROM bands JOIN bok USING (band, key)
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b USING (band, key)
+       |  FROM bkept a JOIN bkept b USING (band, key)
        |  WHERE a.doc_id < b.doc_id
        |), pairs AS (
        |  SELECT id_a, id_b,
@@ -290,9 +303,13 @@ object DedupQueries {
          |), bands AS (
          |  ${(0 until 4).map(b =>
               s"SELECT doc_id, $b AS band, (sim >> ${15 * b}) & 32767 AS key FROM sims").mkString("\n  UNION ALL\n  ")}
+         |), bok AS (
+         |  SELECT band, key FROM bands GROUP BY band, key HAVING COUNT(*) <= $MaxBucket
+         |), bkept AS (
+         |  SELECT doc_id, band, key FROM bands JOIN bok USING (band, key)
          |), cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b USING (band, key)
+         |  FROM bkept a JOIN bkept b USING (band, key)
          |  WHERE a.doc_id < b.doc_id
          |)
          |SELECT id_a, id_b, CAST(bit_count(xor(sa.sim, sb.sim)) AS BIGINT) AS hamming
@@ -341,9 +358,13 @@ object DedupQueries {
                 .mkString(" + ")
               s"SELECT vec_id, $b AS band, $key AS key FROM ecorpus"
             }.mkString("\n  UNION ALL\n  ")}
+         |), bok AS (
+         |  SELECT band, key FROM bands GROUP BY band, key HAVING COUNT(*) <= $MaxBucket
+         |), bkept AS (
+         |  SELECT vec_id, band, key FROM bands JOIN bok USING (band, key)
          |), cand AS (
          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM bands a JOIN bands b USING (band, key)
+         |  FROM bkept a JOIN bkept b USING (band, key)
          |  WHERE a.vec_id < b.vec_id
          |)
          |SELECT id_a, id_b,

@@ -139,6 +139,23 @@ object ForgetQueries {
     "ft_dbsize_approx" -> ((s, dir) =>
       ft(s, dir).dbsizeApprox()),
 
+    // Driver-CHECKABLE invariant for the sketch path: |approx - exact|
+    // must sit inside the sketch's error envelope (rsd = 0.01, bounded
+    // below by 1 for tiny cardinalities where HLL++ is exact). The
+    // sketch itself is engine-specific, but this boolean is
+    // deterministic, so the oracle is literal TRUE — a broken sketch
+    // (or a regression in the exact path) flips it and fails the hash
+    // gate, unlike the rows-only check it upgrades.
+    "ft_dbsize_approx_invariant" -> ((s, dir) => {
+      val t = ft(s, dir)
+      t.dbsize.select(col("n_dists").as("exact"))
+        .crossJoin(t.dbsizeApprox().select(col("n_dists").as("approx")))
+        .select(
+          (abs(col("approx") - col("exact")).cast("double") <=
+            greatest(lit(1.0), lit(0.05) * col("exact").cast("double")))
+            .as("within_rsd"))
+    }),
+
     "ft_incr_merge" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val cutoff = "2024-01-15 00:00:00"
@@ -156,6 +173,41 @@ object ForgetQueries {
     "ft_sampled" -> ((s, dir) =>
       ft(s, dir).dist(
         ForgetParams(rate = 0.002, nowEpoch = Now, mode = DecayMode.Sampled))),
+
+    // Driver-CHECKABLE invariants for the seeded-Poisson sampler behind
+    // Sampled decay (upgrading ft_sampled's rows-only check):
+    //   - mean_ok / var_ok: per dist, draws at lambda = 4 seeded from
+    //     the corpus's event ids must have sample mean within
+    //     6*sqrt(lambda/B) of lambda and sample variance within
+    //     6*sqrt((lambda + 2*lambda^2)/B) of lambda (B = rows per dist;
+    //     both are 6-sigma envelopes of the respective estimators).
+    //   - mass_ok: Sampled decay never resurrects mass (0 <= z_sampled
+    //     <= z0) under prune semantics.
+    // The draws are pure functions of (lambda, seed), so every boolean
+    // is deterministic and the oracle is literal TRUE — a broken
+    // sampler or decay path fails the hash gate.
+    "ft_sampled_invariant" -> ((s, dir) => {
+      val lam = 4.0
+      val draws = Tables.events(s, dir).select(
+        col("event_type").as("dist"),
+        graft.functions.PoissonDecayExpr(
+          lit(lam), xxhash64(lit("inv"), col("event_id"))).cast("double").as("k"))
+      val stats = draws.groupBy("dist").agg(
+        count(lit(1)).cast("double").as("b"),
+        avg("k").as("m"),
+        (avg(col("k") * col("k")) - avg("k") * avg("k")).as("v"))
+      val t = ft(s, dir)
+      val zs = t.dist(ForgetParams(rate = 0.002, nowEpoch = Now, mode = DecayMode.Sampled))
+        .groupBy("dist").agg(sum("count").as("z_sampled"))
+      val z0 = t.counts.groupBy("dist").agg(sum("count").as("z0"))
+      stats.join(zs, "dist").join(z0, "dist")
+        .select(col("dist"),
+          (abs(col("m") - lit(lam)) <= lit(6.0) * sqrt(lit(lam) / col("b"))).as("mean_ok"),
+          (abs(col("v") - lit(lam)) <=
+            lit(6.0) * sqrt((lit(lam) + lit(2.0 * lam * lam)) / col("b"))).as("var_ok"),
+          (col("z_sampled") >= 0L && col("z_sampled") <= col("z0")).as("mass_ok"))
+        .orderBy("dist")
+    }),
 
     // Event-time tumbling-window totals per dist (StreamOps): batch form
     // of the windowed aggregation the streaming layer runs with a
@@ -444,6 +496,19 @@ object ForgetQueries {
 
     "ft_dbsize" ->
       "SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_dists FROM events",
+
+    // The invariants are deterministic booleans (seeded sampler; sketch
+    // vs exact), so the oracle is literal TRUE — the hash gate fails
+    // the moment either engine-specific path drifts out of its envelope.
+    "ft_dbsize_approx_invariant" ->
+      "SELECT CAST(TRUE AS BOOLEAN) AS within_rsd",
+
+    "ft_sampled_invariant" ->
+      """SELECT DISTINCT event_type AS dist,
+        |       CAST(TRUE AS BOOLEAN) AS mean_ok,
+        |       CAST(TRUE AS BOOLEAN) AS var_ok,
+        |       CAST(TRUE AS BOOLEAN) AS mass_ok
+        |FROM events ORDER BY dist""".stripMargin,
 
     "ft_alive" ->
       s"""WITH $countsCte, $metaCte,

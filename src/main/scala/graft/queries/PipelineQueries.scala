@@ -44,6 +44,13 @@ object PipelineQueries {
   final val StratifiedSalt = 11
   /** pipe_shuffle: the epoch number IS the shuffle salt. */
   final val ShuffleEpoch = 1
+  /** pipe_pack: shard fan-out, context length, and shard-hash salt.
+    * nShards bounds the packing window's partition size (corpus/nShards
+    * rows) — the knob that keeps the running sum task-sized at scale.
+    */
+  final val PackShards = 32
+  final val PackSeqLen = 2048
+  final val PackSalt = 13
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -111,6 +118,34 @@ object PipelineQueries {
       val pos = graft.functions.Md5Long60Expr(col("doc_id").cast("string"), ShuffleEpoch)
       d.select(col("doc_id"), pos.as("shuffle_pos"))
         .orderBy("shuffle_pos", "doc_id")
+    }),
+
+    // Sequence packing: the concat-and-chunk step that turns a curated
+    // corpus into fixed-length training sequences. Docs are assigned to
+    // hash shards and packed WITHIN each shard in deterministic order —
+    // per-doc token offset is a running sum over the shard, and the
+    // doc's sequence id is its offset divided by the context length.
+    // Shard-local packing is the scale design: the running sum's window
+    // partitions are corpus/nShards rows (raise PackShards with the
+    // corpus — 10^5 shards at 100 TB), where a single global
+    // concatenation order would be one unbounded-partition window — the
+    // exact single-task bottleneck this query's plan avoids.
+    "pipe_pack" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val base = d.select(col("doc_id"),
+        (graft.functions.Md5Long60Expr(col("doc_id").cast("string"), PackSalt)
+          % lit(PackShards.toLong)).as("shard"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      base
+        .withColumn("offset", sum("n_tokens").over(w) - col("n_tokens"))
+        .withColumn("seq_id",
+          floor(col("offset").cast("double") / lit(PackSeqLen.toDouble)).cast("long"))
+        .select("doc_id", "shard", "n_tokens", "offset", "seq_id")
+        .orderBy("doc_id")
     }),
 
     // Referential-integrity audit between the document corpus and its
@@ -226,6 +261,22 @@ object PipelineQueries {
       s"""SELECT doc_id,
          |  CAST(concat('0x', substr(md5(concat('$ShuffleEpoch:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS shuffle_pos
          |FROM documents ORDER BY shuffle_pos, doc_id""".stripMargin,
+
+    "pipe_pack" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(concat('$PackSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % $PackShards AS shard,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), o AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS "offset"
+         |  FROM b
+         |)
+         |SELECT doc_id, shard, n_tokens, "offset",
+         |  CAST(FLOOR(CAST("offset" AS DOUBLE) / $PackSeqLen.0) AS BIGINT) AS seq_id
+         |FROM o ORDER BY doc_id""".stripMargin,
 
     "pipe_integrity" ->
       """SELECT

@@ -124,6 +124,25 @@ object RelationalQueries {
         .orderBy("purchase_id")
     }),
 
+    // The hot-key-safe variant: identical as-of semantics with the sort
+    // partitioned by (key, day-bucket) and per-bucket boundary rows
+    // carried forward — the plan shape that survives one user with 10^8
+    // events. Same oracle as rel_asof_join by construction.
+    "rel_asof_join_bucketed" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"), col("value").as("click_value"))
+      graft.operators.AsofJoin.joinBucketed(purchases, clicks,
+          key = "user_id", leftTs = "p_ts", rightTs = "click_ts",
+          rightOrder = "click_id",
+          rightCols = Seq("click_id", "click_ts", "click_value"),
+          bucketSeconds = 86400L)
+        .orderBy("purchase_id")
+    }),
+
     // Set operators: customers active in BOTH 1995 and 1996 (INTERSECT),
     // minus customers who ever placed a very large order (EXCEPT). Set ops
     // plan as aggregate/join under the hood — distinct semantics shuffle
@@ -139,6 +158,31 @@ object RelationalQueries {
         .orderBy("o_custkey")
     })
   )
+
+  /** As-of oracle: explicit window SQL instead of DuckDB's native ASOF
+    * JOIN, because native ASOF leaves right-side ties (two clicks by one
+    * user at the same click_ts) unspecified while the Spark side
+    * deterministically picks the highest click_id — this form encodes
+    * that exact tie-break, so the gate cannot flap on tied data.
+    */
+  private val asofOracleSql: String =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      |  FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT event_id AS click_id, user_id, ts AS click_ts, value AS click_value
+      |  FROM events WHERE event_type = 'click'
+      |)
+      |SELECT purchase_id, user_id, p_ts, click_id, click_ts, click_value
+      |FROM (
+      |  SELECT p.purchase_id, p.user_id, p.p_ts,
+      |         c.click_id, c.click_ts, c.click_value,
+      |         row_number() OVER (PARTITION BY p.purchase_id
+      |                            ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+      |  FROM p JOIN c
+      |    ON p.user_id = c.user_id AND c.click_ts <= p.p_ts
+      |) WHERE rn = 1
+      |ORDER BY purchase_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -201,19 +245,12 @@ object RelationalQueries {
         |    AND o.o_totalprice > 100000.0 AND o.o_orderstatus = 'O')
         |ORDER BY c.c_custkey""".stripMargin,
 
-    "rel_asof_join" ->
-      """WITH p AS (
-        |  SELECT event_id AS purchase_id, user_id, ts AS p_ts
-        |  FROM events WHERE event_type = 'purchase'
-        |), c AS (
-        |  SELECT event_id AS click_id, user_id, ts AS click_ts, value AS click_value
-        |  FROM events WHERE event_type = 'click'
-        |)
-        |SELECT p.purchase_id, p.user_id, p.p_ts,
-        |       c.click_id, c.click_ts, c.click_value
-        |FROM p ASOF JOIN c
-        |  ON p.user_id = c.user_id AND c.click_ts <= p.p_ts
-        |ORDER BY purchase_id""".stripMargin,
+    "rel_asof_join" -> asofOracleSql,
+
+    // joinBucketed has identical semantics; the same window-SQL oracle
+    // (which encodes the Spark tie-break: latest click_ts, highest
+    // click_id) checks both plan shapes.
+    "rel_asof_join_bucketed" -> asofOracleSql,
 
     "rel_set_ops" ->
       """SELECT o_custkey FROM orders

@@ -147,6 +147,32 @@ object SimilarityQueries {
 
     "sim_ann_lsh_mp" -> ((s, dir) => lshMpRes(s, dir).orderBy("q_id", "rnk")),
 
+    // The PERSISTED index path: build the LSH index on disk (bucketed
+    // parquet under part = pmod(bucket, parts) directories — the
+    // write-side form a 100 TB ANN service stores), then serve the
+    // probe FROM the store, partition-pruned to the probed buckets.
+    // Same results as sim_ann_lsh by construction, so the same oracle
+    // checks the whole save -> load -> probe cycle.
+    "sim_ann_lsh_idx" -> ((s, dir) => {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_lshidx_").toString
+      graft.sources.AnnIndex.saveLsh(vecs(s, dir), LshBits, Dim, idxDir)
+      val q = vecs(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      graft.sources.AnnIndex.probeLsh(s, idxDir, q, K).orderBy("q_id", "rnk")
+    }),
+
+    // Persisted IVF: centroids + cell-partitioned assignment on disk;
+    // probes rank the stored k-row centroid table and read only the
+    // probed cell directories. Oracle-identical to sim_ann_ivf.
+    "sim_ann_ivf_idx" -> ((s, dir) => {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivfidx_").toString
+      graft.sources.AnnIndex.saveIvf(vecs(s, dir), IvfK, IvfSample, IvfIters,
+        Dim, IvfSalt, idxDir)
+      val q = vecs(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      graft.sources.AnnIndex.probeIvf(s, idxDir, q, K, IvfProbe).orderBy("q_id", "rnk")
+    }),
+
     // Symmetric int8 embedding quantization with reconstruction-quality
     // report — the 4x memory/bandwidth knob of a 100 TB vector corpus
     // (store int8 + one scale per vector; dequantize on read). Per
@@ -373,6 +399,15 @@ object SimilarityQueries {
     "sim_ann_lsh" ->
       s"""WITH $vecsCte, $lshCtes
          |SELECT q_id, rnk, c_id, cosine FROM lsh_res ORDER BY q_id, rnk""".stripMargin,
+
+    // identical semantics served from the stored index
+    "sim_ann_lsh_idx" ->
+      s"""WITH $vecsCte, $lshCtes
+         |SELECT q_id, rnk, c_id, cosine FROM lsh_res ORDER BY q_id, rnk""".stripMargin,
+
+    "sim_ann_ivf_idx" ->
+      s"""WITH $vecsCte, $ivfCtes
+         |SELECT q_id, rnk, c_id, cosine FROM ivf_res ORDER BY q_id, rnk""".stripMargin,
 
     "sim_ann_lsh_mp" ->
       s"""WITH $vecsCte, $lshCtes, $lshMpCtes

@@ -91,8 +91,10 @@ object TextQueries {
         .groupBy("doc_id").agg(max("c").as("mx"))
       base.join(mx, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tokens"),
-          ((col("n_tokens") - col("n_distinct")).cast("double") /
-            col("n_tokens").cast("double")).as("dup_token_frac"),
+          when(col("n_tokens") > 0,
+            (col("n_tokens") - col("n_distinct")).cast("double") /
+              col("n_tokens").cast("double"))
+            .otherwise(lit(0.0)).as("dup_token_frac"),
           when(col("n_tokens") >= 2,
             coalesce(col("mx"), lit(0L)).cast("double") /
               (col("n_tokens") - 1).cast("double"))
@@ -260,7 +262,9 @@ object TextQueries {
         |  ) t GROUP BY doc_id
         |)
         |SELECT st.doc_id, st.n AS n_tokens,
-        |       CAST(st.n - st.nd AS DOUBLE) / CAST(st.n AS DOUBLE) AS dup_token_frac,
+        |       CASE WHEN st.n > 0
+        |            THEN CAST(st.n - st.nd AS DOUBLE) / CAST(st.n AS DOUBLE)
+        |            ELSE CAST(0.0 AS DOUBLE) END AS dup_token_frac,
         |       CASE WHEN st.n >= 2
         |            THEN CAST(COALESCE(bgc.mx, 0) AS DOUBLE) / CAST(st.n - 1 AS DOUBLE)
         |            ELSE CAST(0.0 AS DOUBLE) END AS top_bigram_frac

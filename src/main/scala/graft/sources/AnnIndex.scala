@@ -1,0 +1,172 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Persistent ANN / dedup index layout — the write-side half of the
+  * 100 TB similarity design.
+  *
+  * The session-scoped `.persist()` forms in the query layer rebuild
+  * signatures, buckets, and cell assignments from raw text / vectors on
+  * every run; a real 100 TB service stores them once and serves probes
+  * from disk. This is the forget-table [[StateStore]] treatment applied
+  * to the similarity side:
+  *
+  *   - '''LSH''': `(vec_id, v, bucket)` written under
+  *     `part = pmod(bucket, parts)` partition directories. A probe
+  *     computes its (multi-probe) bucket list driver-side — bounded by
+  *     |queries| x (masks), both small by the broadcast-query contract —
+  *     so the scan filter is a literal `isin` after folding and Catalyst
+  *     partition-prunes to the probed directories only; the residual
+  *     `bucket isin` predicate pushes into those files' row groups.
+  *   - '''IVF''': the k-row centroid table plus the `crn = 1` cell
+  *     assignment `(vec_id, cell, v)` partitioned by `cell` (k bounded
+  *     directories). Probes rank the stored centroids (k rows,
+  *     driver-side) and read exactly the probed cells.
+  *   - '''MinHash''': the `(doc_id, sig, keys)` signature table flat —
+  *     candidate generation shuffles on exploded band keys anyway, so
+  *     the win is not recomputing shingles + k hash passes per run.
+  *
+  * Index writes are `Overwrite` — rebuild-in-place; an incremental
+  * upsert follows the [[StateStore.upsertDistributions]] dynamic
+  * partition-overwrite pattern unchanged (bucket/cell is the partition
+  * key).
+  */
+object AnnIndex {
+
+  /** Bounded partition-directory count for the LSH bucket space (2^nBits
+    * buckets fold into this many directories — same bounded-file-count
+    * reasoning as [[StateStore.DefaultBuckets]]).
+    */
+  final val DefaultParts = 64
+
+  // -------------------------------------------------------------- LSH
+
+  /** Build and write an LSH index over `(vec_id, v)` double vectors. */
+  def saveLsh(vecs: DataFrame, nBits: Int, dim: Int, dir: String,
+              parts: Int = DefaultParts): Unit = {
+    val signs = Similarity.signMatrix(nBits, dim)
+    vecs.select(col("vec_id"), col("v"),
+        Similarity.lshBucket(col("v"), signs).as("bucket"))
+      .withColumn("part", pmod(col("bucket"), lit(parts.toLong)))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("part")
+      .parquet(s"$dir/corpus")
+    import vecs.sparkSession.implicits._
+    Seq((nBits, dim, parts)).toDF("n_bits", "dim", "parts")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+  }
+
+  /** The full bucketed corpus (no pruning) — for rebuilds / audits. */
+  def lshCorpus(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/corpus").select("vec_id", "v", "bucket")
+
+  /** Top-`k` cosine neighbors of each query served FROM THE STORED
+    * index: only the partition directories containing the queries'
+    * (multi-probe) buckets are read. `queries` must be broadcast-small
+    * (`q_id`, `q_v`); `masks` = XOR probe masks (identity-only by
+    * default; pass Hamming-1 masks for multi-probe).
+    */
+  def probeLsh(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+               masks: Seq[Long] = Seq(0L)): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val nBits = meta.getAs[Int]("n_bits")
+    val dim = meta.getAs[Int]("dim")
+    val parts = meta.getAs[Int]("parts")
+    val signs = Similarity.signMatrix(nBits, dim)
+    val probes = queries
+      .select(col("q_id"), col("q_v"),
+        explode(array(masks.map(m =>
+          Similarity.lshBucket(col("q_v"), signs).bitwiseXOR(lit(m))): _*)).as("bucket"))
+      .localCheckpoint(true) // probe set is small; computed once
+    // Driver-side literal bucket list (bounded by |queries| * |masks|):
+    // the partition filter folds to literals => directory-level pruning.
+    val buckets = probes.select("bucket").distinct().collect().map(_.getLong(0))
+    val partIds = buckets.map(b => ((b % parts) + parts) % parts).distinct
+    val c = spark.read.parquet(s"$dir/corpus")
+      .filter(col("part").isin(partIds.map(Long.box): _*) &&
+        col("bucket").isin(buckets.map(Long.box): _*))
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"), col("bucket"))
+    val scored = broadcast(probes).join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", Dedup.cosine(col("q_v"), col("c_v")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "c_id", "cosine")
+  }
+
+  // -------------------------------------------------------------- IVF
+
+  /** Build and write an IVF index: fixed-k quantizer centroids + the
+    * nearest-cell assignment partitioned by cell.
+    */
+  def saveIvf(vecs: DataFrame, k: Int, sampleSize: Int, iters: Int,
+              dim: Int, salt: Int, dir: String): Unit = {
+    val cents = Similarity.kmeansCentroids(vecs, k, sampleSize, iters, dim, salt)
+    cents.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("ccos", Dedup.cosine(col("v"), col("cv")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(s"$dir/assign")
+  }
+
+  /** Stored centroids (k rows). */
+  def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/centroids")
+
+  /** Top-`k` cosine neighbors of each query from the stored IVF index,
+    * searching each query's top-`nProbe` cells only: centroid ranking
+    * happens against the k-row stored centroid table, and only the
+    * probed cell partitions are scanned.
+    */
+  def probeIvf(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+               nProbe: Int): DataFrame = {
+    val cents = broadcast(ivfCentroids(spark, dir))
+    val wRank = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cent_id"))
+    val probes = queries.crossJoin(cents)
+      .withColumn("ccos", Dedup.cosine(col("q_v"), col("cv")))
+      .withColumn("crn", row_number().over(wRank))
+      .filter(col("crn") <= nProbe)
+      .select(col("q_id"), col("q_v"), col("cent_id").as("cell"))
+      .localCheckpoint(true)
+    val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
+    val assign = spark.read.parquet(s"$dir/assign")
+      .filter(col("cell").isin(cells.map(Long.box): _*))
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"), col("cell"))
+    val scored = broadcast(probes).join(assign, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", Dedup.cosine(col("q_v"), col("c_v")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "c_id", "cosine")
+  }
+
+  // ---------------------------------------------------------- MinHash
+
+  /** Build and write the MinHash signature table for a `(doc_id, text)`
+    * corpus: `(doc_id, sh, sig, keys)` — the materialized form the
+    * session path persists in memory.
+    */
+  def saveMinhash(corpus: DataFrame, k: Int, bands: Int, rowsPerBand: Int,
+                  dir: String): Unit =
+    corpus
+      .withColumn("sh", Dedup.shingleSet(col("text")))
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), k))
+      .withColumn("keys", Dedup.bandKeys(col("sig"), bands, rowsPerBand))
+      .select("doc_id", "sh", "sig", "keys")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/sigs")
+
+  /** The stored signature table. */
+  def minhashSigs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/sigs")
+}

@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+import graft.sources.AnnIndex
+
+/** The persisted ANN index: a probe served FROM the stored layout must
+  * return exactly what the session-computed path returns, while reading
+  * only the probed partition directories.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.sources.GraftSession.local()
+
+  private val Dim = 64
+  private val NBits = 6
+  private val K = 5
+
+  /** n deterministic 64-dim vectors (values in [-1, 1)). */
+  private def synthVecs(n: Int): DataFrame =
+    spark.range(n.toLong).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(Dim)),
+        j => (pmod(col("id") * lit(31) + j * lit(17), lit(100)) - lit(50)).cast("double") / lit(50.0)
+      ).as("v"))
+
+  private def queriesOf(vecs: DataFrame): DataFrame =
+    vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+
+  /** Session-computed reference: bucket both sides in memory, join, rank. */
+  private def sessionLsh(vecs: DataFrame, masks: Seq[Long]): Set[(Long, Long, Long)] = {
+    val signs = Similarity.signMatrix(NBits, Dim)
+    val bucketed = vecs.withColumn("bucket", Similarity.lshBucket(col("v"), signs))
+    val q = queriesOf(vecs)
+      .withColumn("bucket", Similarity.lshBucket(col("q_v"), signs))
+      .select(col("q_id"), col("q_v"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val scored = q.join(
+        bucketed.select(col("vec_id").as("c_id"), col("v").as("c_v"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", Dedup.cosine(col("q_v"), col("c_v")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= K).select("q_id", "rnk", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("LSH: stored-index probe == session-computed result (identity probe)") {
+    val vecs = synthVecs(400)
+    val dir = Files.createTempDirectory("graft_annidx_").toString
+    AnnIndex.saveLsh(vecs, NBits, Dim, dir)
+    val got = AnnIndex.probeLsh(spark, dir, queriesOf(vecs), K)
+      .select("q_id", "rnk", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == sessionLsh(vecs, Seq(0L)))
+    assert(got.nonEmpty)
+  }
+
+  test("LSH: multi-probe masks widen the candidate set identically") {
+    val vecs = synthVecs(400)
+    val dir = Files.createTempDirectory("graft_annidx_").toString
+    AnnIndex.saveLsh(vecs, NBits, Dim, dir)
+    val masks = 0L +: (0 until NBits).map(i => 1L << i)
+    val got = AnnIndex.probeLsh(spark, dir, queriesOf(vecs), K, masks)
+      .select("q_id", "rnk", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == sessionLsh(vecs, masks))
+  }
+
+  test("LSH: probe scan is partition-pruned to the probed buckets") {
+    val vecs = synthVecs(400)
+    val dir = Files.createTempDirectory("graft_annidx_").toString
+    AnnIndex.saveLsh(vecs, NBits, Dim, dir)
+    val s = AnnIndex.probeLsh(spark, dir, queriesOf(vecs), K)
+      .queryExecution.executedPlan.toString
+    assert(s.contains("PartitionFilters: [part"), s.take(4000))
+  }
+
+  test("IVF: stored-index probe == the session quantizer path") {
+    val vecs = synthVecs(500)
+    val dir = Files.createTempDirectory("graft_ivfidx_").toString
+    AnnIndex.saveIvf(vecs, k = 8, sampleSize = 128, iters = 2, dim = Dim,
+      salt = 7, dir = dir)
+    // session path: same quantizer, same assignment, same probe ranking
+    val cents = broadcast(Similarity.kmeansCentroids(vecs, 8, 128, 2, Dim, 7))
+    val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    val ranked = vecs.crossJoin(cents)
+      .withColumn("ccos", Dedup.cosine(col("v"), col("cv")))
+      .withColumn("crn", row_number().over(wA))
+    val assign = ranked.filter(col("crn") === 1)
+      .select(col("vec_id").as("c_id"), col("cent_id").as("cell"), col("v").as("c_v"))
+    val probes = ranked.filter(col("vec_id") < 3 && col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("cell"), col("v").as("q_v"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+    val want = probes.join(assign, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", Dedup.cosine(col("q_v"), col("c_v")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= K).select("q_id", "rnk", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = AnnIndex.probeIvf(spark, dir, queriesOf(vecs), K, nProbe = 2)
+      .select("q_id", "rnk", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("MinHash: stored signatures reproduce the session candidate pairs") {
+    import spark.implicits._
+    val docs = (0L until 60L).map { i =>
+      val base = s"alpha beta gamma delta epsilon zeta eta theta iota kappa doc$i"
+      (i, if (i % 3 == 0) base.stripSuffix(s" doc$i") + " doc_shared" else base)
+    }.toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_mhidx_").toString
+    AnnIndex.saveMinhash(docs, k = 16, bands = 4, rowsPerBand = 4, dir = dir)
+    val stored = AnnIndex.minhashSigs(spark, dir)
+    val session = docs
+      .withColumn("sh", Dedup.shingleSet(col("text")))
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), 16))
+      .withColumn("keys", Dedup.bandKeys(col("sig"), 4, 4))
+    def pairsOf(df: DataFrame) =
+      Dedup.candidatePairs(df, "doc_id", "keys", 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOf(stored) == pairsOf(session))
+    assert(pairsOf(stored).nonEmpty)
+  }
+}

@@ -100,6 +100,65 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("null fields on the matched right row are NOT spliced from older rows") {
+    import spark.implicits._
+    // r21 (the latest match) has a null r_v; the old carry-per-column
+    // form would splice r20's 1.0 into the output — whole-row struct
+    // carry must yield (r21, null).
+    val left = Seq((1L, 1L, ts(50))).toDF("p_id", "k", "p_ts")
+    val right = Seq(
+      (20L, 1L, ts(10), Some(1.0)),
+      (21L, 1L, ts(40), Option.empty[Double])
+    ).toDF("r_id", "k", "r_ts", "r_v")
+    val got = AsofJoin.join(left, right, key = "k",
+        leftTs = "p_ts", rightTs = "r_ts", rightOrder = "r_id",
+        rightCols = Seq("r_id", "r_v"))
+      .select("p_id", "r_id", "r_v").collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 21L)
+    assert(got(0).isNullAt(2), "null field must come from the matched row, not an older one")
+  }
+
+  test("joinBucketed == join on the synthetic load at several bucket widths") {
+    import spark.implicits._
+    val leftRows = (0 until 800).map { i =>
+      (i.toLong, (i * 7 % 40).toLong, ts((i * 13) % 97))
+    }
+    val rightRows = (0 until 1200).map { j =>
+      (j.toLong, (j * 11 % 40).toLong, ts((j * 17) % 97), j * 0.5)
+    }
+    val left = leftRows.toDF("p_id", "k", "p_ts")
+    val right = rightRows.toDF("r_id", "k", "r_ts", "r_v")
+    val want = AsofJoin.join(left, right, key = "k",
+        leftTs = "p_ts", rightTs = "r_ts", rightOrder = "r_id",
+        rightCols = Seq("r_id", "r_v"))
+      .select("p_id", "r_id", "r_v").as[(Long, Long, Double)].collect().toSet
+    for (width <- Seq(1L, 7L, 30L, 1000L)) {
+      val got = AsofJoin.joinBucketed(left, right, key = "k",
+          leftTs = "p_ts", rightTs = "r_ts", rightOrder = "r_id",
+          rightCols = Seq("r_id", "r_v"), bucketSeconds = width)
+        .select("p_id", "r_id", "r_v").as[(Long, Long, Double)].collect().toSet
+      assert(got == want, s"bucketSeconds=$width")
+    }
+  }
+
+  test("joinBucketed outer: parity on no-match rows; single hot key stays correct") {
+    import spark.implicits._
+    // ALL rows on one key — the skew shape joinBucketed exists for.
+    val left = (0 until 500).map(i => (i.toLong, 1L, ts(i))).toDF("p_id", "k", "p_ts")
+    val right = (0 until 300).map(j => (j.toLong, 1L, ts(j * 2 + 1), j * 1.0))
+      .toDF("r_id", "k", "r_ts", "r_v")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("p_id", "r_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val want = norm(AsofJoin.join(left, right, "k", "p_ts", "r_ts", "r_id",
+      Seq("r_id", "r_v"), inner = false))
+    val got = norm(AsofJoin.joinBucketed(left, right, "k", "p_ts", "r_ts", "r_id",
+      Seq("r_id", "r_v"), bucketSeconds = 60L, inner = false))
+    assert(got == want)
+    assert(got.exists(_._2 == -1L), "expected at least one no-match left row")
+  }
+
   test("plan: single window pass, no cartesian/nested-loop fallback") {
     val (left, right) = frames
     val plan = AsofJoin.join(left, right, key = "k",
