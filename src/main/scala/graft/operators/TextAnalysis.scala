@@ -31,6 +31,24 @@ object TextAnalysis {
   def alphaTokenCount(text: Column): Column =
     size(filter(tokens(text), t => t.rlike("^[a-z]+$")))
 
+  /** GPT-2-style pre-tokenizer shape, restricted to the regex subset
+    * java.util.regex and RE2 (DuckDB) evaluate identically — character
+    * classes and alternation only, no lookaround: a piece is an optional
+    * leading space glued to a letter run, a digit run, or a punctuation
+    * run. Piece count is the standard proxy for "how many subword tokens
+    * will a BPE tokenizer emit" when the real merges table isn't in the
+    * pipeline; pieces-per-word (fertility) and chars-per-piece are the
+    * two curation signals derived from it.
+    */
+  final val BpePieceRe = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** BPE-ish pieces (group-0 matches of [[BpePieceRe]], left to right,
+    * non-overlapping). Codegen'd `RegExpExtractAll` — row-local, no
+    * shuffle, the same scan shape as the other text kernels.
+    */
+  def bpePieces(text: Column): Column =
+    regexp_extract_all(text, lit(BpePieceRe), lit(0))
+
   /** PII patterns, shared between the Spark side and the DuckDB oracle.
     * Restricted to the regex subset both engines (java.util.regex, RE2)
     * evaluate identically — character classes, bounded repeats, word

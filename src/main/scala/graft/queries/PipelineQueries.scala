@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, TextAnalysis}
@@ -35,6 +36,16 @@ object PipelineQueries {
   final val DecontamMaxDf = 50
   /** Salt for the 8-byte shingle fingerprints the decontam join runs on. */
   final val DecontamSalt = 9
+  /** pipe_decontam_bloom filter sizing: ~8 bits per expected test-side
+    * fingerprint => ~2% false-positive rate on the prefilter (harmless —
+    * the exact join removes them). 128 KiB broadcast at these settings;
+    * a 10^6-fingerprint eval set at 10 bits/item is still ~1.2 MiB.
+    */
+  final val BloomItems = 1L << 17
+  final val BloomBits = 1L << 20
+  /** sample_reservoir: exact per-language cap and its hash salt. */
+  final val ReservoirN = 20
+  final val ReservoirSalt = 17
   /** sample_stratified: per-language keep rates in percent. English
     * dominates the corpus ~2x, so it downsamples to rebalance; a rate
     * table in a real pipeline would come from [[PipelineQueries]]'
@@ -51,6 +62,42 @@ object PipelineQueries {
   final val PackShards = 32
   final val PackSeqLen = 2048
   final val PackSalt = 13
+
+  /** Shared decontam plumbing: rare-shingle fingerprints per doc, split
+    * into (train_doc, fp) and (test_doc, fp) sides. Scale shape mirrors
+    * dedup_ngram: row-local shingle sets, one explode, doc-frequency
+    * prune BEFORE any train x test join (df > DecontamMaxDf shingles are
+    * boilerplate, not leakage — and they're the hot keys), and joins run
+    * on 8-byte md5-derived fingerprints, not shingle strings.
+    */
+  private def decontamSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = Tables.documents(s, dir)
+    val bucket = graft.functions.Md5Long60Expr(col("doc_id").cast("string"), SplitSalt) % lit(100L)
+    val ex = d.select(col("doc_id"), bucket.as("bucket"),
+        explode(Dedup.shingleSet(col("text"))).as("sh"))
+      .withColumn("fp", Dedup.md5Long(col("sh"), DecontamSalt))
+      .select("doc_id", "bucket", "fp")
+    // shingle sets are distinct per doc, so plain count == doc freq
+    val rareFps = ex.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= lit(DecontamMaxDf))
+      .select("fp")
+    val rare = ex.join(rareFps, "fp")
+    val train = rare.filter(col("bucket") < TrainPct)
+      .select(col("doc_id").as("train_doc"), col("fp"))
+    val test = rare.filter(col("bucket") >= TrainPct + ValPct)
+      .select(col("doc_id").as("test_doc"), col("fp"))
+    (train, test)
+  }
+
+  /** Per contaminated train doc: distinct rare shingles shared with the
+    * test split and how many test docs those hits touch.
+    */
+  private def decontamReport(joined: DataFrame): DataFrame =
+    joined.groupBy("train_doc")
+      .agg(
+        countDistinct("fp").as("n_shared_shingles"),
+        countDistinct("test_doc").as("n_test_docs"))
+      .orderBy("train_doc")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -104,6 +151,26 @@ object PipelineQueries {
         .filter(col("bucket") < rate)
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    }),
+
+    // Deterministic per-group reservoir: EXACTLY min(ReservoirN, |group|)
+    // docs per language, chosen by salted-hash order — the "give me a
+    // fixed-size uniform sample of every stratum" primitive (eval-set
+    // carving, per-domain inspection samples) that sample_stratified's
+    // rate-based filter can't express. Spark-first shape: the rank
+    // filter compiles to WindowGroupLimit, so each map task keeps only
+    // its local top-N per language before the shuffle — the shuffled
+    // volume is bounded by N x strata x tasks, not the corpus, and the
+    // hash order makes the pick deterministic under any partitioning.
+    "sample_reservoir" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val h = graft.functions.Md5Long60Expr(col("doc_id").cast("string"), ReservoirSalt)
+      val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      d.select(col("doc_id"), col("lang"), h.as("h"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= ReservoirN)
+        .select("lang", "rnk", "doc_id")
+        .orderBy("lang", "rnk")
     }),
 
     // Deterministic epoch shuffle: a stable pseudo-random global order
@@ -178,27 +245,29 @@ object PipelineQueries {
     // shingles it shares with the test split and how many test docs
     // those hits touch.
     "pipe_decontam" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val bucket = graft.functions.Md5Long60Expr(col("doc_id").cast("string"), SplitSalt) % lit(100L)
-      val ex = d.select(col("doc_id"), bucket.as("bucket"),
-          explode(Dedup.shingleSet(col("text"))).as("sh"))
-        .withColumn("fp", Dedup.md5Long(col("sh"), DecontamSalt))
-        .select("doc_id", "bucket", "fp")
-      // shingle sets are distinct per doc, so plain count == doc freq
-      val rareFps = ex.groupBy("fp").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= lit(DecontamMaxDf))
-        .select("fp")
-      val rare = ex.join(rareFps, "fp")
-      val train = rare.filter(col("bucket") < TrainPct)
-        .select(col("doc_id").as("train_doc"), col("fp"))
-      val test = rare.filter(col("bucket") >= TrainPct + ValPct)
-        .select(col("doc_id").as("test_doc"), col("fp"))
-      train.join(test, "fp")
-        .groupBy("train_doc")
-        .agg(
-          countDistinct("fp").as("n_shared_shingles"),
-          countDistinct("test_doc").as("n_test_docs"))
-        .orderBy("train_doc")
+      val (train, test) = decontamSides(s, dir)
+      decontamReport(train.join(test, "fp"))
+    }),
+
+    // Decontamination with a BLOOM-PREFILTERED probe side — identical
+    // result to pipe_decontam (the exact fp join still runs and kills
+    // every bloom false positive; same oracle SQL checks both), but the
+    // train side is cut down BEFORE the shuffle join: the test split's
+    // fingerprints aggregate into one bloom filter (partial aggregation
+    // merges filters executor-side — the driver and broadcast see
+    // BloomBits/8 bytes, not the fp list), and train rows that cannot
+    // match are dropped at the scan. This is Spark's own runtime
+    // row-level filtering shape made explicit. At 100 TB the asymmetry
+    // is extreme — the train split is the corpus, the test split is an
+    // eval set — so the shuffled volume drops from "every rare train
+    // shingle" to "true leaks + the fp-rate sliver".
+    "pipe_decontam_bloom" -> ((s, dir) => {
+      val (train, test) = decontamSides(s, dir)
+      val bloom = test.agg(
+        graft.functions.SketchExprs.bloomFilterAgg(col("fp"), BloomItems, BloomBits).as("bf"))
+      val pre = train.filter(
+        graft.functions.SketchExprs.mightContain(bloom, col("fp")))
+      decontamReport(pre.join(test, "fp"))
     }),
 
     "pipe_curate" -> ((s, dir) => {
@@ -226,6 +295,41 @@ object PipelineQueries {
     val list = words.map(w => s"'$w'").mkString(", ")
     s"len(list_filter(toks, t -> t IN ($list))) AS h_$lang"
   }.mkString(",\n  ")
+
+  /** Shared by pipe_decontam and pipe_decontam_bloom: the bloom variant
+    * is a prefilter + the same exact join, so one oracle checks both.
+    */
+  private val decontamSql: String = {
+    val bucketSql =
+      s"CAST(concat('0x', substr(md5(concat('$SplitSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100"
+    s"""WITH tok AS (
+       |  SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
+       |  FROM documents
+       |), shs AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(toks) < 3 THEN [text]
+       |         ELSE list_transform(generate_series(1, len(toks) - 2),
+       |                i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+       |    END) AS sh
+       |  FROM tok
+       |), ex AS (
+       |  SELECT doc_id, $bucketSql AS bucket,
+       |         CAST(concat('0x', substr(md5(concat('$DecontamSalt:', s.sh1)), 1, 15)) AS BIGINT) AS fp
+       |  FROM shs, UNNEST(shs.sh) AS s(sh1)
+       |), rare AS (
+       |  SELECT ex.* FROM ex
+       |  JOIN (SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) <= $DecontamMaxDf) r USING (fp)
+       |), tr AS (
+       |  SELECT doc_id AS train_doc, fp FROM rare WHERE bucket < $TrainPct
+       |), te AS (
+       |  SELECT doc_id AS test_doc, fp FROM rare WHERE bucket >= ${TrainPct + ValPct}
+       |)
+       |SELECT tr.train_doc,
+       |       CAST(COUNT(DISTINCT tr.fp) AS BIGINT) AS n_shared_shingles,
+       |       CAST(COUNT(DISTINCT te.test_doc) AS BIGINT) AS n_test_docs
+       |FROM tr JOIN te USING (fp)
+       |GROUP BY tr.train_doc ORDER BY train_doc""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -285,36 +389,19 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_vecs_orphaned
         |FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,
 
-    "pipe_decontam" -> {
-      val bucketSql =
-        s"CAST(concat('0x', substr(md5(concat('$SplitSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100"
-      s"""WITH tok AS (
-         |  SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
+    "pipe_decontam" -> decontamSql,
+
+    // bloom prefilter + exact join == exact join: same oracle by design
+    "pipe_decontam_bloom" -> decontamSql,
+
+    "sample_reservoir" -> {
+      val hashSql =
+        s"CAST(concat('0x', substr(md5(concat('$ReservoirSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+      s"""SELECT lang, rnk, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY $hashSql, doc_id) AS BIGINT) AS rnk
          |  FROM documents
-         |), shs AS (
-         |  SELECT doc_id,
-         |    list_distinct(CASE WHEN len(toks) < 3 THEN [text]
-         |         ELSE list_transform(generate_series(1, len(toks) - 2),
-         |                i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
-         |    END) AS sh
-         |  FROM tok
-         |), ex AS (
-         |  SELECT doc_id, $bucketSql AS bucket,
-         |         CAST(concat('0x', substr(md5(concat('$DecontamSalt:', s.sh1)), 1, 15)) AS BIGINT) AS fp
-         |  FROM shs, UNNEST(shs.sh) AS s(sh1)
-         |), rare AS (
-         |  SELECT ex.* FROM ex
-         |  JOIN (SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) <= $DecontamMaxDf) r USING (fp)
-         |), tr AS (
-         |  SELECT doc_id AS train_doc, fp FROM rare WHERE bucket < $TrainPct
-         |), te AS (
-         |  SELECT doc_id AS test_doc, fp FROM rare WHERE bucket >= ${TrainPct + ValPct}
-         |)
-         |SELECT tr.train_doc,
-         |       CAST(COUNT(DISTINCT tr.fp) AS BIGINT) AS n_shared_shingles,
-         |       CAST(COUNT(DISTINCT te.test_doc) AS BIGINT) AS n_test_docs
-         |FROM tr JOIN te USING (fp)
-         |GROUP BY tr.train_doc ORDER BY train_doc""".stripMargin
+         |) t WHERE rnk <= $ReservoirN ORDER BY lang, rnk""".stripMargin
     },
 
     "pipe_curate" ->

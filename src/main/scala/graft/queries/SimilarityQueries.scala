@@ -17,6 +17,8 @@ import graft.sources.Tables
 object SimilarityQueries {
 
   final val K = 10
+  /** sim_knn_graph: neighbors kept per corpus vector. */
+  final val KnnK = 5
   /** Default LSH signature width. A PARAMETER of the lsh builders (more
     * bits = smaller buckets = faster + lower recall) — this is only the
     * default the driver queries run at.
@@ -146,6 +148,35 @@ object SimilarityQueries {
     "sim_ann_lsh" -> ((s, dir) => lshRes(s, dir).orderBy("q_id", "rnk")),
 
     "sim_ann_lsh_mp" -> ((s, dir) => lshMpRes(s, dir).orderBy("q_id", "rnk")),
+
+    // k-NN GRAPH build: every corpus vector's top-KnnK neighbors — the
+    // substrate of semantic clustering / SemDeDup-style curation and
+    // HNSW-ish index construction, where the query set IS the corpus so
+    // nothing is broadcast-sized. Shape: corpus keeps one LSH bucket per
+    // vector; the probe side (also the corpus) fans out to its Hamming-1
+    // bucket neighborhood (masks distinct => each candidate scored at
+    // most once per source); the bucket equi-join shuffles both sides by
+    // bucket (~N(nBits+1) probe rows — linear, never all-pairs), and the
+    // per-source top-K compiles to WindowGroupLimit (partial top-K before
+    // the rank shuffle). Hot buckets are bounded by the same argument as
+    // banded dedup: random-hyperplane buckets are balanced in expectation
+    // and [[graft.operators.Dedup.candidatePairs]]'s cap is the recourse
+    // for pathological mass at one signature.
+    "sim_knn_graph" -> ((s, dir) => {
+      val all = vecs(s, dir).withColumn("bucket",
+        Similarity.lshBucket(col("v"), signs(LshBits)))
+      val probes = all.select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        explode(array(mpMasks(LshBits).map(m =>
+          col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+      val c = all.select(col("vec_id").as("c_id"), col("v").as("c_v"), col("bucket"))
+      val scored = probes.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine", Dedup.cosine(col("q_v"), col("c_v")))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= KnnK)
+        .select("q_id", "rnk", "c_id", "cosine")
+        .orderBy("q_id", "rnk")
+    }),
 
     // The PERSISTED index path: build the LSH index on disk (bucketed
     // parquet under part = pmod(bucket, parts) directories — the
@@ -412,6 +443,25 @@ object SimilarityQueries {
     "sim_ann_lsh_mp" ->
       s"""WITH $vecsCte, $lshCtes, $lshMpCtes
          |SELECT q_id, rnk, c_id, cosine FROM lsh_mp_res ORDER BY q_id, rnk""".stripMargin,
+
+    // every corpus vector as query, same multi-probe buckets, top-KnnK
+    "sim_knn_graph" -> {
+      val maskList = mpMasks(LshBits).map(m => s"CAST($m AS BIGINT)").mkString("[", ", ", "]")
+      s"""WITH $vecsCte, $lshCtes, knn_probes AS (
+         |  SELECT vec_id AS q_id, v AS q_v, xor(bucket, m.mask) AS bucket
+         |  FROM bucketed CROSS JOIN (SELECT UNNEST($maskList) AS mask) m
+         |), knn_scored AS (
+         |  SELECT q.q_id, c.vec_id AS c_id,
+         |         ${cosineSql("q.q_v", "c.v")} AS cosine
+         |  FROM knn_probes q JOIN bucketed c USING (bucket)
+         |  WHERE q.q_id != c.vec_id
+         |)
+         |SELECT q_id, rnk, c_id, cosine FROM (
+         |  SELECT q_id, c_id, cosine,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
+         |  FROM knn_scored
+         |) t WHERE rnk <= $KnnK ORDER BY q_id, rnk""".stripMargin
+    },
 
     "embed_quant" ->
       s"""WITH $vecsCte, sc AS (

@@ -39,6 +39,30 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Token counting under a BPE-ish pre-tokenizer (the training-cost
+    // estimator): piece counts, piece vocabulary size per doc, and the
+    // two derived curation signals — chars-per-piece (compression) and
+    // pieces-per-whitespace-word (fertility; high fertility flags text a
+    // subword tokenizer will fragment expensively). Row-local codegen
+    // regex scan, linear, no shuffle except the output sort.
+    "text_tokens" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val base = d.select(col("doc_id"),
+        bpePieces(col("text")).as("p"),
+        tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      base.select(col("doc_id"), col("n_ws_tokens"),
+          size(col("p")).cast("long").as("n_bpe_tokens"),
+          size(array_distinct(col("p"))).cast("long").as("n_bpe_distinct"),
+          when(size(col("p")) > 0,
+            col("n_chars").cast("double") / size(col("p")).cast("double"))
+            .otherwise(lit(0.0)).as("chars_per_token"),
+          when(col("n_ws_tokens") > 0,
+            size(col("p")).cast("double") / col("n_ws_tokens").cast("double"))
+            .otherwise(lit(0.0)).as("fertility"))
+        .orderBy("doc_id")
+    }),
+
     "text_quality" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       d.select(
@@ -172,6 +196,25 @@ object TextQueries {
         |  CAST(list_aggregate(list_transform(toks, t -> CAST(length(t) AS BIGINT)), 'sum') AS DOUBLE)
         |    / CAST(len(toks) AS DOUBLE) AS mean_token_len
         |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    regexp_extract_all(text, '$BpePieceRe') AS p,
+         |    len(list_filter(string_split(text, ' '), x -> x != '')) AS n_ws
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(n_ws AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(p) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(len(list_distinct(p)) AS BIGINT) AS n_bpe_distinct,
+         |  CASE WHEN len(p) > 0
+         |       THEN CAST(length(text) AS DOUBLE) / CAST(len(p) AS DOUBLE)
+         |       ELSE 0.0 END AS chars_per_token,
+         |  CASE WHEN n_ws > 0
+         |       THEN CAST(len(p) AS DOUBLE) / CAST(n_ws AS DOUBLE)
+         |       ELSE 0.0 END AS fertility
+         |FROM t ORDER BY doc_id""".stripMargin,
 
     "text_quality" -> {
       val en = LangProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the round-7 surface additions: exact per-group reservoir
+  * caps, BPE-ish piece extraction edge cases, and k-NN-graph shape.
+  */
+class PipelineSurfaceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.sources.GraftSession.local()
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sample_reservoir: every stratum capped at ReservoirN with contiguous ranks") {
+    val res = graft.queries.PipelineQueries.queries("sample_reservoir")(spark, dir)
+    val perLang = res.groupBy("lang")
+      .agg(count(lit(1)).as("n"), max("rnk").as("mx"), min("rnk").as("mn"))
+      .collect()
+    assert(perLang.nonEmpty)
+    perLang.foreach { r =>
+      val (n, mx, mn) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n <= graft.queries.PipelineQueries.ReservoirN)
+      assert(mn == 1L && mx == n, s"ranks not contiguous for ${r.getString(0)}")
+    }
+  }
+
+  test("sample_reservoir: deterministic across runs") {
+    val q = graft.queries.PipelineQueries.queries("sample_reservoir")
+    val a = q(spark, dir).collect().map(_.toSeq).toSeq
+    val b = q(spark, dir).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("bpePieces: splits letter/digit/punct runs and keeps the leading space glued") {
+    import spark.implicits._
+    val rows = Seq("", "hello world", "ab12cd!", "a  b").toDF("text")
+      .select(graft.operators.TextAnalysis.bpePieces(col("text")).as("p"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(rows(0) == Nil)
+    assert(rows(1) == List("hello", " world"))
+    assert(rows(2) == List("ab", "12", "cd", "!"))
+    // double space: second space has no run to glue to and is unmatched
+    assert(rows(3) == List("a", " b"))
+  }
+
+  test("text_tokens: zero-guards hold on empty text (no nulls reach the driver compare)") {
+    import spark.implicits._
+    // run the same expression tree the query uses, on edge-case docs
+    val d = Seq((1L, ""), (2L, "   "), (3L, "one two")).toDF("doc_id", "text")
+    val base = d.select(col("doc_id"),
+      graft.operators.TextAnalysis.bpePieces(col("text")).as("p"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+    val out = base.select(col("doc_id"),
+        when(size(col("p")) > 0,
+          col("n_chars").cast("double") / size(col("p")).cast("double"))
+          .otherwise(lit(0.0)).as("chars_per_token"),
+        when(col("n_ws_tokens") > 0,
+          size(col("p")).cast("double") / col("n_ws_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("fertility"))
+      .collect()
+    assert(out.forall(r => !r.anyNull))
+  }
+
+  test("sim_knn_graph: no self-edges, at most KnnK neighbors, ranks contiguous") {
+    val g = graft.queries.SimilarityQueries.queries("sim_knn_graph")(spark, dir)
+    val rows = g.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)), "self-edge found")
+    val perQ = rows.groupBy(_.getLong(0))
+    perQ.foreach { case (q, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted.toList
+      assert(ranks.size <= graft.queries.SimilarityQueries.KnnK)
+      assert(ranks == (1L to ranks.size).toList, s"ranks not contiguous for q=$q")
+    }
+  }
+}
