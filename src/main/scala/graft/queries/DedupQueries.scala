@@ -34,6 +34,17 @@ object DedupQueries {
   /** dedup_embedding blocking: 4 bands x 16 sign bits over the 64 dims. */
   final val EmbBands = 4
   final val EmbBitsPerBand = 16
+  /** dedup_semantic: keep-one-per-cluster threshold and the planted
+    * perturbation. eps=0.05 on every-7th dim of a unit vector lands
+    * planted near-dups at cosine ~0.988 (vs ~0.49 max between unrelated
+    * corpus vectors) — above the 0.98 threshold with margin on both
+    * sides; the two differently-perturbed variants of one base sit at
+    * ~0.976, BELOW threshold, so their cluster only forms transitively
+    * through the base vector — exercising the component closure, not
+    * just pairwise capture.
+    */
+  final val SemCosine = 0.98
+  final val SemEps = 0.05
 
   /** documents + exact dups + near dups (leading 2 tokens dropped). */
   def corpus(s: SparkSession, dir: String): DataFrame = {
@@ -177,6 +188,42 @@ object DedupQueries {
         .filter(col("jaccard") >= JaccardThreshold)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
+    }),
+
+    // SEMANTIC dedup (SemDeDup-shaped): embedding near-dup pairs above
+    // a cosine threshold -> connected components -> keep one doc per
+    // semantic cluster. The synthetic corpus plants exact copies (30%,
+    // +10M) and TWO differently-perturbed near copies of 10% of vectors
+    // (+20M / +30M, eps on disjoint dim subsets) whose mutual cosine is
+    // below threshold — the 3-member cluster exists only through the
+    // transitive closure. Scale shape: sign-band blocking with the
+    // hot-bucket cap (never all-pairs), codegen cosine verify, and the
+    // BSP min-label propagation of dedup_clusters — every stage already
+    // individually oracle-checked; this compounds them into the curation
+    // decision ("which embeddings survive semantic dedup").
+    "dedup_semantic" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), Dedup.toDoubleVec(col("embedding")).as("v"))
+      def near(shift: Long, rem: Int) = e.filter(col("vec_id") % 10 === 3)
+        .select((col("vec_id") + shift).as("vec_id"),
+          transform(col("v"), (x, i) =>
+            x + when(i % 7 === rem, lit(SemEps)).otherwise(lit(0.0))).as("v"))
+      val exact = e.filter(col("vec_id") % 10 < 3)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("v"))
+      val c = e.unionByName(exact)
+        .unionByName(near(20000000L, 0)).unionByName(near(30000000L, 1))
+        .withColumn("keys", Dedup.signBandKeys(col("v"), EmbBands, EmbBitsPerBand))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val pairs = Dedup.candidatePairs(c, "vec_id", "keys", MaxBucket)
+        .join(c.select(col("vec_id").as("id_a"), col("v").as("v_a")), "id_a")
+        .join(c.select(col("vec_id").as("id_b"), col("v").as("v_b")), "id_b")
+        .withColumn("cosine", Dedup.cosine(col("v_a"), col("v_b")))
+        .filter(col("cosine") >= SemCosine)
+        .select("id_a", "id_b")
+      val cc = Dedup.connectedComponents(c.select(col("vec_id").as("id")), pairs)
+      cc.select(col("id").as("vec_id"), col("label").as("cluster_id"),
+          when(col("id") === col("label"), 1L).otherwise(0L).as("keeper"))
+        .orderBy("vec_id")
     }),
 
     // Embedding near-dup: banded sign-key blocking (EmbBands bands of
@@ -344,6 +391,60 @@ object DedupQueries {
          |JOIN sizes sb ON sb.doc_id = id_b
          |WHERE CAST(inter AS DOUBLE) / (CAST(sa.sz + sb.sz AS DOUBLE) - CAST(inter AS DOUBLE)) >= $JaccardThreshold
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_semantic" -> {
+      def cosSql(a: String, b: String) =
+        s"""list_aggregate(list_transform(list_zip($a, $b), s -> s[1] * s[2]), 'sum')
+           |    / (sqrt(list_aggregate(list_transform(list_zip($a, $a), s -> s[1] * s[2]), 'sum'))
+           |       * sqrt(list_aggregate(list_transform(list_zip($b, $b), s -> s[1] * s[2]), 'sum')))""".stripMargin
+      s"""WITH RECURSIVE scorpus AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id % 10 < 3
+         |  UNION ALL
+         |  SELECT vec_id + 20000000,
+         |    list_transform(generate_series(1, len(v)), i -> v[i] + CASE WHEN (i-1) % 7 = 0 THEN $SemEps ELSE 0.0 END)
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 10 = 3) p0
+         |  UNION ALL
+         |  SELECT vec_id + 30000000,
+         |    list_transform(generate_series(1, len(v)), i -> v[i] + CASE WHEN (i-1) % 7 = 1 THEN $SemEps ELSE 0.0 END)
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 10 = 3) p1
+         |), bands AS (
+         |  ${(0 until EmbBands).map { b =>
+              val key = (0 until EmbBitsPerBand).map(i =>
+                s"(CASE WHEN v[${b * EmbBitsPerBand + i + 1}] >= 0.0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+                .mkString(" + ")
+              s"SELECT vec_id, $b AS band, $key AS key FROM scorpus"
+            }.mkString("\n  UNION ALL\n  ")}
+         |), bok AS (
+         |  SELECT band, key FROM bands GROUP BY band, key HAVING COUNT(*) <= $MaxBucket
+         |), bkept AS (
+         |  SELECT vec_id, band, key FROM bands JOIN bok USING (band, key)
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bkept a JOIN bkept b USING (band, key)
+         |  WHERE a.vec_id < b.vec_id
+         |), spairs AS (
+         |  SELECT id_a, id_b FROM cand
+         |  JOIN scorpus va ON va.vec_id = id_a
+         |  JOIN scorpus vb ON vb.vec_id = id_b
+         |  WHERE ${cosSql("va.v", "vb.v")} >= $SemCosine
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM spairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM spairs
+         |), reach AS (
+         |  SELECT vec_id AS id, vec_id AS r FROM scorpus
+         |  UNION
+         |  SELECT e.dst AS id, r.r FROM reach r JOIN edges e ON e.src = r.id
+         |), lbl AS (
+         |  SELECT id, CAST(MIN(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id
+         |)
+         |SELECT id AS vec_id, cluster_id,
+         |       CAST(CASE WHEN id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS keeper
+         |FROM lbl ORDER BY vec_id""".stripMargin
+    },
 
     "dedup_embedding" ->
       s"""WITH ecorpus AS (

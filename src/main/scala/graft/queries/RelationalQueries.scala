@@ -143,6 +143,28 @@ object RelationalQueries {
         .orderBy("purchase_id")
     }),
 
+    // INTERVAL join (batch form of the stream-stream attribution op):
+    // every click within the 6-hour window BEFORE a same-user purchase —
+    // where as-of keeps only the latest match, attribution keeps ALL
+    // in-window matches. Runs through StreamOps.intervalJoin so the
+    // driver oracle checks the exact code path the streaming job uses
+    // (on batch the watermark is a no-op). Plan: equi-join on user_id
+    // with the time range as a residual predicate — key-partitioned
+    // shuffle, row count bounded by clicks-per-user-per-window.
+    "rel_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      graft.streaming.StreamOps.intervalJoin(
+          purchases, "p_ts", clicks, "click_ts",
+          Seq("user_id" -> "c_user"), "6 hours", "1 hour")
+        .select("purchase_id", "user_id", "p_ts", "click_id", "click_ts")
+        .orderBy("purchase_id", "click_id")
+    }),
+
     // Set operators: customers active in BOTH 1995 and 1996 (INTERSECT),
     // minus customers who ever placed a very large order (EXCEPT). Set ops
     // plan as aggregate/join under the hood — distinct semantics shuffle
@@ -251,6 +273,17 @@ object RelationalQueries {
     // (which encodes the Spark tie-break: latest click_ts, highest
     // click_id) checks both plan shapes.
     "rel_asof_join_bucketed" -> asofOracleSql,
+
+    "rel_interval_join" ->
+      """SELECT p.purchase_id, p.user_id, p.p_ts, c.click_id, c.click_ts
+        |FROM (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |      FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |      FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.click_ts <= p.p_ts
+        | AND c.click_ts >= p.p_ts - INTERVAL 6 HOUR
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     "rel_set_ops" ->
       """SELECT o_custkey FROM orders

@@ -89,6 +89,41 @@ object StreamOps {
     * no-op, every session finalizes — which is what makes the query
     * oracle-checkable.
     */
+  /** Stream-stream event-time INTERVAL JOIN — the attribution primitive:
+    * each left row (a purchase) matches right rows (clicks) of the same
+    * key whose event time falls in `[leftTs - lookback, leftTs]`.
+    *
+    * The time-range predicate is what makes this viable as a
+    * stream-stream join: with both sides watermarked, Spark derives a
+    * state-eviction bound from watermark + lookback and drops buffered
+    * rows that can no longer match — WITHOUT the range bound a
+    * stream-stream inner join must buffer both streams forever. At
+    * pipeline scale the state held per key is `lookback` worth of
+    * events, independent of stream length.
+    *
+    * On batch frames the watermark is a no-op and this is a plain
+    * equi-join with a range predicate — the form the driver oracle
+    * checks (`rel_interval_join`), so batch and stream run the same
+    * code path.
+    *
+    * @param keys (leftKeyCol, rightKeyCol) equality pairs — at least one
+    *             is required to keep the join an equi-join (hash/SMJ by
+    *             key), never a time-only theta join
+    */
+  def intervalJoin(left: DataFrame, leftTs: String,
+                   right: DataFrame, rightTs: String,
+                   keys: Seq[(String, String)],
+                   lookback: String, watermark: String): DataFrame = {
+    require(keys.nonEmpty, "interval join requires at least one key equality")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val keyCond = keys.map { case (lk, rk) => l(lk) === r(rk) }.reduce(_ && _)
+    val cond = keyCond &&
+      r(rightTs) <= l(leftTs) &&
+      r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lookback")
+    l.join(r, cond)
+  }
+
   def sessionCounts(events: DataFrame, gap: String, watermark: String): DataFrame =
     events
       .withWatermark("ts", watermark)

@@ -63,6 +63,29 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     assert(out.forall(r => !r.anyNull))
   }
 
+  test("dedup_semantic: perturbed variants cluster with their base only transitively") {
+    val r = graft.queries.DedupQueries.queries("dedup_semantic")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val byId = r.map(t => t._1 -> t._2).toMap
+    val bases = r.map(_._1).filter(id => id < 10000000L && id % 10 == 3)
+    assert(bases.nonEmpty)
+    // Banding recall on perturbed variants is high but not guaranteed
+    // (a variant whose sign bits flip in all 4 bands is deterministically
+    // missed — same miss in the oracle). Captured variants MUST label to
+    // their base (the component min), and most must be captured.
+    val variants = bases.flatMap(b => Seq(b -> (b + 20000000L), b -> (b + 30000000L)))
+    val captured = variants.filter { case (b, v) => byId(v) != v }
+    captured.foreach { case (b, v) =>
+      assert(byId(v) == b, s"variant $v labeled ${byId(v)}, expected base $b")
+    }
+    assert(captured.size * 10 >= variants.size * 7,
+      s"banding captured only ${captured.size}/${variants.size} planted variants")
+    // exact copies are identical vectors => identical bands => ALWAYS captured
+    val exacts = r.map(_._1).filter(id => id < 10000000L && id % 10 < 3)
+    assert(exacts.nonEmpty)
+    exacts.foreach(b => assert(byId(b + 10000000L) == byId(b)))
+  }
+
   test("sim_knn_graph: no self-edges, at most KnnK neighbors, ranks contiguous") {
     val g = graft.queries.SimilarityQueries.queries("sim_knn_graph")(spark, dir)
     val rows = g.collect()

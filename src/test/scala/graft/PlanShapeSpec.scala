@@ -118,6 +118,27 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_reservoir: per-stratum cap runs as a partial WindowGroupLimit") {
+    // The "shuffled volume = N x strata x tasks" claim rests on the
+    // rnk <= ReservoirN filter rewriting to WindowGroupLimit.
+    val plan = qe("sample_reservoir").executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("sim_knn_graph: bucket equi-join + partial top-K, never all-pairs") {
+    val plan = qe("sim_knn_graph").executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("pipe_decontam_bloom: bloom probe is a scalar subquery above the scan, join stays equi") {
+    val plan = qe("pipe_decontam_bloom").executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("pipe_decontam: df-pruned fingerprint equi-joins, no cartesian blowup") {
     // The contamination join must stay an equi-join on the 8-byte
     // shingle fingerprint (train side x test side); a CartesianProduct

@@ -170,4 +170,55 @@ class StreamOpsSpec extends AnyFunSuite {
       .select(unix_timestamp(col("w_start")).as[Long], col("z").as[Long]).collect().toSet
     assert(res == Set((T0, 1L), (T0 + 86400, 1L)))
   }
+
+  test("stream-stream interval join: in-window clicks attribute, outside-window never match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    val cdf = clicks.toDF().toDF("c_user", "click_id", "c_ts")
+    val bdf = buys.toDF().toDF("user_id", "buy_id", "b_ts")
+    val joined = StreamOps.intervalJoin(bdf, "b_ts", cdf, "c_ts",
+        Seq("user_id" -> "c_user"), "30 minutes", "10 minutes")
+      .select(col("buy_id"), col("click_id"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attrib").start()
+    try {
+      clicks.addData((1L, 101L, ts(0)), (2L, 201L, ts(0)))
+      buys.addData((1L, 11L, ts(600))) // 10 min after u1's click: inside 30 min
+      q.processAllAvailable()
+      def got = spark.table("attrib").as[(Long, Long)].collect().toSet
+      assert(got == Set((11L, 101L)))
+
+      buys.addData((2L, 21L, ts(7200))) // 2 h after u2's click: outside window
+      q.processAllAvailable()
+      assert(got == Set((11L, 101L)))
+
+      // a click AFTER the purchase must not attribute to it
+      clicks.addData((1L, 102L, ts(900)))
+      q.processAllAvailable()
+      assert(got == Set((11L, 101L)))
+
+      // but a later purchase picks up both of u1's in-window clicks
+      buys.addData((1L, 12L, ts(1500)))
+      q.processAllAvailable()
+      assert(got == Set((11L, 101L), (12L, 101L), (12L, 102L)))
+    } finally q.stop()
+  }
+
+  test("interval join on batch frames equals the explicit range-predicate join") {
+    import spark.implicits._
+    val cdf = Seq((1L, 101L, ts(0)), (1L, 102L, ts(900)), (2L, 201L, ts(0)))
+      .toDF("c_user", "click_id", "c_ts")
+    val bdf = Seq((1L, 11L, ts(600)), (1L, 12L, ts(1500)), (2L, 21L, ts(7200)))
+      .toDF("user_id", "buy_id", "b_ts")
+    val viaOp = StreamOps.intervalJoin(bdf, "b_ts", cdf, "c_ts",
+        Seq("user_id" -> "c_user"), "30 minutes", "10 minutes")
+      .select(col("buy_id"), col("click_id")).as[(Long, Long)].collect().toSet
+    val manual = bdf.join(cdf, bdf("user_id") === cdf("c_user") &&
+        cdf("c_ts") <= bdf("b_ts") &&
+        cdf("c_ts") >= bdf("b_ts") - expr("INTERVAL 30 minutes"))
+      .select(col("buy_id"), col("click_id")).as[(Long, Long)].collect().toSet
+    assert(viaOp == manual && viaOp == Set((11L, 101L), (12L, 101L), (12L, 102L)))
+  }
 }
