@@ -71,14 +71,19 @@ object ScaleProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val allTargets = Seq("dedup_ngram", "dedup_minhash", "dedup_simhash",
-      "dedup_embedding", "dedup_clusters", "pipe_curate", "pipe_decontam",
+      "dedup_embedding", "dedup_clusters", "dedup_semantic", "pipe_curate",
+      "pipe_decontam", "pipe_decontam_bloom", "pipe_pack",
       "sim_ann_ivf", "sim_ann_lsh", "sim_ann_lsh_mp", "sim_ann_quant",
-      "rel_asof_join", "text_pii", "embed_quant", "text_repetition",
-      "pipe_shuffle", "sample_stratified",
+      "sim_knn_graph", "sim_ann_lsh_idx", "sim_ann_ivf_idx",
+      "rel_asof_join", "rel_asof_join_bucketed", "rel_interval_join",
+      "text_pii", "embed_quant", "text_repetition", "text_tokens",
+      "pipe_shuffle", "sample_stratified", "sample_reservoir",
       "ft_dist", "ft_topk", "ft_json", "ft_sessions", "text_quality")
-    // arg 2+: restrict to named queries (fast re-probe of one operator)
+    // arg 2+: restrict to named queries (fast re-probe of one operator);
+    // any SparkEntry query name is probeable, not just the default list
     val targets =
-      if (args.length > 1) allTargets.filter(args.drop(1).toSet) else allTargets
+      if (args.length > 1) args.drop(1).toSeq.filter(SparkEntry.queries.contains)
+      else allTargets
     println(f"[probe] query                  1x(s)   ${factor}x(s)  ratio (rows 1x -> ${factor}x)")
     targets.foreach { n =>
       val fn = SparkEntry.queries(n)
@@ -88,6 +93,19 @@ object ScaleProbe {
       val tN = time(Bench.force(fn(spark, stage)))
       r1 = fn(spark, base).count(); rN = fn(spark, stage).count()
       println(f"[probe] $n%-22s $t1%6.2f  $tN%6.2f  ${tN / t1}%5.2f  ($r1%d -> $rN%d)")
+    }
+    // The knn-graph scaling rule made measurable: at FIXED nBits the
+    // bucket self-join is N^2/2^nBits (quadratic — the plain
+    // sim_knn_graph row above shows it); holding per-bucket population
+    // constant (nBits grows with log2 of the corpus) restores ~linear.
+    if (targets.contains("sim_knn_graph")) {
+      import graft.queries.SimilarityQueries
+      val scaledBits = SimilarityQueries.LshBits +
+        math.ceil(math.log(factor.toDouble) / math.log(2.0)).toInt
+      time(Bench.force(SimilarityQueries.knnGraphRes(spark, base, SimilarityQueries.LshBits)))
+      val t1 = time(Bench.force(SimilarityQueries.knnGraphRes(spark, base, SimilarityQueries.LshBits)))
+      val tN = time(Bench.force(SimilarityQueries.knnGraphRes(spark, stage, scaledBits)))
+      println(f"[probe] knn_graph@bits=$scaledBits%-9d $t1%6.2f  $tN%6.2f  ${tN / t1}%5.2f  (constant bucket population)")
     }
     spark.stop()
   }

@@ -45,6 +45,40 @@ object SimilarityQueries {
 
   // ------------------------------------------------------- result builders
 
+  /** k-NN graph at signature width `nBits`: corpus keeps one LSH bucket
+    * per vector; the probe side (also the corpus) fans out to its
+    * Hamming-1 neighborhood (masks distinct => each candidate scored at
+    * most once per source); the bucket equi-join shuffles both sides by
+    * bucket and the per-source top-K compiles to WindowGroupLimit.
+    *
+    * SCALING RULE — nBits is not a tuning nicety, it is what keeps this
+    * sub-quadratic: expected pairs scored = N^2 (nBits+1) / 2^nBits, so
+    * at FIXED nBits the self-join grows quadratically with the corpus
+    * (the 10x probe shows exactly that at nBits=6: 40x time for 10x
+    * rows). Hold per-bucket population B = N / 2^nBits constant —
+    * nBits = log2(N/B) — and the work is N * B * (nBits+1), linear in N
+    * up to the log-factor probe fan-out; BASELINE.md records the 10x
+    * probe recovering ~linear at nBits = 6 + ceil(log2(10)). The recall
+    * trade is the standard LSH one: narrower buckets -> more probes
+    * (Hamming radius) to hold recall, which multiplies the linear term,
+    * never the quadratic one.
+    */
+  def knnGraphRes(s: SparkSession, dir: String, nBits: Int): DataFrame = {
+    val all = vecs(s, dir).withColumn("bucket",
+      Similarity.lshBucket(col("v"), signs(nBits)))
+    val probes = all.select(col("vec_id").as("q_id"), col("v").as("q_v"),
+      explode(array(mpMasks(nBits).map(m =>
+        col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val c = all.select(col("vec_id").as("c_id"), col("v").as("c_v"), col("bucket"))
+    val scored = probes.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", Dedup.cosine(col("q_v"), col("c_v")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= KnnK)
+      .select("q_id", "rnk", "c_id", "cosine")
+      .orderBy("q_id", "rnk")
+  }
+
   private def bruteRes(s: SparkSession, dir: String): DataFrame = {
     val all = vecs(s, dir)
     Similarity.bruteForceTopK(all.filter(col("vec_id") < 5), all, K)
@@ -152,31 +186,10 @@ object SimilarityQueries {
     // k-NN GRAPH build: every corpus vector's top-KnnK neighbors — the
     // substrate of semantic clustering / SemDeDup-style curation and
     // HNSW-ish index construction, where the query set IS the corpus so
-    // nothing is broadcast-sized. Shape: corpus keeps one LSH bucket per
-    // vector; the probe side (also the corpus) fans out to its Hamming-1
-    // bucket neighborhood (masks distinct => each candidate scored at
-    // most once per source); the bucket equi-join shuffles both sides by
-    // bucket (~N(nBits+1) probe rows — linear, never all-pairs), and the
-    // per-source top-K compiles to WindowGroupLimit (partial top-K before
-    // the rank shuffle). Hot buckets are bounded by the same argument as
-    // banded dedup: random-hyperplane buckets are balanced in expectation
-    // and [[graft.operators.Dedup.candidatePairs]]'s cap is the recourse
-    // for pathological mass at one signature.
-    "sim_knn_graph" -> ((s, dir) => {
-      val all = vecs(s, dir).withColumn("bucket",
-        Similarity.lshBucket(col("v"), signs(LshBits)))
-      val probes = all.select(col("vec_id").as("q_id"), col("v").as("q_v"),
-        explode(array(mpMasks(LshBits).map(m =>
-          col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-      val c = all.select(col("vec_id").as("c_id"), col("v").as("c_v"), col("bucket"))
-      val scored = probes.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
-        .withColumn("cosine", Dedup.cosine(col("q_v"), col("c_v")))
-      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
-      scored.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= KnnK)
-        .select("q_id", "rnk", "c_id", "cosine")
-        .orderBy("q_id", "rnk")
-    }),
+    // nothing is broadcast-sized. Runs [[knnGraphRes]] at the default
+    // signature width; nBits is THE scale knob (see its scaladoc) and
+    // the driver query documents the fixed-width point, not the rule.
+    "sim_knn_graph" -> ((s, dir) => knnGraphRes(s, dir, LshBits)),
 
     // The PERSISTED index path: build the LSH index on disk (bucketed
     // parquet under part = pmod(bucket, parts) directories — the

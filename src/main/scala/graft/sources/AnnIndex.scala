@@ -64,6 +64,62 @@ object AnnIndex {
   def lshCorpus(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/corpus").select("vec_id", "v", "bucket")
 
+  /** Incremental index maintenance — [[StateStore.upsertDistributions]]'
+    * dynamic-partition-overwrite pattern applied to the LSH layout: the
+    * batch's vectors are bucketed with the STORED hyperplanes (read from
+    * meta, so a new batch can never fork the hash family), only the
+    * partition directories their buckets fold into are rewritten, and
+    * existing rows in those directories survive via anti-join + union
+    * (re-inserted vec_ids take the new vector). Cost scales with the
+    * touched directories — batch-bounded — not the index size: the
+    * property that makes daily crawl appends viable against an index
+    * orders of magnitude larger than any one batch.
+    */
+  def upsertLsh(spark: SparkSession, dir: String, vecs: DataFrame): Unit = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val nBits = meta.getAs[Int]("n_bits")
+    val dim = meta.getAs[Int]("dim")
+    val parts = meta.getAs[Int]("parts")
+    val signs = Similarity.signMatrix(nBits, dim)
+    val staged = vecs.select(col("vec_id"), col("v"),
+        Similarity.lshBucket(col("v"), signs).as("bucket"))
+      .withColumn("part", pmod(col("bucket"), lit(parts.toLong)))
+      .localCheckpoint(true) // materialize before overwriting the source
+    if (staged.isEmpty) return
+    // Touched directories are BOTH sides of the move: where the new rows
+    // land AND where any re-inserted vec_id currently lives (a changed
+    // vector can hash to a different bucket — rewriting only the target
+    // directory would leave the stale row behind in the old one).
+    val newParts = staged.select("part").distinct()
+      .collect().map(_.getLong(0)) // bounded by parts, driver-safe
+    val oldParts = spark.read.parquet(s"$dir/corpus")
+      .join(staged.select("vec_id"), Seq("vec_id"))
+      .select(col("part").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val partIds = (newParts ++ oldParts).distinct
+    val kept = spark.read.parquet(s"$dir/corpus")
+      .filter(col("part").isin(partIds.map(Long.box): _*))
+      .join(staged.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("v"), col("bucket"),
+        col("part").cast("long").as("part"))
+      .localCheckpoint(true)
+    val merged = kept.unionByName(staged.select("vec_id", "v", "bucket", "part"))
+      .localCheckpoint(true)
+    merged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part")
+      .parquet(s"$dir/corpus")
+    // Dynamic overwrite only rewrites directories present in the write:
+    // a directory whose every row was removed (vectors moved out, none
+    // in) gets nothing written and would keep its stale files — drop it.
+    val written = merged.select("part").distinct().collect().map(_.getLong(0)).toSet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    partIds.filterNot(written).foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/corpus/part=$p"), true)
+    }
+  }
+
   /** Top-`k` cosine neighbors of each query served FROM THE STORED
     * index: only the partition directories containing the queries'
     * (multi-probe) buckets are read. `queries` must be broadcast-small

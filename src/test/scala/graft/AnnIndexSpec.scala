@@ -83,6 +83,54 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(s.contains("PartitionFilters: [part"), s.take(4000))
   }
 
+  test("LSH upsert: incremental build converges to the full rebuild") {
+    val all = synthVecs(400)
+    val dir = Files.createTempDirectory("graft_annidx_ups_").toString
+    // build on the first 300, upsert the remaining 100
+    AnnIndex.saveLsh(all.filter(col("vec_id") < 300), NBits, Dim, dir)
+    AnnIndex.upsertLsh(spark, dir, all.filter(col("vec_id") >= 300))
+    val got = AnnIndex.probeLsh(spark, dir, queriesOf(all), K)
+      .select("q_id", "rnk", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == sessionLsh(all, Seq(0L)))
+    // index holds each vec_id exactly once
+    val ids = AnnIndex.lshCorpus(spark, dir).groupBy("vec_id")
+      .count().filter(col("count") > 1).count()
+    assert(ids == 0L)
+  }
+
+  test("LSH upsert: re-inserted vec_id takes the new vector, old row gone") {
+    val all = synthVecs(200)
+    val dir = Files.createTempDirectory("graft_annidx_ups2_").toString
+    AnnIndex.saveLsh(all, NBits, Dim, dir)
+    // replace vec 7 with a completely different vector (vec 150's data)
+    val replacement = all.filter(col("vec_id") === 150)
+      .select(lit(7L).as("vec_id"), col("v"))
+    AnnIndex.upsertLsh(spark, dir, replacement)
+    val corpus = AnnIndex.lshCorpus(spark, dir)
+    assert(corpus.filter(col("vec_id") === 7).count() == 1L)
+    val v7 = corpus.filter(col("vec_id") === 7).select("v")
+      .collect().head.getSeq[Double](0)
+    val v150 = corpus.filter(col("vec_id") === 150).select("v")
+      .collect().head.getSeq[Double](0)
+    assert(v7 == v150)
+    assert(corpus.count() == 200L)
+  }
+
+  test("LSH upsert: a directory emptied by a moved vector is dropped") {
+    val one = synthVecs(1)
+    val dir = Files.createTempDirectory("graft_annidx_ups3_").toString
+    AnnIndex.saveLsh(one, NBits, Dim, dir)
+    // negating the vector flips every hyperplane projection sign =>
+    // a different bucket, so the old (now empty) directory must go
+    val moved = one.select(col("vec_id"),
+      transform(col("v"), x => -x).as("v"))
+    AnnIndex.upsertLsh(spark, dir, moved)
+    val corpus = AnnIndex.lshCorpus(spark, dir).collect()
+    assert(corpus.length == 1)
+    assert(corpus.head.getAs[Long]("vec_id") == 0L)
+  }
+
   test("IVF: stored-index probe == the session quantizer path") {
     val vecs = synthVecs(500)
     val dir = Files.createTempDirectory("graft_ivfidx_").toString
