@@ -262,7 +262,11 @@ object PipelineQueries {
     // eval set — so the shuffled volume drops from "every rare train
     // shingle" to "true leaks + the fp-rate sliver".
     "pipe_decontam_bloom" -> ((s, dir) => {
-      val (train, test) = decontamSides(s, dir)
+      val (train, test0) = decontamSides(s, dir)
+      // the test side is the eval set — persisting its rare fps means the
+      // corpus-wide shingle pipeline runs once for the bloom build and
+      // once for the train side, instead of a third time at the exact join
+      val test = test0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bloom = test.agg(
         graft.functions.SketchExprs.bloomFilterAgg(col("fp"), BloomItems, BloomBits).as("bf"))
       val pre = train.filter(

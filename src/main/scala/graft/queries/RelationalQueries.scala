@@ -143,6 +143,31 @@ object RelationalQueries {
         .orderBy("purchase_id")
     }),
 
+    // TPC-H Q3 shape — the canonical 3-table join+agg+top-N: segment
+    // filter on the small dim (customer), date filters pushed to both
+    // fact scans, lineitem⨝orders shuffles on the join key while
+    // customer broadcasts, revenue in exact DECIMAL, and the final
+    // top-10 plans as TakeOrderedAndProject (no global sort). The query
+    // Catalyst's join reordering + AQE exist for; at 100 TB the only
+    // full-size shuffle is the l⨝o key exchange.
+    "rel_q3" -> ((s, dir) => {
+      val cutoff = lit("1997-06-01 00:00:00").cast("timestamp")
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val rev = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(sum(dec(col("l_extendedprice"), 18, 2) *
+          dec(lit(1.0) - col("l_discount"), 5, 2)).as("rev_exact"))
+      rev.orderBy(col("rev_exact").desc, col("o_orderkey")).limit(10)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("rev_exact").cast("double").as("revenue"))
+    }),
+
     // INTERVAL join (batch form of the stream-stream attribution op):
     // every click within the 6-hour window BEFORE a same-user purchase —
     // where as-of keeps only the latest match, attribution keeps ALL
@@ -163,6 +188,26 @@ object RelationalQueries {
           Seq("user_id" -> "c_user"), "6 hours", "1 hour")
         .select("purchase_id", "user_id", "p_ts", "click_id", "click_ts")
         .orderBy("purchase_id", "click_id")
+    }),
+
+    // Attribution COVERAGE (left-outer interval join): every purchase
+    // with its in-window click count — zero rows are the unattributed
+    // purchases an attribution pipeline audits for. Same operator as
+    // rel_interval_join with joinType=left_outer; the count aggregate
+    // keeps the output null-free (the driver comparator's contract).
+    "rel_attribution_gap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      graft.streaming.StreamOps.intervalJoin(
+          purchases, "p_ts", clicks, "click_ts",
+          Seq("user_id" -> "c_user"), "6 hours", "1 hour", "left_outer")
+        .groupBy("purchase_id", "user_id")
+        .agg(count(col("click_id")).as("n_clicks"))
+        .orderBy("purchase_id")
     }),
 
     // Set operators: customers active in BOTH 1995 and 1996 (INTERSECT),
@@ -274,6 +319,23 @@ object RelationalQueries {
     // click_id) checks both plan shapes.
     "rel_asof_join_bucketed" -> asofOracleSql,
 
+    "rel_q3" ->
+      """WITH rev AS (
+        |  SELECT o.o_orderkey, o.o_orderdate,
+        |         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l.l_discount AS DECIMAL(5,2))) AS rev_exact
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment = 'BUILDING'
+        |    AND o.o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        |    AND l.l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+        |  GROUP BY o.o_orderkey, o.o_orderdate
+        |)
+        |SELECT o_orderkey, o_orderdate, CAST(rev_exact AS DOUBLE) AS revenue
+        |FROM rev
+        |ORDER BY rev_exact DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
     "rel_interval_join" ->
       """SELECT p.purchase_id, p.user_id, p.p_ts, c.click_id, c.click_ts
         |FROM (SELECT event_id AS purchase_id, user_id, ts AS p_ts
@@ -284,6 +346,18 @@ object RelationalQueries {
         | AND c.click_ts <= p.p_ts
         | AND c.click_ts >= p.p_ts - INTERVAL 6 HOUR
         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    "rel_attribution_gap" ->
+      """SELECT p.purchase_id, p.user_id, CAST(COUNT(c.click_id) AS BIGINT) AS n_clicks
+        |FROM (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |      FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |           FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.click_ts <= p.p_ts
+        | AND c.click_ts >= p.p_ts - INTERVAL 6 HOUR
+        |GROUP BY p.purchase_id, p.user_id
+        |ORDER BY purchase_id""".stripMargin,
 
     "rel_set_ops" ->
       """SELECT o_custkey FROM orders

@@ -110,10 +110,16 @@ object StreamOps {
     *             is required to keep the join an equi-join (hash/SMJ by
     *             key), never a time-only theta join
     */
+  /** @param joinType "inner" (default) or "left_outer" — outer emits the
+    *                  unmatched left row with nulls once the watermark
+    *                  passes its join window (streaming) / immediately
+    *                  (batch), the shape an attribution-gap audit needs
+    */
   def intervalJoin(left: DataFrame, leftTs: String,
                    right: DataFrame, rightTs: String,
                    keys: Seq[(String, String)],
-                   lookback: String, watermark: String): DataFrame = {
+                   lookback: String, watermark: String,
+                   joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "interval join requires at least one key equality")
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
@@ -121,7 +127,7 @@ object StreamOps {
     val cond = keyCond &&
       r(rightTs) <= l(leftTs) &&
       r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lookback")
-    l.join(r, cond)
+    l.join(r, cond, joinType)
   }
 
   def sessionCounts(events: DataFrame, gap: String, watermark: String): DataFrame =

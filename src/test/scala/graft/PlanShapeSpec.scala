@@ -118,6 +118,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("rel_q3: dim broadcasts, dates push to scans, top-10 is TakeOrderedAndProject") {
+    val plan = qe("rel_q3").executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val formatted = qe("rel_q3").explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("GreaterThan(l_shipdate"), formatted)
+    assert(formatted.contains("LessThan(o_orderdate"), formatted)
+  }
+
   test("sample_reservoir: per-stratum cap runs as a partial WindowGroupLimit") {
     // The "shuffled volume = N x strata x tasks" claim rests on the
     // rnk <= ReservoirN filter rewriting to WindowGroupLimit.

@@ -206,6 +206,35 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join: unmatched purchase emits with nulls after the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    val cdf = clicks.toDF().toDF("c_user", "click_id", "c_ts")
+    val bdf = buys.toDF().toDF("user_id", "buy_id", "b_ts")
+    val joined = StreamOps.intervalJoin(bdf, "b_ts", cdf, "c_ts",
+        Seq("user_id" -> "c_user"), "30 minutes", "10 minutes", "left_outer")
+      .select(col("buy_id"), col("click_id"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attrib_outer").start()
+    try {
+      clicks.addData((1L, 101L, ts(0)))
+      buys.addData((1L, 11L, ts(600)), (2L, 21L, ts(600))) // u2 has no click
+      q.processAllAvailable()
+      def got = spark.table("attrib_outer")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      // inner match emits immediately; the unmatched row waits on the watermark
+      assert(got == Set((11L, 101L)))
+
+      // push the watermark far past buy 21's join window => null row emits
+      clicks.addData((9L, 901L, ts(7200)))
+      buys.addData((9L, 91L, ts(7200)))
+      q.processAllAvailable()
+      assert(got.contains((21L, -1L)), s"unmatched purchase never emitted: $got")
+    } finally q.stop()
+  }
+
   test("interval join on batch frames equals the explicit range-predicate join") {
     import spark.implicits._
     val cdf = Seq((1L, 101L, ts(0)), (1L, 102L, ts(900)), (2L, 201L, ts(0)))
