@@ -179,6 +179,52 @@ object AnnIndex {
   def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/centroids")
 
+  /** Incremental IVF maintenance — same dynamic-partition-overwrite
+    * shape as [[upsertLsh]]: the batch is assigned against the STORED
+    * centroids (the quantizer never moves on upsert, so cell membership
+    * of untouched vectors cannot drift), only the touched cell
+    * directories rewrite — both where new rows land and where any
+    * re-inserted vec_id currently lives — and a cell directory emptied
+    * by a moved vector is dropped. Cost is batch-bounded; centroid
+    * RETRAINING (when the corpus distribution drifts) is a rebuild via
+    * [[saveIvf]], deliberately not an upsert.
+    */
+  def upsertIvf(spark: SparkSession, dir: String, vecs: DataFrame): Unit = {
+    val cents = broadcast(ivfCentroids(spark, dir))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    val staged = vecs.crossJoin(cents)
+      .withColumn("ccos", Dedup.cosine(col("v"), col("cv")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
+      .localCheckpoint(true)
+    if (staged.isEmpty) return
+    val newCells = staged.select("cell").distinct()
+      .collect().map(_.getLong(0)) // bounded by k, driver-safe
+    val oldCells = spark.read.parquet(s"$dir/assign")
+      .join(staged.select("vec_id"), Seq("vec_id"))
+      .select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val cellIds = (newCells ++ oldCells).distinct
+    val kept = spark.read.parquet(s"$dir/assign")
+      .filter(col("cell").isin(cellIds.map(Long.box): _*))
+      .join(staged.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("v"))
+      .localCheckpoint(true)
+    val merged = kept.unionByName(staged.select("vec_id", "cell", "v"))
+      .localCheckpoint(true)
+    merged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell")
+      .parquet(s"$dir/assign")
+    val written = merged.select("cell").distinct().collect().map(_.getLong(0)).toSet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    cellIds.filterNot(written).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/assign/cell=$c"), true)
+    }
+  }
+
   /** Top-`k` cosine neighbors of each query from the stored IVF index,
     * searching each query's top-`nProbe` cells only: centroid ranking
     * happens against the k-row stored centroid table, and only the

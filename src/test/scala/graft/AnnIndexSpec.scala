@@ -160,6 +160,28 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("IVF upsert: stored assignment equals a one-pass assignment against the stored centroids") {
+    val all = synthVecs(500)
+    val dir = Files.createTempDirectory("graft_ivfidx_ups_").toString
+    AnnIndex.saveIvf(all.filter(col("vec_id") < 300), k = 8, sampleSize = 128,
+      iters = 2, dim = Dim, salt = 7, dir = dir)
+    AnnIndex.upsertIvf(spark, dir, all.filter(col("vec_id") >= 300))
+    // reference: assign ALL vectors against the STORED (frozen) centroids
+    val cents = AnnIndex.ivfCentroids(spark, dir)
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    val expected = all.crossJoin(broadcast(cents))
+      .withColumn("ccos", Dedup.cosine(col("v"), col("cv")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stored = spark.read.parquet(s"$dir/assign")
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored == expected)
+    assert(stored.size == 500)
+  }
+
   test("MinHash: stored signatures reproduce the session candidate pairs") {
     import spark.implicits._
     val docs = (0L until 60L).map { i =>
