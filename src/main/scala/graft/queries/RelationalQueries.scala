@@ -210,6 +210,28 @@ object RelationalQueries {
         .orderBy("purchase_id")
     }),
 
+    // Semi-structured extraction: the events' JSON props column parsed
+    // with schema-on-read (from_json with an explicit schema — codegen'd
+    // JsonToStructs, no UDF) and aggregated per event type. The 100 TB
+    // note: parsing happens in the scan's projection, so column pruning
+    // still drops props for queries that don't touch it, and the
+    // aggregate is an ordinary map-side-combined groupBy.
+    "rel_json_extract" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val k = from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k")
+      ev.select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("k").cast("long").as("sum_k"),
+          max("k").cast("long").as("max_k"),
+          countDistinct("k").as("n_distinct_k"))
+        .orderBy("event_type")
+    }),
+
     // Set operators: customers active in BOTH 1995 and 1996 (INTERSECT),
     // minus customers who ever placed a very large order (EXCEPT). Set ops
     // plan as aggregate/join under the hood — distinct semantics shuffle
@@ -358,6 +380,16 @@ object RelationalQueries {
         | AND c.click_ts >= p.p_ts - INTERVAL 6 HOUR
         |GROUP BY p.purchase_id, p.user_id
         |ORDER BY purchase_id""".stripMargin,
+
+    "rel_json_extract" ->
+      """SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |  CAST(COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "rel_set_ops" ->
       """SELECT o_custkey FROM orders

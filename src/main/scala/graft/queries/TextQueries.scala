@@ -16,6 +16,14 @@ object TextQueries {
 
   import TextAnalysis._
 
+  /** text_rarity: a token is rare when corpus_count * RarityDenom <=
+    * total token mass (i.e. frequency <= 1/RarityDenom). 500 sits a 2x
+    * margin from the synthetic corpus's planted rare token (~1/1000 of
+    * mass) and 400x from the uniform head (~1/30 each) — both engines
+    * compare the same exact integers, so the boundary cannot flap.
+    */
+  final val RarityDenom = 500
+
   private val langHitsSql: String = LangProfiles.map { case (lang, words) =>
     val list = words.map(w => s"'$w'").mkString(", ")
     s"len(list_filter(toks, t -> t IN ($list))) AS h_$lang"
@@ -68,6 +76,33 @@ object TextQueries {
       d.select(
           col("doc_id"),
           qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus-relative RARITY (the CCNet-style signal class): a token is
+    // rare when its corpus count is <= 1/RarityDenom of the total token
+    // mass, and each doc reports its rare-token fraction — high values
+    // flag OCR noise / codey junk, zero flags templated boilerplate.
+    // All-integer arithmetic until one final divide, so the cross-engine
+    // hash is exact (a mean-log-prob variant would sum transcendentals
+    // in engine-dependent order). Scale shape: the vocab groupBy is
+    // map-side combined; the token-stream x vocab join shuffles on the
+    // token — under a Zipf corpus the head tokens are hot keys, and the
+    // production mitigation is broadcasting the top-K head vocab and
+    // shuffle-joining only the tail (AQE skew-join handles the middle).
+    "text_rarity" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = vocab.agg(sum("c").cast("long").as("t"))
+      tok.join(vocab, "tok").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast("long").as("n_tokens"),
+          sum(when(col("c") * lit(RarityDenom.toLong) <= col("t"), 1L)
+            .otherwise(0L)).as("n_rare"))
+        .withColumn("rare_frac",
+          col("n_rare").cast("double") / col("n_tokens").cast("double"))
         .orderBy("doc_id")
     }),
 
@@ -215,6 +250,23 @@ object TextQueries {
          |       THEN CAST(len(p) AS DOUBLE) / CAST(n_ws AS DOUBLE)
          |       ELSE 0.0 END AS fertility
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_rarity" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+         |  FROM documents
+         |), vocab AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok
+         |), tot AS (
+         |  SELECT CAST(SUM(c) AS BIGINT) AS t FROM vocab
+         |)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN c * $RarityDenom <= t THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |  CAST(SUM(CASE WHEN c * $RarityDenom <= t THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS rare_frac
+         |FROM tok JOIN vocab USING (tok) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_quality" -> {
       val en = LangProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
