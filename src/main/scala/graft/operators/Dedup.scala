@@ -119,6 +119,36 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Cross-snapshot candidate pairs: probe-batch ids pair only with
+    * index-side ids sharing a (band, key) — the incremental form of
+    * [[candidatePairs]] for "today's crawl vs the stored corpus". The
+    * hot-bucket cap applies to the COMBINED (band, key) population
+    * (identical bucket membership to the symmetric path over
+    * index ∪ probe, so the same oracle checks both), but the pair join
+    * itself is index x probe only: cost is bounded by
+    * |batch| x bucket-population, never |corpus|² — the property that
+    * makes daily dedup against a 100 TB corpus a batch-sized job.
+    */
+  def candidatePairsAcross(index: DataFrame, probe: DataFrame,
+                           idCol: String, keysCol: String,
+                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    def exploded(side: DataFrame, isProbe: Boolean) =
+      side.select(col(idCol).as("id"), lit(isProbe).as("is_probe"),
+        posexplode(col(keysCol)).as(Seq("band", "key")))
+    val ex = exploded(index, isProbe = false).unionByName(exploded(probe, isProbe = true))
+    val kept =
+      if (maxBucket == Int.MaxValue) ex
+      else {
+        val hot = ex.groupBy("band", "key").agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucket).select("band", "key")
+        ex.join(hot, Seq("band", "key"), "left_anti")
+      }
+    val a = kept.filter(!col("is_probe")).select(col("id").as("id_old"), col("band"), col("key"))
+    val b = kept.filter(col("is_probe")).select(col("id").as("id_new"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .select("id_old", "id_new").distinct()
+  }
+
   /** Connected components over duplicate pairs: the step between pair
     * detection and "keep one document per duplicate CLUSTER" — pairwise
     * output alone under-deletes (a∼b, b∼c must retire both b and c even

@@ -190,6 +190,40 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // INCREMENTAL dedup (cross-snapshot): today's crawl — the exact/near
+    // variants — deduped against the STORED corpus, whose signatures are
+    // read from the persisted MinHash index (AnnIndex.saveMinhash), not
+    // recomputed. Only the batch computes shingles + signatures; the
+    // candidate join is index x batch (candidatePairsAcross), so the job
+    // is batch-sized regardless of corpus size. Bucket caps run over the
+    // combined population — identical bucket membership to the symmetric
+    // path over the union — so the oracle is the standard pair pipeline
+    // restricted to pairs that cross the old/new boundary.
+    "dedup_incremental" -> ((s, dir) => {
+      val existing = Tables.documents(s, dir).select("doc_id", "text")
+      val toks = TextAnalysis.tokens(col("text"))
+      val incoming = existing.filter(col("doc_id") % 10 < 3)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        .unionByName(existing.filter(col("doc_id") % 10 === 3 && size(toks) >= 10)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            array_join(slice(toks, lit(3), size(toks) - 2), " ").as("text")))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_mhidx_").toString
+      graft.sources.AnnIndex.saveMinhash(existing, MinhashK, Bands, RowsPerBand, idxDir)
+      val old = graft.sources.AnnIndex.minhashSigs(s, idxDir)
+      val nw = incoming
+        .withColumn("sh", Dedup.shingleSet(col("text")))
+        .withColumn("sig", Dedup.minhashSignature(col("sh"), MinhashK))
+        .withColumn("keys", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      Dedup.candidatePairsAcross(old, nw, "doc_id", "keys", MaxBucket)
+        .join(nw.select(col("doc_id").as("id_new"), col("sh").as("sh_n")), "id_new")
+        .join(old.select(col("doc_id").as("id_old"), col("sh").as("sh_o")), "id_old")
+        .withColumn("jaccard", Dedup.jaccard(col("sh_n"), col("sh_o")))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select("id_new", "id_old", "jaccard")
+        .orderBy("id_new", "id_old")
+    }),
+
     // SEMANTIC dedup (SemDeDup-shaped): embedding near-dup pairs above
     // a cosine threshold -> connected components -> keep one doc per
     // semantic cluster. The synthetic corpus plants exact copies (30%,
@@ -391,6 +425,15 @@ object DedupQueries {
          |JOIN sizes sb ON sb.doc_id = id_b
          |WHERE CAST(inter AS DOUBLE) / (CAST(sa.sz + sb.sz AS DOUBLE) - CAST(inter AS DOUBLE)) >= $JaccardThreshold
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // the symmetric pair pipeline over the same union corpus, restricted
+    // to pairs crossing the stored/new boundary (old ids < 10M <= new)
+    "dedup_incremental" ->
+      s"""WITH $corpusCte, $shinglesCte, $minhashPairsCtes
+         |SELECT id_b AS id_new, id_a AS id_old, jaccard
+         |FROM pairs
+         |WHERE id_a < 10000000 AND id_b >= 10000000
+         |ORDER BY id_new, id_old""".stripMargin,
 
     "dedup_semantic" -> {
       def cosSql(a: String, b: String) =

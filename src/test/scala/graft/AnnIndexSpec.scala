@@ -22,12 +22,14 @@ class AnnIndexSpec extends AnyFunSuite {
   private val NBits = 6
   private val K = 5
 
+  /** Deterministic 64-dim vector expression over an id column. */
+  private def vExpr(id: org.apache.spark.sql.Column) =
+    transform(sequence(lit(1), lit(Dim)),
+      j => (pmod(id * lit(31) + j * lit(17), lit(100)) - lit(50)).cast("double") / lit(50.0))
+
   /** n deterministic 64-dim vectors (values in [-1, 1)). */
   private def synthVecs(n: Int): DataFrame =
-    spark.range(n.toLong).select(col("id").as("vec_id"),
-      transform(sequence(lit(1), lit(Dim)),
-        j => (pmod(col("id") * lit(31) + j * lit(17), lit(100)) - lit(50)).cast("double") / lit(50.0)
-      ).as("v"))
+    spark.range(n.toLong).select(col("id").as("vec_id"), vExpr(col("id")).as("v"))
 
   private def queriesOf(vecs: DataFrame): DataFrame =
     vecs.filter(col("vec_id") < 3)
@@ -129,6 +131,33 @@ class AnnIndexSpec extends AnyFunSuite {
     val corpus = AnnIndex.lshCorpus(spark, dir).collect()
     assert(corpus.length == 1)
     assert(corpus.head.getAs[Long]("vec_id") == 0L)
+  }
+
+  test("LSH upsert: streaming foreachBatch maintenance converges to the batch build") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = synthVecs(300)
+    val dir = Files.createTempDirectory("graft_annidx_stream_").toString
+    AnnIndex.saveLsh(all.filter(col("vec_id") < 100), NBits, Dim, dir)
+    // new vectors arrive as a stream; each micro-batch upserts the index
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val stream = mem.toDF().toDF("vec_id")
+      .select(col("vec_id"), vExpr(col("vec_id")).as("v"))
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        AnnIndex.upsertLsh(spark, dir, batch)
+      }.start()
+    try {
+      mem.addData(100L until 200L: _*)
+      q.processAllAvailable()
+      mem.addData(200L until 300L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = AnnIndex.probeLsh(spark, dir, queriesOf(all), K)
+      .select("q_id", "rnk", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == sessionLsh(all, Seq(0L)))
+    assert(AnnIndex.lshCorpus(spark, dir).count() == 300L)
   }
 
   test("IVF: stored-index probe == the session quantizer path") {
