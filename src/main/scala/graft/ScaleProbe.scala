@@ -77,6 +77,7 @@ object ScaleProbe {
       "sim_knn_graph", "sim_ann_lsh_idx", "sim_ann_ivf_idx",
       "rel_asof_join", "rel_asof_join_bucketed", "rel_interval_join",
       "text_pii", "embed_quant", "text_repetition", "text_tokens",
+      "text_rarity", "dedup_incremental",
       "pipe_shuffle", "sample_stratified", "sample_reservoir",
       "ft_dist", "ft_topk", "ft_json", "ft_sessions", "text_quality")
     // arg 2+: restrict to named queries (fast re-probe of one operator);
@@ -98,6 +99,42 @@ object ScaleProbe {
     // bucket self-join is N^2/2^nBits (quadratic — the plain
     // sim_knn_graph row above shows it); holding per-bucket population
     // constant (nBits grows with log2 of the corpus) restores ~linear.
+    // The incremental-dedup claim is "batch-sized regardless of corpus
+    // size": the query-level probe above grows BOTH sides (batch derives
+    // from the corpus), so this isolates the claim — a FIXED probe batch
+    // (derived from the 1x documents) deduped against the 1x vs the Nx
+    // stored index. Near-flat time = the index side contributes scan +
+    // bucket-join cost only, no corpus-squared term.
+    if (targets.contains("dedup_incremental")) {
+      import graft.queries.DedupQueries
+      import graft.sources.AnnIndex
+      import graft.operators.{Dedup, TextAnalysis}
+      def run(corpusDir: String): Unit = {
+        val existing = Tables.documents(spark, corpusDir).select("doc_id", "text")
+        val batch = Tables.documents(spark, base).select("doc_id", "text")
+          .filter(col("doc_id") % 10 < 3)
+          .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+        val idxDir = java.nio.file.Files.createTempDirectory("graft_probe_mh_").toString
+        AnnIndex.saveMinhash(existing, DedupQueries.MinhashK, DedupQueries.Bands,
+          DedupQueries.RowsPerBand, idxDir)
+        val old = AnnIndex.minhashSigs(spark, idxDir)
+        val nw = batch
+          .withColumn("sh", Dedup.shingleSet(col("text")))
+          .withColumn("sig", Dedup.minhashSignature(col("sh"), DedupQueries.MinhashK))
+          .withColumn("keys", Dedup.bandKeys(col("sig"), DedupQueries.Bands, DedupQueries.RowsPerBand))
+        val res = Dedup.candidatePairsAcross(old, nw, "doc_id", "keys", DedupQueries.MaxBucket)
+          .join(nw.select(col("doc_id").as("id_new"), col("sh").as("sh_n")), "id_new")
+          .join(old.select(col("doc_id").as("id_old"), col("sh").as("sh_o")), "id_old")
+          .withColumn("jaccard", Dedup.jaccard(col("sh_n"), col("sh_o")))
+          .filter(col("jaccard") >= DedupQueries.JaccardThreshold)
+          .select("id_new", "id_old", "jaccard")
+        Bench.force(res)
+      }
+      run(base) // warm
+      val t1 = time(run(base))
+      val tN = time(run(stage))
+      println(f"[probe] incr_dedup@fixed-batch $t1%6.2f  $tN%6.2f  ${tN / t1}%5.2f  (index 1x -> ${factor}x, batch fixed)")
+    }
     if (targets.contains("sim_knn_graph")) {
       import graft.queries.SimilarityQueries
       val scaledBits = SimilarityQueries.LshBits +
