@@ -62,6 +62,9 @@ object PipelineQueries {
   final val PackShards = 32
   final val PackSeqLen = 2048
   final val PackSalt = 13
+  /** pipe_score weights (fixed-order weighted sum, oracle-mirrored). */
+  final val ScoreWQuality = 0.7
+  final val ScoreWRarity = 0.3
 
   /** Shared decontam plumbing: rare-shingle fingerprints per doc, split
     * into (train_doc, fp) and (test_doc, fp) sides. Scale shape mirrors
@@ -274,6 +277,51 @@ object PipelineQueries {
       decontamReport(pre.join(test, "fp"))
     }),
 
+    // Composite curation SCORE + distribution bucketing: one weighted
+    // score per doc (quality + corpus-relative rarity, fixed-order
+    // arithmetic tree mirrored in the oracle) and quartile buckets via
+    // BROADCAST BOUNDARIES — the scale-correct replacement for a global
+    // ntile(), whose empty-partitionBy window funnels the entire corpus
+    // through ONE task. Here the exact percentile aggregate reduces to
+    // 3 numbers, the comparison is a row-local when-chain, and the only
+    // shuffles are the score aggregation and the final 4-row groupBy.
+    // Per-bucket stats stick to order-independent aggregates (count,
+    // min, max) so the cross-engine hash is exact.
+    "pipe_score" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val tok = d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = vocab.agg(sum("c").cast("long").as("t"))
+      val rar = tok.join(vocab, "tok").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast("long").as("n_tokens"),
+          sum(when(col("c") * lit(TextQueries.RarityDenom.toLong) <= col("t"), 1L)
+            .otherwise(0L)).as("n_rare"))
+      val scored = d.join(rar, "doc_id")
+        .withColumn("score",
+          lit(ScoreWQuality) * TextAnalysis.qualityScore(col("text")) +
+            lit(ScoreWRarity) * (lit(1.0) -
+              col("n_rare").cast("double") / col("n_tokens").cast("double")))
+        .select("doc_id", "score")
+      val bounds = scored.agg(
+        percentile(col("score"), lit(0.25)).as("b25"),
+        percentile(col("score"), lit(0.5)).as("b50"),
+        percentile(col("score"), lit(0.75)).as("b75"))
+      scored.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          when(col("score") <= col("b25"), 0L)
+            .when(col("score") <= col("b50"), 1L)
+            .when(col("score") <= col("b75"), 2L)
+            .otherwise(3L))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min("score").as("min_score"),
+          max("score").as("max_score"))
+        .orderBy("bucket")
+    }),
+
     "pipe_curate" -> ((s, dir) => {
       val c = DedupQueries.corpus(s, dir)
       val cc = Dedup.connectedComponents(
@@ -407,6 +455,59 @@ object PipelineQueries {
          |  FROM documents
          |) t WHERE rnk <= $ReservoirN ORDER BY lang, rnk""".stripMargin
     },
+
+    "pipe_score" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS DOUBLE) AS n,
+         |    CAST(len(list_filter(toks, t -> t IN ($enStopsSql))) AS DOUBLE) AS stop_hits,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct,
+         |    CAST(list_aggregate(list_transform(toks, t -> CAST(length(t) AS BIGINT)), 'sum') AS DOUBLE) AS chars
+         |  FROM tok
+         |), q AS (
+         |  SELECT doc_id,
+         |    ((stop_hits / n) * CAST(0.25 AS DOUBLE))
+         |    + ((n_distinct / n) * CAST(0.35 AS DOUBLE))
+         |    + (GREATEST(CAST(0.0 AS DOUBLE),
+         |         CAST(1.0 AS DOUBLE) - ABS((chars / n) - CAST(5.5 AS DOUBLE)) / CAST(5.5 AS DOUBLE))
+         |       * CAST(0.4 AS DOUBLE)) AS quality
+         |  FROM m
+         |), tokx AS (
+         |  SELECT doc_id, unnest(toks) AS tok FROM tok
+         |), vocab AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tokx GROUP BY tok
+         |), tot AS (
+         |  SELECT CAST(SUM(c) AS BIGINT) AS t FROM vocab
+         |), rar AS (
+         |  SELECT doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CASE WHEN c * ${TextQueries.RarityDenom} <= t THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+         |  FROM tokx JOIN vocab USING (tok) CROSS JOIN tot
+         |  GROUP BY doc_id
+         |), scored AS (
+         |  SELECT q.doc_id,
+         |    (CAST($ScoreWQuality AS DOUBLE) * quality)
+         |    + (CAST($ScoreWRarity AS DOUBLE)
+         |       * (CAST(1.0 AS DOUBLE) - (CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE)))) AS score
+         |  FROM q JOIN rar ON q.doc_id = rar.doc_id
+         |), b AS (
+         |  SELECT quantile_cont(score, 0.25) AS b25,
+         |         quantile_cont(score, 0.5) AS b50,
+         |         quantile_cont(score, 0.75) AS b75
+         |  FROM scored
+         |)
+         |SELECT CAST(CASE WHEN score <= b25 THEN 0
+         |                 WHEN score <= b50 THEN 1
+         |                 WHEN score <= b75 THEN 2
+         |                 ELSE 3 END AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  MIN(score) AS min_score,
+         |  MAX(score) AS max_score
+         |FROM scored CROSS JOIN b
+         |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "pipe_curate" ->
       s"""WITH RECURSIVE ${DedupQueries.corpusCte}, ${DedupQueries.shinglesCte}, ${DedupQueries.minhashPairsCtes},
