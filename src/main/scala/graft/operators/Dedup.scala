@@ -146,6 +146,9 @@ object Dedup {
     val a = kept.filter(!col("is_probe")).select(col("id").as("id_old"), col("band"), col("key"))
     val b = kept.filter(col("is_probe")).select(col("id").as("id_new"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))
+      // an UNCHANGED re-crawled doc appears on both sides under one id;
+      // it is not a duplicate of itself
+      .filter(col("id_old") =!= col("id_new"))
       .select("id_old", "id_new").distinct()
   }
 
