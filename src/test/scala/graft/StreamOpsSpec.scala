@@ -235,6 +235,43 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("interval join state is bounded by watermark + lookback, not stream length") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    val cdf = clicks.toDF().toDF("c_user", "click_id", "c_ts")
+    val bdf = buys.toDF().toDF("user_id", "buy_id", "b_ts")
+    val joined = StreamOps.intervalJoin(bdf, "b_ts", cdf, "c_ts",
+        Seq("user_id" -> "c_user"), "10 minutes", "1 minute")
+      .select(col("buy_id"), col("click_id"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attrib_state").start()
+    try {
+      def stateRows: Long = {
+        val p = q.lastProgress
+        if (p == null) 0L else p.stateOperators.map(_.numRowsTotal).sum
+      }
+      // feed 20 batches, each 1 hour later — every batch's rows age far
+      // past watermark + lookback before the next arrives
+      var peak = 0L
+      for (h <- 0 until 20) {
+        val t0 = h * 3600L
+        clicks.addData((1L, 1000L + h, ts(t0)), (2L, 2000L + h, ts(t0)))
+        buys.addData((1L, 100L + h, ts(t0 + 60)))
+        q.processAllAvailable()
+        if (h >= 3) peak = math.max(peak, stateRows)
+      }
+      // 60 click rows + 20 buy rows entered; bounded state must hold
+      // only the un-evicted tail (one batch's worth + watermark slack),
+      // nowhere near the 80-row total
+      assert(peak > 0L, "no state observed — join not stream-stream?")
+      assert(peak <= 12L, s"state grew with the stream: peak $peak rows")
+      // every in-window pair still attributed exactly once
+      assert(spark.table("attrib_state").count() == 20L)
+    } finally q.stop()
+  }
+
   test("interval join on batch frames equals the explicit range-predicate join") {
     import spark.implicits._
     val cdf = Seq((1L, 101L, ts(0)), (1L, 102L, ts(900)), (2L, 201L, ts(0)))
