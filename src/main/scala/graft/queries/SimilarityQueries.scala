@@ -19,6 +19,13 @@ object SimilarityQueries {
   final val K = 10
   /** sim_knn_graph: neighbors kept per corpus vector. */
   final val KnnK = 5
+  /** sim_decontam: a test vector with a train-side neighbor at cosine
+    * >= this is flagged as semantically leaked. 0.35 sits above the
+    * corpus's 75th-percentile pair cosine (~0.29) and below its max
+    * (~0.49), so the flag set is non-trivial and boundary-stable (the
+    * nearest pair cosines are not clustered at the threshold).
+    */
+  final val DecontamCosine = 0.35
   /** Default LSH signature width. A PARAMETER of the lsh builders (more
     * bits = smaller buckets = faster + lower recall) — this is only the
     * default the driver queries run at.
@@ -190,6 +197,37 @@ object SimilarityQueries {
     // signature width; nBits is THE scale knob (see its scaladoc) and
     // the driver query documents the fixed-width point, not the rule.
     "sim_knn_graph" -> ((s, dir) => knnGraphRes(s, dir, LshBits)),
+
+    // SEMANTIC decontamination — the embedding-space analog of
+    // pipe_decontam: test-split vectors whose train-split neighbors
+    // exceed a cosine threshold (an eval item paraphrased in training
+    // data has no shared n-grams but a near-identical embedding). The
+    // split reuses sample_split's salted md5 buckets on vec_id, and the
+    // search is the multi-probe LSH shape: the corpus keeps one bucket
+    // per vector, the test side (eval-set-sized, broadcastable) fans
+    // out Hamming-1 probes, and the bucket equi-join never goes
+    // all-pairs. Output per flagged test vector: train-neighbor count
+    // and the worst (max) cosine — both order-independent aggregates.
+    "sim_decontam" -> ((s, dir) => {
+      val bucket = graft.functions.Md5Long60Expr(
+        col("vec_id").cast("string"), PipelineQueries.SplitSalt) % lit(100L)
+      val all = vecs(s, dir)
+        .withColumn("split_bucket", bucket)
+        .withColumn("bucket", Similarity.lshBucket(col("v"), signs(LshBits)))
+      val train = all.filter(col("split_bucket") < PipelineQueries.TrainPct)
+        .select(col("vec_id").as("train_id"), col("v").as("t_v"), col("bucket"))
+      val test = broadcast(
+        all.filter(col("split_bucket") >= PipelineQueries.TrainPct + PipelineQueries.ValPct)
+          .select(col("vec_id").as("test_id"), col("v").as("q_v"),
+            explode(array(mpMasks(LshBits).map(m =>
+              col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket")))
+      test.join(train, Seq("bucket"))
+        .withColumn("cosine", Dedup.cosine(col("q_v"), col("t_v")))
+        .filter(col("cosine") >= DecontamCosine)
+        .groupBy("test_id")
+        .agg(count(lit(1)).as("n_train_neighbors"), max("cosine").as("max_cosine"))
+        .orderBy("test_id")
+    }),
 
     // The PERSISTED index path: build the LSH index on disk (bucketed
     // parquet under part = pmod(bucket, parts) directories — the
@@ -456,6 +494,29 @@ object SimilarityQueries {
     "sim_ann_lsh_mp" ->
       s"""WITH $vecsCte, $lshCtes, $lshMpCtes
          |SELECT q_id, rnk, c_id, cosine FROM lsh_mp_res ORDER BY q_id, rnk""".stripMargin,
+
+    "sim_decontam" -> {
+      val maskList = mpMasks(LshBits).map(m => s"CAST($m AS BIGINT)").mkString("[", ", ", "]")
+      val splitSql =
+        s"CAST(concat('0x', substr(md5(concat('${PipelineQueries.SplitSalt}:', CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100"
+      s"""WITH $vecsCte, $lshCtes, sd_test AS (
+         |  SELECT vec_id AS test_id, v AS q_v, xor(bucket, m.mask) AS bucket
+         |  FROM bucketed CROSS JOIN (SELECT UNNEST($maskList) AS mask) m
+         |  WHERE $splitSql >= ${PipelineQueries.TrainPct + PipelineQueries.ValPct}
+         |), sd_train AS (
+         |  SELECT vec_id AS train_id, v AS t_v, bucket FROM bucketed
+         |  WHERE $splitSql < ${PipelineQueries.TrainPct}
+         |), sd_scored AS (
+         |  SELECT q.test_id, ${cosineSql("q.q_v", "t.t_v")} AS cosine
+         |  FROM sd_test q JOIN sd_train t USING (bucket)
+         |)
+         |SELECT test_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_train_neighbors,
+         |  MAX(cosine) AS max_cosine
+         |FROM sd_scored
+         |WHERE cosine >= $DecontamCosine
+         |GROUP BY test_id ORDER BY test_id""".stripMargin
+    },
 
     // every corpus vector as query, same multi-probe buckets, top-KnnK
     "sim_knn_graph" -> {
