@@ -285,19 +285,14 @@ object PipelineQueries {
     // through ONE task. Here the exact percentile aggregate reduces to
     // 3 numbers, the comparison is a row-local when-chain, and the only
     // shuffles are the score aggregation and the final 4-row groupBy.
+    // The rarity leg rides [[TextQueries.rarityCounts]], so the Zipf-head
+    // token keys ride a bounded broadcast, never a skewed shuffle.
     // Per-bucket stats stick to order-independent aggregates (count,
     // min, max) so the cross-engine hash is exact.
     "pipe_score" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val tok = d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
-      val tot = vocab.agg(sum("c").cast("long").as("t"))
-      val rar = tok.join(vocab, "tok").crossJoin(broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).cast("long").as("n_tokens"),
-          sum(when(col("c") * lit(TextQueries.RarityDenom.toLong) <= col("t"), 1L)
-            .otherwise(0L)).as("n_rare"))
+      val rar = TextQueries.rarityCounts(tok)
       val scored = d.join(rar, "doc_id")
         .withColumn("score",
           lit(ScoreWQuality) * TextAnalysis.qualityScore(col("text")) +

@@ -29,6 +29,37 @@ object TextQueries {
     s"len(list_filter(toks, t -> t IN ($list))) AS h_$lang"
   }.mkString(",\n  ")
 
+  /** Per-doc (n_tokens, n_rare) over a (doc_id, tok) occurrence stream —
+    * the SKEW-SAFE form of the corpus-rarity join, shared by text_rarity
+    * and pipe_score.
+    *
+    * The naive plan joins every token OCCURRENCE against the vocab on the
+    * raw token string; under a Zipf corpus the head tokens ("the") are hot
+    * keys and one shuffle task drowns at 100x. The fix exploits a bound
+    * the rarity predicate itself provides: a token is NON-rare iff
+    * c * RarityDenom > t, and at most RarityDenom - 1 distinct tokens can
+    * each hold more than 1/RarityDenom of the total mass — so the non-rare
+    * "head" set is <= RarityDenom rows REGARDLESS of corpus size, always
+    * broadcastable. Rarity is pure head-membership (every token not in the
+    * head is rare by definition), so no shuffle-join of the tail is needed
+    * at all: one broadcast LEFT join tags each occurrence, and the only
+    * shuffles left are the map-side-combined vocab groupBy and the final
+    * per-doc aggregate on doc_id (uniform by construction). Same integers
+    * as the naive plan, so the oracles are unchanged.
+    */
+  private[queries] def rarityCounts(tok: DataFrame): DataFrame = {
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = vocab.agg(sum("c").cast("long").as("t"))
+    val head = vocab.crossJoin(broadcast(tot))
+      .filter(col("c") * lit(RarityDenom.toLong) > col("t"))
+      .select(col("tok"), lit(1L).as("__head"))
+    tok.join(broadcast(head), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("__head").isNull, 1L).otherwise(0L)).as("n_rare"))
+  }
+
   // PII patterns + redaction live on TextAnalysis (library API);
   // EmailRe/PhoneRe/IpRe resolve through the TextAnalysis._ import.
 
@@ -85,22 +116,12 @@ object TextQueries {
     // flag OCR noise / codey junk, zero flags templated boilerplate.
     // All-integer arithmetic until one final divide, so the cross-engine
     // hash is exact (a mean-log-prob variant would sum transcendentals
-    // in engine-dependent order). Scale shape: the vocab groupBy is
-    // map-side combined; the token-stream x vocab join shuffles on the
-    // token — under a Zipf corpus the head tokens are hot keys, and the
-    // production mitigation is broadcasting the top-K head vocab and
-    // shuffle-joining only the tail (AQE skew-join handles the middle).
+    // in engine-dependent order). Scale shape: see [[rarityCounts]] —
+    // the Zipf-head hot keys ride a bounded broadcast, never a shuffle.
     "text_rarity" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
-      val tot = vocab.agg(sum("c").cast("long").as("t"))
-      tok.join(vocab, "tok").crossJoin(broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).cast("long").as("n_tokens"),
-          sum(when(col("c") * lit(RarityDenom.toLong) <= col("t"), 1L)
-            .otherwise(0L)).as("n_rare"))
+      rarityCounts(tok)
         .withColumn("rare_frac",
           col("n_rare").cast("double") / col("n_tokens").cast("double"))
         .orderBy("doc_id")

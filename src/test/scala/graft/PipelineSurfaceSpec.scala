@@ -86,6 +86,31 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     exacts.foreach(b => assert(byId(b + 10000000L) == byId(b)))
   }
 
+  test("text_rarity: broadcast-head plan equals the naive token-shuffle join") {
+    // rarityCounts replaces tok ⋈ vocab (skewed shuffle) with a bounded
+    // broadcast of the non-rare head set; the results must be the exact
+    // same integers. Rebuild the naive form here and compare row sets.
+    val denom = graft.queries.TextQueries.RarityDenom.toLong
+    val d = graft.sources.Tables.documents(spark, dir)
+    val tok = d.select(col("doc_id"),
+      explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = vocab.agg(sum("c").cast("long").as("t"))
+    val naive = tok.join(vocab, "tok").crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("c") * lit(denom) <= col("t"), 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_frac",
+        col("n_rare").cast("double") / col("n_tokens").cast("double"))
+      .collect().map(_.toSeq).toSet
+    val fast = graft.queries.TextQueries.queries("text_rarity")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(fast == naive)
+    // and the corpus actually exercises both sides of the boundary
+    assert(fast.exists(r => r(3).asInstanceOf[Double] > 0.0))
+    assert(fast.exists(r => r(3).asInstanceOf[Double] < 1.0))
+  }
+
   test("sim_knn_graph: no self-edges, at most KnnK neighbors, ranks contiguous") {
     val g = graft.queries.SimilarityQueries.queries("sim_knn_graph")(spark, dir)
     val rows = g.collect()

@@ -149,6 +149,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("text_rarity/pipe_score: token-occurrence join rides a broadcast, never a token shuffle") {
+    // rarityCounts' contract: the Zipf-head hot keys (the non-rare vocab,
+    // bounded <= RarityDenom rows) broadcast, and NO join shuffles on the
+    // raw token — a SortMergeJoin keyed on tok would be the skewed-key
+    // full shuffle that drowns one task at 100x.
+    Seq("text_rarity", "pipe_score").foreach { n =>
+      val plan = qe(n).executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$n: $plan")
+      val tokJoins = plan.linesIterator.filter(l =>
+        l.contains("SortMergeJoin") && l.contains("tok#")).toList
+      assert(tokJoins.isEmpty, s"$n shuffles on the token key:\n${tokJoins.mkString("\n")}")
+    }
+  }
+
   test("pipe_decontam: df-pruned fingerprint equi-joins, no cartesian blowup") {
     // The contamination join must stay an equi-join on the 8-byte
     // shingle fingerprint (train side x test side); a CartesianProduct
