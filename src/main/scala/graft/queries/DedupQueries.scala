@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.operators.{Dedup, TextAnalysis}
 import graft.sources.Tables
@@ -86,7 +85,9 @@ object DedupQueries {
       |)""".stripMargin
 
   /** Verified MinHash near-dup pairs (id_a < id_b, jaccard >= threshold).
-    * Persists the signature table: it feeds candidate generation AND
+    * Materializes the signature table once (localCheckpoint, not persist:
+    * the blocks release with the plan instead of pinning the session's
+    * cache manager across invocations): it feeds candidate generation AND
     * both sides of the verify join — without it Spark re-derives the
     * shingle+signature subtree per reference. At pipeline scale this is
     * the materialized signatures table every LSH dedup job writes.
@@ -96,7 +97,7 @@ object DedupQueries {
       .withColumn("sh", Dedup.shingleSet(col("text")))
       .withColumn("sig", Dedup.minhashSignature(col("sh"), MinhashK))
       .withColumn("keys", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val pairs = Dedup.candidatePairs(c, "doc_id", "keys", MaxBucket)
     pairs
       .join(c.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -145,7 +146,7 @@ object DedupQueries {
       val c = corpus(s, dir).withColumn("sim", Dedup.simhashExpr)
         .withColumn("keys", array((0 until 4).map(b =>
           shiftright(col("sim"), 15 * b).bitwiseAND(lit(32767L))): _*))
-        .persist(StorageLevel.MEMORY_AND_DISK) // reused 3x, see dedup_minhash
+        .localCheckpoint(true) // reused 3x, see dedup_minhash
       val pairs = Dedup.candidatePairs(c, "doc_id", "keys", MaxBucket)
       pairs
         .join(c.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
@@ -166,14 +167,15 @@ object DedupQueries {
     "dedup_ngram" -> ((s, dir) => {
       val c = corpus(s, dir).withColumn("sh", Dedup.shingleSet(col("text")))
       // The exploded posting list feeds doc-freq pruning, per-doc sizes,
-      // and both sides of the shared-shingle join — persist it once
-      // (the materialized inverted index of this pipeline stage).
+      // and both sides of the shared-shingle join — materialize it once
+      // (the inverted index of this pipeline stage; localCheckpoint so
+      // the blocks release with the plan, not at session end).
       val ex = c.select(col("doc_id"), explode(col("sh")).as("shingle"))
         .select(col("doc_id"), graft.functions.Md5Long60Expr(col("shingle"), 0).as("sid"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val keep = ex.groupBy("sid").agg(count(lit(1)).as("df"))
         .filter(col("df") <= MaxDocFreq).select("sid")
-      val fx = ex.join(keep, "sid").persist(StorageLevel.MEMORY_AND_DISK)
+      val fx = ex.join(keep, "sid").localCheckpoint(true)
       val sizes = fx.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val shared = fx.select(col("doc_id").as("id_a"), col("sid"))
         .join(fx.select(col("doc_id").as("id_b"), col("sid")), "sid")
@@ -207,14 +209,14 @@ object DedupQueries {
         .unionByName(existing.filter(col("doc_id") % 10 === 3 && size(toks) >= 10)
           .select((col("doc_id") + 20000000L).as("doc_id"),
             array_join(slice(toks, lit(3), size(toks) - 2), " ").as("text")))
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_mhidx_").toString
+      val idxDir = graft.sources.TempDirs.scratch("graft_mhidx_")
       graft.sources.AnnIndex.saveMinhash(existing, MinhashK, Bands, RowsPerBand, idxDir)
       val old = graft.sources.AnnIndex.minhashSigs(s, idxDir)
       val nw = incoming
         .withColumn("sh", Dedup.shingleSet(col("text")))
         .withColumn("sig", Dedup.minhashSignature(col("sh"), MinhashK))
         .withColumn("keys", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       Dedup.candidatePairsAcross(old, nw, "doc_id", "keys", MaxBucket)
         .join(nw.select(col("doc_id").as("id_new"), col("sh").as("sh_n")), "id_new")
         .join(old.select(col("doc_id").as("id_old"), col("sh").as("sh_o")), "id_old")
@@ -247,7 +249,7 @@ object DedupQueries {
       val c = e.unionByName(exact)
         .unionByName(near(20000000L, 0)).unionByName(near(30000000L, 1))
         .withColumn("keys", Dedup.signBandKeys(col("v"), EmbBands, EmbBitsPerBand))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val pairs = Dedup.candidatePairs(c, "vec_id", "keys", MaxBucket)
         .join(c.select(col("vec_id").as("id_a"), col("v").as("v_a")), "id_a")
         .join(c.select(col("vec_id").as("id_b"), col("v").as("v_b")), "id_b")
@@ -273,7 +275,7 @@ object DedupQueries {
       val withVec = cps.withColumn("v", Dedup.toDoubleVec(col("embedding")))
         .withColumn("keys", Dedup.signBandKeys(col("v"), EmbBands, EmbBitsPerBand))
         .select("vec_id", "keys", "v")
-        .persist(StorageLevel.MEMORY_AND_DISK) // feeds candidates + both verify sides
+        .localCheckpoint(true) // feeds candidates + both verify sides
       val pairs = Dedup.candidatePairs(withVec, "vec_id", "keys", MaxBucket)
       pairs
         .join(withVec.select(col("vec_id").as("id_a"), col("v").as("v_a")), "id_a")

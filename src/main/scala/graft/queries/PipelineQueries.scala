@@ -36,13 +36,16 @@ object PipelineQueries {
   final val DecontamMaxDf = 50
   /** Salt for the 8-byte shingle fingerprints the decontam join runs on. */
   final val DecontamSalt = 9
-  /** pipe_decontam_bloom filter sizing: ~8 bits per expected test-side
-    * fingerprint => ~2% false-positive rate on the prefilter (harmless —
-    * the exact join removes them). 128 KiB broadcast at these settings;
-    * a 10^6-fingerprint eval set at 10 bits/item is still ~1.2 MiB.
+  /** pipe_decontam_bloom filter sizing: ~8 bits per test-side fingerprint
+    * => ~2% false-positive rate on the prefilter (harmless — the exact
+    * join removes them). expectedItems is DERIVED from a count of the
+    * (already-materialized) test side, so the fp rate cannot silently
+    * degrade toward pass-through when the eval set outgrows a fixed
+    * constant at larger scale factors; these are the floors (128 KiB
+    * broadcast; a 10^6-fingerprint eval set at 8 bits/item is ~1 MiB).
     */
-  final val BloomItems = 1L << 17
-  final val BloomBits = 1L << 20
+  final val BloomItemsFloor = 1L << 17
+  final val BloomBitsPerItem = 8L
   /** sample_reservoir: exact per-language cap and its hash salt. */
   final val ReservoirN = 20
   final val ReservoirSalt = 17
@@ -258,7 +261,7 @@ object PipelineQueries {
     // train side is cut down BEFORE the shuffle join: the test split's
     // fingerprints aggregate into one bloom filter (partial aggregation
     // merges filters executor-side — the driver and broadcast see
-    // BloomBits/8 bytes, not the fp list), and train rows that cannot
+    // bits/8 bytes, not the fp list), and train rows that cannot
     // match are dropped at the scan. This is Spark's own runtime
     // row-level filtering shape made explicit. At 100 TB the asymmetry
     // is extreme — the train split is the corpus, the test split is an
@@ -266,12 +269,16 @@ object PipelineQueries {
     // shingle" to "true leaks + the fp-rate sliver".
     "pipe_decontam_bloom" -> ((s, dir) => {
       val (train, test0) = decontamSides(s, dir)
-      // the test side is the eval set — persisting its rare fps means the
-      // corpus-wide shingle pipeline runs once for the bloom build and
-      // once for the train side, instead of a third time at the exact join
-      val test = test0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the test side is the eval set — materializing its rare fps means
+      // the corpus-wide shingle pipeline runs once for the bloom build and
+      // once for the train side, instead of a third time at the exact
+      // join (localCheckpoint: blocks release with the plan, no session
+      // cache entry), and the count sizes the bloom to the actual eval set
+      val test = test0.localCheckpoint(true)
+      val items = math.max(test.count(), BloomItemsFloor)
       val bloom = test.agg(
-        graft.functions.SketchExprs.bloomFilterAgg(col("fp"), BloomItems, BloomBits).as("bf"))
+        graft.functions.SketchExprs.bloomFilterAgg(col("fp"), items,
+          items * BloomBitsPerItem).as("bf"))
       val pre = train.filter(
         graft.functions.SketchExprs.mightContain(bloom, col("fp")))
       decontamReport(pre.join(test, "fp"))

@@ -141,9 +141,11 @@ object SimilarityQueries {
     * unlike a sampled-centroid scheme whose centroid count (and thus the
     * assignment cost and broadcast size) scales with N.
     */
-  /** Cell-assignment table: top-`maxProbe` cells per vector, persisted.
-    * At scale this IS the stored assignment table (`maxProbe` small rows
-    * per vector — centroid vectors and scores dropped). One table serves
+  /** Cell-assignment table: top-`maxProbe` cells per vector, materialized
+    * once (localCheckpoint, not persist: the blocks release with the plan
+    * instead of pinning the session cache across invocations). At scale
+    * this IS the stored assignment table (`maxProbe` small rows per
+    * vector — centroid vectors and scores dropped). One table serves
     * every probe depth ≤ `maxProbe`, so `sim_ann_recall`'s three IVF
     * legs share a single quantizer pass.
     */
@@ -157,7 +159,7 @@ object SimilarityQueries {
       .withColumn("crn", row_number().over(wAssign))
       .filter(col("crn") <= maxProbe)
       .select("vec_id", "v", "cent_id", "crn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
   }
 
   /** Probe the top-`nProbe` cells of each query against the crn=1 cell
@@ -236,7 +238,7 @@ object SimilarityQueries {
     // Same results as sim_ann_lsh by construction, so the same oracle
     // checks the whole save -> load -> probe cycle.
     "sim_ann_lsh_idx" -> ((s, dir) => {
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_lshidx_").toString
+      val idxDir = graft.sources.TempDirs.scratch("graft_lshidx_")
       graft.sources.AnnIndex.saveLsh(vecs(s, dir), LshBits, Dim, idxDir)
       val q = vecs(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("q_v"))
@@ -247,7 +249,7 @@ object SimilarityQueries {
     // probes rank the stored k-row centroid table and read only the
     // probed cell directories. Oracle-identical to sim_ann_ivf.
     "sim_ann_ivf_idx" -> ((s, dir) => {
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivfidx_").toString
+      val idxDir = graft.sources.TempDirs.scratch("graft_ivfidx_")
       graft.sources.AnnIndex.saveIvf(vecs(s, dir), IvfK, IvfSample, IvfIters,
         Dim, IvfSalt, idxDir)
       val q = vecs(s, dir).filter(col("vec_id") < 5)

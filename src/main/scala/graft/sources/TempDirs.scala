@@ -1,0 +1,36 @@
+package graft.sources
+
+/** Scratch directories for the driver-contract queries that build a
+  * throwaway index per invocation (the self-contained form the driver
+  * requires; a real deployment builds the index once and probes it —
+  * see [[AnnIndex]]). Registered paths are deleted recursively on JVM
+  * exit so repeated invocations in one session don't accumulate
+  * orphaned directories under java.io.tmpdir.
+  */
+object TempDirs {
+
+  private val registered = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+
+  private lazy val hook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      registered.forEach { p =>
+        try deleteRecursively(p.toFile) catch { case _: Throwable => () }
+      }
+    }))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
+  /** Create a temp directory and register it for deletion at JVM exit. */
+  def scratch(prefix: String): String = {
+    hook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    registered.add(p)
+    p.toString
+  }
+}

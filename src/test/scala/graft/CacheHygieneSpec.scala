@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session cache hygiene: query builders must not leak pinned cache
+  * entries. A long-lived service session invoking query builders
+  * repeatedly would otherwise accumulate cached blocks forever (the
+  * round-7 bench logged "Asked to cache already cached data" x4) —
+  * intermediate reuse inside a builder rides `localCheckpoint(true)`
+  * (blocks release with the plan via the ContextCleaner) instead of
+  * `.persist()` (pinned in the CacheManager until someone unpersists).
+  */
+class CacheHygieneSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.sources.GraftSession.local()
+  private val dir = "/root/testdata/sf0.001"
+
+  // every query whose builder materializes a reused intermediate
+  private val reusers = Seq(
+    "dedup_minhash", "dedup_clusters", "dedup_simhash", "dedup_ngram",
+    "dedup_incremental", "dedup_semantic", "dedup_embedding",
+    "sim_ann_ivf", "sim_ann_recall", "pipe_decontam_bloom", "pipe_curate")
+
+  test("cacheManager is empty after each reusing query builder runs") {
+    reusers.foreach { n =>
+      SparkEntry.queries(n)(spark, dir).collect()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$n left entries in the session cache manager")
+    }
+  }
+}
