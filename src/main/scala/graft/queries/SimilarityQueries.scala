@@ -19,6 +19,16 @@ object SimilarityQueries {
   final val K = 10
   /** sim_knn_graph: neighbors kept per corpus vector. */
   final val KnnK = 5
+  /** sim_knn_graph_scaled: target per-bucket population B and the max
+    * derivable signature width. nBits = min w in [LshBits, KnnMaxBits]
+    * with B * 2^w >= N (integer-exact in both engines, no FP log2) keeps
+    * per-bucket population ~B as the corpus grows — the scaling rule of
+    * [[knnGraphRes]]'s scaladoc, driver-registered: pair work stays
+    * N * B * (nBits+1), linear in N, instead of the fixed-width
+    * N^2 (nBits+1) / 2^nBits.
+    */
+  final val KnnBucketTarget = 8
+  final val KnnMaxBits = 20
   /** sim_decontam: a test vector with a train-side neighbor at cosine
     * >= this is flagged as semantically leaked. 0.35 sits above the
     * corpus's 75th-percentile pair cosine (~0.29) and below its max
@@ -85,6 +95,15 @@ object SimilarityQueries {
       .select("q_id", "rnk", "c_id", "cosine")
       .orderBy("q_id", "rnk")
   }
+
+  /** The [[KnnBucketTarget]] scaling rule, integer-exact: smallest width
+    * in [LshBits, KnnMaxBits] whose bucket space holds the corpus at ~B
+    * vectors per bucket.
+    */
+  private[graft] def knnScaledBits(n: Long): Int =
+    (LshBits to KnnMaxBits)
+      .find(w => (KnnBucketTarget.toLong << w) >= n)
+      .getOrElse(KnnMaxBits)
 
   private def bruteRes(s: SparkSession, dir: String): DataFrame = {
     val all = vecs(s, dir)
@@ -200,6 +219,20 @@ object SimilarityQueries {
     // the driver query documents the fixed-width point, not the rule.
     "sim_knn_graph" -> ((s, dir) => knnGraphRes(s, dir, LshBits)),
 
+    // The SCALE-SAFE k-NN graph: signature width derived from the corpus
+    // size (one count scan — cheap metadata next to the graph build) by
+    // the [[knnScaledBits]] rule, holding per-bucket population ~B so the
+    // bucket self-join stays linear as the corpus grows — the registered
+    // form of the scaling rule sim_knn_graph's fixed width documents.
+    // The oracle derives the same width with the same integer comparison
+    // and masks a max-width bucket down to it (the md5-parity hyperplane
+    // family is prefix-stable in nBits), so one static SQL text checks
+    // every derived width.
+    "sim_knn_graph_scaled" -> ((s, dir) => {
+      val n = vecs(s, dir).count()
+      knnGraphRes(s, dir, knnScaledBits(n))
+    }),
+
     // SEMANTIC decontamination — the embedding-space analog of
     // pipe_decontam: test-split vectors whose train-split neighbors
     // exceed a cosine threshold (an eval item paraphrased in training
@@ -241,6 +274,26 @@ object SimilarityQueries {
       val idxDir = graft.sources.TempDirs.scratch("graft_lshidx_")
       graft.sources.AnnIndex.saveLsh(vecs(s, dir), LshBits, Dim, idxDir)
       val q = vecs(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      graft.sources.AnnIndex.probeLsh(s, idxDir, q, K).orderBy("q_id", "rnk")
+    }),
+
+    // The INCREMENTALLY-MAINTAINED index path: build the LSH index on
+    // a subset of the corpus, upsert the remainder as a later batch
+    // (AnnIndex.upsertLsh — dynamic partition overwrite of touched
+    // directories only, hash family frozen in the stored meta), then
+    // serve the probe from the store. By the upsert convergence
+    // property (AnnIndexSpec) the maintained index is row-identical to
+    // a full rebuild, so the sim_ann_lsh oracle checks the whole
+    // build -> upsert -> probe cycle — the daily-crawl-append shape.
+    "sim_ann_lsh_upsert" -> ((s, dir) => {
+      val idxDir = graft.sources.TempDirs.scratch("graft_lshups_")
+      val all = vecs(s, dir)
+      graft.sources.AnnIndex.saveLsh(
+        all.filter(col("vec_id") % 3 =!= 0), LshBits, Dim, idxDir)
+      graft.sources.AnnIndex.upsertLsh(s, idxDir,
+        all.filter(col("vec_id") % 3 === 0))
+      val q = all.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("q_v"))
       graft.sources.AnnIndex.probeLsh(s, idxDir, q, K).orderBy("q_id", "rnk")
     }),
@@ -330,16 +383,20 @@ object SimilarityQueries {
   private def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
-  /** Bucket expression mirroring [[Similarity.lshBucket]]: literal ±1
-    * signs folded through the identical sequential dot product (at the
-    * default nBits — oracles check the driver queries, which run at the
-    * defaults).
+  /** Bucket expression mirroring [[Similarity.lshBucket]] at width
+    * `nBits`: literal ±1 signs folded through the identical sequential
+    * dot product. The md5-parity hyperplane family is PREFIX-STABLE —
+    * plane p's signs depend only on (p, d) — so a width-w bucket equals
+    * the width-W bucket masked to its low w bits; the scaled oracle
+    * exploits that to check a runtime-derived width with static SQL.
     */
-  private def bucketSql(v: String): String =
-    signs(LshBits).zipWithIndex.map { case (row, p) =>
+  private def bucketSqlAt(v: String, nBits: Int): String =
+    signs(nBits).zipWithIndex.map { case (row, p) =>
       val arr = row.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
       s"(CASE WHEN ${dotSql(v, s"CAST($arr AS DOUBLE[])")} >= 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
     }.mkString("\n    + ")
+
+  private def bucketSql(v: String): String = bucketSqlAt(v, LshBits)
 
   private val vecsCte =
     """vecs AS (
@@ -538,6 +595,44 @@ object SimilarityQueries {
          |  FROM knn_scored
          |) t WHERE rnk <= $KnnK ORDER BY q_id, rnk""".stripMargin
     },
+
+    // same pipeline at the SQL-derived width: bucket at KnnMaxBits, mask
+    // to the low w bits (prefix-stable hyperplane family), masks from
+    // generate_series(0, w-1)
+    "sim_knn_graph_scaled" ->
+      s"""WITH $vecsCte, knn_w AS (
+         |  SELECT MIN(w) AS w
+         |  FROM (SELECT UNNEST(generate_series($LshBits, $KnnMaxBits)) AS w) ws
+         |  WHERE $KnnBucketTarget * (CAST(1 AS BIGINT) << w) >= (SELECT COUNT(*) FROM vecs)
+         |), knn_bucketed AS (
+         |  SELECT vec_id, v,
+         |    (${bucketSqlAt("v", KnnMaxBits)})
+         |      % (CAST(1 AS BIGINT) << (SELECT w FROM knn_w)) AS bucket
+         |  FROM vecs
+         |), knn_masks AS (
+         |  SELECT UNNEST([CAST(0 AS BIGINT)] ||
+         |    list_transform(generate_series(0, (SELECT w FROM knn_w) - 1),
+         |                   i -> CAST(1 AS BIGINT) << i)) AS mask
+         |), knn_probes AS (
+         |  SELECT vec_id AS q_id, v AS q_v, xor(bucket, m.mask) AS bucket
+         |  FROM knn_bucketed CROSS JOIN knn_masks m
+         |), knn_scored AS (
+         |  SELECT q.q_id, c.vec_id AS c_id,
+         |         ${cosineSql("q.q_v", "c.v")} AS cosine
+         |  FROM knn_probes q JOIN knn_bucketed c USING (bucket)
+         |  WHERE q.q_id != c.vec_id
+         |)
+         |SELECT q_id, rnk, c_id, cosine FROM (
+         |  SELECT q_id, c_id, cosine,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
+         |  FROM knn_scored
+         |) t WHERE rnk <= $KnnK ORDER BY q_id, rnk""".stripMargin,
+
+    // maintained index converges to the rebuild (AnnIndexSpec), so the
+    // save -> upsert -> probe cycle answers exactly like sim_ann_lsh
+    "sim_ann_lsh_upsert" ->
+      s"""WITH $vecsCte, $lshCtes
+         |SELECT q_id, rnk, c_id, cosine FROM lsh_res ORDER BY q_id, rnk""".stripMargin,
 
     "embed_quant" ->
       s"""WITH $vecsCte, sc AS (

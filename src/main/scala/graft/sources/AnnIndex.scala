@@ -86,6 +86,14 @@ object AnnIndex {
       .withColumn("part", pmod(col("bucket"), lit(parts.toLong)))
       .localCheckpoint(true) // materialize before overwriting the source
     if (staged.isEmpty) return
+    // The merge contract is "each vec_id exactly once": the anti-join
+    // removes STORED rows only, so a batch carrying one vec_id twice
+    // would insert both copies. Enforce the precondition (batch-sized
+    // check over the already-materialized stage).
+    val dup = staged.groupBy("vec_id").count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"upsert batch contains duplicate vec_id ${dup.headOption.map(_.get(0))}")
     // Touched directories are BOTH sides of the move: where the new rows
     // land AND where any re-inserted vec_id currently lives (a changed
     // vector can hash to a different bucket — rewriting only the target
@@ -113,8 +121,10 @@ object AnnIndex {
     // a directory whose every row was removed (vectors moved out, none
     // in) gets nothing written and would keep its stale files — drop it.
     val written = merged.select("part").distinct().collect().map(_.getLong(0)).toSet
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // resolve the filesystem OWNING dir, not the default FS — an s3a://
+    // index with an HDFS default would otherwise delete the wrong paths
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     partIds.filterNot(written).foreach { p =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/corpus/part=$p"), true)
     }
@@ -199,6 +209,10 @@ object AnnIndex {
       .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
       .localCheckpoint(true)
     if (staged.isEmpty) return
+    val dup = staged.groupBy("vec_id").count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"upsert batch contains duplicate vec_id ${dup.headOption.map(_.get(0))}")
     val newCells = staged.select("cell").distinct()
       .collect().map(_.getLong(0)) // bounded by k, driver-safe
     val oldCells = spark.read.parquet(s"$dir/assign")
@@ -218,8 +232,8 @@ object AnnIndex {
       .partitionBy("cell")
       .parquet(s"$dir/assign")
     val written = merged.select("cell").distinct().collect().map(_.getLong(0)).toSet
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     cellIds.filterNot(written).foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/assign/cell=$c"), true)
     }

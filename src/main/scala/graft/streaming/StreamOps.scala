@@ -70,25 +70,6 @@ object StreamOps {
         .dropDuplicatesWithinWatermark(idCols)
     else events.dropDuplicates(idCols)
 
-  /** Per-(dist, bin) event-time SESSIONS: maximal event runs where each
-    * gap to the previous event stays under `gap`; the session closes at
-    * `last event + gap`. Spark's `session_window` aggregation — the
-    * dynamic-window form tumbling/sliding can't express, and the shape
-    * user-activity analysis actually wants.
-    *
-    * Scale note: session merging inherently needs all of a key's events
-    * together in event-time order — that ordering constraint is the
-    * semantics, not an implementation accident. Keying by the COMPOSITE
-    * (dist, bin) keeps the shuffle spread over bins (no hot-dist
-    * straggler, same argument as `counts`' groupBy key); sessionizing
-    * per dist alone would concentrate a hot distribution on one task.
-    *
-    * Streaming: requires the watermark; finalized sessions emit in
-    * Append mode once the watermark passes their close (state for open
-    * sessions is bounded by the watermark delay). Batch: watermark is a
-    * no-op, every session finalizes — which is what makes the query
-    * oracle-checkable.
-    */
   /** Stream-stream event-time INTERVAL JOIN — the attribution primitive:
     * each left row (a purchase) matches right rows (clicks) of the same
     * key whose event time falls in `[leftTs - lookback, leftTs]`.
@@ -109,11 +90,10 @@ object StreamOps {
     * @param keys (leftKeyCol, rightKeyCol) equality pairs — at least one
     *             is required to keep the join an equi-join (hash/SMJ by
     *             key), never a time-only theta join
-    */
-  /** @param joinType "inner" (default) or "left_outer" — outer emits the
-    *                  unmatched left row with nulls once the watermark
-    *                  passes its join window (streaming) / immediately
-    *                  (batch), the shape an attribution-gap audit needs
+    * @param joinType "inner" (default) or "left_outer" — outer emits the
+    *                 unmatched left row with nulls once the watermark
+    *                 passes its join window (streaming) / immediately
+    *                 (batch), the shape an attribution-gap audit needs
     */
   def intervalJoin(left: DataFrame, leftTs: String,
                    right: DataFrame, rightTs: String,
@@ -130,6 +110,25 @@ object StreamOps {
     l.join(r, cond, joinType)
   }
 
+  /** Per-(dist, bin) event-time SESSIONS: maximal event runs where each
+    * gap to the previous event stays under `gap`; the session closes at
+    * `last event + gap`. Spark's `session_window` aggregation — the
+    * dynamic-window form tumbling/sliding can't express, and the shape
+    * user-activity analysis actually wants.
+    *
+    * Scale note: session merging inherently needs all of a key's events
+    * together in event-time order — that ordering constraint is the
+    * semantics, not an implementation accident. Keying by the COMPOSITE
+    * (dist, bin) keeps the shuffle spread over bins (no hot-dist
+    * straggler, same argument as `counts`' groupBy key); sessionizing
+    * per dist alone would concentrate a hot distribution on one task.
+    *
+    * Streaming: requires the watermark; finalized sessions emit in
+    * Append mode once the watermark passes their close (state for open
+    * sessions is bounded by the watermark delay). Batch: watermark is a
+    * no-op, every session finalizes — which is what makes the query
+    * oracle-checkable.
+    */
   def sessionCounts(events: DataFrame, gap: String, watermark: String): DataFrame =
     events
       .withWatermark("ts", watermark)

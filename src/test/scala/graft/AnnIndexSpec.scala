@@ -160,6 +160,21 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.lshCorpus(spark, dir).count() == 300L)
   }
 
+  test("LSH upsert: a batch with duplicate vec_ids is rejected") {
+    // the anti-join merge removes STORED rows only — a within-batch dupe
+    // would break the "each vec_id exactly once" invariant silently
+    val vecs = synthVecs(100)
+    val dir = Files.createTempDirectory("graft_annidx_").toString
+    AnnIndex.saveLsh(vecs, NBits, Dim, dir)
+    val dupBatch = synthVecs(150).filter(col("vec_id") >= 100)
+      .unionByName(synthVecs(150).filter(col("vec_id") === 120))
+    assertThrows[IllegalArgumentException] {
+      AnnIndex.upsertLsh(spark, dir, dupBatch)
+    }
+    // and the index is untouched: still exactly the original 100 rows
+    assert(AnnIndex.lshCorpus(spark, dir).count() == 100L)
+  }
+
   test("IVF: stored-index probe == the session quantizer path") {
     val vecs = synthVecs(500)
     val dir = Files.createTempDirectory("graft_ivfidx_").toString

@@ -111,6 +111,22 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     assert(fast.exists(r => r(3).asInstanceOf[Double] < 1.0))
   }
 
+  test("knnScaledBits: integer width rule holds per-bucket population ~B") {
+    import graft.queries.SimilarityQueries._
+    // floor at the default width, grows by ~log2 of the corpus
+    assert(knnScaledBits(1L) == LshBits)
+    assert(knnScaledBits(8L << LshBits) == LshBits)           // exactly full
+    assert(knnScaledBits((8L << LshBits) + 1) == LshBits + 1) // one over
+    assert(knnScaledBits(5000L) == 10)                        // sf0.1 corpus
+    assert(knnScaledBits(Long.MaxValue) == KnnMaxBits)        // capped
+    // the rule's invariant: bucket space at the chosen width holds the
+    // corpus at <= B per bucket (except at the cap)
+    Seq(100L, 512L, 5000L, 1000000L).foreach { n =>
+      val w = knnScaledBits(n)
+      assert((KnnBucketTarget.toLong << w) >= n || w == KnnMaxBits, s"n=$n w=$w")
+    }
+  }
+
   test("sim_knn_graph: no self-edges, at most KnnK neighbors, ranks contiguous") {
     val g = graft.queries.SimilarityQueries.queries("sim_knn_graph")(spark, dir)
     val rows = g.collect()

@@ -136,10 +136,12 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("sim_knn_graph: bucket equi-join + partial top-K, never all-pairs") {
-    val plan = qe("sim_knn_graph").executedPlan.toString
-    assert(!plan.contains("CartesianProduct"), plan)
-    assert(!plan.contains("BroadcastNestedLoop"), plan)
-    assert(plan.contains("WindowGroupLimit"), plan)
+    Seq("sim_knn_graph", "sim_knn_graph_scaled").foreach { n =>
+      val plan = qe(n).executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$n: $plan")
+      assert(!plan.contains("BroadcastNestedLoop"), s"$n: $plan")
+      assert(plan.contains("WindowGroupLimit"), s"$n: $plan")
+    }
   }
 
   test("pipe_decontam_bloom: bloom probe is a scalar subquery above the scan, join stays equi") {
