@@ -143,6 +143,31 @@ object RelationalQueries {
         .orderBy("purchase_id")
     }),
 
+    // LEFT-OUTER as-of: every purchase keeps its row whether or not a
+    // prior click exists — the coverage-auditing form of rel_asof_join
+    // (AsofJoin inner=false; identical union-merge plan, the match
+    // filter is simply not applied). The driver comparator needs
+    // null-free output, so the unmatched rows surface as a matched=0
+    // flag with sentinel click columns (click_ts itself is dropped:
+    // a null timestamp compares NaT != NaT in the gate).
+    "rel_asof_join_outer" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"), col("value").as("click_value"))
+      graft.operators.AsofJoin.join(purchases, clicks,
+          key = "user_id", leftTs = "p_ts", rightTs = "click_ts",
+          rightOrder = "click_id",
+          rightCols = Seq("click_id", "click_value"), inner = false)
+        .select(col("purchase_id"), col("user_id"), col("p_ts"),
+          when(col("click_id").isNull, 0L).otherwise(1L).as("matched"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(col("click_value"), lit(0.0)).as("click_value"))
+        .orderBy("purchase_id")
+    }),
+
     // TPC-H Q3 shape — the canonical 3-table join+agg+top-N: segment
     // filter on the small dim (customer), date filters pushed to both
     // fact scans, lineitem⨝orders shuffles on the join key while
@@ -340,6 +365,30 @@ object RelationalQueries {
     // (which encodes the Spark tie-break: latest click_ts, highest
     // click_id) checks both plan shapes.
     "rel_asof_join_bucketed" -> asofOracleSql,
+
+    // the LEFT JOIN form of the same window oracle: an unmatched
+    // purchase yields one all-null click row at rn = 1
+    "rel_asof_join_outer" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS click_ts, value AS click_value
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT purchase_id, user_id, p_ts,
+        |       CAST(CASE WHEN click_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS matched,
+        |       CAST(COALESCE(click_id, -1) AS BIGINT) AS click_id,
+        |       COALESCE(click_value, CAST(0.0 AS DOUBLE)) AS click_value
+        |FROM (
+        |  SELECT p.purchase_id, p.user_id, p.p_ts,
+        |         c.click_id, c.click_value,
+        |         row_number() OVER (PARTITION BY p.purchase_id
+        |                            ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+        |  FROM p LEFT JOIN c
+        |    ON p.user_id = c.user_id AND c.click_ts <= p.p_ts
+        |) WHERE rn = 1
+        |ORDER BY purchase_id""".stripMargin,
 
     "rel_q3" ->
       """WITH rev AS (
