@@ -226,6 +226,44 @@ object DedupQueries {
         .orderBy("id_new", "id_old")
     }),
 
+    // Incremental dedup against a MAINTAINED index: same cross-snapshot
+    // semantics as dedup_incremental, but the stored signature table is
+    // built in two installments — saveMinhash on half the corpus, then
+    // AnnIndex.upsertMinhash for the rest (dynamic overwrite of the
+    // touched pmod(doc_id) directories only, signature family frozen in
+    // meta). The maintained index is row-identical to a full rebuild
+    // (AnnIndexSpec convergence), so the dedup_incremental oracle gates
+    // the whole build -> upsert -> probe cycle: the shape where
+    // yesterday's index absorbs today's crawl without re-signing the
+    // corpus, then dedups tomorrow's batch.
+    "dedup_incremental_upsert" -> ((s, dir) => {
+      val existing = Tables.documents(s, dir).select("doc_id", "text")
+      val toks = TextAnalysis.tokens(col("text"))
+      val incoming = existing.filter(col("doc_id") % 10 < 3)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        .unionByName(existing.filter(col("doc_id") % 10 === 3 && size(toks) >= 10)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            array_join(slice(toks, lit(3), size(toks) - 2), " ").as("text")))
+      val idxDir = graft.sources.TempDirs.scratch("graft_mhups_")
+      graft.sources.AnnIndex.saveMinhash(
+        existing.filter(col("doc_id") % 2 === 0), MinhashK, Bands, RowsPerBand, idxDir)
+      graft.sources.AnnIndex.upsertMinhash(s, idxDir,
+        existing.filter(col("doc_id") % 2 =!= 0))
+      val old = graft.sources.AnnIndex.minhashSigs(s, idxDir)
+      val nw = incoming
+        .withColumn("sh", Dedup.shingleSet(col("text")))
+        .withColumn("sig", Dedup.minhashSignature(col("sh"), MinhashK))
+        .withColumn("keys", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
+        .localCheckpoint(true)
+      Dedup.candidatePairsAcross(old, nw, "doc_id", "keys", MaxBucket)
+        .join(nw.select(col("doc_id").as("id_new"), col("sh").as("sh_n")), "id_new")
+        .join(old.select(col("doc_id").as("id_old"), col("sh").as("sh_o")), "id_old")
+        .withColumn("jaccard", Dedup.jaccard(col("sh_n"), col("sh_o")))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select("id_new", "id_old", "jaccard")
+        .orderBy("id_new", "id_old")
+    }),
+
     // SEMANTIC dedup (SemDeDup-shaped): embedding near-dup pairs above
     // a cosine threshold -> connected components -> keep one doc per
     // semantic cluster. The synthetic corpus plants exact copies (30%,
@@ -431,6 +469,15 @@ object DedupQueries {
     // the symmetric pair pipeline over the same union corpus, restricted
     // to pairs crossing the stored/new boundary (old ids < 10M <= new)
     "dedup_incremental" ->
+      s"""WITH $corpusCte, $shinglesCte, $minhashPairsCtes
+         |SELECT id_b AS id_new, id_a AS id_old, jaccard
+         |FROM pairs
+         |WHERE id_a < 10000000 AND id_b >= 10000000
+         |ORDER BY id_new, id_old""".stripMargin,
+
+    // the maintained (save + upsert) index converges to the rebuild, so
+    // the cross-snapshot result is identical by construction
+    "dedup_incremental_upsert" ->
       s"""WITH $corpusCte, $shinglesCte, $minhashPairsCtes
          |SELECT id_b AS id_new, id_a AS id_old, jaccard
          |FROM pairs

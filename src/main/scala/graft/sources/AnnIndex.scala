@@ -270,19 +270,74 @@ object AnnIndex {
   // ---------------------------------------------------------- MinHash
 
   /** Build and write the MinHash signature table for a `(doc_id, text)`
-    * corpus: `(doc_id, sh, sig, keys)` — the materialized form the
-    * session path persists in memory.
+    * corpus: `(doc_id, sh, sig, keys)` under `part = pmod(doc_id, parts)`
+    * partition directories — the materialized form the session path
+    * persists in memory, laid out so [[upsertMinhash]] can rewrite only
+    * the directories a batch touches.
     */
   def saveMinhash(corpus: DataFrame, k: Int, bands: Int, rowsPerBand: Int,
-                  dir: String): Unit =
+                  dir: String, parts: Int = DefaultParts): Unit = {
     corpus
       .withColumn("sh", Dedup.shingleSet(col("text")))
       .withColumn("sig", Dedup.minhashSignature(col("sh"), k))
       .withColumn("keys", Dedup.bandKeys(col("sig"), bands, rowsPerBand))
-      .select("doc_id", "sh", "sig", "keys")
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/sigs")
+      .select(col("doc_id"), col("sh"), col("sig"), col("keys"),
+        pmod(col("doc_id"), lit(parts.toLong)).as("part"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("part")
+      .parquet(s"$dir/sigs")
+    import corpus.sparkSession.implicits._
+    Seq((k, bands, rowsPerBand, parts)).toDF("k", "bands", "rows_per_band", "parts")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+  }
 
   /** The stored signature table. */
   def minhashSigs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/sigs")
+    spark.read.parquet(s"$dir/sigs").select("doc_id", "sh", "sig", "keys")
+
+  /** Incremental MinHash maintenance — the [[upsertLsh]] treatment for
+    * the signature table: the batch's signatures are computed with the
+    * STORED family (k/bands/rowsPerBand from meta, so a batch can never
+    * fork the hash family) and only the `part = pmod(doc_id, parts)`
+    * directories the batch touches are rewritten; existing rows there
+    * survive via anti-join + union (a re-inserted doc_id takes the new
+    * text). Because `part` is a pure function of doc_id — unlike the
+    * content-derived LSH bucket — a re-inserted doc lands in its old
+    * directory by construction: no cross-directory moves, no
+    * emptied-directory cleanup. Cost is batch-bounded, which is what
+    * lets a daily crawl ride a maintained signature index instead of
+    * re-signing the whole corpus.
+    */
+  def upsertMinhash(spark: SparkSession, dir: String, corpus: DataFrame): Unit = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val k = meta.getAs[Int]("k")
+    val bands = meta.getAs[Int]("bands")
+    val rowsPerBand = meta.getAs[Int]("rows_per_band")
+    val parts = meta.getAs[Int]("parts")
+    val staged = corpus
+      .withColumn("sh", Dedup.shingleSet(col("text")))
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), k))
+      .withColumn("keys", Dedup.bandKeys(col("sig"), bands, rowsPerBand))
+      .select(col("doc_id"), col("sh"), col("sig"), col("keys"),
+        pmod(col("doc_id"), lit(parts.toLong)).as("part"))
+      .localCheckpoint(true) // materialize before overwriting the source
+    if (staged.isEmpty) return
+    val dup = staged.groupBy("doc_id").count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"upsert batch contains duplicate doc_id ${dup.headOption.map(_.get(0))}")
+    val partIds = staged.select("part").distinct()
+      .collect().map(_.getLong(0)) // bounded by parts, driver-safe
+    val kept = spark.read.parquet(s"$dir/sigs")
+      .filter(col("part").isin(partIds.map(Long.box): _*))
+      .join(staged.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("sh"), col("sig"), col("keys"),
+        col("part").cast("long").as("part"))
+      .localCheckpoint(true)
+    kept.unionByName(staged)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part")
+      .parquet(s"$dir/sigs")
+  }
 }

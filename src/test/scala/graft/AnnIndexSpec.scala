@@ -245,4 +245,44 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(pairsOf(stored) == pairsOf(session))
     assert(pairsOf(stored).nonEmpty)
   }
+
+  test("MinHash upsert: incremental build converges to the full rebuild") {
+    import spark.implicits._
+    val docs = (0L until 80L).map { i =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta iota kappa doc$i")
+    }.toDF("doc_id", "text")
+    val incDir = Files.createTempDirectory("graft_mhidx_").toString
+    val fullDir = Files.createTempDirectory("graft_mhidx_").toString
+    AnnIndex.saveMinhash(docs.filter(col("doc_id") < 50), 16, 4, 4, incDir)
+    AnnIndex.upsertMinhash(spark, incDir, docs.filter(col("doc_id") >= 50))
+    AnnIndex.saveMinhash(docs, 16, 4, 4, fullDir)
+    def rows(dir: String) = AnnIndex.minhashSigs(spark, dir)
+      .select(col("doc_id"), col("sig").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(incDir) == rows(fullDir))
+    assert(rows(incDir).size == 80)
+  }
+
+  test("MinHash upsert: re-inserted doc_id takes the new text; dup batch rejected") {
+    import spark.implicits._
+    val docs = (0L until 30L).map { i =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta iota kappa doc$i")
+    }.toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_mhidx_").toString
+    AnnIndex.saveMinhash(docs, 16, 4, 4, dir)
+    val changed = Seq((7L, "totally different words now live here for doc seven only"))
+      .toDF("doc_id", "text")
+    AnnIndex.upsertMinhash(spark, dir, changed)
+    val stored = AnnIndex.minhashSigs(spark, dir)
+    assert(stored.count() == 30) // replaced, not duplicated
+    val newSig = changed
+      .withColumn("sh", Dedup.shingleSet(col("text")))
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), 16))
+      .select(col("sig").cast("string")).head().getString(0)
+    assert(stored.filter(col("doc_id") === 7L)
+      .select(col("sig").cast("string")).head().getString(0) == newSig)
+    assertThrows[IllegalArgumentException] {
+      AnnIndex.upsertMinhash(spark, dir, changed.unionByName(changed))
+    }
+  }
 }
