@@ -257,6 +257,76 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // ROLLUP (hierarchical grouping-sets aggregate): revenue at
+    // (returnflag, linestatus), per-returnflag subtotal, and grand
+    // total in ONE pass — the report shape that otherwise runs three
+    // aggregations. Spark plans this as Expand (3 rows per input, one
+    // per grouping set) + a single partial+final hash aggregate, so
+    // map-side combine still applies; at 100 TB the alternative worth
+    // knowing is aggregating the finest level first and re-aggregating
+    // the (tiny) result for the coarser sets — same answer, Expand
+    // traffic replaced by a second 6-row aggregate. Null grouping keys
+    // (the rolled-up levels) surface as an 'ALL' sentinel + grouping_id
+    // so the output is null-free for the driver comparator.
+    "rel_rollup" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          sum(dec(col("l_extendedprice"), 18, 2) *
+            dec(lit(1.0) - col("l_discount"), 5, 2)).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("gid"), col("revenue"), col("n_items"))
+        .orderBy("gid", "rflag", "lstatus")
+    }),
+
+    // PIVOT (wide conditional aggregation): per returnflag, quantity and
+    // row count split by linestatus columns — the report-matrix shape.
+    // Spark's pivot with EXPLICIT values (F/O — TPC-H's linestatus
+    // domain) compiles to a single hash aggregate over conditional
+    // aggregates: one pass, map-side combined, no extra shuffle vs the
+    // plain groupBy; never call pivot without values at scale (it runs
+    // a distinct-scan job just to discover the column set).
+    "rel_pivot" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(
+          sum(dec(col("l_quantity"), 18, 2)).cast("double").as("qty"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          coalesce(col("F_qty"), lit(0.0)).as("qty_f"),
+          coalesce(col("F_n"), lit(0L)).as("n_f"),
+          coalesce(col("O_qty"), lit(0.0)).as("qty_o"),
+          coalesce(col("O_n"), lit(0L)).as("n_o"))
+        .orderBy("l_returnflag")
+    }),
+
+    // OFFSET window functions (lag): gap in seconds between a customer's
+    // consecutive orders — the inter-arrival signal behind churn/RFM
+    // features. One hash-partitioned sort per customer (bounded
+    // rows-per-key, same skew contract as the as-of merge); the first
+    // order of each customer has no predecessor and is filtered, keeping
+    // the output null-free.
+    "rel_order_gaps" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("prev_ts", lag(col("o_orderdate"), 1).over(w))
+        .withColumn("prev_orderkey", lag(col("o_orderkey"), 1).over(w))
+        .filter(col("prev_ts").isNotNull)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("prev_orderkey").cast("long").as("prev_orderkey"),
+          // o_orderdate is TIMESTAMP_NTZ (no direct long cast); via the
+          // UTC session timezone the round-trip is exact epoch seconds
+          (col("o_orderdate").cast("timestamp").cast("long") -
+            col("prev_ts").cast("timestamp").cast("long")).as("gap_seconds"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Set operators: customers active in BOTH 1995 and 1996 (INTERSECT),
     // minus customers who ever placed a very large order (EXCEPT). Set ops
     // plan as aggregate/join under the hood — distinct semantics shuffle
@@ -439,6 +509,46 @@ object RelationalQueries {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // gid mirrors Spark's grouping_id bit order (first rollup column =
+    // most significant bit), derived from key null-ness — the grouping
+    // columns are never null in the data, so null <=> rolled-up level
+    "rel_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        |       COALESCE(l_linestatus, 'ALL') AS lstatus,
+        |       CAST(CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+        |          + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, rflag, lstatus""".stripMargin,
+
+    // pivot == conditional aggregation; DECIMAL sums keep it exact
+    "rel_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_o,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // epoch_us keeps the subtraction exact; timestamps are whole seconds
+    // so the integer division is lossless (Spark casts ts -> long secs)
+    "rel_order_gaps" ->
+      """WITH g AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_ts,
+        |    LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_key
+        |  FROM orders
+        |)
+        |SELECT o_custkey, o_orderkey,
+        |       CAST(prev_key AS BIGINT) AS prev_orderkey,
+        |       CAST((epoch_us(o_orderdate) - epoch_us(prev_ts)) // 1000000 AS BIGINT) AS gap_seconds
+        |FROM g WHERE prev_ts IS NOT NULL
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "rel_set_ops" ->
       """SELECT o_custkey FROM orders
