@@ -234,6 +234,34 @@ object TextQueries {
           percentile(col("n"), lit(0.9)).as("p90"),
           percentile(col("n"), lit(0.99)).as("p99"))
         .orderBy("lang")
+    }),
+
+    // The 100 TB quantile path text_len_quantiles' scaladoc promises:
+    // percentile_approx (Greenwald-Khanna sketch — one pass, mergeable,
+    // bounded memory; the exact percentile buffers each group's values).
+    // Sketch outputs are engine-specific, so the driver gate checks the
+    // sketch's ACCURACY CONTRACT instead of bit equality: each approx
+    // quantile must land within max(3 tokens, 5%) of the exact one,
+    // reduced to a per-lang boolean hash-matched against a literal-TRUE
+    // oracle — the same invariant-twin pattern as ft_dbsize_approx.
+    "text_len_quantiles_approx_invariant" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val n = d.select(col("lang"), tokenCount(col("text")).cast("double").as("n"))
+      val exact = n.groupBy("lang").agg(
+        percentile(col("n"), lit(0.5)).as("e50"),
+        percentile(col("n"), lit(0.9)).as("e90"),
+        percentile(col("n"), lit(0.99)).as("e99"))
+      val approx = n.groupBy("lang").agg(
+        percentile_approx(col("n"), lit(0.5), lit(10000)).as("a50"),
+        percentile_approx(col("n"), lit(0.9), lit(10000)).as("a90"),
+        percentile_approx(col("n"), lit(0.99), lit(10000)).as("a99"))
+      def ok(a: String, e: String) =
+        abs(col(a) - col(e)) <= greatest(lit(3.0), col(e) * lit(0.05))
+      exact.join(approx, "lang")
+        .select(col("lang"),
+          (ok("a50", "e50") && ok("a90", "e90") && ok("a99", "e99"))
+            .as("within_tol"))
+        .orderBy("lang")
     })
   )
 
@@ -414,6 +442,11 @@ object TextQueries {
          |      '$PhoneRe', '<PHONE>', 'g'),
          |    '$IpRe', '<IP>', 'g') AS redacted
          |FROM aug ORDER BY doc_id""".stripMargin,
+
+    // the sketch's accuracy contract, not its bits: TRUE per lang
+    "text_len_quantiles_approx_invariant" ->
+      """SELECT lang, TRUE AS within_tol FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_len_quantiles" ->
       """WITH tok AS (
