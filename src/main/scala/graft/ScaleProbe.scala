@@ -61,6 +61,33 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
     embN.write.mode("overwrite").parquet(s"$stage/embeddings.parquet")
 
+    // Nx relational fact tables: orders/lineitem keys shift per copy so
+    // join cardinalities scale with row counts (every copy is a disjoint
+    // key range — rows-per-customer and lines-per-order stay constant,
+    // the realistic growth mode). customer scales with orders so the
+    // per-customer aggregates/windows keep their per-key bound; the tiny
+    // dims copy through unchanged.
+    val ord = spark.read.parquet(s"$base/orders.parquet")
+    (0 until factor).map { c =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(c.toLong * 1000000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(c.toLong * 100000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$stage/orders.parquet")
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    (0 until factor).map { c =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(c.toLong * 1000000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$stage/lineitem.parquet")
+    val cust = spark.read.parquet(s"$base/customer.parquet")
+    (0 until factor).map { c =>
+      cust.withColumn("c_custkey", col("c_custkey") + lit(c.toLong * 100000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$stage/customer.parquet")
+    Seq("nation", "region", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$stage/$t.parquet")
+    }
+
     // Same materialization as graft.Bench: checksum-force EVERY output
     // column (a bare count() lets Catalyst prune computed columns, so a
     // probe on count-plans flatters any query whose cost is in them —
@@ -74,10 +101,13 @@ object ScaleProbe {
       "dedup_embedding", "dedup_clusters", "dedup_semantic", "pipe_curate",
       "pipe_decontam", "pipe_decontam_bloom", "pipe_pack",
       "sim_ann_ivf", "sim_ann_lsh", "sim_ann_lsh_mp", "sim_ann_quant",
-      "sim_knn_graph", "sim_ann_lsh_idx", "sim_ann_ivf_idx",
-      "rel_asof_join", "rel_asof_join_bucketed", "rel_interval_join",
+      "sim_knn_graph", "sim_knn_graph_scaled", "sim_ann_lsh_idx",
+      "sim_ann_ivf_idx", "sim_ann_lsh_upsert",
+      "rel_asof_join", "rel_asof_join_bucketed", "rel_asof_join_outer",
+      "rel_interval_join", "rel_q1", "rel_rollup", "rel_pivot",
+      "rel_order_gaps", "rel_top_customers",
       "text_pii", "embed_quant", "text_repetition", "text_tokens",
-      "text_rarity", "dedup_incremental",
+      "text_rarity", "dedup_incremental", "dedup_incremental_upsert",
       "pipe_shuffle", "sample_stratified", "sample_reservoir",
       "ft_dist", "ft_topk", "ft_json", "ft_sessions", "text_quality")
     // arg 2+: restrict to named queries (fast re-probe of one operator);

@@ -165,6 +165,28 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("rel_rollup: grouping sets plan as Expand + ONE hash aggregate, not N passes") {
+    val plan = qe("rel_rollup").executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+    // one partial+final aggregate pair over the expanded rows — a plan
+    // that unioned three separate aggregations would triple the scan
+    assert(plan.linesIterator.count(_.trim.startsWith("+- HashAggregate")) <= 2, plan)
+  }
+
+  test("rel_pivot: explicit-values pivot is one conditional aggregate, no Expand") {
+    val plan = qe("rel_pivot").executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("rel_order_gaps: lag runs in one key-partitioned window pass") {
+    val plan = qe("rel_order_gaps").executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    val windows = plan.linesIterator.filter(l =>
+      l.trim.startsWith("Window ") || l.contains("+- Window [")).toList
+    assert(windows.size == 1, s"expected exactly 1 WindowExec:\n$plan")
+  }
+
   test("pipe_decontam: df-pruned fingerprint equi-joins, no cartesian blowup") {
     // The contamination join must stay an equi-join on the 8-byte
     // shingle fingerprint (train side x test side); a CartesianProduct
