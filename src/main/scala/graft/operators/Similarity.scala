@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *     pass, no shuffle of the corpus itself; the per-query rank filter
   *     is a WindowGroupLimit (partial top-k before the shuffle). The
   *     correct baseline at any scale where queries ≪ corpus.
-  *   - [[signLsh]] — random-sign hyperplane LSH: an `nBits`-bit signature
+  *   - [[lshBucket]] — random-sign hyperplane LSH: an `nBits`-bit signature
   *     per vector (sign of v·w for deterministic ±1 hyperplanes), bucket
   *     join, exact cosine re-rank inside buckets. The 100 TB path: the
   *     corpus is bucketed once (write-side), queries probe single

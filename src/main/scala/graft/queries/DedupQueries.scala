@@ -200,7 +200,11 @@ object DedupQueries {
     // is batch-sized regardless of corpus size. Bucket caps run over the
     // combined population — identical bucket membership to the symmetric
     // path over the union — so the oracle is the standard pair pipeline
-    // restricted to pairs that cross the old/new boundary.
+    // restricted to pairs that cross the old/new boundary. NOTE for
+    // bench reading: the self-contained driver contract rebuilds the
+    // index into a scratch dir per invocation, so the bench number is
+    // index build + dedup; the deployed shape reads the stored index
+    // (the flat fixed-batch row in BASELINE.md's round-7 addendum).
     "dedup_incremental" -> ((s, dir) => {
       val existing = Tables.documents(s, dir).select("doc_id", "text")
       val toks = TextAnalysis.tokens(col("text"))

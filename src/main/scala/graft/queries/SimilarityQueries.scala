@@ -269,7 +269,11 @@ object SimilarityQueries {
     // write-side form a 100 TB ANN service stores), then serve the
     // probe FROM the store, partition-pruned to the probed buckets.
     // Same results as sim_ann_lsh by construction, so the same oracle
-    // checks the whole save -> load -> probe cycle.
+    // checks the whole save -> load -> probe cycle. NOTE for bench
+    // reading: the driver contract requires self-contained queries, so
+    // every invocation REBUILDS the index into a scratch dir — the
+    // bench number is build + probe, not the probe a deployed service
+    // pays (ScaleProbe shows the probe side flat as the corpus grows).
     "sim_ann_lsh_idx" -> ((s, dir) => {
       val idxDir = graft.sources.TempDirs.scratch("graft_lshidx_")
       graft.sources.AnnIndex.saveLsh(vecs(s, dir), LshBits, Dim, idxDir)
