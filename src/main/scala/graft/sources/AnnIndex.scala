@@ -45,13 +45,21 @@ object AnnIndex {
 
   // -------------------------------------------------------------- LSH
 
-  /** Build and write an LSH index over `(vec_id, v)` double vectors. */
+  /** Build and write an LSH index over `(vec_id, v)` double vectors.
+    *
+    * Writes `repartition(part)` first: without it every write task can
+    * open a file in every partition directory (tasks x parts files —
+    * the small-files failure at cluster width); clustered by the
+    * partition key, each directory gets one file regardless of how many
+    * tasks computed the buckets.
+    */
   def saveLsh(vecs: DataFrame, nBits: Int, dim: Int, dir: String,
               parts: Int = DefaultParts): Unit = {
     val signs = Similarity.signMatrix(nBits, dim)
     vecs.select(col("vec_id"), col("v"),
         Similarity.lshBucket(col("v"), signs).as("bucket"))
       .withColumn("part", pmod(col("bucket"), lit(parts.toLong)))
+      .repartition(col("part"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("part")
       .parquet(s"$dir/corpus")
@@ -113,7 +121,8 @@ object AnnIndex {
       .localCheckpoint(true)
     val merged = kept.unionByName(staged.select("vec_id", "v", "bucket", "part"))
       .localCheckpoint(true)
-    merged.write.mode(SaveMode.Overwrite)
+    merged.repartition(col("part"))
+      .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("part")
       .parquet(s"$dir/corpus")
@@ -180,6 +189,7 @@ object AnnIndex {
       .withColumn("crn", row_number().over(wAssign))
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
+      .repartition(col("cell")) // one file per cell dir, any cluster width
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
       .parquet(s"$dir/assign")
@@ -227,7 +237,8 @@ object AnnIndex {
       .localCheckpoint(true)
     val merged = kept.unionByName(staged.select("vec_id", "cell", "v"))
       .localCheckpoint(true)
-    merged.write.mode(SaveMode.Overwrite)
+    merged.repartition(col("cell"))
+      .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell")
       .parquet(s"$dir/assign")
@@ -283,6 +294,7 @@ object AnnIndex {
       .withColumn("keys", Dedup.bandKeys(col("sig"), bands, rowsPerBand))
       .select(col("doc_id"), col("sh"), col("sig"), col("keys"),
         pmod(col("doc_id"), lit(parts.toLong)).as("part"))
+      .repartition(col("part")) // one file per dir, any cluster width
       .write.mode(SaveMode.Overwrite)
       .partitionBy("part")
       .parquet(s"$dir/sigs")
@@ -335,6 +347,7 @@ object AnnIndex {
         col("part").cast("long").as("part"))
       .localCheckpoint(true)
     kept.unionByName(staged)
+      .repartition(col("part"))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("part")

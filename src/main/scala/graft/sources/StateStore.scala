@@ -31,10 +31,16 @@ object StateStore {
   def bucketCol(dist: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(xxhash64(dist), lit(nBuckets.toLong))
 
-  /** Write state tables under `dir` (overwrites). */
+  /** Write state tables under `dir` (overwrites). Clustered by the
+    * partition key before the write — without the repartition every
+    * write task can open a file in every bucket directory (tasks x
+    * nBuckets files at cluster width, the small-files failure); with
+    * it each directory gets one file.
+    */
   def save(ft: ForgetTable, dir: String, nBuckets: Int = DefaultBuckets): Unit = {
     ft.counts
       .withColumn("dist_bucket", bucketCol(col("dist"), nBuckets))
+      .repartition(col("dist_bucket"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("dist_bucket")
       .parquet(s"$dir/counts")
@@ -101,6 +107,7 @@ object StateStore {
     val newRows = snaps.select(col("dist"), col("bin"), col("count"))
       .withColumn("dist_bucket", bucketCol(col("dist"), nBuckets))
     kept.unionByName(newRows)
+      .repartition(col("dist_bucket"))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("dist_bucket")
@@ -139,7 +146,8 @@ object StateStore {
       .withColumn("dist_bucket", bucketCol(col("dist"), nBuckets))
       .localCheckpoint(true)
     val meta = ft.meta.join(alive, Seq("dist")).localCheckpoint(true)
-    counts.write.mode(SaveMode.Overwrite)
+    counts.repartition(col("dist_bucket"))
+      .write.mode(SaveMode.Overwrite)
       .partitionBy("dist_bucket").parquet(s"$dir/counts")
     meta.write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
     nAlive
