@@ -327,6 +327,26 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Ingestion dedup (batch form of StreamOps.dedupWithinWatermark —
+    // the same call the streaming path runs; on a batch frame the
+    // watermark is a no-op and it coincides with dropDuplicates).
+    // Redelivery is simulated by re-appending every 5th event, the
+    // at-least-once duplicate an ingest pipeline actually sees; the
+    // per-type count == distinct-count equality is the recovered
+    // exactly-once view. Identical rows per event_id, so the
+    // arbitrary-winner semantics of dropDuplicates cannot leak
+    // nondeterminism into the gate.
+    "rel_dedup_events" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "event_type", "user_id", "value")
+      val redelivered = ev.unionByName(ev.filter(col("event_id") % 5 === 0))
+      graft.streaming.StreamOps.dedupWithinWatermark(
+          redelivered, Seq("event_id"), "1 hour")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct("event_id").as("n_distinct"))
+        .orderBy("event_type")
+    }),
+
     // Set operators: customers active in BOTH 1995 and 1996 (INTERSECT),
     // minus customers who ever placed a very large order (EXCEPT). Set ops
     // plan as aggregate/join under the hood — distinct semantics shuffle
@@ -549,6 +569,15 @@ object RelationalQueries {
         |       CAST((epoch_us(o_orderdate) - epoch_us(prev_ts)) // 1000000 AS BIGINT) AS gap_seconds
         |FROM g WHERE prev_ts IS NOT NULL
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // dedup of byte-identical redeliveries recovers the original events
+    "rel_dedup_events" ->
+      """SELECT event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "rel_set_ops" ->
       """SELECT o_custkey FROM orders
