@@ -86,6 +86,7 @@ object Similarity {
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"), h.as("h"))
       .orderBy("h", "vec_id").limit(sampleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // Number the <= k seed rows driver-side: the frame is already
     // limit(k)-bounded (TakeOrderedAndProject), and ranking it with an
     // unpartitioned window would make WindowExec warn "Moving all data to
@@ -123,8 +124,8 @@ object Similarity {
     // consumers (an O(N*k) assignment crossJoin, reused by both sim_ann_ivf
     // and sim_ann_recall) never re-execute the Lloyd subtree.
     val centRows = fitted.collect()
-    samp.unpersist()
     spark.createDataFrame(java.util.Arrays.asList(centRows: _*), fitted.schema)
+    } finally samp.unpersist() // release even when Lloyd/collect throws
   }
 
   /** Exact cosine top-k of `queries` (small: broadcast) against `corpus`.

@@ -9,7 +9,7 @@ import graft.operators.{Dedup, Similarity}
 /** Persistent ANN / dedup index layout — the write-side half of the
   * 100 TB similarity design.
   *
-  * The session-scoped `.persist()` forms in the query layer rebuild
+  * The session-scoped in-memory forms in the query layer rebuild
   * signatures, buckets, and cell assignments from raw text / vectors on
   * every run; a real 100 TB service stores them once and serves probes
   * from disk. This is the forget-table [[StateStore]] treatment applied
