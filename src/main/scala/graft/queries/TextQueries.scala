@@ -48,7 +48,12 @@ object TextQueries {
     * as the naive plan, so the oracles are unchanged.
     */
   private[queries] def rarityCounts(tok: DataFrame): DataFrame = {
+    // materialize the vocab once: `tot` and `head` both derive from it,
+    // and without the checkpoint each gets its own corpus scan + explode
+    // subtree unless AQE's runtime stage reuse happens to fire — at
+    // 100 TB that's a whole extra pass riding on an optimizer maybe
     val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val tot = vocab.agg(sum("c").cast("long").as("t"))
     val head = vocab.crossJoin(broadcast(tot))
       .filter(col("c") * lit(RarityDenom.toLong) > col("t"))
