@@ -129,7 +129,10 @@ object PipelineQueries {
     // arithmetic — no other shuffle.
     "pipe_mix" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
+      // materialized once (source-count-sized): the total and the final
+      // select both read it — otherwise each gets its own corpus scan
       val cur = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint(true)
       val tot = cur.agg(
         sum("n_docs").cast("long").as("total"),
         count(lit(1)).cast("long").as("k"))
@@ -300,12 +303,16 @@ object PipelineQueries {
       val d = Tables.documents(s, dir)
       val tok = d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       val rar = TextQueries.rarityCounts(tok)
+      // materialized once: both the boundary aggregate and the final
+      // bucketing read it — without this the doc join + quality kernel
+      // would run twice (one corpus-sized pass each)
       val scored = d.join(rar, "doc_id")
         .withColumn("score",
           lit(ScoreWQuality) * TextAnalysis.qualityScore(col("text")) +
             lit(ScoreWRarity) * (lit(1.0) -
               col("n_rare").cast("double") / col("n_tokens").cast("double")))
         .select("doc_id", "score")
+        .localCheckpoint(true)
       val bounds = scored.agg(
         percentile(col("score"), lit(0.25)).as("b25"),
         percentile(col("score"), lit(0.5)).as("b50"),

@@ -361,7 +361,10 @@ object SimilarityQueries {
     // is measured at nProbe ∈ {1, 2, 4} (one shared quantizer pass; the
     // probe depth only changes which stored cells a query searches).
     "sim_ann_recall" -> ((s, dir) => {
-      val truth = bruteRes(s, dir).select("q_id", "c_id")
+      // materialized once: five recall legs each join against the truth
+      // set — recomputing the brute-force pass per leg would be five
+      // corpus scans for a K x |queries|-row frame
+      val truth = bruteRes(s, dir).select("q_id", "c_id").localCheckpoint(true)
       def recallOf(approx: DataFrame, method: String): DataFrame =
         truth.join(
             approx.select("q_id", "c_id").withColumn("hit", lit(1)),
