@@ -233,6 +233,30 @@ object SimilarityQueries {
       knnGraphRes(s, dir, knnScaledBits(n))
     }),
 
+    // TOPIC-MIX reweighting — pipe_mix's domain-balance knob applied to
+    // SEMANTIC clusters instead of crawl sources: every vector is
+    // assigned to its k-means cell (the same fixed-k IVF quantizer, so
+    // the oracle shares the Lloyd CTEs) and each cluster gets the
+    // sampling weight that rebalances the corpus toward a uniform topic
+    // mix. Scale shape: the O(N*k) assignment with a k-row broadcast
+    // (WindowGroupLimit partial rank), a map-side-combined k-row
+    // groupBy, and a 1-row broadcast for the total — no other shuffle.
+    "pipe_topic_mix" -> ((s, dir) => {
+      val assigned = ivfRanked(s, dir, 1).filter(col("crn") === 1)
+      val cur = assigned.groupBy("cent_id")
+        .agg(count(lit(1)).as("n_vecs"))
+        .localCheckpoint(true) // total + final select both read it
+      val tot = cur.agg(
+        sum("n_vecs").cast("long").as("total"),
+        count(lit(1)).cast("long").as("k"))
+      val share = col("n_vecs").cast("double") / col("total").cast("double")
+      val target = lit(1.0) / col("k").cast("double")
+      cur.crossJoin(broadcast(tot))
+        .select(col("cent_id"), col("n_vecs"),
+          share.as("share"), (target / share).as("weight"))
+        .orderBy("cent_id")
+    }),
+
     // SEMANTIC decontamination — the embedding-space analog of
     // pipe_decontam: test-split vectors whose train-split neighbors
     // exceed a cosine threshold (an eval item paraphrased in training
@@ -602,6 +626,21 @@ object SimilarityQueries {
          |  FROM knn_scored
          |) t WHERE rnk <= $KnnK ORDER BY q_id, rnk""".stripMargin
     },
+
+    // same quantizer CTEs as sim_ann_ivf; the mix arithmetic mirrors
+    // pipe_mix's exact tree
+    "pipe_topic_mix" ->
+      s"""WITH $vecsCte, $ivfBaseCtes, tm AS (
+         |  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |  FROM ivf_ranked WHERE crn = 1 GROUP BY cent_id
+         |), tt AS (
+         |  SELECT CAST(SUM(n_vecs) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS k FROM tm
+         |)
+         |SELECT cent_id, n_vecs,
+         |       CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+         |       (CAST(1.0 AS DOUBLE) / CAST(k AS DOUBLE))
+         |         / (CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE)) AS weight
+         |FROM tm CROSS JOIN tt ORDER BY cent_id""".stripMargin,
 
     // same pipeline at the SQL-derived width: bucket at KnnMaxBits, mask
     // to the low w bits (prefix-stable hyperplane family), masks from
