@@ -108,7 +108,8 @@ object ScaleProbe {
       "rel_order_gaps", "rel_top_customers",
       "text_pii", "embed_quant", "text_repetition", "text_tokens",
       "text_rarity", "dedup_incremental", "dedup_incremental_upsert",
-      "pipe_shuffle", "sample_stratified", "sample_reservoir",
+      "pipe_shuffle", "pipe_token_budget", "pipe_topic_mix",
+      "sample_stratified", "sample_reservoir",
       "ft_dist", "ft_topk", "ft_json", "ft_sessions", "text_quality")
     // arg 2+: restrict to named queries (fast re-probe of one operator);
     // any SparkEntry query name is probeable, not just the default list

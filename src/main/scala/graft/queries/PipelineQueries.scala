@@ -331,6 +331,60 @@ object PipelineQueries {
         .orderBy("bucket")
     }),
 
+    // TOKEN-BUDGET subset selection: keep the highest-quality docs (by
+    // quality desc, doc_id asc) until a token budget — half the corpus
+    // mass — is spent. The naive plan is a GLOBAL ordered running sum:
+    // an empty-partitionBy window that funnels the corpus through one
+    // task. The scale-correct plan here: (1) row-local quality/token
+    // columns, bucketed by floor(quality*1000) — monotonic in quality,
+    // so bucket order refines global order; (2) a <=1001-row per-bucket
+    // token-sum aggregate, ranked driver-side (bounded collect, same
+    // contract as the centroid/partition-id collects); (3) buckets
+    // strictly better than the cutoff keep ALL rows via a row-local
+    // broadcast-range filter, and ONLY the single cutoff bucket runs an
+    // exact (quality desc, doc_id) running-sum window — its population
+    // is corpus/granularity, the knob to shrink at 100 TB (re-bucket
+    // the cutoff bucket at finer granularity if quality ties are heavy).
+    // Worse buckets are provably over budget (their offset exceeds it),
+    // so dropping them whole is exact, not approximate.
+    "pipe_token_budget" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val base = d.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("qb", floor(col("q") * lit(1000.0)).cast("long"))
+        .localCheckpoint(true) // bucket sums + kept-row filter both read it
+      val sums = base.groupBy("qb").agg(sum("n_tokens").as("bt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(-_._1) // quality-descending bucket order
+      val budget = sums.map(_._2).sum / 2
+      // running offsets: first bucket whose end crosses the budget is
+      // the cutoff; everything better is fully kept
+      var acc = 0L
+      var cutoff = Long.MinValue
+      var cutoffOffset = 0L
+      var fullyKeptMin = Long.MaxValue
+      sums.foreach { case (qb, bt) =>
+        if (cutoff == Long.MinValue) {
+          if (acc + bt > budget) { cutoff = qb; cutoffOffset = acc }
+          else fullyKeptMin = qb
+        }
+        acc += bt
+      }
+      val fullKeep = base.filter(lit(cutoff == Long.MinValue) || col("qb") > lit(cutoff))
+      val w = Window.orderBy(col("q").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val boundary =
+        if (cutoff == Long.MinValue) base.limit(0)
+        else base.filter(col("qb") === lit(cutoff))
+          .withColumn("cum", lit(cutoffOffset) + sum("n_tokens").over(w))
+          .filter(col("cum") <= lit(budget))
+          .drop("cum")
+      fullKeep.unionByName(boundary)
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     "pipe_curate" -> ((s, dir) => {
       val c = DedupQueries.corpus(s, dir)
       val cc = Dedup.connectedComponents(
@@ -517,6 +571,38 @@ object PipelineQueries {
          |  MAX(score) AS max_score
          |FROM scored CROSS JOIN b
          |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // the oracle is the naive global running sum the Spark plan avoids
+    "pipe_token_budget" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS DOUBLE) AS n,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(toks, t -> t IN ($enStopsSql))) AS DOUBLE) AS stop_hits,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct,
+         |    CAST(list_aggregate(list_transform(toks, t -> CAST(length(t) AS BIGINT)), 'sum') AS DOUBLE) AS chars
+         |  FROM tok
+         |), q AS (
+         |  SELECT doc_id, n_tokens,
+         |    ((stop_hits / n) * CAST(0.25 AS DOUBLE))
+         |    + ((n_distinct / n) * CAST(0.35 AS DOUBLE))
+         |    + (GREATEST(CAST(0.0 AS DOUBLE),
+         |         CAST(1.0 AS DOUBLE) - ABS((chars / n) - CAST(5.5 AS DOUBLE)) / CAST(5.5 AS DOUBLE))
+         |       * CAST(0.4 AS DOUBLE)) AS quality
+         |  FROM m
+         |), o AS (
+         |  SELECT doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM q
+         |), b AS (
+         |  SELECT CAST(SUM(n_tokens) AS BIGINT) // 2 AS budget FROM q
+         |)
+         |SELECT doc_id, n_tokens FROM o CROSS JOIN b
+         |WHERE cum <= budget ORDER BY doc_id""".stripMargin,
 
     "pipe_curate" ->
       s"""WITH RECURSIVE ${DedupQueries.corpusCte}, ${DedupQueries.shinglesCte}, ${DedupQueries.minhashPairsCtes},
