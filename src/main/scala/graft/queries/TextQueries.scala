@@ -47,7 +47,7 @@ object TextQueries {
     * per-doc aggregate on doc_id (uniform by construction). Same integers
     * as the naive plan, so the oracles are unchanged.
     */
-  private[queries] def rarityCounts(tok: DataFrame): DataFrame = {
+  private[graft] def rarityCounts(tok: DataFrame): DataFrame = {
     // materialize the vocab once: `tot` and `head` both derive from it,
     // and without the checkpoint each gets its own corpus scan + explode
     // subtree unless AQE's runtime stage reuse happens to fire — at

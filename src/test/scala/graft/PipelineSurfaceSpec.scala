@@ -127,6 +127,37 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("rarityCounts edges: empty head set, dominant token, and singleton docs") {
+    import spark.implicits._
+    val denom = graft.queries.TextQueries.RarityDenom.toLong
+    def naive(tok: org.apache.spark.sql.DataFrame) = {
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = vocab.agg(sum("c").cast("long").as("t"))
+      tok.join(vocab, "tok").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          sum(when(col("c") * lit(denom) <= col("t"), 1L).otherwise(0L)).as("n_rare"))
+        .collect().map(_.toSeq).toSet
+    }
+    def fast(tok: org.apache.spark.sql.DataFrame) =
+      graft.queries.TextQueries.rarityCounts(tok).collect().map(_.toSeq).toSet
+    // uniform corpus: every token holds 1/3 of the mass -> head = all
+    // three, zero rare tokens anywhere
+    val uniform = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("doc_id", "tok")
+    assert(fast(uniform) == naive(uniform))
+    assert(fast(uniform).forall(_(2) == 0L))
+    // dominant token + a long unique tail: head = the dominant token
+    // only, tail all rare (tail count * denom > total requires total
+    // >= denom distinct-ish tokens)
+    val dominant = spark.range(600).select(lit(0L).as("doc_id"), lit("the").as("tok"))
+      .unionByName(spark.range(600).select(lit(1L).as("doc_id"),
+        concat(lit("w"), col("id")).as("tok")))
+    assert(fast(dominant) == naive(dominant))
+    val byDoc = fast(dominant).map(r => r(0) -> r(2)).toMap
+    assert(byDoc(0L) == 0L)   // the hot doc is all head tokens
+    assert(byDoc(1L) == 600L) // the tail doc is all rare
+  }
+
   test("sim_knn_graph: no self-edges, at most KnnK neighbors, ranks contiguous") {
     val g = graft.queries.SimilarityQueries.queries("sim_knn_graph")(spark, dir)
     val rows = g.collect()
