@@ -233,6 +233,40 @@ object SimilarityQueries {
       knnGraphRes(s, dir, knnScaledBits(n))
     }),
 
+    // INDEX-HEALTH report: the LSH bucket-population distribution — the
+    // number an ANN operator watches to decide when to re-bucket at a
+    // wider nBits (max_pop bounds the worst probe's candidate count;
+    // mean_pop ~ N/2^nBits is the design point). One map-side-combined
+    // groupBy to 2^nBits rows, then a 1-row aggregate — no other
+    // shuffle; same bucketing kernel the index writer runs, so this is
+    // exactly the report `saveLsh` output would produce.
+    "sim_ann_bucket_stats" -> ((s, dir) => {
+      val pops = vecs(s, dir)
+        .withColumn("bucket", Similarity.lshBucket(col("v"), signs(LshBits)))
+        .groupBy("bucket").agg(count(lit(1)).as("pop"))
+      pops.agg(
+        sum("pop").cast("long").as("n_vecs"),
+        count(lit(1)).cast("long").as("n_buckets"),
+        max("pop").cast("long").as("max_pop"),
+        (sum("pop").cast("double") / count(lit(1)).cast("double")).as("mean_pop"))
+    }),
+
+    // EMBEDDING AUDIT: norm distribution + degenerate-vector counts —
+    // the pre-indexing check of a vector pipeline (a zero-norm vector
+    // makes cosine undefined; a wildly out-of-band norm flags a broken
+    // encoder batch). Row-local sequential-fold norms (the shared
+    // oracle-parity dot product), one aggregate, no shuffle.
+    "embed_stats" -> ((s, dir) => {
+      val n2 = Dedup.dot(col("v"), col("v"))
+      vecs(s, dir)
+        .select(sqrt(n2).as("nrm"))
+        .agg(
+          count(lit(1)).cast("long").as("n_vecs"),
+          sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+          min("nrm").as("min_norm"),
+          max("nrm").as("max_norm"))
+    }),
+
     // TOPIC-MIX reweighting — pipe_mix's domain-balance knob applied to
     // SEMANTIC clusters instead of crawl sources: every vector is
     // assigned to its k-means cell (the same fixed-k IVF quantizer, so
@@ -626,6 +660,27 @@ object SimilarityQueries {
          |  FROM knn_scored
          |) t WHERE rnk <= $KnnK ORDER BY q_id, rnk""".stripMargin
     },
+
+    "sim_ann_bucket_stats" ->
+      s"""WITH $vecsCte, $lshCtes, pops AS (
+         |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS pop
+         |  FROM bucketed GROUP BY bucket
+         |)
+         |SELECT CAST(SUM(pop) AS BIGINT) AS n_vecs,
+         |       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |       CAST(MAX(pop) AS BIGINT) AS max_pop,
+         |       CAST(SUM(pop) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_pop
+         |FROM pops""".stripMargin,
+
+    "embed_stats" ->
+      s"""WITH $vecsCte, nr AS (
+         |  SELECT sqrt(${dotSql("v", "v")}) AS nrm FROM vecs
+         |)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |       CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+         |       MIN(nrm) AS min_norm,
+         |       MAX(nrm) AS max_norm
+         |FROM nr""".stripMargin,
 
     // same quantizer CTEs as sim_ann_ivf; the mix arithmetic mirrors
     // pipe_mix's exact tree
