@@ -363,11 +363,9 @@ object PipelineQueries {
       var acc = 0L
       var cutoff = Long.MinValue
       var cutoffOffset = 0L
-      var fullyKeptMin = Long.MaxValue
       sums.foreach { case (qb, bt) =>
-        if (cutoff == Long.MinValue) {
-          if (acc + bt > budget) { cutoff = qb; cutoffOffset = acc }
-          else fullyKeptMin = qb
+        if (cutoff == Long.MinValue && acc + bt > budget) {
+          cutoff = qb; cutoffOffset = acc
         }
         acc += bt
       }
