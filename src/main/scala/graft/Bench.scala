@@ -59,10 +59,16 @@ object Bench {
     // contention (or cache warmup), not a plan regression.
     val heaviest = results.toSeq.filterNot { case (n, _) => failed.contains(n) }
       .sortBy(-_._2).take(5)
+    // a repeat that THROWS is excluded (second = first): charging its
+    // time-to-failure as a fast rerun would fake a contention adjustment
     val repeats = heaviest.map { case (name, t1) =>
       val t0 = System.nanoTime()
-      try force(SparkEntry.queries(name)(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (t1, (System.nanoTime() - t0) / 1e9)
+      val ok = try { force(SparkEntry.queries(name)(spark, sfDir)); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] repeat FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+          false
+      }
+      name -> (t1, if (ok) (System.nanoTime() - t0) / 1e9 else t1)
     }
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage

@@ -17,7 +17,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 4
     val base = "/root/testdata/sf0.1"
-    val stage = java.nio.file.Files.createTempDirectory("graft_scale_").toString
+    val stage = graft.sources.TempDirs.scratch("graft_scale_")
     val spark = graft.sources.GraftSession.local("local[4]", 8)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -61,32 +61,25 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
     embN.write.mode("overwrite").parquet(s"$stage/embeddings.parquet")
 
-    // Nx relational fact tables: orders/lineitem keys shift per copy so
-    // join cardinalities scale with row counts (every copy is a disjoint
-    // key range — rows-per-customer and lines-per-order stay constant,
-    // the realistic growth mode). customer scales with orders so the
-    // per-customer aggregates/windows keep their per-key bound; the tiny
-    // dims copy through unchanged.
-    val ord = spark.read.parquet(s"$base/orders.parquet")
-    (0 until factor).map { c =>
-      ord.withColumn("o_orderkey", col("o_orderkey") + lit(c.toLong * 1000000000L))
-        .withColumn("o_custkey", col("o_custkey") + lit(c.toLong * 100000000L))
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$stage/orders.parquet")
-    val li = spark.read.parquet(s"$base/lineitem.parquet")
-    (0 until factor).map { c =>
-      li.withColumn("l_orderkey", col("l_orderkey") + lit(c.toLong * 1000000000L))
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$stage/lineitem.parquet")
-    val cust = spark.read.parquet(s"$base/customer.parquet")
-    (0 until factor).map { c =>
-      cust.withColumn("c_custkey", col("c_custkey") + lit(c.toLong * 100000000L))
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$stage/customer.parquet")
-    Seq("nation", "region", "supplier", "part").foreach { t =>
-      spark.read.parquet(s"$base/$t.parquet")
-        .write.mode("overwrite").parquet(s"$stage/$t.parquet")
-    }
+    // Nx relational fact tables: keys shift per copy so join
+    // cardinalities scale with row counts (every copy is a disjoint key
+    // range — rows-per-customer and lines-per-order stay constant, the
+    // realistic growth mode). Order keys and customer keys shift by the
+    // SAME strides everywhere so the fact-fact and fact-dim joins stay
+    // aligned across copies; the tiny dims copy through unchanged.
+    def scaleTable(name: String, keyShifts: Map[String, Long]): Unit =
+      (0 until factor).map { c =>
+        keyShifts.foldLeft(spark.read.parquet(s"$base/$name.parquet")) {
+          case (df, (k, stride)) => df.withColumn(k, col(k) + lit(c.toLong * stride))
+        }
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$stage/$name.parquet")
+    val OrderStride = 1000000000L
+    val CustStride = 100000000L
+    scaleTable("orders", Map("o_orderkey" -> OrderStride, "o_custkey" -> CustStride))
+    scaleTable("lineitem", Map("l_orderkey" -> OrderStride))
+    scaleTable("customer", Map("c_custkey" -> CustStride))
+    Seq("nation", "region", "supplier", "part").foreach(t => scaleTable(t, Map.empty))
 
     // Same materialization as graft.Bench: checksum-force EVERY output
     // column (a bare count() lets Catalyst prune computed columns, so a
@@ -145,7 +138,7 @@ object ScaleProbe {
         val batch = Tables.documents(spark, base).select("doc_id", "text")
           .filter(col("doc_id") % 10 < 3)
           .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
-        val idxDir = java.nio.file.Files.createTempDirectory("graft_probe_mh_").toString
+        val idxDir = graft.sources.TempDirs.scratch("graft_probe_mh_")
         AnnIndex.saveMinhash(existing, DedupQueries.MinhashK, DedupQueries.Bands,
           DedupQueries.RowsPerBand, idxDir)
         val old = AnnIndex.minhashSigs(spark, idxDir)

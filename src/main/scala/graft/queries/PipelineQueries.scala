@@ -352,6 +352,10 @@ object PipelineQueries {
       val base = d.select(col("doc_id"),
           TextAnalysis.qualityScore(col("text")).as("q"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        // zero-token docs carry no budget mass and have 0/0 = NaN
+        // quality (whose sort order is engine-specific) — excluded from
+        // the selection by definition, on BOTH sides of the oracle
+        .filter(col("n_tokens") > 0L)
         .withColumn("qb", floor(col("q") * lit(1000.0)).cast("long"))
         .localCheckpoint(true) // bucket sums + kept-row filter both read it
       val sums = base.groupBy("qb").agg(sum("n_tokens").as("bt"))
@@ -575,6 +579,7 @@ object PipelineQueries {
       s"""WITH tok AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
          |  FROM documents
+         |  WHERE len(list_filter(string_split(text, ' '), t -> t != '')) > 0
          |), m AS (
          |  SELECT doc_id,
          |    CAST(len(toks) AS DOUBLE) AS n,

@@ -702,7 +702,7 @@ object SimilarityQueries {
     // generate_series(0, w-1)
     "sim_knn_graph_scaled" ->
       s"""WITH $vecsCte, knn_w AS (
-         |  SELECT MIN(w) AS w
+         |  SELECT CAST(COALESCE(MIN(w), $KnnMaxBits) AS BIGINT) AS w
          |  FROM (SELECT UNNEST(generate_series($LshBits, $KnnMaxBits)) AS w) ws
          |  WHERE $KnnBucketTarget * (CAST(1 AS BIGINT) << w) >= (SELECT COUNT(*) FROM vecs)
          |), knn_bucketed AS (

@@ -43,6 +43,18 @@ object AnnIndex {
     */
   final val DefaultParts = 64
 
+  /** Upsert-batch precondition shared by every maintenance path: the
+    * anti-join merge removes STORED rows only, so a batch carrying one
+    * key twice would insert both copies. Batch-sized check over an
+    * already-materialized stage.
+    */
+  private def requireUniqueKeys(staged: DataFrame, keyCol: String): Unit = {
+    val dup = staged.groupBy(keyCol).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"upsert batch contains duplicate $keyCol ${dup.headOption.map(_.get(0))}")
+  }
+
   // -------------------------------------------------------------- LSH
 
   /** Build and write an LSH index over `(vec_id, v)` double vectors.
@@ -94,14 +106,7 @@ object AnnIndex {
       .withColumn("part", pmod(col("bucket"), lit(parts.toLong)))
       .localCheckpoint(true) // materialize before overwriting the source
     if (staged.isEmpty) return
-    // The merge contract is "each vec_id exactly once": the anti-join
-    // removes STORED rows only, so a batch carrying one vec_id twice
-    // would insert both copies. Enforce the precondition (batch-sized
-    // check over the already-materialized stage).
-    val dup = staged.groupBy("vec_id").count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"upsert batch contains duplicate vec_id ${dup.headOption.map(_.get(0))}")
+    requireUniqueKeys(staged, "vec_id")
     // Touched directories are BOTH sides of the move: where the new rows
     // land AND where any re-inserted vec_id currently lives (a changed
     // vector can hash to a different bucket — rewriting only the target
@@ -219,10 +224,7 @@ object AnnIndex {
       .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
       .localCheckpoint(true)
     if (staged.isEmpty) return
-    val dup = staged.groupBy("vec_id").count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"upsert batch contains duplicate vec_id ${dup.headOption.map(_.get(0))}")
+    requireUniqueKeys(staged, "vec_id")
     val newCells = staged.select("cell").distinct()
       .collect().map(_.getLong(0)) // bounded by k, driver-safe
     val oldCells = spark.read.parquet(s"$dir/assign")
@@ -334,10 +336,7 @@ object AnnIndex {
         pmod(col("doc_id"), lit(parts.toLong)).as("part"))
       .localCheckpoint(true) // materialize before overwriting the source
     if (staged.isEmpty) return
-    val dup = staged.groupBy("doc_id").count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"upsert batch contains duplicate doc_id ${dup.headOption.map(_.get(0))}")
+    requireUniqueKeys(staged, "doc_id")
     val partIds = staged.select("part").distinct()
       .collect().map(_.getLong(0)) // bounded by parts, driver-safe
     val kept = spark.read.parquet(s"$dir/sigs")

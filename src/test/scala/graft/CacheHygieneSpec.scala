@@ -10,6 +10,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * intermediate reuse inside a builder rides `localCheckpoint(true)`
   * (blocks release with the plan via the ContextCleaner) instead of
   * `.persist()` (pinned in the CacheManager until someone unpersists).
+  *
+  * KNOWN TRADE: localCheckpoint truncates lineage, so on a
+  * multi-executor cluster losing an executor holding checkpoint blocks
+  * fails the query instead of recomputing the partition. The
+  * production alternatives are persist + unpersist-in-finally (keeps
+  * lineage, needs explicit release plumbing through every consumer) or
+  * reliable checkpointing to the cluster FS. For this library's query
+  * builders — self-contained, re-runnable, bounded intermediates —
+  * fail-and-rerun is the right side of that trade; a long-running
+  * service embedding these builders should swap in reliable
+  * checkpoints at the same call sites.
   */
 class CacheHygieneSpec extends AnyFunSuite {
 
