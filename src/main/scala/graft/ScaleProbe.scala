@@ -67,13 +67,16 @@ object ScaleProbe {
     // realistic growth mode). Order keys and customer keys shift by the
     // SAME strides everywhere so the fact-fact and fact-dim joins stay
     // aligned across copies; the tiny dims copy through unchanged.
-    def scaleTable(name: String, keyShifts: Map[String, Long]): Unit =
-      (0 until factor).map { c =>
-        keyShifts.foldLeft(spark.read.parquet(s"$base/$name.parquet")) {
-          case (df, (k, stride)) => df.withColumn(k, col(k) + lit(c.toLong * stride))
-        }
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$stage/$name.parquet")
+    def scaleTable(name: String, keyShifts: Map[String, Long]): Unit = {
+      val scaled =
+        if (keyShifts.isEmpty) spark.read.parquet(s"$base/$name.parquet")
+        else (0 until factor).map { c =>
+          keyShifts.foldLeft(spark.read.parquet(s"$base/$name.parquet")) {
+            case (df, (k, stride)) => df.withColumn(k, col(k) + lit(c.toLong * stride))
+          }
+        }.reduce(_ unionByName _)
+      scaled.write.mode("overwrite").parquet(s"$stage/$name.parquet")
+    }
     val OrderStride = 1000000000L
     val CustStride = 100000000L
     scaleTable("orders", Map("o_orderkey" -> OrderStride, "o_custkey" -> CustStride))

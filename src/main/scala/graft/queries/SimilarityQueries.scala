@@ -29,6 +29,18 @@ object SimilarityQueries {
     */
   final val KnnBucketTarget = 8
   final val KnnMaxBits = 20
+  /** sim_knn_graph (fixed-width form): max vectors the registered query
+    * will pair up. The sub-corpus is a deterministic modulo sample at
+    * the smallest power-of-two stride with N/stride <= this cap, so the
+    * registered plan's pair work is BOUNDED (<= Cap^2 (nBits+1) / 2^nBits)
+    * no matter the corpus size — stride 1 (the full corpus, bit-identical
+    * to the uncapped form) at every driver test scale, kicking in only
+    * beyond 4096 vectors. The uncapped fixed-width build stays available
+    * as [[knnGraphRes]] (ScaleProbe's quadratic contrast point); the
+    * production path is [[knnScaledBits]]'s derived-width
+    * sim_knn_graph_scaled.
+    */
+  final val KnnSampleCap = 4096L
   /** sim_decontam: a test vector with a train-side neighbor at cosine
     * >= this is flagged as semantically leaked. 0.35 sits above the
     * corpus's 75th-percentile pair cosine (~0.29) and below its max
@@ -80,8 +92,11 @@ object SimilarityQueries {
     * (Hamming radius) to hold recall, which multiplies the linear term,
     * never the quadratic one.
     */
-  def knnGraphRes(s: SparkSession, dir: String, nBits: Int): DataFrame = {
-    val all = vecs(s, dir).withColumn("bucket",
+  def knnGraphRes(s: SparkSession, dir: String, nBits: Int): DataFrame =
+    knnGraphFrom(vecs(s, dir), nBits)
+
+  private def knnGraphFrom(corpus: DataFrame, nBits: Int): DataFrame = {
+    val all = corpus.withColumn("bucket",
       Similarity.lshBucket(col("v"), signs(nBits)))
     val probes = all.select(col("vec_id").as("q_id"), col("v").as("q_v"),
       explode(array(mpMasks(nBits).map(m =>
@@ -104,6 +119,12 @@ object SimilarityQueries {
     (LshBits to KnnMaxBits)
       .find(w => (KnnBucketTarget.toLong << w) >= n)
       .getOrElse(KnnMaxBits)
+
+  /** [[KnnSampleCap]]'s stride rule, integer-exact: smallest power-of-two
+    * stride whose modulo sample fits the cap (N / stride <= Cap).
+    */
+  private[graft] def knnSampleStride(n: Long): Long =
+    (0 to 40).map(1L << _).find(s => s * KnnSampleCap >= n).getOrElse(1L << 40)
 
   private def bruteRes(s: SparkSession, dir: String): DataFrame = {
     val all = vecs(s, dir)
@@ -214,10 +235,18 @@ object SimilarityQueries {
     // k-NN GRAPH build: every corpus vector's top-KnnK neighbors — the
     // substrate of semantic clustering / SemDeDup-style curation and
     // HNSW-ish index construction, where the query set IS the corpus so
-    // nothing is broadcast-sized. Runs [[knnGraphRes]] at the default
-    // signature width; nBits is THE scale knob (see its scaladoc) and
-    // the driver query documents the fixed-width point, not the rule.
-    "sim_knn_graph" -> ((s, dir) => knnGraphRes(s, dir, LshBits)),
+    // nothing is broadcast-sized. FIXED signature width, so the corpus
+    // is first capped by [[knnSampleStride]]'s deterministic modulo
+    // sample (stride 1 = the whole corpus at every driver test scale):
+    // the registered plan's pair work is bounded by KnnSampleCap^2
+    // regardless of N — a fixed-width graph over an unbounded corpus is
+    // quadratic, and the registered surface must not carry one. The
+    // scale-safe full-corpus form is sim_knn_graph_scaled below.
+    "sim_knn_graph" -> ((s, dir) => {
+      val all = vecs(s, dir)
+      val stride = knnSampleStride(all.count())
+      knnGraphFrom(all.filter(col("vec_id") % stride === 0), LshBits)
+    }),
 
     // The SCALE-SAFE k-NN graph: signature width derived from the corpus
     // size (one count scan — cheap metadata next to the graph build) by
@@ -642,16 +671,28 @@ object SimilarityQueries {
          |GROUP BY test_id ORDER BY test_id""".stripMargin
     },
 
-    // every corpus vector as query, same multi-probe buckets, top-KnnK
+    // every SAMPLED-corpus vector as query, same multi-probe buckets,
+    // top-KnnK; the stride derives exactly like the Scala side (smallest
+    // power of two with N/stride <= KnnSampleCap — stride 1 at driver
+    // test scales, so the SQL is static while the rule stays checked)
     "sim_knn_graph" -> {
       val maskList = mpMasks(LshBits).map(m => s"CAST($m AS BIGINT)").mkString("[", ", ", "]")
-      s"""WITH $vecsCte, $lshCtes, knn_probes AS (
+      s"""WITH $vecsCte, knn_s AS (
+         |  SELECT CAST(COALESCE(MIN(s), ${1L << 40}) AS BIGINT) AS s FROM (
+         |    SELECT (CAST(1 AS BIGINT) << i) AS s
+         |    FROM (SELECT UNNEST(generate_series(0, 40)) AS i) ii
+         |  ) ss
+         |  WHERE s * $KnnSampleCap >= (SELECT COUNT(*) FROM vecs)
+         |), kbucketed AS (
+         |  SELECT vec_id, v, ${bucketSql("v")} AS bucket
+         |  FROM vecs WHERE vec_id % (SELECT s FROM knn_s) = 0
+         |), knn_probes AS (
          |  SELECT vec_id AS q_id, v AS q_v, xor(bucket, m.mask) AS bucket
-         |  FROM bucketed CROSS JOIN (SELECT UNNEST($maskList) AS mask) m
+         |  FROM kbucketed CROSS JOIN (SELECT UNNEST($maskList) AS mask) m
          |), knn_scored AS (
          |  SELECT q.q_id, c.vec_id AS c_id,
          |         ${cosineSql("q.q_v", "c.v")} AS cosine
-         |  FROM knn_probes q JOIN bucketed c USING (bucket)
+         |  FROM knn_probes q JOIN kbucketed c USING (bucket)
          |  WHERE q.q_id != c.vec_id
          |)
          |SELECT q_id, rnk, c_id, cosine FROM (

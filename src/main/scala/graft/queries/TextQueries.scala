@@ -245,27 +245,42 @@ object TextQueries {
     // percentile_approx (Greenwald-Khanna sketch — one pass, mergeable,
     // bounded memory; the exact percentile buffers each group's values).
     // Sketch outputs are engine-specific, so the driver gate checks the
-    // sketch's ACCURACY CONTRACT instead of bit equality: each approx
-    // quantile must land within max(3 tokens, 5%) of the exact one,
-    // reduced to a per-lang boolean hash-matched against a literal-TRUE
-    // oracle — the same invariant-twin pattern as ft_dbsize_approx.
+    // sketch's ACCURACY CONTRACT instead of bit equality — and GK's
+    // guarantee is in RANK space (returned value's rank within N/accuracy
+    // of the target rank), not value space: a heavy-tailed length
+    // distribution can turn a legal tiny rank error into a large value
+    // error, so a value tolerance would fail without any defect. The
+    // gate therefore joins each approx value back to the data, computes
+    // its occupied rank interval (#<a, #<=a], and requires it to
+    // intersect [q*N - N/acc - 1, q*N + N/acc + 1] (the ±1 absorbs the
+    // ceil-vs-interpolation rank convention). Reduced to a per-lang
+    // boolean hash-matched against a literal-TRUE oracle — the same
+    // invariant-twin pattern as ft_dbsize_approx.
     "text_len_quantiles_approx_invariant" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val n = d.select(col("lang"), tokenCount(col("text")).cast("double").as("n"))
-      val exact = n.groupBy("lang").agg(
-        percentile(col("n"), lit(0.5)).as("e50"),
-        percentile(col("n"), lit(0.9)).as("e90"),
-        percentile(col("n"), lit(0.99)).as("e99"))
+      val Acc = 10000
       val approx = n.groupBy("lang").agg(
-        percentile_approx(col("n"), lit(0.5), lit(10000)).as("a50"),
-        percentile_approx(col("n"), lit(0.9), lit(10000)).as("a90"),
-        percentile_approx(col("n"), lit(0.99), lit(10000)).as("a99"))
-      def ok(a: String, e: String) =
-        abs(col(a) - col(e)) <= greatest(lit(3.0), col(e) * lit(0.05))
-      exact.join(approx, "lang")
+        percentile_approx(col("n"), lit(0.5), lit(Acc)).as("a50"),
+        percentile_approx(col("n"), lit(0.9), lit(Acc)).as("a90"),
+        percentile_approx(col("n"), lit(0.99), lit(Acc)).as("a99"))
+      val ranked = n.join(broadcast(approx), "lang").groupBy("lang").agg(
+        count(lit(1)).cast("double").as("cnt"),
+        sum(when(col("n") < col("a50"), 1L).otherwise(0L)).cast("double").as("lt50"),
+        sum(when(col("n") <= col("a50"), 1L).otherwise(0L)).cast("double").as("le50"),
+        sum(when(col("n") < col("a90"), 1L).otherwise(0L)).cast("double").as("lt90"),
+        sum(when(col("n") <= col("a90"), 1L).otherwise(0L)).cast("double").as("le90"),
+        sum(when(col("n") < col("a99"), 1L).otherwise(0L)).cast("double").as("lt99"),
+        sum(when(col("n") <= col("a99"), 1L).otherwise(0L)).cast("double").as("le99"))
+      def ok(lt: String, le: String, q: Double) = {
+        val slack = col("cnt") / lit(Acc.toDouble) + lit(1.0)
+        val target = col("cnt") * lit(q)
+        (col(le) >= target - slack) && (col(lt) + lit(1.0) <= target + slack)
+      }
+      ranked
         .select(col("lang"),
-          (ok("a50", "e50") && ok("a90", "e90") && ok("a99", "e99"))
-            .as("within_tol"))
+          (ok("lt50", "le50", 0.5) && ok("lt90", "le90", 0.9) &&
+            ok("lt99", "le99", 0.99)).as("within_tol"))
         .orderBy("lang")
     })
   )

@@ -3,9 +3,11 @@ package graft.sources
 /** Scratch directories for the driver-contract queries that build a
   * throwaway index per invocation (the self-contained form the driver
   * requires; a real deployment builds the index once and probes it —
-  * see [[AnnIndex]]). Registered paths are deleted recursively on JVM
-  * exit so repeated invocations in one session don't accumulate
-  * orphaned directories under java.io.tmpdir.
+  * see [[AnnIndex]]). Registered paths are deleted recursively at JVM
+  * exit (shutdown hook) — within a long-lived session repeated
+  * invocations DO accumulate scratch dirs until shutdown; callers that
+  * loop index builds should delete their dir in a finally block and
+  * treat the hook as a backstop.
   */
 object TempDirs {
 

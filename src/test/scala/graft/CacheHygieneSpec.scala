@@ -33,7 +33,12 @@ class CacheHygieneSpec extends AnyFunSuite {
     "dedup_incremental", "dedup_semantic", "dedup_embedding",
     "sim_ann_ivf", "sim_ann_recall", "pipe_decontam_bloom", "pipe_curate")
 
-  test("cacheManager is empty after each reusing query builder runs") {
+  test("cacheManager gains no entries after each reusing query builder runs") {
+    // SharedState (and its CacheManager) is per-SparkContext, shared with
+    // every other suite's session in this test JVM — start from a clean
+    // slate so a sibling suite's persisted frame can't fail us
+    // order-dependently, and assert no NEW entries per builder.
+    spark.catalog.clearCache()
     reusers.foreach { n =>
       SparkEntry.queries(n)(spark, dir).collect()
       assert(spark.sharedState.cacheManager.isEmpty,
