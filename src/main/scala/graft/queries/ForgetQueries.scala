@@ -156,6 +156,99 @@ object ForgetQueries {
             .as("within_rsd"))
     }),
 
+    // STREAMING-SEMANTICS replay as a driver query: the event corpus
+    // folded through ForgetStream.transitionRequests — the exact
+    // function every streaming micro-batch runs (ForgetStreamSpec
+    // proves micro-batch ≡ this fold) — as one deterministic batch
+    // replay per distribution, with a mid-stream /nmostprobable read
+    // injected as a sequence point (increments before it land before
+    // its partial head-decay write-back, after-increments after — the
+    // reference worker's serialization). The seeded-Poisson decay is
+    // replay-stable but not SQL-expressible, so the driver gate is the
+    // invariant-twin pattern (ft_sampled_invariant): per dist,
+    //   mass_ok         0 <= Z <= raw increment total (no resurrection)
+    //   consistency_ok  Z == Σ count (the reference's _Z bookkeeping)
+    //   clock_ok        state clock == the replay's now
+    //   prune_ok        no zero-count bin survives under prune
+    // All four are pure functions of the corpus, so the oracle is
+    // literal TRUE per dist and the hash gate fails if the streaming
+    // fold drifts. Timestamps are mapped t -> 2t (order-preserving)
+    // and the read sits at an ODD tick, so no event can tie with the
+    // sequence point — tie order between an incr and a read would be
+    // arrival-dependent, and this keeps the replay bit-deterministic
+    // under any partitioning.
+    "ft_stream_replay" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.{BinSnapshot, ForgetStream, FtRequest}
+      val p = ForgetStream.Params(rate = 0.001)
+      val now2 = 2L * Now
+      val ev = Tables.events(s, dir)
+      val incrs = ev.select(col("event_type").as("dist"),
+        col("user_id").cast("string").as("bin"),
+        lit(1L).as("n"), (unix_timestamp(col("ts")) * 2L).as("tsSec"),
+        lit("incr").as("op"), lit(0).as("k"))
+      val reads = ev.select(col("event_type").as("dist")).distinct()
+        .select(col("dist"), lit("").as("bin"), lit(0L).as("n"),
+          lit(2L * 1705276800L + 1L).as("tsSec"), // 2024-01-15, odd tick
+          lit("topk").as("op"), lit(3).as("k"))
+      val st = incrs.unionByName(reads).as[FtRequest]
+        .groupByKey(_.dist)
+        .flatMapGroups { (dist: String, it: Iterator[FtRequest]) =>
+          val (state, _) = ForgetStream.transitionRequests(dist, it.toSeq, None, now2, p)
+          state.iterator.flatMap(s0 => s0.counts.iterator.map { case (b, c) =>
+            BinSnapshot(dist, b, c, s0.z, s0.t)
+          })
+        }
+      val z0 = ev.groupBy(col("event_type").as("dist"))
+        .agg(count(lit(1)).as("z0"))
+      st.toDF.groupBy("dist")
+        .agg(max("z").as("z"), min("t").as("tmin"), max("t").as("tmax"),
+          sum("count").as("sumc"), min("count").as("minc"))
+        .join(z0, "dist")
+        .select(col("dist"),
+          (col("z") >= 0L && col("z") <= col("z0")).as("mass_ok"),
+          (col("z") === col("sumc")).as("consistency_ok"),
+          (col("tmin") === now2 && col("tmax") === now2).as("clock_ok"),
+          (col("minc") > 0L).as("prune_ok"))
+        .orderBy("dist")
+    }),
+
+    // PERSISTED WRITE-BACK roundtrip — the storage layer driven end to
+    // end as one deterministic query: save the pre-cutoff state into a
+    // bucketed parquet store (StateStore.save), replace every
+    // post-cutoff-touched distribution with its full merged bin set
+    // (upsertDistributions — dynamic partition overwrite of touched
+    // buckets, meta z/t refresh with rate carry-over), GC expired
+    // distributions (compact — the (σ+η)·η TTL keep-filter), then load
+    // the store back and emit counts ⋈ meta. Every step's on-disk
+    // result is what the oracle recomputes in SQL, so the driver gate
+    // covers the save → upsert → compact → load cycle, not just the
+    // in-memory operators. (Scratch store per invocation — the
+    // self-contained driver contract; a deployment saves once.)
+    "ft_store_roundtrip" -> ((s, dir) => {
+      val storeDir = graft.sources.TempDirs.scratch("graft_ftstore_")
+      val ev = Tables.events(s, dir)
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      val old = ForgetTable.fromEvents(ev.filter(col("ts") < cutoff))
+      graft.sources.StateStore.save(old, storeDir)
+      // snapshot batch = the FULL surviving bin set of every dist with
+      // post-cutoff traffic (exactly what ForgetStream emits per
+      // micro-batch), carrying the refreshed z/t
+      val full = ForgetTable.fromEvents(ev)
+      val touched = ev.filter(col("ts") >= cutoff)
+        .select(col("event_type").as("dist")).distinct()
+      val snaps = full.counts.join(touched, "dist")
+        .join(full.meta.select("dist", "z", "t"), "dist")
+        .select("dist", "bin", "count", "z", "t")
+      graft.sources.StateStore.upsertDistributions(s, storeDir, snaps)
+      graft.sources.StateStore.compact(s, storeDir,
+        ForgetParams(rate = 0.006, nowEpoch = Now))
+      val ft2 = graft.sources.StateStore.load(s, storeDir)
+      ft2.counts.join(ft2.meta, "dist")
+        .select("dist", "bin", "count", "z", "t", "rate")
+        .orderBy("dist", "bin")
+    }),
+
     "ft_incr_merge" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val cutoff = "2024-01-15 00:00:00"
@@ -602,6 +695,68 @@ object ForgetQueries {
          |         ',' ORDER BY bin) || ']' AS data_json
          |FROM pg JOIN mrate m USING (dist)
          |GROUP BY dist, page, z, m.rate ORDER BY dist, page""".stripMargin,
+
+    // deterministic booleans (seeded replay) -> literal-TRUE oracle,
+    // hash-gated like ft_sampled_invariant
+    "ft_stream_replay" ->
+      """SELECT DISTINCT event_type AS dist,
+        |       CAST(TRUE AS BOOLEAN) AS mass_ok,
+        |       CAST(TRUE AS BOOLEAN) AS consistency_ok,
+        |       CAST(TRUE AS BOOLEAN) AS clock_ok,
+        |       CAST(TRUE AS BOOLEAN) AS prune_ok
+        |FROM events ORDER BY dist""".stripMargin,
+
+    // store contents after save(old) -> upsert(touched full state) ->
+    // compact(TTL GC at rate 0.006, which expires 2 of the 5 dists): touched dists carry the full-merge
+    // counts and refreshed z/t, untouched dists keep the pre-cutoff
+    // state, and only dists still inside their (σ+η)·η TTL survive
+    "ft_store_roundtrip" ->
+      s"""WITH old_counts AS (
+         |  SELECT event_type AS dist, CAST(user_id AS VARCHAR) AS bin,
+         |         CAST(COUNT(*) AS BIGINT) AS "count"
+         |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1, 2
+         |), full_counts AS (
+         |  SELECT event_type AS dist, CAST(user_id AS VARCHAR) AS bin,
+         |         CAST(COUNT(*) AS BIGINT) AS "count"
+         |  FROM events GROUP BY 1, 2
+         |), touched AS (
+         |  SELECT DISTINCT event_type AS dist FROM events
+         |  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+         |), store_counts AS (
+         |  SELECT * FROM old_counts WHERE dist NOT IN (SELECT dist FROM touched)
+         |  UNION ALL
+         |  SELECT * FROM full_counts WHERE dist IN (SELECT dist FROM touched)
+         |), old_meta AS (
+         |  SELECT event_type AS dist, CAST(COUNT(*) AS BIGINT) AS z,
+         |         CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS t
+         |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1
+         |), full_meta AS (
+         |  SELECT event_type AS dist, CAST(COUNT(*) AS BIGINT) AS z,
+         |         CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS t
+         |  FROM events GROUP BY 1
+         |), store_meta AS (
+         |  SELECT dist, z, t, CAST(0.5 AS DOUBLE) AS rate FROM old_meta
+         |  WHERE dist NOT IN (SELECT dist FROM touched)
+         |  UNION ALL
+         |  SELECT dist, z, t, CAST(0.5 AS DOUBLE) AS rate FROM full_meta
+         |  WHERE dist IN (SELECT dist FROM touched)
+         |), sel AS (
+         |  SELECT c.dist, c.bin, c."count" AS cnt, m.z, m.t
+         |  FROM store_counts c JOIN store_meta m USING (dist)
+         |), ${decayCte(0.006, prune = true)},
+         |mx AS (
+         |  SELECT dist, t, CAST(MAX(newc) AS BIGINT) AS max_count
+         |  FROM d2 WHERE newc > 0 GROUP BY 1, 2
+         |), alive AS (
+         |  SELECT dist FROM mx
+         |  WHERE $Now < t + CAST(FLOOR((CAST(2.0 AS DOUBLE) + SQRT(CAST(max_count AS DOUBLE) / CAST(0.006 AS DOUBLE)))
+         |                              * SQRT(CAST(max_count AS DOUBLE) / CAST(0.006 AS DOUBLE))) AS BIGINT)
+         |)
+         |SELECT c.dist, c.bin, c."count", m.z, m.t, m.rate
+         |FROM store_counts c
+         |JOIN alive a USING (dist)
+         |JOIN store_meta m USING (dist)
+         |ORDER BY dist, bin""".stripMargin,
 
     "ft_incr_merge" ->
       """WITH old_counts AS (

@@ -69,6 +69,27 @@ object PipelineQueries {
   final val ScoreWQuality = 0.7
   final val ScoreWRarity = 0.3
 
+  /** pipe_pack's packing plan (no output order): hash-shard assignment,
+    * shard-local running token offset, sequence id — shared by the
+    * pack query and the export path so the written artifact is
+    * definitionally the packing the oracle checks.
+    */
+  private def packedSeqs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val base = d.select(col("doc_id"),
+      (graft.functions.Md5Long60Expr(col("doc_id").cast("string"), PackSalt)
+        % lit(PackShards.toLong)).as("shard"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("offset", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("seq_id",
+        floor(col("offset").cast("double") / lit(PackSeqLen.toDouble)).cast("long"))
+      .select("doc_id", "shard", "n_tokens", "offset", "seq_id")
+  }
+
   /** Shared decontam plumbing: rare-shingle fingerprints per doc, split
     * into (train_doc, fp) and (test_doc, fp) sides. Scale shape mirrors
     * dedup_ngram: row-local shingle sets, one explode, doc-frequency
@@ -206,22 +227,42 @@ object PipelineQueries {
     // corpus — 10^5 shards at 100 TB), where a single global
     // concatenation order would be one unbounded-partition window — the
     // exact single-task bottleneck this query's plan avoids.
-    "pipe_pack" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val base = d.select(col("doc_id"),
-        (graft.functions.Md5Long60Expr(col("doc_id").cast("string"), PackSalt)
-          % lit(PackShards.toLong)).as("shard"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("shard").orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      base
-        .withColumn("offset", sum("n_tokens").over(w) - col("n_tokens"))
-        .withColumn("seq_id",
-          floor(col("offset").cast("double") / lit(PackSeqLen.toDouble)).cast("long"))
-        .select("doc_id", "shard", "n_tokens", "offset", "seq_id")
-        .orderBy("doc_id")
+    "pipe_pack" -> ((s, dir) => packedSeqs(s, dir).orderBy("doc_id")),
+
+    // EXPORT + MANIFEST: pipe_pack's packed sequences written as
+    // shard-partitioned parquet (the training-data artifact — one
+    // directory per deterministic hash shard, exactly the layout a
+    // loader fleet reads shard-parallel), then read BACK from disk and
+    // reduced to a per-shard manifest: doc count, token count, sequence
+    // count, and an order-independent content fingerprint (bit_xor of a
+    // salted per-row md5 over the full row payload). The fingerprint is
+    // the integrity receipt a consumer checks before training; because
+    // the manifest is computed from the files on disk, the oracle gate
+    // covers the write -> read cycle, not just the packing arithmetic.
+    // Scale shape: repartition(shard) gives one writer file per shard
+    // directory (no tasks x shards small-file blowup), the read-back
+    // scans only manifest columns, and the manifest aggregate is
+    // map-side-combined to PackShards rows.
+    "pipe_export" -> ((s, dir) => {
+      val exportDir = graft.sources.TempDirs.scratch("graft_export_")
+      packedSeqs(s, dir)
+        .repartition(col("shard"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("shard").parquet(exportDir)
+      // partition-column type inference reads shard back as int
+      val back = s.read.parquet(exportDir)
+        .select(col("shard").cast("long").as("shard"), col("doc_id"),
+          col("n_tokens"), col("offset"), col("seq_id"))
+      val fp = graft.functions.Md5Long60Expr(
+        concat_ws(":", col("doc_id"), col("n_tokens"), col("offset"), col("seq_id")),
+        PackSalt)
+      back.groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          countDistinct("seq_id").as("n_seqs"),
+          bit_xor(fp).as("content_fp"))
+        .orderBy("shard")
     }),
 
     // Referential-integrity audit between the document corpus and its
@@ -498,6 +539,34 @@ object PipelineQueries {
          |SELECT doc_id, shard, n_tokens, "offset",
          |  CAST(FLOOR(CAST("offset" AS DOUBLE) / $PackSeqLen.0) AS BIGINT) AS seq_id
          |FROM o ORDER BY doc_id""".stripMargin,
+
+    // same packing CTEs; manifest = per-shard counts + bit_xor'd salted
+    // row fingerprints (both engines: md5("13:" || doc:tok:off:seq),
+    // low 60 bits)
+    "pipe_export" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(concat('$PackSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % $PackShards AS shard,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), o AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS "offset"
+         |  FROM b
+         |), p AS (
+         |  SELECT doc_id, shard, n_tokens, "offset",
+         |    CAST(FLOOR(CAST("offset" AS DOUBLE) / $PackSeqLen.0) AS BIGINT) AS seq_id
+         |  FROM o
+         |)
+         |SELECT shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+         |  CAST(bit_xor(CAST(concat('0x', substr(md5(concat('$PackSalt:',
+         |    CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR) || ':' ||
+         |    CAST("offset" AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR))), 1, 15)) AS BIGINT)) AS BIGINT) AS content_fp
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
 
     "pipe_integrity" ->
       """SELECT

@@ -126,6 +126,34 @@ object SimilarityQueries {
   private[graft] def knnSampleStride(n: Long): Long =
     (0 to 40).map(1L << _).find(s => s * KnnSampleCap >= n).getOrElse(1L << 40)
 
+  /** Graph edges (q_id, c_id) the scaled-width build would emit for the
+    * vec_id < 5 query set, at probe mask set `masks` — the recall
+    * measurement slice of [[knnGraphFrom]]: same bucketing, same probe
+    * fan-out, same top-KnnK re-rank, probe side restricted to the
+    * queries under test (bucket equi-join ⇒ identical edges for them).
+    */
+  private def knnEdgesFor(all: DataFrame, nBits: Int, masks: Seq[Long]): DataFrame = {
+    val b = all.withColumn("bucket", Similarity.lshBucket(col("v"), signs(nBits)))
+    val q = broadcast(b.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket")))
+    val c = b.select(col("vec_id").as("c_id"), col("v").as("c_v"), col("bucket"))
+    val scored = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", Dedup.cosine(col("q_v"), col("c_v")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= KnnK)
+      .select("q_id", "c_id")
+  }
+
+  /** Hamming-&le;2 probe masks: all pairwise XORs of the Hamming-&le;1 set
+    * (0 ⊕ 0 = identity, 0 ⊕ bit = Hamming-1, bit ⊕ bit' = Hamming-2).
+    */
+  private def mpMasks2(nBits: Int): Seq[Long] = {
+    val m1 = mpMasks(nBits)
+    (for (a <- m1; b <- m1) yield a ^ b).distinct
+  }
+
   private def bruteRes(s: SparkSession, dir: String): DataFrame = {
     val all = vecs(s, dir)
     Similarity.bruteForceTopK(all.filter(col("vec_id") < 5), all, K)
@@ -198,7 +226,7 @@ object SimilarityQueries {
       .withColumn("ccos", Dedup.cosine(col("v"), col("cv")))
       .withColumn("crn", row_number().over(wAssign))
       .filter(col("crn") <= maxProbe)
-      .select("vec_id", "v", "cent_id", "crn")
+      .select("vec_id", "v", "cent_id", "crn", "ccos")
       .localCheckpoint(true)
   }
 
@@ -262,6 +290,31 @@ object SimilarityQueries {
       knnGraphRes(s, dir, knnScaledBits(n))
     }),
 
+    // RECALL of the scaled-width k-NN graph against brute-force truth
+    // over the vec_id < 5 query set — quantifying the width ↔ recall
+    // trade the knnGraphRes scaladoc documents: narrower buckets (wider
+    // signatures) keep the build linear but miss neighbors whose
+    // signatures differ by >1 bit, and the Hamming-2 leg (h2) shows how
+    // much one extra probe level buys back WITHOUT rebucketing — the
+    // probe fan-out grows to 1 + w + C(w,2) masks, still only the
+    // query side, never the corpus. Same recall@K shape as
+    // sim_ann_recall, at the graph's K (KnnK) and derived width.
+    "sim_knn_graph_recall" -> ((s, dir) => {
+      val all = vecs(s, dir)
+      val w = knnScaledBits(all.count())
+      val truth = Similarity
+        .bruteForceTopK(all.filter(col("vec_id") < 5), all, KnnK)
+        .select("q_id", "c_id").localCheckpoint(true)
+      def recallOf(edges: DataFrame, method: String): DataFrame =
+        truth.join(edges.withColumn("hit", lit(1)), Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / lit(KnnK)).as("recall"))
+          .select(lit(method).as("method"), col("q_id"), col("recall"))
+      recallOf(knnEdgesFor(all, w, mpMasks(w)), "h1")
+        .unionByName(recallOf(knnEdgesFor(all, w, mpMasks2(w)), "h2"))
+        .orderBy("method", "q_id")
+    }),
+
     // INDEX-HEALTH report: the LSH bucket-population distribution — the
     // number an ANN operator watches to decide when to re-bucket at a
     // wider nBits (max_pop bounds the worst probe's candidate count;
@@ -278,6 +331,35 @@ object SimilarityQueries {
         count(lit(1)).cast("long").as("n_buckets"),
         max("pop").cast("long").as("max_pop"),
         (sum("pop").cast("double") / count(lit(1)).cast("double")).as("mean_pop"))
+    }),
+
+    // IVF INDEX-HEALTH report — the companion of sim_ann_bucket_stats
+    // for the quantizer side, and the measurement behind AnnIndex
+    // .upsertIvf's retrain guidance ("centroid retraining when the
+    // corpus drifts is a rebuild"): per cell, its population share
+    // (skew — a cell absorbing the corpus means the centroids no
+    // longer span it) and the mean member→centroid cosine
+    // (quantization quality — drifting embeddings pull it down; both
+    // are exactly what triggers a scheduled retrain). The mean is
+    // computed over 1e-9-quantized cosines summed as BIGINT so it is
+    // order-independent and bit-reproducible in both engines — a
+    // raw double AVG would be partition-order-dependent. One O(N*k)
+    // assignment (the shared ivfRanked pass), one map-side-combined
+    // k-row groupBy, a 1-row broadcast for the total.
+    "ivf_cell_stats" -> ((s, dir) => {
+      val ranked = ivfRanked(s, dir, 1).filter(col("crn") === 1)
+      val qcos = floor(col("ccos") * lit(1.0e9)).cast("long")
+      val cur = ranked.select(col("cent_id"), qcos.as("qcos"))
+        .groupBy("cent_id")
+        .agg(count(lit(1)).as("pop"), sum("qcos").as("sum_qcos"))
+        .localCheckpoint(true) // total + final select both read it
+      val tot = cur.agg(sum("pop").cast("long").as("total"))
+      cur.crossJoin(broadcast(tot))
+        .select(col("cent_id"), col("pop"),
+          (col("pop").cast("double") / col("total").cast("double")).as("share"),
+          (col("sum_qcos").cast("double") / col("pop").cast("double") / lit(1.0e9))
+            .as("mean_ccos"))
+        .orderBy("cent_id")
     }),
 
     // EMBEDDING AUDIT: norm distribution + degenerate-vector counts —
@@ -713,6 +795,24 @@ object SimilarityQueries {
          |       CAST(SUM(pop) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_pop
          |FROM pops""".stripMargin,
 
+    // same quantizer CTEs; the member→centroid cosine is recomputed
+    // from the crn=1 assignment, quantized to the same 1e-9 BIGINT grid
+    "ivf_cell_stats" ->
+      s"""WITH $vecsCte, $ivfBaseCtes, ics AS (
+         |  SELECT r.vec_id, r.cent_id,
+         |    CAST(FLOOR((${cosineSql("r.v", "c.cv")}) * 1000000000.0) AS BIGINT) AS qcos
+         |  FROM ivf_ranked r JOIN ivf_c$IvfIters c USING (cent_id)
+         |  WHERE r.crn = 1
+         |), icur AS (
+         |  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS pop,
+         |         CAST(SUM(qcos) AS BIGINT) AS sum_qcos
+         |  FROM ics GROUP BY cent_id
+         |), itt AS (SELECT CAST(SUM(pop) AS BIGINT) AS total FROM icur)
+         |SELECT cent_id, pop,
+         |  CAST(pop AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+         |  CAST(sum_qcos AS DOUBLE) / CAST(pop AS DOUBLE) / 1000000000.0 AS mean_ccos
+         |FROM icur CROSS JOIN itt ORDER BY cent_id""".stripMargin,
+
     "embed_stats" ->
       s"""WITH $vecsCte, nr AS (
          |  SELECT sqrt(${dotSql("v", "v")}) AS nrm FROM vecs
@@ -769,6 +869,57 @@ object SimilarityQueries {
          |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
          |  FROM knn_scored
          |) t WHERE rnk <= $KnnK ORDER BY q_id, rnk""".stripMargin,
+
+    // derived width + Hamming-1/2 mask sets in SQL (masks2 = pairwise
+    // XORs of masks1), edges for the q<5 slice, recall vs the brute
+    // truth's top-KnnK prefix
+    "sim_knn_graph_recall" -> {
+      def edgeCtes(maskCte: String, sfx: String): String =
+        s"""kr_probes$sfx AS (
+           |  SELECT vec_id AS q_id, v AS q_v, xor(bucket, m.mask) AS bucket
+           |  FROM knn_bucketed CROSS JOIN $maskCte m
+           |  WHERE vec_id < 5
+           |), kr_scored$sfx AS (
+           |  SELECT q.q_id, c.vec_id AS c_id,
+           |         ${cosineSql("q.q_v", "c.v")} AS cosine
+           |  FROM kr_probes$sfx q JOIN knn_bucketed c USING (bucket)
+           |  WHERE q.q_id != c.vec_id
+           |), kr_edges$sfx AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT q_id, c_id,
+           |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+           |    FROM kr_scored$sfx
+           |  ) t WHERE rnk <= $KnnK
+           |)""".stripMargin
+      def leg(method: String, edges: String): String =
+        s"""SELECT '$method' AS method, t.q_id,
+           |       CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $KnnK AS recall
+           |FROM kr_truth t LEFT JOIN $edges a ON t.q_id = a.q_id AND t.c_id = a.c_id
+           |GROUP BY t.q_id""".stripMargin
+      s"""WITH $vecsCte, $bruteCtes, kr_truth AS (
+         |  SELECT q_id, c_id FROM brute_res WHERE rnk <= $KnnK
+         |), knn_w AS (
+         |  SELECT CAST(COALESCE(MIN(w), $KnnMaxBits) AS BIGINT) AS w
+         |  FROM (SELECT UNNEST(generate_series($LshBits, $KnnMaxBits)) AS w) ws
+         |  WHERE $KnnBucketTarget * (CAST(1 AS BIGINT) << w) >= (SELECT COUNT(*) FROM vecs)
+         |), knn_bucketed AS (
+         |  SELECT vec_id, v,
+         |    (${bucketSqlAt("v", KnnMaxBits)})
+         |      % (CAST(1 AS BIGINT) << (SELECT w FROM knn_w)) AS bucket
+         |  FROM vecs
+         |), knn_m1 AS (
+         |  SELECT UNNEST([CAST(0 AS BIGINT)] ||
+         |    list_transform(generate_series(0, (SELECT w FROM knn_w) - 1),
+         |                   i -> CAST(1 AS BIGINT) << i)) AS mask
+         |), knn_m2 AS (
+         |  SELECT DISTINCT xor(a.mask, b.mask) AS mask
+         |  FROM knn_m1 a CROSS JOIN knn_m1 b
+         |), ${edgeCtes("knn_m1", "_h1")}, ${edgeCtes("knn_m2", "_h2")}
+         |${leg("h1", "kr_edges_h1")}
+         |UNION ALL
+         |${leg("h2", "kr_edges_h2")}
+         |ORDER BY method, q_id""".stripMargin
+    },
 
     // maintained index converges to the rebuild (AnnIndexSpec), so the
     // save -> upsert -> probe cycle answers exactly like sim_ann_lsh
