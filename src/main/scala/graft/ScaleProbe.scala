@@ -21,16 +21,32 @@ object ScaleProbe {
     val spark = graft.sources.GraftSession.local("local[4]", 8)
     spark.sparkContext.setLogLevel("WARN")
 
-    // Nx documents: shift doc_id per copy and rotate letters per copy so
-    // copies are genuinely DIFFERENT documents — otherwise every doc has
-    // N near-dup variants and the dedup result set grows quadratically
-    // by construction, which would mask the plan's own scaling.
+    // Nx documents: shift doc_id per copy and substitute letters through
+    // a DISTINCT deterministic permutation per copy so copies are
+    // genuinely DIFFERENT documents — otherwise every doc has N
+    // near-dup variants and the dedup result set grows quadratically by
+    // construction, which would mask the plan's own scaling. A seeded
+    // Fisher–Yates permutation (identity for copy 0, so the 1x corpus
+    // is a literal subset) stays collision-free at ANY factor — the
+    // earlier `rotate by c % 26` wrapped at factor 27+, making copies
+    // 26+k exact text twins of copies k and exploding the near-dup
+    // pair set ~50x at factor 30 purely by construction.
     val docs = Tables.documents(spark, base)
     val rot = "abcdefghijklmnopqrstuvwxyz"
+    def permFor(c: Int): String = {
+      val arr = rot.toCharArray
+      if (c > 0) {
+        val rnd = new scala.util.Random(c)
+        for (i <- arr.length - 1 to 1 by -1) {
+          val j = rnd.nextInt(i + 1)
+          val t = arr(i); arr(i) = arr(j); arr(j) = t
+        }
+      }
+      new String(arr)
+    }
     val docsN = (0 until factor).map { c =>
-      val shifted = rot.drop(c % 26) + rot.take(c % 26)
       docs.select((col("doc_id") + lit(c.toLong * 100000000L)).as("doc_id"),
-        translate(col("text"), rot, shifted).as("text"),
+        translate(col("text"), rot, permFor(c)).as("text"),
         col("lang"))
     }.reduce(_ unionByName _)
     docsN.write.mode("overwrite").parquet(s"$stage/documents.parquet")
@@ -161,6 +177,15 @@ object ScaleProbe {
       val t1 = time(run(base))
       val tN = time(run(stage))
       println(f"[probe] incr_dedup@fixed-batch $t1%6.2f  $tN%6.2f  ${tN / t1}%5.2f  (index 1x -> ${factor}x, batch fixed)")
+    }
+    // The width↔recall trade made measurable: the scaled-width graph's
+    // recall against brute truth at 1x vs Nx (the derived width grows
+    // with the corpus — BASELINE.md records both readings).
+    if (targets.contains("sim_knn_graph_recall")) {
+      val fn = SparkEntry.queries("sim_knn_graph_recall")
+      Seq("1x" -> base, s"${factor}x" -> stage).foreach { case (tag, d) =>
+        fn(spark, d).collect().foreach(r => println(s"[probe] knn_recall@$tag $r"))
+      }
     }
     if (targets.contains("sim_knn_graph")) {
       import graft.queries.SimilarityQueries
