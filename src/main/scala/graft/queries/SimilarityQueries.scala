@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -41,6 +41,19 @@ object SimilarityQueries {
     * sim_knn_graph_scaled.
     */
   final val KnnSampleCap = 4096L
+  /** sim_knn_graph_banded: number of independent signature bands
+    * (OR-amplification). Each band is a knnScaledBits-wide table over
+    * its OWN hyperplane slice; a pair is a candidate if it collides in
+    * ANY band — recall ≈ 1-(1-p^r)^b instead of the single-table p^r,
+    * at build cost × b, still linear in N. MEASURED CAVEAT
+    * (BASELINE.md): at b=4 pure banding recalls LESS than Hamming-1
+    * probing of one table (w+1 probe masks beat 4 independent tables
+    * at these widths) — banding's value is as the recall dial with
+    * LINEAR cost at any width (b=16-64 for production targets, where
+    * probe-radius growth explodes combinatorially) and that each band
+    * can itself be Hamming-probed, multiplying the two gains.
+    */
+  final val KnnBands = 4
   /** sim_decontam: a test vector with a train-side neighbor at cosine
     * >= this is flagged as semantically leaked. 0.35 sits above the
     * corpus's 75th-percentile pair cosine (~0.29) and below its max
@@ -152,6 +165,37 @@ object SimilarityQueries {
   private def mpMasks2(nBits: Int): Seq[Long] = {
     val m1 = mpMasks(nBits)
     (for (a <- m1; b <- m1) yield a ^ b).distinct
+  }
+
+  /** Banded top-KnnK edges: every vector gets one bucket per band
+    * (band i = hyperplane slice [i*r, (i+1)*r) of one prefix-stable
+    * family — so the oracle can rebuild any band from a flat plane-bit
+    * list), candidates collide on (band, bucket), pairs found by
+    * several bands are deduped BEFORE the rank so each is scored once
+    * in the window. `qFilter` restricts the probe side (whole corpus
+    * for the graph build, vec_id < 5 for the recall slice).
+    */
+  private def knnBandedTopK(all: DataFrame, r: Int, qFilter: Column): DataFrame = {
+    val fullSigns = Similarity.signMatrix(KnnBands * r, Dim)
+    val banded = all.select(col("vec_id"), col("v"),
+      explode(array((0 until KnnBands).map { i =>
+        struct(lit(i).as("band"),
+          Similarity.lshBucket(col("v"), fullSigns.slice(i * r, (i + 1) * r)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("vec_id"), col("v"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val q = banded.filter(qFilter)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("band"), col("bucket"))
+    val c = banded.select(col("vec_id").as("c_id"), col("v").as("c_v"), col("band"), col("bucket"))
+    val scored = q.join(c, Seq("band", "bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", Dedup.cosine(col("q_v"), col("c_v")))
+      .select("q_id", "c_id", "cosine")
+      .distinct()
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= KnnK)
+      .select("q_id", "rnk", "c_id", "cosine")
   }
 
   private def bruteRes(s: SparkSession, dir: String): DataFrame = {
@@ -290,6 +334,19 @@ object SimilarityQueries {
       knnGraphRes(s, dir, knnScaledBits(n))
     }),
 
+    // BANDED k-NN graph — OR-amplification: KnnBands independent
+    // derived-width signature tables; a pair is a candidate when ANY
+    // band agrees (recall ≈ 1-(1-p^r)^b, cost × b, linear in N with
+    // per-band population held at KnnBucketTarget). Cross-band
+    // duplicate candidates are deduped before the per-source top-K.
+    // See the KnnBands scaladoc + BASELINE.md for the measured
+    // banding-vs-probing comparison and when each knob wins.
+    "sim_knn_graph_banded" -> ((s, dir) => {
+      val all = vecs(s, dir)
+      val r = knnScaledBits(all.count())
+      knnBandedTopK(all, r, lit(true)).orderBy("q_id", "rnk")
+    }),
+
     // RECALL of the scaled-width k-NN graph against brute-force truth
     // over the vec_id < 5 query set — quantifying the width ↔ recall
     // trade the knnGraphRes scaladoc documents: narrower buckets (wider
@@ -312,6 +369,8 @@ object SimilarityQueries {
           .select(lit(method).as("method"), col("q_id"), col("recall"))
       recallOf(knnEdgesFor(all, w, mpMasks(w)), "h1")
         .unionByName(recallOf(knnEdgesFor(all, w, mpMasks2(w)), "h2"))
+        .unionByName(recallOf(
+          knnBandedTopK(all, w, col("vec_id") < 5).select("q_id", "c_id"), "b4"))
         .orderBy("method", "q_id")
     }),
 
@@ -578,6 +637,34 @@ object SimilarityQueries {
     """vecs AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       |)""".stripMargin
+
+  /** knn_w (the derived per-band width) + kb_banded (one bucket per
+    * vector per band). The plane-bit list is emitted ONCE at the
+    * maximal width (KnnBands * KnnMaxBits planes); band i at runtime
+    * width w reads bits [i*w, (i+1)*w) — prefix-stable family, so one
+    * static SQL text serves every derived width, like the scaled graph
+    * oracle's modulo mask.
+    */
+  private lazy val bandedCtes = {
+    val allSigns = Similarity.signMatrix(KnnBands * KnnMaxBits, Dim)
+    val bitsList = allSigns.map { row =>
+      val arr = row.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN ${dotSql("v", s"CAST($arr AS DOUBLE[])")} >= 0.0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("[", ",\n    ", "]")
+    s"""knn_w AS (
+       |  SELECT CAST(COALESCE(MIN(w), $KnnMaxBits) AS BIGINT) AS w
+       |  FROM (SELECT UNNEST(generate_series($LshBits, $KnnMaxBits)) AS w) ws
+       |  WHERE $KnnBucketTarget * (CAST(1 AS BIGINT) << w) >= (SELECT COUNT(*) FROM vecs)
+       |), kb_bits AS (
+       |  SELECT vec_id, v, $bitsList AS bits FROM vecs
+       |), kb_banded AS (
+       |  SELECT p.vec_id, p.v, b.band,
+       |    list_aggregate(list_transform(generate_series(0, k.w - 1),
+       |      j -> bits[b.band * k.w + j + 1] * (CAST(1 AS BIGINT) << j)), 'sum') AS bucket
+       |  FROM kb_bits p CROSS JOIN knn_w k
+       |  CROSS JOIN (SELECT UNNEST(generate_series(0, ${KnnBands - 1})) AS band) b
+       |)""".stripMargin
+  }
 
   /** brute_res(q_id, c_id, cosine, rnk): exact top-K per query. */
   private val bruteCtes =
@@ -870,9 +957,25 @@ object SimilarityQueries {
          |  FROM knn_scored
          |) t WHERE rnk <= $KnnK ORDER BY q_id, rnk""".stripMargin,
 
+    // one derived-width banded table per band; pairs deduped across
+    // bands before the rank, exactly the Spark plan
+    "sim_knn_graph_banded" ->
+      s"""WITH $vecsCte, $bandedCtes, kb_scored AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id,
+         |         ${cosineSql("q.v", "c.v")} AS cosine
+         |  FROM kb_banded q JOIN kb_banded c
+         |    ON q.band = c.band AND q.bucket = c.bucket
+         |  WHERE q.vec_id != c.vec_id
+         |)
+         |SELECT q_id, rnk, c_id, cosine FROM (
+         |  SELECT q_id, c_id, cosine,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
+         |  FROM kb_scored
+         |) t WHERE rnk <= $KnnK ORDER BY q_id, rnk""".stripMargin,
+
     // derived width + Hamming-1/2 mask sets in SQL (masks2 = pairwise
     // XORs of masks1), edges for the q<5 slice, recall vs the brute
-    // truth's top-KnnK prefix
+    // truth's top-KnnK prefix; b4 = the banded (OR-amplified) edges
     "sim_knn_graph_recall" -> {
       def edgeCtes(maskCte: String, sfx: String): String =
         s"""kr_probes$sfx AS (
@@ -898,11 +1001,7 @@ object SimilarityQueries {
            |GROUP BY t.q_id""".stripMargin
       s"""WITH $vecsCte, $bruteCtes, kr_truth AS (
          |  SELECT q_id, c_id FROM brute_res WHERE rnk <= $KnnK
-         |), knn_w AS (
-         |  SELECT CAST(COALESCE(MIN(w), $KnnMaxBits) AS BIGINT) AS w
-         |  FROM (SELECT UNNEST(generate_series($LshBits, $KnnMaxBits)) AS w) ws
-         |  WHERE $KnnBucketTarget * (CAST(1 AS BIGINT) << w) >= (SELECT COUNT(*) FROM vecs)
-         |), knn_bucketed AS (
+         |), $bandedCtes, knn_bucketed AS (
          |  SELECT vec_id, v,
          |    (${bucketSqlAt("v", KnnMaxBits)})
          |      % (CAST(1 AS BIGINT) << (SELECT w FROM knn_w)) AS bucket
@@ -914,10 +1013,25 @@ object SimilarityQueries {
          |), knn_m2 AS (
          |  SELECT DISTINCT xor(a.mask, b.mask) AS mask
          |  FROM knn_m1 a CROSS JOIN knn_m1 b
-         |), ${edgeCtes("knn_m1", "_h1")}, ${edgeCtes("knn_m2", "_h2")}
+         |), ${edgeCtes("knn_m1", "_h1")}, ${edgeCtes("knn_m2", "_h2")},
+         |kb_scored4 AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id,
+         |         ${cosineSql("q.v", "c.v")} AS cosine
+         |  FROM kb_banded q JOIN kb_banded c
+         |    ON q.band = c.band AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
+         |), kr_edges_b4 AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+         |    FROM kb_scored4
+         |  ) t WHERE rnk <= $KnnK
+         |)
          |${leg("h1", "kr_edges_h1")}
          |UNION ALL
          |${leg("h2", "kr_edges_h2")}
+         |UNION ALL
+         |${leg("b4", "kr_edges_b4")}
          |ORDER BY method, q_id""".stripMargin
     },
 

@@ -31,7 +31,8 @@ class CacheHygieneSpec extends AnyFunSuite {
   private val reusers = Seq(
     "dedup_minhash", "dedup_clusters", "dedup_simhash", "dedup_ngram",
     "dedup_incremental", "dedup_semantic", "dedup_embedding",
-    "sim_ann_ivf", "sim_ann_recall", "pipe_decontam_bloom", "pipe_curate")
+    "sim_ann_ivf", "sim_ann_recall", "pipe_decontam_bloom", "pipe_curate",
+    "ivf_cell_stats", "sim_knn_graph_recall", "pipe_topic_mix")
 
   test("cacheManager gains no entries after each reusing query builder runs") {
     // SharedState (and its CacheManager) is per-SparkContext, shared with

@@ -127,6 +127,21 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("knnSampleStride: power-of-two stride bounds the fixed-width sample") {
+    import graft.queries.SimilarityQueries._
+    // stride 1 (whole corpus) at every driver test scale
+    assert(knnSampleStride(500L) == 1L)
+    assert(knnSampleStride(2000L) == 1L)
+    assert(knnSampleStride(KnnSampleCap) == 1L)
+    assert(knnSampleStride(KnnSampleCap + 1) == 2L)
+    // the rule's invariant: N / stride <= Cap, stride a power of two
+    Seq(1L, 4096L, 20000L, 1000000L, 1L << 40).foreach { n =>
+      val s = knnSampleStride(n)
+      assert((s & (s - 1)) == 0L, s"stride $s not a power of two")
+      assert(n <= s * KnnSampleCap, s"n=$n stride=$s exceeds cap")
+    }
+  }
+
   test("rarityCounts edges: empty head set, dominant token, and singleton docs") {
     import spark.implicits._
     val denom = graft.queries.TextQueries.RarityDenom.toLong
