@@ -265,6 +265,36 @@ object PipelineQueries {
         .orderBy("shard")
     }),
 
+    // JSONL interchange roundtrip — the de-facto LLM training-data
+    // format driven end to end: documents serialized one JSON object
+    // per line (to_json escapes embedded quotes/newlines, so a record
+    // is exactly one line), written as text, re-read with an EXPLICIT
+    // schema (schema-on-read — at 100 TB you never pay the inference
+    // scan), and reduced to a per-language receipt: doc count, token
+    // sum, and an order-independent bit_xor fingerprint over the
+    // re-parsed field values (values, not raw JSON strings, so the
+    // check is engine-formatting-independent). The oracle computes the
+    // same receipt straight from the parquet corpus, so any drop,
+    // duplication, or corruption across the serialize → write → parse
+    // cycle fails the hash gate.
+    "pipe_jsonl_roundtrip" -> ((s, dir) => {
+      val outDir = graft.sources.TempDirs.scratch("graft_jsonl_")
+      val d = Tables.documents(s, dir)
+      d.select(to_json(struct(col("doc_id"), col("lang"), col("text"))).as("value"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(outDir)
+      val schema = "doc_id LONG, lang STRING, text STRING"
+      val back = s.read.schema(schema).json(outDir)
+      val fp = graft.functions.Md5Long60Expr(
+        concat_ws(":", col("doc_id"), col("lang"), col("text")), SplitSalt)
+      back.select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tokens"), fp.as("fp"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          bit_xor(col("fp")).as("content_fp"))
+        .orderBy("lang")
+    }),
+
     // Referential-integrity audit between the document corpus and its
     // embedding table — the alignment check before any training export
     // (a doc without a vector silently vanishes from ANN curation; a
@@ -539,6 +569,16 @@ object PipelineQueries {
          |SELECT doc_id, shard, n_tokens, "offset",
          |  CAST(FLOOR(CAST("offset" AS DOUBLE) / $PackSeqLen.0) AS BIGINT) AS seq_id
          |FROM o ORDER BY doc_id""".stripMargin,
+
+    // the receipt computed straight from the corpus — identical iff the
+    // serialize -> write -> schema-on-read parse cycle is lossless
+    "pipe_jsonl_roundtrip" ->
+      s"""SELECT lang,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len(list_filter(string_split(text, ' '), t -> t != ''))) AS BIGINT) AS n_tokens,
+         |  CAST(bit_xor(CAST(concat('0x', substr(md5(concat('$SplitSalt:',
+         |    CAST(doc_id AS VARCHAR) || ':' || lang || ':' || text)), 1, 15)) AS BIGINT)) AS BIGINT) AS content_fp
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // same packing CTEs; manifest = per-shard counts + bit_xor'd salted
     // row fingerprints (both engines: md5("13:" || doc:tok:off:seq),

@@ -24,6 +24,9 @@ object TextQueries {
     */
   final val RarityDenom = 500
 
+  /** text_boilerplate: rows in the top-df shingle report. */
+  final val BoilerplateTopN = 20
+
   private val langHitsSql: String = LangProfiles.map { case (lang, words) =>
     val list = words.map(w => s"'$w'").mkString(", ")
     s"len(list_filter(toks, t -> t IN ($list))) AS h_$lang"
@@ -222,6 +225,34 @@ object TextQueries {
           piiCount(aug, IpRe).as("n_ips"),
           piiRedact(aug).as("redacted"))
         .orderBy("doc_id")
+    }),
+
+    // BOILERPLATE report: the BoilerplateTopN highest-document-frequency
+    // 3-gram shingles with their corpus share — the review artifact
+    // behind every df-prune in this engine (dedup_ngram and the
+    // decontam joins DROP df > MaxDocFreq shingles as boilerplate; this
+    // is the report a curator reads to set that threshold and to write
+    // removal rules for nav bars / license headers / cookie banners).
+    // Scale shape: shingle sets are row-local (the dedup kernel), the
+    // df groupBy is map-side-combined on the shingle, and the top-N is
+    // orderBy+limit — TakeOrderedAndProject's distributed partial
+    // top-N, never a global window over the full vocabulary; the rank
+    // window runs over the <= TopN surviving rows only.
+    "text_boilerplate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val ex = d.select(col("doc_id"),
+        explode(graft.operators.Dedup.shingleSet(col("text"))).as("shingle"))
+      // shingle sets are distinct per doc, so count == document frequency
+      val dfTab = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val top = dfTab.orderBy(col("df").desc, col("shingle")).limit(BoilerplateTopN)
+      val tot = d.agg(count(lit(1)).cast("long").as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("df").desc, col("shingle"))
+      top.crossJoin(broadcast(tot))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("rnk"), col("shingle"), col("df"),
+          (col("df").cast("double") / col("n_docs").cast("double")).as("doc_share"))
+        .orderBy("rnk")
     }),
 
     // Grouped EXACT percentiles (linear interpolation) of document
@@ -467,6 +498,35 @@ object TextQueries {
     "text_len_quantiles_approx_invariant" ->
       """SELECT lang, TRUE AS within_tol FROM documents
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // same shingle transform as the dedup oracles, df over documents,
+    // top-N by (df desc, shingle)
+    "text_boilerplate" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
+         |  FROM documents
+         |), shs AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(toks) < 3 THEN [text]
+         |         ELSE list_transform(generate_series(1, len(toks) - 2),
+         |                i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+         |    END) AS sh
+         |  FROM tok
+         |), ex AS (
+         |  SELECT doc_id, UNNEST(sh) AS shingle FROM shs
+         |), dfq AS (
+         |  SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+         |)
+         |SELECT rnk, shingle, df,
+         |       CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE) AS doc_share
+         |FROM (
+         |  SELECT shingle, df,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY df DESC, shingle) AS BIGINT) AS rnk
+         |  FROM dfq
+         |) t CROSS JOIN tot
+         |WHERE rnk <= $BoilerplateTopN ORDER BY rnk""".stripMargin,
 
     "text_len_quantiles" ->
       """WITH tok AS (

@@ -188,6 +188,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(windows.size == 1, s"expected exactly 1 WindowExec:\n$plan")
   }
 
+  test("sim_knn_graph_banded: (band, bucket) equi-join + partial top-K, never all-pairs") {
+    // OR-amplification must stay b independent equi-joins — a plan that
+    // degraded the (band, bucket) key to a cross join would be b x the
+    // all-pairs disaster; the post-dedup rank must still group-limit.
+    val plan = qe("sim_knn_graph_banded").executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("pipe_export: manifest is a partial+final hash aggregate over the read-back, no window") {
+    // The manifest must reduce map-side to PackShards rows — a Window
+    // or sort-based aggregate here would shuffle the whole artifact.
+    val plan = qe("pipe_export").executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.linesIterator.exists(l => l.trim.startsWith("Window ")), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("text_boilerplate: vocabulary top-N is TakeOrderedAndProject, not a global window") {
+    // The df table is vocabulary-sized; the top-N must be the
+    // distributed partial sort+limit — a Window over the full
+    // vocabulary would put millions of shingles in one task at scale.
+    val plan = qe("text_boilerplate").executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("pipe_decontam: df-pruned fingerprint equi-joins, no cartesian blowup") {
     // The contamination join must stay an equi-join on the 8-byte
     // shingle fingerprint (train side x test side); a CartesianProduct
