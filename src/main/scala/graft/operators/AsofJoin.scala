@@ -43,12 +43,22 @@ import org.apache.spark.sql.types.StructType
   *                   struct's nullness is the match indicator.
   * @param inner      true drops left rows with no match (null-free
   *                   output); false keeps them with null right columns
+  * @param forward    false (default): greatest right time at or BEFORE
+  *                   the left time, ties to the HIGHEST rightOrder.
+  *                   true: smallest right time at or AFTER the left
+  *                   time, ties to the LOWEST rightOrder — implemented
+  *                   by reversing the merge scan order (ts desc), so
+  *                   the frame stays the incrementally-evaluated
+  *                   growing frame; a currentRow→unboundedFollowing
+  *                   frame would recompute per row (quadratic per
+  *                   partition in Spark's UnboundedFollowing frame).
   */
 object AsofJoin {
 
   def join(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String, rightOrder: String,
-           rightCols: Seq[String], inner: Boolean = true): DataFrame = {
+           rightCols: Seq[String], inner: Boolean = true,
+           forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     // All carried right columns travel as ONE struct so the running
     // last(ignoreNulls) picks whole rows, never splicing a null field
@@ -65,8 +75,14 @@ object AsofJoin {
         lit(-1L).as("__asof_ord"),
         lit(null).cast(carryType).as("__asof_carry")) ++
         leftCols.filterNot(_ == key).map(col): _*)
+    // Scan order: time (reversed for forward), right rows before left
+    // rows at equal time (a right row AT the left instant matches), the
+    // winning tie-break order LAST so the running last() picks it.
     val w = Window.partitionBy(key)
-      .orderBy(col("__asof_ts"), col("__asof_side"), col("__asof_ord"))
+      .orderBy(
+        (if (forward) col("__asof_ts").desc else col("__asof_ts").asc) +:
+          col("__asof_side") +:
+          (if (forward) Seq(col("__asof_ord").desc) else Seq(col("__asof_ord").asc)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val merged = rTagged.unionByName(lTagged)
       .select(Seq(col(key), col("__asof_side")) ++

@@ -124,6 +124,28 @@ object RelationalQueries {
         .orderBy("purchase_id")
     }),
 
+    // FORWARD as-of: for each click, the EARLIEST purchase at or after
+    // it by the same user — the time-to-convert primitive (attribution
+    // asks "what click preceded this purchase", funnel analysis asks
+    // "when did this click convert"; the two directions of one
+    // operator). Same single union-merge window plan with the scan
+    // order reversed (AsofJoin forward=true); ties break to the lowest
+    // purchase id, a total order the oracle mirrors.
+    "rel_asof_join_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      graft.operators.AsofJoin.join(clicks, purchases,
+          key = "user_id", leftTs = "c_ts", rightTs = "p_ts",
+          rightOrder = "purchase_id",
+          rightCols = Seq("purchase_id", "p_ts"), forward = true)
+        .withColumn("secs_to_convert",
+          (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).cast("long"))
+        .orderBy("click_id")
+    }),
+
     // The hot-key-safe variant: identical as-of semantics with the sort
     // partitioned by (key, day-bucket) and per-bucket boundary rows
     // carried forward — the plan shape that survives one user with 10^8
@@ -450,6 +472,26 @@ object RelationalQueries {
         |ORDER BY c.c_custkey""".stripMargin,
 
     "rel_asof_join" -> asofOracleSql,
+
+    // earliest at-or-after, ties to the lowest purchase id
+    "rel_asof_join_forward" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS c_ts
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT click_id, user_id, c_ts, purchase_id, p_ts,
+        |       CAST(FLOOR(EPOCH(p_ts)) - FLOOR(EPOCH(c_ts)) AS BIGINT) AS secs_to_convert
+        |FROM (
+        |  SELECT c.click_id, c.user_id, c.c_ts, p.purchase_id, p.p_ts,
+        |         row_number() OVER (PARTITION BY c.click_id
+        |                            ORDER BY p.p_ts ASC, p.purchase_id ASC) AS rn
+        |  FROM c JOIN p
+        |    ON c.user_id = p.user_id AND p.p_ts >= c.c_ts
+        |) WHERE rn = 1
+        |ORDER BY click_id""".stripMargin,
 
     // joinBucketed has identical semantics; the same window-SQL oracle
     // (which encodes the Spark tie-break: latest click_ts, highest

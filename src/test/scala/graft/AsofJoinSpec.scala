@@ -60,6 +60,42 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got == Set((100L, 12L), (101L, 12L), (102L, -1L), (103L, -1L)))
   }
 
+  test("forward: earliest at-or-after match; ties pick LOWEST order; naive reference on 2k rows") {
+    import spark.implicits._
+    val (left, right) = frames
+    val got = AsofJoin.join(left, right, key = "k",
+        leftTs = "p_ts", rightTs = "r_ts", rightOrder = "r_id",
+        rightCols = Seq("r_id", "r_v"), forward = true)
+      .select("p_id", "r_id", "r_v").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(got == Set(
+      (100L, 13L, 4.0), // next right after ts(50)
+      (101L, 11L, 2.0), // exact-instant match eligible; tie -> LOWEST id
+      (102L, 10L, 1.0)  // before everything: earliest right row matches
+      // 103L: key 2 has no right rows -> dropped (inner)
+    ))
+    // randomized-shape cross-check against a naive per-key scan
+    val leftRows = (0 until 800).map { i =>
+      (i.toLong, (i * 7 % 40).toLong, ts((i * 13) % 97))
+    }
+    val rightRows = (0 until 1200).map { j =>
+      (j.toLong, (j * 11 % 40).toLong, ts((j * 17) % 97), j * 0.5)
+    }
+    val gotBig = AsofJoin.join(leftRows.toDF("p_id", "k", "p_ts"),
+        rightRows.toDF("r_id", "k", "r_ts", "r_v"), key = "k",
+        leftTs = "p_ts", rightTs = "r_ts", rightOrder = "r_id",
+        rightCols = Seq("r_id", "r_v"), forward = true)
+      .select("p_id", "r_id").as[(Long, Long)].collect().toMap
+    val byKey = rightRows.groupBy(_._2)
+    val want = leftRows.flatMap { case (pId, k, pTs) =>
+      byKey.getOrElse(k, Seq.empty)
+        .filter { case (_, _, rTs, _) => !rTs.before(pTs) }
+        .sortBy { case (rId, _, rTs, _) => (rTs.getTime, rId) }
+        .headOption.map { case (rId, _, _, _) => pId -> rId }
+    }.toMap
+    assert(gotBig == want)
+  }
+
   test("an integer rightOrder column widens instead of clashing with the sentinel") {
     import spark.implicits._
     val left = Seq((1L, 1L, ts(50))).toDF("p_id", "k", "p_ts")
