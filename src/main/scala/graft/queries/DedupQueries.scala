@@ -372,6 +372,100 @@ object DedupQueries {
        |      / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) >= $JaccardThreshold
        |)""".stripMargin
 
+  /** PREFIX-FILTERED exact n-gram Jaccard — the AllPairs/PPJoin family
+    * (Chaudhuri et al. SSJoin ICDE'06; Bayardo et al. WWW'07; Xiao et
+    * al. PPJoin WWW'08), measured against dedup_ngram and NOT registered
+    * as a driver query because it LOSES at every probed scale (1×:
+    * 5.6 s vs 3.2 s; 10×: 36.5 s vs 15.5 s; 30×: 166.6 s vs 82.4 s —
+    * BASELINE.md round-9 table). Output is EXACTLY dedup_ngram's
+    * (PrefixFilterSpec pins the equivalence): candidates come only from
+    * each doc's prefix (first sz - ceil(t*sz) + 1 kept shingles under a
+    * global rarest-first (df asc, sid asc) order — for Jaccard >= t the
+    * smallest common shingle under that order sits inside BOTH prefixes,
+    * since >= ceil(t*sz) shingles of each doc are common), plus the
+    * t*|larger| <= |smaller| length filter.
+    *
+    * WHY IT LOSES HERE: prefix filtering pays for itself when candidate
+    * generation is dominated by a heavy-tailed shingle-df distribution.
+    * dedup_ngram's stop-shingle cap (df <= MaxDocFreq) already removes
+    * that tail, and the surviving shingles of this corpus are df 1-2 —
+    * so "rarest-first" is a near-random tiebreak, the prefix prunes only
+    * ~2-3× of an already-bounded pair stream, and the added per-doc
+    * (df, sid) sort, candidate distinct, and array-carrying verify join
+    * cost more than they save. The measured lesson recorded for the
+    * 100 TB design: UNDER a df cap, the posting-count join is the scale
+    * path; prefix filtering is the tool for the no-cap exact setting
+    * where dropping boilerplate shingles is not allowed.
+    */
+  private[graft] def prefixJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val t = JaccardThreshold
+    val c = corpus(s, dir).withColumn("sh", Dedup.shingleSet(col("text")))
+    val ex = c.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), graft.functions.Md5Long60Expr(col("shingle"), 0).as("sid"))
+    val keep = ex.groupBy("sid").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxDocFreq)
+    // Per-doc kept shingles sorted rarest-first. The 1e-9 back-off on
+    // ceil guards the float product (0.4*5 -> 2.0000000000000004 would
+    // over-ceil and SHORTEN the prefix = false negatives; under-ceiling
+    // only lengthens it = still exact).
+    val docs = ex.join(keep, "sid")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("sid")))).as("ord"))
+      .select(col("doc_id"),
+        transform(col("ord"), x => x.getField("sid")).as("sids"))
+      .withColumn("sz", size(col("sids")))
+      .withColumn("plen",
+        col("sz") - ceil(col("sz") * lit(t) - lit(1e-9)).cast("int") + lit(1))
+      .localCheckpoint(true) // feeds prefix postings + both verify sides
+    val pre = docs.select(col("doc_id"), col("sz"),
+      explode(slice(col("sids"), lit(1), col("plen"))).as("sid"))
+    val cand = pre.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("sid"))
+      .join(pre.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("sid")), "sid")
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(t) * greatest(col("sz_a"), col("sz_b")).cast("double") - lit(1e-9))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("sids").as("sa"),
+        col("sz").as("sz_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("sids").as("sb"),
+        col("sz").as("sz_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          ((col("sz_a") + col("sz_b")).cast("double") - col("inter").cast("double")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Full-posting-join n-gram Jaccard (the dedup_ngram oracle). */
+  private val ngramOracle =
+    s"""WITH $corpusCte, $shinglesCte,
+       |ex AS (
+       |  SELECT doc_id,
+       |         CAST(concat('0x', substr(md5(concat('0:', s)), 1, 15)) AS BIGINT) AS sid
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM shs) t
+       |), keep AS (
+       |  SELECT sid FROM ex GROUP BY sid HAVING COUNT(*) <= $MaxDocFreq
+       |), fx AS (
+       |  SELECT ex.doc_id, ex.sid FROM ex JOIN keep USING (sid)
+       |), sizes AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM fx GROUP BY doc_id
+       |), shared AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM fx a JOIN fx b USING (sid)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b,
+       |  CAST(inter AS DOUBLE) / (CAST(sa.sz + sb.sz AS DOUBLE) - CAST(inter AS DOUBLE)) AS jaccard
+       |FROM shared
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(inter AS DOUBLE) / (CAST(sa.sz + sb.sz AS DOUBLE) - CAST(inter AS DOUBLE)) >= $JaccardThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "dedup_exact" ->
@@ -444,31 +538,7 @@ object DedupQueries {
          |WHERE bit_count(xor(sa.sim, sb.sim)) <= $HammingMax
          |ORDER BY id_a, id_b""".stripMargin,
 
-    "dedup_ngram" ->
-      s"""WITH $corpusCte, $shinglesCte,
-         |ex AS (
-         |  SELECT doc_id,
-         |         CAST(concat('0x', substr(md5(concat('0:', s)), 1, 15)) AS BIGINT) AS sid
-         |  FROM (SELECT doc_id, unnest(sh) AS s FROM shs) t
-         |), keep AS (
-         |  SELECT sid FROM ex GROUP BY sid HAVING COUNT(*) <= $MaxDocFreq
-         |), fx AS (
-         |  SELECT ex.doc_id, ex.sid FROM ex JOIN keep USING (sid)
-         |), sizes AS (
-         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM fx GROUP BY doc_id
-         |), shared AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
-         |  FROM fx a JOIN fx b USING (sid)
-         |  WHERE a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |)
-         |SELECT id_a, id_b,
-         |  CAST(inter AS DOUBLE) / (CAST(sa.sz + sb.sz AS DOUBLE) - CAST(inter AS DOUBLE)) AS jaccard
-         |FROM shared
-         |JOIN sizes sa ON sa.doc_id = id_a
-         |JOIN sizes sb ON sb.doc_id = id_b
-         |WHERE CAST(inter AS DOUBLE) / (CAST(sa.sz + sb.sz AS DOUBLE) - CAST(inter AS DOUBLE)) >= $JaccardThreshold
-         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_ngram" -> ngramOracle,
 
     // the symmetric pair pipeline over the same union corpus, restricted
     // to pairs crossing the stored/new boundary (old ids < 10M <= new)

@@ -46,6 +46,14 @@ object PipelineQueries {
     */
   final val BloomItemsFloor = 1L << 17
   final val BloomBitsPerItem = 8L
+  /** pipe_decontam_containment: an eval doc whose informative shingles
+    * are >= this fraction contained in one train doc is contaminated
+    * (the n-gram-collision rule), and the planted-eval excerpt geometry:
+    * tokens [ExcerptStart, ExcerptStart+ExcerptLen) of every 7th doc.
+    */
+  final val ContainThreshold = 0.8
+  final val ExcerptStart = 4
+  final val ExcerptLen = 24
   /** sample_reservoir: exact per-language cap and its hash salt. */
   final val ReservoirN = 20
   final val ReservoirSalt = 17
@@ -114,6 +122,27 @@ object PipelineQueries {
     val test = rare.filter(col("bucket") >= TrainPct + ValPct)
       .select(col("doc_id").as("test_doc"), col("fp"))
     (train, test)
+  }
+
+  /** Synthetic eval set with planted containment outcomes: mid-document
+    * token excerpts of every (doc_id % 7 == 2) train doc with >= 12
+    * tokens (+50M ids — every excerpt shingle exists in its source doc,
+    * so true containment is 1.0), and token-REVERSED copies of every
+    * (doc_id % 7 == 3) doc (+60M — same vocabulary, novel 3-gram
+    * shingles, true containment ~0). Models an eval suite whose items
+    * were scraped from (excerpts) or merely share a domain with
+    * (reversed) the crawl.
+    */
+  private def evalCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val toks = TextAnalysis.tokens(col("text"))
+    val excerpt = d.filter(col("doc_id") % 7 === 2 && size(toks) >= 12)
+      .select((col("doc_id") + 50000000L).as("eval_doc"),
+        array_join(slice(toks, lit(ExcerptStart), lit(ExcerptLen)), " ").as("text"))
+    val clean = d.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 60000000L).as("eval_doc"),
+        array_join(reverse(toks), " ").as("text"))
+    excerpt.unionByName(clean)
   }
 
   /** Per contaminated train doc: distinct rare shingles shared with the
@@ -358,6 +387,60 @@ object PipelineQueries {
       decontamReport(pre.join(test, "fp"))
     }),
 
+    // CONTAINMENT decontamination — the asymmetric form. pipe_decontam's
+    // shared-shingle report (and any symmetric-Jaccard dedup) misses the
+    // canonical leak: a SHORT eval item embedded verbatim inside a LONG
+    // train document, where |inter|/|union| is tiny but |inter|/|eval| is
+    // ~1. This query scores each eval doc by its max containment
+    // |shingles(eval) ∩ shingles(train_doc)| / |shingles(eval)| over the
+    // train corpus — the n-gram-collision rule eval suites actually use —
+    // computed over INFORMATIVE shingles only (train df <= DecontamMaxDf;
+    // boilerplate shingles carry no signal AND are the quadratic hot keys,
+    // so the cap is both the semantic and the skew guard). The synthetic
+    // eval set plants both outcomes: mid-doc token excerpts (+50M ids,
+    // contained by construction -> containment 1.0 vs their source) and
+    // token-reversed probes (+60M, novel shingle sets -> ~0). Scale
+    // shape: eval side is the small side of every join; per-fp fanout is
+    // df-capped; the (eval_doc, train_doc) grouping is bounded by
+    // |eval| x cap; one window over eval-sized data picks the argmax.
+    // No nulls: unmatched eval docs surface sentinel best_train = -1.
+    "pipe_decontam_containment" -> ((s, dir) => {
+      val train = Tables.documents(s, dir)
+        .select(col("doc_id").as("train_doc"),
+          explode(Dedup.shingleSet(col("text"))).as("sh"))
+        .withColumn("fp", Dedup.md5Long(col("sh"), DecontamSalt))
+        .select("train_doc", "fp")
+        .localCheckpoint(true) // feeds the df cap and the probe join
+      val boiler = train.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") > lit(DecontamMaxDf)).select("fp")
+      val evin = evalCorpus(s, dir)
+        .select(col("eval_doc"), explode(Dedup.shingleSet(col("text"))).as("sh"))
+        .withColumn("fp", Dedup.md5Long(col("sh"), DecontamSalt))
+        .join(boiler, Seq("fp"), "left_anti")
+        .select("eval_doc", "fp")
+        .localCheckpoint(true) // feeds the denominator and the join
+      val den = evin.groupBy("eval_doc").agg(count(lit(1)).as("n_informative"))
+      val scored = evin
+        .join(train.join(boiler, Seq("fp"), "left_anti"), "fp")
+        .groupBy("eval_doc", "train_doc").agg(count(lit(1)).as("inter"))
+        .join(den, "eval_doc")
+        .withColumn("containment",
+          col("inter").cast("double") / col("n_informative").cast("double"))
+      val w = Window.partitionBy("eval_doc")
+        .orderBy(col("containment").desc, col("train_doc").asc)
+      val best = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("eval_doc"), col("train_doc").as("best_train"),
+          col("containment").as("max_containment"))
+      den.join(best, Seq("eval_doc"), "left")
+        .select(col("eval_doc"), col("n_informative"),
+          coalesce(col("best_train"), lit(-1L)).as("best_train"),
+          coalesce(col("max_containment"), lit(0.0)).as("max_containment"),
+          when(coalesce(col("max_containment"), lit(0.0)) >= lit(ContainThreshold), 1L)
+            .otherwise(0L).as("contaminated"))
+        .orderBy("eval_doc")
+    }),
+
     // Composite curation SCORE + distribution bucketing: one weighted
     // score per doc (quality + corpus-relative rarity, fixed-order
     // arithmetic tree mirrored in the oracle) and quartile buckets via
@@ -519,6 +602,71 @@ object PipelineQueries {
        |GROUP BY tr.train_doc ORDER BY train_doc""".stripMargin
   }
 
+  /** Containment decontam: mirrors evalCorpus + the informative-shingle
+    * containment pipeline. Slice parity: Spark `slice(toks, 4, 24)` is
+    * 1-based start/length = elements 4..27; DuckDB `toks[4:27]` is the
+    * same inclusive range.
+    */
+  private val containmentSql: String = {
+    val shCase =
+      """list_distinct(CASE WHEN len(toks) < 3 THEN [text]
+        |         ELSE list_transform(generate_series(1, len(toks) - 2),
+        |                i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+        |    END)""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
+       |  FROM documents
+       |), trsh AS (
+       |  SELECT doc_id, $shCase AS sh FROM tok
+       |), trex AS (
+       |  SELECT doc_id AS train_doc,
+       |         CAST(concat('0x', substr(md5(concat('$DecontamSalt:', s.sh1)), 1, 15)) AS BIGINT) AS fp
+       |  FROM trsh, UNNEST(trsh.sh) AS s(sh1)
+       |), boiler AS (
+       |  SELECT fp FROM trex GROUP BY fp HAVING COUNT(*) > $DecontamMaxDf
+       |), ev AS (
+       |  SELECT doc_id + 50000000 AS eval_doc,
+       |         array_to_string(toks[$ExcerptStart:${ExcerptStart + ExcerptLen - 1}], ' ') AS text
+       |  FROM tok WHERE doc_id % 7 = 2 AND len(toks) >= 12
+       |  UNION ALL
+       |  SELECT doc_id + 60000000, array_to_string(list_reverse(toks), ' ')
+       |  FROM tok WHERE doc_id % 7 = 3
+       |), evtok AS (
+       |  SELECT eval_doc, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
+       |  FROM ev
+       |), evsh AS (
+       |  SELECT eval_doc, $shCase AS sh FROM evtok
+       |), evex AS (
+       |  SELECT eval_doc,
+       |         CAST(concat('0x', substr(md5(concat('$DecontamSalt:', s.sh1)), 1, 15)) AS BIGINT) AS fp
+       |  FROM evsh, UNNEST(evsh.sh) AS s(sh1)
+       |), evin AS (
+       |  SELECT evex.* FROM evex ANTI JOIN boiler USING (fp)
+       |), den AS (
+       |  SELECT eval_doc, CAST(COUNT(*) AS BIGINT) AS n_informative FROM evin GROUP BY 1
+       |), trin AS (
+       |  SELECT trex.* FROM trex ANTI JOIN boiler USING (fp)
+       |), scored AS (
+       |  SELECT i.eval_doc, i.train_doc,
+       |         CAST(i.inter AS DOUBLE) / CAST(den.n_informative AS DOUBLE) AS containment
+       |  FROM (SELECT eval_doc, train_doc, COUNT(*) AS inter
+       |        FROM evin JOIN trin USING (fp) GROUP BY 1, 2) i
+       |  JOIN den USING (eval_doc)
+       |), best AS (
+       |  SELECT eval_doc, train_doc AS best_train, containment AS max_containment,
+       |         ROW_NUMBER() OVER (PARTITION BY eval_doc
+       |                            ORDER BY containment DESC, train_doc ASC) AS rn
+       |  FROM scored
+       |)
+       |SELECT den.eval_doc, den.n_informative,
+       |       COALESCE(b.best_train, CAST(-1 AS BIGINT)) AS best_train,
+       |       COALESCE(b.max_containment, 0.0) AS max_containment,
+       |       CAST(CASE WHEN COALESCE(b.max_containment, 0.0) >= $ContainThreshold
+       |            THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+       |FROM den LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (eval_doc)
+       |ORDER BY eval_doc""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "sample_split" ->
@@ -619,6 +767,8 @@ object PipelineQueries {
 
     // bloom prefilter + exact join == exact join: same oracle by design
     "pipe_decontam_bloom" -> decontamSql,
+
+    "pipe_decontam_containment" -> containmentSql,
 
     "sample_reservoir" -> {
       val hashSql =
