@@ -78,6 +78,23 @@ object SimilarityQueries {
   final val IvfIters = 2
   final val IvfSalt = 7
   final val IvfProbe = 2
+  /** Product quantization: PqM subspaces of PqSub dims each, PqK
+    * centroids per subspace codebook — a vector's code is PqM small
+    * ints (PqM * log2(PqK) = 12 bits of information vs Dim * 4-byte
+    * floats, the >20x memory knob that lets a 100 TB corpus's ANN
+    * working set live in RAM). Trained on the same deterministic
+    * IvfSample-row sample as the IVF quantizer (own salt).
+    */
+  final val PqM = 4
+  final val PqSub = 16 // Dim / PqM
+  final val PqK = 8
+  final val PqIters = 2
+  final val PqSalt = 11
+  /** sim_ann_pq_rerank shortlist depth: ADC keeps this many candidates
+    * per query; only their full-precision vectors are read for the
+    * exact-cosine rerank.
+    */
+  final val PqShortK = 50
 
   private def signs(nBits: Int) = Similarity.signMatrix(nBits, Dim)
 
@@ -294,11 +311,109 @@ object SimilarityQueries {
   private def ivfRes(s: SparkSession, dir: String, nProbe: Int = IvfProbe): DataFrame =
     ivfResFrom(ivfRanked(s, dir, nProbe), nProbe)
 
+  /** Product-quantization ADC top-K (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011). Each subspace trains a
+    * PqK-centroid codebook on the shared deterministic sample; every
+    * corpus vector is ENCODED as PqM small codes (nearest sub-centroid,
+    * the shared codegen cosine, ties -> cent_id); a query scores a
+    * candidate WITHOUT touching its floats — asymmetric distance
+    * computation sums the per-subspace dot(query_sub, codebook[code]),
+    * a PqM-term lookup-table add. The 100 TB shape: the scored relation
+    * is the CODES table (PqM bytes/vector vs Dim*4 — >20x smaller scan,
+    * fits executor RAM), the LUT is Q x PqM x PqK broadcast rows, and
+    * scoring is one broadcast-join pass over codes. The self-contained
+    * driver query re-derives the codes from the embeddings per run (the
+    * deployed form reads a stored codes table, like the *_idx probes).
+    * Determinism: codebooks are the bit-exact Lloyd of kmeansCentroids
+    * on 16-dim slices (the engine's spherical Lloyd); ENCODING minimizes
+    * L2 — the ADC-consistent criterion — via the expanded fixed-order
+    * form below; the ADC sum is a fixed-order 4-term add mirrored in
+    * SQL; all ties break by cent_id on both engines.
+    *
+    * Returns the scored (q_id, vec_id, adc, n_informative-free) pair
+    * frame; [[pqRes]] ranks it pure-ADC, [[pqRerankRes]] applies the
+    * deployed two-stage shape (ADC shortlist of PqShortK, exact-cosine
+    * rerank touching only shortlist floats). BASELINE.md records the
+    * measured recall of both against the brute-force truth.
+    */
+  private def pqScored(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val cents = (0 until PqM).map { m =>
+      val sub = all.select(col("vec_id"), slice(col("v"), m * PqSub + 1, PqSub).as("v"))
+      Similarity.kmeansCentroids(sub, PqK, IvfSample, PqIters, PqSub, PqSalt)
+    }
+    // Encode by MIN L2 distance — the ADC-consistent criterion (the
+    // expected |dot(q_m, v_m) - dot(q_m, c)| error is minimized by the
+    // nearest centroid in L2, not by angular similarity). Expanded form
+    // dot(v,v) - 2*dot(v,c) + dot(c,c) with the shared sequential fold,
+    // identical arithmetic order in the oracle; ties -> cent_id.
+    val codesWide = (0 until PqM).map { m =>
+      val w = Window.partitionBy("vec_id").orderBy(col("l2"), col("cent_id"))
+      all.select(col("vec_id"), slice(col("v"), m * PqSub + 1, PqSub).as("sv"))
+        .crossJoin(broadcast(cents(m)))
+        .withColumn("l2",
+          Dedup.dot(col("sv"), col("sv")) - lit(2.0) * Dedup.dot(col("sv"), col("cv"))
+            + Dedup.dot(col("cv"), col("cv")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cent_id").as(s"code$m"))
+    }.reduce((a, b) => a.join(b, "vec_id"))
+    // LUT: dots of each query's subvector against every sub-centroid —
+    // Q x PqM x PqK rows total, each side of the scoring join broadcast
+    val luts = (0 until PqM).map { m =>
+      all.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), slice(col("v"), m * PqSub + 1, PqSub).as("qv"))
+        .crossJoin(broadcast(cents(m)))
+        .select(col("q_id"), col("cent_id").as(s"code$m"),
+          Dedup.dot(col("qv"), col("cv")).as(s"d$m"))
+    }
+    val joined = codesWide
+      .join(broadcast(luts(0)), Seq("code0"))
+      .join(broadcast(luts(1)), Seq("code1", "q_id"))
+      .join(broadcast(luts(2)), Seq("code2", "q_id"))
+      .join(broadcast(luts(3)), Seq("code3", "q_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adc", col("d0") + col("d1") + col("d2") + col("d3"))
+    joined.select("q_id", "vec_id", "adc")
+  }
+
+  private def pqRes(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))
+    pqScored(s, dir).withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("c_id"), col("adc"))
+  }
+
+  /** The deployed PQ shape: ADC-shortlist PqShortK candidates from the
+    * codes scan, then exact-cosine rerank reading ONLY the shortlist's
+    * float vectors (Q x PqShortK rows — at 100 TB this is the entire
+    * point: the full-precision embedding fetch is bounded by the
+    * shortlist, never the corpus).
+    */
+  private def pqRerankRes(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val wS = Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))
+    val short = pqScored(s, dir).withColumn("srn", row_number().over(wS))
+      .filter(col("srn") <= PqShortK)
+    val qv = broadcast(all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v")))
+    val rr = short.join(all.select(col("vec_id"), col("v").as("c_v")), "vec_id")
+      .join(qv, "q_id")
+      .withColumn("cosine", Dedup.cosine(col("q_v"), col("c_v")))
+    val wR = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    rr.withColumn("rnk", row_number().over(wR).cast("long"))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("c_id"), col("cosine"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "sim_ann_brute" -> ((s, dir) => bruteRes(s, dir).orderBy("q_id", "rnk")),
 
     "sim_ann_ivf" -> ((s, dir) => ivfRes(s, dir).orderBy("q_id", "rnk")),
+
+    "sim_ann_pq" -> ((s, dir) => pqRes(s, dir).orderBy("q_id", "rnk")),
+
+    "sim_ann_pq_rerank" -> ((s, dir) => pqRerankRes(s, dir).orderBy("q_id", "rnk")),
 
     "sim_ann_lsh" -> ((s, dir) => lshRes(s, dir).orderBy("q_id", "rnk")),
 
@@ -542,6 +657,21 @@ object SimilarityQueries {
       graft.sources.AnnIndex.probeIvf(s, idxDir, q, K, IvfProbe).orderBy("q_id", "rnk")
     }),
 
+    // Persisted PQ: per-subspace codebooks + the corpus CODES table on
+    // disk (PqM small ints per vector — the >20x-compressed relation a
+    // deployed ANN service scans). The probe is pure ADC from storage:
+    // broadcast Q x PqK lookup tables onto one codes pass, zero
+    // embedding floats read. Oracle-identical to sim_ann_pq, so the
+    // save -> load -> probe cycle is hash-gated end to end.
+    "sim_ann_pq_idx" -> ((s, dir) => {
+      val idxDir = graft.sources.TempDirs.scratch("graft_pqidx_")
+      graft.sources.AnnIndex.savePq(vecs(s, dir), PqM, PqSub, PqK, IvfSample,
+        PqIters, PqSalt, idxDir)
+      val q = vecs(s, dir).filter(col("vec_id") < 5)
+      graft.sources.AnnIndex.probePq(s, idxDir, q, K, PqM, PqSub)
+        .orderBy("q_id", "rnk")
+    }),
+
     // Symmetric int8 embedding quantization with reconstruction-quality
     // report — the 4x memory/bandwidth knob of a 100 TB vector corpus
     // (store int8 + one scale per vector; dequantize on read). Per
@@ -728,19 +858,20 @@ object SimilarityQueries {
     * the member count — the IEEE op sequence the Spark side replays with
     * sort_array + aggregate (see [[Similarity.kmeansCentroids]]).
     */
-  private def lloydCtes(i: Int, sampCte: String, prevC: String): String =
-    s"""ivf_a$i AS (
+  private def lloydCtes(i: Int, sampCte: String, prevC: String,
+                        prefix: String = "ivf", dim: Int = Dim): String =
+    s"""${prefix}_a$i AS (
        |  SELECT s.vec_id, s.v, c.cent_id,
        |         ROW_NUMBER() OVER (PARTITION BY s.vec_id
        |                            ORDER BY ${cosineSql("s.v", "c.cv")} DESC, c.cent_id) AS rn
        |  FROM $sampCte s CROSS JOIN $prevC c
-       |), ivf_c$i AS (
+       |), ${prefix}_c$i AS (
        |  SELECT cent_id,
-       |         list_transform(generate_series(1, $Dim), j ->
+       |         list_transform(generate_series(1, $dim), j ->
        |           list_aggregate(list_transform(ms, m -> m[j]), 'sum') / len(ms)) AS cv
        |  FROM (
        |    SELECT cent_id, list(v ORDER BY vec_id) AS ms
-       |    FROM ivf_a$i WHERE rn = 1 GROUP BY cent_id
+       |    FROM ${prefix}_a$i WHERE rn = 1 GROUP BY cent_id
        |  ) g
        |)""".stripMargin
 
@@ -790,11 +921,90 @@ object SimilarityQueries {
 
   private lazy val ivfCtes = s"$ivfBaseCtes, ${ivfResCtes(IvfProbe, "")}"
 
+  /** PQ: per-subspace sample slices, Lloyd codebooks, corpus encoding,
+    * ADC lookup tables, fixed-order 4-term scored sum. Slice parity:
+    * Spark `slice(v, m*16+1, 16)` == DuckDB `v[m*16+1 : (m+1)*16]`.
+    */
+  private lazy val pqCtes = {
+    val hashSql =
+      s"CAST(concat('0x', substr(md5(concat('$PqSalt:', CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+    val subs = (0 until PqM).map { m =>
+      val lo = m * PqSub + 1
+      val hi = (m + 1) * PqSub
+      val lloyd = (1 to PqIters).map(i =>
+        lloydCtes(i, s"pq${m}_samp", s"pq${m}_c${i - 1}", s"pq$m", PqSub)).mkString(", ")
+      s"""pq${m}_samp AS (
+         |  SELECT vec_id, v[$lo:$hi] AS v, h FROM pq_samp
+         |), pq${m}_c0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS BIGINT) AS cent_id, v AS cv
+         |  FROM (SELECT * FROM pq${m}_samp ORDER BY h, vec_id LIMIT $PqK) s
+         |), $lloyd, pq${m}_assign AS (
+         |  SELECT vec_id, code FROM (
+         |    SELECT a.vec_id, c.cent_id AS code,
+         |           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |                              ORDER BY ${dotSql(s"a.v[$lo:$hi]", s"a.v[$lo:$hi]")}
+         |                                - CAST(2.0 AS DOUBLE) * ${dotSql(s"a.v[$lo:$hi]", "c.cv")}
+         |                                + ${dotSql("c.cv", "c.cv")} ASC, c.cent_id) AS rn
+         |    FROM vecs a CROSS JOIN pq${m}_c$PqIters c
+         |  ) t WHERE rn = 1
+         |), pq${m}_lut AS (
+         |  SELECT q.vec_id AS q_id, c.cent_id AS code,
+         |         ${dotSql(s"q.v[$lo:$hi]", "c.cv")} AS d
+         |  FROM vecs q CROSS JOIN pq${m}_c$PqIters c WHERE q.vec_id < 5
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""pq_samp AS (
+       |  SELECT vec_id, v, $hashSql AS h FROM vecs
+       |  ORDER BY h, vec_id LIMIT $IvfSample
+       |), $subs, pq_scored AS (
+       |  SELECT l0.q_id, a0.vec_id AS c_id, l0.d + l1.d + l2.d + l3.d AS adc
+       |  FROM pq0_assign a0
+       |  JOIN pq1_assign a1 ON a1.vec_id = a0.vec_id
+       |  JOIN pq2_assign a2 ON a2.vec_id = a0.vec_id
+       |  JOIN pq3_assign a3 ON a3.vec_id = a0.vec_id
+       |  JOIN pq0_lut l0 ON l0.code = a0.code
+       |  JOIN pq1_lut l1 ON l1.code = a1.code AND l1.q_id = l0.q_id
+       |  JOIN pq2_lut l2 ON l2.code = a2.code AND l2.q_id = l0.q_id
+       |  JOIN pq3_lut l3 ON l3.code = a3.code AND l3.q_id = l0.q_id
+       |  WHERE l0.q_id != a0.vec_id
+       |)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "sim_ann_brute" ->
       s"""WITH $vecsCte, $bruteCtes
          |SELECT q_id, rnk, c_id, cosine FROM brute_res ORDER BY q_id, rnk""".stripMargin,
+
+    "sim_ann_pq" ->
+      s"""WITH $vecsCte, $pqCtes
+         |SELECT q_id, rnk, c_id, adc FROM (
+         |  SELECT q_id, c_id, adc,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS BIGINT) AS rnk
+         |  FROM pq_scored
+         |) t WHERE rnk <= $K
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "sim_ann_pq_rerank" ->
+      s"""WITH $vecsCte, $pqCtes,
+         |pq_short AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS srn
+         |    FROM pq_scored
+         |  ) t WHERE srn <= $PqShortK
+         |), pq_rr AS (
+         |  SELECT s.q_id, s.c_id, ${cosineSql("q.v", "c.v")} AS cosine
+         |  FROM pq_short s
+         |  JOIN vecs c ON c.vec_id = s.c_id
+         |  JOIN vecs q ON q.vec_id = s.q_id
+         |)
+         |SELECT q_id, rnk, c_id, cosine FROM (
+         |  SELECT q_id, c_id, cosine,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
+         |  FROM pq_rr
+         |) t WHERE rnk <= $K
+         |ORDER BY q_id, rnk""".stripMargin,
 
     "sim_ann_ivf" ->
       s"""WITH $vecsCte, $ivfCtes
@@ -812,6 +1022,15 @@ object SimilarityQueries {
     "sim_ann_ivf_idx" ->
       s"""WITH $vecsCte, $ivfCtes
          |SELECT q_id, rnk, c_id, cosine FROM ivf_res ORDER BY q_id, rnk""".stripMargin,
+
+    "sim_ann_pq_idx" ->
+      s"""WITH $vecsCte, $pqCtes
+         |SELECT q_id, rnk, c_id, adc FROM (
+         |  SELECT q_id, c_id, adc,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS BIGINT) AS rnk
+         |  FROM pq_scored
+         |) t WHERE rnk <= $K
+         |ORDER BY q_id, rnk""".stripMargin,
 
     "sim_ann_lsh_mp" ->
       s"""WITH $vecsCte, $lshCtes, $lshMpCtes

@@ -280,6 +280,68 @@ object AnnIndex {
       .select("q_id", "rnk", "c_id", "cosine")
   }
 
+  // --------------------------------------------------------------- PQ
+
+  /** Build and write a product-quantization index: `m` per-subspace
+    * codebooks (k rows each, trained by the shared deterministic Lloyd
+    * on `sub`-dim slices) plus the corpus CODES table `(vec_id,
+    * code0..code{m-1})` — the relation a 100 TB ANN service actually
+    * scans (m small ints per vector instead of dim floats; the raw
+    * embeddings are only ever read again by a shortlist rerank).
+    * Encoding minimizes L2 in the expanded fixed-order form
+    * (dot(v,v) - 2*dot(v,c) + dot(c,c)), the ADC-consistent criterion;
+    * ties break by cent_id. Rebuild-in-place like [[saveIvf]]; codebook
+    * retraining on corpus drift is a rebuild by design (the
+    * [[upsertIvf]] frozen-quantizer argument applies verbatim — an
+    * incremental codes upsert would follow [[upsertLsh]] unchanged with
+    * `pmod(vec_id, parts)` as the partition key).
+    */
+  def savePq(vecs: DataFrame, m: Int, sub: Int, k: Int, sampleSize: Int,
+             iters: Int, salt: Int, dir: String): Unit = {
+    val codeFrames = (0 until m).map { mm =>
+      val subV = vecs.select(col("vec_id"),
+        slice(col("v"), mm * sub + 1, sub).as("v"))
+      val cents = Similarity.kmeansCentroids(subV, k, sampleSize, iters, sub, salt)
+      cents.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$dir/codebook/m=$mm")
+      val w = Window.partitionBy("vec_id").orderBy(col("l2"), col("cent_id"))
+      subV.select(col("vec_id"), col("v").as("sv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("l2",
+          Dedup.dot(col("sv"), col("sv")) - lit(2.0) * Dedup.dot(col("sv"), col("cv"))
+            + Dedup.dot(col("cv"), col("cv")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cent_id").as(s"code$mm"))
+    }
+    codeFrames.reduce((a, b) => a.join(b, "vec_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
+  }
+
+  /** Pure-ADC top-`k` from the stored codes: per-subspace lookup tables
+    * (|queries| x PqK dots against the stored codebooks) broadcast onto
+    * ONE pass over the codes scan — no embedding floats are read.
+    * `queries` must carry (vec_id, v) with `dim`-sized double vectors.
+    */
+  def probePq(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+              m: Int, sub: Int): DataFrame = {
+    val codes = spark.read.parquet(s"$dir/codes")
+    val joined = (0 until m).foldLeft(codes) { (acc, mm) =>
+      val lut = queries
+        .select(col("vec_id").as("q_id"), slice(col("v"), mm * sub + 1, sub).as("qv"))
+        .crossJoin(broadcast(spark.read.parquet(s"$dir/codebook/m=$mm")))
+        .select(col("q_id"), col("cent_id").as(s"code$mm"),
+          Dedup.dot(col("qv"), col("cv")).as(s"d$mm"))
+      if (mm == 0) acc.join(broadcast(lut), Seq(s"code$mm"))
+      else acc.join(broadcast(lut), Seq(s"code$mm", "q_id"))
+    }
+    val w = Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))
+    joined.filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adc", (0 until m).map(mm => col(s"d$mm")).reduce(_ + _))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("c_id"), col("adc"))
+  }
+
   // ---------------------------------------------------------- MinHash
 
   /** Build and write the MinHash signature table for a `(doc_id, text)`

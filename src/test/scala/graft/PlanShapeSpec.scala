@@ -223,4 +223,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoop"), plan)
   }
+
+  test("pipe_decontam_containment: capped equi-joins only, no cartesian blowup") {
+    // Same guard for the asymmetric form: eval-fp x train-fp stays an
+    // equi-join under the df cap; the boilerplate anti-joins must not
+    // degrade to nested-loop shapes.
+    val plan = qe("pipe_decontam_containment").executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("sim_ann_pq: all four ADC LUT joins ride broadcasts onto the codes relation") {
+    // The 100 TB story of PQ is that the only corpus-sized relations in
+    // the scoring pass are the codes frames (whose 4-way vec_id merge
+    // join is co-partitioned by the encode windows); each Q x PqK LUT
+    // must join as a broadcast — a LUT that shuffles the codes scan
+    // defeats the compression.
+    val plan = qe("sim_ann_pq").executedPlan.toString
+    val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 4, s"expected >=4 broadcast LUT joins, saw $bhj\n$plan")
+  }
 }
