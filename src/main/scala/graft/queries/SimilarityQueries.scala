@@ -336,7 +336,7 @@ object SimilarityQueries {
     * rerank touching only shortlist floats). BASELINE.md records the
     * measured recall of both against the brute-force truth.
     */
-  private def pqScored(s: SparkSession, dir: String): DataFrame = {
+  private def pqParts(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val all = vecs(s, dir)
     val cents = (0 until PqM).map { m =>
       val sub = all.select(col("vec_id"), slice(col("v"), m * PqSub + 1, PqSub).as("v"))
@@ -366,22 +366,30 @@ object SimilarityQueries {
         .select(col("q_id"), col("cent_id").as(s"code$m"),
           Dedup.dot(col("qv"), col("cv")).as(s"d$m"))
     }
-    val joined = codesWide
+    (codesWide, luts)
+  }
+
+  private def pqScored(s: SparkSession, dir: String): DataFrame = {
+    val (codesWide, luts) = pqParts(s, dir)
+    codesWide
       .join(broadcast(luts(0)), Seq("code0"))
       .join(broadcast(luts(1)), Seq("code1", "q_id"))
       .join(broadcast(luts(2)), Seq("code2", "q_id"))
       .join(broadcast(luts(3)), Seq("code3", "q_id"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("adc", col("d0") + col("d1") + col("d2") + col("d3"))
-    joined.select("q_id", "vec_id", "adc")
+      .select("q_id", "vec_id", "adc")
   }
 
-  private def pqRes(s: SparkSession, dir: String): DataFrame = {
+  private def pqResFrom(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))
-    pqScored(s, dir).withColumn("rnk", row_number().over(w).cast("long"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= K)
       .select(col("q_id"), col("rnk"), col("vec_id").as("c_id"), col("adc"))
   }
+
+  private def pqRes(s: SparkSession, dir: String): DataFrame =
+    pqResFrom(pqScored(s, dir))
 
   /** The deployed PQ shape: ADC-shortlist PqShortK candidates from the
     * codes scan, then exact-cosine rerank reading ONLY the shortlist's
@@ -389,10 +397,19 @@ object SimilarityQueries {
     * point: the full-precision embedding fetch is bounded by the
     * shortlist, never the corpus).
     */
-  private def pqRerankRes(s: SparkSession, dir: String): DataFrame = {
+  private def pqRerankRes(s: SparkSession, dir: String): DataFrame =
+    rerankTopK(s, dir, pqScored(s, dir))
+
+  /** ADC-shortlist `scored` (q_id, vec_id, adc) to PqShortK, then
+    * exact-cosine rerank reading ONLY the shortlist's float vectors
+    * (Q x PqShortK rows — at 100 TB this is the entire point: the
+    * full-precision embedding fetch is bounded by the shortlist, never
+    * the corpus).
+    */
+  private def rerankTopK(s: SparkSession, dir: String, scored: DataFrame): DataFrame = {
     val all = vecs(s, dir)
     val wS = Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))
-    val short = pqScored(s, dir).withColumn("srn", row_number().over(wS))
+    val short = scored.withColumn("srn", row_number().over(wS))
       .filter(col("srn") <= PqShortK)
     val qv = broadcast(all.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("q_v")))
@@ -405,6 +422,40 @@ object SimilarityQueries {
       .select(col("q_id"), col("rnk"), col("vec_id").as("c_id"), col("cosine"))
   }
 
+  /** IVF+PQ — the two-level index every large-scale ANN service runs
+    * (Jégou et al. 2011 §V; the Faiss "IVFx,PQy" layout): the IVF
+    * coarse quantizer routes a query to its top-IvfProbe cells, ADC
+    * scores ONLY the codes stored in those cells (cell-partitioned
+    * codes table → partition pruning at scale; the scan is nProbe/IvfK
+    * of the corpus, in 12-bit codes, not floats), and the exact-cosine
+    * rerank touches PqShortK full vectors. Composes the two
+    * independently oracle-proven layers: the cell routing of
+    * sim_ann_ivf and the codebooks/encoding/ADC of sim_ann_pq —
+    * candidate restriction commutes with ADC scoring, so the oracle
+    * restricts the proven pq_scored relation to the proven cell-match
+    * pairs.
+    */
+  private def ivfpqRes(s: SparkSession, dir: String): DataFrame = {
+    val ranked = ivfRanked(s, dir, IvfProbe)
+    val cells = ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val probes = ranked.filter(col("vec_id") < 5 && col("crn") <= IvfProbe)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("cell"))
+    val (codesWide, luts) = pqParts(s, dir)
+    // codes ⋈ cell assignment, then the broadcast probe fan-out keeps a
+    // corpus code row only if its cell is probed by the query — exactly
+    // one cell per corpus vector, distinct cells per query, so pairs
+    // are unique and need no dedup
+    val cand = codesWide.join(cells, "vec_id")
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+    val scored = (0 until PqM).foldLeft(cand) { (acc, m) =>
+      acc.join(broadcast(luts(m)), Seq(s"code$m", "q_id"))
+    }.withColumn("adc", col("d0") + col("d1") + col("d2") + col("d3"))
+      .select("q_id", "vec_id", "adc")
+    rerankTopK(s, dir, scored)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "sim_ann_brute" -> ((s, dir) => bruteRes(s, dir).orderBy("q_id", "rnk")),
@@ -414,6 +465,30 @@ object SimilarityQueries {
     "sim_ann_pq" -> ((s, dir) => pqRes(s, dir).orderBy("q_id", "rnk")),
 
     "sim_ann_pq_rerank" -> ((s, dir) => pqRerankRes(s, dir).orderBy("q_id", "rnk")),
+
+    "sim_ann_ivfpq" -> ((s, dir) => ivfpqRes(s, dir).orderBy("q_id", "rnk")),
+
+    // recall@K of the three PQ-code paths vs brute truth — the
+    // compression side's counterpart to sim_ann_recall, making
+    // BASELINE.md's compression↔recall table a driver-reproduced fact
+    // instead of a hand measurement
+    "sim_ann_pq_recall" -> ((s, dir) => {
+      val truth = bruteRes(s, dir).select("q_id", "c_id").localCheckpoint(true)
+      def recallOf(approx: DataFrame, method: String): DataFrame =
+        truth.join(
+            approx.select("q_id", "c_id").withColumn("hit", lit(1)),
+            Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / lit(K)).as("recall"))
+          .select(lit(method).as("method"), col("q_id"), col("recall"))
+      // one codebook-train + encode pass serves both flat-PQ legs
+      // (localCheckpoint, not persist — CacheHygieneSpec contract)
+      val scored = pqScored(s, dir).localCheckpoint(true)
+      recallOf(pqResFrom(scored), "pq")
+        .unionByName(recallOf(rerankTopK(s, dir, scored), "pq_rerank"))
+        .unionByName(recallOf(ivfpqRes(s, dir), "ivfpq"))
+        .orderBy("method", "q_id")
+    }),
 
     "sim_ann_lsh" -> ((s, dir) => lshRes(s, dir).orderBy("q_id", "rnk")),
 
@@ -970,6 +1045,57 @@ object SimilarityQueries {
        |)""".stripMargin
   }
 
+  /** pq_res(q_id, rnk, c_id, adc): pure-ADC top-K over pq_scored. */
+  private lazy val pqResCtes =
+    s"""pq_res AS (
+       |  SELECT q_id, rnk, c_id, adc FROM (
+       |    SELECT q_id, c_id, adc,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS BIGINT) AS rnk
+       |    FROM pq_scored
+       |  ) t WHERE rnk <= $K
+       |)""".stripMargin
+
+  /** `prefix`_res(q_id, rnk, c_id, cosine): ADC-shortlist `scored`
+    * (q_id, c_id, adc) to PqShortK, exact-cosine rerank, top-K — the
+    * SQL mirror of [[rerankTopK]].
+    */
+  private def rerankCtes(scored: String, prefix: String): String =
+    s"""${prefix}_short AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS srn
+       |    FROM $scored
+       |  ) t WHERE srn <= $PqShortK
+       |), ${prefix}_rr AS (
+       |  SELECT s.q_id, s.c_id, ${cosineSql("q.v", "c.v")} AS cosine
+       |  FROM ${prefix}_short s
+       |  JOIN vecs c ON c.vec_id = s.c_id
+       |  JOIN vecs q ON q.vec_id = s.q_id
+       |), ${prefix}_res AS (
+       |  SELECT q_id, rnk, c_id, cosine FROM (
+       |    SELECT q_id, c_id, cosine,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
+       |    FROM ${prefix}_rr
+       |  ) t WHERE rnk <= $K
+       |)""".stripMargin
+
+  /** ivfpq_scored: pq_scored restricted to cell-match pairs — the
+    * candidate set a cell-partitioned codes table yields under
+    * IvfProbe-cell routing (restriction commutes with ADC scoring, so
+    * composing the two proven relations IS the two-level index).
+    * Requires ivfBaseCtes and pqCtes in scope.
+    */
+  private lazy val ivfpqScoredCtes =
+    s"""ivfpq_scored AS (
+       |  SELECT s.q_id, s.c_id, s.adc
+       |  FROM pq_scored s
+       |  JOIN (SELECT vec_id AS q_id, cent_id AS cell
+       |        FROM ivf_ranked WHERE vec_id < 5 AND crn <= $IvfProbe) p
+       |    ON p.q_id = s.q_id
+       |  JOIN ivf_assign a
+       |    ON a.c_id = s.c_id AND a.cell = p.cell
+       |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "sim_ann_brute" ->
@@ -977,34 +1103,34 @@ object SimilarityQueries {
          |SELECT q_id, rnk, c_id, cosine FROM brute_res ORDER BY q_id, rnk""".stripMargin,
 
     "sim_ann_pq" ->
-      s"""WITH $vecsCte, $pqCtes
-         |SELECT q_id, rnk, c_id, adc FROM (
-         |  SELECT q_id, c_id, adc,
-         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS BIGINT) AS rnk
-         |  FROM pq_scored
-         |) t WHERE rnk <= $K
-         |ORDER BY q_id, rnk""".stripMargin,
+      s"""WITH $vecsCte, $pqCtes, $pqResCtes
+         |SELECT q_id, rnk, c_id, adc FROM pq_res ORDER BY q_id, rnk""".stripMargin,
 
     "sim_ann_pq_rerank" ->
-      s"""WITH $vecsCte, $pqCtes,
-         |pq_short AS (
-         |  SELECT q_id, c_id FROM (
-         |    SELECT q_id, c_id,
-         |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS srn
-         |    FROM pq_scored
-         |  ) t WHERE srn <= $PqShortK
-         |), pq_rr AS (
-         |  SELECT s.q_id, s.c_id, ${cosineSql("q.v", "c.v")} AS cosine
-         |  FROM pq_short s
-         |  JOIN vecs c ON c.vec_id = s.c_id
-         |  JOIN vecs q ON q.vec_id = s.q_id
-         |)
-         |SELECT q_id, rnk, c_id, cosine FROM (
-         |  SELECT q_id, c_id, cosine,
-         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
-         |  FROM pq_rr
-         |) t WHERE rnk <= $K
-         |ORDER BY q_id, rnk""".stripMargin,
+      s"""WITH $vecsCte, $pqCtes, ${rerankCtes("pq_scored", "pqr")}
+         |SELECT q_id, rnk, c_id, cosine FROM pqr_res ORDER BY q_id, rnk""".stripMargin,
+
+    "sim_ann_ivfpq" ->
+      s"""WITH $vecsCte, $ivfBaseCtes, $pqCtes, $ivfpqScoredCtes,
+         |${rerankCtes("ivfpq_scored", "ivfpq")}
+         |SELECT q_id, rnk, c_id, cosine FROM ivfpq_res ORDER BY q_id, rnk""".stripMargin,
+
+    "sim_ann_pq_recall" -> {
+      def leg(method: String, res: String): String =
+        s"""SELECT '$method' AS method, t.q_id,
+           |       CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $K AS recall
+           |FROM brute_res t LEFT JOIN $res a ON t.q_id = a.q_id AND t.c_id = a.c_id
+           |GROUP BY t.q_id""".stripMargin
+      s"""WITH $vecsCte, $bruteCtes, $ivfBaseCtes, $pqCtes, $pqResCtes,
+         |${rerankCtes("pq_scored", "pqr")}, $ivfpqScoredCtes,
+         |${rerankCtes("ivfpq_scored", "ivfpq")}
+         |${leg("pq", "pq_res")}
+         |UNION ALL
+         |${leg("pq_rerank", "pqr_res")}
+         |UNION ALL
+         |${leg("ivfpq", "ivfpq_res")}
+         |ORDER BY method, q_id""".stripMargin
+    },
 
     "sim_ann_ivf" ->
       s"""WITH $vecsCte, $ivfCtes
@@ -1024,13 +1150,8 @@ object SimilarityQueries {
          |SELECT q_id, rnk, c_id, cosine FROM ivf_res ORDER BY q_id, rnk""".stripMargin,
 
     "sim_ann_pq_idx" ->
-      s"""WITH $vecsCte, $pqCtes
-         |SELECT q_id, rnk, c_id, adc FROM (
-         |  SELECT q_id, c_id, adc,
-         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) AS BIGINT) AS rnk
-         |  FROM pq_scored
-         |) t WHERE rnk <= $K
-         |ORDER BY q_id, rnk""".stripMargin,
+      s"""WITH $vecsCte, $pqCtes, $pqResCtes
+         |SELECT q_id, rnk, c_id, adc FROM pq_res ORDER BY q_id, rnk""".stripMargin,
 
     "sim_ann_lsh_mp" ->
       s"""WITH $vecsCte, $lshCtes, $lshMpCtes

@@ -233,6 +233,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("sim_ann_ivfpq: probe routing and ADC LUTs all broadcast; no corpus-sized shuffle join") {
+    // The two-level index's scale contract: the only corpus-sized
+    // relations are the codes frames and the cell assignment (both
+    // vec_id-keyed); the probe fan-out (Q x nProbe rows) and the four
+    // Q x PqK LUTs must each join as broadcasts, or the cell routing
+    // shuffles the very scan it exists to prune.
+    val plan = qe("sim_ann_ivfpq").executedPlan.toString
+    val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 5, s"expected >=5 broadcast joins (probes + 4 LUTs), saw $bhj\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("sim_ann_pq: all four ADC LUT joins ride broadcasts onto the codes relation") {
     // The 100 TB story of PQ is that the only corpus-sized relations in
     // the scoring pass are the codes frames (whose 4-way vec_id merge
