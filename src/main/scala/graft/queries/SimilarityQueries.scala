@@ -732,6 +732,23 @@ object SimilarityQueries {
       graft.sources.AnnIndex.probeIvf(s, idxDir, q, K, IvfProbe).orderBy("q_id", "rnk")
     }),
 
+    // Persisted IVF+PQ: the full two-level storage layout — codes table
+    // PARTITIONED BY CELL on disk, so the probe's routing is literal
+    // parquet partition pruning (AnnIndexSpec pins PartitionFilters in
+    // the probe plan); ADC inside the pruned cells, rerank from the
+    // embedding store. Oracle-identical to sim_ann_ivfpq, hash-gating
+    // the save -> route -> prune -> ADC -> rerank cycle end to end.
+    "sim_ann_ivfpq_idx" -> ((s, dir) => {
+      val idxDir = graft.sources.TempDirs.scratch("graft_ivfpqidx_")
+      val all = vecs(s, dir)
+      graft.sources.AnnIndex.saveIvfPq(all, IvfK, IvfSample, IvfIters, Dim,
+        IvfSalt, PqM, PqSub, PqK, PqSalt, idxDir)
+      val q = all.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      graft.sources.AnnIndex.probeIvfPq(s, idxDir, q, all, K, IvfProbe,
+        PqM, PqSub, PqShortK).orderBy("q_id", "rnk")
+    }),
+
     // Persisted PQ: per-subspace codebooks + the corpus CODES table on
     // disk (PqM small ints per vector — the >20x-compressed relation a
     // deployed ANN service scans). The probe is pure ADC from storage:
@@ -1152,6 +1169,11 @@ object SimilarityQueries {
     "sim_ann_pq_idx" ->
       s"""WITH $vecsCte, $pqCtes, $pqResCtes
          |SELECT q_id, rnk, c_id, adc FROM pq_res ORDER BY q_id, rnk""".stripMargin,
+
+    "sim_ann_ivfpq_idx" ->
+      s"""WITH $vecsCte, $ivfBaseCtes, $pqCtes, $ivfpqScoredCtes,
+         |${rerankCtes("ivfpq_scored", "ivfpq")}
+         |SELECT q_id, rnk, c_id, cosine FROM ivfpq_res ORDER BY q_id, rnk""".stripMargin,
 
     "sim_ann_lsh_mp" ->
       s"""WITH $vecsCte, $lshCtes, $lshMpCtes

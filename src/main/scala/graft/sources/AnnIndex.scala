@@ -297,7 +297,17 @@ object AnnIndex {
     * `pmod(vec_id, parts)` as the partition key).
     */
   def savePq(vecs: DataFrame, m: Int, sub: Int, k: Int, sampleSize: Int,
-             iters: Int, salt: Int, dir: String): Unit = {
+             iters: Int, salt: Int, dir: String): Unit =
+    encodePq(vecs, m, sub, k, sampleSize, iters, salt, dir)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
+
+  /** Train + write the `m` codebooks under `dir/codebook/`, return the
+    * wide codes frame `(vec_id, code0..code{m-1})` for the caller to
+    * persist in its own layout.
+    */
+  private def encodePq(vecs: DataFrame, m: Int, sub: Int, k: Int,
+                       sampleSize: Int, iters: Int, salt: Int,
+                       dir: String): DataFrame = {
     val codeFrames = (0 until m).map { mm =>
       val subV = vecs.select(col("vec_id"),
         slice(col("v"), mm * sub + 1, sub).as("v"))
@@ -314,7 +324,6 @@ object AnnIndex {
         .select(col("vec_id"), col("cent_id").as(s"code$mm"))
     }
     codeFrames.reduce((a, b) => a.join(b, "vec_id"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
   }
 
   /** Pure-ADC top-`k` from the stored codes: per-subspace lookup tables
@@ -340,6 +349,88 @@ object AnnIndex {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("vec_id").as("c_id"), col("adc"))
+  }
+
+  // ----------------------------------------------------------- IVF+PQ
+
+  /** Build and write the composed two-level index (Faiss "IVFx,PQy"
+    * layout): IVF centroids at `dir/centroids`, PQ codebooks at
+    * `dir/codebook/`, and the codes table PARTITIONED BY IVF CELL at
+    * `dir/codes/cell=...` — so a probe's cell routing is literal
+    * parquet partition pruning, and each pruned partition is 12-bit
+    * codes, not floats. This is the storage layout of the 100 TB ANN
+    * story in full: routing prunes directories, compression shrinks
+    * what's scanned inside them, and the raw embeddings live outside
+    * the index entirely (only a shortlist rerank ever reads them).
+    * Rebuild-in-place; both quantizers are frozen artifacts — corpus
+    * drift means rebuild, incremental insert would follow [[upsertIvf]]
+    * (assign against stored centroids/codebooks, dynamic-overwrite the
+    * touched cell dirs).
+    */
+  def saveIvfPq(vecs: DataFrame, ivfK: Int, sampleSize: Int, iters: Int,
+                dim: Int, ivfSalt: Int, m: Int, sub: Int, pqK: Int,
+                pqSalt: Int, dir: String): Unit = {
+    val cents = Similarity.kmeansCentroids(vecs, ivfK, sampleSize, iters, dim, ivfSalt)
+    cents.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    val cells = vecs.crossJoin(broadcast(cents))
+      .withColumn("ccos", Dedup.cosine(col("v"), col("cv")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    encodePq(vecs, m, sub, pqK, sampleSize, iters, pqSalt, dir)
+      .join(cells, "vec_id")
+      .repartition(col("cell")) // one file per cell dir, any cluster width
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(s"$dir/codes")
+  }
+
+  /** Two-stage probe of the stored IVF+PQ index: route each query to
+    * its top-`nProbe` cells against the k-row stored centroids (scan =
+    * only those cell partitions of the codes table), ADC-score the
+    * in-cell codes via broadcast lookup tables, shortlist `shortK`,
+    * exact-cosine rerank reading ONLY the shortlist's float rows from
+    * `corpus` (the embedding store — deliberately outside the index).
+    * `queries` carries (q_id, q_v), `corpus` (vec_id, v).
+    */
+  def probeIvfPq(spark: SparkSession, dir: String, queries: DataFrame,
+                 corpus: DataFrame, k: Int, nProbe: Int, m: Int, sub: Int,
+                 shortK: Int): DataFrame = {
+    val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
+    val wRank = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cent_id"))
+    val probes = queries.crossJoin(cents)
+      .withColumn("ccos", Dedup.cosine(col("q_v"), col("cv")))
+      .withColumn("crn", row_number().over(wRank))
+      .filter(col("crn") <= nProbe)
+      .select(col("q_id"), col("cent_id").as("cell"))
+      .localCheckpoint(true)
+    val cellIds = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)) // bounded by ivfK, driver-safe
+    val codes = spark.read.parquet(s"$dir/codes")
+      .filter(col("cell").isin(cellIds.map(Long.box): _*))
+    val cand = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+    val scored = (0 until m).foldLeft(cand) { (acc, mm) =>
+      val lut = queries
+        .select(col("q_id"), slice(col("q_v"), mm * sub + 1, sub).as("qv"))
+        .crossJoin(broadcast(spark.read.parquet(s"$dir/codebook/m=$mm")))
+        .select(col("q_id"), col("cent_id").as(s"code$mm"),
+          Dedup.dot(col("qv"), col("cv")).as(s"d$mm"))
+      acc.join(broadcast(lut), Seq(s"code$mm", "q_id"))
+    }.withColumn("adc", (0 until m).map(mm => col(s"d$mm")).reduce(_ + _))
+    val wS = Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))
+    val short = scored.withColumn("srn", row_number().over(wS))
+      .filter(col("srn") <= shortK)
+    val qv = broadcast(queries.select(col("q_id"), col("q_v")))
+    val rr = short.select("q_id", "vec_id")
+      .join(corpus.select(col("vec_id"), col("v").as("c_v")), "vec_id")
+      .join(qv, "q_id")
+      .withColumn("cosine", Dedup.cosine(col("q_v"), col("c_v")))
+    val wR = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    rr.withColumn("rnk", row_number().over(wR).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("c_id"), col("cosine"))
   }
 
   // ---------------------------------------------------------- MinHash

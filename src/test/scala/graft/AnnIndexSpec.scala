@@ -226,6 +226,28 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(stored.size == 500)
   }
 
+  test("IVF+PQ: probe scan partition-prunes to the probed cells; codes table is 1 row/vector") {
+    val vecs = synthVecs(500)
+    val dir = Files.createTempDirectory("graft_ivfpqidx_").toString
+    AnnIndex.saveIvfPq(vecs, ivfK = 8, sampleSize = 128, iters = 2, dim = Dim,
+      ivfSalt = 7, m = 4, sub = 16, pqK = 8, pqSalt = 11, dir = dir)
+    // layout: every vector encoded exactly once, cells bounded by ivfK
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() == 500)
+    assert(codes.select("vec_id").distinct().count() == 500)
+    assert(codes.select("cell").distinct().count() <= 8)
+    // the routing manifests as parquet partition pruning in the plan —
+    // the scan must carry a PartitionFilters entry on cell, and the
+    // result must be the full two-stage shape (rnk 1..K per query)
+    val res = AnnIndex.probeIvfPq(spark, dir, queriesOf(vecs), vecs, K,
+      nProbe = 2, m = 4, sub = 16, shortK = 50)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan.take(4000))
+    val rows = res.select("q_id", "rnk").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 3 * K)
+    assert(rows.groupBy(_._1).values.forall(_.map(_._2).sorted.sameElements(1L to K)))
+  }
+
   test("MinHash: stored signatures reproduce the session candidate pairs") {
     import spark.implicits._
     val docs = (0L until 60L).map { i =>
