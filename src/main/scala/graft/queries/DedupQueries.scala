@@ -45,6 +45,39 @@ object DedupQueries {
   final val SemCosine = 0.98
   final val SemEps = 0.05
 
+  /** Cross-snapshot near-dup pairs (id_new, id_old, jaccard): the
+    * incoming batch ([[corpus]] ids >= 10M) probed against a MinHash
+    * signature index stored over the existing documents — the daily
+    * crawl's dedup gate. Batch-sized work against an index of any size:
+    * only the batch is shingled/signed; the stored side contributes the
+    * banded buckets the batch keys touch.
+    */
+  private[queries] def crossDupPairs(s: SparkSession, dir: String): DataFrame =
+    crossDupPairsOf(s, dir, corpus(s, dir).filter(col("doc_id") >= 10000000L))
+
+  /** As [[crossDupPairs]] with a caller-supplied incoming batch
+    * (doc_id, text) — pipe_curate_incremental widens the batch with a
+    * genuinely-new-docs arm.
+    */
+  private[queries] def crossDupPairsOf(s: SparkSession, dir: String,
+                                       incoming: DataFrame): DataFrame = {
+    val existing = Tables.documents(s, dir).select("doc_id", "text")
+    val idxDir = graft.sources.TempDirs.scratch("graft_mhidx_")
+    graft.sources.AnnIndex.saveMinhash(existing, MinhashK, Bands, RowsPerBand, idxDir)
+    val old = graft.sources.AnnIndex.minhashSigs(s, idxDir)
+    val nw = incoming
+      .withColumn("sh", Dedup.shingleSet(col("text")))
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), MinhashK))
+      .withColumn("keys", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
+      .localCheckpoint(true)
+    Dedup.candidatePairsAcross(old, nw, "doc_id", "keys", MaxBucket)
+      .join(nw.select(col("doc_id").as("id_new"), col("sh").as("sh_n")), "id_new")
+      .join(old.select(col("doc_id").as("id_old"), col("sh").as("sh_o")), "id_old")
+      .withColumn("jaccard", Dedup.jaccard(col("sh_n"), col("sh_o")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("id_new", "id_old", "jaccard")
+  }
+
   /** documents + exact dups + near dups (leading 2 tokens dropped). */
   def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
@@ -205,30 +238,8 @@ object DedupQueries {
     // index into a scratch dir per invocation, so the bench number is
     // index build + dedup; the deployed shape reads the stored index
     // (the flat fixed-batch row in BASELINE.md's round-7 addendum).
-    "dedup_incremental" -> ((s, dir) => {
-      val existing = Tables.documents(s, dir).select("doc_id", "text")
-      val toks = TextAnalysis.tokens(col("text"))
-      val incoming = existing.filter(col("doc_id") % 10 < 3)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
-        .unionByName(existing.filter(col("doc_id") % 10 === 3 && size(toks) >= 10)
-          .select((col("doc_id") + 20000000L).as("doc_id"),
-            array_join(slice(toks, lit(3), size(toks) - 2), " ").as("text")))
-      val idxDir = graft.sources.TempDirs.scratch("graft_mhidx_")
-      graft.sources.AnnIndex.saveMinhash(existing, MinhashK, Bands, RowsPerBand, idxDir)
-      val old = graft.sources.AnnIndex.minhashSigs(s, idxDir)
-      val nw = incoming
-        .withColumn("sh", Dedup.shingleSet(col("text")))
-        .withColumn("sig", Dedup.minhashSignature(col("sh"), MinhashK))
-        .withColumn("keys", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
-        .localCheckpoint(true)
-      Dedup.candidatePairsAcross(old, nw, "doc_id", "keys", MaxBucket)
-        .join(nw.select(col("doc_id").as("id_new"), col("sh").as("sh_n")), "id_new")
-        .join(old.select(col("doc_id").as("id_old"), col("sh").as("sh_o")), "id_old")
-        .withColumn("jaccard", Dedup.jaccard(col("sh_n"), col("sh_o")))
-        .filter(col("jaccard") >= JaccardThreshold)
-        .select("id_new", "id_old", "jaccard")
-        .orderBy("id_new", "id_old")
-    }),
+    "dedup_incremental" -> ((s, dir) =>
+      crossDupPairs(s, dir).orderBy("id_new", "id_old")),
 
     // Incremental dedup against a MAINTAINED index: same cross-snapshot
     // semantics as dedup_incremental, but the stored signature table is

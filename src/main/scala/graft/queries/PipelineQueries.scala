@@ -541,6 +541,70 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // The daily-crawl job at 100 TB: curate an INCOMING batch against
+    // the EXISTING corpus without ever recomputing over the corpus
+    // itself. Stage 1 probes the stored MinHash signature index for
+    // cross-snapshot near-dups (batch-sized work, DedupQueries.
+    // crossDupPairs); stage 2 quality+language gates the survivors
+    // (row-local codegen kernels); stage 3 decontaminates against the
+    // eval excerpts (informative-fingerprint ANY-hit gate: the eval fp
+    // set is boilerplate-pruned by the corpus df profile and broadcast
+    // — at scale it is a fixed eval suite, KBs against TBs). Stage
+    // order matters operationally: the shingle probe in stage 3 only
+    // touches docs that survived the cheaper gates. Each stage is an
+    // already-oracle-proven operator; this query pins the composition.
+    "pipe_curate_incremental" -> ((s, dir) => {
+      // batch = the dedup re-crawl arms (all near-dups of the corpus —
+      // the gate must kill them) PLUS a genuinely-new arm: %10==4 docs
+      // token-reversed (+30M). Reversal keeps every order-independent
+      // stage-2 statistic (quality, language profile) but shares no
+      // 3-shingle with the source, so these are "new" documents to the
+      // near-dup gate — except where a reversed %7==3 doc equals the
+      // decontam eval clean arm verbatim, planting stage-3 hits.
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val fresh = d.filter(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          array_join(reverse(TextAnalysis.tokens(col("text"))), " ").as("text"))
+      val batch = DedupQueries.corpus(s, dir).filter(col("doc_id") >= 10000000L)
+        .unionByName(fresh)
+      val dupNew = DedupQueries.crossDupPairsOf(s, dir, batch)
+        .select(col("id_new").as("doc_id")).distinct()
+      val gated = batch.join(dupNew, Seq("doc_id"), "left_anti")
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .filter(col("quality") >= lit(QualityMin) && col("lang_pred") === "en")
+        .localCheckpoint(true) // feeds the decontam probe and the anti-join
+      val corpusFp = Tables.documents(s, dir)
+        .select(explode(Dedup.shingleSet(col("text"))).as("sh"))
+        .withColumn("fp", Dedup.md5Long(col("sh"), DecontamSalt))
+      val boiler = corpusFp.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") > lit(DecontamMaxDf)).select("fp")
+      // containment gate, not ANY-hit: templated corpora share sub-df
+      // 3-grams across unrelated docs, so one shared fingerprint means
+      // nothing — a doc is contaminated when >= ContainThreshold of
+      // some eval doc's informative fingerprints appear in it (the
+      // pipe_decontam_containment criterion, flipped to gate the batch)
+      val evin = evalCorpus(s, dir)
+        .select(col("eval_doc"), explode(Dedup.shingleSet(col("text"))).as("sh"))
+        .withColumn("fp", Dedup.md5Long(col("sh"), DecontamSalt))
+        .join(boiler, Seq("fp"), "left_anti")
+        .select("eval_doc", "fp")
+        .localCheckpoint(true) // feeds the denominator and the probe join
+      val den = evin.groupBy("eval_doc").agg(count(lit(1)).as("n_informative"))
+      val contaminated = gated
+        .select(col("doc_id"), explode(Dedup.shingleSet(col("text"))).as("sh"))
+        .withColumn("fp", Dedup.md5Long(col("sh"), DecontamSalt))
+        .join(broadcast(evin), "fp")
+        .groupBy("doc_id", "eval_doc").agg(count(lit(1)).as("inter"))
+        .join(broadcast(den), "eval_doc")
+        .filter(col("inter").cast("double") / col("n_informative").cast("double")
+          >= lit(ContainThreshold))
+        .select("doc_id").distinct()
+      gated.join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang_pred", "quality")
+        .orderBy("doc_id")
+    }),
+
     "pipe_curate" -> ((s, dir) => {
       val c = DedupQueries.corpus(s, dir)
       val cc = Dedup.connectedComponents(
@@ -566,6 +630,28 @@ object PipelineQueries {
     val list = words.map(w => s"'$w'").mkString(", ")
     s"len(list_filter(toks, t -> t IN ($list))) AS h_$lang"
   }.mkString(",\n  ")
+
+  /** pipe_curate_incremental's batch corpus: the dedup re-crawl arms
+    * (DedupQueries.corpusCte verbatim) plus the genuinely-new arm —
+    * %10==4 docs token-reversed, +30M. `list_reverse` == Spark
+    * `reverse(toks)` (parity proven by the decontam eval clean arm).
+    */
+  private val curateCorpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 < 3
+      |  UNION ALL
+      |  SELECT doc_id + 20000000,
+      |         array_to_string(list_filter(string_split(text, ' '), t -> t != '')[3:], ' ')
+      |  FROM documents
+      |  WHERE doc_id % 10 = 3
+      |    AND len(list_filter(string_split(text, ' '), t -> t != '')) >= 10
+      |  UNION ALL
+      |  SELECT doc_id + 30000000,
+      |         array_to_string(list_reverse(list_filter(string_split(text, ' '), t -> t != '')), ' ')
+      |  FROM documents WHERE doc_id % 10 = 4
+      |)""".stripMargin
 
   /** Shared by pipe_decontam and pipe_decontam_bloom: the bloom variant
     * is a prefilter + the same exact join, so one oracle checks both.
@@ -865,6 +951,101 @@ object PipelineQueries {
          |)
          |SELECT doc_id, n_tokens FROM o CROSS JOIN b
          |WHERE cum <= budget ORDER BY doc_id""".stripMargin,
+
+    // stage composition: s1 = batch minus cross-snapshot near-dups
+    // (the `pairs` machinery dedup_incremental hash-gates, over the
+    // widened batch corpus), quality/lang block verbatim from
+    // pipe_curate, decontam = ANY informative eval-fingerprint hit
+    // (boiler df over the existing documents, eval arms verbatim from
+    // pipe_decontam_containment)
+    "pipe_curate_incremental" ->
+      s"""WITH $curateCorpusCte, ${DedupQueries.shinglesCte}, ${DedupQueries.minhashPairsCtes},
+         |s1 AS (
+         |  SELECT t.doc_id, t.text, t.toks FROM tok t
+         |  WHERE t.doc_id >= 10000000
+         |    AND NOT EXISTS (SELECT 1 FROM pairs p
+         |                    WHERE p.id_b = t.doc_id AND p.id_a < 10000000)
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS DOUBLE) AS n,
+         |    CAST(len(list_filter(toks, t -> t IN ($enStopsSql))) AS DOUBLE) AS stop_hits,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct,
+         |    CAST(list_aggregate(list_transform(toks, t -> CAST(length(t) AS BIGINT)), 'sum') AS DOUBLE) AS chars,
+         |    $langHitsSql
+         |  FROM s1
+         |), q AS (
+         |  SELECT doc_id,
+         |    ((stop_hits / n) * CAST(0.25 AS DOUBLE))
+         |    + ((n_distinct / n) * CAST(0.35 AS DOUBLE))
+         |    + (GREATEST(CAST(0.0 AS DOUBLE),
+         |         CAST(1.0 AS DOUBLE) - ABS((chars / n) - CAST(5.5 AS DOUBLE)) / CAST(5.5 AS DOUBLE))
+         |       * CAST(0.4 AS DOUBLE)) AS quality,
+         |    GREATEST(h_de, h_en, h_es, h_fr, h_zh) AS best,
+         |    h_de, h_en, h_es, h_fr
+         |  FROM m
+         |), s2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN h_de = best THEN 'de'
+         |         WHEN h_en = best THEN 'en'
+         |         WHEN h_es = best THEN 'es'
+         |         WHEN h_fr = best THEN 'fr'
+         |         ELSE 'zh' END AS lang_pred,
+         |    quality
+         |  FROM q
+         |  WHERE quality >= CAST($QualityMin AS DOUBLE)
+         |    AND (CASE WHEN h_de = best THEN 'de'
+         |              WHEN h_en = best THEN 'en'
+         |              WHEN h_es = best THEN 'es'
+         |              WHEN h_fr = best THEN 'fr'
+         |              ELSE 'zh' END) = 'en'
+         |), dex AS (
+         |  SELECT shs.doc_id,
+         |         CAST(concat('0x', substr(md5(concat('$DecontamSalt:', u.sh1)), 1, 15)) AS BIGINT) AS fp
+         |  FROM shs, UNNEST(shs.sh) AS u(sh1) WHERE shs.doc_id < 10000000
+         |), boiler AS (
+         |  SELECT fp FROM dex GROUP BY fp HAVING COUNT(*) > $DecontamMaxDf
+         |), ev AS (
+         |  SELECT doc_id + 50000000 AS eval_doc,
+         |         array_to_string(toks[$ExcerptStart:${ExcerptStart + ExcerptLen - 1}], ' ') AS text
+         |  FROM tok WHERE doc_id < 10000000 AND doc_id % 7 = 2 AND len(toks) >= 12
+         |  UNION ALL
+         |  SELECT doc_id + 60000000, array_to_string(list_reverse(toks), ' ')
+         |  FROM tok WHERE doc_id < 10000000 AND doc_id % 7 = 3
+         |), evtok AS (
+         |  SELECT eval_doc, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
+         |  FROM ev
+         |), evsh AS (
+         |  SELECT eval_doc,
+         |    list_distinct(CASE WHEN len(toks) < 3 THEN [text]
+         |         ELSE list_transform(generate_series(1, len(toks) - 2),
+         |                i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+         |    END) AS sh
+         |  FROM evtok
+         |), evin AS (
+         |  SELECT eval_doc, fp FROM (
+         |    SELECT eval_doc,
+         |           CAST(concat('0x', substr(md5(concat('$DecontamSalt:', u.sh1)), 1, 15)) AS BIGINT) AS fp
+         |    FROM evsh, UNNEST(evsh.sh) AS u(sh1)
+         |  ) e WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.fp = e.fp)
+         |), evden AS (
+         |  SELECT eval_doc, COUNT(*) AS n_informative FROM evin GROUP BY eval_doc
+         |), gsh AS (
+         |  SELECT shs.doc_id, shs.sh FROM shs JOIN s2 USING (doc_id)
+         |), gfp AS (
+         |  SELECT doc_id,
+         |         CAST(concat('0x', substr(md5(concat('$DecontamSalt:', u.sh1)), 1, 15)) AS BIGINT) AS fp
+         |  FROM gsh, UNNEST(gsh.sh) AS u(sh1)
+         |), contam AS (
+         |  SELECT DISTINCT i.doc_id FROM (
+         |    SELECT g.doc_id, e.eval_doc, COUNT(*) AS inter
+         |    FROM gfp g JOIN evin e USING (fp) GROUP BY g.doc_id, e.eval_doc
+         |  ) i JOIN evden d USING (eval_doc)
+         |  WHERE CAST(i.inter AS DOUBLE) / CAST(d.n_informative AS DOUBLE)
+         |        >= CAST($ContainThreshold AS DOUBLE)
+         |)
+         |SELECT s2.doc_id, s2.lang_pred, s2.quality FROM s2
+         |WHERE NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = s2.doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "pipe_curate" ->
       s"""WITH RECURSIVE ${DedupQueries.corpusCte}, ${DedupQueries.shinglesCte}, ${DedupQueries.minhashPairsCtes},
