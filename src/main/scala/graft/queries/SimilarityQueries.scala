@@ -611,6 +611,27 @@ object SimilarityQueries {
         .orderBy("cent_id")
     }),
 
+    // PQ CODEBOOK HEALTH: per-subspace code-population histogram — the
+    // retrain trigger for the PQ layer, companion to ivf_cell_stats for
+    // the coarse quantizer. A dead code (share ~0) wastes a codebook
+    // slot; a dominant code (share -> 1) means the subspace carries no
+    // information and ADC discrimination collapses there. One groupBy
+    // per subspace over the codes relation (map-side combinable, PqM*PqK
+    // output rows), total via a broadcast 1-row frame.
+    "pq_code_stats" -> ((s, dir) => {
+      val codes = pqParts(s, dir)._1.localCheckpoint(true) // feeds PqM groupBys + the total
+      val tot = codes.agg(count(lit(1)).cast("long").as("total"))
+      val stats = (0 until PqM).map { m =>
+        codes.groupBy(col(s"code$m").as("code"))
+          .agg(count(lit(1)).as("n_vecs"))
+          .withColumn("m", lit(m.toLong))
+      }.reduce(_ unionByName _)
+      stats.crossJoin(broadcast(tot))
+        .select(col("m"), col("code"), col("n_vecs"),
+          (col("n_vecs").cast("double") / col("total").cast("double")).as("share"))
+        .orderBy("m", "code")
+    }),
+
     // EMBEDDING AUDIT: norm distribution + degenerate-vector counts —
     // the pre-indexing check of a vector pipeline (a zero-norm vector
     // makes cosine undefined; a wildly out-of-band norm flags a broken
@@ -1174,6 +1195,20 @@ object SimilarityQueries {
       s"""WITH $vecsCte, $ivfBaseCtes, $pqCtes, $ivfpqScoredCtes,
          |${rerankCtes("ivfpq_scored", "ivfpq")}
          |SELECT q_id, rnk, c_id, cosine FROM ivfpq_res ORDER BY q_id, rnk""".stripMargin,
+
+    "pq_code_stats" -> {
+      val arms = (0 until PqM).map(m =>
+        s"SELECT CAST($m AS BIGINT) AS m, code, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM pq${m}_assign GROUP BY code")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH $vecsCte, $pqCtes, stats AS (
+         |  $arms
+         |), tot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS total FROM vecs
+         |)
+         |SELECT m, code, n_vecs,
+         |       CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE) AS share
+         |FROM stats, tot ORDER BY m, code""".stripMargin
+    },
 
     "sim_ann_lsh_mp" ->
       s"""WITH $vecsCte, $lshCtes, $lshMpCtes
