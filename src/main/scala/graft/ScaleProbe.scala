@@ -47,7 +47,12 @@ object ScaleProbe {
     val docsN = (0 until factor).map { c =>
       docs.select((col("doc_id") + lit(c.toLong * 100000000L)).as("doc_id"),
         translate(col("text"), rot, permFor(c)).as("text"),
-        col("lang"))
+        col("lang"),
+        // source carries through unchanged: the realistic growth mode is
+        // the SAME domains getting more docs (per-source population
+        // scales with the corpus) — the shape pipe_source_cap's flat
+        // cap-bounded output is asserted against
+        col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
     docsN.write.mode("overwrite").parquet(s"$stage/documents.parquet")
 

@@ -30,6 +30,19 @@ object DedupQueries {
     * ([[graft.operators.Dedup.DefaultMaxBucket]]).
     */
   final val MaxBucket = 100
+  /** dedup_substring: duplicated-window length in tokens (the ExactSubstr
+    * unit — a shared run of ≥ SubstrLen contiguous tokens is a verbatim
+    * duplicate worth reporting; shorter overlaps are phrase reuse). 15 at
+    * the synthetic vocab plays the role 50 does over BPE tokens at corpus
+    * scale: far above the longest chance collision.
+    */
+  final val SubstrLen = 15
+  /** dedup_substring: windows present in more than this many distinct docs
+    * are templated boilerplate (licenses, navigation chrome) — dropped
+    * before the pair join, same trade as [[MaxDocFreq]].
+    */
+  final val SubstrMaxDf = 50
+
   /** dedup_embedding blocking: 4 bands x 16 sign bits over the 64 dims. */
   final val EmbBands = 4
   final val EmbBitsPerBand = 16
@@ -222,6 +235,54 @@ object DedupQueries {
             ((col("sz_a") + col("sz_b")).cast("double") - col("inter").cast("double")))
         .filter(col("jaccard") >= JaccardThreshold)
         .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // EXACT-SUBSTRING dedup (the ExactSubstr family of "Deduplicating
+    // Training Data Makes Language Models Better", Lee et al. 2021):
+    // duplicated SubstrLen-token windows across docs, plus the longest
+    // exact common token run per pair, recovered from the matched
+    // windows by a gaps-and-islands pass over (pair, diagonal) —
+    // consecutive window starts on one diagonal form one contiguous
+    // common substring of L + run − 1 tokens. Complements the shingle-
+    // SET queries: dedup_ngram's Jaccard ignores order and contiguity,
+    // while this is the order-exact detector a verbatim-memorization
+    // audit needs (the paper's motivating case). Scale shape: the
+    // window stream is linear (T windows per doc) and projects to an
+    // 8-byte fingerprint BEFORE any exchange — the L× string blow-up
+    // lives inside a single codegen stage and never shuffles; only
+    // df-bounded [2, SubstrMaxDf] fingerprints enter the pair join
+    // (df=1 windows, the overwhelming mass of any natural corpus, die
+    // in the semi-join; df>cap boilerplate is dropped the same way as
+    // dedup_ngram's stop-shingles); run recovery is one window pass
+    // per (pair, diag) partition, bounded by the pair's doc lengths.
+    "dedup_substring" -> ((s, dir) => {
+      val L = SubstrLen
+      val c = corpus(s, dir)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .filter(size(col("toks")) >= L)
+      val ex = c.select(col("doc_id"),
+          posexplode(expr(s"transform(sequence(1, size(toks) - ${L - 1}), " +
+            s"i -> array_join(slice(toks, i, $L), ' '))")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"),
+          graft.functions.Md5Long60Expr(col("col"), 0).as("fp"))
+        .localCheckpoint(true) // feeds the df filter and both join sides
+      val keep = ex.groupBy("fp").agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= 2 && col("df") <= SubstrMaxDf).select("fp")
+      val fx = ex.join(keep, "fp").localCheckpoint(true)
+      val m = fx.select(col("doc_id").as("id_a"), col("pos").as("pos_a"), col("fp"))
+        .join(fx.select(col("doc_id").as("id_b"), col("pos").as("pos_b"), col("fp")), "fp")
+        .filter(col("id_a") < col("id_b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id_a"), col("id_b"), col("pos_a") - col("pos_b"))
+        .orderBy("pos_a")
+      m.withColumn("island", col("pos_a") - row_number().over(w))
+        .groupBy(col("id_a"), col("id_b"),
+          (col("pos_a") - col("pos_b")).as("diag"), col("island"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy("id_a", "id_b")
+        .agg(sum("run").cast("long").as("n_shared"),
+          (lit(L.toLong) + max("run") - lit(1L)).cast("long").as("longest_match"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -550,6 +611,42 @@ object DedupQueries {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_ngram" -> ngramOracle,
+
+    // Window match on the string itself (the fingerprint is an engine-
+    // internal join-key compression; both engines pair exactly the docs
+    // sharing the literal L-token window, so the outputs agree).
+    "dedup_substring" ->
+      s"""WITH $corpusCte, tokw AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+         |  FROM corpus
+         |), starts AS (
+         |  SELECT doc_id, toks,
+         |         unnest(generate_series(1, len(toks) - ${SubstrLen - 1})) AS pos
+         |  FROM tokw WHERE len(toks) >= $SubstrLen
+         |), win AS (
+         |  SELECT doc_id, pos,
+         |         array_to_string(toks[pos:pos + ${SubstrLen - 1}], ' ') AS w
+         |  FROM starts
+         |), keep AS (
+         |  SELECT w FROM (
+         |    SELECT w, COUNT(DISTINCT doc_id) AS df FROM win GROUP BY w
+         |  ) WHERE df BETWEEN 2 AND $SubstrMaxDf
+         |), m AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+         |  FROM win a JOIN win b ON a.w = b.w AND a.doc_id < b.doc_id
+         |  WHERE a.w IN (SELECT w FROM keep)
+         |), runs AS (
+         |  SELECT id_a, id_b, pos_a - pos_b AS diag,
+         |         pos_a - ROW_NUMBER() OVER (
+         |           PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS island
+         |  FROM m
+         |), rl AS (
+         |  SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS run
+         |  FROM runs GROUP BY id_a, id_b, diag, island
+         |)
+         |SELECT id_a, id_b, CAST(SUM(run) AS BIGINT) AS n_shared,
+         |       CAST($SubstrLen + MAX(run) - 1 AS BIGINT) AS longest_match
+         |FROM rl GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
 
     // the symmetric pair pipeline over the same union corpus, restricted
     // to pairs crossing the stored/new boundary (old ids < 10M <= new)

@@ -57,6 +57,10 @@ object PipelineQueries {
   /** sample_reservoir: exact per-language cap and its hash salt. */
   final val ReservoirN = 20
   final val ReservoirSalt = 17
+  /** pipe_source_cap: max docs kept per source (binds at every SF — the
+    * uniform synthetic layout has 25 docs/source at sf0.01).
+    */
+  final val SourceCap = 20
   /** sample_stratified: per-language keep rates in percent. English
     * dominates the corpus ~2x, so it downsamples to rebalance; a rate
     * table in a real pipeline would come from [[PipelineQueries]]'
@@ -193,6 +197,27 @@ object PipelineQueries {
           share.as("share"),
           (target / share).as("weight"))
         .orderBy("source")
+    }),
+
+    // DOMAIN BALANCING (the applied form of pipe_mix's weights): cap
+    // every source at SourceCap docs, keeping its highest-quality ones
+    // (quality desc, doc_id tiebreak — fully deterministic). The rank
+    // filter compiles to WindowGroupLimit (plan-pinned): each map task
+    // retains at most SourceCap rows per source BEFORE the exchange, so
+    // a hot domain — the common 100 TB skew where one crawl host is 30%
+    // of the corpus — ships cap-bounded data to the window stage, not
+    // its full population.
+    "pipe_source_cap" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality").desc, col("doc_id"))
+      d.select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= SourceCap)
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("doc_id")
     }),
 
     // Stratified downsampling: deterministic per-language keep rates
@@ -774,6 +799,33 @@ object PipelineQueries {
         |       (CAST(1.0 AS DOUBLE) / CAST(k AS DOUBLE))
         |         / (CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)) AS weight
         |FROM cur CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    "pipe_source_cap" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, list_filter(string_split(text, ' '), t -> t != '') AS toks
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(toks) AS DOUBLE) AS n,
+         |    CAST(len(list_filter(toks, t -> t IN ($enStopsSql))) AS DOUBLE) AS stop_hits,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct,
+         |    CAST(list_aggregate(list_transform(toks, t -> CAST(length(t) AS BIGINT)), 'sum') AS DOUBLE) AS chars
+         |  FROM tok
+         |), q AS (
+         |  SELECT doc_id, source,
+         |    ((stop_hits / n) * CAST(0.25 AS DOUBLE))
+         |    + ((n_distinct / n) * CAST(0.35 AS DOUBLE))
+         |    + (GREATEST(CAST(0.0 AS DOUBLE),
+         |         CAST(1.0 AS DOUBLE) - ABS((chars / n) - CAST(5.5 AS DOUBLE)) / CAST(5.5 AS DOUBLE))
+         |       * CAST(0.4 AS DOUBLE)) AS quality
+         |  FROM m
+         |)
+         |SELECT doc_id, source, quality, rk FROM (
+         |  SELECT doc_id, source, quality,
+         |    CAST(ROW_NUMBER() OVER (
+         |      PARTITION BY source ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
+         |  FROM q
+         |) WHERE rk <= $SourceCap ORDER BY doc_id""".stripMargin,
 
     "sample_stratified" -> {
       val bucketSql =

@@ -173,6 +173,61 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     assert(byDoc(1L) == 600L) // the tail doc is all rare
   }
 
+  test("dedup_substring: exact-copy pairs recover the full-document run") {
+    import graft.queries.DedupQueries
+    val L = DedupQueries.SubstrLen
+    val pairs = DedupQueries.queries("dedup_substring")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val toks = DedupQueries.corpus(spark, dir)
+      .select(col("doc_id"), size(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every exact-arm pair (d, d+10M) with >= L tokens shares ALL its
+    // windows on one diagonal: longest run = the whole doc, n_shared =
+    // the full window count
+    val exact = toks.keys.filter(id => id < 10000000L && toks.contains(id + 10000000L)
+      && toks(id) >= L).toList
+    assert(exact.nonEmpty)
+    exact.foreach { id =>
+      val t = toks(id).toLong
+      val (n, longest) = pairs((id, id + 10000000L))
+      assert(longest == t, s"doc $id: longest $longest != $t")
+      assert(n == t - L + 1, s"doc $id: n_shared $n != ${t - L + 1}")
+    }
+    // near-arm pairs (d, d+20M) drop the 2 leading tokens: the shared
+    // run is the suffix
+    toks.keys.filter(id => id < 10000000L && toks.contains(id + 20000000L)
+      && toks(id) - 2 >= L).foreach { id =>
+      val (_, longest) = pairs((id, id + 20000000L))
+      assert(longest == toks(id).toLong - 2, s"near $id: $longest")
+    }
+  }
+
+  test("pipe_source_cap: caps bind, ranks contiguous, kept docs dominate dropped") {
+    import graft.queries.PipelineQueries
+    val kept = PipelineQueries.queries("pipe_source_cap")(spark, dir).collect()
+    assert(kept.nonEmpty)
+    val bySrc = kept.groupBy(_.getString(1))
+    bySrc.foreach { case (src, rs) =>
+      val ranks = rs.map(_.getLong(3)).sorted.toList
+      assert(ranks.size <= PipelineQueries.SourceCap)
+      assert(ranks == (1L to ranks.size).toList, s"ranks not contiguous for $src")
+    }
+    // no dropped doc outranks a kept one within its source
+    val all = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.operators.TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val keptIds = kept.map(_.getLong(0)).toSet
+    bySrc.foreach { case (src, rs) =>
+      if (rs.length == PipelineQueries.SourceCap) {
+        val worstKept = rs.map(_.getDouble(2)).min
+        all.filter(a => a._2 == src && !keptIds.contains(a._1)).foreach { a =>
+          assert(a._3 <= worstKept, s"dropped ${a._1} outranks kept in $src")
+        }
+      }
+    }
+  }
+
   test("sim_knn_graph: no self-edges, at most KnnK neighbors, ranks contiguous") {
     val g = graft.queries.SimilarityQueries.queries("sim_knn_graph")(spark, dir)
     val rows = g.collect()

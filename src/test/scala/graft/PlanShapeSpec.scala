@@ -135,6 +135,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("pipe_source_cap: hot-domain cap runs as a partial WindowGroupLimit") {
+    // The skew claim (a 30%-of-corpus crawl host ships cap-bounded rows
+    // to the window stage) rests on rk <= SourceCap rewriting to
+    // WindowGroupLimit below the exchange.
+    val plan = qe("pipe_source_cap").executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("dedup_substring: fp pair join stays equi; no all-pairs fallback") {
+    val plan = qe("dedup_substring").executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("sim_knn_graph: bucket equi-join + partial top-K, never all-pairs") {
     Seq("sim_knn_graph", "sim_knn_graph_scaled").foreach { n =>
       val plan = qe(n).executedPlan.toString
