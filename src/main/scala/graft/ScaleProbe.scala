@@ -127,6 +127,7 @@ object ScaleProbe {
       "text_rarity", "dedup_incremental", "dedup_incremental_upsert",
       "pipe_shuffle", "pipe_token_budget", "pipe_topic_mix",
       "sample_stratified", "sample_reservoir",
+      "dedup_substring", "dedup_substring_scrub", "pipe_source_cap",
       "ft_dist", "ft_topk", "ft_json", "ft_sessions", "text_quality")
     // arg 2+: restrict to named queries (fast re-probe of one operator);
     // any SparkEntry query name is probeable, not just the default list

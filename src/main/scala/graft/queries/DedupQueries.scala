@@ -153,6 +153,44 @@ object DedupQueries {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Matched-window runs for the ExactSubstr queries: one row per
+    * maximal chain of consecutive shared [[SubstrLen]]-token windows
+    * between a doc pair (id_a < id_b), with the chain length (`run`,
+    * in windows — the common substring spans run + SubstrLen − 1
+    * tokens) and its starting token position on the b side
+    * (`start_b`, 1-based). Window fingerprints are 8 bytes before any
+    * exchange; only df ∈ [2, SubstrMaxDf] fingerprints enter the pair
+    * join (df=1 windows die in the semi-join, df>cap boilerplate is
+    * dropped like dedup_ngram's stop-shingles); chains are recovered
+    * by gaps-and-islands over (pair, diagonal) — one window pass,
+    * partition-bounded by the pair's doc lengths.
+    */
+  private[queries] def substringRuns(s: SparkSession, dir: String): DataFrame = {
+    val L = SubstrLen
+    val c = corpus(s, dir)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("toks")) >= L)
+    val ex = c.select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, size(toks) - ${L - 1}), " +
+          s"i -> array_join(slice(toks, i, $L), ' '))")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        graft.functions.Md5Long60Expr(col("col"), 0).as("fp"))
+      .localCheckpoint(true) // feeds the df filter and both join sides
+    val keep = ex.groupBy("fp").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= 2 && col("df") <= SubstrMaxDf).select("fp")
+    val fx = ex.join(keep, "fp").localCheckpoint(true)
+    val m = fx.select(col("doc_id").as("id_a"), col("pos").as("pos_a"), col("fp"))
+      .join(fx.select(col("doc_id").as("id_b"), col("pos").as("pos_b"), col("fp")), "fp")
+      .filter(col("id_a") < col("id_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("pos_a") - col("pos_b"))
+      .orderBy("pos_a")
+    m.withColumn("island", col("pos_a") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"),
+        (col("pos_a") - col("pos_b")).as("diag"), col("island"))
+      .agg(count(lit(1)).as("run"), min("pos_b").as("start_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy on the text fingerprint.
@@ -256,34 +294,68 @@ object DedupQueries {
     // in the semi-join; df>cap boilerplate is dropped the same way as
     // dedup_ngram's stop-shingles); run recovery is one window pass
     // per (pair, diag) partition, bounded by the pair's doc lengths.
-    "dedup_substring" -> ((s, dir) => {
-      val L = SubstrLen
-      val c = corpus(s, dir)
-        .withColumn("toks", TextAnalysis.tokens(col("text")))
-        .filter(size(col("toks")) >= L)
-      val ex = c.select(col("doc_id"),
-          posexplode(expr(s"transform(sequence(1, size(toks) - ${L - 1}), " +
-            s"i -> array_join(slice(toks, i, $L), ' '))")))
-        .select(col("doc_id"), (col("pos") + 1).as("pos"),
-          graft.functions.Md5Long60Expr(col("col"), 0).as("fp"))
-        .localCheckpoint(true) // feeds the df filter and both join sides
-      val keep = ex.groupBy("fp").agg(countDistinct("doc_id").as("df"))
-        .filter(col("df") >= 2 && col("df") <= SubstrMaxDf).select("fp")
-      val fx = ex.join(keep, "fp").localCheckpoint(true)
-      val m = fx.select(col("doc_id").as("id_a"), col("pos").as("pos_a"), col("fp"))
-        .join(fx.select(col("doc_id").as("id_b"), col("pos").as("pos_b"), col("fp")), "fp")
-        .filter(col("id_a") < col("id_b"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id_a"), col("id_b"), col("pos_a") - col("pos_b"))
-        .orderBy("pos_a")
-      m.withColumn("island", col("pos_a") - row_number().over(w))
-        .groupBy(col("id_a"), col("id_b"),
-          (col("pos_a") - col("pos_b")).as("diag"), col("island"))
-        .agg(count(lit(1)).as("run"))
+    "dedup_substring" -> ((s, dir) =>
+      substringRuns(s, dir)
         .groupBy("id_a", "id_b")
         .agg(sum("run").cast("long").as("n_shared"),
-          (lit(L.toLong) + max("run") - lit(1L)).cast("long").as("longest_match"))
-        .orderBy("id_a", "id_b")
+          (lit(SubstrLen.toLong) + max("run") - lit(1L)).cast("long")
+            .as("longest_match"))
+        .orderBy("id_a", "id_b")),
+
+    // APPLIED substring dedup (what the ExactSubstr pipeline actually
+    // does to the corpus): remove every duplicated span from the
+    // HIGHER-id doc of each pair — keep-first policy, one canonical
+    // copy survives — and emit the scrubbed doc. Runs on one doc merge
+    // across pairs/diagonals by classic interval union (running-max-end
+    // gaps-and-islands, one window pass per doc); the scrubbed text is
+    // rebuilt by a positional anti-join (doc_id-equi join + span range
+    // predicate — never a non-equi-only join) and an order-restoring
+    // sorted fold. Per-doc span counts are pair-bounded, so the rebuild
+    // is linear in affected-doc tokens.
+    "dedup_substring_scrub" -> ((s, dir) => {
+      val L = SubstrLen
+      val spans0 = substringRuns(s, dir)
+        .select(col("id_b").as("doc_id"), col("start_b").cast("long").as("s"),
+          (col("start_b") + col("run") + lit(L - 2)).cast("long").as("e"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("s", "e")
+      val merged = spans0
+        .withColumn("pmax", max("e").over(wOrd.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+        .withColumn("flag",
+          when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+        .withColumn("grp", sum("flag").over(wOrd.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "grp")
+        .agg(min("s").as("s"), max("e").as("e"))
+        .localCheckpoint(true) // feeds stats, the anti-join, and affected
+      val affected = merged.select("doc_id").distinct()
+      val stats = merged.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e") - col("s") + 1).cast("long").as("tokens_removed"))
+      val tokPos = corpus(s, dir).join(affected, "doc_id")
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          posexplode(col("toks")))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("pos") + 1).cast("long").as("pos"), col("col").as("tok"))
+        .localCheckpoint(true) // n_tokens side + kept side
+      val sp = merged.select(col("doc_id").as("m_doc"), col("s"), col("e"))
+      val rebuilt = tokPos
+        .join(sp, tokPos("doc_id") === sp("m_doc")
+          && tokPos("pos") >= sp("s") && tokPos("pos") <= sp("e"), "left_outer")
+        .filter(col("s").isNull)
+        .groupBy("doc_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("clean_text"))
+      tokPos.select("doc_id", "n_tokens").distinct()
+        .join(stats, "doc_id")
+        .join(rebuilt, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+          col("tokens_removed"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy("doc_id")
     }),
 
     // INCREMENTAL dedup (cross-snapshot): today's crawl — the exact/near
@@ -647,6 +719,76 @@ object DedupQueries {
          |SELECT id_a, id_b, CAST(SUM(run) AS BIGINT) AS n_shared,
          |       CAST($SubstrLen + MAX(run) - 1 AS BIGINT) AS longest_match
          |FROM rl GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_substring_scrub" ->
+      s"""WITH $corpusCte, tokw AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+         |  FROM corpus
+         |), starts AS (
+         |  SELECT doc_id, toks,
+         |         unnest(generate_series(1, len(toks) - ${SubstrLen - 1})) AS pos
+         |  FROM tokw WHERE len(toks) >= $SubstrLen
+         |), win AS (
+         |  SELECT doc_id, pos,
+         |         array_to_string(toks[pos:pos + ${SubstrLen - 1}], ' ') AS w
+         |  FROM starts
+         |), keep AS (
+         |  SELECT w FROM (
+         |    SELECT w, COUNT(DISTINCT doc_id) AS df FROM win GROUP BY w
+         |  ) WHERE df BETWEEN 2 AND $SubstrMaxDf
+         |), m AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+         |  FROM win a JOIN win b ON a.w = b.w AND a.doc_id < b.doc_id
+         |  WHERE a.w IN (SELECT w FROM keep)
+         |), runs AS (
+         |  SELECT id_a, id_b, pos_b, pos_a - pos_b AS diag,
+         |         pos_a - ROW_NUMBER() OVER (
+         |           PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS island
+         |  FROM m
+         |), spans AS (
+         |  SELECT id_b AS doc_id, CAST(MIN(pos_b) AS BIGINT) AS s,
+         |         CAST(MIN(pos_b) + COUNT(*) + ${SubstrLen - 2} AS BIGINT) AS e
+         |  FROM runs GROUP BY id_a, id_b, diag, island
+         |), flagged AS (
+         |  SELECT doc_id, s, e,
+         |         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM spans
+         |), grps AS (
+         |  SELECT doc_id, s, e,
+         |         SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY s, e
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         |  FROM flagged
+         |), merged AS (
+         |  SELECT doc_id, g, MIN(s) AS s, MAX(e) AS e FROM grps GROUP BY doc_id, g
+         |), affected AS (
+         |  SELECT DISTINCT doc_id FROM merged
+         |), tokpos AS (
+         |  SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |         CAST(unnest(generate_series(1, len(t.toks))) AS BIGINT) AS pos,
+         |         unnest(t.toks) AS tok
+         |  FROM tokw t JOIN affected USING (doc_id)
+         |), kept AS (
+         |  SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+         |  WHERE NOT EXISTS (SELECT 1 FROM merged mm
+         |                    WHERE mm.doc_id = tp.doc_id
+         |                      AND tp.pos BETWEEN mm.s AND mm.e)
+         |), rebuilt AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |  FROM kept GROUP BY doc_id
+         |), stats AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |         CAST(SUM(e - s + 1) AS BIGINT) AS tokens_removed
+         |  FROM merged GROUP BY doc_id
+         |)
+         |SELECT a.doc_id, nt.n_tokens, st.n_spans, st.tokens_removed,
+         |       COALESCE(r.clean_text, '') AS clean_text
+         |FROM affected a
+         |JOIN (SELECT DISTINCT doc_id, n_tokens FROM tokpos) nt USING (doc_id)
+         |JOIN stats st USING (doc_id)
+         |LEFT JOIN rebuilt r USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // the symmetric pair pipeline over the same union corpus, restricted
     // to pairs crossing the stored/new boundary (old ids < 10M <= new)

@@ -202,6 +202,40 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_substring_scrub: keep-first, exact copies die, counts reconcile") {
+    import graft.queries.DedupQueries
+    val rows = DedupQueries.queries("dedup_substring_scrub")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, nTok, removed, clean) =
+        (r.getLong(0), r.getLong(1), r.getLong(3), r.getString(4))
+      // clean_text token count == n_tokens - tokens_removed
+      val cleanToks = if (clean.isEmpty) 0L
+        else clean.split(" ").count(_.nonEmpty).toLong
+      assert(cleanToks == nTok - removed, s"doc $id: $cleanToks != $nTok-$removed")
+      assert(removed <= nTok, s"doc $id over-removed")
+    }
+    // keep-first: spans only ever scrub the HIGHER id of a pair, so
+    // (a) every exact copy (+10M arm) dies entirely, (b) every scrubbed
+    // doc is some pair's id_b, and (c) the globally lowest paired doc
+    // can never be scrubbed (it is nobody's id_b) — one canonical copy
+    // of duplicated content always survives.
+    val pairs = DedupQueries.queries("dedup_substring")(spark, dir).collect()
+    val bIds = pairs.map(_.getLong(1)).toSet
+    val exactCopies = rows.map(_.getLong(0)).filter(_ >= 10000000L)
+      .filter(_ < 20000000L)
+    assert(exactCopies.nonEmpty)
+    exactCopies.foreach { id =>
+      val r = rows.find(_.getLong(0) == id).get
+      assert(r.getLong(3) == r.getLong(1), s"copy $id not fully scrubbed")
+    }
+    rows.foreach(r => assert(bIds.contains(r.getLong(0)),
+      s"scrubbed doc ${r.getLong(0)} is nobody's id_b"))
+    val minPaired = (pairs.map(_.getLong(0)) ++ pairs.map(_.getLong(1))).min
+    assert(!rows.exists(_.getLong(0) == minPaired),
+      s"lowest paired doc $minPaired was scrubbed")
+  }
+
   test("pipe_source_cap: caps bind, ranks contiguous, kept docs dominate dropped") {
     import graft.queries.PipelineQueries
     val kept = PipelineQueries.queries("pipe_source_cap")(spark, dir).collect()

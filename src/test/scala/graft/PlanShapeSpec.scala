@@ -144,9 +144,13 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("dedup_substring: fp pair join stays equi; no all-pairs fallback") {
-    val plan = qe("dedup_substring").executedPlan.toString
-    assert(!plan.contains("CartesianProduct"), plan)
-    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    // _scrub's positional rebuild join is doc_id-equi with the span
+    // range as a residual predicate — also never a nested loop.
+    Seq("dedup_substring", "dedup_substring_scrub").foreach { n =>
+      val plan = qe(n).executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$n: $plan")
+      assert(!plan.contains("BroadcastNestedLoop"), s"$n: $plan")
+    }
   }
 
   test("sim_knn_graph: bucket equi-join + partial top-K, never all-pairs") {
