@@ -630,21 +630,68 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    "pipe_curate" -> ((s, dir) => {
-      val c = DedupQueries.corpus(s, dir)
-      val cc = Dedup.connectedComponents(
-        c.select(col("doc_id").as("id")),
-        DedupQueries.minhashPairs(s, dir).select("id_a", "id_b"))
-      val keepers = cc.filter(col("id") === col("label"))
-        .select(col("id").as("doc_id"))
-      c.join(keepers, "doc_id")
-        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
-        .filter(col("quality") >= lit(QualityMin) && col("lang_pred") === "en")
+    "pipe_curate" -> ((s, dir) =>
+      curateKept(s, dir)
         .select("doc_id", "lang_pred", "quality")
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // DATASET CARD: the one-row summary artifact a curation run ships
+    // with its output — corpus size, survivor count, retention, token
+    // mass, mean quality, domain coverage. Every input stage is the
+    // already-oracle-checked pipe_curate; the card itself is pure
+    // map-side-combinable aggregation (plus one broadcast 1-row corpus
+    // total), so it costs one pass over the kept set at any scale.
+    // Mean quality rides the 1e-9 BIGINT grid (floor(q*1e9) summed as
+    // integers, divided once at the end) — the deterministic-double
+    // aggregation pattern; a raw SUM(double) would be partition-order-
+    // dependent. Survivor source is recovered via base_id = doc_id mod
+    // 10M (planted copies inherit their original's domain), so keepers
+    // that happen to be planted docs still attribute correctly.
+    "pipe_dataset_card" -> ((s, dir) => {
+      val c = DedupQueries.corpus(s, dir)
+      val corpusTot = c.agg(count(lit(1)).cast("long").as("corpus_docs"))
+      val kd = curateKept(s, dir)
+        .withColumn("base_id", col("doc_id") % lit(10000000L))
+        .join(Tables.documents(s, dir)
+          .select(col("doc_id").as("base_id"), col("source")), "base_id")
+        .select(col("quality"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      kd.agg(
+          count(lit(1)).cast("long").as("kept_docs"),
+          sum("n_tokens").cast("long").as("kept_tokens"),
+          sum(floor(col("quality") * lit(1.0e9)).cast("long")).as("sum_q"),
+          countDistinct("source").cast("long").as("n_sources"))
+        .crossJoin(broadcast(corpusTot))
+        .select(
+          col("corpus_docs"), col("kept_docs"),
+          (col("kept_docs").cast("double") / col("corpus_docs").cast("double"))
+            .as("retention"),
+          col("kept_tokens"),
+          (col("kept_tokens").cast("double") / col("kept_docs").cast("double"))
+            .as("mean_doc_tokens"),
+          (col("sum_q").cast("double") / col("kept_docs").cast("double")
+            / lit(1.0e9)).as("mean_quality"),
+          col("n_sources"))
     })
   )
+
+  /** pipe_curate's survivor set (doc_id, text, lang_pred, quality):
+    * duplicate-cluster keepers (min doc_id of each component over the
+    * verified MinHash pairs), quality-gated and language-filtered.
+    * Shared by pipe_curate and pipe_dataset_card.
+    */
+  private def curateKept(s: SparkSession, dir: String): DataFrame = {
+    val c = DedupQueries.corpus(s, dir)
+    val cc = Dedup.connectedComponents(
+      c.select(col("doc_id").as("id")),
+      DedupQueries.minhashPairs(s, dir).select("id_a", "id_b"))
+    val keepers = cc.filter(col("id") === col("label"))
+      .select(col("id").as("doc_id"))
+    c.join(keepers, "doc_id")
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .filter(col("quality") >= lit(QualityMin) && col("lang_pred") === "en")
+  }
 
   // ---------------------------------------------------------------- oracle
 
@@ -1099,7 +1146,38 @@ object PipelineQueries {
          |WHERE NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = s2.doc_id)
          |ORDER BY doc_id""".stripMargin,
 
-    "pipe_curate" ->
+    "pipe_curate" -> (curateKeptSql +
+      "\nSELECT doc_id, lang_pred, quality FROM curated ORDER BY doc_id"),
+
+    // card = pure aggregation over the shared curated CTE; mean quality
+    // on the same 1e-9 integer grid as the Spark plan
+    "pipe_dataset_card" -> (curateKeptSql +
+      s""",
+         |keptx AS (
+         |  SELECT cu.doc_id, cu.quality, c.text, cu.doc_id % 10000000 AS base_id
+         |  FROM curated cu JOIN corpus c ON c.doc_id = cu.doc_id
+         |), keptt AS (
+         |  SELECT k.doc_id, k.quality, d.source,
+         |         CAST(len(list_filter(string_split(k.text, ' '), t -> t != '')) AS BIGINT) AS n_tokens
+         |  FROM keptx k JOIN documents d ON d.doc_id = k.base_id
+         |), tot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS corpus_docs FROM corpus
+         |)
+         |SELECT corpus_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS kept_docs,
+         |  CAST(COUNT(*) AS DOUBLE) / CAST(corpus_docs AS DOUBLE) AS retention,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+         |  CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_doc_tokens,
+         |  CAST(SUM(CAST(FLOOR(quality * 1e9) AS BIGINT)) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) / 1e9 AS mean_quality,
+         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+         |FROM keptt CROSS JOIN tot GROUP BY corpus_docs""".stripMargin)
+  )
+
+  /** The pipe_curate chain up to a `curated` CTE (doc_id, lang_pred,
+    * quality) — shared by the pipe_curate oracle and the dataset card.
+    */
+  private lazy val curateKeptSql: String =
       s"""WITH RECURSIVE ${DedupQueries.corpusCte}, ${DedupQueries.shinglesCte}, ${DedupQueries.minhashPairsCtes},
          |edges AS (
          |  SELECT id_a AS src, id_b AS dst FROM pairs
@@ -1133,21 +1211,20 @@ object PipelineQueries {
          |    GREATEST(h_de, h_en, h_es, h_fr, h_zh) AS best,
          |    h_de, h_en, h_es, h_fr
          |  FROM m
-         |)
-         |SELECT doc_id,
-         |  CASE WHEN h_de = best THEN 'de'
-         |       WHEN h_en = best THEN 'en'
-         |       WHEN h_es = best THEN 'es'
-         |       WHEN h_fr = best THEN 'fr'
-         |       ELSE 'zh' END AS lang_pred,
-         |  quality
-         |FROM q
-         |WHERE quality >= CAST($QualityMin AS DOUBLE)
-         |  AND (CASE WHEN h_de = best THEN 'de'
-         |            WHEN h_en = best THEN 'en'
-         |            WHEN h_es = best THEN 'es'
-         |            WHEN h_fr = best THEN 'fr'
-         |            ELSE 'zh' END) = 'en'
-         |ORDER BY doc_id""".stripMargin
-  )
+         |), curated AS (
+         |  SELECT doc_id,
+         |    CASE WHEN h_de = best THEN 'de'
+         |         WHEN h_en = best THEN 'en'
+         |         WHEN h_es = best THEN 'es'
+         |         WHEN h_fr = best THEN 'fr'
+         |         ELSE 'zh' END AS lang_pred,
+         |    quality
+         |  FROM q
+         |  WHERE quality >= CAST($QualityMin AS DOUBLE)
+         |    AND (CASE WHEN h_de = best THEN 'de'
+         |              WHEN h_en = best THEN 'en'
+         |              WHEN h_es = best THEN 'es'
+         |              WHEN h_fr = best THEN 'fr'
+         |              ELSE 'zh' END) = 'en'
+         |)""".stripMargin
 }
