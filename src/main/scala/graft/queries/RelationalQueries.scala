@@ -257,6 +257,42 @@ object RelationalQueries {
         .orderBy("purchase_id")
     }),
 
+    // FUNNEL: per-user view -> click -> purchase progression by min-ts
+    // chaining (first view, first click strictly after it within
+    // FunnelClickWindow, first purchase strictly after that within
+    // FunnelBuyWindow — the windowed form every product funnel uses;
+    // unwindowed chaining saturates at this event density and would
+    // never exercise the partial-progression branch). The scale-correct
+    // shape: each
+    // stage AGGREGATES to one row per user BEFORE any join (a hot
+    // user's million events partial-min map-side; the joins only ever
+    // see 1-row-per-user frames), never a per-user event collection.
+    // Missing stages surface as epoch sentinels + the `reached` count,
+    // keeping the output null-free per the driver contract.
+    "rel_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def stage(t: String) = ev.filter(col("event_type") === t)
+        .select("user_id", "ts")
+      val v = stage("view").groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = stage("click").join(v, "user_id")
+        .filter(col("ts") > col("t_view")
+          && col("ts") <= col("t_view") + expr("INTERVAL 6 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = stage("purchase").join(c, "user_id")
+        .filter(col("ts") > col("t_click")
+          && col("ts") <= col("t_click") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      val epoch = lit("1970-01-01 00:00:00").cast("timestamp")
+      v.join(c, Seq("user_id"), "left_outer")
+        .join(p, Seq("user_id"), "left_outer")
+        .select(col("user_id"), col("t_view"),
+          (lit(1L) + when(col("t_click").isNull, 0L).otherwise(1L)
+            + when(col("t_purchase").isNull, 0L).otherwise(1L)).as("reached"),
+          coalesce(col("t_click"), epoch).as("t_click"),
+          coalesce(col("t_purchase"), epoch).as("t_purchase"))
+        .orderBy("user_id")
+    }),
+
     // Semi-structured extraction: the events' JSON props column parsed
     // with schema-on-read (from_json with an explicit schema — codegen'd
     // JsonToStructs, no UDF) and aggregated per event type. The 100 TB
@@ -538,6 +574,31 @@ object RelationalQueries {
         |FROM rev
         |ORDER BY rev_exact DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+
+    "rel_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |    AND e.ts <= v.t_view + INTERVAL 6 HOUR
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |    AND e.ts <= c.t_click + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id
+        |)
+        |SELECT v.user_id, v.t_view,
+        |  CAST(1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT) AS reached,
+        |  COALESCE(c.t_click, TIMESTAMP '1970-01-01') AS t_click,
+        |  COALESCE(p.t_purchase, TIMESTAMP '1970-01-01') AS t_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "rel_interval_join" ->
       """SELECT p.purchase_id, p.user_id, p.p_ts, c.click_id, c.click_ts
