@@ -122,7 +122,7 @@ object ScaleProbe {
       "sim_ann_ivf_idx", "sim_ann_lsh_upsert",
       "rel_asof_join", "rel_asof_join_bucketed", "rel_asof_join_outer",
       "rel_interval_join", "rel_q1", "rel_rollup", "rel_pivot",
-      "rel_order_gaps", "rel_top_customers", "rel_funnel",
+      "rel_order_gaps", "rel_top_customers", "rel_funnel", "rel_retention",
       "text_pii", "embed_quant", "text_repetition", "text_tokens",
       "text_rarity", "dedup_incremental", "dedup_incremental_upsert",
       "pipe_shuffle", "pipe_token_budget", "pipe_topic_mix",

@@ -293,6 +293,33 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // RETENTION: the cohort matrix (signup-day cohort x active-day
+    // offset -> distinct users), rel_funnel's product-analytics
+    // companion. user->cohort collapses per user BEFORE the activity
+    // join; activity is pre-distincted to user x day, so the join
+    // carries at most |users| x |days| rows and the per-cell distinct
+    // count partial-aggregates map-side. Calendar math is date-typed
+    // on both engines (UTC session), so the matrix is integer-exact.
+    "rel_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_day"))
+      val activity = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      cohort.join(activity, "user_id")
+        .withColumn("day_offset",
+          datediff(col("day"), col("cohort_day")).cast("long"))
+        .filter(col("day_offset") >= 0L)
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct("user_id").cast("long").as("n_users"))
+        // ISO string: DATE surfaces as date32 here but TIMESTAMP in
+        // DuckDB's parquet round-trip — the string form is the one
+        // calendar type both engines agree on byte-for-byte
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // Semi-structured extraction: the events' JSON props column parsed
     // with schema-on-read (from_json with an explicit schema — codegen'd
     // JsonToStructs, no UDF) and aggregated per event type. The 100 TB
@@ -599,6 +626,21 @@ object RelationalQueries {
         |  COALESCE(p.t_purchase, TIMESTAMP '1970-01-01') AS t_purchase
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "rel_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), activity AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |)
+        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(datediff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+        |  CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_users
+        |FROM cohort c JOIN activity a USING (user_id)
+        |WHERE datediff('day', c.cohort_day, a.day) >= 0
+        |GROUP BY c.cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "rel_interval_join" ->
       """SELECT p.purchase_id, p.user_id, p.p_ts, c.click_id, c.click_ts
