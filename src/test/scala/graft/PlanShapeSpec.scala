@@ -135,6 +135,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("rel_funnel/rel_retention: stages aggregate before joining, no event collection") {
+    // The hot-user claim rests on per-user partial mins/distincts below
+    // the joins — a collect_list-shaped plan would hold a user's events
+    // as state and die on skew.
+    Seq("rel_funnel", "rel_retention").foreach { n =>
+      val plan = qe(n).executedPlan.toString
+      assert(plan.contains("partial_min") || plan.contains("partial_count"),
+        s"$n: $plan")
+      assert(!plan.contains("collect_list"), s"$n: $plan")
+      assert(!plan.contains("CartesianProduct"), s"$n: $plan")
+    }
+  }
+
   test("pipe_source_cap: hot-domain cap runs as a partial WindowGroupLimit") {
     // The skew claim (a 30%-of-corpus crawl host ships cap-bounded rows
     // to the window stage) rests on rk <= SourceCap rewriting to
