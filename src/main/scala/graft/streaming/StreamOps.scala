@@ -138,4 +138,165 @@ object StreamOps {
         col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"),
         col("dist"), col("bin"), col("n"))
+
+  /** Per-user click buffer cap for the streaming funnel. Exactness holds
+    * while a user buffers fewer candidate stage events than this; the
+    * cap keeps a pathological bot user's state bounded (the smallest
+    * candidates are kept — the ones the min-chain can still pick).
+    */
+  final val FunnelBufferCap = 256
+
+  /** Streaming FUNNEL — the stateful form of `rel_funnel`: per user,
+    * first view, first click strictly after it within `clickWindowMs`,
+    * first purchase strictly after that within `buyWindowMs`.
+    *
+    * Semantics & state bound: a user's funnel is immutable once the
+    * watermark passes `t_view + clickWindow + buyWindow` (both stage
+    * windows closed; a later-arriving view is necessarily younger than
+    * the watermark, hence younger than t_view, and cannot change the
+    * min), so the state finalizes on EventTimeTimeout at exactly that
+    * instant and emits ONE row per viewing user (Append mode). Until
+    * then the state buffers the min view plus candidate click/purchase
+    * times, pruned by the bounds that only tighten as t_view decreases
+    * (clicks above `t_view + clickWindow` can never re-enter the
+    * window; with no view yet, candidates below the current watermark
+    * can never follow a future view, which must sit at or above the
+    * watermark) and capped at [[FunnelBufferCap]] smallest. Out-of-order
+    * delivery within the watermark is therefore handled exactly — a
+    * late-arriving earlier view re-evaluates the buffered candidates —
+    * which is what the batch-equivalence spec exercises.
+    *
+    * On batch frames this computes the same chain relationally (the
+    * driver-oracle-checked `rel_funnel` shape: per-user partial-min
+    * aggregates before 1-row-per-user joins), so batch and stream share
+    * one contract; `StreamOpsSpec` pins stream == batch on the same
+    * events.
+    *
+    * Output: (user_id, t_view, reached, t_click, t_purchase), missing
+    * stages as epoch sentinels — the null-free driver shape.
+    */
+  def funnel(events: DataFrame, clickWindowMs: Long, buyWindowMs: Long,
+             watermark: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    if (!events.isStreaming) {
+      val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+      def stage(t: String) = ev.filter(col("event_type") === t)
+        .select("user_id", "ts")
+      val v = stage("view").groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = stage("click").join(v, "user_id")
+        .filter(col("ts") > col("t_view")
+          && col("ts") <= col("t_view") + expr(s"INTERVAL $clickWindowMs MILLISECONDS"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = stage("purchase").join(c, "user_id")
+        .filter(col("ts") > col("t_click")
+          && col("ts") <= col("t_click") + expr(s"INTERVAL $buyWindowMs MILLISECONDS"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      val epoch = lit("1970-01-01 00:00:00").cast("timestamp")
+      v.join(c, Seq("user_id"), "left_outer")
+        .join(p, Seq("user_id"), "left_outer")
+        .select(col("user_id"), col("t_view"),
+          (lit(1L) + when(col("t_click").isNull, 0L).otherwise(1L)
+            + when(col("t_purchase").isNull, 0L).otherwise(1L)).as("reached"),
+          coalesce(col("t_click"), epoch).as("t_click"),
+          coalesce(col("t_purchase"), epoch).as("t_purchase"))
+    } else {
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val w1 = clickWindowMs * 1000L // micros
+      val w2 = buyWindowMs * 1000L
+      events
+        .withWatermark("ts", watermark)
+        .select(col("user_id").cast("long"), col("event_type"), col("ts"))
+        .as[(Long, String, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(FunnelFn.fn(w1, w2))
+        .toDF()
+    }
+  }
+}
+
+/** State + transition for [[StreamOps.funnel]]. Times are epoch micros;
+  * `tView == Long.MaxValue` means no view yet.
+  */
+final case class FunnelSt(tView: Long, clicks: List[Long], buys: List[Long])
+
+final case class FunnelRow(user_id: Long, t_view: java.sql.Timestamp,
+                           reached: Long, t_click: java.sql.Timestamp,
+                           t_purchase: java.sql.Timestamp)
+
+private[streaming] object FunnelFn {
+  import org.apache.spark.sql.streaming.GroupState
+
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+
+  private def toTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  private def finalize(user: Long, st: FunnelSt, w1: Long, w2: Long): Iterator[FunnelRow] =
+    if (st.tView == Long.MaxValue) Iterator.empty
+    else {
+      val tc = st.clicks.filter(t => t > st.tView && t <= st.tView + w1)
+        .sorted.headOption
+      val tp = tc.flatMap(c => st.buys.filter(t => t > c && t <= c + w2)
+        .sorted.headOption)
+      val reached = 1L + (if (tc.isDefined) 1L else 0L) + (if (tp.isDefined) 1L else 0L)
+      Iterator.single(FunnelRow(user, toTs(st.tView), reached,
+        toTs(tc.getOrElse(0L)), toTs(tp.getOrElse(0L))))
+    }
+
+  def fn(w1: Long, w2: Long)(
+      user: Long, it: Iterator[(Long, String, java.sql.Timestamp)],
+      state: GroupState[FunnelSt]): Iterator[FunnelRow] =
+    if (state.hasTimedOut) {
+      val st = state.get
+      state.remove()
+      finalize(user, st, w1, w2)
+    } else {
+      var st = state.getOption.getOrElse(FunnelSt(Long.MaxValue, Nil, Nil))
+      it.foreach { case (_, typ, ts) =>
+        val t = micros(ts)
+        typ match {
+          case "view" => if (t < st.tView) st = st.copy(tView = t)
+          case "click" => st = st.copy(clicks = t :: st.clicks)
+          case "purchase" => st = st.copy(buys = t :: st.buys)
+          case _ => ()
+        }
+      }
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      // candidate bounds that only tighten: with a view, nothing above
+      // tView + w1 (+ w2 for buys) can ever enter a window; without
+      // one, nothing below the watermark can follow a future view
+      val (cUb, floor) =
+        if (st.tView == Long.MaxValue) (Long.MaxValue, wmUs)
+        else (st.tView + w1, Long.MinValue)
+      st = st.copy(
+        clicks = st.clicks.filter(t => t <= cUb && t >= floor)
+          .sorted.take(StreamOps.FunnelBufferCap),
+        buys = st.buys.filter(t =>
+            (cUb == Long.MaxValue || t <= cUb + w2) && t >= floor)
+          .sorted.take(StreamOps.FunnelBufferCap))
+      if (st.tView == Long.MaxValue && st.clicks.isEmpty && st.buys.isEmpty) {
+        if (state.exists) state.remove()
+        Iterator.empty
+      } else {
+        state.update(st)
+        val doneAtMs =
+          if (st.tView == Long.MaxValue)
+            // nothing can finalize yet; park the timeout one full funnel
+            // horizon past the newest buffered candidate (event-time
+            // anchored — the first-batch watermark is still epoch 0, so
+            // anchoring on the watermark would park in the past and
+            // drop the buffer spuriously)
+            (st.clicks ++ st.buys).max / 1000L + (w1 + w2) / 1000L + 1L
+          else (st.tView + w1 + w2) / 1000L + 1L
+        state.setTimeoutTimestamp(
+          math.max(doneAtMs, state.getCurrentWatermarkMs() + 1L))
+        Iterator.empty
+      }
+    }
 }

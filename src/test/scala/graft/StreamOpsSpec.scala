@@ -272,6 +272,53 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: finalizes on watermark, handles late earlier views, equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val W1 = 6L * 3600 * 1000 // 6h click window
+    val W2 = 24L * 3600 * 1000 // 24h purchase window
+    val events = Seq(
+      // u1: full chain inside both windows
+      (1L, "view", ts(0)), (1L, "click", ts(600)), (1L, "purchase", ts(1200)),
+      // u2: only click is OUTSIDE the 6h window -> stalls at view
+      (2L, "view", ts(0)), (2L, "click", ts(7 * 3600)),
+      // u3: view only
+      (3L, "view", ts(0)),
+      // u4: click+purchase arrive BEFORE their view (out of order); the
+      // late earlier view must make the buffered candidates eligible
+      (4L, "click", ts(1800)), (4L, "purchase", ts(3600)))
+    val lateView = (4L, "view", ts(900))
+
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val df = in.toDF().toDF("user_id", "event_type", "ts")
+    // 8h delay: the late view (15 min) stays inside the watermark even
+    // after batch 1's 7h max event time
+    val out = StreamOps.funnel(df, W1, W2, "8 hours")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("funnel_st").start()
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      in.addData(lateView)
+      q.processAllAvailable()
+      assert(spark.table("funnel_st").count() == 0, "finalized before watermark")
+      // push the watermark past every t_view + 30h (+8h delay)
+      in.addData((99L, "view", ts(40 * 3600)))
+      q.processAllAvailable()
+      in.addData((99L, "click", ts(41 * 3600)))
+      q.processAllAvailable()
+      val got = spark.table("funnel_st")
+        .as[(Long, Timestamp, Long, Timestamp, Timestamp)].collect().toSet
+      val batch = StreamOps.funnel(
+          (events :+ lateView).toDF("user_id", "event_type", "ts"), W1, W2, "8 hours")
+        .as[(Long, Timestamp, Long, Timestamp, Timestamp)].collect()
+        .filter(_._1 != 99L).toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      val reached = got.map(r => r._1 -> r._3).toMap
+      assert(reached == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 3L))
+    } finally q.stop()
+  }
+
   test("interval join on batch frames equals the explicit range-predicate join") {
     import spark.implicits._
     val cdf = Seq((1L, 101L, ts(0)), (1L, 102L, ts(900)), (2L, 201L, ts(0)))
