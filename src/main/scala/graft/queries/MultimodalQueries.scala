@@ -46,6 +46,23 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // BINARY CONTENT DEDUP — the multimodal form of dedup_exact: media
+    // payloads fingerprinted by content hash, grouped, keeper = min id.
+    // The op every crawl pipeline runs on images (the same picture is
+    // re-hosted thousands of times); byte-identical payloads only —
+    // perceptual near-dup is the embedding path (dedup_embedding over
+    // visual embeddings). Runs over the dedup corpus so the planted
+    // exact arm (+10M ids) yields real multi-copy groups. The hash is
+    // computed on the payload bytes row-locally; only the 32-char fp
+    // and ids shuffle, never the payloads.
+    "mm_dedup" -> ((s, dir) => {
+      val m = Multimodal.mediaTable(DedupQueries.corpus(s, dir))
+      m.select(col("doc_id"), md5(lower(hex(col("payload")))).as("fp"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("fp")
+    }),
+
     // Metadata-level resize: dimension math without touching payloads.
     "mm_resize" -> ((s, dir) =>
       Multimodal.resizeMeta(media(s, dir), maxDim = 64)
@@ -63,6 +80,17 @@ object MultimodalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    // fp over the payload's lowercase hex — the oracle's payload IS
+    // that hex (mediaTable unhexes the same md5 concat), so both
+    // engines digest identical bytes
+    "mm_dedup" ->
+      s"""WITH ${graft.queries.DedupQueries.corpusCte}, hxt AS (
+         |  SELECT doc_id, $payloadHexSql AS hx FROM corpus
+         |)
+         |SELECT md5(hx) AS fp, MIN(doc_id) AS keeper,
+         |       CAST(COUNT(*) AS BIGINT) AS n_copies
+         |FROM hxt GROUP BY fp ORDER BY fp""".stripMargin,
 
     "mm_features" ->
       s"""WITH hx AS (
