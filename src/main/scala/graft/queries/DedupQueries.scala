@@ -153,6 +153,39 @@ object DedupQueries {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Shared CTE chain for the ExactSubstr oracles (corpus → token
+    * windows → df-kept → matched positions → per-diagonal island runs)
+    * — the SQL mirror of [[substringRuns]]; both oracles build on its
+    * `runs` CTE so detector and scrub can never disagree about what a
+    * duplicated span is.
+    */
+  private lazy val substringRunsSql: String =
+    s"""WITH $corpusCte, tokw AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+       |  FROM corpus
+       |), starts AS (
+       |  SELECT doc_id, toks,
+       |         unnest(generate_series(1, len(toks) - ${SubstrLen - 1})) AS pos
+       |  FROM tokw WHERE len(toks) >= $SubstrLen
+       |), win AS (
+       |  SELECT doc_id, pos,
+       |         array_to_string(toks[pos:pos + ${SubstrLen - 1}], ' ') AS w
+       |  FROM starts
+       |), keep AS (
+       |  SELECT w FROM (
+       |    SELECT w, COUNT(DISTINCT doc_id) AS df FROM win GROUP BY w
+       |  ) WHERE df BETWEEN 2 AND $SubstrMaxDf
+       |), m AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+       |  FROM win a JOIN win b ON a.w = b.w AND a.doc_id < b.doc_id
+       |  WHERE a.w IN (SELECT w FROM keep)
+       |), runs AS (
+       |  SELECT id_a, id_b, pos_b, pos_a - pos_b AS diag,
+       |         pos_a - ROW_NUMBER() OVER (
+       |           PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS island
+       |  FROM m
+       |)""".stripMargin
+
   /** Matched-window runs for the ExactSubstr queries: one row per
     * maximal chain of consecutive shared [[SubstrLen]]-token windows
     * between a doc pair (id_a < id_b), with the chain length (`run`,
@@ -687,65 +720,17 @@ object DedupQueries {
     // Window match on the string itself (the fingerprint is an engine-
     // internal join-key compression; both engines pair exactly the docs
     // sharing the literal L-token window, so the outputs agree).
-    "dedup_substring" ->
-      s"""WITH $corpusCte, tokw AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
-         |  FROM corpus
-         |), starts AS (
-         |  SELECT doc_id, toks,
-         |         unnest(generate_series(1, len(toks) - ${SubstrLen - 1})) AS pos
-         |  FROM tokw WHERE len(toks) >= $SubstrLen
-         |), win AS (
-         |  SELECT doc_id, pos,
-         |         array_to_string(toks[pos:pos + ${SubstrLen - 1}], ' ') AS w
-         |  FROM starts
-         |), keep AS (
-         |  SELECT w FROM (
-         |    SELECT w, COUNT(DISTINCT doc_id) AS df FROM win GROUP BY w
-         |  ) WHERE df BETWEEN 2 AND $SubstrMaxDf
-         |), m AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
-         |  FROM win a JOIN win b ON a.w = b.w AND a.doc_id < b.doc_id
-         |  WHERE a.w IN (SELECT w FROM keep)
-         |), runs AS (
-         |  SELECT id_a, id_b, pos_a - pos_b AS diag,
-         |         pos_a - ROW_NUMBER() OVER (
-         |           PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS island
-         |  FROM m
-         |), rl AS (
+    "dedup_substring" -> (substringRunsSql + s""",
+         |rl AS (
          |  SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS run
          |  FROM runs GROUP BY id_a, id_b, diag, island
          |)
          |SELECT id_a, id_b, CAST(SUM(run) AS BIGINT) AS n_shared,
          |       CAST($SubstrLen + MAX(run) - 1 AS BIGINT) AS longest_match
-         |FROM rl GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
+         |FROM rl GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin),
 
-    "dedup_substring_scrub" ->
-      s"""WITH $corpusCte, tokw AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
-         |  FROM corpus
-         |), starts AS (
-         |  SELECT doc_id, toks,
-         |         unnest(generate_series(1, len(toks) - ${SubstrLen - 1})) AS pos
-         |  FROM tokw WHERE len(toks) >= $SubstrLen
-         |), win AS (
-         |  SELECT doc_id, pos,
-         |         array_to_string(toks[pos:pos + ${SubstrLen - 1}], ' ') AS w
-         |  FROM starts
-         |), keep AS (
-         |  SELECT w FROM (
-         |    SELECT w, COUNT(DISTINCT doc_id) AS df FROM win GROUP BY w
-         |  ) WHERE df BETWEEN 2 AND $SubstrMaxDf
-         |), m AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
-         |  FROM win a JOIN win b ON a.w = b.w AND a.doc_id < b.doc_id
-         |  WHERE a.w IN (SELECT w FROM keep)
-         |), runs AS (
-         |  SELECT id_a, id_b, pos_b, pos_a - pos_b AS diag,
-         |         pos_a - ROW_NUMBER() OVER (
-         |           PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS island
-         |  FROM m
-         |), spans AS (
+    "dedup_substring_scrub" -> (substringRunsSql + s""",
+         |spans AS (
          |  SELECT id_b AS doc_id, CAST(MIN(pos_b) AS BIGINT) AS s,
          |         CAST(MIN(pos_b) + COUNT(*) + ${SubstrLen - 2} AS BIGINT) AS e
          |  FROM runs GROUP BY id_a, id_b, diag, island
@@ -788,7 +773,7 @@ object DedupQueries {
          |JOIN (SELECT DISTINCT doc_id, n_tokens FROM tokpos) nt USING (doc_id)
          |JOIN stats st USING (doc_id)
          |LEFT JOIN rebuilt r USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+         |ORDER BY doc_id""".stripMargin),
 
     // the symmetric pair pipeline over the same union corpus, restricted
     // to pairs crossing the stored/new boundary (old ids < 10M <= new)

@@ -656,10 +656,14 @@ object PipelineQueries {
           .select(col("doc_id").as("base_id"), col("source")), "base_id")
         .select(col("quality"), col("source"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      // coalesce + zero-guarded divisions: an aggregate over an EMPTY
+      // survivor set still ships one null-free all-zeros card (SUM of
+      // nothing is NULL; a 0-survivor run must not emit NULL/NaN)
       kd.agg(
           count(lit(1)).cast("long").as("kept_docs"),
-          sum("n_tokens").cast("long").as("kept_tokens"),
-          sum(floor(col("quality") * lit(1.0e9)).cast("long")).as("sum_q"),
+          coalesce(sum("n_tokens"), lit(0L)).cast("long").as("kept_tokens"),
+          coalesce(sum(floor(col("quality") * lit(1.0e9)).cast("long")), lit(0L))
+            .as("sum_q"),
           countDistinct("source").cast("long").as("n_sources"))
         .crossJoin(broadcast(corpusTot))
         .select(
@@ -667,10 +671,12 @@ object PipelineQueries {
           (col("kept_docs").cast("double") / col("corpus_docs").cast("double"))
             .as("retention"),
           col("kept_tokens"),
-          (col("kept_tokens").cast("double") / col("kept_docs").cast("double"))
-            .as("mean_doc_tokens"),
-          (col("sum_q").cast("double") / col("kept_docs").cast("double")
-            / lit(1.0e9)).as("mean_quality"),
+          when(col("kept_docs") === 0L, lit(0.0))
+            .otherwise(col("kept_tokens").cast("double")
+              / col("kept_docs").cast("double")).as("mean_doc_tokens"),
+          when(col("kept_docs") === 0L, lit(0.0))
+            .otherwise(col("sum_q").cast("double")
+              / col("kept_docs").cast("double") / lit(1.0e9)).as("mean_quality"),
           col("n_sources"))
     })
   )
@@ -1163,15 +1169,19 @@ object PipelineQueries {
          |), tot AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS corpus_docs FROM corpus
          |)
-         |SELECT corpus_docs,
+         |SELECT (SELECT corpus_docs FROM tot) AS corpus_docs,
          |  CAST(COUNT(*) AS BIGINT) AS kept_docs,
-         |  CAST(COUNT(*) AS DOUBLE) / CAST(corpus_docs AS DOUBLE) AS retention,
-         |  CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
-         |  CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_doc_tokens,
-         |  CAST(SUM(CAST(FLOOR(quality * 1e9) AS BIGINT)) AS DOUBLE)
-         |    / CAST(COUNT(*) AS DOUBLE) / 1e9 AS mean_quality,
+         |  CAST(COUNT(*) AS DOUBLE)
+         |    / CAST((SELECT corpus_docs FROM tot) AS DOUBLE) AS retention,
+         |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS kept_tokens,
+         |  CASE WHEN COUNT(*) = 0 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(COALESCE(SUM(n_tokens), 0) AS DOUBLE)
+         |              / CAST(COUNT(*) AS DOUBLE) END AS mean_doc_tokens,
+         |  CASE WHEN COUNT(*) = 0 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(COALESCE(SUM(CAST(FLOOR(quality * 1e9) AS BIGINT)), 0) AS DOUBLE)
+         |              / CAST(COUNT(*) AS DOUBLE) / 1e9 END AS mean_quality,
          |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
-         |FROM keptt CROSS JOIN tot GROUP BY corpus_docs""".stripMargin)
+         |FROM keptt""".stripMargin)
   )
 
   /** The pipe_curate chain up to a `curated` CTE (doc_id, lang_pred,

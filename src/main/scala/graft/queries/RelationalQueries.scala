@@ -17,6 +17,14 @@ import graft.sources.Tables
   */
 object RelationalQueries {
 
+  /** rel_funnel stage windows: first click within this many hours of
+    * the first view, first purchase within [[FunnelBuyWindowHours]] of
+    * that click. Shared with the SQL oracle; the streaming form takes
+    * the same values in millis.
+    */
+  final val FunnelClickWindowHours = 6
+  final val FunnelBuyWindowHours = 24
+
   private def dec(c: org.apache.spark.sql.Column, p: Int, s: Int) =
     c.cast(s"decimal($p,$s)")
 
@@ -259,39 +267,22 @@ object RelationalQueries {
 
     // FUNNEL: per-user view -> click -> purchase progression by min-ts
     // chaining (first view, first click strictly after it within
-    // FunnelClickWindow, first purchase strictly after that within
-    // FunnelBuyWindow — the windowed form every product funnel uses;
-    // unwindowed chaining saturates at this event density and would
-    // never exercise the partial-progression branch). The scale-correct
-    // shape: each
-    // stage AGGREGATES to one row per user BEFORE any join (a hot
-    // user's million events partial-min map-side; the joins only ever
-    // see 1-row-per-user frames), never a per-user event collection.
-    // Missing stages surface as epoch sentinels + the `reached` count,
-    // keeping the output null-free per the driver contract.
-    "rel_funnel" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      def stage(t: String) = ev.filter(col("event_type") === t)
-        .select("user_id", "ts")
-      val v = stage("view").groupBy("user_id").agg(min("ts").as("t_view"))
-      val c = stage("click").join(v, "user_id")
-        .filter(col("ts") > col("t_view")
-          && col("ts") <= col("t_view") + expr("INTERVAL 6 HOURS"))
-        .groupBy("user_id").agg(min("ts").as("t_click"))
-      val p = stage("purchase").join(c, "user_id")
-        .filter(col("ts") > col("t_click")
-          && col("ts") <= col("t_click") + expr("INTERVAL 24 HOURS"))
-        .groupBy("user_id").agg(min("ts").as("t_purchase"))
-      val epoch = lit("1970-01-01 00:00:00").cast("timestamp")
-      v.join(c, Seq("user_id"), "left_outer")
-        .join(p, Seq("user_id"), "left_outer")
-        .select(col("user_id"), col("t_view"),
-          (lit(1L) + when(col("t_click").isNull, 0L).otherwise(1L)
-            + when(col("t_purchase").isNull, 0L).otherwise(1L)).as("reached"),
-          coalesce(col("t_click"), epoch).as("t_click"),
-          coalesce(col("t_purchase"), epoch).as("t_purchase"))
-        .orderBy("user_id")
-    }),
+    // FunnelClickWindowHours, first purchase strictly after that within
+    // FunnelBuyWindowHours — the windowed form every product funnel
+    // uses; unwindowed chaining saturates at this event density and
+    // would never exercise the partial-progression branch). Delegates
+    // to [[graft.streaming.StreamOps.funnel]]'s batch branch — the SAME
+    // chain the streaming stateful form is spec-proven equal to — whose
+    // scale shape is: each stage aggregates to one row per user BEFORE
+    // any join (a hot user's million events partial-min map-side; the
+    // joins only ever see 1-row-per-user frames), never a per-user
+    // event collection. Missing stages surface as epoch sentinels + the
+    // `reached` count, keeping the output null-free.
+    "rel_funnel" -> ((s, dir) =>
+      graft.streaming.StreamOps.funnel(Tables.events(s, dir),
+          FunnelClickWindowHours * 3600L * 1000L,
+          FunnelBuyWindowHours * 3600L * 1000L, "1 hour")
+        .orderBy("user_id")),
 
     // RETENTION: the cohort matrix (signup-day cohort x active-day
     // offset -> distinct users), rel_funnel's product-analytics
@@ -603,20 +594,20 @@ object RelationalQueries {
         |LIMIT 10""".stripMargin,
 
     "rel_funnel" ->
-      """WITH v AS (
+      s"""WITH v AS (
         |  SELECT user_id, MIN(ts) AS t_view FROM events
         |  WHERE event_type = 'view' GROUP BY user_id
         |), c AS (
         |  SELECT e.user_id, MIN(e.ts) AS t_click
         |  FROM events e JOIN v ON v.user_id = e.user_id
         |  WHERE e.event_type = 'click' AND e.ts > v.t_view
-        |    AND e.ts <= v.t_view + INTERVAL 6 HOUR
+        |    AND e.ts <= v.t_view + INTERVAL $FunnelClickWindowHours HOUR
         |  GROUP BY e.user_id
         |), p AS (
         |  SELECT e.user_id, MIN(e.ts) AS t_purchase
         |  FROM events e JOIN c ON c.user_id = e.user_id
         |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
-        |    AND e.ts <= c.t_click + INTERVAL 24 HOUR
+        |    AND e.ts <= c.t_click + INTERVAL $FunnelBuyWindowHours HOUR
         |  GROUP BY e.user_id
         |)
         |SELECT v.user_id, v.t_view,

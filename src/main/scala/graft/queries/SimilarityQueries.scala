@@ -626,9 +626,17 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("n_vecs"))
           .withColumn("m", lit(m.toLong))
       }.reduce(_ unionByName _)
-      stats.crossJoin(broadcast(tot))
-        .select(col("m"), col("code"), col("n_vecs"),
-          (col("n_vecs").cast("double") / col("total").cast("double")).as("share"))
+      // left-join the counts onto the FULL PqM x PqK grid: a DEAD code
+      // (population 0) is precisely what the retrain trigger watches
+      // for — absent-row reporting would hide it
+      val grid = s.range(PqM).select(col("id").as("m"))
+        .crossJoin(s.range(PqK).select(col("id").as("code")))
+      grid.join(stats, Seq("m", "code"), "left_outer")
+        .crossJoin(broadcast(tot))
+        .select(col("m"), col("code"),
+          coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+          (coalesce(col("n_vecs"), lit(0L)).cast("double")
+            / col("total").cast("double")).as("share"))
         .orderBy("m", "code")
     }),
 
@@ -1202,12 +1210,18 @@ object SimilarityQueries {
         .mkString("\n  UNION ALL\n  ")
       s"""WITH $vecsCte, $pqCtes, stats AS (
          |  $arms
+         |), grid AS (
+         |  SELECT gm.m, gc.code
+         |  FROM (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) gm,
+         |       (SELECT unnest(generate_series(0, ${PqK - 1})) AS code) gc
          |), tot AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS total FROM vecs
          |)
-         |SELECT m, code, n_vecs,
-         |       CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE) AS share
-         |FROM stats, tot ORDER BY m, code""".stripMargin
+         |SELECT CAST(g.m AS BIGINT) AS m, CAST(g.code AS BIGINT) AS code,
+         |       CAST(COALESCE(s.n_vecs, 0) AS BIGINT) AS n_vecs,
+         |       CAST(COALESCE(s.n_vecs, 0) AS DOUBLE) / CAST(total AS DOUBLE) AS share
+         |FROM grid g LEFT JOIN stats s ON s.m = g.m AND s.code = g.code
+         |CROSS JOIN tot ORDER BY m, code""".stripMargin
     },
 
     "sim_ann_lsh_mp" ->

@@ -155,7 +155,11 @@ object StreamOps {
     * windows closed; a later-arriving view is necessarily younger than
     * the watermark, hence younger than t_view, and cannot change the
     * min), so the state finalizes on EventTimeTimeout at exactly that
-    * instant and emits ONE row per viewing user (Append mode). Until
+    * instant and emits ONE row per viewing user (Append mode) — ever:
+    * a finalized user leaves a tView tombstone behind, so a returning
+    * user's later activity (necessarily above the watermark, hence
+    * outside the emitted funnel's windows) is drained without
+    * re-arming a timeout or emitting a second row. Until
     * then the state buffers the min view plus candidate click/purchase
     * times, pruned by the bounds that only tighten as t_view decreases
     * (clicks above `t_view + clickWindow` can never re-enter the
@@ -219,7 +223,8 @@ object StreamOps {
 /** State + transition for [[StreamOps.funnel]]. Times are epoch micros;
   * `tView == Long.MaxValue` means no view yet.
   */
-final case class FunnelSt(tView: Long, clicks: List[Long], buys: List[Long])
+final case class FunnelSt(tView: Long, clicks: List[Long], buys: List[Long],
+                          done: Boolean = false)
 
 final case class FunnelRow(user_id: Long, t_view: java.sql.Timestamp,
                            reached: Long, t_click: java.sql.Timestamp,
@@ -254,10 +259,30 @@ private[streaming] object FunnelFn {
       state: GroupState[FunnelSt]): Iterator[FunnelRow] =
     if (state.hasTimedOut) {
       val st = state.get
-      state.remove()
-      finalize(user, st, w1, w2)
+      if (st.tView == Long.MaxValue) {
+        // never viewed: nothing emitted, buffer drops entirely — a
+        // future view starts a legitimately fresh funnel
+        state.remove()
+        Iterator.empty
+      } else {
+        // keep a tombstone (tView only, no timeout) so a returning
+        // user's later activity — necessarily above the watermark,
+        // hence above tView + both windows — can neither change the
+        // emitted funnel nor re-emit a second row. One row per viewing
+        // user, ever: the batch contract. The tombstone is the price
+        // of exactly-once emission (a few dozen bytes per viewing
+        // user, the same trade a streaming dedup's key state makes).
+        state.update(FunnelSt(st.tView, Nil, Nil, done = true))
+        finalize(user, st, w1, w2)
+      }
     } else {
       var st = state.getOption.getOrElse(FunnelSt(Long.MaxValue, Nil, Nil))
+      if (st.done) {
+        // finalized user: drain and ignore — no timeout is re-armed,
+        // so the tombstone never fires or re-emits
+        it.foreach(_ => ())
+        Iterator.empty
+      } else {
       it.foreach { case (_, typ, ts) =>
         val t = micros(ts)
         typ match {
@@ -297,6 +322,7 @@ private[streaming] object FunnelFn {
         state.setTimeoutTimestamp(
           math.max(doneAtMs, state.getCurrentWatermarkMs() + 1L))
         Iterator.empty
+      }
       }
     }
 }

@@ -316,6 +316,26 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(got == batch, s"stream $got != batch $batch")
       val reached = got.map(r => r._1 -> r._3).toMap
       assert(reached == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 3L))
+      // RETURNING user: u1 engages again long after finalization; the
+      // tombstone must swallow it — still exactly one u1 row (and the
+      // batch chain over the full data agrees: the new events sit
+      // outside u1's original windows)
+      val ret = Seq((1L, "view", ts(48 * 3600)), (1L, "click", ts(49 * 3600)),
+        (99L, "view", ts(80 * 3600)), (99L, "view", ts(81 * 3600)))
+      in.addData(ret: _*)
+      q.processAllAvailable()
+      in.addData((99L, "view", ts(82 * 3600)))
+      q.processAllAvailable()
+      val rows1 = spark.table("funnel_st")
+        .as[(Long, Timestamp, Long, Timestamp, Timestamp)].collect()
+        .filter(_._1 == 1L)
+      assert(rows1.length == 1, s"returning user re-emitted: ${rows1.toList}")
+      val batch2 = StreamOps.funnel(
+          ((events :+ lateView) ++ ret).toDF("user_id", "event_type", "ts"),
+          W1, W2, "8 hours")
+        .as[(Long, Timestamp, Long, Timestamp, Timestamp)].collect()
+        .filter(_._1 == 1L)
+      assert(rows1.toSet == batch2.toSet, "returning-user stream != batch")
     } finally q.stop()
   }
 
