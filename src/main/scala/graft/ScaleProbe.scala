@@ -56,8 +56,9 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
     docsN.write.mode("overwrite").parquet(s"$stage/documents.parquet")
 
-    // events.ts must round-trip as epoch-nanos LONG (Tables.events applies
-    // the TIMESTAMP(NANOS) shim on read).
+    // the staged copy writes ts as epoch-nanos LONG — Tables.events is
+    // schema-adaptive (LONG ⇒ nanos shim, timestamp ⇒ pass-through), so
+    // this also keeps the nanos leg of the reader exercised.
     val ev = Tables.events(spark, base)
     val evN = (0 until factor).map { c =>
       ev.withColumn("user_id", col("user_id") + lit(c.toLong * 10000000L))
@@ -143,6 +144,23 @@ object ScaleProbe {
       val tN = time(Bench.force(fn(spark, stage)))
       r1 = fn(spark, base).count(); rN = fn(spark, stage).count()
       println(f"[probe] $n%-22s $t1%6.2f  $tN%6.2f  ${tN / t1}%5.2f  ($r1%d -> $rN%d)")
+    }
+    // PAIR-MASS receipts for the superlinear tail (round-9 watch item):
+    // the ngram/substring wall-time curves are driven by the pair-join
+    // input mass (Σ n·(n−1)/2 over surviving posting keys — planted-
+    // duplicate density), not corpus size. Recording mass next to the
+    // timing NAMES the bound: if mass outgrows rows at a scale step,
+    // tighten MaxDocFreq / SubstrMaxDf; if mass tracks the timing
+    // ratio, the plan itself is linear in its real input.
+    Seq(
+      "dedup_ngram" -> ((d: String) => graft.queries.DedupQueries.ngramPairMass(spark, d)),
+      "dedup_substring" -> ((d: String) => graft.queries.DedupQueries.substringPairMass(spark, d))
+    ).foreach { case (n, f) =>
+      if (targets.contains(n)) {
+        val m1 = f(base)
+        val mN = f(stage)
+        println(f"[probe] $n%-22s pair-mass $m1%d -> $mN%d  (${mN.toDouble / m1.toDouble}%5.2f x)")
+      }
     }
     // The knn-graph scaling rule made measurable: at FIXED nBits the
     // bucket self-join is N^2/2^nBits (quadratic — the plain

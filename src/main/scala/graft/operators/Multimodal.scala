@@ -100,6 +100,71 @@ object Multimodal {
     }
   }
 
+  /** Patch count / band split of [[perceptualHash]]: 64 patch bits
+    * packed as 8 bands x 8 bits. 8 bands make Hamming-&le;7 banding
+    * recall EXACT by pigeonhole (a pair differing in at most 7 bits
+    * leaves at least one band untouched), so any verify threshold
+    * below 8 needs no multi-probe and the banded candidate set equals
+    * the all-pairs one.
+    */
+  final val PHashPatches = 64
+  final val PHashBands = 8
+
+  /** Media row reduced to what perceptual hashing needs. */
+  final case class MediaBytes(doc_id: Long, payload: Array[Byte])
+
+  /** doc_id + the 8 per-band 8-bit values of its 64-bit perceptual hash. */
+  final case class MediaPHash(doc_id: Long, bands: Seq[Long])
+
+  /** Average-hash perceptual fingerprint (the aHash member of the
+    * pHash family: patch intensities vs their global mean — Zauner,
+    * "Implementation and Benchmarking of Perceptual Image Hash
+    * Functions", 2010): the payload is decoded to a
+    * [[PHashPatches]]-patch intensity grid (here: the deterministic
+    * fake decoder's integer chunk sums — the production pHash swaps in
+    * a real decode + DCT at [[MediaDecoder.real]]'s seam), bit k = 1
+    * iff patches*s_k > Σs (all-integer, so the tie behaviour is exact
+    * on every engine), packed into [[PHashBands]] band values for
+    * Hamming banding. Row-local mapPartitions — payload bytes NEVER
+    * leave their partition; only the 8 small band ints shuffle (the
+    * mm_dedup discipline).
+    *
+    * Robustness model (what makes it PERCEPTUAL rather than exact): any
+    * byte change outside the decoded grid (container/metadata tails) is
+    * invisible; a localized content edit moves one patch sum and the
+    * global mean, flipping only bits near the mean threshold — small
+    * Hamming distance — while unrelated payloads land ~32 apart.
+    */
+  def perceptualHash(media: Dataset[MediaBytes]): Dataset[MediaPHash] = {
+    implicit val enc = Encoders.product[MediaPHash]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.payload
+        val chunk = math.max(1, p.length / PHashPatches)
+        val sums = Array.tabulate(PHashPatches) { k =>
+          val from = k * chunk
+          val until = math.min(p.length, from + chunk)
+          var s = 0L
+          var i = from
+          while (i < until) { s += p(i) & 0xff; i += 1 }
+          s
+        }
+        val total = sums.sum
+        val perBand = PHashPatches / PHashBands
+        val bands = Array.tabulate(PHashBands) { b =>
+          var v = 0L
+          var j = 0
+          while (j < perBand) {
+            if (PHashPatches.toLong * sums(b * perBand + j) > total) v |= (1L << j)
+            j += 1
+          }
+          v
+        }
+        MediaPHash(r.doc_id, bands.toSeq)
+      }
+    }
+  }
+
   /** Frame sampling for video rows: every `stride`-th 32-byte block of
     * the payload becomes a "frame" (mirrors keyframe extraction: metadata
     * row per frame, payload slice as the frame bytes).

@@ -199,6 +199,24 @@ object DedupQueries {
     * partition-bounded by the pair's doc lengths.
     */
   private[queries] def substringRuns(s: SparkSession, dir: String): DataFrame = {
+    val fx = substringPostings(s, dir)
+    val m = fx.select(col("doc_id").as("id_a"), col("pos").as("pos_a"), col("fp"))
+      .join(fx.select(col("doc_id").as("id_b"), col("pos").as("pos_b"), col("fp")), "fp")
+      .filter(col("id_a") < col("id_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("pos_a") - col("pos_b"))
+      .orderBy("pos_a")
+    m.withColumn("island", col("pos_a") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"),
+        (col("pos_a") - col("pos_b")).as("diag"), col("island"))
+      .agg(count(lit(1)).as("run"), min("pos_b").as("start_b"))
+  }
+
+  /** The df-pruned window-fingerprint posting list `(doc_id, pos, fp)`
+    * that feeds BOTH sides of [[substringRuns]]' pair join — extracted
+    * so [[substringPairMass]] measures exactly what the join consumes.
+    */
+  private[graft] def substringPostings(s: SparkSession, dir: String): DataFrame = {
     val L = SubstrLen
     val c = corpus(s, dir)
       .withColumn("toks", TextAnalysis.tokens(col("text")))
@@ -211,18 +229,45 @@ object DedupQueries {
       .localCheckpoint(true) // feeds the df filter and both join sides
     val keep = ex.groupBy("fp").agg(countDistinct("doc_id").as("df"))
       .filter(col("df") >= 2 && col("df") <= SubstrMaxDf).select("fp")
-    val fx = ex.join(keep, "fp").localCheckpoint(true)
-    val m = fx.select(col("doc_id").as("id_a"), col("pos").as("pos_a"), col("fp"))
-      .join(fx.select(col("doc_id").as("id_b"), col("pos").as("pos_b"), col("fp")), "fp")
-      .filter(col("id_a") < col("id_b"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id_a"), col("id_b"), col("pos_a") - col("pos_b"))
-      .orderBy("pos_a")
-    m.withColumn("island", col("pos_a") - row_number().over(w))
-      .groupBy(col("id_a"), col("id_b"),
-        (col("pos_a") - col("pos_b")).as("diag"), col("island"))
-      .agg(count(lit(1)).as("run"), min("pos_b").as("start_b"))
+    ex.join(keep, "fp").localCheckpoint(true)
   }
+
+  /** PAIR-MASS receipt for the superlinear-tail watch: the number of
+    * candidate pairs the pair join must consider, Σ over surviving keys
+    * of n·(n−1)/2 (n = posting rows per key after df pruning). The
+    * probe records it next to wall time so the scaling claim names its
+    * bound — the ngram/substring curves are driven by PAIR MASS
+    * (planted-duplicate density), not corpus size; if mass ever
+    * outgrows rows at a scale step, the df caps need tightening.
+    */
+  private[graft] def substringPairMass(s: SparkSession, dir: String): Long =
+    pairMassOf(substringPostings(s, dir), "fp")
+
+  /** The stop-shingle-pruned fingerprint posting list `(doc_id, sid)` —
+    * dedup_ngram's inverted index, exploded once and materialized
+    * (localCheckpoint so the blocks release with the plan, not at
+    * session end) because it feeds doc-freq pruning, per-doc sizes, and
+    * both sides of the shared-shingle join.
+    */
+  private[graft] def ngramPostings(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir).withColumn("sh", Dedup.shingleSet(col("text")))
+    val ex = c.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), graft.functions.Md5Long60Expr(col("shingle"), 0).as("sid"))
+      .localCheckpoint(true)
+    val keep = ex.groupBy("sid").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxDocFreq).select("sid")
+    ex.join(keep, "sid").localCheckpoint(true)
+  }
+
+  /** [[substringPairMass]]'s twin over [[ngramPostings]]. */
+  private[graft] def ngramPairMass(s: SparkSession, dir: String): Long =
+    pairMassOf(ngramPostings(s, dir), "sid")
+
+  private def pairMassOf(postings: DataFrame, key: String): Long =
+    postings.groupBy(key).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") * (col("n") - 1L) / lit(2L)), lit(0L))
+        .cast("long").as("mass"))
+      .head().getLong(0)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -282,17 +327,7 @@ object DedupQueries {
     // collision would alter both results the same way — cross-engine
     // parity is preserved by construction.
     "dedup_ngram" -> ((s, dir) => {
-      val c = corpus(s, dir).withColumn("sh", Dedup.shingleSet(col("text")))
-      // The exploded posting list feeds doc-freq pruning, per-doc sizes,
-      // and both sides of the shared-shingle join — materialize it once
-      // (the inverted index of this pipeline stage; localCheckpoint so
-      // the blocks release with the plan, not at session end).
-      val ex = c.select(col("doc_id"), explode(col("sh")).as("shingle"))
-        .select(col("doc_id"), graft.functions.Md5Long60Expr(col("shingle"), 0).as("sid"))
-        .localCheckpoint(true)
-      val keep = ex.groupBy("sid").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxDocFreq).select("sid")
-      val fx = ex.join(keep, "sid").localCheckpoint(true)
+      val fx = ngramPostings(s, dir)
       val sizes = fx.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val shared = fx.select(col("doc_id").as("id_a"), col("sid"))
         .join(fx.select(col("doc_id").as("id_b"), col("sid")), "sid")

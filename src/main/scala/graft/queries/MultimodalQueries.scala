@@ -18,8 +18,35 @@ object MultimodalQueries {
 
   final val NFeatures = 8
 
+  /** mm_near_dup verify threshold — well under the ~32 expected Hamming
+    * distance of unrelated 64-bit hashes, and under [[Multimodal
+    * .PHashBands]] so the banding is recall-exact (pigeonhole).
+    */
+  final val PHashHammingMax = 6
+
   private def media(s: SparkSession, dir: String): DataFrame =
     Multimodal.mediaTable(Tables.documents(s, dir))
+
+  /** mm_near_dup's corpus: the base media payloads plus the two planted
+    * re-encode arms (built in HEX land so the DuckDB oracle constructs
+    * byte-identical payloads from the same md5 chain).
+    */
+  private def nearDupMedia(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val hx = concat((0 until 16).map(j => md5(concat(col("text"), lit(s":$j")))): _*)
+    val base = docs.select(col("doc_id"), unhex(hx).as("payload"))
+    // container re-encode: appended block sits past the decoded grid
+    val armA = docs.filter(col("doc_id") % 7 === 5)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        unhex(concat(hx, md5(lit("reenc-tail")))).as("payload"))
+    // content edit: bytes 100..103 (hex chars 201..208) overwritten —
+    // exactly one patch of the 64-patch grid moves
+    val armB = docs.filter(col("doc_id") % 11 === 3)
+      .select((col("doc_id") + 30000000L).as("doc_id"),
+        unhex(concat(substring(hx, 1, 200), lit("deadbeef"),
+          substring(hx, 209, 1000000))).as("payload"))
+    base.unionByName(armA).unionByName(armB)
+  }
 
   /** Payload hex (512 chars) as built by mediaTable — oracle-side mirror. */
   private val payloadHexSql: String =
@@ -63,6 +90,45 @@ object MultimodalQueries {
         .orderBy("fp")
     }),
 
+    // PERCEPTUAL media near-dup — the operator real crawls need most on
+    // media columns: the dominant duplicate mode is not byte-identical
+    // re-posts (mm_dedup's case) but RE-ENCODED re-hosts — same
+    // content, different bytes. Two planted arms model it: a container
+    // re-encode (+20M ids — one appended md5 block: payload bytes
+    // differ, decoded grid untouched, Hamming 0, invisible to
+    // mm_dedup) and a localized content edit (+30M ids — 4 bytes
+    // overwritten mid-payload: one patch moves, Hamming small). The
+    // pipeline is the dedup_simhash shape on the perceptual hash:
+    // row-local fingerprint (payloads never shuffle — only 8 band ints
+    // leave the scan), (band, key) equi-join candidates, Hamming
+    // verify. 8 bands over 64 bits make banding recall-exact for the
+    // <=PHashHammingMax verify by pigeonhole, so the banded plan is
+    // bit-identical to the oracle's all-pairs reference; a deployment
+    // at corpus scale re-adds candidatePairs' hot-bucket cap (the
+    // standard recall<->cost knob) once an oracle no longer gates it.
+    "mm_near_dup" -> ((s, dir) => {
+      import s.implicits._
+      val ph = Multimodal.perceptualHash(
+          nearDupMedia(s, dir).as[Multimodal.MediaBytes])
+        .toDF().localCheckpoint(true) // feeds banding + both verify sides
+      val banded = ph.withColumn("keys",
+        array((0 until Multimodal.PHashBands).map(b =>
+          element_at(col("bands"), b + 1)): _*))
+      val pairs = graft.operators.Dedup.candidatePairs(
+        banded, "doc_id", "keys", Int.MaxValue)
+      val ham = (0 until Multimodal.PHashBands).map(b =>
+        bit_count(element_at(col("bands_a"), b + 1)
+          .bitwiseXOR(element_at(col("bands_b"), b + 1))).cast("long"))
+        .reduce(_ + _)
+      pairs
+        .join(ph.select(col("doc_id").as("id_a"), col("bands").as("bands_a")), "id_a")
+        .join(ph.select(col("doc_id").as("id_b"), col("bands").as("bands_b")), "id_b")
+        .withColumn("hamming", ham)
+        .filter(col("hamming") <= PHashHammingMax)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    }),
+
     // Metadata-level resize: dimension math without touching payloads.
     "mm_resize" -> ((s, dir) =>
       Multimodal.resizeMeta(media(s, dir), maxDim = 64)
@@ -91,6 +157,46 @@ object MultimodalQueries {
          |SELECT md5(hx) AS fp, MIN(doc_id) AS keeper,
          |       CAST(COUNT(*) AS BIGINT) AS n_copies
          |FROM hxt GROUP BY fp ORDER BY fp""".stripMargin,
+
+    // perceptual-hash reference: same hex-built corpus + arms, same
+    // all-integer aHash (patches*s_k > total), but candidates via a
+    // plain all-pairs join — equal to the Spark side's banded plan
+    // BECAUSE 8 bands over 64 bits are recall-exact at Hamming <= 6
+    "mm_near_dup" ->
+      s"""WITH mnd AS (
+         |  SELECT doc_id, $payloadHexSql AS hx FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 20000000, concat($payloadHexSql, md5('reenc-tail'))
+         |  FROM documents WHERE doc_id % 7 = 5
+         |  UNION ALL
+         |  SELECT doc_id + 30000000,
+         |    concat(substr($payloadHexSql, 1, 200), 'deadbeef', substr($payloadHexSql, 209))
+         |  FROM documents WHERE doc_id % 11 = 3
+         |), ph AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(0, 7), b ->
+         |      list_aggregate(list_transform(generate_series(0, 7), j ->
+         |        CASE WHEN 64 * sums[8 * b + j + 1] > total THEN (1 << j) ELSE 0 END),
+         |        'sum')) AS bands
+         |  FROM (
+         |    SELECT doc_id, sums, list_aggregate(sums, 'sum') AS total
+         |    FROM (
+         |      SELECT doc_id,
+         |        list_transform(generate_series(0, 63), k ->
+         |          list_aggregate(list_transform(generate_series(0, ch - 1), i ->
+         |            CAST(concat('0x', substr(hx, (k * ch + i) * 2 + 1, 2)) AS BIGINT)),
+         |            'sum')) AS sums
+         |      FROM (SELECT doc_id, hx, GREATEST(1, (length(hx) // 2) // 64) AS ch FROM mnd) z
+         |    ) y
+         |  ) x
+         |)
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(list_aggregate(list_transform(generate_series(1, 8), j ->
+         |      bit_count(xor(a.bands[j], b.bands[j]))), 'sum') AS BIGINT) AS hamming
+         |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         |) p WHERE hamming <= $PHashHammingMax
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "mm_features" ->
       s"""WITH hx AS (

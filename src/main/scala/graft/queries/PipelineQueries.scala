@@ -572,9 +572,11 @@ object PipelineQueries {
     // cross-snapshot near-dups (batch-sized work, DedupQueries.
     // crossDupPairs); stage 2 quality+language gates the survivors
     // (row-local codegen kernels); stage 3 decontaminates against the
-    // eval excerpts (informative-fingerprint ANY-hit gate: the eval fp
-    // set is boilerplate-pruned by the corpus df profile and broadcast
-    // — at scale it is a fixed eval suite, KBs against TBs). Stage
+    // eval excerpts (containment gate: a doc is killed when it carries
+    // >= ContainThreshold of some eval doc's informative fingerprints —
+    // the eval fp set is boilerplate-pruned by the corpus df profile
+    // and broadcast; at scale it is a fixed eval suite, KBs against
+    // TBs). Stage
     // order matters operationally: the shingle probe in stage 3 only
     // touches docs that survived the cheaper gates. Each stage is an
     // already-oracle-proven operator; this query pins the composition.
@@ -1060,9 +1062,10 @@ object PipelineQueries {
     // stage composition: s1 = batch minus cross-snapshot near-dups
     // (the `pairs` machinery dedup_incremental hash-gates, over the
     // widened batch corpus), quality/lang block verbatim from
-    // pipe_curate, decontam = ANY informative eval-fingerprint hit
-    // (boiler df over the existing documents, eval arms verbatim from
-    // pipe_decontam_containment)
+    // pipe_curate, decontam = containment gate (a doc dies when
+    // >= ContainThreshold of some eval doc's informative fingerprints
+    // appear in it; boiler df over the existing documents, eval arms
+    // verbatim from pipe_decontam_containment)
     "pipe_curate_incremental" ->
       s"""WITH $curateCorpusCte, ${DedupQueries.shinglesCte}, ${DedupQueries.minhashPairsCtes},
          |s1 AS (

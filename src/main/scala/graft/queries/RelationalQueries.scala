@@ -284,6 +284,40 @@ object RelationalQueries {
           FunnelBuyWindowHours * 3600L * 1000L, "1 hour")
         .orderBy("user_id")),
 
+    // STREAMING-FUNNEL replay as a driver query — the ft_stream_replay
+    // treatment for FunnelFn: the event corpus is staged into three
+    // deterministic micro-batches with a planted OUT-OF-ORDER arm
+    // (views from [Jan 7, Jan 11) with event_id % 5 == 2 are HELD BACK
+    // into batch 1, so they arrive after their users' later clicks from
+    // batch 0 — the late-earlier-view re-evaluation path) and folded
+    // through the literal stateful transition the stream runs
+    // (StreamOps.funnelReplay via TestGroupState), under a fixed
+    // watermark schedule whose steps keep the held-back arm live and
+    // whose last step passes every funnel horizon so all states
+    // finalize via their EventTimeTimeout. By the funnel's finalization
+    // proof the replay converges to the batch chain, so the rel_funnel
+    // oracle hash-gates the STREAMING semantics — state buffering,
+    // late-arrival re-evaluation, timeout finalization — not just the
+    // relational branch.
+    "rel_funnel_replay" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val t = (d: String) => lit(s"2024-01-$d 00:00:00").cast("timestamp")
+      val held = col("ts") >= t("07") && col("ts") < t("11") &&
+        col("event_id") % 5 === 2
+      val batch = when(held, 1)
+        .when(col("ts") < t("11"), 0)
+        .when(col("ts") < t("21"), 1)
+        .otherwise(2)
+      // epoch ms, UTC: wm after batch 0 sits below the held-back arm's
+      // event times (it survives the late filter); the final step is
+      // past max(ts) + click + buy windows (every funnel finalizes)
+      val wmSchedule = Seq(1704585600000L, 1705449600000L, 1707523200000L)
+      graft.streaming.StreamOps.funnelReplay(ev,
+          FunnelClickWindowHours * 3600L * 1000L,
+          FunnelBuyWindowHours * 3600L * 1000L, batch, wmSchedule)
+        .orderBy("user_id")
+    }),
+
     // RETENTION: the cohort matrix (signup-day cohort x active-day
     // offset -> distinct users), rel_funnel's product-analytics
     // companion. user->cohort collapses per user BEFORE the activity
@@ -594,6 +628,33 @@ object RelationalQueries {
         |LIMIT 10""".stripMargin,
 
     "rel_funnel" ->
+      s"""WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |    AND e.ts <= v.t_view + INTERVAL $FunnelClickWindowHours HOUR
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |    AND e.ts <= c.t_click + INTERVAL $FunnelBuyWindowHours HOUR
+        |  GROUP BY e.user_id
+        |)
+        |SELECT v.user_id, v.t_view,
+        |  CAST(1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT) AS reached,
+        |  COALESCE(c.t_click, TIMESTAMP '1970-01-01') AS t_click,
+        |  COALESCE(p.t_purchase, TIMESTAMP '1970-01-01') AS t_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    // replay convergence: the staged micro-batch fold finalizes every
+    // funnel, so the oracle is the batch chain unchanged
+    "rel_funnel_replay" ->
       s"""WITH v AS (
         |  SELECT user_id, MIN(ts) AS t_view FROM events
         |  WHERE event_type = 'view' GROUP BY user_id

@@ -503,11 +503,16 @@ object SimilarityQueries {
     // the registered plan's pair work is bounded by KnnSampleCap^2
     // regardless of N — a fixed-width graph over an unbounded corpus is
     // quadratic, and the registered surface must not carry one. The
-    // scale-safe full-corpus form is sim_knn_graph_scaled below.
+    // scale-safe full-corpus form is sim_knn_graph_scaled below. The
+    // stride is SURFACED as an output column so a consumer can see
+    // when the graph covers a modulo sample rather than the full
+    // corpus (stride 1 = full corpus, bit-identical to the uncapped
+    // build) instead of silently receiving a partial graph.
     "sim_knn_graph" -> ((s, dir) => {
       val all = vecs(s, dir)
       val stride = knnSampleStride(all.count())
       knnGraphFrom(all.filter(col("vec_id") % stride === 0), LshBits)
+        .withColumn("stride", lit(stride))
     }),
 
     // The SCALE-SAFE k-NN graph: signature width derived from the corpus
@@ -628,9 +633,12 @@ object SimilarityQueries {
       }.reduce(_ unionByName _)
       // left-join the counts onto the FULL PqM x PqK grid: a DEAD code
       // (population 0) is precisely what the retrain trigger watches
-      // for — absent-row reporting would hide it
+      // for — absent-row reporting would hide it. The code domain is
+      // 1..PqK (codes are kmeansCentroids cent_ids, which number from
+      // 1), so the grid must span 1..PqK — a 0-based grid would report
+      // a phantom dead code 0 and drop code PqK's population.
       val grid = s.range(PqM).select(col("id").as("m"))
-        .crossJoin(s.range(PqK).select(col("id").as("code")))
+        .crossJoin(s.range(1, PqK + 1).select(col("id").as("code")))
       grid.join(stats, Seq("m", "code"), "left_outer")
         .crossJoin(broadcast(tot))
         .select(col("m"), col("code"),
@@ -791,6 +799,52 @@ object SimilarityQueries {
       val q = vecs(s, dir).filter(col("vec_id") < 5)
       graft.sources.AnnIndex.probePq(s, idxDir, q, K, PqM, PqSub)
         .orderBy("q_id", "rnk")
+    }),
+
+    // The INCREMENTALLY-MAINTAINED PQ index — the last rebuild-only
+    // index family made maintainable: train the codebooks ONCE on the
+    // corpus snapshot (trainPq — the frozen quantizer artifact), then
+    // bulk-load 2/3 of the corpus and append the remaining third as a
+    // later batch through the SAME upsertPq path (encode-only against
+    // the stored codebooks, dynamic overwrite of touched
+    // part = pmod(vec_id, parts) directories). Because every code
+    // derives from the stored codebooks, the maintained codes table is
+    // row-identical to a one-shot savePq build — so the sim_ann_pq
+    // oracle hash-gates the whole train -> load -> append -> probe
+    // cycle, the daily-crawl-append shape for the compressed index.
+    // pq_code_stats is the retrain trigger when drift makes the frozen
+    // codebooks stale.
+    "sim_ann_pq_upsert" -> ((s, dir) => {
+      val idxDir = graft.sources.TempDirs.scratch("graft_pqups_")
+      val all = vecs(s, dir)
+      graft.sources.AnnIndex.trainPq(all, PqM, PqSub, PqK, IvfSample,
+        PqIters, PqSalt, idxDir)
+      graft.sources.AnnIndex.upsertPq(s, idxDir, all.filter(col("vec_id") % 3 =!= 0))
+      graft.sources.AnnIndex.upsertPq(s, idxDir, all.filter(col("vec_id") % 3 === 0))
+      val q = all.filter(col("vec_id") < 5)
+      graft.sources.AnnIndex.probePq(s, idxDir, q, K, PqM, PqSub)
+        .orderBy("q_id", "rnk")
+    }),
+
+    // The maintained TWO-LEVEL index: both quantizers trained once
+    // (trainIvfPq), the codes table bulk-loaded and appended through
+    // upsertIvfPq — frozen centroids route each batch to its cell
+    // directories (a content-derived key, so the rewrite covers both
+    // sides of any vec_id move and drops emptied cells), frozen
+    // codebooks encode it. Converges to the one-shot saveIvfPq build,
+    // so the sim_ann_ivfpq oracle hash-gates
+    // train -> load -> append -> route -> prune -> ADC -> rerank.
+    "sim_ann_ivfpq_upsert" -> ((s, dir) => {
+      val idxDir = graft.sources.TempDirs.scratch("graft_ivfpqups_")
+      val all = vecs(s, dir)
+      graft.sources.AnnIndex.trainIvfPq(all, IvfK, IvfSample, IvfIters, Dim,
+        IvfSalt, PqM, PqSub, PqK, PqSalt, idxDir)
+      graft.sources.AnnIndex.upsertIvfPq(s, idxDir, all.filter(col("vec_id") % 3 =!= 0))
+      graft.sources.AnnIndex.upsertIvfPq(s, idxDir, all.filter(col("vec_id") % 3 === 0))
+      val q = all.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      graft.sources.AnnIndex.probeIvfPq(s, idxDir, q, all, K, IvfProbe,
+        PqM, PqSub, PqShortK).orderBy("q_id", "rnk")
     }),
 
     // Symmetric int8 embedding quantization with reconstruction-quality
@@ -1199,6 +1253,18 @@ object SimilarityQueries {
       s"""WITH $vecsCte, $pqCtes, $pqResCtes
          |SELECT q_id, rnk, c_id, adc FROM pq_res ORDER BY q_id, rnk""".stripMargin,
 
+    // maintained-index convergence: the upsert path encodes against the
+    // SAME stored codebooks a one-shot build trains, so the oracle is
+    // the flat-PQ ADC result unchanged
+    "sim_ann_pq_upsert" ->
+      s"""WITH $vecsCte, $pqCtes, $pqResCtes
+         |SELECT q_id, rnk, c_id, adc FROM pq_res ORDER BY q_id, rnk""".stripMargin,
+
+    "sim_ann_ivfpq_upsert" ->
+      s"""WITH $vecsCte, $ivfBaseCtes, $pqCtes, $ivfpqScoredCtes,
+         |${rerankCtes("ivfpq_scored", "ivfpq")}
+         |SELECT q_id, rnk, c_id, cosine FROM ivfpq_res ORDER BY q_id, rnk""".stripMargin,
+
     "sim_ann_ivfpq_idx" ->
       s"""WITH $vecsCte, $ivfBaseCtes, $pqCtes, $ivfpqScoredCtes,
          |${rerankCtes("ivfpq_scored", "ivfpq")}
@@ -1213,7 +1279,7 @@ object SimilarityQueries {
          |), grid AS (
          |  SELECT gm.m, gc.code
          |  FROM (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) gm,
-         |       (SELECT unnest(generate_series(0, ${PqK - 1})) AS code) gc
+         |       (SELECT unnest(generate_series(1, $PqK)) AS code) gc
          |), tot AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS total FROM vecs
          |)
@@ -1275,7 +1341,8 @@ object SimilarityQueries {
          |  FROM knn_probes q JOIN kbucketed c USING (bucket)
          |  WHERE q.q_id != c.vec_id
          |)
-         |SELECT q_id, rnk, c_id, cosine FROM (
+         |SELECT q_id, rnk, c_id, cosine,
+         |       (SELECT s FROM knn_s) AS stride FROM (
          |  SELECT q_id, c_id, cosine,
          |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
          |  FROM knn_scored

@@ -290,33 +290,71 @@ object AnnIndex {
     * embeddings are only ever read again by a shortlist rerank).
     * Encoding minimizes L2 in the expanded fixed-order form
     * (dot(v,v) - 2*dot(v,c) + dot(c,c)), the ADC-consistent criterion;
-    * ties break by cent_id. Rebuild-in-place like [[saveIvf]]; codebook
-    * retraining on corpus drift is a rebuild by design (the
-    * [[upsertIvf]] frozen-quantizer argument applies verbatim — an
-    * incremental codes upsert would follow [[upsertLsh]] unchanged with
-    * `pmod(vec_id, parts)` as the partition key).
+    * ties break by cent_id. The codes table is PARTITIONED by
+    * `part = pmod(vec_id, parts)` so [[upsertPq]] can rewrite only the
+    * directories a batch touches; codebook RETRAINING on corpus drift
+    * (watch `pq_code_stats`) is a rebuild by design — the [[upsertIvf]]
+    * frozen-quantizer argument applies verbatim.
     */
   def savePq(vecs: DataFrame, m: Int, sub: Int, k: Int, sampleSize: Int,
-             iters: Int, salt: Int, dir: String): Unit =
-    encodePq(vecs, m, sub, k, sampleSize, iters, salt, dir)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
+             iters: Int, salt: Int, dir: String,
+             parts: Int = DefaultParts): Unit = {
+    val cbs = trainPqCodebooks(vecs, m, sub, k, sampleSize, iters, salt, dir, parts)
+    encodeWithCodebooks(vecs, m, sub, cbs)
+      .withColumn("part", pmod(col("vec_id"), lit(parts.toLong)))
+      .repartition(col("part")) // one file per dir, any cluster width
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("part")
+      .parquet(s"$dir/codes")
+  }
 
-  /** Train + write the `m` codebooks under `dir/codebook/`, return the
-    * wide codes frame `(vec_id, code0..code{m-1})` for the caller to
-    * persist in its own layout.
+  /** Train and persist the frozen PQ quantizer ONLY — codebooks + meta,
+    * no codes. The deployment split a 100 TB corpus actually needs:
+    * train the quantizer once on a representative corpus snapshot, then
+    * bulk-load and daily-append the codes through [[upsertPq]] with the
+    * codebooks frozen. Convergence: because every code is derived from
+    * the STORED codebooks, any insertion order of the same vector set
+    * yields a codes table row-identical to a one-shot [[savePq]] whose
+    * training corpus matched.
     */
-  private def encodePq(vecs: DataFrame, m: Int, sub: Int, k: Int,
-                       sampleSize: Int, iters: Int, salt: Int,
-                       dir: String): DataFrame = {
-    val codeFrames = (0 until m).map { mm =>
+  def trainPq(vecs: DataFrame, m: Int, sub: Int, k: Int, sampleSize: Int,
+              iters: Int, salt: Int, dir: String,
+              parts: Int = DefaultParts): Unit = {
+    trainPqCodebooks(vecs, m, sub, k, sampleSize, iters, salt, dir, parts)
+    ()
+  }
+
+  /** Train + write the `m` codebooks under `dir/codebook/` and the meta
+    * row; return the in-memory codebooks so one-shot builds skip the
+    * read-back.
+    */
+  private def trainPqCodebooks(vecs: DataFrame, m: Int, sub: Int, k: Int,
+                               sampleSize: Int, iters: Int, salt: Int,
+                               dir: String, parts: Int): Seq[DataFrame] = {
+    val cbs = (0 until m).map { mm =>
       val subV = vecs.select(col("vec_id"),
         slice(col("v"), mm * sub + 1, sub).as("v"))
       val cents = Similarity.kmeansCentroids(subV, k, sampleSize, iters, sub, salt)
       cents.coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(s"$dir/codebook/m=$mm")
+      cents
+    }
+    import vecs.sparkSession.implicits._
+    Seq((m, sub, k, parts)).toDF("m", "sub", "k", "parts")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    cbs
+  }
+
+  /** Encode `(vec_id, v)` against explicit k-row codebook frames — the
+    * single encoding definition every PQ path (bulk build, upsert,
+    * IVF+PQ) shares, so codes can never fork by path.
+    */
+  private def encodeWithCodebooks(vecs: DataFrame, m: Int, sub: Int,
+                                  cbs: Seq[DataFrame]): DataFrame = {
+    val codeFrames = (0 until m).map { mm =>
       val w = Window.partitionBy("vec_id").orderBy(col("l2"), col("cent_id"))
-      subV.select(col("vec_id"), col("v").as("sv"))
-        .crossJoin(broadcast(cents))
+      vecs.select(col("vec_id"), slice(col("v"), mm * sub + 1, sub).as("sv"))
+        .crossJoin(broadcast(cbs(mm)))
         .withColumn("l2",
           Dedup.dot(col("sv"), col("sv")) - lit(2.0) * Dedup.dot(col("sv"), col("cv"))
             + Dedup.dot(col("cv"), col("cv")))
@@ -324,6 +362,61 @@ object AnnIndex {
         .select(col("vec_id"), col("cent_id").as(s"code$mm"))
     }
     codeFrames.reduce((a, b) => a.join(b, "vec_id"))
+  }
+
+  /** The stored per-subspace codebooks. */
+  private def storedCodebooks(spark: SparkSession, dir: String, m: Int): Seq[DataFrame] =
+    (0 until m).map(mm => spark.read.parquet(s"$dir/codebook/m=$mm"))
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Incremental PQ maintenance — encode-only append with the quantizer
+    * frozen: the batch is encoded against the STORED codebooks (read
+    * from `dir/codebook/`, so a batch can never fork the code space)
+    * and only the `part = pmod(vec_id, parts)` directories it touches
+    * are rewritten, existing rows surviving via anti-join + union (a
+    * re-inserted vec_id takes the new codes). `part` is a pure function
+    * of vec_id — the [[upsertMinhash]] property — so re-inserts land in
+    * their old directory by construction: no cross-directory moves, no
+    * emptied-directory cleanup. Works as the BULK LOAD too (first call
+    * after [[trainPq]] — no codes table yet). Cost is batch-bounded;
+    * codebook retraining (when `pq_code_stats` shows dead/dominant
+    * codes) is a rebuild via [[savePq]], deliberately not an upsert.
+    */
+  def upsertPq(spark: SparkSession, dir: String, vecs: DataFrame): Unit = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val m = meta.getAs[Int]("m")
+    val sub = meta.getAs[Int]("sub")
+    val parts = meta.getAs[Int]("parts")
+    // check the RAW batch: the encoder's per-vec_id rank window would
+    // silently collapse a duplicate key (keeping an arbitrary vector's
+    // codes) before a post-encode check could see it
+    requireUniqueKeys(vecs.select("vec_id"), "vec_id")
+    val staged = encodeWithCodebooks(vecs, m, sub, storedCodebooks(spark, dir, m))
+      .withColumn("part", pmod(col("vec_id"), lit(parts.toLong)))
+      .localCheckpoint(true) // materialize before overwriting the source
+    if (staged.isEmpty) return
+    val codesPath = s"$dir/codes"
+    val merged =
+      if (!pathExists(spark, codesPath)) staged
+      else {
+        val partIds = staged.select("part").distinct()
+          .collect().map(_.getLong(0)) // bounded by parts, driver-safe
+        spark.read.parquet(codesPath)
+          .filter(col("part").isin(partIds.map(Long.box): _*))
+          .join(staged.select("vec_id"), Seq("vec_id"), "left_anti")
+          .select(staged.columns.dropRight(1).map(col) :+ col("part").cast("long").as("part"): _*)
+          .localCheckpoint(true)
+          .unionByName(staged)
+      }
+    merged.repartition(col("part"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part")
+      .parquet(codesPath)
   }
 
   /** Pure-ADC top-`k` from the stored codes: per-subspace lookup tables
@@ -370,20 +463,108 @@ object AnnIndex {
   def saveIvfPq(vecs: DataFrame, ivfK: Int, sampleSize: Int, iters: Int,
                 dim: Int, ivfSalt: Int, m: Int, sub: Int, pqK: Int,
                 pqSalt: Int, dir: String): Unit = {
+    val cents = trainIvfPqQuantizers(vecs, ivfK, sampleSize, iters, dim,
+      ivfSalt, m, sub, pqK, pqSalt, dir)
+    encodeIvfPq(vecs, m, sub, cents._1, cents._2)
+      .repartition(col("cell")) // one file per cell dir, any cluster width
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(s"$dir/codes")
+  }
+
+  /** Train and persist BOTH frozen quantizers only (coarse centroids +
+    * PQ codebooks + meta, no codes) — the [[trainPq]] split for the
+    * two-level index: bulk-load and daily-append through
+    * [[upsertIvfPq]] afterwards.
+    */
+  def trainIvfPq(vecs: DataFrame, ivfK: Int, sampleSize: Int, iters: Int,
+                 dim: Int, ivfSalt: Int, m: Int, sub: Int, pqK: Int,
+                 pqSalt: Int, dir: String): Unit = {
+    trainIvfPqQuantizers(vecs, ivfK, sampleSize, iters, dim, ivfSalt,
+      m, sub, pqK, pqSalt, dir)
+    ()
+  }
+
+  private def trainIvfPqQuantizers(vecs: DataFrame, ivfK: Int, sampleSize: Int,
+                                   iters: Int, dim: Int, ivfSalt: Int, m: Int,
+                                   sub: Int, pqK: Int, pqSalt: Int,
+                                   dir: String): (DataFrame, Seq[DataFrame]) = {
     val cents = Similarity.kmeansCentroids(vecs, ivfK, sampleSize, iters, dim, ivfSalt)
     cents.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    val cbs = trainPqCodebooks(vecs, m, sub, pqK, sampleSize, iters, pqSalt, dir,
+      DefaultParts)
+    (cents, cbs)
+  }
+
+  /** Cell-assign + PQ-encode against explicit quantizers — the single
+    * definition [[saveIvfPq]] and [[upsertIvfPq]] share.
+    */
+  private def encodeIvfPq(vecs: DataFrame, m: Int, sub: Int,
+                          cents: DataFrame, cbs: Seq[DataFrame]): DataFrame = {
     val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
     val cells = vecs.crossJoin(broadcast(cents))
       .withColumn("ccos", Dedup.cosine(col("v"), col("cv")))
       .withColumn("crn", row_number().over(wAssign))
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("cent_id").as("cell"))
-    encodePq(vecs, m, sub, pqK, sampleSize, iters, pqSalt, dir)
-      .join(cells, "vec_id")
-      .repartition(col("cell")) // one file per cell dir, any cluster width
+    encodeWithCodebooks(vecs, m, sub, cbs).join(cells, "vec_id")
+  }
+
+  /** Incremental IVF+PQ maintenance — the composition of [[upsertIvf]]
+    * (frozen coarse centroids route the batch; the cell is a
+    * CONTENT-derived key, so touched directories are both where new
+    * rows land and where re-inserted vec_ids currently live, and an
+    * emptied cell directory is dropped) and [[upsertPq]] (frozen stored
+    * codebooks encode the batch). Works as the bulk load after
+    * [[trainIvfPq]]. Retraining either quantizer is a rebuild via
+    * [[saveIvfPq]] — `ivf_cell_stats` / `pq_code_stats` are the
+    * triggers.
+    */
+  def upsertIvfPq(spark: SparkSession, dir: String, vecs: DataFrame): Unit = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val m = meta.getAs[Int]("m")
+    val sub = meta.getAs[Int]("sub")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    // raw-batch check: both the cell-assignment and per-subspace encode
+    // windows would silently collapse a duplicate key otherwise
+    requireUniqueKeys(vecs.select("vec_id"), "vec_id")
+    val staged = encodeIvfPq(vecs, m, sub, cents, storedCodebooks(spark, dir, m))
+      .localCheckpoint(true) // materialize before overwriting the source
+    if (staged.isEmpty) return
+    val codesPath = s"$dir/codes"
+    if (!pathExists(spark, codesPath)) {
+      staged.repartition(col("cell"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(codesPath)
+      return
+    }
+    val newCells = staged.select("cell").distinct()
+      .collect().map(_.getLong(0)) // bounded by ivfK, driver-safe
+    val oldCells = spark.read.parquet(codesPath)
+      .join(staged.select("vec_id"), Seq("vec_id"))
+      .select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val cellIds = (newCells ++ oldCells).distinct
+    val dataCols = staged.columns.filterNot(_ == "cell")
+    val kept = spark.read.parquet(codesPath)
+      .filter(col("cell").isin(cellIds.map(Long.box): _*))
+      .join(staged.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(dataCols.map(col) :+ col("cell").cast("long").as("cell"): _*)
+      .localCheckpoint(true)
+    val merged = kept.unionByName(staged).localCheckpoint(true)
+    merged.repartition(col("cell"))
       .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell")
-      .parquet(s"$dir/codes")
+      .parquet(codesPath)
+    val written = merged.select("cell").distinct().collect().map(_.getLong(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cellIds.filterNot(written).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$codesPath/cell=$c"), true)
+    }
   }
 
   /** Two-stage probe of the stored IVF+PQ index: route each query to

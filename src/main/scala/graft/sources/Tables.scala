@@ -11,22 +11,34 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to TimestampType (micros). Under `spark.sql.legacy.parquet.nanosAsLong`
-    * (set once at session build — [[GraftSession]]) it arrives as an
-    * epoch-nanos long; we rebuild a proper TimestampType column with
-    * integer `DIV` (never double division: epoch-nanos ~1.7e18 exceeds a
-    * double's 2^53 integer range, so `/ 1000` would corrupt low digits).
+  /** `events.ts` normalized to TimestampType regardless of how the
+    * driver generated the file — the physical parquet type has changed
+    * across testdata generations, so the reader adapts to the SCANNED
+    * schema instead of assuming one encoding:
+    *
+    *   - TIMESTAMP(NANOS): Spark 4 refuses to map it to TimestampType
+    *     (micros); under `spark.sql.legacy.parquet.nanosAsLong` (set once
+    *     at session build — [[GraftSession]]) it arrives as an epoch-nanos
+    *     LONG and we rebuild the timestamp with integer `DIV` (never
+    *     double division: epoch-nanos ~1.7e18 exceeds a double's 2^53
+    *     integer range, so `/ 1000` would corrupt low digits).
+    *   - plain timestamp[us] without timezone: arrives as TIMESTAMP_NTZ;
+    *     cast to TimestampType — value-preserving under the UTC session
+    *     timezone ([[GraftSession]]), and exactly what the DuckDB oracle
+    *     sees as a naive timestamp.
+    *   - timestamp[us] adjusted to UTC: already TimestampType, pass through.
+    *
     * The reader is pure: it never mutates session conf.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet carries TIMESTAMP(NANOS): build the session via " +
-        "graft.sources.GraftSession (or set spark.sql.legacy.parquet.nanosAsLong=true " +
-        "BEFORE any events scan captures its schema)")
-    table(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = table(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")

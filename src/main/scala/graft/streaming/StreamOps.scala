@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Event-time windowed aggregation with watermarked late-event handling.
@@ -159,7 +159,11 @@ object StreamOps {
     * a finalized user leaves a tView tombstone behind, so a returning
     * user's later activity (necessarily above the watermark, hence
     * outside the emitted funnel's windows) is drained without
-    * re-arming a timeout or emitting a second row. Until
+    * emitting a second row. By default the tombstone is retained
+    * forever (strict one-row-per-user-ever, state grows with distinct
+    * viewing users); passing `tombstoneTtlMs > 0` arms an eviction
+    * timeout on the tombstone instead, bounding state at the cost that
+    * a user returning after the TTL starts a fresh funnel. Until
     * then the state buffers the min view plus candidate click/purchase
     * times, pruned by the bounds that only tighten as t_view decreases
     * (clicks above `t_view + clickWindow` can never re-enter the
@@ -180,7 +184,7 @@ object StreamOps {
     * stages as epoch sentinels — the null-free driver shape.
     */
   def funnel(events: DataFrame, clickWindowMs: Long, buyWindowMs: Long,
-             watermark: String): DataFrame = {
+             watermark: String, tombstoneTtlMs: Long = 0L): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     if (!events.isStreaming) {
@@ -214,9 +218,51 @@ object StreamOps {
         .as[(Long, String, java.sql.Timestamp)]
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Append,
-          GroupStateTimeout.EventTimeTimeout)(FunnelFn.fn(w1, w2))
+          GroupStateTimeout.EventTimeTimeout)(
+          FunnelFn.fn(w1, w2, tombstoneTtlMs * 1000L))
         .toDF()
     }
+  }
+
+  /** Deterministic micro-batch REPLAY of the funnel's stateful
+    * transition — the driver-gateable form of the streaming branch (the
+    * [[graft.streaming.ForgetStream]] `ft_stream_replay` treatment
+    * applied to [[FunnelFn]]): every event is assigned to a staged
+    * micro-batch by `batchCol` (0-based, dense), the batches are folded
+    * through the LITERAL `FunnelFn.fn` transition via Spark's public
+    * [[org.apache.spark.sql.streaming.TestGroupState]] harness, and the
+    * watermark follows the FIXED `wmScheduleMs` (entry i = the
+    * watermark in force AFTER batch i: below-watermark arrivals in
+    * batch i+1 are dropped pre-fn exactly like the streaming runtime,
+    * and armed EventTimeTimeouts fire once the schedule passes them —
+    * so stage an out-of-order arrival by scheduling its batch's
+    * watermark below its event time). The last entry should sit past
+    * every funnel horizon so all states finalize and emit.
+    *
+    * Replacing the runtime's data-derived watermark with a fixed
+    * schedule is what makes the fold bit-deterministic (the same reason
+    * `ft_stream_replay` doubles its clock); the funnel's finalization
+    * proof — state immutable once the watermark passes
+    * `t_view + both windows` — holds for ANY monotone schedule, so the
+    * replay converges to the batch `rel_funnel` result by construction.
+    * Scale shape: one shuffle on user_id, then the per-user fold is
+    * row-local and batch-bounded; output is 1 row per viewing user.
+    */
+  def funnelReplay(events: DataFrame, clickWindowMs: Long, buyWindowMs: Long,
+                   batchCol: Column, wmScheduleMs: Seq[Long]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w1 = clickWindowMs * 1000L // micros
+    val w2 = buyWindowMs * 1000L
+    events
+      .select(col("user_id").cast("long"), col("event_type"), col("ts"),
+        batchCol.cast("int").as("batch"))
+      .as[(Long, String, java.sql.Timestamp, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (user: Long, it: Iterator[(Long, String, java.sql.Timestamp, Int)]) =>
+        FunnelFn.replayUser(user, it.toSeq, w1, w2, wmScheduleMs)
+      }
+      .toDF()
   }
 }
 
@@ -232,6 +278,56 @@ final case class FunnelRow(user_id: Long, t_view: java.sql.Timestamp,
 
 private[streaming] object FunnelFn {
   import org.apache.spark.sql.streaming.GroupState
+
+  /** One user's deterministic micro-batch fold for
+    * [[StreamOps.funnelReplay]]: drive the literal [[fn]] through
+    * [[org.apache.spark.sql.streaming.TestGroupState]] (the public
+    * state harness the streaming runtime semantics are specified
+    * against), batch by batch, mimicking the runtime's order of
+    * operations — late-drop below the in-force watermark, data
+    * invocation, watermark advance to the schedule, timeout invocation
+    * once the armed timestamp falls below the new watermark. Timeout
+    * timestamps behave like the runtime's: cleared on every data
+    * invocation unless the function re-arms (fn always re-arms live
+    * states; tombstones deliberately don't).
+    */
+  def replayUser(user: Long, evs: Seq[(Long, String, java.sql.Timestamp, Int)],
+                 w1: Long, w2: Long, wmScheduleMs: Seq[Long]): Iterator[FunnelRow] = {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val out = scala.collection.mutable.ArrayBuffer.empty[FunnelRow]
+    var stateOpt: Option[FunnelSt] = None
+    var timeout: Option[Long] = None
+    var wm = 0L
+    def invoke(events: Iterator[(Long, String, java.sql.Timestamp)],
+               timedOut: Boolean): Unit = {
+      val tgs = TestGroupState.create[FunnelSt](
+        stateOpt.map(Optional.of[FunnelSt]).getOrElse(Optional.empty[FunnelSt]()),
+        GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(wm), timedOut)
+      out ++= fn(w1, w2)(user, events, tgs)
+      if (tgs.isRemoved) { stateOpt = None; timeout = None }
+      else {
+        if (tgs.isUpdated) stateOpt = Some(tgs.get)
+        timeout =
+          if (tgs.getTimeoutTimestampMs.isPresent)
+            Some(tgs.getTimeoutTimestampMs.get.asInstanceOf[Long])
+          else None
+      }
+    }
+    val byBatch = evs.groupBy(_._4)
+    wmScheduleMs.zipWithIndex.foreach { case (wmAfter, b) =>
+      val live = byBatch.getOrElse(b, Nil)
+        .filter(e => e._3.getTime >= wm) // the runtime's pre-fn late drop
+        .map(e => (e._1, e._2, e._3))
+      if (live.nonEmpty) invoke(live.iterator, timedOut = false)
+      wm = math.max(wm, wmAfter)
+      // "timeout occurs when the watermark advances beyond the set
+      // timestamp" — fn's re-arm guard keeps new timestamps above the
+      // current watermark, so one firing pass per advance suffices
+      if (timeout.exists(_ < wm)) invoke(Iterator.empty, timedOut = true)
+    }
+    out.iterator
+  }
 
   private def micros(ts: java.sql.Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
@@ -254,25 +350,39 @@ private[streaming] object FunnelFn {
         toTs(tc.getOrElse(0L)), toTs(tp.getOrElse(0L))))
     }
 
-  def fn(w1: Long, w2: Long)(
+  def fn(w1: Long, w2: Long, tombTtlUs: Long = 0L)(
       user: Long, it: Iterator[(Long, String, java.sql.Timestamp)],
       state: GroupState[FunnelSt]): Iterator[FunnelRow] =
     if (state.hasTimedOut) {
       val st = state.get
-      if (st.tView == Long.MaxValue) {
+      if (st.done) {
+        // tombstone TTL fired: evict. From here a returning user's
+        // events start a FRESH funnel — the bounded re-emission window
+        // the TTL knob trades for bounded state.
+        state.remove()
+        Iterator.empty
+      } else if (st.tView == Long.MaxValue) {
         // never viewed: nothing emitted, buffer drops entirely — a
         // future view starts a legitimately fresh funnel
         state.remove()
         Iterator.empty
       } else {
-        // keep a tombstone (tView only, no timeout) so a returning
-        // user's later activity — necessarily above the watermark,
-        // hence above tView + both windows — can neither change the
-        // emitted funnel nor re-emit a second row. One row per viewing
-        // user, ever: the batch contract. The tombstone is the price
-        // of exactly-once emission (a few dozen bytes per viewing
-        // user, the same trade a streaming dedup's key state makes).
+        // keep a tombstone (tView only) so a returning user's later
+        // activity — necessarily above the watermark, hence above
+        // tView + both windows — can neither change the emitted funnel
+        // nor re-emit a second row. One row per viewing user, ever:
+        // the batch contract. The tombstone is the price of
+        // exactly-once emission (a few dozen bytes per viewing user,
+        // the same trade a streaming dedup's key state makes). With
+        // tombTtlUs > 0 the tombstone self-evicts TTL past the current
+        // watermark — state stays bounded for long-running deployments
+        // at the cost that a user who returns after the TTL re-emits a
+        // fresh funnel row; with the default 0 it is retained forever
+        // (the strict one-row-ever contract).
         state.update(FunnelSt(st.tView, Nil, Nil, done = true))
+        if (tombTtlUs > 0L)
+          state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs() + tombTtlUs / 1000L + 1L)
         finalize(user, st, w1, w2)
       }
     } else {

@@ -248,6 +248,102 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(rows.groupBy(_._1).values.forall(_.map(_._2).sorted.sameElements(1L to K)))
   }
 
+  test("PQ upsert: train + bulk-load + append converges to the one-shot build") {
+    val all = synthVecs(500)
+    val upsDir = Files.createTempDirectory("graft_pqidx_ups_").toString
+    val fullDir = Files.createTempDirectory("graft_pqidx_full_").toString
+    AnnIndex.savePq(all, m = 4, sub = 16, k = 8, sampleSize = 128, iters = 2,
+      salt = 11, dir = fullDir)
+    // same training corpus, codes arriving in two batches via upsert
+    AnnIndex.trainPq(all, m = 4, sub = 16, k = 8, sampleSize = 128, iters = 2,
+      salt = 11, dir = upsDir)
+    AnnIndex.upsertPq(spark, upsDir, all.filter(col("vec_id") % 3 =!= 0))
+    AnnIndex.upsertPq(spark, upsDir, all.filter(col("vec_id") % 3 === 0))
+    def codes(dir: String) = spark.read.parquet(s"$dir/codes")
+      .select("vec_id", "code0", "code1", "code2", "code3")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(codes(upsDir) == codes(fullDir))
+    assert(codes(upsDir).size == 500)
+    // and the probe served from the maintained index matches too
+    val got = AnnIndex.probePq(spark, upsDir, all.filter(col("vec_id") < 3), K,
+        m = 4, sub = 16)
+      .select("q_id", "rnk", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = AnnIndex.probePq(spark, fullDir, all.filter(col("vec_id") < 3), K,
+        m = 4, sub = 16)
+      .select("q_id", "rnk", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("PQ upsert: re-inserted vec_id takes the new codes; dup batch rejected") {
+    val all = synthVecs(200)
+    val dir = Files.createTempDirectory("graft_pqidx_ups2_").toString
+    AnnIndex.savePq(all, m = 4, sub = 16, k = 8, sampleSize = 128, iters = 2,
+      salt = 11, dir = dir)
+    // replace vec 7 with vec 150's data: its codes must become 150's
+    val replacement = all.filter(col("vec_id") === 150)
+      .select(lit(7L).as("vec_id"), col("v"))
+    AnnIndex.upsertPq(spark, dir, replacement)
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() == 200)
+    def codeRow(id: Long) = codes.filter(col("vec_id") === id)
+      .select("code0", "code1", "code2", "code3")
+      .collect().map(_.toSeq).head
+    assert(codeRow(7L) == codeRow(150L))
+    assertThrows[IllegalArgumentException] {
+      AnnIndex.upsertPq(spark, dir, replacement.unionByName(replacement))
+    }
+  }
+
+  test("IVF+PQ upsert: converges to the one-shot build; probe partition-prunes") {
+    val all = synthVecs(500)
+    val upsDir = Files.createTempDirectory("graft_ivfpq_ups_").toString
+    val fullDir = Files.createTempDirectory("graft_ivfpq_full_").toString
+    AnnIndex.saveIvfPq(all, ivfK = 8, sampleSize = 128, iters = 2, dim = Dim,
+      ivfSalt = 7, m = 4, sub = 16, pqK = 8, pqSalt = 11, dir = fullDir)
+    AnnIndex.trainIvfPq(all, ivfK = 8, sampleSize = 128, iters = 2, dim = Dim,
+      ivfSalt = 7, m = 4, sub = 16, pqK = 8, pqSalt = 11, dir = upsDir)
+    AnnIndex.upsertIvfPq(spark, upsDir, all.filter(col("vec_id") % 3 =!= 0))
+    AnnIndex.upsertIvfPq(spark, upsDir, all.filter(col("vec_id") % 3 === 0))
+    def codes(dir: String) = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), col("cell").cast("long"),
+        col("code0"), col("code1"), col("code2"), col("code3"))
+      .collect().map(_.toSeq).toSet
+    assert(codes(upsDir) == codes(fullDir))
+    assert(codes(upsDir).size == 500)
+    val res = AnnIndex.probeIvfPq(spark, upsDir, queriesOf(all), all, K,
+      nProbe = 2, m = 4, sub = 16, shortK = 50)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan.take(4000))
+    val want = AnnIndex.probeIvfPq(spark, fullDir, queriesOf(all), all, K,
+        nProbe = 2, m = 4, sub = 16, shortK = 50)
+      .select("q_id", "rnk", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = res.select("q_id", "rnk", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("IVF+PQ upsert: a moved vec_id's old cell directory rewrites (no stale row)") {
+    val all = synthVecs(300)
+    val dir = Files.createTempDirectory("graft_ivfpq_ups2_").toString
+    AnnIndex.saveIvfPq(all, ivfK = 8, sampleSize = 128, iters = 2, dim = Dim,
+      ivfSalt = 7, m = 4, sub = 16, pqK = 8, pqSalt = 11, dir = dir)
+    // negating vec 5 flips its cosine to every centroid => near-certain
+    // cell move; either way the invariant is one row for vec 5 with the
+    // re-encoded codes
+    val moved = all.filter(col("vec_id") === 5)
+      .select(col("vec_id"), transform(col("v"), x => -x).as("v"))
+    AnnIndex.upsertIvfPq(spark, dir, moved)
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() == 300)
+    assert(codes.filter(col("vec_id") === 5).count() == 1)
+  }
+
   test("MinHash: stored signatures reproduce the session candidate pairs") {
     import spark.implicits._
     val docs = (0L until 60L).map { i =>

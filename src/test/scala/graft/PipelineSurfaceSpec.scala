@@ -273,5 +273,27 @@ class PipelineSurfaceSpec extends AnyFunSuite {
       assert(ranks.size <= graft.queries.SimilarityQueries.KnnK)
       assert(ranks == (1L to ranks.size).toList, s"ranks not contiguous for q=$q")
     }
+    // the sampling cap is SURFACED: a stride column present on every row,
+    // 1 at test scale (full corpus — the graph is not a silent sample)
+    assert(g.columns.contains("stride"), "stride column missing")
+    assert(rows.forall(_.getAs[Long]("stride") == 1L), "expected stride 1 at test scale")
+  }
+
+  test("pq_code_stats: grid spans exactly the codes relation's value domain") {
+    val sq = graft.queries.SimilarityQueries
+    val stats = sq.queries("pq_code_stats")(spark, dir).collect()
+    assert(stats.length == sq.PqM * sq.PqK)
+    val emitted = stats.map(r => r.getAs[Long]("code")).toSet
+    // every code id the report emits must be a value the encoder can
+    // actually produce (cent_ids number 1..PqK) — a 0-based grid would
+    // report a phantom dead code 0 and silently drop code PqK
+    assert(emitted == (1L to sq.PqK.toLong).toSet,
+      s"grid domain $emitted != encoder domain 1..${sq.PqK}")
+    // populations per subspace must account for every encoded vector:
+    // shares sum to 1 within each m
+    stats.groupBy(_.getAs[Long]("m")).foreach { case (m, rs) =>
+      val share = rs.map(_.getAs[Double]("share")).sum
+      assert(math.abs(share - 1.0) < 1e-9, s"shares for m=$m sum to $share, not 1")
+    }
   }
 }
