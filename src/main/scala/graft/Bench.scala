@@ -54,24 +54,31 @@ object Bench {
     // total looked regressed (r4 118 s, r6 94 s, r7 95 s, r8 106 s) was
     // actually a loaded machine, adjudicated by an idle judge rerun.
     // Carry the evidence in-band: the host load average around the run,
-    // plus a second timing of EVERY query — a large first-vs-repeat
-    // delta on the same JVM/session marks external contention (or cache
-    // warmup), not a plan regression, and charging each query its
-    // min-of-2 makes `total_min2` the contention-immune reading (a
-    // transient load spike is vanishingly unlikely to cover the same
-    // query in both passes).
-    // A repeat that THROWS is excluded (second = first): charging its
+    // plus repeated FULL PASSES over the suite — the first pass
+    // completes before any repeat starts, so the two timings of one
+    // query sit minutes apart and a transient load spike is vanishingly
+    // unlikely to cover both (back-to-back per-query repeats would
+    // share the spike). Charging each query its min across passes makes
+    // `total_min2` the contention-immune reading. SPARK_GRAFT_BENCH_PASSES
+    // (default 2 — the driver's setting) adds further full passes for
+    // noisier hosts; the min only tightens.
+    // A repeat that THROWS is excluded (repeat = first): charging its
     // time-to-failure as a fast rerun would fake a contention adjustment.
-    val repeats = results.toSeq.filterNot { case (n, _) => failed.contains(n) }
-      .map { case (name, t1) =>
-        val t0 = System.nanoTime()
-        val ok = try { force(SparkEntry.queries(name)(spark, sfDir)); true } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] repeat FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
-            false
+    val passes = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
+    val live = results.toSeq.filterNot { case (n, _) => failed.contains(n) }
+    val repeats = (2 to passes).foldLeft(live.map { case (n, t) => n -> (t, t) }) {
+      (acc, _) =>
+        acc.map { case (name, (t1, best)) =>
+          val t0 = System.nanoTime()
+          val ok = try { force(SparkEntry.queries(name)(spark, sfDir)); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] repeat FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+              false
+          }
+          val t = if (ok) (System.nanoTime() - t0) / 1e9 else best
+          name -> (t1, math.min(best, t))
         }
-        name -> (t1, if (ok) (System.nanoTime() - t0) / 1e9 else t1)
-      }
+    }
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

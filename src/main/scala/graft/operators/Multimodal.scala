@@ -100,48 +100,70 @@ object Multimodal {
     }
   }
 
-  /** Patch count / band split of [[perceptualHash]]: 64 patch bits
-    * packed as 8 bands x 8 bits. 8 bands make Hamming-&le;7 banding
-    * recall EXACT by pigeonhole (a pair differing in at most 7 bits
-    * leaves at least one band untouched), so any verify threshold
-    * below 8 needs no multi-probe and the banded candidate set equals
-    * the all-pairs one.
+  /** Band split of [[perceptualHash]]: patch bits pack as 8 bands of
+    * nPatch/8 bits. 8 bands make Hamming-&le;7 banding recall EXACT by
+    * pigeonhole (a pair differing in at most 7 bits leaves at least one
+    * band untouched), so any verify threshold below 8 needs no
+    * multi-probe and the banded candidate set equals the all-pairs one
+    * AT EVERY width — widening the hash only shrinks bucket
+    * populations, never recall.
     */
-  final val PHashPatches = 64
   final val PHashBands = 8
+
+  /** [[phashPatches]]' per-band-bucket population target. */
+  final val PHashBucketTarget = 64
+
+  /** The width&harr;scale rule (the `knnScaledBits` treatment for the
+    * perceptual-hash space): smallest patch count whose per-band bucket
+    * space holds the corpus at ~[[PHashBucketTarget]] rows per bucket —
+    * band width is nPatch/8 bits, so buckets per band = 2^(nPatch/8).
+    * At a FIXED width the (band, key) candidate join is
+    * N²/2^(nPatch/8): quadratic — the 10x probe read 55x before this
+    * rule. Capped at 256 because this container's fake decode grid is
+    * the 256-byte payload (1 byte/patch floor); a real decoder at
+    * production payload sizes extends the ladder (the patch grid is
+    * whatever the decode seam emits).
+    */
+  def phashPatches(n: Long): Int =
+    Seq(64, 128, 256)
+      .find(p => (PHashBucketTarget.toLong << (p / 8)) >= n)
+      .getOrElse(256)
 
   /** Media row reduced to what perceptual hashing needs. */
   final case class MediaBytes(doc_id: Long, payload: Array[Byte])
 
-  /** doc_id + the 8 per-band 8-bit values of its 64-bit perceptual hash. */
+  /** doc_id + the 8 per-band values of its nPatch-bit perceptual hash. */
   final case class MediaPHash(doc_id: Long, bands: Seq[Long])
 
   /** Average-hash perceptual fingerprint (the aHash member of the
     * pHash family: patch intensities vs their global mean — Zauner,
     * "Implementation and Benchmarking of Perceptual Image Hash
-    * Functions", 2010): the payload is decoded to a
-    * [[PHashPatches]]-patch intensity grid (here: the deterministic
-    * fake decoder's integer chunk sums — the production pHash swaps in
-    * a real decode + DCT at [[MediaDecoder.real]]'s seam), bit k = 1
-    * iff patches*s_k > Σs (all-integer, so the tie behaviour is exact
-    * on every engine), packed into [[PHashBands]] band values for
-    * Hamming banding. Row-local mapPartitions — payload bytes NEVER
-    * leave their partition; only the 8 small band ints shuffle (the
-    * mm_dedup discipline).
+    * Functions", 2010): the payload is decoded to an `nPatch`-patch
+    * intensity grid (here: the deterministic fake decoder's integer
+    * chunk sums — the production pHash swaps in a real decode + DCT at
+    * [[MediaDecoder.real]]'s seam), bit k = 1 iff nPatch*s_k > Σs
+    * (all-integer, so the tie behaviour is exact on every engine),
+    * packed into [[PHashBands]] band values for Hamming banding.
+    * Row-local mapPartitions — payload bytes NEVER leave their
+    * partition; only the 8 band ints shuffle (the mm_dedup discipline).
+    * `nPatch` must be a multiple of [[PHashBands]]; derive it from the
+    * corpus size via [[phashPatches]] so bucket populations hold as the
+    * corpus grows.
     *
     * Robustness model (what makes it PERCEPTUAL rather than exact): any
     * byte change outside the decoded grid (container/metadata tails) is
     * invisible; a localized content edit moves one patch sum and the
     * global mean, flipping only bits near the mean threshold — small
-    * Hamming distance — while unrelated payloads land ~32 apart.
+    * Hamming distance — while unrelated payloads land ~nPatch/2 apart.
     */
-  def perceptualHash(media: Dataset[MediaBytes]): Dataset[MediaPHash] = {
+  def perceptualHash(media: Dataset[MediaBytes], nPatch: Int): Dataset[MediaPHash] = {
+    require(nPatch % PHashBands == 0, s"nPatch $nPatch not a multiple of $PHashBands")
     implicit val enc = Encoders.product[MediaPHash]
     media.mapPartitions { rows =>
       rows.map { r =>
         val p = r.payload
-        val chunk = math.max(1, p.length / PHashPatches)
-        val sums = Array.tabulate(PHashPatches) { k =>
+        val chunk = math.max(1, p.length / nPatch)
+        val sums = Array.tabulate(nPatch) { k =>
           val from = k * chunk
           val until = math.min(p.length, from + chunk)
           var s = 0L
@@ -150,12 +172,12 @@ object Multimodal {
           s
         }
         val total = sums.sum
-        val perBand = PHashPatches / PHashBands
+        val perBand = nPatch / PHashBands
         val bands = Array.tabulate(PHashBands) { b =>
           var v = 0L
           var j = 0
           while (j < perBand) {
-            if (PHashPatches.toLong * sums(b * perBand + j) > total) v |= (1L << j)
+            if (nPatch.toLong * sums(b * perBand + j) > total) v |= (1L << j)
             j += 1
           }
           v

@@ -101,15 +101,21 @@ object MultimodalQueries {
     // pipeline is the dedup_simhash shape on the perceptual hash:
     // row-local fingerprint (payloads never shuffle — only 8 band ints
     // leave the scan), (band, key) equi-join candidates, Hamming
-    // verify. 8 bands over 64 bits make banding recall-exact for the
-    // <=PHashHammingMax verify by pigeonhole, so the banded plan is
-    // bit-identical to the oracle's all-pairs reference; a deployment
-    // at corpus scale re-adds candidatePairs' hot-bucket cap (the
-    // standard recall<->cost knob) once an oracle no longer gates it.
+    // verify. The hash WIDTH derives from a corpus count
+    // (Multimodal.phashPatches — the knnScaledBits rule): per-band
+    // bucket population holds ~constant as the corpus grows, keeping
+    // the candidate join linear (the fixed 64-bit form read 55x at the
+    // 10x probe; the derived width is the registered form). 8 bands
+    // at ANY width are recall-exact for the <=PHashHammingMax verify by
+    // pigeonhole, so the banded plan stays bit-identical to the
+    // oracle's all-pairs reference, and the width is SURFACED as an
+    // n_patches column (the sim_knn_graph stride discipline).
     "mm_near_dup" -> ((s, dir) => {
       import s.implicits._
+      val media = nearDupMedia(s, dir)
+      val nPatch = Multimodal.phashPatches(media.count())
       val ph = Multimodal.perceptualHash(
-          nearDupMedia(s, dir).as[Multimodal.MediaBytes])
+          media.as[Multimodal.MediaBytes], nPatch)
         .toDF().localCheckpoint(true) // feeds banding + both verify sides
       val banded = ph.withColumn("keys",
         array((0 until Multimodal.PHashBands).map(b =>
@@ -125,7 +131,8 @@ object MultimodalQueries {
         .join(ph.select(col("doc_id").as("id_b"), col("bands").as("bands_b")), "id_b")
         .withColumn("hamming", ham)
         .filter(col("hamming") <= PHashHammingMax)
-        .select("id_a", "id_b", "hamming")
+        .select(col("id_a"), col("id_b"), col("hamming"),
+          lit(nPatch.toLong).as("n_patches"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -159,9 +166,11 @@ object MultimodalQueries {
          |FROM hxt GROUP BY fp ORDER BY fp""".stripMargin,
 
     // perceptual-hash reference: same hex-built corpus + arms, same
-    // all-integer aHash (patches*s_k > total), but candidates via a
-    // plain all-pairs join — equal to the Spark side's banded plan
-    // BECAUSE 8 bands over 64 bits are recall-exact at Hamming <= 6
+    // all-integer aHash (patches*s_k > total) at the same
+    // corpus-derived width (nd_p mirrors Multimodal.phashPatches —
+    // the knn_s pattern), but candidates via a plain all-pairs join —
+    // equal to the Spark side's banded plan BECAUSE 8 bands at any
+    // width are recall-exact at Hamming <= PHashHammingMax
     "mm_near_dup" ->
       s"""WITH mnd AS (
          |  SELECT doc_id, $payloadHexSql AS hx FROM documents
@@ -172,25 +181,35 @@ object MultimodalQueries {
          |  SELECT doc_id + 30000000,
          |    concat(substr($payloadHexSql, 1, 200), 'deadbeef', substr($payloadHexSql, 209))
          |  FROM documents WHERE doc_id % 11 = 3
+         |), nd_p AS (
+         |  SELECT CAST(COALESCE(MIN(p), 256) AS INT) AS p FROM (
+         |    SELECT UNNEST([64, 128, 256]) AS p
+         |  ) pp
+         |  WHERE (CAST(${Multimodal.PHashBucketTarget} AS BIGINT) << (p // 8))
+         |          >= (SELECT COUNT(*) FROM mnd)
          |), ph AS (
          |  SELECT doc_id,
          |    list_transform(generate_series(0, 7), b ->
-         |      list_aggregate(list_transform(generate_series(0, 7), j ->
-         |        CASE WHEN 64 * sums[8 * b + j + 1] > total THEN (1 << j) ELSE 0 END),
+         |      list_aggregate(list_transform(generate_series(0, pb - 1), j ->
+         |        CASE WHEN np * sums[pb * b + j + 1] > total
+         |             THEN (CAST(1 AS BIGINT) << j) ELSE 0 END),
          |        'sum')) AS bands
          |  FROM (
-         |    SELECT doc_id, sums, list_aggregate(sums, 'sum') AS total
+         |    SELECT doc_id, sums, list_aggregate(sums, 'sum') AS total, np, pb
          |    FROM (
-         |      SELECT doc_id,
-         |        list_transform(generate_series(0, 63), k ->
+         |      SELECT doc_id, np, np // 8 AS pb,
+         |        list_transform(generate_series(0, np - 1), k ->
          |          list_aggregate(list_transform(generate_series(0, ch - 1), i ->
          |            CAST(concat('0x', substr(hx, (k * ch + i) * 2 + 1, 2)) AS BIGINT)),
          |            'sum')) AS sums
-         |      FROM (SELECT doc_id, hx, GREATEST(1, (length(hx) // 2) // 64) AS ch FROM mnd) z
+         |      FROM (SELECT doc_id, hx, (SELECT p FROM nd_p) AS np,
+         |                   GREATEST(1, (length(hx) // 2) // (SELECT p FROM nd_p)) AS ch
+         |            FROM mnd) z
          |    ) y
          |  ) x
          |)
-         |SELECT id_a, id_b, hamming FROM (
+         |SELECT id_a, id_b, hamming,
+         |       (SELECT CAST(p AS BIGINT) FROM nd_p) AS n_patches FROM (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |    CAST(list_aggregate(list_transform(generate_series(1, 8), j ->
          |      bit_count(xor(a.bands[j], b.bands[j]))), 'sum') AS BIGINT) AS hamming

@@ -345,6 +345,78 @@ object RelationalQueries {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // INCREMENTAL retention — the dedup_incremental batch-bounded
+    // pattern applied to product analytics: a 100 TB event history is
+    // never rescanned per reporting day; instead two persisted stores
+    // are MAINTAINED — (user_id -> cohort_day) and the distinct
+    // (user_id, activity day) pair set — each partitioned by
+    // pmod(user_id, parts) so an append rewrites only the directories
+    // its batch touches (the upsertMinhash pure-function-key shape: no
+    // cross-directory moves). The driver query bulk-loads the
+    // pre-Jan-21 history, then appends two later "daily crawl" windows
+    // through the SAME upsert path; because cohort inserts are
+    // first-batch-wins over time-ordered batches (= global MIN signup
+    // day) and pair inserts are idempotent set-unions, the maintained
+    // stores converge to the full-history state, and the matrix read
+    // back from them matches the one-shot rel_retention oracle exactly.
+    // Per-increment cost: the batch + touched directories — never the
+    // event history.
+    "rel_retention_incremental" -> ((s, dir) => {
+      val storeDir = graft.sources.TempDirs.scratch("graft_retn_")
+      val parts = 16
+      // append `batch` rows whose key combo is NEW to the store; rows
+      // for existing keys are dropped (first-batch-wins / set-union)
+      def appendNew(path: String, batch: DataFrame, keys: Seq[String]): Unit = {
+        val staged = batch
+          .withColumn("part", pmod(col("user_id"), lit(parts.toLong)))
+          .localCheckpoint(true) // materialize before overwriting source
+        val exists = new java.io.File(path).isDirectory
+        val merged =
+          if (!exists) staged
+          else {
+            val partIds = staged.select("part").distinct()
+              .collect().map(_.getLong(0)) // bounded by parts, driver-safe
+            val dataCols = staged.columns.dropRight(1)
+            val kept = s.read.parquet(path)
+              .filter(col("part").isin(partIds.map(Long.box): _*))
+              .select(dataCols.map(col) :+ col("part").cast("long").as("part"): _*)
+            kept.unionByName(staged.join(
+                kept.select(keys.map(col): _*), keys, "left_anti"))
+              .localCheckpoint(true)
+          }
+        merged.repartition(col("part"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("part")
+          .parquet(path)
+      }
+      def ingest(ev: DataFrame): Unit = {
+        val cohortBatch = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_day"))
+        appendNew(s"$storeDir/cohort", cohortBatch, Seq("user_id"))
+        val pairBatch = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        appendNew(s"$storeDir/pairs", pairBatch, Seq("user_id", "day"))
+      }
+      val ev = Tables.events(s, dir)
+      val t = (d: String) => lit(s"2024-01-$d 00:00:00").cast("timestamp")
+      ingest(ev.filter(col("ts") < t("21")))                          // bulk history
+      ingest(ev.filter(col("ts") >= t("21") && col("ts") < t("25")))  // daily window 1
+      ingest(ev.filter(col("ts") >= t("25")))                         // daily window 2
+      val cohort = s.read.parquet(s"$storeDir/cohort")
+        .select("user_id", "cohort_day")
+      val pairs = s.read.parquet(s"$storeDir/pairs").select("user_id", "day")
+      cohort.join(pairs, "user_id")
+        .withColumn("day_offset",
+          datediff(col("day"), col("cohort_day")).cast("long"))
+        .filter(col("day_offset") >= 0L)
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct("user_id").cast("long").as("n_users"))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // Semi-structured extraction: the events' JSON props column parsed
     // with schema-on-read (from_json with an explicit schema — codegen'd
     // JsonToStructs, no UDF) and aggregated per event type. The 100 TB
@@ -680,6 +752,24 @@ object RelationalQueries {
         |ORDER BY user_id""".stripMargin,
 
     "rel_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), activity AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |)
+        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(datediff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+        |  CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_users
+        |FROM cohort c JOIN activity a USING (user_id)
+        |WHERE datediff('day', c.cohort_day, a.day) >= 0
+        |GROUP BY c.cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    // maintained-store convergence: batch-ordered first-writer-wins
+    // cohorts == global MIN signup day, pair appends == the distinct
+    // activity set, so the incremental matrix is the one-shot matrix
+    "rel_retention_incremental" ->
       """WITH cohort AS (
         |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
         |  WHERE event_type = 'signup' GROUP BY user_id

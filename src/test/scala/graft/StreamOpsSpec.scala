@@ -339,6 +339,67 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: tombstone TTL evicts state; a user returning after it starts a fresh funnel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val W1 = 6L * 3600 * 1000
+    val W2 = 24L * 3600 * 1000
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val df = in.toDF().toDF("user_id", "event_type", "ts")
+    // 10h tombstone TTL: finalized state self-evicts once the watermark
+    // advances 10h past finalization — the bounded-state trade
+    val out = StreamOps.funnel(df, W1, W2, "8 hours", tombstoneTtlMs = 10L * 3600 * 1000)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("funnel_ttl").start()
+    try {
+      def u1rows() = spark.table("funnel_ttl")
+        .as[(Long, Timestamp, Long, Timestamp, Timestamp)].collect()
+        .filter(_._1 == 1L).toList
+      in.addData((1L, "view", ts(0)), (1L, "click", ts(600)), (1L, "purchase", ts(1200)))
+      q.processAllAvailable()
+      // finalize u1: wm = 40h - 8h = 32h > view + 30h horizon
+      in.addData((99L, "view", ts(40 * 3600)))
+      q.processAllAvailable()
+      assert(u1rows().map(_._3) == List(3L), "u1 not finalized once")
+      // evict the tombstone: wm = 43h > 32h + 10h TTL
+      in.addData((99L, "view", ts(51 * 3600)))
+      q.processAllAvailable()
+      // u1 returns AFTER the TTL: a fresh funnel must start and emit a
+      // SECOND row (view+click only -> reached 2) once finalized
+      in.addData((1L, "view", ts(52 * 3600)), (1L, "click", ts(53 * 3600)))
+      q.processAllAvailable()
+      in.addData((99L, "view", ts(91 * 3600))) // wm = 83h > 52h + 30h
+      q.processAllAvailable()
+      val rows = u1rows()
+      assert(rows.map(_._3).sorted == List(2L, 3L),
+        s"expected the original chain plus a fresh post-TTL funnel, got $rows")
+    } finally q.stop()
+  }
+
+  test("funnelReplay: staged out-of-order micro-batch fold equals the batch funnel") {
+    import spark.implicits._
+    val W1 = 6L * 3600 * 1000
+    val W2 = 24L * 3600 * 1000
+    val events = Seq(
+      (1L, "view", ts(0), 0), (1L, "click", ts(600), 0), (1L, "purchase", ts(1200), 0),
+      (2L, "view", ts(0), 0), (2L, "click", ts(7 * 3600), 0),
+      (3L, "view", ts(0), 1),
+      // u4's click+purchase land a batch BEFORE the earlier view — the
+      // replay's held-back re-evaluation path
+      (4L, "click", ts(1800), 0), (4L, "purchase", ts(3600), 0),
+      (4L, "view", ts(900), 1))
+    val df = events.toDF("user_id", "event_type", "ts", "batch")
+    val replay = StreamOps.funnelReplay(df, W1, W2, col("batch"),
+        Seq(T0 * 1000L, T0 * 1000L + 3600L * 1000L, Long.MaxValue / 2))
+      .as[(Long, Timestamp, Long, Timestamp, Timestamp)].collect().toSet
+    val batch = StreamOps.funnel(
+        df.select("user_id", "event_type", "ts"), W1, W2, "8 hours")
+      .as[(Long, Timestamp, Long, Timestamp, Timestamp)].collect().toSet
+    assert(replay == batch, s"replay $replay != batch $batch")
+    assert(replay.map(r => r._1 -> r._3).toMap ==
+      Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 3L))
+  }
+
   test("interval join on batch frames equals the explicit range-predicate join") {
     import spark.implicits._
     val cdf = Seq((1L, 101L, ts(0)), (1L, 102L, ts(900)), (2L, 201L, ts(0)))

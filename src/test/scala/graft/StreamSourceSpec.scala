@@ -30,14 +30,19 @@ class StreamSourceSpec extends AnyFunSuite {
 
     // Streaming: same data as an unbounded source. The file source wants
     // a directory (testdata ships single files), so stage a copy; the
-    // nanos-timestamp shim applies here too (schema captured AFTER the
-    // conf is set).
+    // ts normalization is schema-adaptive like Tables.events (nanos-long
+    // generations DIV to seconds; timestamp generations go through
+    // unix_timestamp under the UTC session).
     val stage = java.nio.file.Files.createTempDirectory("graft_stream_src_")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       stage.resolve("part-0.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(stage.toString).schema
+    val tsSec = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000000000")
+      case _ => unix_timestamp(col("ts").cast("timestamp"))
+    }
     val events = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
@@ -45,7 +50,7 @@ class StreamSourceSpec extends AnyFunSuite {
         col("event_type").as("dist"),
         col("user_id").cast("string").as("bin"),
         lit(1L).as("n"),
-        expr("ts DIV 1000000000").as("tsSec"))
+        tsSec.as("tsSec"))
       .as[IncrEvent]
 
     val fixedNow = 1706659200L
