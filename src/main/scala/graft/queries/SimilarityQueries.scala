@@ -336,8 +336,10 @@ object SimilarityQueries {
     * rerank touching only shortlist floats). BASELINE.md records the
     * measured recall of both against the brute-force truth.
     */
-  private def pqParts(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
-    val all = vecs(s, dir)
+  private def pqParts(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) =
+    pqPartsOf(vecs(s, dir))
+
+  private def pqPartsOf(all: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val cents = (0 until PqM).map { m =>
       val sub = all.select(col("vec_id"), slice(col("v"), m * PqSub + 1, PqSub).as("v"))
       Similarity.kmeansCentroids(sub, PqK, IvfSample, PqIters, PqSub, PqSalt)
@@ -369,8 +371,11 @@ object SimilarityQueries {
     (codesWide, luts)
   }
 
-  private def pqScored(s: SparkSession, dir: String): DataFrame = {
-    val (codesWide, luts) = pqParts(s, dir)
+  private def pqScored(s: SparkSession, dir: String): DataFrame =
+    pqScoredOf(vecs(s, dir))
+
+  private def pqScoredOf(all: DataFrame): DataFrame = {
+    val (codesWide, luts) = pqPartsOf(all)
     codesWide
       .join(broadcast(luts(0)), Seq("code0"))
       .join(broadcast(luts(1)), Seq("code1", "q_id"))
@@ -390,6 +395,45 @@ object SimilarityQueries {
 
   private def pqRes(s: SparkSession, dir: String): DataFrame =
     pqResFrom(pqScored(s, dir))
+
+  /** OPQ-style dimension permutation (the non-parametric allocation
+    * idea of Ge et al., "Optimized Product Quantization", CVPR 2013,
+    * simplified to a variance-balancing PERMUTATION: the full method
+    * learns an orthogonal rotation by alternating SVD, whose
+    * floating-point spectrum is not bit-reproducible cross-engine — a
+    * permutation IS an orthogonal transform, captures the balanced-
+    * information-per-subspace objective on axis-aligned spectra, and
+    * stays oracle-exact). Per-dimension variance proxies are
+    * ALL-INTEGER on a 1e-4 grid (n·Σq² − (Σq)², q = floor(x·1e4) —
+    * order-independent BIGINT sums, headroom past the 30× probe), dims
+    * rank by (score desc, dim asc), and a snake round-robin deals them
+    * into the PqM subspaces so high-variance dims spread instead of
+    * clustering in the first slice. Returns the permutation as
+    * 1-based source indices in target order (Dim rows collected —
+    * bounded by the vector width, driver-safe).
+    */
+  private def opqPermutation(s: SparkSession, dir: String): Seq[Int] = {
+    val g = lit(10000.0)
+    val scores = vecs(s, dir)
+      .select(posexplode(col("v")))
+      .toDF("pos", "x")
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x") * g).cast("long")).as("sq"),
+        sum(floor(col("x") * col("x") * g).cast("long")).as("sq2"))
+      .select(col("pos"), (col("n") * col("sq2") - col("sq") * col("sq")).as("score"))
+      .collect() // Dim rows
+      .map(r => (r.getAs[Int]("pos"), r.getAs[Long]("score")))
+    val target = Array.fill(Dim)(0)
+    scores.sortBy { case (p, sc) => (-sc, p) }.zipWithIndex.foreach {
+      case ((p, _), rk) =>
+        val round = rk / PqM
+        val r = rk % PqM
+        val sub = if (round % 2 == 0) r else PqM - 1 - r
+        target(sub * PqSub + round) = p + 1 // 1-based
+    }
+    target.toSeq
+  }
 
   /** The deployed PQ shape: ADC-shortlist PqShortK candidates from the
     * codes scan, then exact-cosine rerank reading ONLY the shortlist's
@@ -487,6 +531,37 @@ object SimilarityQueries {
       recallOf(pqResFrom(scored), "pq")
         .unionByName(recallOf(rerankTopK(s, dir, scored), "pq_rerank"))
         .unionByName(recallOf(ivfpqRes(s, dir), "ivfpq"))
+        .orderBy("method", "q_id")
+    }),
+
+    // OPQ arm for the compression↔recall table: PQ recall measured on
+    // the variance-balanced dimension permutation (opqPermutation —
+    // the Ge et al. CVPR'13 allocation objective as an oracle-exact
+    // orthogonal transform) at the SAME code budget (PqM x log2(PqK)
+    // bits, zero extra bytes scanned). Truth and the PQ leg both run
+    // on the permuted corpus — a permutation is orthogonal, so the
+    // true neighbor set is unchanged — making the recall delta vs
+    // sim_ann_pq_recall's 'pq' row exactly the allocation effect.
+    // BASELINE.md records the comparison (≈ parity on this corpus:
+    // its per-dim variances are near-isotropic, the regime the paper
+    // predicts no allocation gain for; the measured-arm machinery is
+    // the deliverable — on skewed spectra the same query shows the
+    // lift).
+    "sim_ann_opq_recall" -> ((s, dir) => {
+      val perm = opqPermutation(s, dir)
+      val pv = vecs(s, dir)
+        .select(col("vec_id"),
+          array(perm.map(i => element_at(col("v"), i)): _*).as("v"))
+        .localCheckpoint(true) // feeds brute truth + codebooks + encode
+      val truth = Similarity.bruteForceTopK(
+        pv.filter(col("vec_id") < 5), pv, K).select("q_id", "c_id")
+      val res = pqResFrom(pqScoredOf(pv))
+      truth
+        .join(res.select("q_id", "c_id").withColumn("hit", lit(1)),
+          Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / lit(K)).as("recall"))
+        .select(lit("opq").as("method"), col("q_id"), col("recall"))
         .orderBy("method", "q_id")
     }),
 
@@ -1235,6 +1310,43 @@ object SimilarityQueries {
     "sim_ann_ivf" ->
       s"""WITH $vecsCte, $ivfCtes
          |SELECT q_id, rnk, c_id, cosine FROM ivf_res ORDER BY q_id, rnk""".stripMargin,
+
+    // the permuted corpus is bound to the CTE name `vecs`, so the
+    // shared brute/PQ machinery runs on it verbatim; the permutation
+    // mirrors opqPermutation bit-exactly (1e-4-grid integer variance
+    // scores, score-desc/dim-asc rank, snake deal into subspaces)
+    "sim_ann_opq_recall" ->
+      s"""WITH vecs_raw AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), opq_sc AS (
+         |  SELECT d.d,
+         |    CAST(COUNT(*) AS BIGINT)
+         |      * CAST(SUM(CAST(FLOOR(r.v[d.d] * r.v[d.d] * 10000.0) AS BIGINT)) AS BIGINT)
+         |    - CAST(SUM(CAST(FLOOR(r.v[d.d] * 10000.0) AS BIGINT)) AS BIGINT)
+         |      * CAST(SUM(CAST(FLOOR(r.v[d.d] * 10000.0) AS BIGINT)) AS BIGINT) AS score
+         |  FROM vecs_raw r
+         |  CROSS JOIN (SELECT UNNEST(generate_series(1, $Dim)) AS d) d
+         |  GROUP BY d.d
+         |), opq_rk AS (
+         |  SELECT d, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, d ASC) - 1 AS BIGINT) AS rk
+         |  FROM opq_sc
+         |), opq_perm AS (
+         |  SELECT list(d ORDER BY tpos) AS p FROM (
+         |    SELECT d,
+         |      (CASE WHEN (rk // $PqM) % 2 = 0 THEN rk % $PqM
+         |            ELSE ${PqM - 1} - rk % $PqM END) * $PqSub + rk // $PqM AS tpos
+         |    FROM opq_rk
+         |  ) t
+         |), vecs AS (
+         |  SELECT r.vec_id,
+         |    list_transform((SELECT p FROM opq_perm), i -> r.v[i]) AS v
+         |  FROM vecs_raw r
+         |), $bruteCtes, $pqCtes, $pqResCtes
+         |SELECT 'opq' AS method, t.q_id,
+         |       CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $K AS recall
+         |FROM brute_res t LEFT JOIN pq_res a ON t.q_id = a.q_id AND t.c_id = a.c_id
+         |GROUP BY t.q_id
+         |ORDER BY method, t.q_id""".stripMargin,
 
     "sim_ann_lsh" ->
       s"""WITH $vecsCte, $lshCtes
