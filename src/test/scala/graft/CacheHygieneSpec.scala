@@ -32,7 +32,9 @@ class CacheHygieneSpec extends AnyFunSuite {
     "dedup_minhash", "dedup_clusters", "dedup_simhash", "dedup_ngram",
     "dedup_incremental", "dedup_semantic", "dedup_embedding",
     "sim_ann_ivf", "sim_ann_recall", "pipe_decontam_bloom", "pipe_curate",
-    "ivf_cell_stats", "sim_knn_graph_recall", "pipe_topic_mix")
+    "ivf_cell_stats", "sim_knn_graph_recall", "pipe_topic_mix",
+    "mm_near_dup", "sim_ann_opq_recall", "rel_retention_incremental",
+    "sim_ann_pq_upsert", "rel_funnel_replay")
 
   test("cacheManager gains no entries after each reusing query builder runs") {
     // SharedState (and its CacheManager) is per-SparkContext, shared with

@@ -219,6 +219,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(windows.size == 1, s"expected exactly 1 WindowExec:\n$plan")
   }
 
+  test("mm_near_dup: (band, key) equi-join candidates, never all-pairs; payloads stay row-local") {
+    // The perceptual near-dup must stay the dedup_simhash shape: banded
+    // equi-join candidate generation — a plan degrading to a cross join
+    // would be the N^2 hamming scan the oracle merely simulates. The
+    // payload column must also never reach an exchange: only the band
+    // ints shuffle.
+    val plan = qe("mm_near_dup").executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    val payloadExchanges = plan.linesIterator.filter(l =>
+      l.contains("Exchange") && l.contains("payload#")).toList
+    assert(payloadExchanges.isEmpty,
+      s"payload bytes shuffled:\n${payloadExchanges.mkString("\n")}")
+  }
+
   test("sim_knn_graph_banded: (band, bucket) equi-join + partial top-K, never all-pairs") {
     // OR-amplification must stay b independent equi-joins — a plan that
     // degraded the (band, bucket) key to a cross join would be b x the
