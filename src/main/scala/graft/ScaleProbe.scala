@@ -129,7 +129,9 @@ object ScaleProbe {
       "pipe_shuffle", "pipe_token_budget", "pipe_topic_mix",
       "sample_stratified", "sample_reservoir",
       "dedup_substring", "dedup_substring_scrub", "pipe_source_cap",
-      "ft_dist", "ft_topk", "ft_json", "ft_sessions", "text_quality")
+      "ft_dist", "ft_topk", "ft_json", "ft_sessions", "text_quality",
+      "sim_ann_pq_upsert", "sim_ann_ivfpq_upsert", "mm_near_dup",
+      "rel_funnel_replay", "rel_retention_incremental", "sim_ann_opq_recall")
     // arg 2+: restrict to named queries (fast re-probe of one operator);
     // any SparkEntry query name is probeable, not just the default list
     val targets =

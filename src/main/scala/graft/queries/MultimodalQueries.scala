@@ -48,6 +48,36 @@ object MultimodalQueries {
     base.unionByName(armA).unionByName(armB)
   }
 
+  /** The shared perceptual-pair pipeline (derived-width hash, banded
+    * candidates, Hamming verify) — one definition for mm_near_dup and
+    * mm_dedup_clusters. Returns (corpus ids, verified pairs
+    * (id_a, id_b, hamming), patch count).
+    */
+  private def nearDupPairs(s: SparkSession, dir: String): (DataFrame, DataFrame, Int) = {
+    import s.implicits._
+    val media = nearDupMedia(s, dir)
+    val nPatch = Multimodal.phashPatches(media.count())
+    val ph = Multimodal.perceptualHash(
+        media.as[Multimodal.MediaBytes], nPatch)
+      .toDF().localCheckpoint(true) // feeds banding + both verify sides
+    val banded = ph.withColumn("keys",
+      array((0 until Multimodal.PHashBands).map(b =>
+        element_at(col("bands"), b + 1)): _*))
+    val pairs = graft.operators.Dedup.candidatePairs(
+      banded, "doc_id", "keys", Int.MaxValue)
+    val ham = (0 until Multimodal.PHashBands).map(b =>
+      bit_count(element_at(col("bands_a"), b + 1)
+        .bitwiseXOR(element_at(col("bands_b"), b + 1))).cast("long"))
+      .reduce(_ + _)
+    val verified = pairs
+      .join(ph.select(col("doc_id").as("id_a"), col("bands").as("bands_a")), "id_a")
+      .join(ph.select(col("doc_id").as("id_b"), col("bands").as("bands_b")), "id_b")
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= PHashHammingMax)
+      .select("id_a", "id_b", "hamming")
+    (media.select("doc_id"), verified, nPatch)
+  }
+
   /** Payload hex (512 chars) as built by mediaTable — oracle-side mirror. */
   private val payloadHexSql: String =
     (0 until 16).map(j => s"md5(concat(text, ':$j'))").mkString("concat(", ", ", ")")
@@ -58,6 +88,55 @@ object MultimodalQueries {
        |      i -> CAST(concat('0x', substr(hx, ${k * 64} + 2*i + 1, 2)) AS BIGINT)), 'sum') AS DOUBLE) / 255.0
        |    AS f$k""".stripMargin
   }
+
+  /** mnd (hex corpus + arms), nd_p (derived width), ph (per-band hash
+    * values), mm_pairs (all-pairs Hamming verify) — the oracle mirror
+    * of [[nearDupPairs]], shared by mm_near_dup and mm_dedup_clusters.
+    */
+  private def mmNearDupCtes: String =
+    s"""mnd AS (
+       |  SELECT doc_id, $payloadHexSql AS hx FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 20000000, concat($payloadHexSql, md5('reenc-tail'))
+       |  FROM documents WHERE doc_id % 7 = 5
+       |  UNION ALL
+       |  SELECT doc_id + 30000000,
+       |    concat(substr($payloadHexSql, 1, 200), 'deadbeef', substr($payloadHexSql, 209))
+       |  FROM documents WHERE doc_id % 11 = 3
+       |), nd_p AS (
+       |  SELECT CAST(COALESCE(MIN(p), 256) AS INT) AS p FROM (
+       |    SELECT UNNEST([64, 128, 256]) AS p
+       |  ) pp
+       |  WHERE (CAST(${Multimodal.PHashBucketTarget} AS BIGINT) << (p // 8))
+       |          >= (SELECT COUNT(*) FROM mnd)
+       |), ph AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, 7), b ->
+       |      list_aggregate(list_transform(generate_series(0, pb - 1), j ->
+       |        CASE WHEN np * sums[pb * b + j + 1] > total
+       |             THEN (CAST(1 AS BIGINT) << j) ELSE 0 END),
+       |        'sum')) AS bands
+       |  FROM (
+       |    SELECT doc_id, sums, list_aggregate(sums, 'sum') AS total, np, pb
+       |    FROM (
+       |      SELECT doc_id, np, np // 8 AS pb,
+       |        list_transform(generate_series(0, np - 1), k ->
+       |          list_aggregate(list_transform(generate_series(0, ch - 1), i ->
+       |            CAST(concat('0x', substr(hx, (k * ch + i) * 2 + 1, 2)) AS BIGINT)),
+       |            'sum')) AS sums
+       |      FROM (SELECT doc_id, hx, (SELECT p FROM nd_p) AS np,
+       |                   GREATEST(1, (length(hx) // 2) // (SELECT p FROM nd_p)) AS ch
+       |            FROM mnd) z
+       |    ) y
+       |  ) x
+       |), mm_pairs AS (
+       |  SELECT id_a, id_b, hamming FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(list_aggregate(list_transform(generate_series(1, 8), j ->
+       |        bit_count(xor(a.bands[j], b.bands[j]))), 'sum') AS BIGINT) AS hamming
+       |    FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |  ) p WHERE hamming <= $PHashHammingMax
+       |)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -111,29 +190,31 @@ object MultimodalQueries {
     // oracle's all-pairs reference, and the width is SURFACED as an
     // n_patches column (the sim_knn_graph stride discipline).
     "mm_near_dup" -> ((s, dir) => {
-      import s.implicits._
-      val media = nearDupMedia(s, dir)
-      val nPatch = Multimodal.phashPatches(media.count())
-      val ph = Multimodal.perceptualHash(
-          media.as[Multimodal.MediaBytes], nPatch)
-        .toDF().localCheckpoint(true) // feeds banding + both verify sides
-      val banded = ph.withColumn("keys",
-        array((0 until Multimodal.PHashBands).map(b =>
-          element_at(col("bands"), b + 1)): _*))
-      val pairs = graft.operators.Dedup.candidatePairs(
-        banded, "doc_id", "keys", Int.MaxValue)
-      val ham = (0 until Multimodal.PHashBands).map(b =>
-        bit_count(element_at(col("bands_a"), b + 1)
-          .bitwiseXOR(element_at(col("bands_b"), b + 1))).cast("long"))
-        .reduce(_ + _)
-      pairs
-        .join(ph.select(col("doc_id").as("id_a"), col("bands").as("bands_a")), "id_a")
-        .join(ph.select(col("doc_id").as("id_b"), col("bands").as("bands_b")), "id_b")
-        .withColumn("hamming", ham)
-        .filter(col("hamming") <= PHashHammingMax)
+      val (_, verified, nPatch) = nearDupPairs(s, dir)
+      verified
         .select(col("id_a"), col("id_b"), col("hamming"),
           lit(nPatch.toLong).as("n_patches"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // The APPLIED perceptual dedup — mm_near_dup's pairs closed into
+    // components (the dedup_clusters treatment for media): a re-hosted
+    // image re-encoded twice links a~b, b~c, and pairwise output alone
+    // would retire only one copy; the component closure emits every
+    // media row with its canonical cluster id (min doc_id — the
+    // keeper) and cluster size, so the dedup a crawl actually runs is
+    // "keep rows where doc_id = cluster_id". BSP min-label
+    // propagation over the banded pairs, rounds bounded by component
+    // diameter (here: the planted chains), recursive-CTE oracle.
+    "mm_dedup_clusters" -> ((s, dir) => {
+      val (ids, verified, _) = nearDupPairs(s, dir)
+      val cc = graft.operators.Dedup.connectedComponents(
+        ids.select(col("doc_id").as("id")), verified.select("id_a", "id_b"))
+      val sizes = cc.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "label")
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"))
+        .orderBy("doc_id")
     }),
 
     // Metadata-level resize: dimension math without touching payloads.
@@ -172,50 +253,32 @@ object MultimodalQueries {
     // equal to the Spark side's banded plan BECAUSE 8 bands at any
     // width are recall-exact at Hamming <= PHashHammingMax
     "mm_near_dup" ->
-      s"""WITH mnd AS (
-         |  SELECT doc_id, $payloadHexSql AS hx FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 20000000, concat($payloadHexSql, md5('reenc-tail'))
-         |  FROM documents WHERE doc_id % 7 = 5
-         |  UNION ALL
-         |  SELECT doc_id + 30000000,
-         |    concat(substr($payloadHexSql, 1, 200), 'deadbeef', substr($payloadHexSql, 209))
-         |  FROM documents WHERE doc_id % 11 = 3
-         |), nd_p AS (
-         |  SELECT CAST(COALESCE(MIN(p), 256) AS INT) AS p FROM (
-         |    SELECT UNNEST([64, 128, 256]) AS p
-         |  ) pp
-         |  WHERE (CAST(${Multimodal.PHashBucketTarget} AS BIGINT) << (p // 8))
-         |          >= (SELECT COUNT(*) FROM mnd)
-         |), ph AS (
-         |  SELECT doc_id,
-         |    list_transform(generate_series(0, 7), b ->
-         |      list_aggregate(list_transform(generate_series(0, pb - 1), j ->
-         |        CASE WHEN np * sums[pb * b + j + 1] > total
-         |             THEN (CAST(1 AS BIGINT) << j) ELSE 0 END),
-         |        'sum')) AS bands
-         |  FROM (
-         |    SELECT doc_id, sums, list_aggregate(sums, 'sum') AS total, np, pb
-         |    FROM (
-         |      SELECT doc_id, np, np // 8 AS pb,
-         |        list_transform(generate_series(0, np - 1), k ->
-         |          list_aggregate(list_transform(generate_series(0, ch - 1), i ->
-         |            CAST(concat('0x', substr(hx, (k * ch + i) * 2 + 1, 2)) AS BIGINT)),
-         |            'sum')) AS sums
-         |      FROM (SELECT doc_id, hx, (SELECT p FROM nd_p) AS np,
-         |                   GREATEST(1, (length(hx) // 2) // (SELECT p FROM nd_p)) AS ch
-         |            FROM mnd) z
-         |    ) y
-         |  ) x
-         |)
+      s"""WITH $mmNearDupCtes
          |SELECT id_a, id_b, hamming,
-         |       (SELECT CAST(p AS BIGINT) FROM nd_p) AS n_patches FROM (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(list_aggregate(list_transform(generate_series(1, 8), j ->
-         |      bit_count(xor(a.bands[j], b.bands[j]))), 'sum') AS BIGINT) AS hamming
-         |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
-         |) p WHERE hamming <= $PHashHammingMax
-         |ORDER BY id_a, id_b""".stripMargin,
+         |       (SELECT CAST(p AS BIGINT) FROM nd_p) AS n_patches
+         |FROM mm_pairs ORDER BY id_a, id_b""".stripMargin,
+
+    // the dedup_clusters recursive closure over the perceptual pairs:
+    // min reachable id per media row == the component's keeper
+    "mm_dedup_clusters" ->
+      s"""WITH RECURSIVE $mmNearDupCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mm_pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM mm_pairs
+         |), reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM mnd
+         |  UNION
+         |  SELECT e.dst AS id, r.r FROM reach r JOIN edges e ON e.src = r.id
+         |), lbl AS (
+         |  SELECT id, CAST(MIN(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id
+         |), szs AS (
+         |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM lbl GROUP BY 1
+         |)
+         |SELECT l.id AS doc_id, l.cluster_id, s.cluster_size
+         |FROM lbl l JOIN szs s USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "mm_features" ->
       s"""WITH hx AS (

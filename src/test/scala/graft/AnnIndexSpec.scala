@@ -328,6 +328,38 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("PQ upsert: streaming foreachBatch maintenance converges to the one-shot build") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = synthVecs(300)
+    val upsDir = Files.createTempDirectory("graft_pqidx_stream_").toString
+    val fullDir = Files.createTempDirectory("graft_pqidx_sfull_").toString
+    AnnIndex.savePq(all, m = 4, sub = 16, k = 8, sampleSize = 128, iters = 2,
+      salt = 11, dir = fullDir)
+    // quantizer trained once on the same corpus snapshot; codes arrive
+    // as a stream, each micro-batch encode-appending via upsertPq
+    AnnIndex.trainPq(all, m = 4, sub = 16, k = 8, sampleSize = 128, iters = 2,
+      salt = 11, dir = upsDir)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val stream = mem.toDF().toDF("vec_id")
+      .select(col("vec_id"), vExpr(col("vec_id")).as("v"))
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        AnnIndex.upsertPq(spark, upsDir, batch)
+      }.start()
+    try {
+      mem.addData(0L until 150L: _*)
+      q.processAllAvailable()
+      mem.addData(150L until 300L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def codes(dir: String) = spark.read.parquet(s"$dir/codes")
+      .select("vec_id", "code0", "code1", "code2", "code3")
+      .collect().map(_.toSeq).toSet
+    assert(codes(upsDir) == codes(fullDir))
+    assert(codes(upsDir).size == 300)
+  }
+
   test("IVF+PQ upsert: a moved vec_id's old cell directory rewrites (no stale row)") {
     val all = synthVecs(300)
     val dir = Files.createTempDirectory("graft_ivfpq_ups2_").toString

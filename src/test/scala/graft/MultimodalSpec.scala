@@ -75,4 +75,44 @@ class MultimodalSpec extends AnyFunSuite {
     // doc 2: 64x64 exactly at cap
     assert(resized(2L) == ((64, 64)))
   }
+
+  private def phashOf(payloads: Seq[(Long, Array[Byte])], nPatch: Int): Map[Long, Seq[Long]] = {
+    import spark.implicits._
+    Multimodal.perceptualHash(
+        payloads.toDF("doc_id", "payload").as[Multimodal.MediaBytes], nPatch)
+      .collect().map(h => h.doc_id -> h.bands).toMap
+  }
+
+  private def hamming(a: Seq[Long], b: Seq[Long]): Int =
+    a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+
+  test("perceptualHash: tail bytes past the decoded grid are invisible; a point edit moves few bits") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill[Byte](256)(rnd.nextInt(256).toByte)
+    val tailed = base ++ Array.fill[Byte](16)(0x5a.toByte) // container re-encode
+    val edited = base.clone(); (100 until 104).foreach(i => edited(i) = 0x7f.toByte)
+    val other = Array.fill[Byte](256)(rnd.nextInt(256).toByte) // unrelated
+    for (p <- Seq(64, 128, 256)) {
+      val h = phashOf(Seq(0L -> base, 1L -> tailed, 2L -> edited, 3L -> other), p)
+      assert(hamming(h(0L), h(1L)) == 0, s"tail append changed the hash at p=$p")
+      // a 4-byte edit touches at most ceil(4 / chunk) patches; mean
+      // movement can flip a few threshold-adjacent bits beyond them
+      assert(hamming(h(0L), h(2L)) <= 8, s"point edit moved too many bits at p=$p")
+      assert(hamming(h(0L), h(3L)) > p / 4, s"unrelated payloads too close at p=$p")
+      // band packing: 8 bands, each value within its p/8-bit domain
+      assert(h(0L).length == Multimodal.PHashBands)
+      assert(h(0L).forall(v => v >= 0L && v < (1L << (p / 8))))
+    }
+  }
+
+  test("phashPatches: width ladder holds bucket population, capped at the decode grid") {
+    import Multimodal.{phashPatches, PHashBucketTarget}
+    // boundary algebra: smallest p with target << (p/8) >= n
+    assert(phashPatches(1L) == 64)
+    assert(phashPatches(PHashBucketTarget.toLong << 8) == 64)
+    assert(phashPatches((PHashBucketTarget.toLong << 8) + 1) == 128)
+    assert(phashPatches(PHashBucketTarget.toLong << 16) == 128)
+    assert(phashPatches((PHashBucketTarget.toLong << 16) + 1) == 256)
+    assert(phashPatches(Long.MaxValue / 4) == 256) // grid cap
+  }
 }
