@@ -64,7 +64,10 @@ object Bench {
     // noisier hosts; the min only tightens.
     // A repeat that THROWS is excluded (repeat = first): charging its
     // time-to-failure as a fast rerun would fake a contention adjustment.
-    val passes = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
+    // lenient parse: a malformed value must degrade to the default, not
+    // throw away a completed timed pass
+    val passes = math.max(2,
+      sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.trim.toIntOption).getOrElse(2))
     val live = results.toSeq.filterNot { case (n, _) => failed.contains(n) }
     val repeats = (2 to passes).foldLeft(live.map { case (n, t) => n -> (t, t) }) {
       (acc, _) =>

@@ -55,7 +55,10 @@ object MultimodalQueries {
     */
   private def nearDupPairs(s: SparkSession, dir: String): (DataFrame, DataFrame, Int) = {
     import s.implicits._
-    val media = nearDupMedia(s, dir)
+    // materialize once: the md5x16 + unhex payload build otherwise
+    // re-runs for the width count, the hash pass, and (in
+    // mm_dedup_clusters) the node set
+    val media = nearDupMedia(s, dir).localCheckpoint(true)
     val nPatch = Multimodal.phashPatches(media.count())
     val ph = Multimodal.perceptualHash(
         media.as[Multimodal.MediaBytes], nPatch)

@@ -302,7 +302,8 @@ object RelationalQueries {
     "rel_funnel_replay" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val t = (d: String) => lit(s"2024-01-$d 00:00:00").cast("timestamp")
-      val held = col("ts") >= t("07") && col("ts") < t("11") &&
+      val held = col("event_type") === "view" &&
+        col("ts") >= t("07") && col("ts") < t("11") &&
         col("event_id") % 5 === 2
       val batch = when(held, 1)
         .when(col("ts") < t("11"), 0)
@@ -365,7 +366,12 @@ object RelationalQueries {
       val storeDir = graft.sources.TempDirs.scratch("graft_retn_")
       val parts = 16
       // append `batch` rows whose key combo is NEW to the store; rows
-      // for existing keys are dropped (first-batch-wins / set-union)
+      // for existing keys are dropped (first-batch-wins / set-union).
+      // Same stage/anti-join/dynamic-overwrite choreography as the
+      // AnnIndex.upsert* family with the precedence flipped (stored
+      // rows win here; upserts there replace) — if a third maintained
+      // store appears, lift a shared helper parameterized by
+      // keys/precedence.
       def appendNew(path: String, batch: DataFrame, keys: Seq[String]): Unit = {
         val staged = batch
           .withColumn("part", pmod(col("user_id"), lit(parts.toLong)))

@@ -413,14 +413,20 @@ object SimilarityQueries {
     * bounded by the vector width, driver-safe).
     */
   private def opqPermutation(s: SparkSession, dir: String): Seq[Int] = {
-    val g = lit(10000.0)
+    // one quantization, squared IN INTEGER SPACE: q = floor(x·1e4),
+    // score = n·Σq² − (Σq)² — the integer variance proxy on a single
+    // grid. (Mixing grids — floor(x²·1e4) for the square term — would
+    // scale the two terms by 1e4 vs 1e8 and rank dims by |mean|, not
+    // variance.) Headroom: |q| ≤ ~1.1e4, so n·Σq² and (Σq)² both stay
+    // under 2^63 past the 30× probe's ~150k rows.
+    val q = floor(col("x") * lit(10000.0)).cast("long")
     val scores = vecs(s, dir)
       .select(posexplode(col("v")))
       .toDF("pos", "x")
       .groupBy("pos")
       .agg(count(lit(1)).as("n"),
-        sum(floor(col("x") * g).cast("long")).as("sq"),
-        sum(floor(col("x") * col("x") * g).cast("long")).as("sq2"))
+        sum(q).as("sq"),
+        sum(q * q).as("sq2"))
       .select(col("pos"), (col("n") * col("sq2") - col("sq") * col("sq")).as("score"))
       .collect() // Dim rows
       .map(r => (r.getAs[Int]("pos"), r.getAs[Long]("score")))
@@ -1321,7 +1327,8 @@ object SimilarityQueries {
          |), opq_sc AS (
          |  SELECT d.d,
          |    CAST(COUNT(*) AS BIGINT)
-         |      * CAST(SUM(CAST(FLOOR(r.v[d.d] * r.v[d.d] * 10000.0) AS BIGINT)) AS BIGINT)
+         |      * CAST(SUM(CAST(FLOOR(r.v[d.d] * 10000.0) AS BIGINT)
+         |                  * CAST(FLOOR(r.v[d.d] * 10000.0) AS BIGINT)) AS BIGINT)
          |    - CAST(SUM(CAST(FLOOR(r.v[d.d] * 10000.0) AS BIGINT)) AS BIGINT)
          |      * CAST(SUM(CAST(FLOOR(r.v[d.d] * 10000.0) AS BIGINT)) AS BIGINT) AS score
          |  FROM vecs_raw r

@@ -217,6 +217,11 @@ object AnnIndex {
   def upsertIvf(spark: SparkSession, dir: String, vecs: DataFrame): Unit = {
     val cents = broadcast(ivfCentroids(spark, dir))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    // check the RAW batch: the assignment's per-vec_id rank window would
+    // silently collapse a duplicate key (keeping an arbitrary vector's
+    // cell) before a post-assignment check could see it — the same
+    // ordering upsertPq/upsertIvfPq use
+    requireUniqueKeys(vecs.select("vec_id"), "vec_id")
     val staged = vecs.crossJoin(cents)
       .withColumn("ccos", Dedup.cosine(col("v"), col("cv")))
       .withColumn("crn", row_number().over(wAssign))
@@ -224,7 +229,6 @@ object AnnIndex {
       .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
       .localCheckpoint(true)
     if (staged.isEmpty) return
-    requireUniqueKeys(staged, "vec_id")
     val newCells = staged.select("cell").distinct()
       .collect().map(_.getLong(0)) // bounded by k, driver-safe
     val oldCells = spark.read.parquet(s"$dir/assign")

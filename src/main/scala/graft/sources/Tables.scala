@@ -35,7 +35,19 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = table(spark, sfDir, "events")
     df.schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case LongType =>
+        // a LONG ts only arises from the nanosAsLong shim on a
+        // TIMESTAMP(NANOS) file — require the conf so a future
+        // generation shipping ts as a NATIVE epoch-micros/millis long
+        // fails loudly here instead of being silently divided as nanos
+        // into ~1970 timestamps
+        require(
+          spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+          "events.ts scanned as LONG without spark.sql.legacy.parquet.nanosAsLong: " +
+            "either the session was not built via graft.sources.GraftSession, or the " +
+            "testdata generation changed ts to a native integer epoch — extend " +
+            "Tables.events for the new encoding instead of assuming nanos")
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _                => df
     }

@@ -224,6 +224,12 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(stored == expected)
     assert(stored.size == 500)
+    // duplicate keys are rejected on the RAW batch — the assignment's
+    // rank window would otherwise collapse them silently
+    val dup = all.filter(col("vec_id") === 7)
+    assertThrows[IllegalArgumentException] {
+      AnnIndex.upsertIvf(spark, dir, dup.unionByName(dup))
+    }
   }
 
   test("IVF+PQ: probe scan partition-prunes to the probed cells; codes table is 1 row/vector") {
