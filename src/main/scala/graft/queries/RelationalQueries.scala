@@ -28,6 +28,93 @@ object RelationalQueries {
   private def dec(c: org.apache.spark.sql.Column, p: Int, s: Int) =
     c.cast(s"decimal($p,$s)")
 
+  /** rel_funnel_incremental's maintained fold (see the query's comment
+    * for the semantics + state-bound proof). Factored out so the spec
+    * can pass its own store dir and inspect the pending state between
+    * ingests; the driver query calls it with a scratch dir.
+    */
+  private[graft] def funnelIncremental(s: SparkSession, ev: DataFrame,
+      storeDirOpt: Option[String] = None): DataFrame = {
+    val storeDir =
+      storeDirOpt.getOrElse(graft.sources.TempDirs.scratch("graft_funi_"))
+    val parts = 16
+    val w1Ms = FunnelClickWindowHours * 3600L * 1000L
+    val w2Ms = FunnelBuyWindowHours * 3600L * 1000L
+    val horizon = s"INTERVAL ${w1Ms + w2Ms} MILLISECONDS"
+    val resPath = s"$storeDir/results"
+    val pendPath = s"$storeDir/pending"
+    // an empty partitioned write leaves no part= dirs -> treat as absent
+    def hasData(p: String) = {
+      val f = new java.io.File(p)
+      f.isDirectory && f.listFiles.exists(_.getName.startsWith("part="))
+    }
+    def chain(e: DataFrame): DataFrame =
+      graft.streaming.StreamOps.funnel(e, w1Ms, w2Ms, "1 hour")
+    def ingest(batch: DataFrame, wm: org.apache.spark.sql.Column): Unit = {
+      val fev = batch
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+      // tombstone drop: a finalized user's funnel is immutable (any
+      // later event sits above the watermark, hence outside it)
+      val newEv =
+        if (!hasData(resPath)) fev
+        else fev.join(s.read.parquet(resPath).select("user_id"),
+          Seq("user_id"), "left_anti")
+      val all = (if (!hasData(pendPath)) newEv
+        else s.read.parquet(pendPath)
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .unionByName(newEv))
+        .localCheckpoint(true)
+      val ch = chain(all).localCheckpoint(true)
+      val fin = ch.filter(col("t_view") + expr(horizon) < wm)
+      fin.withColumn("part", pmod(col("user_id"), lit(parts.toLong)))
+        .repartition(col("part"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("part").parquet(resPath)
+      // pending': non-finalized users' events under the tighten-only
+      // bound; a null v (no view yet) behaves as +infinity, so `least`
+      // (null-skipping) gives lb = wm and the upper bounds vanish
+      val v = ch.select(col("user_id"), col("t_view").as("v"))
+      val lb = least(wm, col("v"))
+      val keep = all
+        .join(fin.select("user_id"), Seq("user_id"), "left_anti")
+        .join(v, Seq("user_id"), "left")
+        .filter(
+          when(col("event_type") === "view", col("ts") === col("v"))
+            .when(col("event_type") === "click",
+              col("ts") > lb && coalesce(
+                col("ts") <= col("v") +
+                  expr(s"INTERVAL $w1Ms MILLISECONDS"), lit(true)))
+            .otherwise(
+              col("ts") > lb && coalesce(
+                col("ts") <= col("v") + expr(horizon), lit(true))))
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("part", pmod(col("user_id"), lit(parts.toLong)))
+        .localCheckpoint(true) // materialize before overwriting source
+      keep.repartition(col("part"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("part").parquet(pendPath)
+    }
+    val t = (d: String) => lit(s"2024-01-$d 00:00:00").cast("timestamp")
+    ingest(ev.filter(col("ts") < t("21")), t("21"))                         // bulk
+    ingest(ev.filter(col("ts") >= t("21") && col("ts") < t("25")), t("25")) // day 1
+    ingest(ev.filter(col("ts") >= t("25")), t("31"))                        // day 2
+    val res =
+      if (!hasData(resPath)) None
+      else Some(s.read.parquet(resPath)
+        .select("user_id", "t_view", "reached", "t_click", "t_purchase"))
+    val late =
+      if (!hasData(pendPath)) None
+      else Some(chain(s.read.parquet(pendPath)
+        .select(col("user_id"), col("event_type"), col("ts"))))
+    (res, late) match {
+      case (Some(r), Some(l)) => r.unionByName(l).orderBy("user_id")
+      case (Some(r), None)    => r.orderBy("user_id")
+      case (None, Some(l))    => l.orderBy("user_id")
+      case (None, None)       => chain(ev).orderBy("user_id") // empty input
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Pricing-summary aggregation (TPC-H Q1 shape): scan + filter pushdown
@@ -423,6 +510,36 @@ object RelationalQueries {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // INCREMENTAL funnel — the batch dual of the STREAMING funnel
+    // (funnel-as-of-watermark, maintained by daily increments): a
+    // 100 TB event history is never rescanned per reporting day; two
+    // user-hashed parquet stores are maintained instead. `results`
+    // holds one row per FINALIZED user and doubles as the streaming
+    // branch's tombstone — a finalized user's later events are
+    // anti-joined away on arrival. `pending` buffers the funnel events
+    // of users still inside their horizon, pruned to the streaming
+    // state bound (FunnelFn's tighten-only rule): with current first
+    // view v and batch watermark wm, the final first view can only land
+    // in [lb, v] for lb = min(wm, v), so only the min view itself,
+    // clicks in (lb, v + W1], and purchases in (lb, v + W1 + W2] can
+    // ever matter; a viewless user keeps nothing at or below wm (a
+    // future view arrives at or above wm and a click must strictly
+    // follow its view). A user finalizes exactly when
+    // wm > v + W1 + W2 — every chain-relevant event is then below the
+    // watermark and already buffered — the SAME instant the streaming
+    // funnel's EventTimeTimeout fires, so per increment the cost is the
+    // batch plus the watermark-bounded pending state, never the
+    // history. Finalized rows APPEND as new files to their user-hash
+    // partitions (finalized users are new by construction — no rewrite,
+    // unlike the upsert stores); the staged windows replay the
+    // rel_retention_incremental choreography with the watermark
+    // trailing each window's upper bound, and the final read
+    // (results ∪ chain(pending) at wm = ∞) converges to the one-shot
+    // rel_funnel oracle exactly. StreamOpsSpec pins the equality and
+    // the pending-state bound per ingest.
+    "rel_funnel_incremental" -> ((s, dir) =>
+      funnelIncremental(s, Tables.events(s, dir))),
+
     // Semi-structured extraction: the events' JSON props column parsed
     // with schema-on-read (from_json with an explicit schema — codegen'd
     // JsonToStructs, no UDF) and aggregated per event type. The 100 TB
@@ -789,6 +906,35 @@ object RelationalQueries {
         |WHERE datediff('day', c.cohort_day, a.day) >= 0
         |GROUP BY c.cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    // maintained-fold convergence: finalization fires only when the
+    // watermark has passed the whole funnel horizon (chain immutable)
+    // and the final read chains the still-pending buffer, so the
+    // incremental result is the one-shot chain exactly
+    "rel_funnel_incremental" ->
+      s"""WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |    AND e.ts <= v.t_view + INTERVAL $FunnelClickWindowHours HOUR
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |    AND e.ts <= c.t_click + INTERVAL $FunnelBuyWindowHours HOUR
+        |  GROUP BY e.user_id
+        |)
+        |SELECT v.user_id, v.t_view,
+        |  CAST(1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT) AS reached,
+        |  COALESCE(c.t_click, TIMESTAMP '1970-01-01') AS t_click,
+        |  COALESCE(p.t_purchase, TIMESTAMP '1970-01-01') AS t_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "rel_interval_join" ->
       """SELECT p.purchase_id, p.user_id, p.p_ts, c.click_id, c.click_ts

@@ -415,4 +415,40 @@ class StreamOpsSpec extends AnyFunSuite {
       .select(col("buy_id"), col("click_id")).as[(Long, Long)].collect().toSet
     assert(viaOp == manual && viaOp == Set((11L, 101L), (12L, 101L), (12L, 102L)))
   }
+
+  test("incremental funnel equals the one-shot chain and holds the watermark state bound") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val storeDir = graft.sources.TempDirs.scratch("graft_funi_spec_")
+    val inc = graft.queries.RelationalQueries
+      .funnelIncremental(spark, ev, Some(storeDir))
+      .as[(Long, Timestamp, Long, Timestamp, Timestamp)].collect().toSeq
+    val oneShot = StreamOps.funnel(ev,
+        graft.queries.RelationalQueries.FunnelClickWindowHours * 3600L * 1000L,
+        graft.queries.RelationalQueries.FunnelBuyWindowHours * 3600L * 1000L,
+        "1 hour")
+      .orderBy("user_id")
+      .as[(Long, Timestamp, Long, Timestamp, Timestamp)].collect().toSeq
+    assert(inc == oneShot, "incremental fold diverged from the one-shot funnel")
+    // state bound: after the last ingest (watermark = Jan 31) the pending
+    // buffer holds no event below wm - horizon — the watermark-lag bound
+    // that keeps each increment batch-sized, never history-sized
+    val pend = new java.io.File(s"$storeDir/pending")
+    if (pend.isDirectory && pend.listFiles.exists(_.getName.startsWith("part="))) {
+      val horizonMs = (graft.queries.RelationalQueries.FunnelClickWindowHours +
+        graft.queries.RelationalQueries.FunnelBuyWindowHours) * 3600L * 1000L
+      val floor = new Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-31 00:00:00").getTime - horizonMs)
+      val below = spark.read.parquet(s"$storeDir/pending")
+        .filter(col("ts") < lit(floor)).count()
+      assert(below == 0, s"$below pending events below watermark - horizon")
+    }
+    // tombstone/append discipline: every finalized user appears exactly once
+    val res = new java.io.File(s"$storeDir/results")
+    if (res.isDirectory && res.listFiles.exists(_.getName.startsWith("part="))) {
+      val dup = spark.read.parquet(s"$storeDir/results")
+        .groupBy("user_id").count().filter(col("count") > 1).count()
+      assert(dup == 0, s"$dup users finalized more than once")
+    }
+  }
 }
