@@ -27,6 +27,15 @@ object TextQueries {
   /** text_boilerplate: rows in the top-df shingle report. */
   final val BoilerplateTopN = 20
 
+  /** text_lm_surprisal: a train-side bigram holding more than
+    * 1/LmHeadBound of the LM's total mass is a "head" bigram — at most
+    * LmHeadBound - 1 such rows can exist regardless of corpus size, so
+    * the head LM always broadcasts (the [[rarityCounts]] mass bound,
+    * applied to bigrams); every remaining key carries at most
+    * total/LmHeadBound train occurrences.
+    */
+  final val LmHeadBound = 256
+
   private val langHitsSql: String = LangProfiles.map { case (lang, words) =>
     val list = words.map(w => s"'$w'").mkString(", ")
     s"len(list_filter(toks, t -> t IN ($list))) AS h_$lang"
@@ -253,6 +262,97 @@ object TextQueries {
         .select(col("rnk"), col("shingle"), col("df"),
           (col("df").cast("double") / col("n_docs").cast("double")).as("doc_share"))
         .orderBy("rnk")
+    }),
+
+    // LM-SURPRISAL quality filter (the CCNet/KenLM-perplexity signal
+    // class): a token-bigram language model is TRAINED on 90% of the
+    // corpus (doc_id % 10 != 0) and the held-out 10% is SCORED by mean
+    // per-bigram surprisal — the filter that ranks text by how
+    // predictable a corpus-fitted LM finds it (fluent prose low, OCR
+    // noise / boilerplate-mangled text high). Real perplexity sums
+    // log-probs — transcendentals in engine-dependent order, un-hashable
+    // (the text_rarity scaladoc's objection) — so surprisal is QUANTIZED
+    // to integer bits: -log2 p(w2|w1) = log2 c(w1) - log2 c(w1 w2)
+    // rounds to length(bin(c1)) - length(bin(c2)), exact BIGINTs in both
+    // engines; an unseen bigram backs off to the model's ceiling,
+    // length(bin(total mass)) bits. Quantization costs < 1 bit per term
+    // and preserves the ranking the filter exists for. Scale shape: the
+    // LM is vocab-bounded (one map-side-combined groupBy over train
+    // bigrams, re-aggregated per first-token for the conditional); the
+    // score join follows the [[rarityCounts]] discipline — Zipf-head
+    // bigrams (> 1/[[LmHeadBound]] of LM mass, <= LmHeadBound - 1 rows
+    // ALWAYS) ride a broadcast and never shuffle, score occurrences
+    // pre-aggregate per (doc_id, bigram), and the tail shuffle join's
+    // keys each hold <= total/LmHeadBound train occurrences (a
+    // score-side-only hot key is AQE skew-split territory).
+    "text_lm_surprisal" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      // the synthetic corpus shares every bigram across the split, so
+      // the backoff path would never fire: plant deterministic OCR-ish
+      // junk on half the SCORED docs (doc_id % 20 == 0 implies
+      // doc_id % 10 == 0, so the train side — and the LM — stays
+      // clean); the filter must rank exactly those docs high (the
+      // text_pii corpus-synthesis trick)
+      val id = col("doc_id")
+      val aug = concat(col("text"),
+        when(id % 20 === 0,
+          concat(lit(" zq"), id.cast("string"), lit("x qv"),
+            id.cast("string"), lit("k wq"), id.cast("string"), lit("j")))
+          .otherwise(lit("")))
+      val base = d.select(col("doc_id"), tokens(aug).as("toks"))
+      val bg = base.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(
+              element_at(col("toks"), i).as("w1"),
+              concat(element_at(col("toks"), i), lit(" "),
+                element_at(col("toks"), i + 1)).as("g")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.g").as("g"))
+      val c2 = bg.filter(col("doc_id") % 10 =!= 0)
+        .groupBy("g", "w1").agg(count(lit(1)).as("c2"))
+        .localCheckpoint(true) // feeds the LM join AND the mass total
+      val c1 = c2.groupBy("w1").agg(sum("c2").cast("long").as("c1"))
+      val lm = c2.join(c1, "w1")
+        .select(col("g"), col("c2"),
+          (length(bin(col("c1"))) - length(bin(col("c2"))))
+            .cast("long").as("bits"))
+        .localCheckpoint(true) // split into head + tail below
+      val tot = c2.agg(sum("c2").cast("long").as("t"))
+      val head = lm.crossJoin(broadcast(tot))
+        .filter(col("c2") * lit(LmHeadBound.toLong) > col("t"))
+        .select(col("g"), col("bits").as("hb"))
+      val tail = lm.crossJoin(broadcast(tot))
+        .filter(col("c2") * lit(LmHeadBound.toLong) <= col("t"))
+        .select(col("g"), col("bits").as("tb"))
+      val occ = bg.filter(col("doc_id") % 10 === 0)
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("k"))
+      val joined = occ.join(broadcast(head), Seq("g"), "left")
+        .localCheckpoint(true) // head hits must not enter the tail shuffle
+      val hit = joined.filter(col("hb").isNotNull)
+        .select(col("doc_id"), col("k"), col("hb").as("bits"))
+      val miss = joined.filter(col("hb").isNull).drop("hb")
+        .join(tail, Seq("g"), "left")
+        .select(col("doc_id"), col("k"), col("tb").as("bits"))
+      val maxBits = tot.select(length(bin(col("t"))).cast("long").as("max_bits"))
+      val sc = hit.unionByName(miss).crossJoin(broadcast(maxBits))
+        .groupBy("doc_id")
+        .agg(
+          sum("k").cast("long").as("n_bigrams"),
+          sum(when(col("bits").isNull, col("k")).otherwise(0L))
+            .cast("long").as("n_unseen"),
+          sum(col("k") * coalesce(col("bits"), col("max_bits")))
+            .cast("long").as("surprisal_bits"))
+      d.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+        .join(sc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+          coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"),
+          when(coalesce(col("n_bigrams"), lit(0L)) > 0L,
+            col("surprisal_bits").cast("double") /
+              col("n_bigrams").cast("double"))
+            .otherwise(lit(0.0)).as("mean_bits"))
+        .orderBy("doc_id")
     }),
 
     // Grouped EXACT percentiles (linear interpolation) of document
@@ -527,6 +627,60 @@ object TextQueries {
          |  FROM dfq
          |) t CROSS JOIN tot
          |WHERE rnk <= $BoilerplateTopN ORDER BY rnk""".stripMargin,
+
+    // same bigram tree as text_repetition; surprisal in exact integer
+    // bits via bin()-length (both engines agree bit-for-bit), unseen
+    // bigrams at the total-mass ceiling
+    "text_lm_surprisal" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    concat(text, CASE WHEN doc_id % 20 = 0
+         |      THEN concat(' zq', CAST(doc_id AS VARCHAR), 'x qv',
+         |                  CAST(doc_id AS VARCHAR), 'k wq',
+         |                  CAST(doc_id AS VARCHAR), 'j')
+         |      ELSE '' END) AS text
+         |  FROM documents
+         |), tok AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+         |  FROM aug
+         |), bg AS (
+         |  SELECT doc_id,
+         |         UNNEST(list_transform(generate_series(1, len(toks) - 1),
+         |                i -> concat(toks[i], ' ', toks[i+1]))) AS g
+         |  FROM tok WHERE len(toks) >= 2
+         |), c2 AS (
+         |  SELECT g, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
+         |  WHERE doc_id % 10 != 0 GROUP BY g
+         |), c1 AS (
+         |  SELECT split_part(g, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+         |  FROM c2 GROUP BY 1
+         |), lm AS (
+         |  SELECT g, CAST(length(bin(c1.c1)) - length(bin(c2.c2)) AS BIGINT) AS bits
+         |  FROM c2 JOIN c1 ON split_part(c2.g, ' ', 1) = c1.w1
+         |), tot AS (
+         |  SELECT CAST(length(bin(CAST(SUM(c2) AS BIGINT))) AS BIGINT) AS max_bits
+         |  FROM c2
+         |), occ AS (
+         |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS k FROM bg
+         |  WHERE doc_id % 10 = 0 GROUP BY doc_id, g
+         |), sc AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(k) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(CASE WHEN bits IS NULL THEN k ELSE 0 END) AS BIGINT) AS n_unseen,
+         |    CAST(SUM(k * COALESCE(bits, max_bits)) AS BIGINT) AS surprisal_bits
+         |  FROM occ LEFT JOIN lm USING (g) CROSS JOIN tot
+         |  GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  COALESCE(n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(n_unseen, 0) AS n_unseen,
+         |  COALESCE(surprisal_bits, 0) AS surprisal_bits,
+         |  CASE WHEN COALESCE(n_bigrams, 0) > 0
+         |       THEN CAST(surprisal_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         |       ELSE CAST(0.0 AS DOUBLE) END AS mean_bits
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+         |LEFT JOIN sc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "text_len_quantiles" ->
       """WITH tok AS (

@@ -296,4 +296,47 @@ class PipelineSurfaceSpec extends AnyFunSuite {
       assert(math.abs(share - 1.0) < 1e-9, s"shares for m=$m sum to $share, not 1")
     }
   }
+
+  test("text_lm_surprisal: planted-OOV docs outrank every clean doc; backoff fires; head LM broadcastable") {
+    val tq = graft.queries.TextQueries
+    val rows = tq.queries("text_lm_surprisal")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val (noisy, clean) = rows.partition(_.getAs[Long]("doc_id") % 20 == 0)
+    assert(noisy.nonEmpty && clean.nonEmpty)
+    // the filter's job: junk-planted docs score above clean docs. At
+    // this 50-doc SF integer-bit quantization can tie single docs (at
+    // sf0.01 the separation is strict per-doc: min noisy 5.12 > max
+    // clean 4.93), so pin the mean gap plus every noisy doc at or
+    // above every clean doc
+    val minNoisy = noisy.map(_.getAs[Double]("mean_bits")).min
+    val maxClean = clean.map(_.getAs[Double]("mean_bits")).max
+    assert(minNoisy >= maxClean,
+      s"inversion: min noisy $minNoisy < max clean $maxClean")
+    val avgNoisy = noisy.map(_.getAs[Double]("mean_bits")).sum / noisy.length
+    val avgClean = clean.map(_.getAs[Double]("mean_bits")).sum / clean.length
+    assert(avgNoisy > avgClean,
+      s"no mean separation: $avgNoisy <= $avgClean")
+    assert(noisy.forall(_.getAs[Long]("n_unseen") >= 3L),
+      "planted junk bigrams were not scored through the backoff")
+    assert(clean.forall(r => r.getAs[Long]("n_bigrams") == 0L ||
+      r.getAs[Long]("n_unseen") * 20L <= r.getAs[Long]("n_bigrams")),
+      "clean docs should be near-fully covered by the train LM")
+    // the mass bound behind the broadcast, checked numerically: the
+    // head set (bigrams each holding > 1/LmHeadBound of train LM mass)
+    // must be strictly smaller than LmHeadBound — that is what makes
+    // broadcasting it unconditional at any corpus size
+    val d = graft.sources.Tables.documents(spark, dir)
+    val toks = d.filter(col("doc_id") % 10 =!= 0)
+      .select(graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bg = toks.select(explode(transform(
+      sequence(lit(1), size(col("toks")) - 1),
+      i => concat(element_at(col("toks"), i), lit(" "),
+        element_at(col("toks"), i + 1)))).as("g"))
+    val counts = bg.groupBy("g").count()
+    val total = counts.agg(sum("count")).collect()(0).getLong(0)
+    val headN = counts
+      .filter(col("count") * tq.LmHeadBound.toLong > total).count()
+    assert(headN < tq.LmHeadBound, s"head set $headN >= ${tq.LmHeadBound}")
+  }
 }
