@@ -57,6 +57,20 @@ object PipelineQueries {
   /** sample_reservoir: exact per-language cap and its hash salt. */
   final val ReservoirN = 20
   final val ReservoirSalt = 17
+  /** pipe_quality_nb: a train-side token holding more than 1/NbHeadBound
+    * of either class's total mass is a head token — at most
+    * NbHeadBound - 1 per class, so the head weight table always
+    * broadcasts (the TextQueries.rarityCounts mass bound).
+    */
+  final val NbHeadBound = 256
+  /** pipe_quality_nb's planted spam vocabulary, appended NbSpamReps
+    * times to every doc_id % 5 == 0 doc (the text_pii corpus-synthesis
+    * trick): ten tokens absent from the synthetic corpus, repeated so
+    * the spam evidence outweighs a typical doc's ham-leaning drift.
+    */
+  final val NbSpamBlurb =
+    " free winner prize click buy now offer bonus cash deal"
+  final val NbSpamReps = 4
   /** pipe_source_cap: max docs kept per source (binds at every SF — the
     * uniform synthetic layout has 25 docs/source at sf0.01).
     */
@@ -508,6 +522,89 @@ object PipelineQueries {
           min("score").as("min_score"),
           max("score").as("max_score"))
         .orderBy("bucket")
+    }),
+
+    // TRAINED quality classifier (the fastText-filter class every
+    // GPT-3/CCNet-style pipeline runs: label a slice, learn token
+    // weights, score the crawl): Naive Bayes over token counts, trained
+    // on the doc_id % 3 == 0 slice with planted spam labels
+    // (doc_id % 5 == 0 docs get [[NbSpamBlurb]] x [[NbSpamReps]]
+    // appended — the text_pii synthesis trick; labels are known by
+    // construction, so precision is auditable in the output). Real NB
+    // sums log-likelihood ratios — transcendental, engine-order-
+    // dependent, unhashable — so like text_lm_surprisal the weights are
+    // QUANTIZED to integer bits: w(t) = bitlen(c_spam(t)+1) -
+    // bitlen(c_ham(t)+1) (the +1 the usual add-one smoothing), doc
+    // score = class-prior bits + sum over token occurrences, all exact
+    // BIGINTs; tokens unseen in train weigh 0 (both sides bitlen(1)).
+    // Quantization costs < 1 bit per term and keeps the decision
+    // boundary: at sf0.01 every planted doc scores > 0 and every clean
+    // doc < 0 (spec-pinned). Scale shape: the weight table is
+    // vocab-bounded (one map-side-combined groupBy); the score join
+    // follows the rarityCounts discipline — tokens holding
+    // > 1/[[NbHeadBound]] of either class's mass (<= 2*(NbHeadBound-1)
+    // rows EVER) broadcast, score occurrences pre-aggregate per
+    // (doc_id, tok), and the tail join's keys are mass-bounded.
+    "pipe_quality_nb" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val id = col("doc_id")
+      val aug = concat(col("text"),
+        when(id % 5 === 0, lit(NbSpamBlurb * NbSpamReps)).otherwise(lit("")))
+      val base = d.select(col("doc_id"),
+        (id % 5 === 0).as("is_spam"),
+        TextAnalysis.tokens(aug).as("toks"))
+      val tok = base.select(col("doc_id"), col("is_spam"),
+        explode(col("toks")).as("tok"))
+      // per-token class counts over the labeled train slice
+      val cls = tok.filter(col("doc_id") % 3 === 0)
+        .groupBy("tok")
+        .agg(
+          sum(when(col("is_spam"), 1L).otherwise(0L)).as("cs"),
+          sum(when(col("is_spam"), 0L).otherwise(1L)).as("ch"))
+        .localCheckpoint(true) // feeds the weight split AND both mass totals
+      val w = cls.select(col("tok"), col("cs"), col("ch"),
+        (length(bin(col("cs") + 1L)) - length(bin(col("ch") + 1L)))
+          .cast("long").as("w"))
+      val tot = cls.agg(sum("cs").cast("long").as("ts"),
+        sum("ch").cast("long").as("th"))
+      val head = w.crossJoin(broadcast(tot))
+        .filter(col("cs") * lit(NbHeadBound.toLong) > col("ts") ||
+          col("ch") * lit(NbHeadBound.toLong) > col("th"))
+        .select(col("tok"), col("w").as("hw"))
+      val tail = w.crossJoin(broadcast(tot))
+        .filter(!(col("cs") * lit(NbHeadBound.toLong) > col("ts") ||
+          col("ch") * lit(NbHeadBound.toLong) > col("th")))
+        .select(col("tok"), col("w").as("tw"))
+      // class prior in bits from train doc counts
+      val prior = base.filter(col("doc_id") % 3 === 0)
+        .agg(
+          sum(when(col("is_spam"), 1L).otherwise(0L)).as("ns"),
+          sum(when(col("is_spam"), 0L).otherwise(1L)).as("nh"))
+        .select((length(bin(col("ns") + 1L)) - length(bin(col("nh") + 1L)))
+          .cast("long").as("prior"))
+      val occ = tok.filter(col("doc_id") % 3 =!= 0)
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
+      val joined = occ.join(broadcast(head), Seq("tok"), "left")
+        .localCheckpoint(true) // head hits must not enter the tail shuffle
+      val hit = joined.filter(col("hw").isNotNull)
+        .select(col("doc_id"), col("k"), col("hw").as("w"))
+      val miss = joined.filter(col("hw").isNull).drop("hw")
+        .join(tail, Seq("tok"), "left")
+        .select(col("doc_id"), col("k"), coalesce(col("tw"), lit(0L)).as("w"))
+      val sc = hit.unionByName(miss)
+        .groupBy("doc_id")
+        .agg(sum(col("k") * col("w")).cast("long").as("token_bits"))
+      d.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), (id % 5 === 0).as("is_spam"))
+        .join(sc, Seq("doc_id"), "left")
+        .crossJoin(broadcast(prior))
+        .select(col("doc_id"),
+          (col("prior") + coalesce(col("token_bits"), lit(0L)))
+            .as("nb_score"),
+          (col("prior") + coalesce(col("token_bits"), lit(0L)) > 0L)
+            .as("pred_spam"),
+          col("is_spam"))
+        .orderBy("doc_id")
     }),
 
     // TOKEN-BUDGET subset selection: keep the highest-quality docs (by
@@ -972,6 +1069,48 @@ object PipelineQueries {
          |  FROM documents
          |) t WHERE rnk <= $ReservoirN ORDER BY lang, rnk""".stripMargin
     },
+
+    // integer-bit NB weights via bin()-length (the text_lm_surprisal
+    // quantization); same augmented corpus on both sides
+    "pipe_quality_nb" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, doc_id % 5 = 0 AS is_spam,
+         |    concat(text, CASE WHEN doc_id % 5 = 0
+         |      THEN repeat('$NbSpamBlurb', $NbSpamReps) ELSE '' END) AS text
+         |  FROM documents
+         |), tok AS (
+         |  SELECT doc_id, is_spam,
+         |    unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+         |  FROM aug
+         |), cls AS (
+         |  SELECT tok,
+         |    CAST(SUM(CASE WHEN is_spam THEN 1 ELSE 0 END) AS BIGINT) AS cs,
+         |    CAST(SUM(CASE WHEN is_spam THEN 0 ELSE 1 END) AS BIGINT) AS ch
+         |  FROM tok WHERE doc_id % 3 = 0 GROUP BY tok
+         |), w AS (
+         |  SELECT tok,
+         |    CAST(length(bin(cs + 1)) - length(bin(ch + 1)) AS BIGINT) AS w
+         |  FROM cls
+         |), prior AS (
+         |  SELECT CAST(
+         |    length(bin(CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) + 1)) -
+         |    length(bin(CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END) AS BIGINT) + 1))
+         |    AS BIGINT) AS prior
+         |  FROM documents WHERE doc_id % 3 = 0
+         |), occ AS (
+         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS k FROM tok
+         |  WHERE doc_id % 3 != 0 GROUP BY doc_id, tok
+         |), sc AS (
+         |  SELECT doc_id, CAST(SUM(k * COALESCE(w, 0)) AS BIGINT) AS token_bits
+         |  FROM occ LEFT JOIN w USING (tok) GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(prior + COALESCE(token_bits, 0) AS BIGINT) AS nb_score,
+         |  (prior + COALESCE(token_bits, 0)) > 0 AS pred_spam,
+         |  d.doc_id % 5 = 0 AS is_spam
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 != 0) d
+         |LEFT JOIN sc USING (doc_id) CROSS JOIN prior
+         |ORDER BY d.doc_id""".stripMargin,
 
     "pipe_score" ->
       s"""WITH tok AS (

@@ -339,4 +339,22 @@ class PipelineSurfaceSpec extends AnyFunSuite {
       .filter(col("count") * tq.LmHeadBound.toLong > total).count()
     assert(headN < tq.LmHeadBound, s"head set $headN >= ${tq.LmHeadBound}")
   }
+
+  test("pipe_quality_nb: planted labels recovered exactly on the held-out slice") {
+    val rows = graft.queries.PipelineQueries
+      .queries("pipe_quality_nb")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // the classifier's job on its own synthesis: zero confusion — every
+    // planted doc scores positive, every clean doc negative (the margin
+    // at sf0.01 is min spam +102 vs max ham -17; quantization noise
+    // cannot cross zero at any tested SF)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("pred_spam") == r.getAs[Boolean]("is_spam"),
+        s"misclassified doc ${r.getAs[Long]("doc_id")}: " +
+          s"score ${r.getAs[Long]("nb_score")}")
+    }
+    // both classes must actually appear in the held-out slice
+    assert(rows.exists(_.getAs[Boolean]("is_spam")))
+    assert(rows.exists(!_.getAs[Boolean]("is_spam")))
+  }
 }
