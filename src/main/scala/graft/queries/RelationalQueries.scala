@@ -95,10 +95,21 @@ object RelationalQueries {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("part").parquet(pendPath)
     }
+    // the watermark LAGS the batch windows deliberately (large allowed
+    // lateness — legal under the contract, which needs only a monotone
+    // schedule with future arrivals at or above it): every first view
+    // in this corpus lands in Jan 1-12, so a watermark trailing the
+    // Jan-21/25 window bounds would finalize EVERY user in the first
+    // ingest and leave the pending carry-over/prune path and the
+    // read-time union branch dead code at all test SFs. The Jan 3/5/6
+    // schedule keeps both store branches populated at every ingest —
+    // users with v <= wm - 30h finalize, the freshest stay pending for
+    // the final chain — and the spec asserts pending AND results are
+    // both non-empty
     val t = (d: String) => lit(s"2024-01-$d 00:00:00").cast("timestamp")
-    ingest(ev.filter(col("ts") < t("21")), t("21"))                         // bulk
-    ingest(ev.filter(col("ts") >= t("21") && col("ts") < t("25")), t("25")) // day 1
-    ingest(ev.filter(col("ts") >= t("25")), t("31"))                        // day 2
+    ingest(ev.filter(col("ts") < t("21")), t("03"))                         // bulk
+    ingest(ev.filter(col("ts") >= t("21") && col("ts") < t("25")), t("05")) // day 1
+    ingest(ev.filter(col("ts") >= t("25")), t("06"))                        // day 2
     val res =
       if (!hasData(resPath)) None
       else Some(s.read.parquet(resPath)
@@ -528,15 +539,21 @@ object RelationalQueries {
     // wm > v + W1 + W2 — every chain-relevant event is then below the
     // watermark and already buffered — the SAME instant the streaming
     // funnel's EventTimeTimeout fires, so per increment the cost is the
-    // batch plus the watermark-bounded pending state, never the
-    // history. Finalized rows APPEND as new files to their user-hash
+    // batch, the watermark-bounded pending state, and one COLUMN-PRUNED
+    // scan of finalized user ids for the tombstone anti-join (the one
+    // piece that grows with history; a bloom sidecar over finalized ids
+    // is the 100 TB swap-in, the pipe_decontam_bloom pattern — the
+    // event HISTORY itself is never rescanned). Finalized rows APPEND
+    // as new files to their user-hash
     // partitions (finalized users are new by construction — no rewrite,
     // unlike the upsert stores); the staged windows replay the
-    // rel_retention_incremental choreography with the watermark
-    // trailing each window's upper bound, and the final read
-    // (results ∪ chain(pending) at wm = ∞) converges to the one-shot
-    // rel_funnel oracle exactly. StreamOpsSpec pins the equality and
-    // the pending-state bound per ingest.
+    // rel_retention_incremental choreography under a deliberately
+    // LAGGING watermark schedule (see the schedule comment in
+    // [[funnelIncremental]] — it keeps both store branches live on
+    // this corpus), and the final read (results ∪ chain(pending) at
+    // wm = ∞) converges to the one-shot rel_funnel oracle exactly.
+    // StreamOpsSpec pins the equality, that BOTH stores are non-empty,
+    // and the pending-state bound per ingest.
     "rel_funnel_incremental" -> ((s, dir) =>
       funnelIncremental(s, Tables.events(s, dir))),
 
@@ -693,6 +710,54 @@ object RelationalQueries {
       |) WHERE rn = 1
       |ORDER BY purchase_id""".stripMargin
 
+  /** The one-shot funnel chain — the SINGLE oracle for rel_funnel and
+    * its replay/incremental forms (all three converge to it by
+    * construction; one definition so a window/schema tweak cannot
+    * desynchronize them).
+    */
+  private lazy val funnelSql: String =
+    s"""WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_click
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |    AND e.ts <= v.t_view + INTERVAL $FunnelClickWindowHours HOUR
+      |  GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |    AND e.ts <= c.t_click + INTERVAL $FunnelBuyWindowHours HOUR
+      |  GROUP BY e.user_id
+      |)
+      |SELECT v.user_id, v.t_view,
+      |  CAST(1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
+      |         + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT) AS reached,
+      |  COALESCE(c.t_click, TIMESTAMP '1970-01-01') AS t_click,
+      |  COALESCE(p.t_purchase, TIMESTAMP '1970-01-01') AS t_purchase
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  /** The one-shot cohort matrix — shared by rel_retention and its
+    * maintained form, same single-definition rationale as funnelSql.
+    */
+  private lazy val retentionSql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id
+      |), activity AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |)
+      |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+      |  CAST(datediff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+      |  CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_users
+      |FROM cohort c JOIN activity a USING (user_id)
+      |WHERE datediff('day', c.cohort_day, a.day) >= 0
+      |GROUP BY c.cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "rel_q1" ->
@@ -822,119 +887,24 @@ object RelationalQueries {
         |ORDER BY rev_exact DESC, o_orderkey
         |LIMIT 10""".stripMargin,
 
-    "rel_funnel" ->
-      s"""WITH v AS (
-        |  SELECT user_id, MIN(ts) AS t_view FROM events
-        |  WHERE event_type = 'view' GROUP BY user_id
-        |), c AS (
-        |  SELECT e.user_id, MIN(e.ts) AS t_click
-        |  FROM events e JOIN v ON v.user_id = e.user_id
-        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
-        |    AND e.ts <= v.t_view + INTERVAL $FunnelClickWindowHours HOUR
-        |  GROUP BY e.user_id
-        |), p AS (
-        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
-        |  FROM events e JOIN c ON c.user_id = e.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
-        |    AND e.ts <= c.t_click + INTERVAL $FunnelBuyWindowHours HOUR
-        |  GROUP BY e.user_id
-        |)
-        |SELECT v.user_id, v.t_view,
-        |  CAST(1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
-        |         + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT) AS reached,
-        |  COALESCE(c.t_click, TIMESTAMP '1970-01-01') AS t_click,
-        |  COALESCE(p.t_purchase, TIMESTAMP '1970-01-01') AS t_purchase
-        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
-        |ORDER BY user_id""".stripMargin,
+    "rel_funnel" -> funnelSql,
 
     // replay convergence: the staged micro-batch fold finalizes every
     // funnel, so the oracle is the batch chain unchanged
-    "rel_funnel_replay" ->
-      s"""WITH v AS (
-        |  SELECT user_id, MIN(ts) AS t_view FROM events
-        |  WHERE event_type = 'view' GROUP BY user_id
-        |), c AS (
-        |  SELECT e.user_id, MIN(e.ts) AS t_click
-        |  FROM events e JOIN v ON v.user_id = e.user_id
-        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
-        |    AND e.ts <= v.t_view + INTERVAL $FunnelClickWindowHours HOUR
-        |  GROUP BY e.user_id
-        |), p AS (
-        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
-        |  FROM events e JOIN c ON c.user_id = e.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
-        |    AND e.ts <= c.t_click + INTERVAL $FunnelBuyWindowHours HOUR
-        |  GROUP BY e.user_id
-        |)
-        |SELECT v.user_id, v.t_view,
-        |  CAST(1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
-        |         + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT) AS reached,
-        |  COALESCE(c.t_click, TIMESTAMP '1970-01-01') AS t_click,
-        |  COALESCE(p.t_purchase, TIMESTAMP '1970-01-01') AS t_purchase
-        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
-        |ORDER BY user_id""".stripMargin,
-
-    "rel_retention" ->
-      """WITH cohort AS (
-        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
-        |  WHERE event_type = 'signup' GROUP BY user_id
-        |), activity AS (
-        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
-        |)
-        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
-        |  CAST(datediff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
-        |  CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_users
-        |FROM cohort c JOIN activity a USING (user_id)
-        |WHERE datediff('day', c.cohort_day, a.day) >= 0
-        |GROUP BY c.cohort_day, day_offset
-        |ORDER BY cohort_day, day_offset""".stripMargin,
-
-    // maintained-store convergence: batch-ordered first-writer-wins
-    // cohorts == global MIN signup day, pair appends == the distinct
-    // activity set, so the incremental matrix is the one-shot matrix
-    "rel_retention_incremental" ->
-      """WITH cohort AS (
-        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
-        |  WHERE event_type = 'signup' GROUP BY user_id
-        |), activity AS (
-        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
-        |)
-        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
-        |  CAST(datediff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
-        |  CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_users
-        |FROM cohort c JOIN activity a USING (user_id)
-        |WHERE datediff('day', c.cohort_day, a.day) >= 0
-        |GROUP BY c.cohort_day, day_offset
-        |ORDER BY cohort_day, day_offset""".stripMargin,
+    "rel_funnel_replay" -> funnelSql,
 
     // maintained-fold convergence: finalization fires only when the
     // watermark has passed the whole funnel horizon (chain immutable)
     // and the final read chains the still-pending buffer, so the
     // incremental result is the one-shot chain exactly
-    "rel_funnel_incremental" ->
-      s"""WITH v AS (
-        |  SELECT user_id, MIN(ts) AS t_view FROM events
-        |  WHERE event_type = 'view' GROUP BY user_id
-        |), c AS (
-        |  SELECT e.user_id, MIN(e.ts) AS t_click
-        |  FROM events e JOIN v ON v.user_id = e.user_id
-        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
-        |    AND e.ts <= v.t_view + INTERVAL $FunnelClickWindowHours HOUR
-        |  GROUP BY e.user_id
-        |), p AS (
-        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
-        |  FROM events e JOIN c ON c.user_id = e.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
-        |    AND e.ts <= c.t_click + INTERVAL $FunnelBuyWindowHours HOUR
-        |  GROUP BY e.user_id
-        |)
-        |SELECT v.user_id, v.t_view,
-        |  CAST(1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
-        |         + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT) AS reached,
-        |  COALESCE(c.t_click, TIMESTAMP '1970-01-01') AS t_click,
-        |  COALESCE(p.t_purchase, TIMESTAMP '1970-01-01') AS t_purchase
-        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
-        |ORDER BY user_id""".stripMargin,
+    "rel_funnel_incremental" -> funnelSql,
+
+    "rel_retention" -> retentionSql,
+
+    // maintained-store convergence: batch-ordered first-writer-wins
+    // cohorts == global MIN signup day, pair appends == the distinct
+    // activity set, so the incremental matrix is the one-shot matrix
+    "rel_retention_incremental" -> retentionSql,
 
     "rel_interval_join" ->
       """SELECT p.purchase_id, p.user_id, p.p_ts, c.click_id, c.click_ts

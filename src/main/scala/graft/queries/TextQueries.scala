@@ -80,6 +80,86 @@ object TextQueries {
   // PII patterns + redaction live on TextAnalysis (library API);
   // EmailRe/PhoneRe/IpRe resolve through the TextAnalysis._ import.
 
+  /** text_lm_surprisal/_incremental shared plumbing: the augmented
+    * bigram occurrence stream (doc_id, w1, g). The synthetic corpus
+    * shares every bigram across the split, so the backoff path would
+    * never fire: deterministic OCR-ish junk is planted on half the
+    * SCORED docs (doc_id % 20 == 0 implies doc_id % 10 == 0, so the
+    * train side — and the LM — stays clean); the filter must rank
+    * exactly those docs high (the text_pii corpus-synthesis trick).
+    */
+  private[graft] def lmBigrams(d: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val aug = concat(col("text"),
+      when(id % 20 === 0,
+        concat(lit(" zq"), id.cast("string"), lit("x qv"),
+          id.cast("string"), lit("k wq"), id.cast("string"), lit("j")))
+        .otherwise(lit("")))
+    d.select(col("doc_id"), tokens(aug).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(
+            element_at(col("toks"), i).as("w1"),
+            concat(element_at(col("toks"), i), lit(" "),
+              element_at(col("toks"), i + 1)).as("g")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.g").as("g"))
+  }
+
+  /** Score the held-out split (doc_id % 10 == 0) of `d` against trained
+    * bigram counts `c2Raw` (g, w1, c2) — the text_lm_surprisal scoring
+    * pass, shared by the one-shot and the maintained (segment-store)
+    * forms, which therefore converge to the same oracle. See the
+    * text_lm_surprisal query comment for the quantization and the
+    * head-broadcast discipline.
+    */
+  private[graft] def lmScoreFromCounts(d: DataFrame, bg: DataFrame,
+      c2Raw: DataFrame): DataFrame = {
+    val c2 = c2Raw.localCheckpoint(true) // feeds the LM join AND the mass total
+    val c1 = c2.groupBy("w1").agg(sum("c2").cast("long").as("c1"))
+    val lm = c2.join(c1, "w1")
+      .select(col("g"), col("c2"),
+        (length(bin(col("c1"))) - length(bin(col("c2"))))
+          .cast("long").as("bits"))
+      .localCheckpoint(true) // split into head + tail below
+    val tot = c2.agg(sum("c2").cast("long").as("t"))
+    val head = lm.crossJoin(broadcast(tot))
+      .filter(col("c2") * lit(LmHeadBound.toLong) > col("t"))
+      .select(col("g"), col("bits").as("hb"))
+    val tail = lm.crossJoin(broadcast(tot))
+      .filter(col("c2") * lit(LmHeadBound.toLong) <= col("t"))
+      .select(col("g"), col("bits").as("tb"))
+    val occ = bg.filter(col("doc_id") % 10 === 0)
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("k"))
+    val joined = occ.join(broadcast(head), Seq("g"), "left")
+      .localCheckpoint(true) // head hits must not enter the tail shuffle
+    val hit = joined.filter(col("hb").isNotNull)
+      .select(col("doc_id"), col("k"), col("hb").as("bits"))
+    val miss = joined.filter(col("hb").isNull).drop("hb")
+      .join(tail, Seq("g"), "left")
+      .select(col("doc_id"), col("k"), col("tb").as("bits"))
+    val maxBits = tot.select(length(bin(col("t"))).cast("long").as("max_bits"))
+    val sc = hit.unionByName(miss).crossJoin(broadcast(maxBits))
+      .groupBy("doc_id")
+      .agg(
+        sum("k").cast("long").as("n_bigrams"),
+        sum(when(col("bits").isNull, col("k")).otherwise(0L))
+          .cast("long").as("n_unseen"),
+        sum(col("k") * coalesce(col("bits"), col("max_bits")))
+          .cast("long").as("surprisal_bits"))
+    d.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0L,
+          col("surprisal_bits").cast("double") /
+            col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)).as("mean_bits"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "text_stats" -> ((s, dir) => {
@@ -287,72 +367,49 @@ object TextQueries {
     // score-side-only hot key is AQE skew-split territory).
     "text_lm_surprisal" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      // the synthetic corpus shares every bigram across the split, so
-      // the backoff path would never fire: plant deterministic OCR-ish
-      // junk on half the SCORED docs (doc_id % 20 == 0 implies
-      // doc_id % 10 == 0, so the train side — and the LM — stays
-      // clean); the filter must rank exactly those docs high (the
-      // text_pii corpus-synthesis trick)
-      val id = col("doc_id")
-      val aug = concat(col("text"),
-        when(id % 20 === 0,
-          concat(lit(" zq"), id.cast("string"), lit("x qv"),
-            id.cast("string"), lit("k wq"), id.cast("string"), lit("j")))
-          .otherwise(lit("")))
-      val base = d.select(col("doc_id"), tokens(aug).as("toks"))
-      val bg = base.filter(size(col("toks")) >= 2)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("toks")) - 1),
-            i => struct(
-              element_at(col("toks"), i).as("w1"),
-              concat(element_at(col("toks"), i), lit(" "),
-                element_at(col("toks"), i + 1)).as("g")))).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.g").as("g"))
-      val c2 = bg.filter(col("doc_id") % 10 =!= 0)
-        .groupBy("g", "w1").agg(count(lit(1)).as("c2"))
-        .localCheckpoint(true) // feeds the LM join AND the mass total
-      val c1 = c2.groupBy("w1").agg(sum("c2").cast("long").as("c1"))
-      val lm = c2.join(c1, "w1")
-        .select(col("g"), col("c2"),
-          (length(bin(col("c1"))) - length(bin(col("c2"))))
-            .cast("long").as("bits"))
-        .localCheckpoint(true) // split into head + tail below
-      val tot = c2.agg(sum("c2").cast("long").as("t"))
-      val head = lm.crossJoin(broadcast(tot))
-        .filter(col("c2") * lit(LmHeadBound.toLong) > col("t"))
-        .select(col("g"), col("bits").as("hb"))
-      val tail = lm.crossJoin(broadcast(tot))
-        .filter(col("c2") * lit(LmHeadBound.toLong) <= col("t"))
-        .select(col("g"), col("bits").as("tb"))
-      val occ = bg.filter(col("doc_id") % 10 === 0)
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("k"))
-      val joined = occ.join(broadcast(head), Seq("g"), "left")
-        .localCheckpoint(true) // head hits must not enter the tail shuffle
-      val hit = joined.filter(col("hb").isNotNull)
-        .select(col("doc_id"), col("k"), col("hb").as("bits"))
-      val miss = joined.filter(col("hb").isNull).drop("hb")
-        .join(tail, Seq("g"), "left")
-        .select(col("doc_id"), col("k"), col("tb").as("bits"))
-      val maxBits = tot.select(length(bin(col("t"))).cast("long").as("max_bits"))
-      val sc = hit.unionByName(miss).crossJoin(broadcast(maxBits))
-        .groupBy("doc_id")
-        .agg(
-          sum("k").cast("long").as("n_bigrams"),
-          sum(when(col("bits").isNull, col("k")).otherwise(0L))
-            .cast("long").as("n_unseen"),
-          sum(col("k") * coalesce(col("bits"), col("max_bits")))
-            .cast("long").as("surprisal_bits"))
-      d.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
-        .join(sc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
-          coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"),
-          when(coalesce(col("n_bigrams"), lit(0L)) > 0L,
-            col("surprisal_bits").cast("double") /
-              col("n_bigrams").cast("double"))
-            .otherwise(lit(0.0)).as("mean_bits"))
-        .orderBy("doc_id")
+      val bg = lmBigrams(d)
+      lmScoreFromCounts(d, bg,
+        bg.filter(col("doc_id") % 10 =!= 0)
+          .groupBy("g", "w1").agg(count(lit(1)).as("c2")))
+    }),
+
+    // MAINTAINED LM — the daily-crawl form of text_lm_surprisal, and a
+    // maintenance shape no other persisted store here uses: bigram
+    // counts are ADDITIVE, so the store is LOG-STRUCTURED — each ingest
+    // APPENDS its batch's partial counts as a new parquet segment with
+    // ZERO reads of existing state (every other maintained index —
+    // minhash/LSH/IVF/PQ and the funnel/retention stores — must read
+    // and rewrite touched partitions because its merge is key-replace,
+    // not sum). Read-time aggregation sums partials across segments
+    // (associative, so sum-of-partials == one-shot counts exactly), and
+    // a COMPACT pass — run here between ingests 2 and 3 to prove it
+    // preserves counts — folds segments back to one, bounding read
+    // amplification; that is the LSM trade, ingest O(batch) vs read
+    // O(segments), and it is the right 100 TB layout for any additive
+    // aggregate (these same segments could carry the forget-table's
+    // count deltas). Converges to the text_lm_surprisal oracle
+    // bit-for-bit: same scoring, counts from the store.
+    "text_lm_incremental" -> ((s, dir) => {
+      val store = graft.sources.TempDirs.scratch("graft_lm_")
+      val d = Tables.documents(s, dir)
+      val bg = lmBigrams(d).localCheckpoint(true) // 3 ingests + scoring read it
+      val train = bg.filter(col("doc_id") % 10 =!= 0)
+      def ingest(batch: org.apache.spark.sql.DataFrame): Unit =
+        batch.groupBy("g", "w1").agg(count(lit(1)).as("c2"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(s"$store/segments") // pure append: no read, no rewrite
+      ingest(train.filter(col("doc_id") % 3 === 0)) // day 1
+      ingest(train.filter(col("doc_id") % 3 === 1)) // day 2
+      // compact: fold the segments accumulated so far into one
+      val folded = s.read.parquet(s"$store/segments")
+        .groupBy("g", "w1").agg(sum("c2").cast("long").as("c2"))
+        .localCheckpoint(true) // materialize before overwriting source
+      folded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$store/segments")
+      ingest(train.filter(col("doc_id") % 3 === 2)) // day 3, post-compact
+      val c2 = s.read.parquet(s"$store/segments")
+        .groupBy("g", "w1").agg(sum("c2").cast("long").as("c2"))
+      lmScoreFromCounts(d, bg, c2)
     }),
 
     // Grouped EXACT percentiles (linear interpolation) of document
@@ -631,7 +688,26 @@ object TextQueries {
     // same bigram tree as text_repetition; surprisal in exact integer
     // bits via bin()-length (both engines agree bit-for-bit), unseen
     // bigrams at the total-mass ceiling
-    "text_lm_surprisal" ->
+    "text_lm_surprisal" -> lmSurprisalSql,
+
+    // the maintained segment store sums partial counts — associative,
+    // so it converges to the one-shot LM and shares its oracle
+    "text_lm_incremental" -> lmSurprisalSql,
+
+    "text_len_quantiles" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |         CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS DOUBLE) AS n
+        |  FROM documents
+        |)
+        |SELECT lang,
+        |       quantile_cont(n, 0.5) AS p50,
+        |       quantile_cont(n, 0.9) AS p90,
+        |       quantile_cont(n, 0.99) AS p99
+        |FROM tok GROUP BY lang ORDER BY lang""".stripMargin
+  )
+
+  private lazy val lmSurprisalSql: String =
       s"""WITH aug AS (
          |  SELECT doc_id,
          |    concat(text, CASE WHEN doc_id % 20 = 0
@@ -680,18 +756,5 @@ object TextQueries {
          |       ELSE CAST(0.0 AS DOUBLE) END AS mean_bits
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
          |LEFT JOIN sc USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
-
-    "text_len_quantiles" ->
-      """WITH tok AS (
-        |  SELECT lang,
-        |         CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS DOUBLE) AS n
-        |  FROM documents
-        |)
-        |SELECT lang,
-        |       quantile_cont(n, 0.5) AS p50,
-        |       quantile_cont(n, 0.9) AS p90,
-        |       quantile_cont(n, 0.99) AS p99
-        |FROM tok GROUP BY lang ORDER BY lang""".stripMargin
-  )
+         |ORDER BY doc_id""".stripMargin
 }

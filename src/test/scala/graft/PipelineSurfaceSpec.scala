@@ -325,19 +325,26 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     // head set (bigrams each holding > 1/LmHeadBound of train LM mass)
     // must be strictly smaller than LmHeadBound — that is what makes
     // broadcasting it unconditional at any corpus size
+    // the SAME bigram stream the query trains on (lmBigrams is the
+    // single definition — a drifting inline copy here would silently
+    // measure a different distribution than the query uses)
     val d = graft.sources.Tables.documents(spark, dir)
-    val toks = d.filter(col("doc_id") % 10 =!= 0)
-      .select(graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 2)
-    val bg = toks.select(explode(transform(
-      sequence(lit(1), size(col("toks")) - 1),
-      i => concat(element_at(col("toks"), i), lit(" "),
-        element_at(col("toks"), i + 1)))).as("g"))
+    val bg = tq.lmBigrams(d).filter(col("doc_id") % 10 =!= 0)
     val counts = bg.groupBy("g").count()
     val total = counts.agg(sum("count")).collect()(0).getLong(0)
     val headN = counts
       .filter(col("count") * tq.LmHeadBound.toLong > total).count()
     assert(headN < tq.LmHeadBound, s"head set $headN >= ${tq.LmHeadBound}")
+  }
+
+  test("text_lm_incremental: append-only count segments converge to the one-shot LM") {
+    val tq = graft.queries.TextQueries
+    // the log-structured store's contract: sum-of-partial-counts across
+    // appended segments (+ one mid-sequence compact) equals the one-shot
+    // counts, so the scored output is bit-identical
+    val one = tq.queries("text_lm_surprisal")(spark, dir).collect().map(_.toSeq).toSeq
+    val inc = tq.queries("text_lm_incremental")(spark, dir).collect().map(_.toSeq).toSeq
+    assert(inc == one, "maintained-LM scoring diverged from the one-shot LM")
   }
 
   test("pipe_quality_nb: planted labels recovered exactly on the held-out slice") {
