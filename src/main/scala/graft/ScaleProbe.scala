@@ -103,7 +103,17 @@ object ScaleProbe {
     val CustStride = 100000000L
     scaleTable("orders", Map("o_orderkey" -> OrderStride, "o_custkey" -> CustStride))
     scaleTable("lineitem", Map("l_orderkey" -> OrderStride))
-    scaleTable("customer", Map("c_custkey" -> CustStride))
+    // customer: the key shifts AND the name follows it (the base names
+    // are 'Customer#%09d', identity for copy 0) — identical names
+    // across copies would hand rel_fuzzy_join N exact-name twins per
+    // probe and measure the duplicate-entity pathology, not the plan
+    (0 until factor).map { c =>
+      spark.read.parquet(s"$base/customer.parquet")
+        .withColumn("c_custkey", col("c_custkey") + lit(c.toLong * CustStride))
+    }.reduce(_ unionByName _)
+      .withColumn("c_name",
+        concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))
+      .write.mode("overwrite").parquet(s"$stage/customer.parquet")
     Seq("nation", "region", "supplier", "part").foreach(t => scaleTable(t, Map.empty))
 
     // Same materialization as graft.Bench: checksum-force EVERY output
@@ -133,7 +143,7 @@ object ScaleProbe {
       "sim_ann_pq_upsert", "sim_ann_ivfpq_upsert", "mm_near_dup",
       "rel_funnel_replay", "rel_retention_incremental", "sim_ann_opq_recall",
       "rel_funnel_incremental", "text_lm_surprisal", "pipe_quality_nb",
-      "text_lm_incremental")
+      "text_lm_incremental", "rel_fuzzy_join")
     // arg 2+: restrict to named queries (fast re-probe of one operator);
     // any SparkEntry query name is probeable, not just the default list
     val targets =

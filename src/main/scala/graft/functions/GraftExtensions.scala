@@ -29,8 +29,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    // optimizer extension: threshold-bounded edit-distance predicates
+    // drop to the O(k*n) banded kernel (see the rule's scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRule)
+  }
 }
 
 object GraftExtensions {
@@ -86,8 +90,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => MaxAbsDiffExpr(args(0), args(1))))
 
   /** Imperative registration on an existing session (tests, notebooks). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     descriptors.foreach { case (ident, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
     }
+    // the post-hoc seam for optimizer rules on a live session
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BoundedLevenshteinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BoundedLevenshteinRule
+  }
 }

@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{
+  GreaterThanOrEqual, LessThan, LessThanOrEqual, Levenshtein, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Optimizer rule: rewrite threshold-bounded edit-distance predicates to
+  * Spark's banded Levenshtein kernel.
+  *
+  *   levenshtein(a, b) <= k   ==>   levenshtein(a, b, k) >= 0
+  *   k >= levenshtein(a, b)   ==>   levenshtein(a, b, k) >= 0
+  *   levenshtein(a, b) <  k   ==>   levenshtein(a, b, k-1) >= 0
+  *
+  * The unbounded expression fills the full O(|a|*|b|) DP matrix; the
+  * threshold form walks only the 2k+1-wide diagonal band (O(k*n)) and
+  * returns -1 past the bound — for a predicate, bit-equivalent: the
+  * bounded kernel returns the exact distance iff it is <= k, so
+  * `bounded >= 0` accepts exactly the rows `full <= k` accepts, and
+  * NULL inputs propagate NULL through both forms (both filtered as
+  * false). A fuzzy-join verify over 100-char fields at k = 2 does ~20x
+  * less DP work per candidate with an identical result — the win
+  * [[graft.queries.RelationalQueries]]'s rel_fuzzy_join hand-codes,
+  * delivered automatically to the ad-hoc `filter(levenshtein(a,b) <= 2)`
+  * a user writes.
+  *
+  * Deliberately narrow: only INTEGER literals with k >= 0 (k >= 1 for
+  * the strict form), only the unbounded (threshold = None) expression —
+  * the rewritten form carries Some(k) and can never re-match, so the
+  * fixed-point batch terminates. Registered through
+  * [[graft.functions.GraftExtensions]] (`injectOptimizerRule`).
+  */
+object BoundedLevenshteinRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case LessThanOrEqual(lev @ Levenshtein(a, b, None),
+          k @ Literal(ki: Int, IntegerType)) if ki >= 0 =>
+        GreaterThanOrEqual(Levenshtein(a, b, Some(k)), Literal(0))
+      case GreaterThanOrEqual(k @ Literal(ki: Int, IntegerType),
+          lev @ Levenshtein(a, b, None)) if ki >= 0 =>
+        GreaterThanOrEqual(Levenshtein(a, b, Some(k)), Literal(0))
+      case LessThan(lev @ Levenshtein(a, b, None),
+          Literal(ki: Int, IntegerType)) if ki >= 1 =>
+        GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(ki - 1))), Literal(0))
+    }
+}

@@ -25,6 +25,15 @@ object RelationalQueries {
   final val FunnelClickWindowHours = 6
   final val FunnelBuyWindowHours = 24
 
+  /** rel_fuzzy_join: max edit distance accepted as a match, q-gram
+    * width, and the document-frequency cap above which a q-gram is
+    * dropped from the blocking index (shared boilerplate grams — the
+    * dedup_ngram stop-shingle guard applied to entity matching).
+    */
+  final val FuzzyK = 2
+  final val FuzzyGram = 3
+  final val FuzzyMaxDf = 50
+
   private def dec(c: org.apache.spark.sql.Column, p: Int, s: Int) =
     c.cast(s"decimal($p,$s)")
 
@@ -557,6 +566,102 @@ object RelationalQueries {
     "rel_funnel_incremental" -> ((s, dir) =>
       funnelIncremental(s, Tables.events(s, dir))),
 
+    // FUZZY entity-matching join (the record-linkage / data-cleaning
+    // operator): a "dirty" probe list is matched against the clean
+    // customer roster within Levenshtein distance FuzzyK, WITHOUT the
+    // all-pairs distance matrix — candidates come from a q-gram
+    // blocking join (distinct FuzzyGram-char substrings, df-pruned at
+    // FuzzyMaxDf so corpus-constant grams like the shared "Customer#"
+    // head never become hot join keys — the dedup_ngram stop-shingle
+    // guard), then ONLY candidates pay the codegen'd levenshtein
+    // verify, and a per-probe (distance, key) rank keeps the best
+    // match. The general recall guarantee is the Gravano count filter
+    // (strings within edit distance k share >= len-q+1-q*k grams);
+    // df-pruning trades that worst case for scale — discriminative
+    // grams survive, so edits that leave any discriminative region
+    // intact are recalled, which the planted arms exercise: probes are
+    // synthesized from every 4th customer by head transposition /
+    // substitution / deletion (distances 2,1,1), plus a
+    // 6-substitution mangle arm that still BLOCKS (tail grams shared)
+    // but must be REJECTED by verify — the candidate-not-match path.
+    // On this corpus 160/162 plants match their source with ZERO false
+    // links; the two misses (probe 0 — an all-zero tail with no
+    // informative gram at ANY cap — and probe 14, whose "014" gram the
+    // 1400-1499 key block pushes over the df cap) are BLOCKING
+    // STARVATION, visible as n_candidates = 0 in the output — exactly
+    // the audit signal a linkage pipeline routes to a fallback matcher
+    // (spec-pinned: every miss is starvation, never a verify loss).
+    // Output: per probe, the best match key (-1 = none), its distance,
+    // and the candidate count the blocking admitted (the audit that
+    // the join stayed banded, not quadratic). Scale shape: gram df is
+    // a map-side-combined vocab aggregate; the posting join is equi on
+    // gram with every surviving key df-bounded; the verify set is
+    // candidate-sized; the rank window partitions by probe key.
+    "rel_fuzzy_join" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
+      val nm = col("c_name")
+      val dirty = cust.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("probe_key"),
+          when(col("c_custkey") % 4 === 0, // transpose chars 2,3
+            concat(nm.substr(lit(1), lit(1)), nm.substr(lit(3), lit(1)),
+              nm.substr(lit(2), lit(1)), nm.substr(lit(4), length(nm))))
+          .when(col("c_custkey") % 4 === 1, // substitute char 5
+            concat(nm.substr(lit(1), lit(4)), lit("x"),
+              nm.substr(lit(6), length(nm))))
+          .when(col("c_custkey") % 4 === 2, // delete char 3
+            concat(nm.substr(lit(1), lit(2)), nm.substr(lit(4), length(nm))))
+          .otherwise( // mangle head beyond FuzzyK: blocks, must not match
+            concat(lit("zzzzzz"), nm.substr(lit(7), length(nm))))
+            .as("dirty_name"))
+        .localCheckpoint(true) // grams, verify, and final join read it
+      def grams(df: DataFrame, keyCol: String, nameCol: String) = df
+        .select(col(keyCol),
+          explode(array_distinct(transform(
+            sequence(lit(1), length(col(nameCol)) - lit(FuzzyGram - 1)),
+            i => col(nameCol).substr(i, lit(FuzzyGram))))).as("gram"))
+      val cleanGrams = grams(cust, "c_custkey", "c_name")
+        .localCheckpoint(true) // feeds the df count AND the posting join
+      // blocking index: drop corpus-constant grams (df > FuzzyMaxDf)
+      val keep = cleanGrams.groupBy("gram")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= FuzzyMaxDf)
+        .select("gram")
+      val cands = grams(dirty, "probe_key", "dirty_name")
+        .join(keep, "gram") // informative grams only
+        .join(cleanGrams, "gram")
+        .select("probe_key", "c_custkey").distinct()
+      // THRESHOLD-BOUNDED levenshtein: O(FuzzyK * n) banded DP instead
+      // of the full O(n*m) matrix — returns the exact distance when it
+      // is <= FuzzyK and -1 otherwise, which is precisely this query's
+      // accept set + no-match sentinel, so the oracle (full distance,
+      // then filter) is unchanged. The ad-hoc predicate form
+      // `levenshtein(a,b) <= k` gets the same kernel automatically via
+      // [[graft.plans.BoundedLevenshteinRule]].
+      val verified = cands
+        .join(dirty, "probe_key")
+        .join(cust, "c_custkey")
+        .withColumn("dist",
+          levenshtein(col("dirty_name"), col("c_name"), FuzzyK))
+        .localCheckpoint(true) // candidate audit + match rank both read it
+      val nCands = verified.groupBy("probe_key")
+        .agg(count(lit(1)).as("n_candidates"))
+      val w = Window.partitionBy("probe_key")
+        .orderBy(col("dist").asc, col("c_custkey").asc)
+      val best = verified.filter(col("dist") >= 0)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("probe_key"), col("c_custkey").as("match_key"),
+          col("dist").cast("long").as("dist"))
+      dirty.select("probe_key")
+        .join(nCands, Seq("probe_key"), "left")
+        .join(best, Seq("probe_key"), "left")
+        .select(col("probe_key"),
+          coalesce(col("match_key"), lit(-1L)).as("match_key"),
+          coalesce(col("dist"), lit(-1L)).as("dist"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+        .orderBy("probe_key")
+    }),
+
     // Semi-structured extraction: the events' JSON props column parsed
     // with schema-on-read (from_json with an explicit schema — codegen'd
     // JsonToStructs, no UDF) and aggregated per event type. The 100 TB
@@ -905,6 +1010,61 @@ object RelationalQueries {
     // cohorts == global MIN signup day, pair appends == the distinct
     // activity set, so the incremental matrix is the one-shot matrix
     "rel_retention_incremental" -> retentionSql,
+
+    // same q-gram blocking + levenshtein verify + (dist, key) rank;
+    // both engines' levenshtein is the plain unit-cost edit distance
+    "rel_fuzzy_join" ->
+      s"""WITH dirty AS (
+        |  SELECT c_custkey AS probe_key,
+        |    CASE WHEN c_custkey % 4 = 0
+        |           THEN concat(substr(c_name,1,1), substr(c_name,3,1),
+        |                       substr(c_name,2,1), substr(c_name,4))
+        |         WHEN c_custkey % 4 = 1
+        |           THEN concat(substr(c_name,1,4), 'x', substr(c_name,6))
+        |         WHEN c_custkey % 4 = 2
+        |           THEN concat(substr(c_name,1,2), substr(c_name,4))
+        |         ELSE concat('zzzzzz', substr(c_name,7)) END AS dirty_name
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |), cg AS (
+        |  SELECT c_custkey, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, length(c_name) - ${FuzzyGram - 1}),
+        |    i -> substr(c_name, i, $FuzzyGram)))) AS gram
+        |  FROM customer
+        |), keep AS (
+        |  SELECT gram FROM (
+        |    SELECT gram, COUNT(*) AS df FROM cg GROUP BY 1
+        |  ) t WHERE df <= $FuzzyMaxDf
+        |), dg AS (
+        |  SELECT probe_key, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, length(dirty_name) - ${FuzzyGram - 1}),
+        |    i -> substr(dirty_name, i, $FuzzyGram)))) AS gram
+        |  FROM dirty
+        |), cands AS (
+        |  SELECT DISTINCT probe_key, c_custkey
+        |  FROM dg JOIN keep USING (gram) JOIN cg USING (gram)
+        |), verified AS (
+        |  SELECT v.probe_key, v.c_custkey,
+        |         levenshtein(d.dirty_name, c.c_name) AS dist
+        |  FROM cands v
+        |  JOIN dirty d ON d.probe_key = v.probe_key
+        |  JOIN customer c ON c.c_custkey = v.c_custkey
+        |), nc AS (
+        |  SELECT probe_key, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        |  FROM verified GROUP BY 1
+        |), best AS (
+        |  SELECT probe_key, c_custkey AS match_key, CAST(dist AS BIGINT) AS dist
+        |  FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY probe_key ORDER BY dist, c_custkey) AS rnk
+        |    FROM verified WHERE dist <= $FuzzyK
+        |  ) t WHERE rnk = 1
+        |)
+        |SELECT d.probe_key,
+        |  CAST(COALESCE(match_key, -1) AS BIGINT) AS match_key,
+        |  CAST(COALESCE(b.dist, -1) AS BIGINT) AS dist,
+        |  CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates
+        |FROM dirty d LEFT JOIN nc USING (probe_key) LEFT JOIN best b USING (probe_key)
+        |ORDER BY probe_key""".stripMargin,
 
     "rel_interval_join" ->
       """SELECT p.purchase_id, p.user_id, p.p_ts, c.click_id, c.click_ts

@@ -80,4 +80,34 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("BoundedLevenshteinRule: predicate rewrites to the banded kernel, same rows") {
+    import spark.implicits._
+    // range, not a literal Seq — ConvertToLocalRelation would otherwise
+    // evaluate the whole filter at optimization time and leave no plan
+    // to inspect
+    val df = spark.range(6).select(
+      concat(lit("name"), col("id")).as("l"),
+      when(col("id") % 2 === 0, concat(lit("nmae"), col("id")))
+        .otherwise(lit("zzzzzzzz")).as("r"))
+    val q = df.filter(levenshtein(col("l"), col("r")) <= 2)
+    // the optimized plan must carry the THRESHOLD form (3-arg) — the
+    // unbounded 2-arg fills the full DP matrix; the band walks O(k*n)
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("levenshtein") && opt.contains("Some(2)) >= 0"),
+      s"no bounded rewrite in:\n$opt")
+    // transposed pairs (even ids, distance 2) pass; the rest don't
+    val got = q.select("l").as[String].collect().toSet
+    assert(got == Set("name0", "name2", "name4"),
+      s"rewrite changed semantics: $got")
+    // strict-< form rewrites at k-1
+    val q2 = df.filter(levenshtein(col("l"), col("r")) < 3)
+    assert(q2.queryExecution.optimizedPlan.toString.contains("Some(2)) >= 0"))
+    assert(q2.select("l").as[String].collect().toSet == Set("name0", "name2", "name4"))
+    // null inputs stay filtered through the bounded form
+    val withNull = spark.range(2).select(
+      when(col("id") === 0, lit(null).cast("string"))
+        .otherwise(lit("x")).as("l"), lit("x").as("r"))
+    assert(withNull.filter(levenshtein(col("l"), col("r")) <= 2).count() == 1)
+  }
 }

@@ -347,6 +347,36 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     assert(inc == one, "maintained-LM scoring diverged from the one-shot LM")
   }
 
+  test("rel_fuzzy_join: plants match their source, mangles never match, misses are starvation only") {
+    val rows = graft.queries.RelationalQueries
+      .queries("rel_fuzzy_join")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (probe, m, cands) = (r.getAs[Long]("probe_key"),
+        r.getAs[Long]("match_key"), r.getAs[Long]("n_candidates"))
+      if (probe % 4 == 3)
+        assert(m == -1L, s"mangled probe $probe matched $m") // beyond FuzzyK
+      else if (m >= 0)
+        assert(m == probe, s"probe $probe false-linked to $m")
+      else
+        // a missed plant is legal ONLY via blocking starvation (every
+        // informative gram df-pruned) — never a verify loss
+        assert(cands == 0L, s"probe $probe had $cands candidates yet no match")
+    }
+    // the blocking stays banded: per-probe candidates are bounded by
+    // (informative grams per name, <= 16 for these 18-char names) x the
+    // df cap — and empirically sit far below the corpus size
+    val maxC = rows.map(_.getAs[Long]("n_candidates")).max
+    assert(maxC <= 16L * graft.queries.RelationalQueries.FuzzyMaxDf,
+      s"candidate fan-out $maxC exceeds the grams x df bound")
+    val corpus = graft.sources.Tables.customer(spark, dir).count()
+    assert(maxC < corpus, s"fan-out $maxC is corpus-sized — blocking is not banding")
+    // and the plants overwhelmingly link: at most 2 starved probes
+    val nonMangle = rows.filter(_.getAs[Long]("probe_key") % 4 != 3)
+    val missed = nonMangle.count(_.getAs[Long]("match_key") == -1L)
+    assert(missed <= 2, s"$missed of ${nonMangle.length} plants unmatched")
+  }
+
   test("pipe_quality_nb: planted labels recovered exactly on the held-out slice") {
     val rows = graft.queries.PipelineQueries
       .queries("pipe_quality_nb")(spark, dir).collect()
