@@ -143,7 +143,8 @@ object ScaleProbe {
       "sim_ann_pq_upsert", "sim_ann_ivfpq_upsert", "mm_near_dup",
       "rel_funnel_replay", "rel_retention_incremental", "sim_ann_opq_recall",
       "rel_funnel_incremental", "text_lm_surprisal", "pipe_quality_nb",
-      "text_lm_incremental", "rel_fuzzy_join")
+      "text_lm_incremental", "rel_fuzzy_join", "rel_anomaly_days",
+      "rel_sessionize")
     // arg 2+: restrict to named queries (fast re-probe of one operator);
     // any SparkEntry query name is probeable, not just the default list
     val targets =

@@ -25,6 +25,19 @@ object RelationalQueries {
   final val FunnelClickWindowHours = 6
   final val FunnelBuyWindowHours = 24
 
+  /** rel_sessionize: per-user session gap. Events in this corpus land
+    * ~11h apart per user, so 6 hours yields a real mix of singleton and
+    * multi-event sessions at every SF.
+    */
+  final val SessionGapHours = 6
+
+  /** rel_anomaly_days: a day is anomalous for an event type when its
+    * count deviates from the type's daily mean by more than AnomalyK
+    * sigma. Natural max |z| on this corpus is ~3.0 (measured per SF),
+    * so 4 cannot flap; the planted 3x day sits at z ~ 5.4.
+    */
+  final val AnomalyK = 4
+
   /** rel_fuzzy_join: max edit distance accepted as a match, q-gram
     * width, and the document-frequency cap above which a q-gram is
     * dropped from the blocking index (shared boilerplate grams — the
@@ -566,6 +579,83 @@ object RelationalQueries {
     "rel_funnel_incremental" -> ((s, dir) =>
       funnelIncremental(s, Tables.events(s, dir))),
 
+    // USER SESSIONIZATION — the per-user form of ft_sessions with the
+    // product-analytics payload: one row per (user, session) with the
+    // event count, purchase count, and exact duration; the substrate
+    // session-scoped funnels and engagement metrics aggregate from.
+    // session_window on a BATCH frame merges events with gaps up to
+    // SessionGapHours (an event exactly at previous + gap MERGES —
+    // StreamOpsSpec pins the boundary; the islands oracle breaks
+    // strictly past the gap to match) and every session finalizes; the
+    // SAME expression under readStream + watermark is the streaming
+    // form (StreamOps.sessionCounts' contract). Duration is an integer
+    // micros difference — no float time math. Scale shape: one shuffle
+    // on user_id, sessions assembled by Spark's session-window
+    // aggregation (sort-merge within partition), output bounded by
+    // event count.
+    "rel_sessionize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy(
+          session_window(col("ts"), s"$SessionGapHours hours"),
+          col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"))
+        .select(col("user_id"),
+          col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"),
+          col("n_events"), col("n_purchases"),
+          expr("(unix_micros(last_ts) - unix_micros(first_ts)) DIV 1000000")
+            .as("duration_secs"),
+          (col("n_purchases") > 0L).as("converted"))
+        .orderBy("user_id", "s_start")
+    }),
+
+    // VOLUME-ANOMALY gate (the ingest monitor a crawl pipeline runs
+    // before anything downstream trusts a day's data): per event type,
+    // flag days whose count sits more than AnomalyK sigma from the
+    // type's daily mean. The usual z-score is a double sqrt chain —
+    // engine-order-dependent, unhashable — so the test runs ENTIRELY in
+    // integer algebra: (c - mu)^2 > K^2 * sigma^2 multiplied through by
+    // nd^2 becomes (c*nd - S1)^2 > K^2 * (nd*S2 - S1^2) over the exact
+    // BIGINTs (nd days, S1 = sum c, S2 = sum c^2) — the 6-sigma
+    // invariant-gate trick applied to monitoring. The synthetic corpus
+    // is deliberately uniform (natural max |z| ~ 3.0), so a 3x burst is
+    // PLANTED on clicks/Jan-15 (the text_pii synthesis trick): exactly
+    // that one (type, day) must flag, spec-pinned. Both deviation and
+    // bound are emitted so the report carries its own evidence. Scale
+    // shape: one map-side-combined (type, day) count, a per-type 1-row
+    // moment aggregate broadcast back over days — output bounded by
+    // types x calendar days, like rel_retention.
+    "rel_anomaly_days" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val plantDay = lit("2024-01-15").cast("date")
+      val plant = ev.filter(col("event_type") === "click" &&
+        to_date(col("ts")) === plantDay)
+      val aug = ev.unionByName(plant).unionByName(plant) // 3x that day
+      val c = aug
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val st = c.groupBy("event_type").agg(
+        count(lit(1)).as("nd"),
+        sum("n").cast("long").as("s1"),
+        sum(col("n") * col("n")).cast("long").as("s2"))
+      val dev = col("n") * col("nd") - col("s1")
+      c.join(broadcast(st), "event_type")
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"),
+          (dev * dev).cast("long").as("dev2"),
+          (lit(AnomalyK.toLong * AnomalyK) *
+            (col("nd") * col("s2") - col("s1") * col("s1")))
+            .cast("long").as("bound"))
+        .withColumn("is_anomaly", col("dev2") > col("bound"))
+        .orderBy("event_type", "day")
+    }),
+
     // FUZZY entity-matching join (the record-linkage / data-cleaning
     // operator): a "dirty" probe list is matched against the clean
     // customer roster within Levenshtein distance FuzzyK, WITHOUT the
@@ -1010,6 +1100,68 @@ object RelationalQueries {
     // cohorts == global MIN signup day, pair appends == the distinct
     // activity set, so the incremental matrix is the one-shot matrix
     "rel_retention_incremental" -> retentionSql,
+
+    // islands form of the session merge: break strictly PAST the gap
+    // (an event exactly at previous + gap merges — the Spark
+    // session_window boundary, StreamOpsSpec-pinned); end = last + gap
+    "rel_sessionize" ->
+      s"""WITH l AS (
+        |  SELECT user_id, ts, event_type,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, ts, event_type,
+        |         CASE WHEN pts IS NULL
+        |                OR ts - pts > INTERVAL $SessionGapHours HOUR
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM l
+        |), s AS (
+        |  SELECT user_id, ts, event_type,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f
+        |)
+        |SELECT user_id,
+        |  MIN(ts) AS s_start,
+        |  MAX(ts) + INTERVAL $SessionGapHours HOUR AS s_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        |  (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_secs,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0 AS converted
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
+
+    // same 3x plant, same integer moment algebra — SUMs cast to BIGINT
+    // (DuckDB SUM is HUGEINT) so the products compare dtype-exact
+    "rel_anomaly_days" ->
+      s"""WITH aug AS (
+        |  SELECT event_type, ts FROM events
+        |  UNION ALL
+        |  SELECT event_type, ts FROM events
+        |  WHERE event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-15'
+        |  UNION ALL
+        |  SELECT event_type, ts FROM events
+        |  WHERE event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-15'
+        |), c AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM aug GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type,
+        |         CAST(COUNT(*) AS BIGINT) AS nd,
+        |         CAST(SUM(n) AS BIGINT) AS s1,
+        |         CAST(SUM(n * n) AS BIGINT) AS s2
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT c.event_type,
+        |  strftime(c.day, '%Y-%m-%d') AS day,
+        |  c.n,
+        |  CAST((c.n * st.nd - st.s1) * (c.n * st.nd - st.s1) AS BIGINT) AS dev2,
+        |  CAST(${AnomalyK * AnomalyK} * (st.nd * st.s2 - st.s1 * st.s1) AS BIGINT) AS bound,
+        |  (c.n * st.nd - st.s1) * (c.n * st.nd - st.s1)
+        |    > ${AnomalyK * AnomalyK} * (st.nd * st.s2 - st.s1 * st.s1) AS is_anomaly
+        |FROM c JOIN st USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
 
     // same q-gram blocking + levenshtein verify + (dist, key) rank;
     // both engines' levenshtein is the plain unit-cost edit distance

@@ -377,6 +377,47 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     assert(missed <= 2, s"$missed of ${nonMangle.length} plants unmatched")
   }
 
+  test("rel_sessionize: sessions are disjoint past the gap, mixed sizes, conversion flag consistent") {
+    val rows = graft.queries.RelationalQueries
+      .queries("rel_sessionize")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n_events"))
+    assert(n.exists(_ == 1L) && n.exists(_ > 1L),
+      "gap yields no session-size mix — the merge never fires or never breaks")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("converted") == (r.getAs[Long]("n_purchases") > 0L))
+      assert(r.getAs[Long]("duration_secs") >= 0L)
+    }
+    // the session invariant: a user's next session STARTS strictly after
+    // the previous one's end (= last event + gap) — the break rule
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("s_start").getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[java.sql.Timestamp]("s_start").getTime >
+            a.getAs[java.sql.Timestamp]("s_end").getTime,
+            s"user $u sessions overlap or touch inside the gap")
+        case _ => ()
+      }
+    }
+  }
+
+  test("rel_anomaly_days: exactly the planted burst flags; the evidence columns decide the flag") {
+    val rows = graft.queries.RelationalQueries
+      .queries("rel_anomaly_days")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val flagged = rows.filter(_.getAs[Boolean]("is_anomaly"))
+    assert(flagged.length == 1, s"${flagged.length} anomalies, want the plant only")
+    assert(flagged.head.getAs[String]("event_type") == "click" &&
+      flagged.head.getAs[String]("day") == "2024-01-15",
+      s"flagged ${flagged.head}")
+    // the emitted evidence must BE the decision (no hidden state)
+    rows.foreach { r =>
+      assert((r.getAs[Long]("dev2") > r.getAs[Long]("bound")) ==
+        r.getAs[Boolean]("is_anomaly"))
+    }
+  }
+
   test("pipe_quality_nb: planted labels recovered exactly on the held-out slice") {
     val rows = graft.queries.PipelineQueries
       .queries("pipe_quality_nb")(spark, dir).collect()
