@@ -112,7 +112,10 @@ object ScaleProbe {
         .withColumn("c_custkey", col("c_custkey") + lit(c.toLong * CustStride))
     }.reduce(_ unionByName _)
       .withColumn("c_name",
-        concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))
+        // format_string pads WITHOUT truncating — lpad(..., 9) would
+        // shorten the 10-digit keys of copies 10+ back to 9 chars and
+        // hand every probe a block of exact-name twins
+        format_string("Customer#%09d", col("c_custkey")))
       .write.mode("overwrite").parquet(s"$stage/customer.parquet")
     Seq("nation", "region", "supplier", "part").foreach(t => scaleTable(t, Map.empty))
 

@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
-  GreaterThanOrEqual, LessThan, LessThanOrEqual, Levenshtein, Literal}
+  GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Levenshtein,
+  Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -12,6 +13,7 @@ import org.apache.spark.sql.types.IntegerType
   *   levenshtein(a, b) <= k   ==>   levenshtein(a, b, k) >= 0
   *   k >= levenshtein(a, b)   ==>   levenshtein(a, b, k) >= 0
   *   levenshtein(a, b) <  k   ==>   levenshtein(a, b, k-1) >= 0
+  *   k > levenshtein(a, b)    ==>   levenshtein(a, b, k-1) >= 0
   *
   * The unbounded expression fills the full O(|a|*|b|) DP matrix; the
   * threshold form walks only the 2k+1-wide diagonal band (O(k*n)) and
@@ -43,6 +45,9 @@ object BoundedLevenshteinRule extends Rule[LogicalPlan] {
         GreaterThanOrEqual(Levenshtein(a, b, Some(k)), Literal(0))
       case LessThan(lev @ Levenshtein(a, b, None),
           Literal(ki: Int, IntegerType)) if ki >= 1 =>
+        GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(ki - 1))), Literal(0))
+      case GreaterThan(Literal(ki: Int, IntegerType),
+          lev @ Levenshtein(a, b, None)) if ki >= 1 =>
         GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(ki - 1))), Literal(0))
     }
 }

@@ -639,6 +639,7 @@ object RelationalQueries {
       val c = aug
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // feeds the moment aggregate AND the final join
       val st = c.groupBy("event_type").agg(
         count(lit(1)).as("nd"),
         sum("n").cast("long").as("s1"),
@@ -670,8 +671,9 @@ object RelationalQueries {
     // df-pruning trades that worst case for scale — discriminative
     // grams survive, so edits that leave any discriminative region
     // intact are recalled, which the planted arms exercise: probes are
-    // synthesized from every 4th customer by head transposition /
-    // substitution / deletion (distances 2,1,1), plus a
+    // synthesized from every 7th customer, cycling four mutation arms
+    // by key — head transposition / substitution / deletion
+    // (distances 2,1,1), plus a
     // 6-substitution mangle arm that still BLOCKS (tail grams shared)
     // but must be REJECTED by verify — the candidate-not-match path.
     // On this corpus 160/162 plants match their source with ZERO false
@@ -704,7 +706,12 @@ object RelationalQueries {
             concat(lit("zzzzzz"), nm.substr(lit(7), length(nm))))
             .as("dirty_name"))
         .localCheckpoint(true) // grams, verify, and final join read it
+      // names shorter than the gram width contribute no grams (the
+      // filter also keeps sequence() ascending — Spark's sequence
+      // steps DOWNWARD when start > stop, which would fabricate grams
+      // DuckDB's empty generate_series never emits)
       def grams(df: DataFrame, keyCol: String, nameCol: String) = df
+        .filter(length(col(nameCol)) >= FuzzyGram)
         .select(col(keyCol),
           explode(array_distinct(transform(
             sequence(lit(1), length(col(nameCol)) - lit(FuzzyGram - 1)),

@@ -100,10 +100,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val got = q.select("l").as[String].collect().toSet
     assert(got == Set("name0", "name2", "name4"),
       s"rewrite changed semantics: $got")
-    // strict-< form rewrites at k-1
+    // strict forms rewrite at k-1, in both literal orientations
     val q2 = df.filter(levenshtein(col("l"), col("r")) < 3)
     assert(q2.queryExecution.optimizedPlan.toString.contains("Some(2)) >= 0"))
     assert(q2.select("l").as[String].collect().toSet == Set("name0", "name2", "name4"))
+    val q3 = df.filter(lit(3) > levenshtein(col("l"), col("r")))
+    assert(q3.queryExecution.optimizedPlan.toString.contains("Some(2)) >= 0"))
+    assert(q3.select("l").as[String].collect().toSet == Set("name0", "name2", "name4"))
     // null inputs stay filtered through the bounded form
     val withNull = spark.range(2).select(
       when(col("id") === 0, lit(null).cast("string"))
