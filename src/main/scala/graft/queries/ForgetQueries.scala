@@ -32,6 +32,15 @@ object ForgetQueries {
     */
   final val JsonPageSize = 64
 
+  /** ft_heavy_hitters_invariant: top-K report size, CMS relative-error
+    * eps (error bound eps * stream length), confidence, and the fixed
+    * seed that makes the sketch replay-deterministic.
+    */
+  final val HhK = 10
+  final val CmsEps = 0.005
+  final val CmsConf = 0.99
+  final val CmsSeed = 42
+
   private def ft(s: SparkSession, dir: String): ForgetTable =
     ForgetTable.fromEvents(Tables.events(s, dir))
 
@@ -154,6 +163,45 @@ object ForgetQueries {
           (abs(col("approx") - col("exact")).cast("double") <=
             greatest(lit(1.0), lit(0.05) * col("exact").cast("double")))
             .as("within_rsd"))
+    }),
+
+    // COUNT-MIN heavy hitters — the last classic sketch the engine was
+    // missing (HLL dbsize, bloom decontam, GK quantiles all gated
+    // already): the hot-bin report a 100 TB ingest reads from a
+    // mergeable eps*N-error sketch instead of an exact top-K pass.
+    // Sketch bytes are engine-specific, so the driver gate is the
+    // invariant-twin pattern with the EXACT column genuinely
+    // cross-checked: the top-HhK bins by exact count (tie-broken on
+    // bin, both engines) each carry two sketch-contract booleans —
+    // never_under (CMS can only over-count: its estimate is a min over
+    // hashed counters each holding the true count plus non-negative
+    // collision mass) and within_eps (estimate <= exact +
+    // ceil(CmsEps * N), the CMS guarantee at CmsConf — deterministic
+    // here because the seed is fixed; measured margins at every SF sit
+    // far inside the bound). Driver-side work is three bounded reads —
+    // ONE serialized sketch row, one total, HhK exact rows — the
+    // centroid-collect precedent; the sketch build itself is a single
+    // map-side-combined mergeable aggregate, the property that lets
+    // 1000 executors each sketch a shard and OR the results.
+    "ft_heavy_hitters_invariant" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").cast("string").as("bin"))
+      val skBytes = ev
+        .agg(expr(s"count_min_sketch(bin, ${CmsEps}d, ${CmsConf}d, $CmsSeed)").as("sk"))
+        .head().getAs[Array[Byte]]("sk") // ONE binary row
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(skBytes))
+      val bound = math.ceil(CmsEps * ev.count()).toLong
+      val top = ev.groupBy("bin").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("bin")).limit(HhK)
+        .collect() // HhK rows
+      top.toSeq.map { r =>
+        val (bin, exact) = (r.getString(0), r.getLong(1))
+        val est = cms.estimateCount(bin)
+        (bin, exact, est >= exact, est <= exact + bound)
+      }.toDF("bin", "exact", "never_under", "within_eps")
+        .orderBy("bin")
     }),
 
     // STREAMING-SEMANTICS replay as a driver query: the event corpus
@@ -595,6 +643,19 @@ object ForgetQueries {
     // the moment either engine-specific path drifts out of its envelope.
     "ft_dbsize_approx_invariant" ->
       "SELECT CAST(TRUE AS BOOLEAN) AS within_rsd",
+
+    // exact top-K genuinely cross-checked; the sketch-contract booleans
+    // are the invariant twin (CMS bytes are engine-specific)
+    "ft_heavy_hitters_invariant" ->
+      s"""SELECT bin, exact,
+         |  CAST(TRUE AS BOOLEAN) AS never_under,
+         |  CAST(TRUE AS BOOLEAN) AS within_eps
+         |FROM (
+         |  SELECT CAST(user_id AS VARCHAR) AS bin,
+         |         CAST(COUNT(*) AS BIGINT) AS exact
+         |  FROM events GROUP BY 1
+         |  ORDER BY exact DESC, bin LIMIT $HhK
+         |) t ORDER BY bin""".stripMargin,
 
     "ft_sampled_invariant" ->
       """SELECT DISTINCT event_type AS dist,

@@ -166,6 +166,24 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("rel_fuzzy_join: blocking join stays equi on gram, verify set is never all-pairs") {
+    // the whole point of q-gram blocking: no distance-matrix cross join
+    // anywhere in the plan (the checkpointed candidate stage hides its
+    // own subtree, but the final plan's joins — audit + best-match +
+    // probe-list — must all be equi too)
+    val plan = qe("rel_fuzzy_join").executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("rel_sessionize: session assembly runs as a session-window aggregate, no self-join") {
+    val plan = qe("rel_sessionize").executedPlan.toString
+    // Spark plans session_window as UpdatingSessionsExec feeding the
+    // hash aggregate — per-user in-partition merge, no join at all
+    assert(plan.contains("UpdatingSessions") || plan.contains("session_window"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("sim_knn_graph: bucket equi-join + partial top-K, never all-pairs") {
     Seq("sim_knn_graph", "sim_knn_graph_scaled").foreach { n =>
       val plan = qe(n).executedPlan.toString
