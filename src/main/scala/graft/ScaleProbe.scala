@@ -147,7 +147,7 @@ object ScaleProbe {
       "rel_funnel_replay", "rel_retention_incremental", "sim_ann_opq_recall",
       "rel_funnel_incremental", "text_lm_surprisal", "pipe_quality_nb",
       "text_lm_incremental", "rel_fuzzy_join", "rel_anomaly_days",
-      "rel_sessionize")
+      "rel_sessionize", "ft_counts_incremental")
     // arg 2+: restrict to named queries (fast re-probe of one operator);
     // any SparkEntry query name is probeable, not just the default list
     val targets =

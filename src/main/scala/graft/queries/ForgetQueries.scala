@@ -95,6 +95,44 @@ object ForgetQueries {
       ForgetTable.fromEventsWeighted(Tables.events(s, dir))
         .counts.orderBy("dist", "bin")),
 
+    // MAINTAINED increment path — the reference's own write operator
+    // (O1 /incr, an additive counter: goforget redis_utils.go INCRBY)
+    // carried on the LOG-STRUCTURED store text_lm_incremental
+    // introduced, because bin counts are the engine's founding additive
+    // aggregate: each staged ingest APPENDS its batch's partial
+    // (dist, bin) counts as a new parquet segment with ZERO reads of
+    // existing state (the write path a 100 TB/day event firehose
+    // needs — contrast the key-replace stores, which must read and
+    // rewrite touched partitions), read-time aggregation sums partials
+    // across segments, and the mid-sequence COMPACT — run here between
+    // ingests 2 and 3 — bounds read amplification. The meta legs ride
+    // the same layout for free: Z is a sum and the SETNX/refresh T a
+    // max, both mergeable. Converges bit-exactly to the one-shot
+    // ft_counts oracle (sum of disjoint partials == total).
+    "ft_counts_incremental" -> ((s, dir) => {
+      val store = graft.sources.TempDirs.scratch("graft_ftc_")
+      val ev = Tables.events(s, dir)
+      val t = (d: String) => lit(s"2024-01-$d 00:00:00").cast("timestamp")
+      def ingest(batch: org.apache.spark.sql.DataFrame): Unit =
+        batch.groupBy(
+            col("event_type").as("dist"),
+            col("user_id").cast("string").as("bin"))
+          .agg(count(lit(1)).as("count"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(s"$store/segments") // pure append: no read, no rewrite
+      ingest(ev.filter(col("ts") < t("11")))                          // bulk
+      ingest(ev.filter(col("ts") >= t("11") && col("ts") < t("21")))  // day 1
+      val folded = s.read.parquet(s"$store/segments")
+        .groupBy("dist", "bin").agg(sum("count").cast("long").as("count"))
+        .localCheckpoint(true) // materialize before overwriting source
+      folded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$store/segments")
+      ingest(ev.filter(col("ts") >= t("21")))                         // day 2
+      s.read.parquet(s"$store/segments")
+        .groupBy("dist", "bin").agg(sum("count").cast("long").as("count"))
+        .orderBy("dist", "bin")
+    }),
+
     "ft_meta" -> ((s, dir) =>
       ft(s, dir).meta.orderBy("dist")),
 
@@ -488,6 +526,11 @@ object ForgetQueries {
 
   def oracleSql: Map[String, String] = Map(
     "ft_counts" ->
+      s"""WITH $countsCte
+         |SELECT dist, bin, "count" FROM counts ORDER BY dist, bin""".stripMargin,
+
+    // segment sums of disjoint batches == the one-shot counts
+    "ft_counts_incremental" ->
       s"""WITH $countsCte
          |SELECT dist, bin, "count" FROM counts ORDER BY dist, bin""".stripMargin,
 

@@ -337,6 +337,13 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     assert(headN < tq.LmHeadBound, s"head set $headN >= ${tq.LmHeadBound}")
   }
 
+  test("ft_counts_incremental: segment-store increments converge to the one-shot counts") {
+    val fq = graft.queries.ForgetQueries
+    val one = fq.queries("ft_counts")(spark, dir).collect().map(_.toSeq).toSeq
+    val inc = fq.queries("ft_counts_incremental")(spark, dir).collect().map(_.toSeq).toSeq
+    assert(inc == one, "maintained increment store diverged from the one-shot counts")
+  }
+
   test("text_lm_incremental: append-only count segments converge to the one-shot LM") {
     val tq = graft.queries.TextQueries
     // the log-structured store's contract: sum-of-partial-counts across
