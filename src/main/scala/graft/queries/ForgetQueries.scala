@@ -110,26 +110,24 @@ object ForgetQueries {
     // max, both mergeable. Converges bit-exactly to the one-shot
     // ft_counts oracle (sum of disjoint partials == total).
     "ft_counts_incremental" -> ((s, dir) => {
-      val store = graft.sources.TempDirs.scratch("graft_ftc_")
+      import graft.sources.SegmentStore
+      val path = s"${graft.sources.TempDirs.scratch("graft_ftc_")}/segments"
       val ev = Tables.events(s, dir)
       val t = (d: String) => lit(s"2024-01-$d 00:00:00").cast("timestamp")
       def ingest(batch: org.apache.spark.sql.DataFrame): Unit =
-        batch.groupBy(
-            col("event_type").as("dist"),
-            col("user_id").cast("string").as("bin"))
-          .agg(count(lit(1)).as("count"))
-          .write.mode(org.apache.spark.sql.SaveMode.Append)
-          .parquet(s"$store/segments") // pure append: no read, no rewrite
+        SegmentStore.append(
+          batch.groupBy(
+              col("event_type").as("dist"),
+              col("user_id").cast("string").as("bin"))
+            .agg(count(lit(1)).as("count")), path)
       ingest(ev.filter(col("ts") < t("11")))                          // bulk
       ingest(ev.filter(col("ts") >= t("11") && col("ts") < t("21")))  // day 1
-      val folded = s.read.parquet(s"$store/segments")
-        .groupBy("dist", "bin").agg(sum("count").cast("long").as("count"))
-        .localCheckpoint(true) // materialize before overwriting source
-      folded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$store/segments")
-      ingest(ev.filter(col("ts") >= t("21")))                         // day 2
-      s.read.parquet(s"$store/segments")
-        .groupBy("dist", "bin").agg(sum("count").cast("long").as("count"))
+      SegmentStore.compact(s, path, Seq("dist", "bin"), "count")
+      // the last batch takes the COMPLEMENT including null ts, so the
+      // staging partitions the domain exhaustively — ft_counts counts
+      // null-ts rows, and a range filter would silently drop them
+      ingest(ev.filter(col("ts").isNull || col("ts") >= t("21")))     // day 2
+      SegmentStore.merged(s, path, Seq("dist", "bin"), "count")
         .orderBy("dist", "bin")
     }),
 
@@ -225,12 +223,15 @@ object ForgetQueries {
       import s.implicits._
       val ev = Tables.events(s, dir)
         .select(col("user_id").cast("string").as("bin"))
-      val skBytes = ev
-        .agg(expr(s"count_min_sketch(bin, ${CmsEps}d, ${CmsConf}d, $CmsSeed)").as("sk"))
-        .head().getAs[Array[Byte]]("sk") // ONE binary row
+      // sketch + stream length in ONE pass (a separate count() would be
+      // a whole extra corpus scan at the design point)
+      val skRow = ev
+        .agg(expr(s"count_min_sketch(bin, ${CmsEps}d, ${CmsConf}d, $CmsSeed)").as("sk"),
+          count(lit(1)).as("n"))
+        .head() // ONE row
       val cms = org.apache.spark.util.sketch.CountMinSketch
-        .readFrom(new java.io.ByteArrayInputStream(skBytes))
-      val bound = math.ceil(CmsEps * ev.count()).toLong
+        .readFrom(new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]]("sk")))
+      val bound = math.ceil(CmsEps * skRow.getAs[Long]("n")).toLong
       val top = ev.groupBy("bin").agg(count(lit(1)).as("exact"))
         .orderBy(col("exact").desc, col("bin")).limit(HhK)
         .collect() // HhK rows

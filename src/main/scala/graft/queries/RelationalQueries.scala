@@ -148,6 +148,68 @@ object RelationalQueries {
     }
   }
 
+  /** rel_fuzzy_join's probe synthesis + blocking + verify stages, up to
+    * (but NOT including) the checkpoint — factored out so PlanShapeSpec
+    * can pin the BLOCKING plan itself (the checkpoint in the query body
+    * truncates this subtree out of the final plan, which would
+    * otherwise leave the all-pairs guard asserting over the cheap
+    * post-checkpoint joins only). Returns (dirty probe list, verified
+    * candidate frame).
+    */
+  private[graft] def fuzzyVerified(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
+    val nm = col("c_name")
+    val dirty = cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("probe_key"),
+        when(col("c_custkey") % 4 === 0, // transpose chars 2,3
+          concat(nm.substr(lit(1), lit(1)), nm.substr(lit(3), lit(1)),
+            nm.substr(lit(2), lit(1)), nm.substr(lit(4), length(nm))))
+        .when(col("c_custkey") % 4 === 1, // substitute char 5
+          concat(nm.substr(lit(1), lit(4)), lit("x"),
+            nm.substr(lit(6), length(nm))))
+        .when(col("c_custkey") % 4 === 2, // delete char 3
+          concat(nm.substr(lit(1), lit(2)), nm.substr(lit(4), length(nm))))
+        .otherwise( // mangle head beyond FuzzyK: blocks, must not match
+          concat(lit("zzzzzz"), nm.substr(lit(7), length(nm))))
+          .as("dirty_name"))
+      .localCheckpoint(true) // grams, verify, and final join read it
+    // names shorter than the gram width contribute no grams (the
+    // filter also keeps sequence() ascending — Spark's sequence
+    // steps DOWNWARD when start > stop, which would fabricate grams
+    // DuckDB's empty generate_series never emits)
+    def grams(df: DataFrame, keyCol: String, nameCol: String) = df
+      .filter(length(col(nameCol)) >= FuzzyGram)
+      .select(col(keyCol),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col(nameCol)) - lit(FuzzyGram - 1)),
+          i => col(nameCol).substr(i, lit(FuzzyGram))))).as("gram"))
+    val cleanGrams = grams(cust, "c_custkey", "c_name")
+      .localCheckpoint(true) // feeds the df count AND the posting join
+    // blocking index: drop corpus-constant grams (df > FuzzyMaxDf)
+    val keep = cleanGrams.groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= FuzzyMaxDf)
+      .select("gram")
+    val cands = grams(dirty, "probe_key", "dirty_name")
+      .join(keep, "gram") // informative grams only
+      .join(cleanGrams, "gram")
+      .select("probe_key", "c_custkey").distinct()
+    // THRESHOLD-BOUNDED levenshtein: O(FuzzyK * n) banded DP instead
+    // of the full O(n*m) matrix — returns the exact distance when it
+    // is <= FuzzyK and -1 otherwise, which is precisely this query's
+    // accept set + no-match sentinel, so the oracle (full distance,
+    // then filter) is unchanged. The ad-hoc predicate form
+    // `levenshtein(a,b) <= k` gets the same kernel automatically via
+    // [[graft.plans.BoundedLevenshteinRule]].
+    val verified = cands
+      .join(dirty, "probe_key")
+      .join(cust, "c_custkey")
+      .withColumn("dist",
+        levenshtein(col("dirty_name"), col("c_name"), FuzzyK))
+    (dirty, verified)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Pricing-summary aggregation (TPC-H Q1 shape): scan + filter pushdown
@@ -690,55 +752,8 @@ object RelationalQueries {
     // gram with every surviving key df-bounded; the verify set is
     // candidate-sized; the rank window partitions by probe key.
     "rel_fuzzy_join" -> ((s, dir) => {
-      val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
-      val nm = col("c_name")
-      val dirty = cust.filter(col("c_custkey") % 7 === 0)
-        .select(col("c_custkey").as("probe_key"),
-          when(col("c_custkey") % 4 === 0, // transpose chars 2,3
-            concat(nm.substr(lit(1), lit(1)), nm.substr(lit(3), lit(1)),
-              nm.substr(lit(2), lit(1)), nm.substr(lit(4), length(nm))))
-          .when(col("c_custkey") % 4 === 1, // substitute char 5
-            concat(nm.substr(lit(1), lit(4)), lit("x"),
-              nm.substr(lit(6), length(nm))))
-          .when(col("c_custkey") % 4 === 2, // delete char 3
-            concat(nm.substr(lit(1), lit(2)), nm.substr(lit(4), length(nm))))
-          .otherwise( // mangle head beyond FuzzyK: blocks, must not match
-            concat(lit("zzzzzz"), nm.substr(lit(7), length(nm))))
-            .as("dirty_name"))
-        .localCheckpoint(true) // grams, verify, and final join read it
-      // names shorter than the gram width contribute no grams (the
-      // filter also keeps sequence() ascending — Spark's sequence
-      // steps DOWNWARD when start > stop, which would fabricate grams
-      // DuckDB's empty generate_series never emits)
-      def grams(df: DataFrame, keyCol: String, nameCol: String) = df
-        .filter(length(col(nameCol)) >= FuzzyGram)
-        .select(col(keyCol),
-          explode(array_distinct(transform(
-            sequence(lit(1), length(col(nameCol)) - lit(FuzzyGram - 1)),
-            i => col(nameCol).substr(i, lit(FuzzyGram))))).as("gram"))
-      val cleanGrams = grams(cust, "c_custkey", "c_name")
-        .localCheckpoint(true) // feeds the df count AND the posting join
-      // blocking index: drop corpus-constant grams (df > FuzzyMaxDf)
-      val keep = cleanGrams.groupBy("gram")
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") <= FuzzyMaxDf)
-        .select("gram")
-      val cands = grams(dirty, "probe_key", "dirty_name")
-        .join(keep, "gram") // informative grams only
-        .join(cleanGrams, "gram")
-        .select("probe_key", "c_custkey").distinct()
-      // THRESHOLD-BOUNDED levenshtein: O(FuzzyK * n) banded DP instead
-      // of the full O(n*m) matrix — returns the exact distance when it
-      // is <= FuzzyK and -1 otherwise, which is precisely this query's
-      // accept set + no-match sentinel, so the oracle (full distance,
-      // then filter) is unchanged. The ad-hoc predicate form
-      // `levenshtein(a,b) <= k` gets the same kernel automatically via
-      // [[graft.plans.BoundedLevenshteinRule]].
-      val verified = cands
-        .join(dirty, "probe_key")
-        .join(cust, "c_custkey")
-        .withColumn("dist",
-          levenshtein(col("dirty_name"), col("c_name"), FuzzyK))
+      val (dirty, verified0) = fuzzyVerified(s, dir)
+      val verified = verified0
         .localCheckpoint(true) // candidate audit + match rank both read it
       val nCands = verified.groupBy("probe_key")
         .agg(count(lit(1)).as("n_candidates"))

@@ -390,26 +390,19 @@ object TextQueries {
     // count deltas). Converges to the text_lm_surprisal oracle
     // bit-for-bit: same scoring, counts from the store.
     "text_lm_incremental" -> ((s, dir) => {
-      val store = graft.sources.TempDirs.scratch("graft_lm_")
+      import graft.sources.SegmentStore
+      val path = s"${graft.sources.TempDirs.scratch("graft_lm_")}/segments"
       val d = Tables.documents(s, dir)
       val bg = lmBigrams(d).localCheckpoint(true) // 3 ingests + scoring read it
       val train = bg.filter(col("doc_id") % 10 =!= 0)
       def ingest(batch: org.apache.spark.sql.DataFrame): Unit =
-        batch.groupBy("g", "w1").agg(count(lit(1)).as("c2"))
-          .write.mode(org.apache.spark.sql.SaveMode.Append)
-          .parquet(s"$store/segments") // pure append: no read, no rewrite
+        SegmentStore.append(
+          batch.groupBy("g", "w1").agg(count(lit(1)).as("c2")), path)
       ingest(train.filter(col("doc_id") % 3 === 0)) // day 1
       ingest(train.filter(col("doc_id") % 3 === 1)) // day 2
-      // compact: fold the segments accumulated so far into one
-      val folded = s.read.parquet(s"$store/segments")
-        .groupBy("g", "w1").agg(sum("c2").cast("long").as("c2"))
-        .localCheckpoint(true) // materialize before overwriting source
-      folded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$store/segments")
+      SegmentStore.compact(s, path, Seq("g", "w1"), "c2")
       ingest(train.filter(col("doc_id") % 3 === 2)) // day 3, post-compact
-      val c2 = s.read.parquet(s"$store/segments")
-        .groupBy("g", "w1").agg(sum("c2").cast("long").as("c2"))
-      lmScoreFromCounts(d, bg, c2)
+      lmScoreFromCounts(d, bg, SegmentStore.merged(s, path, Seq("g", "w1"), "c2"))
     }),
 
     // Grouped EXACT percentiles (linear interpolation) of document

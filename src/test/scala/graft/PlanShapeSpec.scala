@@ -167,10 +167,15 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("rel_fuzzy_join: blocking join stays equi on gram, verify set is never all-pairs") {
-    // the whole point of q-gram blocking: no distance-matrix cross join
-    // anywhere in the plan (the checkpointed candidate stage hides its
-    // own subtree, but the final plan's joins — audit + best-match +
-    // probe-list — must all be equi too)
+    // the whole point of q-gram blocking: no distance-matrix cross join.
+    // Pin the BLOCKING/VERIFY stage itself (fuzzyVerified, before the
+    // query body's checkpoint truncates it out of the final plan) AND
+    // the post-checkpoint audit/best-match/probe-list joins.
+    val (_, verified) = graft.queries.RelationalQueries.fuzzyVerified(spark, sfDir)
+    val blockPlan = verified.queryExecution.executedPlan.toString
+    assert(!blockPlan.contains("CartesianProduct"), blockPlan)
+    assert(!blockPlan.contains("BroadcastNestedLoop"), blockPlan)
+    assert(blockPlan.contains("gram#"), s"no gram-key join in:\n$blockPlan")
     val plan = qe("rel_fuzzy_join").executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoop"), plan)
@@ -178,9 +183,13 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("rel_sessionize: session assembly runs as a session-window aggregate, no self-join") {
     val plan = qe("rel_sessionize").executedPlan.toString
-    // Spark plans session_window as UpdatingSessionsExec feeding the
-    // hash aggregate — per-user in-partition merge, no join at all
-    assert(plan.contains("UpdatingSessions") || plan.contains("session_window"), plan)
+    // Spark plans session_window through the session exec nodes
+    // (UpdatingSessions partial / MergingSessions final) feeding the
+    // hash aggregate — per-user in-partition merge, no join at all.
+    // (Matching the capital-S NODE names, not the lowercase
+    // session_window attribute, which appears in any plan of this
+    // query and would make the positive assertion vacuous.)
+    assert(plan.contains("MergingSessions") || plan.contains("UpdatingSessions"), plan)
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
