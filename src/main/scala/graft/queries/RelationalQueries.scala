@@ -50,6 +50,15 @@ object RelationalQueries {
   private def dec(c: org.apache.spark.sql.Column, p: Int, s: Int) =
     c.cast(s"decimal($p,$s)")
 
+  /** An empty partitioned write leaves no part= dirs — treat as absent.
+    * Shared with StreamOpsSpec so the spec's "both store branches are
+    * live" probe can never drift from what the query actually reads.
+    */
+  private[graft] def hasPartData(p: String): Boolean = {
+    val f = new java.io.File(p)
+    f.isDirectory && f.listFiles.exists(_.getName.startsWith("part="))
+  }
+
   /** rel_funnel_incremental's maintained fold (see the query's comment
     * for the semantics + state-bound proof). Factored out so the spec
     * can pass its own store dir and inspect the pending state between
@@ -65,11 +74,7 @@ object RelationalQueries {
     val horizon = s"INTERVAL ${w1Ms + w2Ms} MILLISECONDS"
     val resPath = s"$storeDir/results"
     val pendPath = s"$storeDir/pending"
-    // an empty partitioned write leaves no part= dirs -> treat as absent
-    def hasData(p: String) = {
-      val f = new java.io.File(p)
-      f.isDirectory && f.listFiles.exists(_.getName.startsWith("part="))
-    }
+    def hasData(p: String) = hasPartData(p)
     def chain(e: DataFrame): DataFrame =
       graft.streaming.StreamOps.funnel(e, w1Ms, w2Ms, "1 hour")
     def ingest(batch: DataFrame, wm: org.apache.spark.sql.Column): Unit = {
@@ -102,7 +107,11 @@ object RelationalQueries {
         .join(fin.select("user_id"), Seq("user_id"), "left_anti")
         .join(v, Seq("user_id"), "left")
         .filter(
-          when(col("event_type") === "view", col("ts") === col("v"))
+          // null-safe <=> : a user whose only views carry null ts has
+          // v = null (min ignores nothing else) and never finalizes —
+          // their view rows must survive the prune so the final chain
+          // emits the same null-t_view row the one-shot oracle does
+          when(col("event_type") === "view", col("ts") <=> col("v"))
             .when(col("event_type") === "click",
               col("ts") > lb && coalesce(
                 col("ts") <= col("v") +
@@ -129,7 +138,11 @@ object RelationalQueries {
     // the final chain — and the spec asserts pending AND results are
     // both non-empty
     val t = (d: String) => lit(s"2024-01-$d 00:00:00").cast("timestamp")
-    ingest(ev.filter(col("ts") < t("21")), t("03"))                         // bulk
+    // null-ts rows ride the first batch (the ft_counts_incremental
+    // rule: range filters silently drop them, but the one-shot chain
+    // counts them — min ignores null among real views, and an
+    // all-null-view user emits a null-t_view row both engines agree on)
+    ingest(ev.filter(col("ts").isNull || col("ts") < t("21")), t("03"))     // bulk
     ingest(ev.filter(col("ts") >= t("21") && col("ts") < t("25")), t("05")) // day 1
     ingest(ev.filter(col("ts") >= t("25")), t("06"))                        // day 2
     val res =
@@ -1125,12 +1138,15 @@ object RelationalQueries {
 
     // islands form of the session merge: break strictly PAST the gap
     // (an event exactly at previous + gap merges — the Spark
-    // session_window boundary, StreamOpsSpec-pinned); end = last + gap
+    // session_window boundary, StreamOpsSpec-pinned); end = last + gap.
+    // ts IS NOT NULL mirrors Spark: session_window DROPS null event
+    // times, while a bare islands window would fold them into the
+    // user's last session
     "rel_sessionize" ->
       s"""WITH l AS (
         |  SELECT user_id, ts, event_type,
         |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |), f AS (
         |  SELECT user_id, ts, event_type,
         |         CASE WHEN pts IS NULL

@@ -433,11 +433,10 @@ class StreamOpsSpec extends AnyFunSuite {
     // BOTH store branches must be live on this corpus (the lagging
     // watermark schedule exists for exactly this — a schedule that
     // finalized everyone would leave the pending carry-over/prune path
-    // and the read-time union branch dead code, and this spec vacuous)
-    def hasData(p: String) = {
-      val f = new java.io.File(p)
-      f.isDirectory && f.listFiles.exists(_.getName.startsWith("part="))
-    }
+    // and the read-time union branch dead code, and this spec vacuous);
+    // the probe is the QUERY'S OWN hasPartData, so the check cannot
+    // drift from what the fold actually reads
+    def hasData(p: String) = graft.queries.RelationalQueries.hasPartData(p)
     assert(hasData(s"$storeDir/results"),
       "no user finalized — the maintained-results branch never ran")
     assert(hasData(s"$storeDir/pending"),
@@ -456,5 +455,28 @@ class StreamOpsSpec extends AnyFunSuite {
     val dup = spark.read.parquet(s"$storeDir/results")
       .groupBy("user_id").count().filter(col("count") > 1).count()
     assert(dup == 0, s"$dup users finalized more than once")
+  }
+
+  test("incremental funnel carries null-ts views to the one-shot result") {
+    import spark.implicits._
+    // the events contract admits null ts: a range-staged fold would
+    // silently drop user 1 (only null-ts views), while the one-shot
+    // chain emits their null-t_view row — the first batch's
+    // isNull-inclusive filter and the prune's null-safe <=> keep them
+    val ev = Seq(
+      (1L, "view", null.asInstanceOf[Timestamp]),
+      (1L, "click", ts(0)), // can never chain to a null view
+      (2L, "view", Timestamp.valueOf("2024-01-02 00:00:00")),
+      (2L, "click", Timestamp.valueOf("2024-01-02 01:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val w1 = graft.queries.RelationalQueries.FunnelClickWindowHours * 3600L * 1000L
+    val w2 = graft.queries.RelationalQueries.FunnelBuyWindowHours * 3600L * 1000L
+    val inc = graft.queries.RelationalQueries.funnelIncremental(spark, ev)
+      .collect().map(_.toSeq).toSeq
+    val one = StreamOps.funnel(ev, w1, w2, "1 hour")
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(inc == one, s"null-ts divergence: $inc vs $one")
+    assert(inc.exists(r => r.head == 1L && r(1) == null),
+      "the all-null-view user's row went missing")
   }
 }
