@@ -84,16 +84,22 @@ object Bench {
     }
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 0.1 ms precision: full-precision doubles made the one-line JSON
+    // ~3x longer than needed, and the driver's r9/r10 captures kept
+    // truncating it into `parsed: null` — sub-0.1 ms digits carry no
+    // information at these magnitudes anyway
+    def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val fs = failed.map(n => "\"" + n + "\"").mkString("[", ",", "]")
-    val rep = repeats.map { case (k, (a, b)) => s"\"" + k + s"\":[$a,$b]" }
+    val rep = repeats.map { case (k, (a, b)) => s"\"" + k + s"\":[${r4(a)},${r4(b)}]" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // total with each repeated query charged its min-of-2 — the
     // contention-adjusted reading the judge otherwise reconstructs
     val totalMin2 = total - repeats.map { case (_, (a, b)) => a - math.min(a, b) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"repeat2":$rep,"total_min2":$totalMin2}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"repeat2":$rep,"total_min2":${r4(totalMin2)}}""")
+    System.out.flush()
     spark.stop()
   }
 }

@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
-  GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Levenshtein,
-  Literal}
+  Cast, Expression, GreaterThan, GreaterThanOrEqual, LessThan,
+  LessThanOrEqual, Levenshtein, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{
+  ByteType, IntegerType, LongType, ShortType}
 
 /** Optimizer rule: rewrite threshold-bounded edit-distance predicates to
   * Spark's banded Levenshtein kernel.
@@ -14,12 +15,17 @@ import org.apache.spark.sql.types.IntegerType
   *   k >= levenshtein(a, b)   ==>   levenshtein(a, b, k) >= 0
   *   levenshtein(a, b) <  k   ==>   levenshtein(a, b, k-1) >= 0
   *   k > levenshtein(a, b)    ==>   levenshtein(a, b, k-1) >= 0
+  *   levenshtein(a, b) >  k   ==>   levenshtein(a, b, k) < 0
+  *   k < levenshtein(a, b)    ==>   levenshtein(a, b, k) < 0
+  *   levenshtein(a, b) >= k   ==>   levenshtein(a, b, k-1) < 0
+  *   k <= levenshtein(a, b)   ==>   levenshtein(a, b, k-1) < 0
   *
   * The unbounded expression fills the full O(|a|*|b|) DP matrix; the
   * threshold form walks only the 2k+1-wide diagonal band (O(k*n)) and
   * returns -1 past the bound — for a predicate, bit-equivalent: the
   * bounded kernel returns the exact distance iff it is <= k, so
-  * `bounded >= 0` accepts exactly the rows `full <= k` accepts, and
+  * `bounded >= 0` accepts exactly the rows `full <= k` accepts, the
+  * complement `bounded < 0` exactly the rows `full > k` accepts, and
   * NULL inputs propagate NULL through both forms (both filtered as
   * false). A fuzzy-join verify over 100-char fields at k = 2 does ~20x
   * less DP work per candidate with an identical result — the win
@@ -27,27 +33,62 @@ import org.apache.spark.sql.types.IntegerType
   * delivered automatically to the ad-hoc `filter(levenshtein(a,b) <= 2)`
   * a user writes.
   *
-  * Deliberately narrow: only INTEGER literals with k >= 0 (k >= 1 for
-  * the strict form), only the unbounded (threshold = None) expression —
-  * the rewritten form carries Some(k) and can never re-match, so the
-  * fixed-point batch terminates. Registered through
-  * [[graft.functions.GraftExtensions]] (`injectOptimizerRule`).
+  * The threshold may be spelled as any integral literal: byte/short
+  * literals are matched directly, and a long spelling (`<= 2L`) arrives
+  * from type coercion as a cast of the DISTANCE to long compared with a
+  * long literal — [[LevInt]] sees through that integral up-cast (the
+  * rewrite drops it; the banded form compares int to int). Thresholds
+  * outside int range never match (a distance can't exceed string
+  * length, so such predicates are degenerate anyway). Only the
+  * unbounded (threshold = None) expression matches — the rewritten form
+  * carries Some(k) and can never re-match, so the fixed-point batch
+  * terminates. Registered through [[graft.functions.GraftExtensions]]
+  * (`injectOptimizerRule`).
   */
 object BoundedLevenshteinRule extends Rule[LogicalPlan] {
 
+  /** An unbounded levenshtein, possibly under an integral up-cast
+    * inserted by comparison type-coercion.
+    */
+  private object LevInt {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case Levenshtein(a, b, None) => Some((a, b))
+      case Cast(Levenshtein(a, b, None),
+          ByteType | ShortType | IntegerType | LongType, _, _) =>
+        Some((a, b))
+      case _ => None
+    }
+  }
+
+  /** Any integral literal whose value fits an int. */
+  private object IntK {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(v: Byte, ByteType) => Some(v.toInt)
+      case Literal(v: Short, ShortType) => Some(v.toInt)
+      case Literal(v: Int, IntegerType) => Some(v)
+      case Literal(v: Long, LongType)
+          if v >= Int.MinValue && v <= Int.MaxValue => Some(v.toInt)
+      case _ => None
+    }
+  }
+
+  private def within(a: Expression, b: Expression, k: Int): Expression =
+    GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(k))), Literal(0))
+
+  private def beyond(a: Expression, b: Expression, k: Int): Expression =
+    LessThan(Levenshtein(a, b, Some(Literal(k))), Literal(0))
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case LessThanOrEqual(lev @ Levenshtein(a, b, None),
-          k @ Literal(ki: Int, IntegerType)) if ki >= 0 =>
-        GreaterThanOrEqual(Levenshtein(a, b, Some(k)), Literal(0))
-      case GreaterThanOrEqual(k @ Literal(ki: Int, IntegerType),
-          lev @ Levenshtein(a, b, None)) if ki >= 0 =>
-        GreaterThanOrEqual(Levenshtein(a, b, Some(k)), Literal(0))
-      case LessThan(lev @ Levenshtein(a, b, None),
-          Literal(ki: Int, IntegerType)) if ki >= 1 =>
-        GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(ki - 1))), Literal(0))
-      case GreaterThan(Literal(ki: Int, IntegerType),
-          lev @ Levenshtein(a, b, None)) if ki >= 1 =>
-        GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(ki - 1))), Literal(0))
+      // within-k forms
+      case LessThanOrEqual(LevInt(a, b), IntK(k)) if k >= 0 => within(a, b, k)
+      case GreaterThanOrEqual(IntK(k), LevInt(a, b)) if k >= 0 => within(a, b, k)
+      case LessThan(LevInt(a, b), IntK(k)) if k >= 1 => within(a, b, k - 1)
+      case GreaterThan(IntK(k), LevInt(a, b)) if k >= 1 => within(a, b, k - 1)
+      // beyond-k complements
+      case GreaterThan(LevInt(a, b), IntK(k)) if k >= 0 => beyond(a, b, k)
+      case LessThan(IntK(k), LevInt(a, b)) if k >= 0 => beyond(a, b, k)
+      case GreaterThanOrEqual(LevInt(a, b), IntK(k)) if k >= 1 => beyond(a, b, k - 1)
+      case LessThanOrEqual(IntK(k), LevInt(a, b)) if k >= 1 => beyond(a, b, k - 1)
     }
 }

@@ -41,6 +41,21 @@ object ForgetQueries {
   final val CmsConf = 0.99
   final val CmsSeed = 42
 
+  /** ft_heavy_hitters_invariant's staged-merge arm: the corpus is
+    * sharded this many ways (stand-ins for per-executor shards), one
+    * CMS per shard, merged driver-side — `merge_ok` gates
+    * merged == one-pass per reported bin.
+    */
+  final val CmsShards = 8
+
+  /** ft_segment_stats_invariant: staged ingest count and the
+    * auto-compaction policy's live-segment bound. 5 appends at bound 2
+    * force the policy to fire twice and end on exactly one folded
+    * segment — a deterministic trace the oracle can state literally.
+    */
+  final val SegIngests = 5
+  final val SegMaxSegments = 2
+
   private def ft(s: SparkSession, dir: String): ForgetTable =
     ForgetTable.fromEvents(Tables.events(s, dir))
 
@@ -131,6 +146,58 @@ object ForgetQueries {
         .orderBy("dist", "bin")
     }),
 
+    // SEGMENT-STORE monitoring + auto-compaction policy, driver-gated:
+    // the LSM read-amplification trade ft_counts_incremental states is
+    // here BOUNDED by construction — SegIngests disjoint batches land
+    // through appendWithPolicy(maxSegments = SegMaxSegments), which
+    // folds whenever the live-segment count passes the bound, so the
+    // trace is deterministic (1,2,3->1,2,3->1: two policy firings, one
+    // final segment) and every column is either genuinely
+    // cross-checked (store_rows = distinct keys after the final fold;
+    // total_count = the corpus row count — partials summed across the
+    // policy's folds lose nothing) or a deterministic policy outcome
+    // (n_segments; bound_ok; counts_match vs the one-shot ft_counts
+    // state, compared Spark-side with a full outer join). The
+    // segmentStats read is one row PER LIVE SEGMENT — bounded by the
+    // policy this query proves, which is what makes it a safe
+    // monitoring scan at 100 TB. Batches partition the corpus by a
+    // null-safe user_id residue, so the union is exhaustive whatever
+    // the corpus's null discipline.
+    "ft_segment_stats_invariant" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.SegmentStore
+      val path = s"${graft.sources.TempDirs.scratch("graft_segstat_")}/segments"
+      val ev = Tables.events(s, dir)
+      def batch(i: Int): DataFrame = ev
+        .filter(coalesce(pmod(col("user_id"), lit(SegIngests)),
+          lit(0)) === i)
+        .groupBy(col("event_type").as("dist"),
+          col("user_id").cast("string").as("bin"))
+        .agg(count(lit(1)).as("count"))
+      (0 until SegIngests).foreach { i =>
+        SegmentStore.appendWithPolicy(batch(i), path,
+          Seq("dist", "bin"), "count", SegMaxSegments)
+      }
+      val st = SegmentStore.segmentStats(s, path)
+        .agg(count(lit(1)).as("n_segments"),
+          sum("n_rows").cast("long").as("store_rows"))
+        .head() // ONE row
+      val merged = SegmentStore.merged(s, path, Seq("dist", "bin"), "count")
+        .localCheckpoint(true) // total + mismatch probe both read it
+      val total = merged.agg(sum("count").cast("long")).head().getLong(0)
+      val one = ft(s, dir).counts.select(col("dist").as("dist2"),
+        col("bin").as("bin2"), col("count").as("c_one"))
+      val nBad = merged.withColumnRenamed("count", "c_inc")
+        .join(one, col("dist") <=> col("dist2") &&
+          col("bin") <=> col("bin2"), "full_outer")
+        .filter(not(col("c_inc") <=> col("c_one"))).count()
+      Seq((st.getLong(0), SegMaxSegments.toLong,
+        st.getLong(0) <= SegMaxSegments.toLong,
+        st.getLong(1), total, nBad == 0L))
+        .toDF("n_segments", "max_segments", "bound_ok",
+          "store_rows", "total_count", "counts_match")
+    }),
+
     "ft_meta" -> ((s, dir) =>
       ft(s, dir).meta.orderBy("dist")),
 
@@ -218,11 +285,22 @@ object ForgetQueries {
     // ONE serialized sketch row, one total, HhK exact rows — the
     // centroid-collect precedent; the sketch build itself is a single
     // map-side-combined mergeable aggregate, the property that lets
-    // 1000 executors each sketch a shard and OR the results.
+    // 1000 executors each sketch a shard and merge the results — and
+    // that claim is now STAGED, not asserted: the same corpus is
+    // sharded CmsShards ways (a groupBy shard key — each group's
+    // sketch is what one executor's shard would produce), the
+    // per-shard sketches merge driver-side via CountMinSketch
+    // .mergeInPlace (CmsShards sketch rows collected — bounded), and
+    // `merge_ok` hash-gates that the merged sketch's estimate equals
+    // the one-pass sketch's on every reported bin. At the FIXED seed
+    // the equality is exact by construction (same hash functions,
+    // counters additive over disjoint shards), so any drift in either
+    // path flips a literal-TRUE oracle column.
     "ft_heavy_hitters_invariant" -> ((s, dir) => {
       import s.implicits._
       val ev = Tables.events(s, dir)
         .select(col("user_id").cast("string").as("bin"))
+        .localCheckpoint(true) // one-pass sketch, shard sketches, exact top-K
       // sketch + stream length in ONE pass (a separate count() would be
       // a whole extra corpus scan at the design point)
       val skRow = ev
@@ -231,6 +309,13 @@ object ForgetQueries {
         .head() // ONE row
       val cms = org.apache.spark.util.sketch.CountMinSketch
         .readFrom(new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]]("sk")))
+      val merged = ev
+        .groupBy(pmod(crc32(col("bin")), lit(CmsShards.toLong)).as("shard"))
+        .agg(expr(s"count_min_sketch(bin, ${CmsEps}d, ${CmsConf}d, $CmsSeed)").as("sk"))
+        .collect() // CmsShards rows of sketch bytes
+        .map(r => org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("sk"))))
+        .reduce { (a, b) => a.mergeInPlace(b); a }
       val bound = math.ceil(CmsEps * skRow.getAs[Long]("n")).toLong
       val top = ev.groupBy("bin").agg(count(lit(1)).as("exact"))
         .orderBy(col("exact").desc, col("bin")).limit(HhK)
@@ -238,8 +323,9 @@ object ForgetQueries {
       top.toSeq.map { r =>
         val (bin, exact) = (r.getString(0), r.getLong(1))
         val est = cms.estimateCount(bin)
-        (bin, exact, est >= exact, est <= exact + bound)
-      }.toDF("bin", "exact", "never_under", "within_eps")
+        (bin, exact, est >= exact, est <= exact + bound,
+          merged.estimateCount(bin) == est)
+      }.toDF("bin", "exact", "never_under", "within_eps", "merge_ok")
         .orderBy("bin")
     }),
 
@@ -688,12 +774,25 @@ object ForgetQueries {
     "ft_dbsize_approx_invariant" ->
       "SELECT CAST(TRUE AS BOOLEAN) AS within_rsd",
 
+    // store_rows / total_count genuinely cross-checked against the
+    // corpus; the policy trace (5 appends at bound 2 -> two folds ->
+    // one live segment) is deterministic, so its outcome is literal
+    "ft_segment_stats_invariant" ->
+      s"""SELECT CAST(1 AS BIGINT) AS n_segments,
+         |  CAST($SegMaxSegments AS BIGINT) AS max_segments,
+         |  CAST(TRUE AS BOOLEAN) AS bound_ok,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         |    (SELECT DISTINCT event_type, user_id FROM events) t) AS store_rows,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS total_count,
+         |  CAST(TRUE AS BOOLEAN) AS counts_match""".stripMargin,
+
     // exact top-K genuinely cross-checked; the sketch-contract booleans
     // are the invariant twin (CMS bytes are engine-specific)
     "ft_heavy_hitters_invariant" ->
       s"""SELECT bin, exact,
          |  CAST(TRUE AS BOOLEAN) AS never_under,
-         |  CAST(TRUE AS BOOLEAN) AS within_eps
+         |  CAST(TRUE AS BOOLEAN) AS within_eps,
+         |  CAST(TRUE AS BOOLEAN) AS merge_ok
          |FROM (
          |  SELECT CAST(user_id AS VARCHAR) AS bin,
          |         CAST(COUNT(*) AS BIGINT) AS exact

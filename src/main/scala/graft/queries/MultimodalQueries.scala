@@ -200,6 +200,45 @@ object MultimodalQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // The MAINTAINED perceptual index — mm_near_dup's (band, key)
+    // signature space persisted and fed by probe-then-append ingests
+    // (the dedup_incremental treatment for media): trainPhash FREEZES
+    // the hash width from the corpus-snapshot count (the frozen-
+    // codebook rule — a batch can never fork the hash family; the
+    // documented re-index trigger fires when growth crosses the next
+    // phashPatches threshold, see AnnIndex.trainPhash), then each
+    // ingest PROBES the store first — verified pairs against the index
+    // plus within the batch, the index read partition-pruned to the
+    // batch's key dirs — and APPENDS its posting rows after. Postings
+    // are additive state, so the append is the SegmentStore shape:
+    // O(batch), zero reads of existing state (unlike the key-replace
+    // minhash/PQ upserts). Every pair surfaces at exactly the ingest
+    // where its second member arrives, so the accumulated probe
+    // outputs converge to the one-shot mm_near_dup pair set — the
+    // same oracle hash-gates both. Fixed-batch probe cost is bounded
+    // by bucket populations, held at ~PHashBucketTarget by the frozen
+    // width until the re-index trigger.
+    "mm_near_dup_incremental" -> ((s, dir) => {
+      val idxDir = graft.sources.TempDirs.scratch("graft_phidx_")
+      val media = nearDupMedia(s, dir).localCheckpoint(true)
+      val nPatch = Multimodal.phashPatches(media.count())
+      graft.sources.AnnIndex.trainPhash(s, idxDir, nPatch)
+      val pairs = (0 until 3).map { i =>
+        val b = media.filter(pmod(col("doc_id"), lit(3L)) === i)
+        // materialize the probe BEFORE the append mutates the store it
+        // reads — load-bearing, not an optimization
+        val p = graft.sources.AnnIndex
+          .probePhash(s, idxDir, b, PHashHammingMax)
+          .localCheckpoint(true)
+        graft.sources.AnnIndex.upsertPhash(s, idxDir, b)
+        p
+      }.reduce(_ unionByName _)
+      pairs
+        .select(col("id_a"), col("id_b"), col("hamming"),
+          lit(nPatch.toLong).as("n_patches"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // The APPLIED perceptual dedup — mm_near_dup's pairs closed into
     // components (the dedup_clusters treatment for media): a re-hosted
     // image re-encoded twice links a~b, b~c, and pairwise output alone
@@ -256,6 +295,15 @@ object MultimodalQueries {
     // equal to the Spark side's banded plan BECAUSE 8 bands at any
     // width are recall-exact at Hamming <= PHashHammingMax
     "mm_near_dup" ->
+      s"""WITH $mmNearDupCtes
+         |SELECT id_a, id_b, hamming,
+         |       (SELECT CAST(p AS BIGINT) FROM nd_p) AS n_patches
+         |FROM mm_pairs ORDER BY id_a, id_b""".stripMargin,
+
+    // maintained-index convergence: probe-then-append ingests emit each
+    // pair exactly once, at the ingest where its second member arrives,
+    // so the accumulated output IS the one-shot pair set
+    "mm_near_dup_incremental" ->
       s"""WITH $mmNearDupCtes
          |SELECT id_a, id_b, hamming,
          |       (SELECT CAST(p AS BIGINT) FROM nd_p) AS n_patches

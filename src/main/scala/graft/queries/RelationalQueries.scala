@@ -25,6 +25,19 @@ object RelationalQueries {
   final val FunnelClickWindowHours = 6
   final val FunnelBuyWindowHours = 24
 
+  /** funnelIncremental's tombstone-bloom sidecar sizing: ~8 bits per
+    * finalized user (~2% fp rate — harmless: a false positive only
+    * routes that user through the exact anti-join; a miss is
+    * impossible, so the prefilter is byte-exact by construction, the
+    * pipe_decontam_bloom discipline). Capacity is FROZEN at store
+    * creation because merged blooms must share geometry; past capacity
+    * the fp rate degrades gracefully (more exact-join traffic, never
+    * wrong results) and a rebuild-on-compact resizes it — the
+    * pq_code_stats retrain-trigger shape.
+    */
+  final val FunnelBloomItems = 1L << 17
+  final val FunnelBloomBitsPerItem = 8L
+
   /** rel_sessionize: per-user session gap. Events in this corpus land
     * ~11h apart per user, so 6 hours yields a real mix of singleton and
     * multi-event sessions at every SF.
@@ -74,6 +87,7 @@ object RelationalQueries {
     val horizon = s"INTERVAL ${w1Ms + w2Ms} MILLISECONDS"
     val resPath = s"$storeDir/results"
     val pendPath = s"$storeDir/pending"
+    val bloomPath = s"$storeDir/bloom"
     def hasData(p: String) = hasPartData(p)
     def chain(e: DataFrame): DataFrame =
       graft.streaming.StreamOps.funnel(e, w1Ms, w2Ms, "1 hour")
@@ -82,11 +96,40 @@ object RelationalQueries {
         .filter(col("event_type").isin("view", "click", "purchase"))
         .select(col("user_id"), col("event_type"), col("ts"))
       // tombstone drop: a finalized user's funnel is immutable (any
-      // later event sits above the watermark, hence outside it)
+      // later event sits above the watermark, hence outside it). The
+      // BLOOM SIDECAR routes it: rows whose user_id the bloom rejects
+      // are definitely-not-finalized and skip the store entirely (at a
+      // steady state that is almost the whole batch — finalized users
+      // stop producing events); only bloom-positives reach the exact
+      // anti-join, and the finalized scan behind it is PRUNED to the
+      // user-hash partitions those positives land in. Never a false
+      // negative, so the routed result is byte-identical to the plain
+      // anti-join; a ~2% fp sliver rides through and dies exactly.
       val newEv =
         if (!hasData(resPath)) fev
-        else fev.join(s.read.parquet(resPath).select("user_id"),
-          Seq("user_id"), "left_anti")
+        else {
+          val bf = s.read.parquet(bloomPath)
+          // null-safe routing: might_contain(null) is null, but a
+          // null-user row can't be finalized — it must PASS (the plain
+          // anti-join kept it: null never equi-matches)
+          val might = coalesce(
+            graft.functions.SketchExprs.mightContain(bf, col("user_id")),
+            lit(false))
+          val maybe = fev.filter(might)
+            .localCheckpoint(true) // feeds the part probe + the anti-join
+          val pass = fev.filter(!might)
+          val mParts = maybe
+            .select(pmod(col("user_id"), lit(parts.toLong)).as("part"))
+            .distinct().collect().map(_.getLong(0)) // <= parts rows
+          val checked =
+            if (mParts.isEmpty) maybe // bloom-empty batch: nothing to check
+            else maybe.join(
+              s.read.parquet(resPath)
+                .filter(col("part").isin(mParts.map(Long.box): _*))
+                .select("user_id"),
+              Seq("user_id"), "left_anti")
+          pass.unionByName(checked)
+        }
       val all = (if (!hasData(pendPath)) newEv
         else s.read.parquet(pendPath)
           .select(col("user_id"), col("event_type"), col("ts"))
@@ -98,6 +141,34 @@ object RelationalQueries {
         .repartition(col("part"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("part").parquet(resPath)
+      // sidecar maintenance: OR this batch's finalized ids into the
+      // stored bloom (segment-append, not rebuild — the SegmentStore
+      // shape: O(batch) aggregation + one numBits/8-byte driver merge,
+      // the finalized store is never rescanned). Geometry is frozen at
+      // FunnelBloomItems so merges stay compatible; see the constant's
+      // scaladoc for the saturation story.
+      val finBytes = fin.agg(graft.functions.SketchExprs.bloomFilterAgg(
+          col("user_id"), FunnelBloomItems,
+          FunnelBloomItems * FunnelBloomBitsPerItem).as("bf"))
+        .head().getAs[Array[Byte]]("bf") // ONE row, numBits/8 bytes
+      if (finBytes != null) {
+        import org.apache.spark.util.sketch.BloomFilter
+        val merged =
+          if (!new java.io.File(bloomPath).isDirectory) finBytes
+          else {
+            val old = BloomFilter.readFrom(new java.io.ByteArrayInputStream(
+              s.read.parquet(bloomPath).head().getAs[Array[Byte]]("bf")))
+            old.mergeInPlace(BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(finBytes)))
+            val bos = new java.io.ByteArrayOutputStream()
+            old.writeTo(bos)
+            bos.toByteArray
+          }
+        import s.implicits._
+        Seq(merged).toDF("bf").coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(bloomPath)
+      }
       // pending': non-finalized users' events under the tighten-only
       // bound; a null v (no view yet) behaves as +infinity, so `least`
       // (null-skipping) gives lb = wm and the upper bounds vanish
@@ -169,6 +240,20 @@ object RelationalQueries {
     * post-checkpoint joins only). Returns (dirty probe list, verified
     * candidate frame).
     */
+  /** Distinct [[FuzzyGram]]-char substrings of `nameCol`, one row per
+    * (key, gram). Names shorter than the gram width contribute no
+    * grams (the filter also keeps sequence() ascending — Spark's
+    * sequence steps DOWNWARD when start > stop, which would fabricate
+    * grams DuckDB's empty generate_series never emits). Shared by the
+    * df-pruned primary blocking and the starved-probe fallback.
+    */
+  private def fuzzyGrams(df: DataFrame, keyCol: String, nameCol: String) = df
+    .filter(length(col(nameCol)) >= FuzzyGram)
+    .select(col(keyCol),
+      explode(array_distinct(transform(
+        sequence(lit(1), length(col(nameCol)) - lit(FuzzyGram - 1)),
+        i => col(nameCol).substr(i, lit(FuzzyGram))))).as("gram"))
+
   private[graft] def fuzzyVerified(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
@@ -187,24 +272,14 @@ object RelationalQueries {
           concat(lit("zzzzzz"), nm.substr(lit(7), length(nm))))
           .as("dirty_name"))
       .localCheckpoint(true) // grams, verify, and final join read it
-    // names shorter than the gram width contribute no grams (the
-    // filter also keeps sequence() ascending — Spark's sequence
-    // steps DOWNWARD when start > stop, which would fabricate grams
-    // DuckDB's empty generate_series never emits)
-    def grams(df: DataFrame, keyCol: String, nameCol: String) = df
-      .filter(length(col(nameCol)) >= FuzzyGram)
-      .select(col(keyCol),
-        explode(array_distinct(transform(
-          sequence(lit(1), length(col(nameCol)) - lit(FuzzyGram - 1)),
-          i => col(nameCol).substr(i, lit(FuzzyGram))))).as("gram"))
-    val cleanGrams = grams(cust, "c_custkey", "c_name")
+    val cleanGrams = fuzzyGrams(cust, "c_custkey", "c_name")
       .localCheckpoint(true) // feeds the df count AND the posting join
     // blocking index: drop corpus-constant grams (df > FuzzyMaxDf)
     val keep = cleanGrams.groupBy("gram")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= FuzzyMaxDf)
       .select("gram")
-    val cands = grams(dirty, "probe_key", "dirty_name")
+    val cands = fuzzyGrams(dirty, "probe_key", "dirty_name")
       .join(keep, "gram") // informative grams only
       .join(cleanGrams, "gram")
       .select("probe_key", "c_custkey").distinct()
@@ -636,11 +711,18 @@ object RelationalQueries {
     // wm > v + W1 + W2 — every chain-relevant event is then below the
     // watermark and already buffered — the SAME instant the streaming
     // funnel's EventTimeTimeout fires, so per increment the cost is the
-    // batch, the watermark-bounded pending state, and one COLUMN-PRUNED
-    // scan of finalized user ids for the tombstone anti-join (the one
-    // piece that grows with history; a bloom sidecar over finalized ids
-    // is the 100 TB swap-in, the pipe_decontam_bloom pattern — the
-    // event HISTORY itself is never rescanned). Finalized rows APPEND
+    // batch, the watermark-bounded pending state, and the tombstone
+    // check — which a BLOOM SIDECAR over finalized ids now routes (the
+    // pipe_decontam_bloom pattern deployed as maintained state): the
+    // bloom rejects definitely-new users without touching the store,
+    // only bloom-positives reach the exact anti-join, and that join's
+    // finalized scan is PARTITION-PRUNED to the positives' user-hash
+    // dirs — so the one piece that grew with history now costs
+    // O(positives), exactness untouched (no false negatives; the fp
+    // sliver dies in the exact join). The sidecar itself is maintained
+    // by segment-append (O(batch) aggregate + one bloom-bytes driver
+    // merge per ingest — the finalized store is never rescanned; the
+    // event HISTORY never was). Finalized rows APPEND
     // as new files to their user-hash
     // partitions (finalized users are new by construction — no rewrite,
     // unlike the upsert stores); the staged windows replay the
@@ -695,9 +777,16 @@ object RelationalQueries {
     // type's daily mean. The usual z-score is a double sqrt chain —
     // engine-order-dependent, unhashable — so the test runs ENTIRELY in
     // integer algebra: (c - mu)^2 > K^2 * sigma^2 multiplied through by
-    // nd^2 becomes (c*nd - S1)^2 > K^2 * (nd*S2 - S1^2) over the exact
-    // BIGINTs (nd days, S1 = sum c, S2 = sum c^2) — the 6-sigma
-    // invariant-gate trick applied to monitoring. The synthetic corpus
+    // nd^2 becomes (c*nd - S1)^2 > K^2 * (nd*S2 - S1^2) over exact
+    // integers (nd days, S1 = sum c, S2 = sum c^2) — the 6-sigma
+    // invariant-gate trick applied to monitoring. The squared products
+    // are taken in decimal(38,0) (the rel_q1 dec() discipline): S1^2
+    // passes 2^63 once a type's total event count reaches ~3e9, well
+    // inside the 100 TB design point, and 38 digits carries the
+    // algebra exactly to ~1e19 events per type. Null-ts events (which
+    // the corpus contract admits) have no day: both engines filter
+    // them, which also sidesteps the engines' opposite NULL orderings
+    // in the final sort. The synthetic corpus
     // is deliberately uniform (natural max |z| ~ 3.0), so a 3x burst is
     // PLANTED on clicks/Jan-15 (the text_pii synthesis trick): exactly
     // that one (type, day) must flag, spec-pinned. Both deviation and
@@ -706,7 +795,7 @@ object RelationalQueries {
     // moment aggregate broadcast back over days — output bounded by
     // types x calendar days, like rel_retention.
     "rel_anomaly_days" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
+      val ev = Tables.events(s, dir).filter(col("ts").isNotNull)
       val plantDay = lit("2024-01-15").cast("date")
       val plant = ev.filter(col("event_type") === "click" &&
         to_date(col("ts")) === plantDay)
@@ -719,15 +808,17 @@ object RelationalQueries {
         count(lit(1)).as("nd"),
         sum("n").cast("long").as("s1"),
         sum(col("n") * col("n")).cast("long").as("s2"))
-      val dev = col("n") * col("nd") - col("s1")
+      val dev = dec(col("n"), 38, 0) * dec(col("nd"), 38, 0) -
+        dec(col("s1"), 38, 0)
       c.join(broadcast(st), "event_type")
         .select(col("event_type"),
           date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("n"),
-          (dev * dev).cast("long").as("dev2"),
-          (lit(AnomalyK.toLong * AnomalyK) *
-            (col("nd") * col("s2") - col("s1") * col("s1")))
-            .cast("long").as("bound"))
+          dec(dev * dev, 38, 0).as("dev2"),
+          dec(dec(lit(AnomalyK.toLong * AnomalyK), 38, 0) *
+            (dec(col("nd"), 38, 0) * dec(col("s2"), 38, 0) -
+              dec(col("s1"), 38, 0) * dec(col("s1"), 38, 0)), 38, 0)
+            .as("bound"))
         .withColumn("is_anomaly", col("dev2") > col("bound"))
         .orderBy("event_type", "day")
     }),
@@ -778,6 +869,62 @@ object RelationalQueries {
         .select(col("probe_key"), col("c_custkey").as("match_key"),
           col("dist").cast("long").as("dist"))
       dirty.select("probe_key")
+        .join(nCands, Seq("probe_key"), "left")
+        .join(best, Seq("probe_key"), "left")
+        .select(col("probe_key"),
+          coalesce(col("match_key"), lit(-1L)).as("match_key"),
+          coalesce(col("dist"), lit(-1L)).as("dist"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+        .orderBy("probe_key")
+    }),
+
+    // The STARVATION FALLBACK arm rel_fuzzy_join's audit column exists
+    // for: probes the df-pruned blocking admitted ZERO candidates for
+    // (n_candidates = 0 — on this corpus probe 0, whose all-zero tail
+    // has no informative gram at ANY cap, and probe 14, whose "014"
+    // gram the 1400-1499 key block pushes over the cap) re-block with
+    // the df cap LIFTED, then pay the same banded verify and
+    // (dist, key) rank. Lifting the cap is safe exactly BECAUSE the
+    // input is the starved set: it is batch-bounded by construction
+    // (a subset of the probe batch, here 2 rows, materialized before
+    // the unpruned join — the spec pins that only starved probes reach
+    // it), so the hot corpus-constant grams the primary path prunes
+    // fan out over a handful of probes, not the whole batch — a wider
+    // matcher priced per escalated probe, the standard two-tier
+    // linkage design (Gravano et al.'s count-filter blocking with an
+    // exhaustive fallback tier). Output mirrors rel_fuzzy_join over
+    // the starved probes only; on this corpus both recover their true
+    // source (probe 0 at the transposition distance 2, probe 14 at
+    // the deletion distance 1) with zero false links — the rank's
+    // dist-asc tie-break puts the true source above the distance-2
+    // near-keys the unpruned blocking also admits.
+    "rel_fuzzy_join_fallback" -> ((s, dir) => {
+      val (dirty, verified0) = fuzzyVerified(s, dir)
+      val verified = verified0.localCheckpoint(true)
+      val starved = dirty
+        .join(verified.select("probe_key").distinct(),
+          Seq("probe_key"), "left_anti")
+        .localCheckpoint(true) // batch-bounded; the unpruned join reads ONLY this
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
+      val fbCands = fuzzyGrams(starved, "probe_key", "dirty_name")
+        .join(fuzzyGrams(cust, "c_custkey", "c_name"), "gram") // cap lifted
+        .select("probe_key", "c_custkey").distinct()
+      val fbv = fbCands
+        .join(starved, "probe_key")
+        .join(cust, "c_custkey")
+        .withColumn("dist",
+          levenshtein(col("dirty_name"), col("c_name"), FuzzyK))
+        .localCheckpoint(true) // candidate audit + rank both read it
+      val nCands = fbv.groupBy("probe_key")
+        .agg(count(lit(1)).as("n_candidates"))
+      val w = Window.partitionBy("probe_key")
+        .orderBy(col("dist").asc, col("c_custkey").asc)
+      val best = fbv.filter(col("dist") >= 0)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("probe_key"), col("c_custkey").as("match_key"),
+          col("dist").cast("long").as("dist"))
+      starved.select("probe_key")
         .join(nCands, Seq("probe_key"), "left")
         .join(best, Seq("probe_key"), "left")
         .select(col("probe_key"),
@@ -1169,17 +1316,21 @@ object RelationalQueries {
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, s_start""".stripMargin,
 
-    // same 3x plant, same integer moment algebra — SUMs cast to BIGINT
-    // (DuckDB SUM is HUGEINT) so the products compare dtype-exact
+    // same 3x plant, same integer moment algebra; null-ts rows filtered
+    // (no day) on both sides; the squared products run in HUGEINT and
+    // land in DECIMAL(38,0), matching the Spark side's overflow-safe
+    // decimal discipline dtype-exact
     "rel_anomaly_days" ->
       s"""WITH aug AS (
-        |  SELECT event_type, ts FROM events
+        |  SELECT event_type, ts FROM events WHERE ts IS NOT NULL
         |  UNION ALL
         |  SELECT event_type, ts FROM events
-        |  WHERE event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-15'
+        |  WHERE ts IS NOT NULL AND event_type = 'click'
+        |    AND CAST(ts AS DATE) = DATE '2024-01-15'
         |  UNION ALL
         |  SELECT event_type, ts FROM events
-        |  WHERE event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-15'
+        |  WHERE ts IS NOT NULL AND event_type = 'click'
+        |    AND CAST(ts AS DATE) = DATE '2024-01-15'
         |), c AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
         |         CAST(COUNT(*) AS BIGINT) AS n
@@ -1194,10 +1345,14 @@ object RelationalQueries {
         |SELECT c.event_type,
         |  strftime(c.day, '%Y-%m-%d') AS day,
         |  c.n,
-        |  CAST((c.n * st.nd - st.s1) * (c.n * st.nd - st.s1) AS BIGINT) AS dev2,
-        |  CAST(${AnomalyK * AnomalyK} * (st.nd * st.s2 - st.s1 * st.s1) AS BIGINT) AS bound,
-        |  (c.n * st.nd - st.s1) * (c.n * st.nd - st.s1)
-        |    > ${AnomalyK * AnomalyK} * (st.nd * st.s2 - st.s1 * st.s1) AS is_anomaly
+        |  CAST((CAST(c.n AS HUGEINT) * st.nd - st.s1)
+        |     * (CAST(c.n AS HUGEINT) * st.nd - st.s1) AS DECIMAL(38,0)) AS dev2,
+        |  CAST(${AnomalyK * AnomalyK} * (CAST(st.nd AS HUGEINT) * st.s2
+        |     - CAST(st.s1 AS HUGEINT) * st.s1) AS DECIMAL(38,0)) AS bound,
+        |  (CAST(c.n AS HUGEINT) * st.nd - st.s1)
+        |    * (CAST(c.n AS HUGEINT) * st.nd - st.s1)
+        |    > ${AnomalyK * AnomalyK} * (CAST(st.nd AS HUGEINT) * st.s2
+        |       - CAST(st.s1 AS HUGEINT) * st.s1) AS is_anomaly
         |FROM c JOIN st USING (event_type)
         |ORDER BY event_type, day""".stripMargin,
 
@@ -1254,6 +1409,68 @@ object RelationalQueries {
         |  CAST(COALESCE(b.dist, -1) AS BIGINT) AS dist,
         |  CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates
         |FROM dirty d LEFT JOIN nc USING (probe_key) LEFT JOIN best b USING (probe_key)
+        |ORDER BY probe_key""".stripMargin,
+
+    // same dirty/gram synthesis; starved = probes outside the primary
+    // blocking's candidate set; their re-block drops the keep prune
+    "rel_fuzzy_join_fallback" ->
+      s"""WITH dirty AS (
+        |  SELECT c_custkey AS probe_key,
+        |    CASE WHEN c_custkey % 4 = 0
+        |           THEN concat(substr(c_name,1,1), substr(c_name,3,1),
+        |                       substr(c_name,2,1), substr(c_name,4))
+        |         WHEN c_custkey % 4 = 1
+        |           THEN concat(substr(c_name,1,4), 'x', substr(c_name,6))
+        |         WHEN c_custkey % 4 = 2
+        |           THEN concat(substr(c_name,1,2), substr(c_name,4))
+        |         ELSE concat('zzzzzz', substr(c_name,7)) END AS dirty_name
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |), cg AS (
+        |  SELECT c_custkey, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, length(c_name) - ${FuzzyGram - 1}),
+        |    i -> substr(c_name, i, $FuzzyGram)))) AS gram
+        |  FROM customer
+        |), keep AS (
+        |  SELECT gram FROM (
+        |    SELECT gram, COUNT(*) AS df FROM cg GROUP BY 1
+        |  ) t WHERE df <= $FuzzyMaxDf
+        |), dg AS (
+        |  SELECT probe_key, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, length(dirty_name) - ${FuzzyGram - 1}),
+        |    i -> substr(dirty_name, i, $FuzzyGram)))) AS gram
+        |  FROM dirty
+        |), blocked AS (
+        |  SELECT DISTINCT probe_key
+        |  FROM dg JOIN keep USING (gram) JOIN cg USING (gram)
+        |), starved AS (
+        |  SELECT probe_key, dirty_name FROM dirty
+        |  WHERE probe_key NOT IN (SELECT probe_key FROM blocked)
+        |), fb AS (
+        |  SELECT DISTINCT s.probe_key, g.c_custkey
+        |  FROM dg s JOIN cg g USING (gram)
+        |  WHERE s.probe_key IN (SELECT probe_key FROM starved)
+        |), fverified AS (
+        |  SELECT v.probe_key, v.c_custkey,
+        |         levenshtein(d.dirty_name, c.c_name) AS dist
+        |  FROM fb v
+        |  JOIN dirty d ON d.probe_key = v.probe_key
+        |  JOIN customer c ON c.c_custkey = v.c_custkey
+        |), nc AS (
+        |  SELECT probe_key, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        |  FROM fverified GROUP BY 1
+        |), best AS (
+        |  SELECT probe_key, c_custkey AS match_key, CAST(dist AS BIGINT) AS dist
+        |  FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY probe_key ORDER BY dist, c_custkey) AS rnk
+        |    FROM fverified WHERE dist <= $FuzzyK
+        |  ) t WHERE rnk = 1
+        |)
+        |SELECT s.probe_key,
+        |  CAST(COALESCE(match_key, -1) AS BIGINT) AS match_key,
+        |  CAST(COALESCE(b.dist, -1) AS BIGINT) AS dist,
+        |  CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates
+        |FROM starved s LEFT JOIN nc USING (probe_key) LEFT JOIN best b USING (probe_key)
         |ORDER BY probe_key""".stripMargin,
 
     "rel_interval_join" ->

@@ -396,50 +396,12 @@ object SimilarityQueries {
   private def pqRes(s: SparkSession, dir: String): DataFrame =
     pqResFrom(pqScored(s, dir))
 
-  /** OPQ-style dimension permutation (the non-parametric allocation
-    * idea of Ge et al., "Optimized Product Quantization", CVPR 2013,
-    * simplified to a variance-balancing PERMUTATION: the full method
-    * learns an orthogonal rotation by alternating SVD, whose
-    * floating-point spectrum is not bit-reproducible cross-engine — a
-    * permutation IS an orthogonal transform, captures the balanced-
-    * information-per-subspace objective on axis-aligned spectra, and
-    * stays oracle-exact). Per-dimension variance proxies are
-    * ALL-INTEGER on a 1e-4 grid (n·Σq² − (Σq)², q = floor(x·1e4) —
-    * order-independent BIGINT sums, headroom past the 30× probe), dims
-    * rank by (score desc, dim asc), and a snake round-robin deals them
-    * into the PqM subspaces so high-variance dims spread instead of
-    * clustering in the first slice. Returns the permutation as
-    * 1-based source indices in target order (Dim rows collected —
-    * bounded by the vector width, driver-safe).
+  /** The corpus's OPQ variance-balancing permutation — see
+    * [[graft.operators.Similarity.opqPermutation]] (moved there so the
+    * persisted index family can train and freeze the same artifact).
     */
-  private def opqPermutation(s: SparkSession, dir: String): Seq[Int] = {
-    // one quantization, squared IN INTEGER SPACE: q = floor(x·1e4),
-    // score = n·Σq² − (Σq)² — the integer variance proxy on a single
-    // grid. (Mixing grids — floor(x²·1e4) for the square term — would
-    // scale the two terms by 1e4 vs 1e8 and rank dims by |mean|, not
-    // variance.) Headroom: |q| ≤ ~1.1e4, so n·Σq² and (Σq)² both stay
-    // under 2^63 past the 30× probe's ~150k rows.
-    val q = floor(col("x") * lit(10000.0)).cast("long")
-    val scores = vecs(s, dir)
-      .select(posexplode(col("v")))
-      .toDF("pos", "x")
-      .groupBy("pos")
-      .agg(count(lit(1)).as("n"),
-        sum(q).as("sq"),
-        sum(q * q).as("sq2"))
-      .select(col("pos"), (col("n") * col("sq2") - col("sq") * col("sq")).as("score"))
-      .collect() // Dim rows
-      .map(r => (r.getAs[Int]("pos"), r.getAs[Long]("score")))
-    val target = Array.fill(Dim)(0)
-    scores.sortBy { case (p, sc) => (-sc, p) }.zipWithIndex.foreach {
-      case ((p, _), rk) =>
-        val round = rk / PqM
-        val r = rk % PqM
-        val sub = if (round % 2 == 0) r else PqM - 1 - r
-        target(sub * PqSub + round) = p + 1 // 1-based
-    }
-    target.toSeq
-  }
+  private def opqPermutation(s: SparkSession, dir: String): Seq[Int] =
+    Similarity.opqPermutation(vecs(s, dir), Dim, PqM)
 
   /** The deployed PQ shape: ADC-shortlist PqShortK candidates from the
     * codes scan, then exact-cosine rerank reading ONLY the shortlist's
@@ -548,11 +510,12 @@ object SimilarityQueries {
     // on the permuted corpus — a permutation is orthogonal, so the
     // true neighbor set is unchanged — making the recall delta vs
     // sim_ann_pq_recall's 'pq' row exactly the allocation effect.
-    // BASELINE.md records the comparison (≈ parity on this corpus:
-    // its per-dim variances are near-isotropic, the regime the paper
-    // predicts no allocation gain for; the measured-arm machinery is
-    // the deliverable — on skewed spectra the same query shows the
-    // lift).
+    // BASELINE.md records the comparison: flat-ADC recall 0.040 →
+    // 0.120 at the same 12-bit budget — the permutation TRIPLES
+    // recall for zero extra bytes on this corpus (the measurement
+    // moved 0.080 → 0.120 when the variance proxy landed on a single
+    // 1e-4 grid). sim_ann_opq_idx deploys the same permutation as a
+    // frozen artifact of the persisted PQ index.
     "sim_ann_opq_recall" -> ((s, dir) => {
       val perm = opqPermutation(s, dir)
       val pv = vecs(s, dir)
@@ -907,6 +870,34 @@ object SimilarityQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // The DEPLOYED OPQ index — sim_ann_opq_recall's measured 3x
+    // flat-ADC recall lift (0.040 -> 0.120 at the same 12-bit budget,
+    // BASELINE.md) frozen into the persisted PQ index instead of a
+    // measurement arm: trainPq stores the variance-balanced permutation
+    // under dir/perm as a third artifact next to the codebooks and
+    // trains the codebooks in the permuted space; both upsertPq encodes
+    // and the probePq LUT build then apply the STORED permutation
+    // transparently (callers keep passing raw vectors — the permutation
+    // is index-internal, exactly like the codebooks). Identical bytes
+    // scanned: the codes relation is still PqM small ints per vector,
+    // so the recall lift is free at probe time. Hash-gated like
+    // sim_ann_pq_idx: the oracle rebuilds the same permutation in SQL,
+    // binds the permuted corpus to the `vecs` CTE, and runs the shared
+    // PQ machinery — gating train -> freeze -> bulk-load -> append ->
+    // probe end to end (the staging is the sim_ann_pq_upsert split, so
+    // the maintained path is what carries the permutation).
+    "sim_ann_opq_idx" -> ((s, dir) => {
+      val idxDir = graft.sources.TempDirs.scratch("graft_opqidx_")
+      val all = vecs(s, dir)
+      graft.sources.AnnIndex.trainPq(all, PqM, PqSub, PqK, IvfSample,
+        PqIters, PqSalt, idxDir, perm = opqPermutation(s, dir))
+      graft.sources.AnnIndex.upsertPq(s, idxDir, all.filter(col("vec_id") % 3 =!= 0))
+      graft.sources.AnnIndex.upsertPq(s, idxDir, all.filter(col("vec_id") % 3 === 0))
+      val q = all.filter(col("vec_id") < 5)
+      graft.sources.AnnIndex.probePq(s, idxDir, q, K, PqM, PqSub)
+        .orderBy("q_id", "rnk")
+    }),
+
     // The maintained TWO-LEVEL index: both quantizers trained once
     // (trainIvfPq), the codes table bulk-loaded and appended through
     // upsertIvfPq — frozen centroids route each batch to its cell
@@ -1023,6 +1014,42 @@ object SimilarityQueries {
     """vecs AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       |)""".stripMargin
+
+  /** The OPQ-permuted corpus bound to the CTE name `vecs`, so the
+    * shared brute/PQ machinery runs on it verbatim; mirrors
+    * [[graft.operators.Similarity.opqPermutation]] bit-exactly
+    * (1e-4-grid integer variance scores, score-desc/dim-asc rank,
+    * snake deal into subspaces). Shared by sim_ann_opq_recall (the
+    * measurement arm) and sim_ann_opq_idx (the deployed index).
+    */
+  private lazy val opqVecsCtes =
+    s"""vecs_raw AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), opq_sc AS (
+       |  SELECT d.d,
+       |    CAST(COUNT(*) AS BIGINT)
+       |      * CAST(SUM(CAST(FLOOR(r.v[d.d] * 10000.0) AS BIGINT)
+       |                  * CAST(FLOOR(r.v[d.d] * 10000.0) AS BIGINT)) AS BIGINT)
+       |    - CAST(SUM(CAST(FLOOR(r.v[d.d] * 10000.0) AS BIGINT)) AS BIGINT)
+       |      * CAST(SUM(CAST(FLOOR(r.v[d.d] * 10000.0) AS BIGINT)) AS BIGINT) AS score
+       |  FROM vecs_raw r
+       |  CROSS JOIN (SELECT UNNEST(generate_series(1, $Dim)) AS d) d
+       |  GROUP BY d.d
+       |), opq_rk AS (
+       |  SELECT d, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, d ASC) - 1 AS BIGINT) AS rk
+       |  FROM opq_sc
+       |), opq_perm AS (
+       |  SELECT list(d ORDER BY tpos) AS p FROM (
+       |    SELECT d,
+       |      (CASE WHEN (rk // $PqM) % 2 = 0 THEN rk % $PqM
+       |            ELSE ${PqM - 1} - rk % $PqM END) * $PqSub + rk // $PqM AS tpos
+       |    FROM opq_rk
+       |  ) t
+       |), vecs AS (
+       |  SELECT r.vec_id,
+       |    list_transform((SELECT p FROM opq_perm), i -> r.v[i]) AS v
+       |  FROM vecs_raw r
+       |)""".stripMargin
 
   /** knn_w (the derived per-band width) + kb_banded (one bucket per
     * vector per band). The plane-bit list is emitted ONCE at the
@@ -1317,43 +1344,19 @@ object SimilarityQueries {
       s"""WITH $vecsCte, $ivfCtes
          |SELECT q_id, rnk, c_id, cosine FROM ivf_res ORDER BY q_id, rnk""".stripMargin,
 
-    // the permuted corpus is bound to the CTE name `vecs`, so the
-    // shared brute/PQ machinery runs on it verbatim; the permutation
-    // mirrors opqPermutation bit-exactly (1e-4-grid integer variance
-    // scores, score-desc/dim-asc rank, snake deal into subspaces)
     "sim_ann_opq_recall" ->
-      s"""WITH vecs_raw AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |), opq_sc AS (
-         |  SELECT d.d,
-         |    CAST(COUNT(*) AS BIGINT)
-         |      * CAST(SUM(CAST(FLOOR(r.v[d.d] * 10000.0) AS BIGINT)
-         |                  * CAST(FLOOR(r.v[d.d] * 10000.0) AS BIGINT)) AS BIGINT)
-         |    - CAST(SUM(CAST(FLOOR(r.v[d.d] * 10000.0) AS BIGINT)) AS BIGINT)
-         |      * CAST(SUM(CAST(FLOOR(r.v[d.d] * 10000.0) AS BIGINT)) AS BIGINT) AS score
-         |  FROM vecs_raw r
-         |  CROSS JOIN (SELECT UNNEST(generate_series(1, $Dim)) AS d) d
-         |  GROUP BY d.d
-         |), opq_rk AS (
-         |  SELECT d, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, d ASC) - 1 AS BIGINT) AS rk
-         |  FROM opq_sc
-         |), opq_perm AS (
-         |  SELECT list(d ORDER BY tpos) AS p FROM (
-         |    SELECT d,
-         |      (CASE WHEN (rk // $PqM) % 2 = 0 THEN rk % $PqM
-         |            ELSE ${PqM - 1} - rk % $PqM END) * $PqSub + rk // $PqM AS tpos
-         |    FROM opq_rk
-         |  ) t
-         |), vecs AS (
-         |  SELECT r.vec_id,
-         |    list_transform((SELECT p FROM opq_perm), i -> r.v[i]) AS v
-         |  FROM vecs_raw r
-         |), $bruteCtes, $pqCtes, $pqResCtes
+      s"""WITH $opqVecsCtes, $bruteCtes, $pqCtes, $pqResCtes
          |SELECT 'opq' AS method, t.q_id,
          |       CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $K AS recall
          |FROM brute_res t LEFT JOIN pq_res a ON t.q_id = a.q_id AND t.c_id = a.c_id
          |GROUP BY t.q_id
          |ORDER BY method, t.q_id""".stripMargin,
+
+    // the deployed form: train->freeze(perm+codebooks)->bulk->append->
+    // probe from storage must equal the one-shot permuted-PQ ADC result
+    "sim_ann_opq_idx" ->
+      s"""WITH $opqVecsCtes, $pqCtes, $pqResCtes
+         |SELECT q_id, rnk, c_id, adc FROM pq_res ORDER BY q_id, rnk""".stripMargin,
 
     "sim_ann_lsh" ->
       s"""WITH $vecsCte, $lshCtes

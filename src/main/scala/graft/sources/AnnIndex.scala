@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Persistent ANN / dedup index layout — the write-side half of the
   * 100 TB similarity design.
@@ -320,13 +320,55 @@ object AnnIndex {
     * the STORED codebooks, any insertion order of the same vector set
     * yields a codes table row-identical to a one-shot [[savePq]] whose
     * training corpus matched.
+    *
+    * `perm`, when non-empty, is an OPQ dimension permutation (1-based
+    * source indices in target order — see
+    * [[graft.operators.Similarity.opqPermutation]]): it is persisted
+    * under `dir/perm` as a THIRD frozen artifact next to the codebooks
+    * and the meta row, the codebooks are trained on the permuted
+    * corpus, and every later [[upsertPq]] encode and [[probePq]] LUT
+    * build applies the stored permutation transparently — callers keep
+    * passing raw vectors. Measured effect (BASELINE.md): flat-ADC
+    * recall 0.040 → 0.120 at the same PqM·log2(PqK)-bit budget, zero
+    * extra bytes scanned — the variance-balanced allocation is free
+    * recall once frozen into the index. Like the codebooks, the
+    * permutation is train-once: corpus drift that reorders per-dim
+    * variances is a retrain trigger (`pq_code_stats`), not an upsert.
     */
   def trainPq(vecs: DataFrame, m: Int, sub: Int, k: Int, sampleSize: Int,
               iters: Int, salt: Int, dir: String,
-              parts: Int = DefaultParts): Unit = {
-    trainPqCodebooks(vecs, m, sub, k, sampleSize, iters, salt, dir, parts)
+              parts: Int = DefaultParts, perm: Seq[Int] = Seq.empty): Unit = {
+    savePerm(vecs.sparkSession, dir, perm)
+    trainPqCodebooks(applyPerm(vecs, perm, "v"), m, sub, k, sampleSize,
+      iters, salt, dir, parts)
     ()
   }
+
+  /** Persist a non-empty OPQ permutation under `dir/perm`. */
+  private def savePerm(spark: SparkSession, dir: String, perm: Seq[Int]): Unit =
+    if (perm.nonEmpty) {
+      import spark.implicits._
+      perm.zipWithIndex.map { case (src, pos) => (pos, src) }
+        .toDF("pos", "src")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/perm")
+    }
+
+  /** The stored OPQ permutation, or empty when the index has none —
+    * a bounded read (vector-width rows) per maintenance/probe call.
+    */
+  private def storedPerm(spark: SparkSession, dir: String): Seq[Int] =
+    if (!pathExists(spark, s"$dir/perm")) Seq.empty
+    else spark.read.parquet(s"$dir/perm")
+      .orderBy("pos").collect().map(_.getAs[Int]("src")).toSeq // Dim rows
+
+  /** Reorder `vecCol` by a 1-based source-index permutation; identity
+    * when the permutation is empty. Row-local projection — stays in
+    * whole-stage codegen.
+    */
+  private def applyPerm(df: DataFrame, perm: Seq[Int], vecCol: String): DataFrame =
+    if (perm.isEmpty) df
+    else df.withColumn(vecCol,
+      array(perm.map(i => element_at(col(vecCol), i)): _*))
 
   /** Train + write the `m` codebooks under `dir/codebook/` and the meta
     * row; return the in-memory codebooks so one-shot builds skip the
@@ -399,7 +441,8 @@ object AnnIndex {
     // silently collapse a duplicate key (keeping an arbitrary vector's
     // codes) before a post-encode check could see it
     requireUniqueKeys(vecs.select("vec_id"), "vec_id")
-    val staged = encodeWithCodebooks(vecs, m, sub, storedCodebooks(spark, dir, m))
+    val staged = encodeWithCodebooks(applyPerm(vecs, storedPerm(spark, dir), "v"),
+        m, sub, storedCodebooks(spark, dir, m))
       .withColumn("part", pmod(col("vec_id"), lit(parts.toLong)))
       .localCheckpoint(true) // materialize before overwriting the source
     if (staged.isEmpty) return
@@ -431,8 +474,11 @@ object AnnIndex {
   def probePq(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
               m: Int, sub: Int): DataFrame = {
     val codes = spark.read.parquet(s"$dir/codes")
+    // queries enter the stored code space through the same frozen OPQ
+    // permutation the encode side applied (identity when absent)
+    val qp = applyPerm(queries, storedPerm(spark, dir), "v")
     val joined = (0 until m).foldLeft(codes) { (acc, mm) =>
-      val lut = queries
+      val lut = qp
         .select(col("vec_id").as("q_id"), slice(col("v"), mm * sub + 1, sub).as("qv"))
         .crossJoin(broadcast(spark.read.parquet(s"$dir/codebook/m=$mm")))
         .select(col("q_id"), col("cent_id").as(s"code$mm"),
@@ -479,13 +525,18 @@ object AnnIndex {
   /** Train and persist BOTH frozen quantizers only (coarse centroids +
     * PQ codebooks + meta, no codes) — the [[trainPq]] split for the
     * two-level index: bulk-load and daily-append through
-    * [[upsertIvfPq]] afterwards.
+    * [[upsertIvfPq]] afterwards. A non-empty `perm` freezes an OPQ
+    * permutation exactly as in [[trainPq]]: both quantizers train in
+    * the permuted space, encode/probe apply it transparently (cell
+    * routing and ADC run permuted; the exact-cosine rerank is
+    * permutation-invariant and stays on raw vectors).
     */
   def trainIvfPq(vecs: DataFrame, ivfK: Int, sampleSize: Int, iters: Int,
                  dim: Int, ivfSalt: Int, m: Int, sub: Int, pqK: Int,
-                 pqSalt: Int, dir: String): Unit = {
-    trainIvfPqQuantizers(vecs, ivfK, sampleSize, iters, dim, ivfSalt,
-      m, sub, pqK, pqSalt, dir)
+                 pqSalt: Int, dir: String, perm: Seq[Int] = Seq.empty): Unit = {
+    savePerm(vecs.sparkSession, dir, perm)
+    trainIvfPqQuantizers(applyPerm(vecs, perm, "v"), ivfK, sampleSize, iters,
+      dim, ivfSalt, m, sub, pqK, pqSalt, dir)
     ()
   }
 
@@ -532,7 +583,8 @@ object AnnIndex {
     // raw-batch check: both the cell-assignment and per-subspace encode
     // windows would silently collapse a duplicate key otherwise
     requireUniqueKeys(vecs.select("vec_id"), "vec_id")
-    val staged = encodeIvfPq(vecs, m, sub, cents, storedCodebooks(spark, dir, m))
+    val staged = encodeIvfPq(applyPerm(vecs, storedPerm(spark, dir), "v"),
+        m, sub, cents, storedCodebooks(spark, dir, m))
       .localCheckpoint(true) // materialize before overwriting the source
     if (staged.isEmpty) return
     val codesPath = s"$dir/codes"
@@ -583,8 +635,12 @@ object AnnIndex {
                  corpus: DataFrame, k: Int, nProbe: Int, m: Int, sub: Int,
                  shortK: Int): DataFrame = {
     val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
+    // the stored quantizers live in the index's (possibly OPQ-permuted)
+    // space: routing and ADC run there; the exact-cosine rerank below
+    // is permutation-invariant and stays on raw vectors
+    val qPerm = applyPerm(queries, storedPerm(spark, dir), "q_v")
     val wRank = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cent_id"))
-    val probes = queries.crossJoin(cents)
+    val probes = qPerm.crossJoin(cents)
       .withColumn("ccos", Dedup.cosine(col("q_v"), col("cv")))
       .withColumn("crn", row_number().over(wRank))
       .filter(col("crn") <= nProbe)
@@ -597,7 +653,7 @@ object AnnIndex {
     val cand = codes.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
     val scored = (0 until m).foldLeft(cand) { (acc, mm) =>
-      val lut = queries
+      val lut = qPerm
         .select(col("q_id"), slice(col("q_v"), mm * sub + 1, sub).as("qv"))
         .crossJoin(broadcast(spark.read.parquet(s"$dir/codebook/m=$mm")))
         .select(col("q_id"), col("cent_id").as(s"code$mm"),
@@ -689,5 +745,132 @@ object AnnIndex {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("part")
       .parquet(s"$dir/sigs")
+  }
+
+  // ------------------------------------------- Perceptual media (pHash)
+
+  /** Freeze the perceptual-hash geometry: `nPatch` (derive it from the
+    * corpus-snapshot count via
+    * [[graft.operators.Multimodal.phashPatches]]) and the partition
+    * fan-out, written as the index meta — the [[trainPq]] split for the
+    * media near-dup space. Every later [[upsertPhash]] and
+    * [[probePhash]] reads the STORED width, so a batch can never fork
+    * the hash family (the frozen-codebook rule). RE-INDEX TRIGGER:
+    * [[Multimodal.phashPatches]] widens at population thresholds; once
+    * corpus growth crosses the next threshold, per-(band, key) bucket
+    * populations — and with them every probe — grow linearly instead of
+    * holding at ~[[Multimodal.PHashBucketTarget]], so crossing the
+    * threshold means rebuild at the wider width (the `pq_code_stats`
+    * retrain-trigger discipline; the measured fixed-width blowup is the
+    * 55x row in BASELINE.md's round-10 sweep).
+    */
+  def trainPhash(spark: SparkSession, dir: String, nPatch: Int,
+                 parts: Int = DefaultParts): Unit = {
+    import spark.implicits._
+    Seq((nPatch, parts)).toDF("n_patches", "parts")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+  }
+
+  /** The stored-geometry hash of a `(doc_id, payload)` frame: one row
+    * per (band, key) posting, carrying the full band vector for the
+    * verify step.
+    */
+  private def phashPostings(spark: SparkSession, dir: String,
+                            media: DataFrame): (DataFrame, Int, Int) = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val nPatch = meta.getAs[Int]("n_patches")
+    val parts = meta.getAs[Int]("parts")
+    val ph = Multimodal.perceptualHash(
+      media.select("doc_id", "payload").as[Multimodal.MediaBytes], nPatch).toDF()
+    val posted = ph
+      .select(col("doc_id"), col("bands"),
+        posexplode(col("bands")).as(Seq("band", "key")))
+      .withColumn("part",
+        pmod(col("key") * lit(Multimodal.PHashBands.toLong) + col("band"),
+          lit(parts.toLong)))
+    (posted, nPatch, parts)
+  }
+
+  /** Incremental perceptual-media maintenance — the media (band, key)
+    * signature space as a MAINTAINED index. Postings are ADDITIVE state
+    * (a posting row is never replaced, unlike the key-addressed
+    * minhash/PQ rows), so the maintenance shape is the
+    * [[SegmentStore]] one: hash the batch against the stored frozen
+    * width and APPEND its posting rows to their `part` directories —
+    * O(batch) with ZERO reads of existing state, the write path a
+    * media firehose needs. Contract: batch doc_ids are NEW
+    * (within-batch uniqueness enforced; a changed-payload re-insert
+    * would strand stale postings and is a rebuild, exactly like
+    * codebook retraining). Works as the bulk load after
+    * [[trainPhash]].
+    */
+  def upsertPhash(spark: SparkSession, dir: String, media: DataFrame): Unit = {
+    val (posted, _, _) = phashPostings(spark, dir, media)
+    val staged = posted.localCheckpoint(true)
+    if (staged.isEmpty) return
+    requireUniqueKeys(staged.select("doc_id").distinct(), "doc_id")
+    staged.repartition(col("part"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("part")
+      .parquet(s"$dir/postings")
+  }
+
+  /** Probe a media batch against the stored postings: verified
+    * near-dup pairs (id_a < id_b, Hamming <= `hammingMax`) between the
+    * batch and the index PLUS within the batch itself — so
+    * accumulating each ingest's probe output over a
+    * probe-then-append staging yields exactly the one-shot pair set
+    * (every pair surfaces at the ingest where its second member
+    * arrives). The index side is PARTITION-PRUNED to the `part`
+    * directories the batch's keys hash into (<= parts ids, driver-
+    * safe), the (band, key) join is equi, and recall is exact by the
+    * [[Multimodal.PHashBands]] pigeonhole for any `hammingMax` < 8.
+    * Fixed-batch cost: batch hashing + the pruned posting read —
+    * bounded by bucket populations, which the frozen-width rule holds
+    * at ~[[Multimodal.PHashBucketTarget]] until the re-index trigger
+    * (see [[trainPhash]]).
+    */
+  def probePhash(spark: SparkSession, dir: String, media: DataFrame,
+                 hammingMax: Int): DataFrame = {
+    val (posted, _, _) = phashPostings(spark, dir, media)
+    val batch = posted.localCheckpoint(true) // feeds parts probe + joins
+    val ham = bit_count(col("ba").bitwiseXOR(col("bb"))).cast("long")
+    def verify(cand: DataFrame, bandsA: DataFrame, bandsB: DataFrame): DataFrame =
+      cand
+        .join(bandsA.select(col("doc_id").as("id_a"), col("bands").as("bands_a")), "id_a")
+        .join(bandsB.select(col("doc_id").as("id_b"), col("bands").as("bands_b")), "id_b")
+        .withColumn("hamming",
+          aggregate(zip_with(col("bands_a"), col("bands_b"),
+              (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+            lit(0L), (acc, x) => acc + x))
+        .filter(col("hamming") <= hammingMax)
+        .select("id_a", "id_b", "hamming")
+    val batchDocs = batch.select("doc_id", "bands").distinct()
+    // within-batch pairs
+    val innerCand = batch.select(col("doc_id").as("id_a"), col("band"), col("key"))
+      .join(batch.select(col("doc_id").as("id_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val inner = verify(innerCand, batchDocs, batchDocs)
+    if (!pathExists(spark, s"$dir/postings")) return inner
+    // cross pairs: pruned index read, equi join on (band, key)
+    val partIds = batch.select("part").distinct()
+      .collect().map(_.getLong(0)) // bounded by parts, driver-safe
+    val stored = spark.read.parquet(s"$dir/postings")
+      .filter(col("part").isin(partIds.map(Long.box): _*))
+    val crossCand = stored
+      .select(col("doc_id").as("s_id"), col("bands").as("s_bands"),
+        col("band"), col("key"))
+      .join(batch.select(col("doc_id").as("b_id"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select(least(col("s_id"), col("b_id")).as("id_a"),
+        greatest(col("s_id"), col("b_id")).as("id_b"))
+      .distinct()
+    val allDocs = stored.select("doc_id", "bands").distinct()
+      .unionByName(batchDocs).distinct()
+    val cross = verify(crossCand, allDocs, allDocs)
+    inner.unionByName(cross).distinct()
   }
 }

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,20 +21,73 @@ import org.apache.spark.sql.functions._
   *     read amplification — the LSM trade: ingest O(batch), read
   *     O(segments), compaction amortized.
   *
+  * Segments are `seg=N/` subdirectories (one per append), so the store
+  * can COUNT its own read amplification: [[segmentStats]] reports
+  * segments and rows-per-segment (the pq_code_stats
+  * sketch-as-retrain-trigger discipline applied to the LSM trade), and
+  * [[appendWithPolicy]] turns that report into a policy — fold
+  * whenever live segments would exceed `maxSegments`, so read
+  * amplification is BOUNDED by construction, not by operator
+  * discipline.
+  *
+  * [[compact]] is crash-safe: the fold is written to a sibling temp
+  * directory first, then swapped in with two directory renames (each
+  * atomic on a real filesystem), so a complete on-disk copy of the
+  * counts exists at every instant — an executor loss mid-fold or a
+  * driver crash between the renames leaves either the old segments,
+  * the old segments plus an orphan temp dir, or the folded store, never
+  * a truncated store. (The earlier form overwrote the directory in
+  * place under an executor-local checkpoint of its own input — fine in
+  * one JVM, a data-loss window on a cluster.)
+  *
   * Shared by `text_lm_incremental` (bigram counts) and
   * `ft_counts_incremental` (the reference's O1 `/incr` counter — its Z
   * sum and SETNX/refresh-T max meta legs are mergeable the same way).
   */
 object SegmentStore {
 
-  /** Append one batch's partial rows (already aggregated per key) as a
-    * new segment. Pure append: no read, no rewrite.
+  private def fs(spark: SparkSession, path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Live segment ids, from the directory listing (driver-side, one
+    * RPC — bounded by the segment count the compaction policy caps).
     */
-  def append(partials: DataFrame, path: String): Unit =
-    partials.write.mode(SaveMode.Append).parquet(path)
+  def segmentIds(spark: SparkSession, path: String): Seq[Long] = {
+    val (f, p) = fs(spark, path)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("seg="))
+      .map(_.stripPrefix("seg=").toLong)
+      .sorted
+  }
+
+  /** Append one batch's partial rows (already aggregated per key) as a
+    * new segment. Pure append: no read of existing state — the id
+    * comes from one directory listing.
+    */
+  def append(partials: DataFrame, path: String): Unit = {
+    val next = segmentIds(partials.sparkSession, path)
+      .lastOption.map(_ + 1L).getOrElse(0L)
+    partials.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/seg=$next")
+  }
+
+  /** Append, then fold if the store's live-segment count passed
+    * `maxSegments` — the auto-compaction policy that turns the LSM
+    * read-amplification trade into a hard bound.
+    */
+  def appendWithPolicy(partials: DataFrame, path: String, keys: Seq[String],
+      sumCol: String, maxSegments: Int): Unit = {
+    append(partials, path)
+    if (segmentIds(partials.sparkSession, path).size > maxSegments)
+      compact(partials.sparkSession, path, keys, sumCol)
+  }
 
   /** The read-time merge: sum the partial `sumCol` across all segments
-    * per `keys` row.
+    * per `keys` row. The discovered `seg` partition column is dropped
+    * by the groupBy.
     */
   def merged(spark: SparkSession, path: String, keys: Seq[String],
       sumCol: String): DataFrame =
@@ -41,13 +95,34 @@ object SegmentStore {
       .groupBy(keys.map(col): _*)
       .agg(sum(sumCol).cast("long").as(sumCol))
 
-  /** Fold all segments into one. localCheckpoint materializes the fold
-    * BEFORE the overwrite truncates its own input — load-bearing, not
-    * an optimization.
+  /** Per-segment row counts — the monitoring report that drives (and
+    * audits) the compaction policy. Output is one row per live
+    * segment: bounded by the policy itself.
+    */
+  def segmentStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("seg").cast("long").as("seg"))
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** Fold all segments into one, via sibling-temp-then-swap so the
+    * fold never overwrites its own input and a full copy of the store
+    * survives any single failure (see class doc).
     */
   def compact(spark: SparkSession, path: String, keys: Seq[String],
       sumCol: String): Unit = {
-    val folded = merged(spark, path, keys, sumCol).localCheckpoint(true)
-    folded.write.mode(SaveMode.Overwrite).parquet(path)
+    val (f, dst) = fs(spark, path)
+    val tmp = new HPath(path + ".compacting")
+    val old = new HPath(path + ".old")
+    f.delete(tmp, true)
+    f.delete(old, true)
+    merged(spark, path, keys, sumCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/seg=0")
+    if (!f.rename(dst, old))
+      throw new java.io.IOException(s"compact: cannot stage $dst aside")
+    if (!f.rename(tmp, dst)) {
+      f.rename(old, dst) // roll back; the store is intact either way
+      throw new java.io.IOException(s"compact: cannot publish $tmp")
+    }
+    f.delete(old, true)
   }
 }

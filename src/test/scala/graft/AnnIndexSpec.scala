@@ -441,4 +441,94 @@ class AnnIndexSpec extends AnyFunSuite {
       AnnIndex.upsertMinhash(spark, dir, changed.unionByName(changed))
     }
   }
+
+  test("OPQ index: frozen permutation applied at train/encode/probe equals the one-shot permuted build, identical code bytes") {
+    val all = synthVecs(400)
+    val perm = Similarity.opqPermutation(all, Dim, 4)
+    assert(perm.sorted == (1 to Dim), "opqPermutation is not a permutation")
+    val opqDir = Files.createTempDirectory("graft_opqidx_").toString
+    val flatDir = Files.createTempDirectory("graft_opqflat_").toString
+    AnnIndex.trainPq(all, m = 4, sub = 16, k = 8, sampleSize = 128, iters = 2,
+      salt = 11, dir = opqDir, perm = perm)
+    AnnIndex.upsertPq(spark, opqDir, all.filter(col("vec_id") % 3 =!= 0))
+    AnnIndex.upsertPq(spark, opqDir, all.filter(col("vec_id") % 3 === 0))
+    // the one-shot equivalent: savePq over pre-permuted vectors (same
+    // salt -> same seeded training sample -> same codebooks)
+    val pv = all.withColumn("v",
+      array(perm.map(i => element_at(col("v"), i)): _*))
+    AnnIndex.savePq(pv, m = 4, sub = 16, k = 8, sampleSize = 128, iters = 2,
+      salt = 11, dir = flatDir)
+    def codes(dir: String) = spark.read.parquet(s"$dir/codes")
+      .select("vec_id", "code0", "code1", "code2", "code3")
+      .collect().map(_.toSeq).toSet
+    // identical code bytes: same relation schema, same rows
+    assert(codes(opqDir) == codes(flatDir))
+    assert(codes(opqDir).size == 400)
+    // probe: RAW queries through the OPQ index must equal PRE-PERMUTED
+    // queries through the plain index — the stored artifact does the
+    // permuting, callers never see it
+    def res(dir: String, q: DataFrame) =
+      AnnIndex.probePq(spark, dir, q, K, m = 4, sub = 16)
+        .select("q_id", "rnk", "c_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = res(opqDir, all.filter(col("vec_id") < 3))
+    assert(got == res(flatDir, pv.filter(col("vec_id") < 3)))
+    assert(got.nonEmpty)
+  }
+
+  test("phash index: probe-then-append accumulates the one-shot pair set; probe scan is partition-pruned") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // synthetic media: 100 bases + a content-edited near-dup of every
+    // 10th (one 4-byte patch overwritten — the mm armB geometry)
+    val hx = concat((0 until 16).map(j =>
+      md5(concat(col("doc_id").cast("string"), lit(s":$j")))): _*)
+    val base = spark.range(100).select(col("id").as("doc_id"))
+      .withColumn("payload", unhex(hx))
+    val editedPay = spark.range(100).filter(col("id") % 10 === 0)
+      .select((col("id") + 1000L).as("doc_id"),
+        unhex(concat(
+          substring(
+            concat((0 until 16).map(j =>
+              md5(concat(col("id").cast("string"), lit(s":$j")))): _*), 1, 200),
+          lit("deadbeef"),
+          substring(
+            concat((0 until 16).map(j =>
+              md5(concat(col("id").cast("string"), lit(s":$j")))): _*), 209, 1000000)))
+          .as("payload"))
+    val media = base.unionByName(editedPay).localCheckpoint(true)
+    val nPatch = Multimodal.phashPatches(media.count())
+    // one-shot truth: all-pairs Hamming (banding is recall-exact by
+    // pigeonhole at threshold < 8, so brute == banded)
+    val ph = Multimodal.perceptualHash(
+      media.as[Multimodal.MediaBytes], nPatch).toDF().localCheckpoint(true)
+    val hamAll = aggregate(zip_with(col("bands_a"), col("bands_b"),
+        (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val want = ph.select(col("doc_id").as("id_a"), col("bands").as("bands_a"))
+      .crossJoin(ph.select(col("doc_id").as("id_b"), col("bands").as("bands_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("h", hamAll)
+      .filter(col("h") <= 6)
+      .select("id_a", "id_b", "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "no planted near-dup pairs — the spec is vacuous")
+    // staged: train (frozen width) + 3 probe-then-append ingests
+    val dir = Files.createTempDirectory("graft_phidx_").toString
+    AnnIndex.trainPhash(spark, dir, nPatch)
+    val got = (0 until 3).map { i =>
+      val b = media.filter(pmod(col("doc_id"), lit(3L)) === i)
+      val p = AnnIndex.probePhash(spark, dir, b, hammingMax = 6)
+        .localCheckpoint(true) // before the append mutates the store
+      AnnIndex.upsertPhash(spark, dir, b)
+      p
+    }.reduce(_ unionByName _)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"staged pairs diverged: ${got.size} vs ${want.size}")
+    // a fresh probe against the populated store is partition-pruned
+    val probePlan = AnnIndex.probePhash(spark, dir,
+        media.filter(col("doc_id") < 5), hammingMax = 6)
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("PartitionFilters: [part"), probePlan.take(4000))
+  }
 }

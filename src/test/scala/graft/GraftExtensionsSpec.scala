@@ -112,5 +112,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
       when(col("id") === 0, lit(null).cast("string"))
         .otherwise(lit("x")).as("l"), lit("x").as("r"))
     assert(withNull.filter(levenshtein(col("l"), col("r")) <= 2).count() == 1)
+    // a LONG threshold spelling coerces the distance under a cast; the
+    // rule must see through it and still hand back the banded kernel
+    val qL = df.filter(levenshtein(col("l"), col("r")) <= 2L)
+    assert(qL.queryExecution.optimizedPlan.toString.contains("Some(2)) >= 0"),
+      s"long-literal spelling kept the full DP kernel:\n${qL.queryExecution.optimizedPlan}")
+    assert(qL.select("l").as[String].collect().toSet == Set("name0", "name2", "name4"))
+    // the complement (> k) rewrites to `bounded < 0` — same band, the
+    // -1 sentinel IS the predicate
+    val qC = df.filter(levenshtein(col("l"), col("r")) > 2)
+    assert(qC.queryExecution.optimizedPlan.toString.contains("Some(2)) < 0"),
+      s"complement kept the full DP kernel:\n${qC.queryExecution.optimizedPlan}")
+    assert(qC.select("l").as[String].collect().toSet ==
+      Set("name1", "name3", "name5"))
+    // complement strict/oriented forms land on k-1
+    val qC2 = df.filter(levenshtein(col("l"), col("r")) >= 3)
+    assert(qC2.queryExecution.optimizedPlan.toString.contains("Some(2)) < 0"))
+    assert(qC2.select("l").as[String].collect().toSet ==
+      Set("name1", "name3", "name5"))
+    // complement keeps null-propagation: null input rows filter out on
+    // BOTH sides of the partition (within-k and beyond-k)
+    assert(withNull.filter(levenshtein(col("l"), col("r")) > 2).count() == 0)
   }
 }

@@ -384,6 +384,29 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     assert(missed <= 2, s"$missed of ${nonMangle.length} plants unmatched")
   }
 
+  test("rel_fuzzy_join_fallback: exactly the starved probes escalate; plants recover their source, zero false links") {
+    val primary = graft.queries.RelationalQueries
+      .queries("rel_fuzzy_join")(spark, dir).collect()
+    val starved = primary.filter(_.getAs[Long]("n_candidates") == 0L)
+      .map(_.getAs[Long]("probe_key")).toSet
+    assert(starved.nonEmpty, "no starved probe on this corpus — the fallback spec is vacuous")
+    val rows = graft.queries.RelationalQueries
+      .queries("rel_fuzzy_join_fallback")(spark, dir).collect()
+    // the unpruned blocking is priced PER ESCALATED PROBE: its input is
+    // exactly the starved set, nothing else ever reaches it
+    assert(rows.map(_.getAs[Long]("probe_key")).toSet == starved,
+      "fallback probe set != the primary path's starvation set")
+    rows.foreach { r =>
+      val (probe, m, cands) = (r.getAs[Long]("probe_key"),
+        r.getAs[Long]("match_key"), r.getAs[Long]("n_candidates"))
+      // the lifted cap must actually admit candidates — that is the
+      // whole point of escalating
+      assert(cands > 0L, s"starved probe $probe still has no candidates under the lifted cap")
+      if (probe % 4 == 3) assert(m == -1L, s"mangled probe $probe matched $m")
+      else assert(m == probe, s"starved probe $probe linked to $m, not its source")
+    }
+  }
+
   test("rel_sessionize: sessions are disjoint past the gap, mixed sizes, conversion flag consistent") {
     val rows = graft.queries.RelationalQueries
       .queries("rel_sessionize")(spark, dir).collect()
@@ -418,9 +441,11 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     assert(flagged.head.getAs[String]("event_type") == "click" &&
       flagged.head.getAs[String]("day") == "2024-01-15",
       s"flagged ${flagged.head}")
-    // the emitted evidence must BE the decision (no hidden state)
+    // the emitted evidence must BE the decision (no hidden state);
+    // dev2/bound ride decimal(38,0), the overflow-safe moment dtype
     rows.foreach { r =>
-      assert((r.getAs[Long]("dev2") > r.getAs[Long]("bound")) ==
+      assert((r.getAs[java.math.BigDecimal]("dev2")
+        .compareTo(r.getAs[java.math.BigDecimal]("bound")) > 0) ==
         r.getAs[Boolean]("is_anomaly"))
     }
   }

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.SegmentStore
+
+/** Log-structured segment mechanics: one seg=N directory per append,
+  * read-time merge across segments, the auto-compaction policy's hard
+  * bound, and the sibling-temp-then-swap compact (no in-place
+  * overwrite: a full copy of the store exists at every instant, and no
+  * orphan staging dirs survive a successful fold).
+  */
+class SegmentStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.sources.GraftSession.local()
+
+  private def tmpStore = Files.createTempDirectory("graft_seg_").toString + "/segments"
+
+  private def batch(rows: (String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("k", "c")
+  }
+
+  test("append creates one segment per batch; merged sums partials per key") {
+    val path = tmpStore
+    SegmentStore.append(batch("a" -> 1L, "b" -> 2L), path)
+    SegmentStore.append(batch("a" -> 10L), path)
+    assert(SegmentStore.segmentIds(spark, path) == Seq(0L, 1L))
+    val m = SegmentStore.merged(spark, path, Seq("k"), "c")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(m.toSeq == Seq("a" -> 11L, "b" -> 2L))
+  }
+
+  test("segmentStats reports rows per live segment") {
+    val path = tmpStore
+    SegmentStore.append(batch("a" -> 1L, "b" -> 2L), path)
+    SegmentStore.append(batch("c" -> 3L), path)
+    val st = SegmentStore.segmentStats(spark, path)
+      .orderBy("seg").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(st.toSeq == Seq(0L -> 2L, 1L -> 1L))
+  }
+
+  test("appendWithPolicy folds past the bound: live segments stay bounded, counts survive") {
+    val path = tmpStore
+    (1 to 5).foreach { i =>
+      SegmentStore.appendWithPolicy(batch("a" -> i.toLong), path,
+        Seq("k"), "c", maxSegments = 2)
+      assert(SegmentStore.segmentIds(spark, path).size <= 2,
+        s"policy let segment count escape its bound after append $i")
+    }
+    // trace: 1,2,3->fold->1,2,3->fold->1
+    assert(SegmentStore.segmentIds(spark, path).size == 1)
+    val m = SegmentStore.merged(spark, path, Seq("k"), "c").collect()
+    assert(m.length == 1 && m.head.getLong(1) == 15L)
+  }
+
+  test("compact swaps via a sibling temp dir and leaves no staging debris") {
+    val path = tmpStore
+    SegmentStore.append(batch("a" -> 1L), path)
+    SegmentStore.append(batch("a" -> 2L, "b" -> 7L), path)
+    SegmentStore.compact(spark, path, Seq("k"), "c")
+    assert(SegmentStore.segmentIds(spark, path) == Seq(0L))
+    val m = SegmentStore.merged(spark, path, Seq("k"), "c")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(m.toSeq == Seq("a" -> 3L, "b" -> 7L))
+    // neither the .compacting staging dir nor the .old copy survives
+    val parent = new java.io.File(path).getParentFile
+    val names = parent.listFiles.map(_.getName).toSet
+    assert(names == Set("segments"), s"staging debris: $names")
+  }
+}

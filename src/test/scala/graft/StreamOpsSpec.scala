@@ -455,6 +455,26 @@ class StreamOpsSpec extends AnyFunSuite {
     val dup = spark.read.parquet(s"$storeDir/results")
       .groupBy("user_id").count().filter(col("count") > 1).count()
     assert(dup == 0, s"$dup users finalized more than once")
+    // bloom sidecar receipts: (a) loadable; (b) COMPLETE over finalized
+    // ids — never a false negative, the property that makes the routed
+    // tombstone check byte-exact; (c) selective — non-finalized users
+    // mostly bypass the finalized scan entirely (the fp sliver is the
+    // only extra exact-join traffic), which is the finalized-scan-
+    // bytes drop the sidecar exists for
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(
+        spark.read.parquet(s"$storeDir/bloom").head().getAs[Array[Byte]]("bf")))
+    val finIds = spark.read.parquet(s"$storeDir/results")
+      .select("user_id").collect().map(_.getLong(0))
+    assert(finIds.nonEmpty && finIds.forall(bf.mightContain),
+      "bloom sidecar missed a finalized id")
+    val nonFin = ev.select("user_id").distinct()
+      .join(spark.read.parquet(s"$storeDir/results").select("user_id"),
+        Seq("user_id"), "left_anti")
+      .collect().map(_.getLong(0)) // sf0.001 user set — spec-bounded
+    val fps = nonFin.count(bf.mightContain)
+    assert(nonFin.nonEmpty && fps <= math.max(2, nonFin.length / 10),
+      s"$fps/${nonFin.length} non-finalized users false-positive — sidecar not selective")
   }
 
   test("incremental funnel carries null-ts views to the one-shot result") {
