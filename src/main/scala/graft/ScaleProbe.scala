@@ -147,7 +147,10 @@ object ScaleProbe {
       "rel_funnel_replay", "rel_retention_incremental", "sim_ann_opq_recall",
       "rel_funnel_incremental", "text_lm_surprisal", "pipe_quality_nb",
       "text_lm_incremental", "rel_fuzzy_join", "rel_anomaly_days",
-      "rel_sessionize", "ft_counts_incremental")
+      "rel_sessionize", "ft_counts_incremental",
+      "sim_ann_opq_idx", "mm_near_dup_incremental", "rel_fuzzy_join_fallback",
+      "ft_segment_stats_invariant", "sim_ann_opq_ivfpq_idx",
+      "pipe_quality_nb_incremental", "text_bm25")
     // arg 2+: restrict to named queries (fast re-probe of one operator);
     // any SparkEntry query name is probeable, not just the default list
     val targets =
@@ -219,6 +222,39 @@ object ScaleProbe {
       val t1 = time(run(base))
       val tN = time(run(stage))
       println(f"[probe] incr_dedup@fixed-batch $t1%6.2f  $tN%6.2f  ${tN / t1}%5.2f  (index 1x -> ${factor}x, batch fixed)")
+    }
+    // The maintained perceptual index's fixed-batch claim isolated
+    // (the incr_dedup treatment for media): a FIXED probe batch
+    // (derived from the 1x media corpus, ids shifted clear) probed
+    // against the 1x vs the Nx phash store. The Nx store froze a WIDER
+    // hash (phashPatches of the bigger corpus), which is exactly what
+    // holds per-(band, key) populations ~constant — near-flat time is
+    // the width rule working through the persisted layout.
+    if (targets.contains("mm_near_dup_incremental")) {
+      import graft.operators.Multimodal
+      import graft.queries.MultimodalQueries
+      import graft.sources.AnnIndex
+      def buildIdx(corpusDir: String): String = {
+        val media = MultimodalQueries.nearDupMediaFrame(spark, corpusDir)
+          .localCheckpoint(true)
+        val idxDir = graft.sources.TempDirs.scratch("graft_probe_ph_")
+        AnnIndex.trainPhash(spark, idxDir, Multimodal.phashPatches(media.count()))
+        AnnIndex.upsertPhash(spark, idxDir, media)
+        idxDir
+      }
+      val idx1 = buildIdx(base)
+      val idxN = buildIdx(stage)
+      val batch = MultimodalQueries.nearDupMediaFrame(spark, base)
+        .filter(col("doc_id") % 10 < 3)
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("payload"))
+        .localCheckpoint(true)
+      def probe(idxDir: String): Unit =
+        Bench.force(AnnIndex.probePhash(spark, idxDir, batch,
+          MultimodalQueries.PHashHammingMax))
+      probe(idx1) // warm
+      val t1 = time(probe(idx1))
+      val tN = time(probe(idxN))
+      println(f"[probe] phash@fixed-batch     $t1%6.2f  $tN%6.2f  ${tN / t1}%5.2f  (index 1x -> ${factor}x, batch fixed)")
     }
     // The width↔recall trade made measurable: the scaled-width graph's
     // recall against brute truth at 1x vs Nx (the derived width grows

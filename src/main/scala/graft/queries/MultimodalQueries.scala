@@ -48,6 +48,10 @@ object MultimodalQueries {
     base.unionByName(armA).unionByName(armB)
   }
 
+  /** [[nearDupMedia]] exposed for ScaleProbe's fixed-batch receipt. */
+  private[graft] def nearDupMediaFrame(s: SparkSession, dir: String): DataFrame =
+    nearDupMedia(s, dir)
+
   /** The shared perceptual-pair pipeline (derived-width hash, banded
     * candidates, Hamming verify) — one definition for mm_near_dup and
     * mm_dedup_clusters. Returns (corpus ids, verified pairs

@@ -95,6 +95,76 @@ object PipelineQueries {
   final val ScoreWQuality = 0.7
   final val ScoreWRarity = 0.3
 
+  /** pipe_quality_nb's corpus synthesis: (documents frame, per-doc
+    * (doc_id, is_spam, toks), exploded (doc_id, is_spam, tok)) with the
+    * planted spam blurb appended to the doc_id % 5 == 0 docs — shared
+    * by the one-shot and maintained classifier builds.
+    */
+  private def nbBase(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val d = Tables.documents(s, dir)
+    val id = col("doc_id")
+    val aug = concat(col("text"),
+      when(id % 5 === 0, lit(NbSpamBlurb * NbSpamReps)).otherwise(lit("")))
+    val base = d.select(col("doc_id"),
+      (id % 5 === 0).as("is_spam"),
+      TextAnalysis.tokens(aug).as("toks"))
+    val tok = base.select(col("doc_id"), col("is_spam"),
+      explode(col("toks")).as("tok"))
+    (d, base, tok)
+  }
+
+  /** The integer-bit NB scorer over the held-out slice, from
+    * class-conditional token counts `cls` (tok, cs, ch) and train doc
+    * counts `pri` (one row: ns, nh) — one definition for the one-shot
+    * and segment-store-maintained classifiers, so the model can never
+    * fork by maintenance path. Scale shape per the pipe_quality_nb
+    * scaladoc: head weights broadcast, tail join mass-bounded.
+    */
+  private def nbScoreFromCounts(d: DataFrame, tok: DataFrame,
+      cls0: DataFrame, pri: DataFrame): DataFrame = {
+    val cls = cls0.localCheckpoint(true) // weight split AND both mass totals
+    val w = cls.select(col("tok"), col("cs"), col("ch"),
+      (length(bin(col("cs") + 1L)) - length(bin(col("ch") + 1L)))
+        .cast("long").as("w"))
+    val tot = cls.agg(sum("cs").cast("long").as("ts"),
+      sum("ch").cast("long").as("th"))
+    val head = w.crossJoin(broadcast(tot))
+      .filter(col("cs") * lit(NbHeadBound.toLong) > col("ts") ||
+        col("ch") * lit(NbHeadBound.toLong) > col("th"))
+      .select(col("tok"), col("w").as("hw"))
+    val tail = w.crossJoin(broadcast(tot))
+      .filter(!(col("cs") * lit(NbHeadBound.toLong) > col("ts") ||
+        col("ch") * lit(NbHeadBound.toLong) > col("th")))
+      .select(col("tok"), col("w").as("tw"))
+    val prior = pri
+      .select((length(bin(col("ns") + 1L)) - length(bin(col("nh") + 1L)))
+        .cast("long").as("prior"))
+    val occ = tok.filter(col("doc_id") % 3 =!= 0)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
+    val joined = occ.join(broadcast(head), Seq("tok"), "left")
+      .localCheckpoint(true) // head hits must not enter the tail shuffle
+    val hit = joined.filter(col("hw").isNotNull)
+      .select(col("doc_id"), col("k"), col("hw").as("w"))
+    val miss = joined.filter(col("hw").isNull).drop("hw")
+      .join(tail, Seq("tok"), "left")
+      .select(col("doc_id"), col("k"), coalesce(col("tw"), lit(0L)).as("w"))
+    val sc = hit.unionByName(miss)
+      .groupBy("doc_id")
+      .agg(sum(col("k") * col("w")).cast("long").as("token_bits"))
+    d.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), (col("doc_id") % 5 === 0).as("is_spam"))
+      .join(sc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"),
+        (col("prior") + coalesce(col("token_bits"), lit(0L)))
+          .as("nb_score"),
+        (col("prior") + coalesce(col("token_bits"), lit(0L)) > 0L)
+          .as("pred_spam"),
+        col("is_spam"))
+      .orderBy("doc_id")
+  }
+
   /** pipe_pack's packing plan (no output order): hash-shard assignment,
     * shard-local running token offset, sequence id — shared by the
     * pack query and the export path so the written artifact is
@@ -546,65 +616,65 @@ object PipelineQueries {
     // rows EVER) broadcast, score occurrences pre-aggregate per
     // (doc_id, tok), and the tail join's keys are mass-bounded.
     "pipe_quality_nb" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val id = col("doc_id")
-      val aug = concat(col("text"),
-        when(id % 5 === 0, lit(NbSpamBlurb * NbSpamReps)).otherwise(lit("")))
-      val base = d.select(col("doc_id"),
-        (id % 5 === 0).as("is_spam"),
-        TextAnalysis.tokens(aug).as("toks"))
-      val tok = base.select(col("doc_id"), col("is_spam"),
-        explode(col("toks")).as("tok"))
+      val (d, base, tok) = nbBase(s, dir)
       // per-token class counts over the labeled train slice
       val cls = tok.filter(col("doc_id") % 3 === 0)
         .groupBy("tok")
         .agg(
           sum(when(col("is_spam"), 1L).otherwise(0L)).as("cs"),
           sum(when(col("is_spam"), 0L).otherwise(1L)).as("ch"))
-        .localCheckpoint(true) // feeds the weight split AND both mass totals
-      val w = cls.select(col("tok"), col("cs"), col("ch"),
-        (length(bin(col("cs") + 1L)) - length(bin(col("ch") + 1L)))
-          .cast("long").as("w"))
-      val tot = cls.agg(sum("cs").cast("long").as("ts"),
-        sum("ch").cast("long").as("th"))
-      val head = w.crossJoin(broadcast(tot))
-        .filter(col("cs") * lit(NbHeadBound.toLong) > col("ts") ||
-          col("ch") * lit(NbHeadBound.toLong) > col("th"))
-        .select(col("tok"), col("w").as("hw"))
-      val tail = w.crossJoin(broadcast(tot))
-        .filter(!(col("cs") * lit(NbHeadBound.toLong) > col("ts") ||
-          col("ch") * lit(NbHeadBound.toLong) > col("th")))
-        .select(col("tok"), col("w").as("tw"))
-      // class prior in bits from train doc counts
-      val prior = base.filter(col("doc_id") % 3 === 0)
+      // class prior counts from train doc counts
+      val pri = base.filter(col("doc_id") % 3 === 0)
         .agg(
           sum(when(col("is_spam"), 1L).otherwise(0L)).as("ns"),
           sum(when(col("is_spam"), 0L).otherwise(1L)).as("nh"))
-        .select((length(bin(col("ns") + 1L)) - length(bin(col("nh") + 1L)))
-          .cast("long").as("prior"))
-      val occ = tok.filter(col("doc_id") % 3 =!= 0)
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
-      val joined = occ.join(broadcast(head), Seq("tok"), "left")
-        .localCheckpoint(true) // head hits must not enter the tail shuffle
-      val hit = joined.filter(col("hw").isNotNull)
-        .select(col("doc_id"), col("k"), col("hw").as("w"))
-      val miss = joined.filter(col("hw").isNull).drop("hw")
-        .join(tail, Seq("tok"), "left")
-        .select(col("doc_id"), col("k"), coalesce(col("tw"), lit(0L)).as("w"))
-      val sc = hit.unionByName(miss)
-        .groupBy("doc_id")
-        .agg(sum(col("k") * col("w")).cast("long").as("token_bits"))
-      d.filter(col("doc_id") % 3 =!= 0)
-        .select(col("doc_id"), (id % 5 === 0).as("is_spam"))
-        .join(sc, Seq("doc_id"), "left")
-        .crossJoin(broadcast(prior))
-        .select(col("doc_id"),
-          (col("prior") + coalesce(col("token_bits"), lit(0L)))
-            .as("nb_score"),
-          (col("prior") + coalesce(col("token_bits"), lit(0L)) > 0L)
-            .as("pred_spam"),
-          col("is_spam"))
-        .orderBy("doc_id")
+      nbScoreFromCounts(d, tok, cls, pri)
+    }),
+
+    // MAINTAINED quality classifier — pipe_quality_nb's counts carried
+    // on the log-structured segment store, because everything NB
+    // learns IS additive: per-(token, class) occurrence counts and
+    // per-class doc counts both merge by SUM, so a daily labeled batch
+    // APPENDS its partial counts with zero reads of existing state
+    // (the text_lm_incremental / ft_counts_incremental shape — the
+    // third maintained model on the same store proves the layout is a
+    // family, not a one-off), a mid-sequence compact bounds read
+    // amplification, and read-time merged counts feed the SAME
+    // integer-bit scorer. Disjoint train batches sum to the one-shot
+    // counts exactly, so this converges bit-for-bit to the
+    // pipe_quality_nb oracle — continual classifier retraining as a
+    // cheap ingest instead of a corpus rescan.
+    "pipe_quality_nb_incremental" -> ((s, dir) => {
+      import graft.sources.SegmentStore
+      val store = graft.sources.TempDirs.scratch("graft_nbi_")
+      val clsPath = s"$store/cls"
+      val priPath = s"$store/prior"
+      val (d, base, tok0) = nbBase(s, dir)
+      val tok = tok0.localCheckpoint(true) // 3 ingests + scoring read it
+      // train docs have doc_id % 3 == 0, so doc_id % 9 in {0,3,6}
+      // partitions the train slice exhaustively into 3 batches
+      def ingest(resid: Int): Unit = {
+        val slice = pmod(col("doc_id"), lit(9L)) === (3L * resid)
+        SegmentStore.append(tok.filter(slice)
+          .groupBy(col("tok"), col("is_spam").as("spam"))
+          .agg(count(lit(1)).as("c")), clsPath)
+        SegmentStore.append(base.filter(slice)
+          .groupBy(col("is_spam").as("spam"))
+          .agg(count(lit(1)).as("n")), priPath)
+      }
+      ingest(0)
+      ingest(1)
+      SegmentStore.compact(s, clsPath, Seq("tok", "spam"), "c")
+      SegmentStore.compact(s, priPath, Seq("spam"), "n")
+      ingest(2)
+      val cls = SegmentStore.merged(s, clsPath, Seq("tok", "spam"), "c")
+        .groupBy("tok")
+        .agg(sum(when(col("spam"), col("c")).otherwise(0L)).as("cs"),
+          sum(when(!col("spam"), col("c")).otherwise(0L)).as("ch"))
+      val pri = SegmentStore.merged(s, priPath, Seq("spam"), "n")
+        .agg(sum(when(col("spam"), col("n")).otherwise(0L)).as("ns"),
+          sum(when(!col("spam"), col("n")).otherwise(0L)).as("nh"))
+      nbScoreFromCounts(d, tok, cls, pri)
     }),
 
     // TOKEN-BUDGET subset selection: keep the highest-quality docs (by
@@ -930,6 +1000,52 @@ object PipelineQueries {
        |ORDER BY eval_doc""".stripMargin
   }
 
+  /** The one-shot NB classifier in SQL (integer-bit weights via
+    * bin()-length, the text_lm_surprisal quantization; same augmented
+    * corpus on both sides) — ONE text serving both the one-shot and
+    * the segment-store-maintained driver gates, because disjoint
+    * train batches' partial counts sum to the one-shot counts exactly.
+    */
+  private lazy val qualityNbSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, doc_id % 5 = 0 AS is_spam,
+       |    concat(text, CASE WHEN doc_id % 5 = 0
+       |      THEN repeat('$NbSpamBlurb', $NbSpamReps) ELSE '' END) AS text
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, is_spam,
+       |    unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+       |  FROM aug
+       |), cls AS (
+       |  SELECT tok,
+       |    CAST(SUM(CASE WHEN is_spam THEN 1 ELSE 0 END) AS BIGINT) AS cs,
+       |    CAST(SUM(CASE WHEN is_spam THEN 0 ELSE 1 END) AS BIGINT) AS ch
+       |  FROM tok WHERE doc_id % 3 = 0 GROUP BY tok
+       |), w AS (
+       |  SELECT tok,
+       |    CAST(length(bin(cs + 1)) - length(bin(ch + 1)) AS BIGINT) AS w
+       |  FROM cls
+       |), prior AS (
+       |  SELECT CAST(
+       |    length(bin(CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) + 1)) -
+       |    length(bin(CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END) AS BIGINT) + 1))
+       |    AS BIGINT) AS prior
+       |  FROM documents WHERE doc_id % 3 = 0
+       |), occ AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS k FROM tok
+       |  WHERE doc_id % 3 != 0 GROUP BY doc_id, tok
+       |), sc AS (
+       |  SELECT doc_id, CAST(SUM(k * COALESCE(w, 0)) AS BIGINT) AS token_bits
+       |  FROM occ LEFT JOIN w USING (tok) GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(prior + COALESCE(token_bits, 0) AS BIGINT) AS nb_score,
+       |  (prior + COALESCE(token_bits, 0)) > 0 AS pred_spam,
+       |  d.doc_id % 5 = 0 AS is_spam
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 != 0) d
+       |LEFT JOIN sc USING (doc_id) CROSS JOIN prior
+       |ORDER BY d.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "sample_split" ->
@@ -1072,45 +1188,12 @@ object PipelineQueries {
 
     // integer-bit NB weights via bin()-length (the text_lm_surprisal
     // quantization); same augmented corpus on both sides
-    "pipe_quality_nb" ->
-      s"""WITH aug AS (
-         |  SELECT doc_id, doc_id % 5 = 0 AS is_spam,
-         |    concat(text, CASE WHEN doc_id % 5 = 0
-         |      THEN repeat('$NbSpamBlurb', $NbSpamReps) ELSE '' END) AS text
-         |  FROM documents
-         |), tok AS (
-         |  SELECT doc_id, is_spam,
-         |    unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
-         |  FROM aug
-         |), cls AS (
-         |  SELECT tok,
-         |    CAST(SUM(CASE WHEN is_spam THEN 1 ELSE 0 END) AS BIGINT) AS cs,
-         |    CAST(SUM(CASE WHEN is_spam THEN 0 ELSE 1 END) AS BIGINT) AS ch
-         |  FROM tok WHERE doc_id % 3 = 0 GROUP BY tok
-         |), w AS (
-         |  SELECT tok,
-         |    CAST(length(bin(cs + 1)) - length(bin(ch + 1)) AS BIGINT) AS w
-         |  FROM cls
-         |), prior AS (
-         |  SELECT CAST(
-         |    length(bin(CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) + 1)) -
-         |    length(bin(CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END) AS BIGINT) + 1))
-         |    AS BIGINT) AS prior
-         |  FROM documents WHERE doc_id % 3 = 0
-         |), occ AS (
-         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS k FROM tok
-         |  WHERE doc_id % 3 != 0 GROUP BY doc_id, tok
-         |), sc AS (
-         |  SELECT doc_id, CAST(SUM(k * COALESCE(w, 0)) AS BIGINT) AS token_bits
-         |  FROM occ LEFT JOIN w USING (tok) GROUP BY doc_id
-         |)
-         |SELECT d.doc_id,
-         |  CAST(prior + COALESCE(token_bits, 0) AS BIGINT) AS nb_score,
-         |  (prior + COALESCE(token_bits, 0)) > 0 AS pred_spam,
-         |  d.doc_id % 5 = 0 AS is_spam
-         |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 != 0) d
-         |LEFT JOIN sc USING (doc_id) CROSS JOIN prior
-         |ORDER BY d.doc_id""".stripMargin,
+    "pipe_quality_nb" -> qualityNbSql,
+
+    // maintained-model convergence: disjoint train batches' partial
+    // counts sum to the one-shot counts exactly, so the oracle is the
+    // one-shot classifier unchanged
+    "pipe_quality_nb_incremental" -> qualityNbSql,
 
     "pipe_score" ->
       s"""WITH tok AS (

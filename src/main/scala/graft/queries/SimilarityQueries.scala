@@ -898,6 +898,28 @@ object SimilarityQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // OPQ through the TWO-LEVEL persisted index: the same frozen
+    // permutation artifact deployed under IVF+PQ — both quantizers
+    // train in the permuted space, upserts encode through it, and the
+    // probe routes/ADCs/reranks in it (the rerank's dot runs in the
+    // permuted dimension order so the value — permutation-invariant
+    // mathematically — also hashes bit-for-bit against the
+    // permuted-corpus oracle; fp addition isn't associative). Gated
+    // end to end like sim_ann_opq_idx, completing the OPQ deployment
+    // across both compressed-index layouts.
+    "sim_ann_opq_ivfpq_idx" -> ((s, dir) => {
+      val idxDir = graft.sources.TempDirs.scratch("graft_opqivfpq_")
+      val all = vecs(s, dir)
+      graft.sources.AnnIndex.trainIvfPq(all, IvfK, IvfSample, IvfIters, Dim,
+        IvfSalt, PqM, PqSub, PqK, PqSalt, idxDir, perm = opqPermutation(s, dir))
+      graft.sources.AnnIndex.upsertIvfPq(s, idxDir, all.filter(col("vec_id") % 3 =!= 0))
+      graft.sources.AnnIndex.upsertIvfPq(s, idxDir, all.filter(col("vec_id") % 3 === 0))
+      val q = all.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      graft.sources.AnnIndex.probeIvfPq(s, idxDir, q, all, K, IvfProbe,
+        PqM, PqSub, PqShortK).orderBy("q_id", "rnk")
+    }),
+
     // The maintained TWO-LEVEL index: both quantizers trained once
     // (trainIvfPq), the codes table bulk-loaded and appended through
     // upsertIvfPq — frozen centroids route each batch to its cell
@@ -1357,6 +1379,14 @@ object SimilarityQueries {
     "sim_ann_opq_idx" ->
       s"""WITH $opqVecsCtes, $pqCtes, $pqResCtes
          |SELECT q_id, rnk, c_id, adc FROM pq_res ORDER BY q_id, rnk""".stripMargin,
+
+    // the two-level deployment: the permuted corpus bound to `vecs`
+    // runs the shared IVF+PQ machinery verbatim (routing, ADC, and the
+    // rerank all in the permuted space, matching the index)
+    "sim_ann_opq_ivfpq_idx" ->
+      s"""WITH $opqVecsCtes, $ivfBaseCtes, $pqCtes, $ivfpqScoredCtes,
+         |${rerankCtes("ivfpq_scored", "ivfpq")}
+         |SELECT q_id, rnk, c_id, cosine FROM ivfpq_res ORDER BY q_id, rnk""".stripMargin,
 
     "sim_ann_lsh" ->
       s"""WITH $vecsCte, $lshCtes

@@ -36,6 +36,19 @@ object TextQueries {
     */
   final val LmHeadBound = 256
 
+  /** text_bm25: the fixed query-term set, the BM25 shape parameters,
+    * and the report size. k1 = 1.5 and b = 0.75 are EXACT binary
+    * doubles, so both engines parse the identical constant (a 1.2-style
+    * k1 would round differently spelled `1.2` vs computed `0.2 + 1.0`);
+    * idf rides the bin()-length integer-bit quantization (the
+    * text_lm_surprisal / pipe_quality_nb discipline) instead of ln(),
+    * whose libm rounding is engine-specific.
+    */
+  final val Bm25Terms = Seq("stream", "vector", "window", "batch")
+  final val Bm25K1 = 1.5
+  final val Bm25B = 0.75
+  final val Bm25TopN = 100
+
   private val langHitsSql: String = LangProfiles.map { case (lang, words) =>
     val list = words.map(w => s"'$w'").mkString(", ")
     s"len(list_filter(toks, t -> t IN ($list))) AS h_$lang"
@@ -342,6 +355,50 @@ object TextQueries {
         .select(col("rnk"), col("shingle"), col("df"),
           (col("df").cast("double") / col("n_docs").cast("double")).as("doc_share"))
         .orderBy("rnk")
+    }),
+
+    // BM25 relevance ranking (Robertson-Spärck Jones / Okapi BM25 —
+    // the targeted-selection operator a curation pipeline uses to pull
+    // documents matching a topic query, the retrieval half of
+    // DSIR-style importance selection): the fixed Bm25Terms query
+    // scores every document by Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b +
+    // b·dl/avgdl)), top-Bm25TopN reported. Cross-engine hashability by
+    // construction: idf is the bin()-length integer-bit quantization
+    // (no ln()), k1/b are exact binary doubles, every double op is
+    // written in the identical order on both sides, and the per-term
+    // scores sum in FIXED term order as a column expression — never a
+    // float aggregate. Scale shape: ONE map-side-combined corpus
+    // aggregate (N, Σdl, per-term df — a 1-row broadcast), then
+    // row-local scoring (tf via array scans — no explode, no token
+    // shuffle) into a TakeOrderedAndProject; the corpus is scanned
+    // once and only top-N rows move.
+    "text_bm25" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val toks0 = TextAnalysis.tokens(col("text"))
+      val base = d.select(col("doc_id"), toks0.as("toks"),
+        size(toks0).cast("long").as("dl"))
+      val dfAggs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df$i")
+      }
+      val st = base.agg(count(lit(1)).as("n"),
+        (sum("dl").cast("long").as("sumdl") +: dfAggs): _*)
+      val avgdl = col("sumdl").cast("double") / col("n").cast("double")
+      val norm = lit(1.0) - lit(Bm25B) + lit(Bm25B) *
+        (col("dl").cast("double") / avgdl)
+      val terms = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        val tf = size(filter(col("toks"), x => x === t)).cast("double")
+        // integer-bit idf on a 1/16 grid: bitlen((16·(N+1)) div (df+1))
+        // − 4 ≈ log2((N+1)/(df+1)) + 1, never saturating to 0 even for
+        // corpus-wide terms (df = N ⇒ w = 1) — plain bitlen(N+1) −
+        // bitlen(df+1) reads 0 for every df > N/2, which on a
+        // flat-vocabulary corpus zeroes the whole report
+        val w = (length(bin(expr(s"(16 * (n + 1)) div (df$i + 1)"))) - lit(4))
+          .cast("double")
+        w * ((tf * lit(Bm25K1 + 1.0)) / (tf + lit(Bm25K1) * norm))
+      }
+      base.crossJoin(broadcast(st))
+        .select(col("doc_id"), col("dl"), terms.reduce(_ + _).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(Bm25TopN)
     }),
 
     // LM-SURPRISAL quality filter (the CCNet/KenLM-perplexity signal
@@ -677,6 +734,38 @@ object TextQueries {
          |  FROM dfq
          |) t CROSS JOIN tot
          |WHERE rnk <= $BoilerplateTopN ORDER BY rnk""".stripMargin,
+
+    // identical fixed-order double tree: integer-bit idf, exact-binary
+    // k1/b literals, per-term scores summed as an expression (never a
+    // float aggregate)
+    "text_bm25" -> {
+      val k1 = s"CAST($Bm25K1 AS DOUBLE)"
+      val k1p1 = s"CAST(${Bm25K1 + 1.0} AS DOUBLE)"
+      val b = s"CAST($Bm25B AS DOUBLE)"
+      val norm = s"(CAST(1.0 AS DOUBLE) - $b + $b * " +
+        "(CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))"
+      val terms = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+        s"(CAST(length(bin((16 * (n + 1)) // (df$i + 1))) - 4 AS DOUBLE)" +
+          s" * (($tf * $k1p1) / ($tf + $k1 * $norm)))"
+      }.mkString(" + ")
+      val dfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+      }.mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+         |  FROM documents
+         |), base AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM tok
+         |), st AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+         |    $dfs
+         |  FROM base
+         |)
+         |SELECT doc_id, dl, $terms AS bm25
+         |FROM base CROSS JOIN st
+         |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopN""".stripMargin
+    },
 
     // same bigram tree as text_repetition; surprisal in exact integer
     // bits via bin()-length (both engines agree bit-for-bit), unseen

@@ -528,8 +528,9 @@ object AnnIndex {
     * [[upsertIvfPq]] afterwards. A non-empty `perm` freezes an OPQ
     * permutation exactly as in [[trainPq]]: both quantizers train in
     * the permuted space, encode/probe apply it transparently (cell
-    * routing and ADC run permuted; the exact-cosine rerank is
-    * permutation-invariant and stays on raw vectors).
+    * routing, ADC, and the rerank's dot-accumulation order all run
+    * permuted — the rerank value is permutation-invariant, the order
+    * keeps it bit-reproducible cross-engine).
     */
   def trainIvfPq(vecs: DataFrame, ivfK: Int, sampleSize: Int, iters: Int,
                  dim: Int, ivfSalt: Int, m: Int, sub: Int, pqK: Int,
@@ -636,9 +637,12 @@ object AnnIndex {
                  shortK: Int): DataFrame = {
     val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
     // the stored quantizers live in the index's (possibly OPQ-permuted)
-    // space: routing and ADC run there; the exact-cosine rerank below
-    // is permutation-invariant and stays on raw vectors
-    val qPerm = applyPerm(queries, storedPerm(spark, dir), "q_v")
+    // space: routing, ADC, and the exact-cosine rerank all run there —
+    // the rerank VALUE is permutation-invariant, but summing the dot in
+    // the permuted dimension order keeps it bit-reproducible against a
+    // permuted-corpus oracle (fp addition isn't associative)
+    val perm = storedPerm(spark, dir)
+    val qPerm = applyPerm(queries, perm, "q_v")
     val wRank = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cent_id"))
     val probes = qPerm.crossJoin(cents)
       .withColumn("ccos", Dedup.cosine(col("q_v"), col("cv")))
@@ -663,9 +667,10 @@ object AnnIndex {
     val wS = Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))
     val short = scored.withColumn("srn", row_number().over(wS))
       .filter(col("srn") <= shortK)
-    val qv = broadcast(queries.select(col("q_id"), col("q_v")))
+    val qv = broadcast(qPerm.select(col("q_id"), col("q_v")))
     val rr = short.select("q_id", "vec_id")
-      .join(corpus.select(col("vec_id"), col("v").as("c_v")), "vec_id")
+      .join(applyPerm(corpus, perm, "v")
+        .select(col("vec_id"), col("v").as("c_v")), "vec_id")
       .join(qv, "q_id")
       .withColumn("cosine", Dedup.cosine(col("q_v"), col("c_v")))
     val wR = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))

@@ -36,7 +36,10 @@ class CacheHygieneSpec extends AnyFunSuite {
     "mm_near_dup", "sim_ann_opq_recall", "rel_retention_incremental",
     "sim_ann_pq_upsert", "rel_funnel_replay", "rel_funnel_incremental",
     "text_lm_surprisal", "pipe_quality_nb", "text_lm_incremental",
-    "rel_fuzzy_join", "rel_anomaly_days", "ft_counts_incremental")
+    "rel_fuzzy_join", "rel_anomaly_days", "ft_counts_incremental",
+    "sim_ann_opq_idx", "mm_near_dup_incremental", "rel_fuzzy_join_fallback",
+    "ft_segment_stats_invariant", "ft_heavy_hitters_invariant",
+    "sim_ann_opq_ivfpq_idx", "pipe_quality_nb_incremental")
 
   test("cacheManager gains no entries after each reusing query builder runs") {
     // SharedState (and its CacheManager) is per-SparkContext, shared with

@@ -384,6 +384,20 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     assert(missed <= 2, s"$missed of ${nonMangle.length} plants unmatched")
   }
 
+  test("text_bm25: top-N descending, positive head score, TakeOrdered plan (no global sort)") {
+    val df = graft.queries.TextQueries.queries("text_bm25")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= graft.queries.TextQueries.Bm25TopN)
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "report is not score-descending")
+    // the synthetic corpus carries the query terms: the head doc must
+    // actually score, or the idf/tf plumbing is dead
+    assert(scores.head > 0.0)
+  }
+
   test("rel_fuzzy_join_fallback: exactly the starved probes escalate; plants recover their source, zero false links") {
     val primary = graft.queries.RelationalQueries
       .queries("rel_fuzzy_join")(spark, dir).collect()
