@@ -47,11 +47,40 @@ object StateStore {
     ft.meta.write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
   }
 
-  /** Load the full state. */
+  /** The stored schemas, for reading a store whose last write was
+    * EMPTY: a partitioned parquet write of zero rows leaves no part
+    * directories (and a flat one no files), so schema inference has
+    * nothing to read — which is exactly the state a TTL [[compact]]
+    * that expired every distribution leaves behind. An empty store is
+    * a legal store; reads type it explicitly instead of throwing.
+    */
+  private val countsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("dist", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("bin", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("count", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dist_bucket", org.apache.spark.sql.types.LongType)))
+  private val metaSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("dist", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("z", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("rate", org.apache.spark.sql.types.DoubleType)))
+
+  private def readOrEmpty(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory || st.getPath.getName.endsWith(".parquet"))
+    if (hasData) spark.read.parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Load the full state (typed-empty when the store holds no rows). */
   def load(spark: SparkSession, dir: String): ForgetTable =
     new ForgetTable(
-      spark.read.parquet(s"$dir/counts").drop("dist_bucket"),
-      spark.read.parquet(s"$dir/meta"))
+      readOrEmpty(spark, s"$dir/counts", countsSchema).drop("dist_bucket"),
+      readOrEmpty(spark, s"$dir/meta", metaSchema))
 
   /** Load a single distribution: the bucket filter is a literal, so the
     * scan reads exactly one partition directory; the residual
@@ -59,11 +88,12 @@ object StateStore {
     */
   def loadDist(spark: SparkSession, dir: String, name: String,
                nBuckets: Int = DefaultBuckets): ForgetTable = {
-    val counts = spark.read.parquet(s"$dir/counts")
+    val counts = readOrEmpty(spark, s"$dir/counts", countsSchema)
       .filter(col("dist_bucket") === bucketCol(lit(name), nBuckets) &&
         col("dist") === name)
       .drop("dist_bucket")
-    val meta = spark.read.parquet(s"$dir/meta").filter(col("dist") === name)
+    val meta = readOrEmpty(spark, s"$dir/meta", metaSchema)
+      .filter(col("dist") === name)
     new ForgetTable(counts, meta)
   }
 
@@ -98,7 +128,7 @@ object StateStore {
     if (touched.isEmpty) return
     val buckets = touched.select("dist_bucket").distinct()
       .collect().map(_.getLong(0)) // bounded by nBuckets, driver-safe
-    val existing = spark.read.parquet(s"$dir/counts")
+    val existing = readOrEmpty(spark, s"$dir/counts", countsSchema)
       .filter(col("dist_bucket").isin(buckets.map(Long.box): _*))
     val kept = existing
       .join(touched.select("dist"), Seq("dist"), "left_anti")
@@ -116,7 +146,7 @@ object StateStore {
     // stored row (new dists get the reference default, forget.go:22)
     val newMeta = snaps.groupBy("dist")
       .agg(max("z").as("z"), max("t").as("t"))
-    val oldMeta = spark.read.parquet(s"$dir/meta")
+    val oldMeta = readOrEmpty(spark, s"$dir/meta", metaSchema)
     val mergedMeta = oldMeta.join(newMeta.select("dist"), Seq("dist"), "left_anti")
       .unionByName(
         newMeta.join(oldMeta.select(col("dist"), col("rate").as("old_rate")),

@@ -58,6 +58,39 @@ class SegmentStoreSpec extends AnyFunSuite {
     assert(m.length == 1 && m.head.getLong(1) == 15L)
   }
 
+  test("streaming foreachBatch maintenance: per-micro-batch policy appends converge to the one-shot counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmpStore
+    // events stream in; each micro-batch pre-aggregates its partial
+    // counts and lands through the auto-compaction policy — the
+    // streaming write path of the additive-aggregate store
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val stream = mem.toDF().toDF("id")
+      .select(concat(lit("k"), pmod(col("id"), lit(7))).as("k"))
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        SegmentStore.appendWithPolicy(
+          batch.groupBy("k").agg(count(lit(1)).as("c")), path,
+          Seq("k"), "c", maxSegments = 2)
+      }.start()
+    try {
+      (0 until 4).foreach { i =>
+        mem.addData(i * 25L until (i + 1) * 25L: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(SegmentStore.segmentIds(spark, path).size <= 2,
+      "policy let streaming segments escape the bound")
+    val got = SegmentStore.merged(spark, path, Seq("k"), "c")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = spark.range(100)
+      .select(concat(lit("k"), pmod(col("id"), lit(7))).as("k"))
+      .groupBy("k").agg(count(lit(1)).cast("long").as("c"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want, "streamed partial sums diverged from the one-shot counts")
+  }
+
   test("compact swaps via a sibling temp dir and leaves no staging debris") {
     val path = tmpStore
     SegmentStore.append(batch("a" -> 1L), path)

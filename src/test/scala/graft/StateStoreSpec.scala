@@ -79,6 +79,29 @@ class StateStoreSpec extends AnyFunSuite {
       .sameElements(ft.counts.filter(col("dist") === kept).orderBy("bin").collect()))
   }
 
+  test("a compact that expires EVERY dist leaves a loadable typed-empty store that still accepts upserts") {
+    // an empty partitioned parquet write leaves no part directories, so
+    // schema inference has nothing to read — the all-expired store is
+    // legal state (sf0.001 hit this: rate 0.006 expires all 5 dists)
+    // and every read path must type it instead of throwing
+    val dir = tmpDir
+    StateStore.save(fixture, dir, nBuckets = 8)
+    val nAlive = StateStore.compact(spark, dir,
+      ForgetParams(rate = 100.0, nowEpoch = 1706659200L), nBuckets = 8)
+    assert(nAlive == 0, s"$nAlive dists survived a TTL meant to expire all")
+    val back = StateStore.load(spark, dir)
+    assert(back.counts.count() == 0 && back.meta.count() == 0)
+    assert(StateStore.loadDist(spark, dir, "click", 8).counts.count() == 0)
+    // the empty store is a working store: an upsert repopulates it
+    import spark.implicits._
+    val snaps = Seq(("d1", "b1", 5L, 5L, 1706659200L))
+      .toDF("dist", "bin", "count", "z", "t")
+    StateStore.upsertDistributions(spark, dir, snaps, nBuckets = 8)
+    val re = StateStore.load(spark, dir)
+    assert(re.counts.count() == 1 && re.meta.count() == 1)
+    assert(re.meta.head().getAs[Double]("rate") == 0.5) // reference default
+  }
+
   test("warm restart: stream resumes from store-loaded initial state") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
