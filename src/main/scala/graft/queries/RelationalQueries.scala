@@ -60,6 +60,19 @@ object RelationalQueries {
   final val FuzzyGram = 3
   final val FuzzyMaxDf = 50
 
+  /** rel_fuzzy_join_fallback: max starved probes escalated per run.
+    * The fallback deliberately lifts the df cap, so its cost is
+    * (escalated probes) x (corpus gram mass) — linear in the corpus
+    * ONLY because this cap rate-limits the escalation (the linkage-
+    * queue discipline: overflow stays queued for the next run,
+    * selection deterministic by probe key). Un-capped, a staging whose
+    * name geometry starves the whole batch (the 10x probe corpus —
+    * shared leading digits push every discriminative gram over the
+    * fixed df cap) degenerates to the all-pairs distance matrix the
+    * blocking exists to avoid.
+    */
+  final val FuzzyFallbackCap = 16
+
   private def dec(c: org.apache.spark.sql.Column, p: Int, s: Int) =
     c.cast(s"decimal($p,$s)")
 
@@ -885,14 +898,16 @@ object RelationalQueries {
     // gram the 1400-1499 key block pushes over the cap) re-block with
     // the df cap LIFTED, then pay the same banded verify and
     // (dist, key) rank. Lifting the cap is safe exactly BECAUSE the
-    // input is the starved set: it is batch-bounded by construction
-    // (a subset of the probe batch, here 2 rows, materialized before
-    // the unpruned join — the spec pins that only starved probes reach
-    // it), so the hot corpus-constant grams the primary path prunes
-    // fan out over a handful of probes, not the whole batch — a wider
+    // input is RATE-LIMITED: at most FuzzyFallbackCap starved probes
+    // escalate per run (deterministic by probe key; overflow queues
+    // for the next run — see the cap's scaladoc for the 10x staging
+    // that motivates the bound), materialized before the unpruned
+    // join — the spec pins that only starved probes reach it. The hot
+    // corpus-constant grams the primary path prunes therefore fan out
+    // over at most cap probes, never the whole batch — a wider
     // matcher priced per escalated probe, the standard two-tier
     // linkage design (Gravano et al.'s count-filter blocking with an
-    // exhaustive fallback tier). Output mirrors rel_fuzzy_join over
+    // exhaustive, queue-bounded fallback tier). Output mirrors rel_fuzzy_join over
     // the starved probes only; on this corpus both recover their true
     // source (probe 0 at the transposition distance 2, probe 14 at
     // the deletion distance 1) with zero false links — the rank's
@@ -904,7 +919,8 @@ object RelationalQueries {
       val starved = dirty
         .join(verified.select("probe_key").distinct(),
           Seq("probe_key"), "left_anti")
-        .localCheckpoint(true) // batch-bounded; the unpruned join reads ONLY this
+        .orderBy("probe_key").limit(FuzzyFallbackCap) // rate-limited escalation
+        .localCheckpoint(true) // cap-bounded; the unpruned join reads ONLY this
       val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
       val fbCands = fuzzyGrams(starved, "probe_key", "dirty_name")
         .join(fuzzyGrams(cust, "c_custkey", "c_name"), "gram") // cap lifted
@@ -1445,6 +1461,7 @@ object RelationalQueries {
         |), starved AS (
         |  SELECT probe_key, dirty_name FROM dirty
         |  WHERE probe_key NOT IN (SELECT probe_key FROM blocked)
+        |  ORDER BY probe_key LIMIT $FuzzyFallbackCap
         |), fb AS (
         |  SELECT DISTINCT s.probe_key, g.c_custkey
         |  FROM dg s JOIN cg g USING (gram)

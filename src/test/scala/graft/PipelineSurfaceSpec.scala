@@ -402,14 +402,15 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     val primary = graft.queries.RelationalQueries
       .queries("rel_fuzzy_join")(spark, dir).collect()
     val starved = primary.filter(_.getAs[Long]("n_candidates") == 0L)
-      .map(_.getAs[Long]("probe_key")).toSet
+      .map(_.getAs[Long]("probe_key")).sorted
+      .take(graft.queries.RelationalQueries.FuzzyFallbackCap).toSet
     assert(starved.nonEmpty, "no starved probe on this corpus — the fallback spec is vacuous")
     val rows = graft.queries.RelationalQueries
       .queries("rel_fuzzy_join_fallback")(spark, dir).collect()
     // the unpruned blocking is priced PER ESCALATED PROBE: its input is
-    // exactly the starved set, nothing else ever reaches it
+    // exactly the (rate-limited) starved set, nothing else reaches it
     assert(rows.map(_.getAs[Long]("probe_key")).toSet == starved,
-      "fallback probe set != the primary path's starvation set")
+      "fallback probe set != the primary path's (capped) starvation set")
     rows.foreach { r =>
       val (probe, m, cands) = (r.getAs[Long]("probe_key"),
         r.getAs[Long]("match_key"), r.getAs[Long]("n_candidates"))
