@@ -150,7 +150,7 @@ object ScaleProbe {
       "rel_sessionize", "ft_counts_incremental",
       "sim_ann_opq_idx", "mm_near_dup_incremental", "rel_fuzzy_join_fallback",
       "ft_segment_stats_invariant", "sim_ann_opq_ivfpq_idx",
-      "pipe_quality_nb_incremental", "text_bm25")
+      "pipe_quality_nb_incremental", "text_bm25", "rel_fuzzy_join_scaled")
     // arg 2+: restrict to named queries (fast re-probe of one operator);
     // any SparkEntry query name is probeable, not just the default list
     val targets =
@@ -222,6 +222,25 @@ object ScaleProbe {
       val t1 = time(run(base))
       val tN = time(run(stage))
       println(f"[probe] incr_dedup@fixed-batch $t1%6.2f  $tN%6.2f  ${tN / t1}%5.2f  (index 1x -> ${factor}x, batch fixed)")
+    }
+    // The gram-width ladder's RECALL claim isolated: blocking match
+    // rate (probes whose best match survives) for the FIXED-width
+    // fuzzy join vs the SCALED-width one, at 1x and Nx. The fixed
+    // width's discriminative grams cross the df cap as entities
+    // multiply — match rate collapses; the derived width holds
+    // per-gram populations bounded and the rate with them.
+    if (targets.contains("rel_fuzzy_join_scaled")) {
+      def matchRate(name: String, d: String): String = {
+        val r = SparkEntry.queries(name)(spark, d)
+          .agg(coalesce(sum(when(col("match_key") >= 0, 1L).otherwise(0L)),
+            lit(0L)).as("m"), count(lit(1)).as("t")).head()
+        s"${r.getAs[Long]("m")}/${r.getAs[Long]("t")}"
+      }
+      Seq("rel_fuzzy_join" -> "fuzzy@fixed-width",
+          "rel_fuzzy_join_scaled" -> "fuzzy@scaled-width").foreach {
+        case (n, tag) =>
+          println(f"[probe] $tag%-22s match-rate 1x ${matchRate(n, base)}  ${factor}x ${matchRate(n, stage)}")
+      }
     }
     // The maintained perceptual index's fixed-batch claim isolated
     // (the incr_dedup treatment for media): a FIXED probe batch

@@ -60,6 +60,24 @@ object RelationalQueries {
   final val FuzzyGram = 3
   final val FuzzyMaxDf = 50
 
+  /** rel_fuzzy_join_scaled: the gram-width ladder — the knnScaledBits
+    * discipline applied to q-gram blocking. At a FIXED width, the
+    * number of entities sharing any given gram grows linearly with the
+    * corpus, so every discriminative gram eventually crosses the df
+    * cap and the blocking starves (measured: the 10x staging starves
+    * essentially the whole probe batch at width 3). Growing the WIDTH
+    * with the corpus keeps per-gram populations bounded instead:
+    * smallest q in [3, 6] with FuzzyMaxDf · 10^q >= 16 · N (10 ≈ the
+    * effective per-position alphabet of these digit-dominated names,
+    * 16 ≈ grams per name; at 1x N=1.5k ⇒ 3, 10x ⇒ 4, 30x ⇒ 5). The
+    * ladder CAPS AT 6 because the Gravano count-filter recall bound
+    * needs len − q + 1 − q·k > 0 (18-char names, k = 2 ⇒ q <= 6);
+    * past that, recall belongs to banding, not wider grams.
+    */
+  def scaledFuzzyGram(n: Long): Int =
+    Seq(3, 4, 5, 6).find(q =>
+      FuzzyMaxDf.toLong * math.pow(10, q).toLong >= 16L * n).getOrElse(6)
+
   /** rel_fuzzy_join_fallback: max starved probes escalated per run.
     * The fallback deliberately lifts the df cap, so its cost is
     * (escalated probes) x (corpus gram mass) — linear in the corpus
@@ -253,22 +271,24 @@ object RelationalQueries {
     * post-checkpoint joins only). Returns (dirty probe list, verified
     * candidate frame).
     */
-  /** Distinct [[FuzzyGram]]-char substrings of `nameCol`, one row per
+  /** Distinct `gram`-char substrings of `nameCol`, one row per
     * (key, gram). Names shorter than the gram width contribute no
     * grams (the filter also keeps sequence() ascending — Spark's
     * sequence steps DOWNWARD when start > stop, which would fabricate
     * grams DuckDB's empty generate_series never emits). Shared by the
-    * df-pruned primary blocking and the starved-probe fallback.
+    * df-pruned primary blocking (fixed or scaled width) and the
+    * starved-probe fallback.
     */
-  private def fuzzyGrams(df: DataFrame, keyCol: String, nameCol: String) = df
-    .filter(length(col(nameCol)) >= FuzzyGram)
+  private def fuzzyGrams(df: DataFrame, keyCol: String, nameCol: String,
+      gram: Int = FuzzyGram) = df
+    .filter(length(col(nameCol)) >= gram)
     .select(col(keyCol),
       explode(array_distinct(transform(
-        sequence(lit(1), length(col(nameCol)) - lit(FuzzyGram - 1)),
-        i => col(nameCol).substr(i, lit(FuzzyGram))))).as("gram"))
+        sequence(lit(1), length(col(nameCol)) - lit(gram - 1)),
+        i => col(nameCol).substr(i, lit(gram))))).as("gram"))
 
-  private[graft] def fuzzyVerified(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+  private[graft] def fuzzyVerified(s: SparkSession, dir: String,
+      gram: Int = FuzzyGram): (DataFrame, DataFrame) = {
     val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
     val nm = col("c_name")
     val dirty = cust.filter(col("c_custkey") % 7 === 0)
@@ -285,14 +305,14 @@ object RelationalQueries {
           concat(lit("zzzzzz"), nm.substr(lit(7), length(nm))))
           .as("dirty_name"))
       .localCheckpoint(true) // grams, verify, and final join read it
-    val cleanGrams = fuzzyGrams(cust, "c_custkey", "c_name")
+    val cleanGrams = fuzzyGrams(cust, "c_custkey", "c_name", gram)
       .localCheckpoint(true) // feeds the df count AND the posting join
     // blocking index: drop corpus-constant grams (df > FuzzyMaxDf)
     val keep = cleanGrams.groupBy("gram")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= FuzzyMaxDf)
       .select("gram")
-    val cands = fuzzyGrams(dirty, "probe_key", "dirty_name")
+    val cands = fuzzyGrams(dirty, "probe_key", "dirty_name", gram)
       .join(keep, "gram") // informative grams only
       .join(cleanGrams, "gram")
       .select("probe_key", "c_custkey").distinct()
@@ -950,6 +970,47 @@ object RelationalQueries {
         .orderBy("probe_key")
     }),
 
+    // SCALED-WIDTH fuzzy join — rel_fuzzy_join with the gram width
+    // DERIVED from the corpus count ([[scaledFuzzyGram]]: the
+    // knnScaledBits / phashPatches width ladder applied to q-gram
+    // blocking). The fixed-width form's recall decays as the entity
+    // population grows: entities sharing any given gram multiply
+    // linearly, every discriminative gram crosses the df cap, and
+    // blocking starves (the 10x probe staging starves ~the whole batch
+    // at width 3). Growing q with log(N) holds per-gram populations
+    // bounded, so the starvation sliver — and with it the fallback
+    // queue — stays thin at ANY corpus size; the Gravano recall bound
+    // caps the ladder at 6 for these name lengths at FuzzyK = 2. The
+    // oracle derives the same width with the same integer comparison
+    // (a one-row width CTE, the sim_knn_graph_scaled pattern), so one
+    // static SQL text checks every derived width; at the driver SFs the
+    // rule lands on 3 and the result coincides with rel_fuzzy_join —
+    // the ScaleProbe match-rate receipt is where the widths diverge.
+    "rel_fuzzy_join_scaled" -> ((s, dir) => {
+      val q = scaledFuzzyGram(Tables.customer(s, dir).count())
+      val (dirty, verified0) = fuzzyVerified(s, dir, q)
+      val verified = verified0
+        .localCheckpoint(true) // candidate audit + match rank both read it
+      val nCands = verified.groupBy("probe_key")
+        .agg(count(lit(1)).as("n_candidates"))
+      val w = Window.partitionBy("probe_key")
+        .orderBy(col("dist").asc, col("c_custkey").asc)
+      val best = verified.filter(col("dist") >= 0)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("probe_key"), col("c_custkey").as("match_key"),
+          col("dist").cast("long").as("dist"))
+      dirty.select("probe_key")
+        .join(nCands, Seq("probe_key"), "left")
+        .join(best, Seq("probe_key"), "left")
+        .select(col("probe_key"),
+          coalesce(col("match_key"), lit(-1L)).as("match_key"),
+          coalesce(col("dist"), lit(-1L)).as("dist"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          lit(q.toLong).as("gram_width"))
+        .orderBy("probe_key")
+    }),
+
     // Semi-structured extraction: the events' JSON props column parsed
     // with schema-on-read (from_json with an explicit schema — codegen'd
     // JsonToStructs, no UDF) and aggregated per event type. The 100 TB
@@ -1489,6 +1550,70 @@ object RelationalQueries {
         |  CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates
         |FROM starved s LEFT JOIN nc USING (probe_key) LEFT JOIN best b USING (probe_key)
         |ORDER BY probe_key""".stripMargin,
+
+    // same pipeline at the DERIVED gram width: a one-row width CTE
+    // (same integer rule as scaledFuzzyGram) feeds every substr/df
+    // stage, so one static text checks every derived width
+    "rel_fuzzy_join_scaled" -> {
+      val caps = Seq(3, 4, 5, 6)
+        .map(q => FuzzyMaxDf.toLong * math.pow(10, q).toLong).mkString(", ")
+      s"""WITH qw AS (
+        |  SELECT CAST(COALESCE(MIN(q), 6) AS BIGINT) AS q FROM (
+        |    SELECT UNNEST([3, 4, 5, 6]) AS q, UNNEST([$caps]) AS cap
+        |  ) t WHERE cap >= 16 * (SELECT COUNT(*) FROM customer)
+        |), dirty AS (
+        |  SELECT c_custkey AS probe_key,
+        |    CASE WHEN c_custkey % 4 = 0
+        |           THEN concat(substr(c_name,1,1), substr(c_name,3,1),
+        |                       substr(c_name,2,1), substr(c_name,4))
+        |         WHEN c_custkey % 4 = 1
+        |           THEN concat(substr(c_name,1,4), 'x', substr(c_name,6))
+        |         WHEN c_custkey % 4 = 2
+        |           THEN concat(substr(c_name,1,2), substr(c_name,4))
+        |         ELSE concat('zzzzzz', substr(c_name,7)) END AS dirty_name
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |), cg AS (
+        |  SELECT c_custkey, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, length(c_name) - (q - 1)),
+        |    i -> substr(c_name, i, CAST(q AS INT))))) AS gram
+        |  FROM customer CROSS JOIN qw
+        |), keep AS (
+        |  SELECT gram FROM (
+        |    SELECT gram, COUNT(*) AS df FROM cg GROUP BY 1
+        |  ) t WHERE df <= $FuzzyMaxDf
+        |), dg AS (
+        |  SELECT probe_key, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, length(dirty_name) - (q - 1)),
+        |    i -> substr(dirty_name, i, CAST(q AS INT))))) AS gram
+        |  FROM dirty CROSS JOIN qw
+        |), cands AS (
+        |  SELECT DISTINCT probe_key, c_custkey
+        |  FROM dg JOIN keep USING (gram) JOIN cg USING (gram)
+        |), verified AS (
+        |  SELECT v.probe_key, v.c_custkey,
+        |         levenshtein(d.dirty_name, c.c_name) AS dist
+        |  FROM cands v
+        |  JOIN dirty d ON d.probe_key = v.probe_key
+        |  JOIN customer c ON c.c_custkey = v.c_custkey
+        |), nc AS (
+        |  SELECT probe_key, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        |  FROM verified GROUP BY 1
+        |), best AS (
+        |  SELECT probe_key, c_custkey AS match_key, CAST(dist AS BIGINT) AS dist
+        |  FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY probe_key ORDER BY dist, c_custkey) AS rnk
+        |    FROM verified WHERE dist <= $FuzzyK
+        |  ) t WHERE rnk = 1
+        |)
+        |SELECT d.probe_key,
+        |  CAST(COALESCE(match_key, -1) AS BIGINT) AS match_key,
+        |  CAST(COALESCE(b.dist, -1) AS BIGINT) AS dist,
+        |  CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates,
+        |  (SELECT q FROM qw) AS gram_width
+        |FROM dirty d LEFT JOIN nc USING (probe_key) LEFT JOIN best b USING (probe_key)
+        |ORDER BY probe_key""".stripMargin
+    },
 
     "rel_interval_join" ->
       """SELECT p.purchase_id, p.user_id, p.p_ts, c.click_id, c.click_ts

@@ -422,6 +422,23 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("rel_fuzzy_join_scaled: width ladder rule holds; coincides with the fixed-width join where the rule lands on 3") {
+    import graft.queries.RelationalQueries.scaledFuzzyGram
+    // the integer ladder: 3 at driver scale, widening with log10(N),
+    // capped at 6 (the Gravano recall bound for 18-char names, k = 2)
+    assert(scaledFuzzyGram(1500) == 3)
+    assert(scaledFuzzyGram(15000) == 4)
+    assert(scaledFuzzyGram(45000) == 5)
+    assert(scaledFuzzyGram(100000000L) == 6)
+    val fixed = graft.queries.RelationalQueries
+      .queries("rel_fuzzy_join")(spark, dir).collect().map(_.toSeq).toSeq
+    val scaled = graft.queries.RelationalQueries
+      .queries("rel_fuzzy_join_scaled")(spark, dir).collect()
+    assert(scaled.nonEmpty && scaled.forall(_.getAs[Long]("gram_width") == 3L))
+    assert(scaled.map(_.toSeq.dropRight(1)).toSeq == fixed,
+      "scaled join at width 3 diverged from the fixed-width join")
+  }
+
   test("rel_sessionize: sessions are disjoint past the gap, mixed sizes, conversion flag consistent") {
     val rows = graft.queries.RelationalQueries
       .queries("rel_sessionize")(spark, dir).collect()
