@@ -39,7 +39,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "rel_fuzzy_join", "rel_anomaly_days", "ft_counts_incremental",
     "sim_ann_opq_idx", "mm_near_dup_incremental", "rel_fuzzy_join_fallback",
     "ft_segment_stats_invariant", "ft_heavy_hitters_invariant",
-    "sim_ann_opq_ivfpq_idx", "pipe_quality_nb_incremental")
+    "sim_ann_opq_ivfpq_idx", "pipe_quality_nb_incremental",
+    "rel_fuzzy_join_scaled")
 
   test("cacheManager gains no entries after each reusing query builder runs") {
     // SharedState (and its CacheManager) is per-SparkContext, shared with
