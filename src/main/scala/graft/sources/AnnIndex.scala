@@ -863,6 +863,7 @@ object AnnIndex {
     // cross pairs: pruned index read, equi join on (band, key)
     val partIds = batch.select("part").distinct()
       .collect().map(_.getLong(0)) // bounded by parts, driver-safe
+    if (partIds.isEmpty) return inner // empty batch: nothing to probe
     val stored = spark.read.parquet(s"$dir/postings")
       .filter(col("part").isin(partIds.map(Long.box): _*))
     val crossCand = stored
