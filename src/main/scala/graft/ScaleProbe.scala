@@ -254,7 +254,7 @@ object ScaleProbe {
       import graft.queries.MultimodalQueries
       import graft.sources.AnnIndex
       def buildIdx(corpusDir: String): String = {
-        val media = MultimodalQueries.nearDupMediaFrame(spark, corpusDir)
+        val media = MultimodalQueries.nearDupMedia(spark, corpusDir)
           .localCheckpoint(true)
         val idxDir = graft.sources.TempDirs.scratch("graft_probe_ph_")
         AnnIndex.trainPhash(spark, idxDir, Multimodal.phashPatches(media.count()))
@@ -263,7 +263,7 @@ object ScaleProbe {
       }
       val idx1 = buildIdx(base)
       val idxN = buildIdx(stage)
-      val batch = MultimodalQueries.nearDupMediaFrame(spark, base)
+      val batch = MultimodalQueries.nearDupMedia(spark, base)
         .filter(col("doc_id") % 10 < 3)
         .select((col("doc_id") + 900000000L).as("doc_id"), col("payload"))
         .localCheckpoint(true)

@@ -48,13 +48,15 @@ import org.apache.spark.sql.types.{
 object BoundedLevenshteinRule extends Rule[LogicalPlan] {
 
   /** An unbounded levenshtein, possibly under an integral up-cast
-    * inserted by comparison type-coercion.
+    * inserted by comparison type-coercion. WIDENING casts only
+    * (int/long): coercion never inserts a narrowing cast, and a
+    * user-written TINYINT/SMALLINT down-cast can wrap a large distance
+    * (or throw under ANSI) — semantics the rewrite must not erase.
     */
   private object LevInt {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case Levenshtein(a, b, None) => Some((a, b))
-      case Cast(Levenshtein(a, b, None),
-          ByteType | ShortType | IntegerType | LongType, _, _) =>
+      case Cast(Levenshtein(a, b, None), IntegerType | LongType, _, _) =>
         Some((a, b))
       case _ => None
     }

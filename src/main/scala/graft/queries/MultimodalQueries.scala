@@ -31,7 +31,7 @@ object MultimodalQueries {
     * re-encode arms (built in HEX land so the DuckDB oracle constructs
     * byte-identical payloads from the same md5 chain).
     */
-  private def nearDupMedia(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def nearDupMedia(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "text")
     val hx = concat((0 until 16).map(j => md5(concat(col("text"), lit(s":$j")))): _*)
     val base = docs.select(col("doc_id"), unhex(hx).as("payload"))
@@ -47,10 +47,6 @@ object MultimodalQueries {
           substring(hx, 209, 1000000))).as("payload"))
     base.unionByName(armA).unionByName(armB)
   }
-
-  /** [[nearDupMedia]] exposed for ScaleProbe's fixed-batch receipt. */
-  private[graft] def nearDupMediaFrame(s: SparkSession, dir: String): DataFrame =
-    nearDupMedia(s, dir)
 
   /** The shared perceptual-pair pipeline (derived-width hash, banded
     * candidates, Hamming verify) — one definition for mm_near_dup and

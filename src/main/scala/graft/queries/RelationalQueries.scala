@@ -263,14 +263,6 @@ object RelationalQueries {
     }
   }
 
-  /** rel_fuzzy_join's probe synthesis + blocking + verify stages, up to
-    * (but NOT including) the checkpoint — factored out so PlanShapeSpec
-    * can pin the BLOCKING plan itself (the checkpoint in the query body
-    * truncates this subtree out of the final plan, which would
-    * otherwise leave the all-pairs guard asserting over the cheap
-    * post-checkpoint joins only). Returns (dirty probe list, verified
-    * candidate frame).
-    */
   /** Distinct `gram`-char substrings of `nameCol`, one row per
     * (key, gram). Names shorter than the gram width contribute no
     * grams (the filter also keeps sequence() ascending — Spark's
@@ -287,6 +279,15 @@ object RelationalQueries {
         sequence(lit(1), length(col(nameCol)) - lit(gram - 1)),
         i => col(nameCol).substr(i, lit(gram))))).as("gram"))
 
+  /** rel_fuzzy_join's probe synthesis + blocking + verify stages (at
+    * the given gram width — FuzzyGram for the fixed form, the derived
+    * ladder width for rel_fuzzy_join_scaled), up to (but NOT including)
+    * the checkpoint — factored out so PlanShapeSpec can pin the
+    * BLOCKING plan itself (the checkpoint in the query body truncates
+    * this subtree out of the final plan, which would otherwise leave
+    * the all-pairs guard asserting over the cheap post-checkpoint joins
+    * only). Returns (dirty probe list, verified candidate frame).
+    */
   private[graft] def fuzzyVerified(s: SparkSession, dir: String,
       gram: Int = FuzzyGram): (DataFrame, DataFrame) = {
     val cust = Tables.customer(s, dir).select("c_custkey", "c_name")

@@ -811,10 +811,12 @@ object AnnIndex {
     * [[trainPhash]].
     */
   def upsertPhash(spark: SparkSession, dir: String, media: DataFrame): Unit = {
+    // check the RAW batch (a per-doc posting row count is a multiple of
+    // PHashBands, so checking the exploded frame would be vacuous)
+    requireUniqueKeys(media.select("doc_id"), "doc_id")
     val (posted, _, _) = phashPostings(spark, dir, media)
     val staged = posted.localCheckpoint(true)
     if (staged.isEmpty) return
-    requireUniqueKeys(staged.select("doc_id").distinct(), "doc_id")
     staged.repartition(col("part"))
       .write.mode(SaveMode.Append)
       .partitionBy("part")
@@ -871,6 +873,9 @@ object AnnIndex {
         col("band"), col("key"))
       .join(batch.select(col("doc_id").as("b_id"), col("band"), col("key")),
         Seq("band", "key"))
+      // a re-probed doc matches its own postings — degenerate (x, x, 0)
+      // self-pairs must not reach the verify (the id_a < id_b contract)
+      .filter(col("s_id") =!= col("b_id"))
       .select(least(col("s_id"), col("b_id")).as("id_a"),
         greatest(col("s_id"), col("b_id")).as("id_b"))
       .distinct()

@@ -33,12 +33,13 @@ import org.apache.spark.sql.functions._
   * [[compact]] is crash-safe: the fold is written to a sibling temp
   * directory first, then swapped in with two directory renames (each
   * atomic on a real filesystem), so a complete on-disk copy of the
-  * counts exists at every instant — an executor loss mid-fold or a
-  * driver crash between the renames leaves either the old segments,
-  * the old segments plus an orphan temp dir, or the folded store, never
-  * a truncated store. (The earlier form overwrote the directory in
-  * place under an executor-local checkpoint of its own input — fine in
-  * one JVM, a data-loss window on a cluster.)
+  * counts exists at every instant. A crash BETWEEN the renames parks
+  * that copy at `path + ".old"` with the live path briefly absent —
+  * every store entry point rolls the swap forward (one rename) before
+  * touching the data, so readers never see a truncated store and no
+  * cleanup step can destroy the only copy. (The earlier form overwrote
+  * the directory in place under an executor-local checkpoint of its
+  * own input — fine in one JVM, a data-loss window on a cluster.)
   *
   * Shared by `text_lm_incremental` (bigram counts) and
   * `ft_counts_incremental` (the reference's O1 `/incr` counter — its Z
@@ -51,11 +52,26 @@ object SegmentStore {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** Roll-forward recovery for the [[compact]] swap: a crash between
+    * its two renames leaves the store parked at `path + ".old"` with
+    * `path` absent — the data is intact but unaddressed. Every store
+    * entry point calls this first: if the live path is missing and the
+    * staged-aside copy exists, one rename restores it. (Both-present
+    * means a crash after publish but before cleanup — the live path
+    * wins and the stale copy is dropped by the next compact.)
+    */
+  private def recover(f: FileSystem, dst: HPath): Unit = {
+    val old = new HPath(dst.toString + ".old")
+    if (!f.exists(dst) && f.exists(old) && !f.rename(old, dst))
+      throw new java.io.IOException(s"compact recovery: cannot restore $old")
+  }
+
   /** Live segment ids, from the directory listing (driver-side, one
     * RPC — bounded by the segment count the compaction policy caps).
     */
   def segmentIds(spark: SparkSession, path: String): Seq[Long] = {
     val (f, p) = fs(spark, path)
+    recover(f, p)
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq
       .map(_.getPath.getName)
@@ -90,19 +106,25 @@ object SegmentStore {
     * by the groupBy.
     */
   def merged(spark: SparkSession, path: String, keys: Seq[String],
-      sumCol: String): DataFrame =
+      sumCol: String): DataFrame = {
+    val (f, p) = fs(spark, path)
+    recover(f, p)
     spark.read.parquet(path)
       .groupBy(keys.map(col): _*)
       .agg(sum(sumCol).cast("long").as(sumCol))
+  }
 
   /** Per-segment row counts — the monitoring report that drives (and
     * audits) the compaction policy. Output is one row per live
     * segment: bounded by the policy itself.
     */
-  def segmentStats(spark: SparkSession, path: String): DataFrame =
+  def segmentStats(spark: SparkSession, path: String): DataFrame = {
+    val (f, p) = fs(spark, path)
+    recover(f, p)
     spark.read.parquet(path)
       .groupBy(col("seg").cast("long").as("seg"))
       .agg(count(lit(1)).as("n_rows"))
+  }
 
   /** Fold all segments into one, via sibling-temp-then-swap so the
     * fold never overwrites its own input and a full copy of the store
@@ -111,6 +133,8 @@ object SegmentStore {
   def compact(spark: SparkSession, path: String, keys: Seq[String],
       sumCol: String): Unit = {
     val (f, dst) = fs(spark, path)
+    recover(f, dst) // roll a crashed prior swap forward FIRST —
+    // only then is a surviving .old copy stale and safe to drop
     val tmp = new HPath(path + ".compacting")
     val old = new HPath(path + ".old")
     f.delete(tmp, true)
