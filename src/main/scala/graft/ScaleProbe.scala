@@ -150,7 +150,8 @@ object ScaleProbe {
       "rel_sessionize", "ft_counts_incremental",
       "sim_ann_opq_idx", "mm_near_dup_incremental", "rel_fuzzy_join_fallback",
       "ft_segment_stats_invariant", "sim_ann_opq_ivfpq_idx",
-      "pipe_quality_nb_incremental", "text_bm25", "rel_fuzzy_join_scaled")
+      "pipe_quality_nb_incremental", "text_bm25", "rel_fuzzy_join_scaled",
+      "mm_band_stats")
     // arg 2+: restrict to named queries (fast re-probe of one operator);
     // any SparkEntry query name is probeable, not just the default list
     val targets =

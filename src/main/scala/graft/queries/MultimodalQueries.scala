@@ -259,6 +259,38 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // BAND-BUCKET health report for the perceptual-hash space — the
+    // RE-INDEX TRIGGER metric trainPhash's frozen-width contract
+    // references (the pq_code_stats / sim_ann_bucket_stats discipline
+    // for media): per band, the live bucket count, the hottest
+    // bucket's population, and the row total, next to the derived
+    // width. When max_bucket (or n_rows / n_buckets) outruns
+    // PHashBucketTarget, corpus growth has crossed the next
+    // phashPatches threshold and the maintained index
+    // (mm_near_dup_incremental) is due a rebuild at the wider width —
+    // the monitoring row that turns the width ladder from a rule into
+    // a policy. All-integer, so it hash-gates; over the PERSISTED
+    // store the same report is one groupBy on the postings table
+    // (identical values — postings mirror these hashes). Scale shape:
+    // one map-side-combined (band, key) count, output bounded by
+    // bands x live buckets.
+    "mm_band_stats" -> ((s, dir) => {
+      import s.implicits._
+      val media = nearDupMedia(s, dir).localCheckpoint(true)
+      val nPatch = Multimodal.phashPatches(media.count())
+      val ph = Multimodal.perceptualHash(
+        media.as[Multimodal.MediaBytes], nPatch).toDF()
+      ph.select(posexplode(col("bands")).as(Seq("band", "key")))
+        .groupBy(col("band").cast("long").as("band"), col("key"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_buckets"),
+          max("n").as("max_bucket"),
+          sum("n").cast("long").as("n_rows"))
+        .withColumn("n_patches", lit(nPatch.toLong))
+        .orderBy("band")
+    }),
+
     // Metadata-level resize: dimension math without touching payloads.
     "mm_resize" -> ((s, dir) =>
       Multimodal.resizeMeta(media(s, dir), maxDim = 64)
@@ -299,6 +331,21 @@ object MultimodalQueries {
          |SELECT id_a, id_b, hamming,
          |       (SELECT CAST(p AS BIGINT) FROM nd_p) AS n_patches
          |FROM mm_pairs ORDER BY id_a, id_b""".stripMargin,
+
+    // per-band bucket populations from the shared ph CTE; all-integer
+    "mm_band_stats" ->
+      s"""WITH $mmNearDupCtes, mbs AS (
+         |  SELECT b.band, ph.bands[b.band + 1] AS key FROM ph
+         |  CROSS JOIN (SELECT UNNEST(generate_series(0, ${Multimodal.PHashBands - 1})) AS band) b
+         |), pop AS (
+         |  SELECT band, key, COUNT(*) AS n FROM mbs GROUP BY 1, 2
+         |)
+         |SELECT CAST(band AS BIGINT) AS band,
+         |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(MAX(n) AS BIGINT) AS max_bucket,
+         |  CAST(SUM(n) AS BIGINT) AS n_rows,
+         |  (SELECT CAST(p AS BIGINT) FROM nd_p) AS n_patches
+         |FROM pop GROUP BY band ORDER BY band""".stripMargin,
 
     // maintained-index convergence: probe-then-append ingests emit each
     // pair exactly once, at the ingest where its second member arrives,
