@@ -525,10 +525,50 @@ class AnnIndexSpec extends AnyFunSuite {
     }.reduce(_ unionByName _)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want, s"staged pairs diverged: ${got.size} vs ${want.size}")
-    // a fresh probe against the populated store is partition-pruned
-    val probePlan = AnnIndex.probePhash(spark, dir,
-        media.filter(col("doc_id") < 5), hammingMax = 6)
-      .queryExecution.executedPlan.toString
+    // a fresh probe against the populated store is partition-pruned,
+    // and re-probing ALREADY-INDEXED docs emits no (x, x, 0) self-pairs
+    val reProbe = AnnIndex.probePhash(spark, dir,
+      media.filter(col("doc_id") < 5), hammingMax = 6)
+    assert(reProbe.filter(col("id_a") === col("id_b")).count() == 0,
+      "re-probe emitted degenerate self-pairs")
+    val probePlan = reProbe.queryExecution.executedPlan.toString
     assert(probePlan.contains("PartitionFilters: [part"), probePlan.take(4000))
+  }
+
+  test("phash index: streaming foreachBatch maintenance converges to the bulk build") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    // same synthetic payload family as the staged test, smaller corpus
+    val hx = concat((0 until 16).map(j =>
+      md5(concat(col("doc_id").cast("string"), lit(s":$j")))): _*)
+    val media = spark.range(60).select(col("id").as("doc_id"))
+      .withColumn("payload", unhex(hx)).localCheckpoint(true)
+    val nPatch = Multimodal.phashPatches(media.count())
+    val bulkDir = Files.createTempDirectory("graft_phidx_bulk_").toString
+    AnnIndex.trainPhash(spark, bulkDir, nPatch)
+    AnnIndex.upsertPhash(spark, bulkDir, media)
+    val streamDir = Files.createTempDirectory("graft_phidx_stream_").toString
+    AnnIndex.trainPhash(spark, streamDir, nPatch)
+    // media arrive as a stream; each micro-batch appends its postings
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val stream = mem.toDF().toDF("doc_id")
+      .withColumn("payload", unhex(concat((0 until 16).map(j =>
+        md5(concat(col("doc_id").cast("string"), lit(s":$j")))): _*)))
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        AnnIndex.upsertPhash(spark, streamDir, batch)
+      }.start()
+    try {
+      mem.addData(0L until 30L: _*)
+      q.processAllAvailable()
+      mem.addData(30L until 60L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def postings(d: String) = spark.read.parquet(s"$d/postings")
+      .select("doc_id", "band", "key")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(postings(streamDir) == postings(bulkDir))
+    assert(postings(streamDir).size == 60 * Multimodal.PHashBands)
   }
 }
