@@ -171,6 +171,10 @@ object Similarity {
     */
   def opqPermutation(vecs: DataFrame, dim: Int, m: Int,
                      vecCol: String = "v"): Seq[Int] = {
+    // public operator API: a non-divisible m would make the snake deal
+    // write colliding target slots and leave others at 0 — an invalid
+    // "permutation" (the perceptualHash nPatch % PHashBands discipline)
+    require(dim % m == 0, s"opqPermutation: m=$m must divide dim=$dim")
     val sub = dim / m
     // one quantization, squared IN INTEGER SPACE: q = floor(x·1e4),
     // score = n·Σq² − (Σq)² — the integer variance proxy on a single

@@ -103,6 +103,20 @@ object RelationalQueries {
     f.isDirectory && f.listFiles.exists(_.getName.startsWith("part="))
   }
 
+  /** Unpartitioned-parquet presence via the Hadoop FileSystem of the
+    * path itself (the AnnIndex.pathExists discipline) — a
+    * java.io.File probe is local-FS-only and would read "absent" on
+    * any distributed store, silently dropping accumulated state.
+    * "Present" means the directory holds at least one part- file, so
+    * a crash that created the directory but wrote no data still reads
+    * as absent.
+    */
+  private[graft] def hasParquetData(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("part-"))
+  }
+
   /** rel_funnel_incremental's maintained fold (see the query's comment
     * for the semantics + state-bound proof). Factored out so the spec
     * can pass its own store dir and inspect the pending state between
@@ -138,7 +152,17 @@ object RelationalQueries {
       // anti-join; a ~2% fp sliver rides through and dies exactly.
       val newEv =
         if (!hasData(resPath)) fev
-        else {
+        else if (!hasParquetData(s, bloomPath)) {
+          // results exist but the sidecar doesn't (first finalized
+          // batch was all-null user_ids so bloom_filter_agg produced
+          // nothing, or a crash landed between the results append and
+          // the bloom write): the sidecar is an OPTIMIZATION, so fall
+          // back to the plain exact anti-join rather than failing —
+          // the two-file update needs no recovery story because the
+          // bloom-less path is always correct.
+          fev.join(s.read.parquet(resPath).select("user_id"),
+            Seq("user_id"), "left_anti")
+        } else {
           val bf = s.read.parquet(bloomPath)
           // null-safe routing: might_contain(null) is null, but a
           // null-user row can't be finalized — it must PASS (the plain
@@ -185,7 +209,7 @@ object RelationalQueries {
       if (finBytes != null) {
         import org.apache.spark.util.sketch.BloomFilter
         val merged =
-          if (!new java.io.File(bloomPath).isDirectory) finBytes
+          if (!hasParquetData(s, bloomPath)) finBytes
           else {
             val old = BloomFilter.readFrom(new java.io.ByteArrayInputStream(
               s.read.parquet(bloomPath).head().getAs[Array[Byte]]("bf")))

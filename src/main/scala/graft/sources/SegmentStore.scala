@@ -44,6 +44,16 @@ import org.apache.spark.sql.functions._
   * Shared by `text_lm_incremental` (bigram counts) and
   * `ft_counts_incremental` (the reference's O1 `/incr` counter — its Z
   * sum and SETNX/refresh-T max meta legs are mergeable the same way).
+  *
+  * SINGLE-WRITER contract: [[append]] derives the next segment id from
+  * a directory listing with no coordination, so exactly one writer
+  * (job or stream) may ingest into a store at a time. Two concurrent
+  * writers can race to the same `seg=N`; `SaveMode.ErrorIfExists`
+  * makes the loser FAIL LOUDLY rather than corrupt state (retry the
+  * append to take the next id). Readers are unrestricted — [[merged]]
+  * sees whatever complete segments exist, and the [[compact]]
+  * crash-safety above is about a single writer crashing mid-swap, not
+  * about concurrent writers.
   */
 object SegmentStore {
 
