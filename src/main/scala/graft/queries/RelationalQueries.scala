@@ -91,6 +91,33 @@ object RelationalQueries {
     */
   final val FuzzyFallbackCap = 16
 
+  /** rel_fuzzy_join_banded: number of independent q-gram families
+    * (OR-amplification — the sim_knn_graph_banded pattern applied to
+    * record linkage). The four families: band 0 = contiguous content
+    * grams (the primary blocking's); band 1 = stride-2 SKIP-grams
+    * (chars at i, i+2, ..., i+2(q−1) — a single edit destroys a
+    * different subset than band 0's); bands 2/3 = POSITIONAL grams
+    * (Gravano et al., "Approximate string joins in a database (almost)
+    * for free", VLDB 2001): the gram key carries its anchor position,
+    * band 2 start-anchored, band 3 END-anchored (distance from the
+    * string end), probe-side positions fanned ±[[FuzzyK]] so a
+    * within-distance pair still collides after the edit shifts the
+    * anchor. The positional families own the residual regime the
+    * width ladder can't reach — MEASURED at the 10x staging: the
+    * scaled-width form misses ~10% of matchable probes because a
+    * numeric tail like "00014" ALIASES into larger keys ("…0014x",
+    * "…014xx") at other positions and the content-only df crosses the
+    * cap; position-annotated, "00014"@end-0 is shared only by keys
+    * that END with it, df stays at the true entity population, and
+    * an edit anywhere before the tail leaves the end-anchor intact
+    * (recovered ALL 1610 residual misses, zero false links). Each
+    * family has its own df distribution and its own cap; a pair is a
+    * candidate if it collides in ANY band (recall 1-(1-p)^B at build
+    * cost x B, still linear in N); candidates dedup across bands
+    * BEFORE the verify so each pair pays one Levenshtein.
+    */
+  final val FuzzyBands = 4
+
   private def dec(c: org.apache.spark.sql.Column, p: Int, s: Int) =
     c.cast(s"decimal($p,$s)")
 
@@ -312,11 +339,15 @@ object RelationalQueries {
     * the all-pairs guard asserting over the cheap post-checkpoint joins
     * only). Returns (dirty probe list, verified candidate frame).
     */
-  private[graft] def fuzzyVerified(s: SparkSession, dir: String,
-      gram: Int = FuzzyGram): (DataFrame, DataFrame) = {
-    val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
+  /** The synthesized probe set every fuzzy-join arm shares: every 7th
+    * customer, cycling four mutation arms by key — head transposition /
+    * substitution / deletion (distances 2,1,1), plus a 6-substitution
+    * mangle arm that still BLOCKS (tail grams shared) but must be
+    * REJECTED by verify — the candidate-not-match path.
+    */
+  private def dirtyProbes(cust: DataFrame): DataFrame = {
     val nm = col("c_name")
-    val dirty = cust.filter(col("c_custkey") % 7 === 0)
+    cust.filter(col("c_custkey") % 7 === 0)
       .select(col("c_custkey").as("probe_key"),
         when(col("c_custkey") % 4 === 0, // transpose chars 2,3
           concat(nm.substr(lit(1), lit(1)), nm.substr(lit(3), lit(1)),
@@ -329,6 +360,12 @@ object RelationalQueries {
         .otherwise( // mangle head beyond FuzzyK: blocks, must not match
           concat(lit("zzzzzz"), nm.substr(lit(7), length(nm))))
           .as("dirty_name"))
+  }
+
+  private[graft] def fuzzyVerified(s: SparkSession, dir: String,
+      gram: Int = FuzzyGram): (DataFrame, DataFrame) = {
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
+    val dirty = dirtyProbes(cust)
       .localCheckpoint(true) // grams, verify, and final join read it
     val cleanGrams = fuzzyGrams(cust, "c_custkey", "c_name", gram)
       .localCheckpoint(true) // feeds the df count AND the posting join
@@ -348,6 +385,80 @@ object RelationalQueries {
     // then filter) is unchanged. The ad-hoc predicate form
     // `levenshtein(a,b) <= k` gets the same kernel automatically via
     // [[graft.plans.BoundedLevenshteinRule]].
+    val verified = cands
+      .join(dirty, "probe_key")
+      .join(cust, "c_custkey")
+      .withColumn("dist",
+        levenshtein(col("dirty_name"), col("c_name"), FuzzyK))
+    (dirty, verified)
+  }
+
+  /** One row per (key, band, gram) over the [[FuzzyBands]] gram
+    * families. ONE scan of the input builds every family: per band,
+    * anchors are the first valid positions (slice of an ascending
+    * sequence, so a name shorter than the band's span contributes an
+    * EMPTY array rather than the fabricated grams a descending
+    * sequence would emit), keys are per-band distinct, and the
+    * families flatten into one (band, gram) explode. `probe = true`
+    * fans the positional bands' anchors ±[[FuzzyK]] (probe side only
+    * — the df cap is counted on the clean side's unfanned keys). All
+    * row-local codegen column algebra — gram mass is ~B x the
+    * contiguous family's (+2·[[FuzzyK]]x on the probe's positional
+    * bands), linear in the corpus.
+    */
+  private def fuzzyBandedGrams(df: DataFrame, keyCol: String,
+      nameCol: String, gram: Int, probe: Boolean) = {
+    val nm = col(nameCol)
+    val deltas: Seq[Int] = if (probe) -FuzzyK to FuzzyK else Seq(0)
+    def anchors(span: Int) =
+      slice(sequence(lit(1), greatest(length(nm), lit(1))), lit(1),
+        greatest(length(nm) - lit(span), lit(0)))
+    def contiguous(i: org.apache.spark.sql.Column) = nm.substr(i, lit(gram))
+    // band 0: contiguous content grams; band 1: stride-2 skip-grams
+    val b0 = array_distinct(transform(anchors(gram - 1), contiguous(_)))
+    val b1 = array_distinct(transform(anchors((gram - 1) * 2),
+      i => concat((0 until gram).map(j => nm.substr(i + lit(2 * j), lit(1))): _*)))
+    // bands 2/3: positional (start-/end-anchored); the position is part
+    // of the join key, probe side fanned over deltas
+    def positional(pos: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      array_distinct(concat(deltas.map(d =>
+        transform(anchors(gram - 1),
+          i => concat(pos(i).plus(lit(d)).cast("string"), lit(":"), contiguous(i)))): _*))
+    val b2 = positional(identity)
+    val b3 = positional(i => length(nm) - i)
+    val perBand = Seq(b0, b1, b2, b3).zipWithIndex.map { case (arr, b) =>
+      transform(arr, g => struct(lit(b).as("band"), g.as("gram")))
+    }
+    df.select(col(keyCol), explode(flatten(array(perBand: _*))).as("bg"))
+      .select(col(keyCol), col("bg.band").as("band"), col("bg.gram").as("gram"))
+  }
+
+  /** rel_fuzzy_join_banded's blocking + verify (the fuzzyVerified
+    * shape with OR-amplified banded blocking): per-band df cap — a
+    * gram's document frequency is counted WITHIN its family, so one
+    * family's hot gram never censors another's discriminative one —
+    * equi posting join on (band, gram), cross-band candidate dedup
+    * BEFORE the verify. Factored out for the PlanShapeSpec pin
+    * (blocking joins stay equi on (band, gram), verify set is never
+    * all-pairs) exactly as fuzzyVerified is.
+    */
+  private[graft] def fuzzyBandedVerified(s: SparkSession, dir: String,
+      gram: Int): (DataFrame, DataFrame) = {
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
+    val dirty = dirtyProbes(cust)
+      .localCheckpoint(true) // grams, verify, and final join read it
+    val cleanGrams = fuzzyBandedGrams(cust, "c_custkey", "c_name", gram,
+        probe = false)
+      .localCheckpoint(true) // feeds the df count AND the posting join
+    val keep = cleanGrams.groupBy("band", "gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= FuzzyMaxDf)
+      .select("band", "gram")
+    val cands = fuzzyBandedGrams(dirty, "probe_key", "dirty_name", gram,
+        probe = true)
+      .join(keep, Seq("band", "gram")) // informative grams only, per band
+      .join(cleanGrams, Seq("band", "gram"))
+      .select("probe_key", "c_custkey").distinct() // cross-band dedup
     val verified = cands
       .join(dirty, "probe_key")
       .join(cust, "c_custkey")
@@ -1036,6 +1147,47 @@ object RelationalQueries {
         .orderBy("probe_key")
     }),
 
+    // BANDED fuzzy join — the scaled-width form with OR-amplified
+    // blocking ([[FuzzyBands]] gram families incl. the positional
+    // pair, per-band df caps, cross-band candidate dedup; the
+    // sim_knn_graph_banded pattern applied to record linkage). This
+    // is the recall owner for the regime the width ladder can't reach
+    // (BASELINE.md's 10x analysis): when numeric-substring ALIASING
+    // pushes every content gram of a probe over the df cap, the
+    // position-annotated families keep df at the true entity
+    // population, and the start-/end-anchor pair covers any placement
+    // of the edits relative to the gram (MEASURED at 10x: all 1610 of
+    // the scaled form's residual misses recovered, zero false links —
+    // the match-rate receipt in BASELINE.md). Verify and rank are
+    // unchanged — banding only widens the candidate set, so false
+    // links stay impossible (every candidate pays the exact banded
+    // Levenshtein). Cost: gram mass x ~B, still linear in the corpus;
+    // the blocking joins stay equi on (band, gram) — plan-pinned.
+    "rel_fuzzy_join_banded" -> ((s, dir) => {
+      val q = scaledFuzzyGram(Tables.customer(s, dir).count())
+      val (dirty, verified0) = fuzzyBandedVerified(s, dir, q)
+      val verified = verified0
+        .localCheckpoint(true) // candidate audit + match rank both read it
+      val nCands = verified.groupBy("probe_key")
+        .agg(count(lit(1)).as("n_candidates"))
+      val w = Window.partitionBy("probe_key")
+        .orderBy(col("dist").asc, col("c_custkey").asc)
+      val best = verified.filter(col("dist") >= 0)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("probe_key"), col("c_custkey").as("match_key"),
+          col("dist").cast("long").as("dist"))
+      dirty.select("probe_key")
+        .join(nCands, Seq("probe_key"), "left")
+        .join(best, Seq("probe_key"), "left")
+        .select(col("probe_key"),
+          coalesce(col("match_key"), lit(-1L)).as("match_key"),
+          coalesce(col("dist"), lit(-1L)).as("dist"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          lit(q.toLong).as("gram_width"))
+        .orderBy("probe_key")
+    }),
+
     // Semi-structured extraction: the events' JSON props column parsed
     // with schema-on-read (from_json with an explicit schema — codegen'd
     // JsonToStructs, no UDF) and aggregated per event type. The 100 TB
@@ -1614,6 +1766,113 @@ object RelationalQueries {
         |), cands AS (
         |  SELECT DISTINCT probe_key, c_custkey
         |  FROM dg JOIN keep USING (gram) JOIN cg USING (gram)
+        |), verified AS (
+        |  SELECT v.probe_key, v.c_custkey,
+        |         levenshtein(d.dirty_name, c.c_name) AS dist
+        |  FROM cands v
+        |  JOIN dirty d ON d.probe_key = v.probe_key
+        |  JOIN customer c ON c.c_custkey = v.c_custkey
+        |), nc AS (
+        |  SELECT probe_key, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        |  FROM verified GROUP BY 1
+        |), best AS (
+        |  SELECT probe_key, c_custkey AS match_key, CAST(dist AS BIGINT) AS dist
+        |  FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY probe_key ORDER BY dist, c_custkey) AS rnk
+        |    FROM verified WHERE dist <= $FuzzyK
+        |  ) t WHERE rnk = 1
+        |)
+        |SELECT d.probe_key,
+        |  CAST(COALESCE(match_key, -1) AS BIGINT) AS match_key,
+        |  CAST(COALESCE(b.dist, -1) AS BIGINT) AS dist,
+        |  CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates,
+        |  (SELECT q FROM qw) AS gram_width
+        |FROM dirty d LEFT JOIN nc USING (probe_key) LEFT JOIN best b USING (probe_key)
+        |ORDER BY probe_key""".stripMargin
+    },
+
+    // scaled-width pipeline with OR-amplified banded blocking: band 0
+    // contiguous grams, band 1 stride-2 skip-grams (nested lambdas),
+    // bands 2/3 start-/end-anchored positional grams with the probe
+    // side's anchors fanned +-k; df caps apply within each band on the
+    // clean side's unfanned keys, the posting join is on (band, gram),
+    // and candidates dedup across bands before verify
+    "rel_fuzzy_join_banded" -> {
+      val caps = Seq(3, 4, 5, 6)
+        .map(q => FuzzyMaxDf.toLong * math.pow(10, q).toLong).mkString(", ")
+      s"""WITH qw AS (
+        |  SELECT CAST(COALESCE(MIN(q), 6) AS BIGINT) AS q FROM (
+        |    SELECT UNNEST([3, 4, 5, 6]) AS q, UNNEST([$caps]) AS cap
+        |  ) t WHERE cap >= 16 * (SELECT COUNT(*) FROM customer)
+        |), dirty AS (
+        |  SELECT c_custkey AS probe_key,
+        |    CASE WHEN c_custkey % 4 = 0
+        |           THEN concat(substr(c_name,1,1), substr(c_name,3,1),
+        |                       substr(c_name,2,1), substr(c_name,4))
+        |         WHEN c_custkey % 4 = 1
+        |           THEN concat(substr(c_name,1,4), 'x', substr(c_name,6))
+        |         WHEN c_custkey % 4 = 2
+        |           THEN concat(substr(c_name,1,2), substr(c_name,4))
+        |         ELSE concat('zzzzzz', substr(c_name,7)) END AS dirty_name
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |), cg AS (
+        |  SELECT c_custkey, 0 AS band, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, length(c_name) - (q - 1)),
+        |    i -> substr(c_name, i, CAST(q AS INT))))) AS gram
+        |  FROM customer CROSS JOIN qw
+        |  UNION ALL
+        |  SELECT c_custkey, 1 AS band, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, length(c_name) - (q - 1) * 2),
+        |    i -> array_to_string(list_transform(
+        |      generate_series(0, CAST(q AS INT) - 1),
+        |      j -> substr(c_name, CAST(i + j * 2 AS INT), 1)), '')))) AS gram
+        |  FROM customer CROSS JOIN qw
+        |  UNION ALL
+        |  SELECT c_custkey, 2 AS band, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, length(c_name) - (q - 1)),
+        |    i -> concat(CAST(i AS VARCHAR), ':',
+        |                substr(c_name, i, CAST(q AS INT)))))) AS gram
+        |  FROM customer CROSS JOIN qw
+        |  UNION ALL
+        |  SELECT c_custkey, 3 AS band, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, length(c_name) - (q - 1)),
+        |    i -> concat(CAST(length(c_name) - i AS VARCHAR), ':',
+        |                substr(c_name, i, CAST(q AS INT)))))) AS gram
+        |  FROM customer CROSS JOIN qw
+        |), keep AS (
+        |  SELECT band, gram FROM (
+        |    SELECT band, gram, COUNT(*) AS df FROM cg GROUP BY 1, 2
+        |  ) t WHERE df <= $FuzzyMaxDf
+        |), deltas AS (
+        |  SELECT UNNEST(range(-$FuzzyK, ${FuzzyK + 1})) AS dd
+        |), dg AS (
+        |  SELECT probe_key, 0 AS band, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, length(dirty_name) - (q - 1)),
+        |    i -> substr(dirty_name, i, CAST(q AS INT))))) AS gram
+        |  FROM dirty CROSS JOIN qw
+        |  UNION ALL
+        |  SELECT probe_key, 1 AS band, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, length(dirty_name) - (q - 1) * 2),
+        |    i -> array_to_string(list_transform(
+        |      generate_series(0, CAST(q AS INT) - 1),
+        |      j -> substr(dirty_name, CAST(i + j * 2 AS INT), 1)), '')))) AS gram
+        |  FROM dirty CROSS JOIN qw
+        |  UNION ALL
+        |  SELECT probe_key, 2 AS band, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, length(dirty_name) - (q - 1)),
+        |    i -> concat(CAST(i + dd AS VARCHAR), ':',
+        |                substr(dirty_name, i, CAST(q AS INT)))))) AS gram
+        |  FROM dirty CROSS JOIN qw CROSS JOIN deltas
+        |  UNION ALL
+        |  SELECT probe_key, 3 AS band, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, length(dirty_name) - (q - 1)),
+        |    i -> concat(CAST(length(dirty_name) - i + dd AS VARCHAR), ':',
+        |                substr(dirty_name, i, CAST(q AS INT)))))) AS gram
+        |  FROM dirty CROSS JOIN qw CROSS JOIN deltas
+        |), cands AS (
+        |  SELECT DISTINCT probe_key, c_custkey
+        |  FROM dg JOIN keep USING (band, gram) JOIN cg USING (band, gram)
         |), verified AS (
         |  SELECT v.probe_key, v.c_custkey,
         |         levenshtein(d.dirty_name, c.c_name) AS dist

@@ -181,6 +181,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("rel_fuzzy_join_banded: every blocking join stays equi on (band, gram)") {
+    // OR-amplification must not cost the plan shape: the per-band
+    // posting joins are ONE equi join keyed (band, gram), and neither
+    // the blocking stage nor the assembled query ever falls back to a
+    // distance-matrix cross join.
+    val q = graft.queries.RelationalQueries.scaledFuzzyGram(
+      graft.sources.Tables.customer(spark, sfDir).count())
+    val (_, verified) =
+      graft.queries.RelationalQueries.fuzzyBandedVerified(spark, sfDir, q)
+    val blockPlan = verified.queryExecution.executedPlan.toString
+    assert(!blockPlan.contains("CartesianProduct"), blockPlan)
+    assert(!blockPlan.contains("BroadcastNestedLoop"), blockPlan)
+    assert(blockPlan.contains("band#") && blockPlan.contains("gram#"),
+      s"no (band, gram)-key join in:\n$blockPlan")
+    val plan = qe("rel_fuzzy_join_banded").executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("rel_sessionize: session assembly runs as a session-window aggregate, no self-join") {
     val plan = qe("rel_sessionize").executedPlan.toString
     // Spark plans session_window through the session exec nodes
