@@ -422,6 +422,80 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("rel_fuzzy_join_queue: >cap starved probes drain across runs oldest-first, all link, depth returns to 0") {
+    import org.apache.spark.sql.functions._
+    // synthetic staging that exceeds the drain cap: dfCap = 0 starves
+    // EVERY probe (no gram survives the cap), 5 starved probes arrive
+    // 4/1/0 across three runs against drainCap = 2, so the queue MUST
+    // carry probes across runs: run 1 drains 2 of its 4, run 2 drains
+    // the two LEFT-OVER run-1 probes (oldest-first) before touching
+    // its own arrival, run 3 drains the last.
+    val spark2 = spark
+    import spark2.implicits._
+    val cust = (1 to 60).map(i => (i.toLong, f"Entity#$i%04d"))
+      .toDF("c_custkey", "c_name")
+    val probes = cust.filter(col("c_custkey") <= 5)
+      .select(col("c_custkey").as("probe_key"),
+        concat(lit("X"),
+          col("c_name").substr(lit(2), length(col("c_name")))).as("dirty_name"))
+    val batches = Seq(
+      probes.filter(col("probe_key") <= 4),
+      probes.filter(col("probe_key") === 5),
+      probes.filter(lit(false)))
+    val rows = graft.queries.RelationalQueries.fuzzyQueueStaged(
+      spark, cust, batches, gram = 3, dfCap = 0, drainCap = 2,
+      storeDir = graft.sources.TempDirs.scratch("graft_fqspec_"))
+      .collect()
+    assert(rows.length == 5)
+    // eventually ALL drained — nothing left queued, depth back to 0
+    assert(rows.forall(_.getAs[Long]("drained_run") != -1L),
+      "a starved probe was never drained within capacity >= backlog")
+    val byRun = rows.groupBy(_.getAs[Long]("drained_run"))
+      .view.mapValues(_.map(_.getAs[Long]("probe_key")).sorted.toSeq).toMap
+    assert(byRun(1L) == Seq(1L, 2L), s"run-1 drains: ${byRun(1L)}")
+    // the carry-over + oldest-first pin: run 2 serves run-1 leftovers,
+    // not its own fresh arrival
+    assert(byRun(2L) == Seq(3L, 4L), s"run-2 drains: ${byRun(2L)}")
+    assert(rows.filter(_.getAs[Long]("drained_run") == 2L)
+      .forall(_.getAs[Long]("enq_run") == 1L),
+      "run 2 drained a younger probe while older ones waited")
+    assert(byRun(3L) == Seq(5L), s"run-3 drains: ${byRun(3L)}")
+    // per-run depth health report: 2 left after run 1, 1 after run 2
+    // (run-2 arrival still queued), 0 after run 3
+    val depth = rows.map(r => r.getAs[Long]("drained_run") ->
+      r.getAs[Long]("depth_after")).toMap
+    assert(depth == Map(1L -> 2L, 2L -> 1L, 3L -> 0L), depth.toString)
+    // zero false links: every drained probe recovers exactly its source
+    rows.foreach { r =>
+      assert(r.getAs[Long]("match_key") == r.getAs[Long]("probe_key"),
+        s"probe ${r.getAs[Long]("probe_key")} linked to ${r.getAs[Long]("match_key")}")
+      assert(r.getAs[Long]("dist") == 1L)
+    }
+  }
+
+  test("rel_fuzzy_join_banded: match set is a superset of the scaled form's, zero false links") {
+    val scaled = graft.queries.RelationalQueries
+      .queries("rel_fuzzy_join_scaled")(spark, dir).collect()
+      .map(r => r.getAs[Long]("probe_key") -> r.getAs[Long]("match_key")).toMap
+    val banded = graft.queries.RelationalQueries
+      .queries("rel_fuzzy_join_banded")(spark, dir).collect()
+    assert(banded.nonEmpty)
+    banded.foreach { r =>
+      val (probe, m) = (r.getAs[Long]("probe_key"), r.getAs[Long]("match_key"))
+      if (probe % 4 == 3) assert(m == -1L, s"mangled probe $probe matched $m")
+      else if (m >= 0) assert(m == probe, s"probe $probe false-linked to $m")
+      // banding only WIDENS the candidate set: anything the scaled
+      // form matched, the banded form matches identically
+      if (scaled(probe) >= 0)
+        assert(m == scaled(probe),
+          s"probe $probe: banded lost the scaled form's match")
+    }
+    val bandedMatched = banded.count(_.getAs[Long]("match_key") >= 0)
+    val scaledMatched = scaled.values.count(_ >= 0)
+    assert(bandedMatched >= scaledMatched,
+      s"banded matched $bandedMatched < scaled $scaledMatched")
+  }
+
   test("rel_fuzzy_join_scaled: width ladder rule holds; coincides with the fixed-width join where the rule lands on 3") {
     import graft.queries.RelationalQueries.scaledFuzzyGram
     // the integer ladder: 3 at driver scale, widening with log10(N),
