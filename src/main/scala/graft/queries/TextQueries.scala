@@ -173,6 +173,47 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** text_bm25/_incremental shared plumbing: the per-doc token frame
+    * (doc_id, toks, dl), the additive corpus-stat aggregates, and the
+    * scoring pass — one implementation, so the maintained-stats form
+    * converges to the one-shot oracle by construction.
+    */
+  private[graft] def bm25Base(d: DataFrame): DataFrame = {
+    val toks0 = TextAnalysis.tokens(col("text"))
+    d.select(col("doc_id"), toks0.as("toks"),
+      size(toks0).cast("long").as("dl"))
+  }
+
+  /** Per-term document-frequency aggregates (each additive — a sum of
+    * 0/1 indicators, which is what lets the segment store carry them).
+    */
+  private def bm25DfAggs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+    sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df$i")
+  }
+
+  /** BM25 scoring against a ONE-ROW stats frame (columns n, sumdl,
+    * df0..dfK): broadcast the stats, one row-local tf pass, TakeOrdered
+    * top-N. Integer-bit idf on a 1/16 grid: bitlen((16·(N+1)) div
+    * (df+1)) − 4 ≈ log2((N+1)/(df+1)) + 1, never saturating to 0 even
+    * for corpus-wide terms (df = N ⇒ w = 1) — plain bitlen(N+1) −
+    * bitlen(df+1) reads 0 for every df > N/2, which on a
+    * flat-vocabulary corpus zeroes the whole report.
+    */
+  private[graft] def bm25Score(base: DataFrame, st: DataFrame): DataFrame = {
+    val avgdl = col("sumdl").cast("double") / col("n").cast("double")
+    val norm = lit(1.0) - lit(Bm25B) + lit(Bm25B) *
+      (col("dl").cast("double") / avgdl)
+    val terms = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("toks"), x => x === t)).cast("double")
+      val w = (length(bin(expr(s"(16 * (n + 1)) div (df$i + 1)"))) - lit(4))
+        .cast("double")
+      w * ((tf * lit(Bm25K1 + 1.0)) / (tf + lit(Bm25K1) * norm))
+    }
+    base.crossJoin(broadcast(st))
+      .select(col("doc_id"), col("dl"), terms.reduce(_ + _).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(Bm25TopN)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "text_stats" -> ((s, dir) => {
@@ -373,32 +414,56 @@ object TextQueries {
     // shuffle) into a TakeOrderedAndProject; the corpus is scanned
     // once and only top-N rows move.
     "text_bm25" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val toks0 = TextAnalysis.tokens(col("text"))
-      val base = d.select(col("doc_id"), toks0.as("toks"),
-        size(toks0).cast("long").as("dl"))
-      val dfAggs = Bm25Terms.zipWithIndex.map { case (t, i) =>
-        sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df$i")
-      }
+      val base = bm25Base(Tables.documents(s, dir))
       val st = base.agg(count(lit(1)).as("n"),
-        (sum("dl").cast("long").as("sumdl") +: dfAggs): _*)
-      val avgdl = col("sumdl").cast("double") / col("n").cast("double")
-      val norm = lit(1.0) - lit(Bm25B) + lit(Bm25B) *
-        (col("dl").cast("double") / avgdl)
-      val terms = Bm25Terms.zipWithIndex.map { case (t, i) =>
-        val tf = size(filter(col("toks"), x => x === t)).cast("double")
-        // integer-bit idf on a 1/16 grid: bitlen((16·(N+1)) div (df+1))
-        // − 4 ≈ log2((N+1)/(df+1)) + 1, never saturating to 0 even for
-        // corpus-wide terms (df = N ⇒ w = 1) — plain bitlen(N+1) −
-        // bitlen(df+1) reads 0 for every df > N/2, which on a
-        // flat-vocabulary corpus zeroes the whole report
-        val w = (length(bin(expr(s"(16 * (n + 1)) div (df$i + 1)"))) - lit(4))
-          .cast("double")
-        w * ((tf * lit(Bm25K1 + 1.0)) / (tf + lit(Bm25K1) * norm))
+        (sum("dl").cast("long").as("sumdl") +: bm25DfAggs): _*)
+      bm25Score(base, st)
+    }),
+
+    // MAINTAINED BM25 STATS — the daily-crawl form of text_bm25's
+    // corpus statistics, and the FOURTH maintained model on the
+    // segment store (counts, LM, NB, now retrieval stats): N, Σdl and
+    // the per-term document frequencies are ADDITIVE, so each crawl
+    // batch appends ONE wide stats row (melted to (stat, v) partial
+    // rows) with zero reads of existing state, read-time summing
+    // reconstructs the exact one-shot totals (disjoint-batch partial
+    // sums are exact in BIGINT), and a mid-sequence compact proves
+    // the stats survive segment folding. The alternative a naive
+    // pipeline ships — re-scanning the full corpus per refresh for a
+    // six-number aggregate — is the cost this removes at 100 TB/day;
+    // scoring itself stays one row-local pass + TakeOrdered over
+    // whatever slice is being ranked. Converges bit-exactly to the
+    // text_bm25 oracle (same SQL).
+    "text_bm25_incremental" -> ((s, dir) => {
+      import graft.sources.SegmentStore
+      val path = s"${graft.sources.TempDirs.scratch("graft_bm_")}/segments"
+      val base = bm25Base(Tables.documents(s, dir))
+        .localCheckpoint(true) // 3 ingests + the scoring pass read it
+      val statNames = Seq("n", "sumdl") ++ Bm25Terms.indices.map(i => s"df$i")
+      def ingest(batch: org.apache.spark.sql.DataFrame): Unit = {
+        val wide = batch.agg(count(lit(1)).as("n"),
+          (sum("dl").cast("long").as("sumdl") +: bm25DfAggs): _*)
+        // melt to the store's additive (stat, v) shape; an empty batch
+        // sums to null — coalesce to the additive identity
+        SegmentStore.append(
+          wide.select(explode(array(statNames.map(nm =>
+            struct(lit(nm).as("stat"),
+              coalesce(col(nm).cast("long"), lit(0L)).as("v"))): _*)).as("s"))
+            .select(col("s.stat").as("stat"), col("s.v").as("v")),
+          path)
       }
-      base.crossJoin(broadcast(st))
-        .select(col("doc_id"), col("dl"), terms.reduce(_ + _).as("bm25"))
-        .orderBy(col("bm25").desc, col("doc_id")).limit(Bm25TopN)
+      ingest(base.filter(col("doc_id") % 3 === 0)) // day 1
+      ingest(base.filter(col("doc_id") % 3 === 1)) // day 2
+      SegmentStore.compact(s, path, Seq("stat"), "v")
+      ingest(base.filter(col("doc_id") % 3 === 2)) // day 3, post-compact
+      val m = SegmentStore.merged(s, path, Seq("stat"), "v")
+      val st = m.agg(
+        sum(when(col("stat") === "n", col("v")).otherwise(0L))
+          .cast("long").as("n"),
+        statNames.tail.map(nm =>
+          sum(when(col("stat") === nm, col("v")).otherwise(0L))
+            .cast("long").as(nm)): _*)
+      bm25Score(base, st)
     }),
 
     // LM-SURPRISAL quality filter (the CCNet/KenLM-perplexity signal
@@ -738,34 +803,12 @@ object TextQueries {
     // identical fixed-order double tree: integer-bit idf, exact-binary
     // k1/b literals, per-term scores summed as an expression (never a
     // float aggregate)
-    "text_bm25" -> {
-      val k1 = s"CAST($Bm25K1 AS DOUBLE)"
-      val k1p1 = s"CAST(${Bm25K1 + 1.0} AS DOUBLE)"
-      val b = s"CAST($Bm25B AS DOUBLE)"
-      val norm = s"(CAST(1.0 AS DOUBLE) - $b + $b * " +
-        "(CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))"
-      val terms = Bm25Terms.zipWithIndex.map { case (t, i) =>
-        val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
-        s"(CAST(length(bin((16 * (n + 1)) // (df$i + 1))) - 4 AS DOUBLE)" +
-          s" * (($tf * $k1p1) / ($tf + $k1 * $norm)))"
-      }.mkString(" + ")
-      val dfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
-      }.mkString(", ")
-      s"""WITH tok AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
-         |  FROM documents
-         |), base AS (
-         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM tok
-         |), st AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
-         |    $dfs
-         |  FROM base
-         |)
-         |SELECT doc_id, dl, $terms AS bm25
-         |FROM base CROSS JOIN st
-         |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopN""".stripMargin
-    },
+    "text_bm25" -> bm25Sql,
+
+    // the maintained segment store sums the additive partial stats —
+    // associative, so it converges to the one-shot BM25 report and
+    // shares its oracle
+    "text_bm25_incremental" -> bm25Sql,
 
     // same bigram tree as text_repetition; surprisal in exact integer
     // bits via bin()-length (both engines agree bit-for-bit), unseen
@@ -788,6 +831,39 @@ object TextQueries {
         |       quantile_cont(n, 0.99) AS p99
         |FROM tok GROUP BY lang ORDER BY lang""".stripMargin
   )
+
+  /** Shared by text_bm25 and text_bm25_incremental: the maintained
+    * stats are additive partial sums of the same BIGINT aggregates, so
+    * both forms reduce to this one report.
+    */
+  private lazy val bm25Sql: String = {
+    val k1 = s"CAST($Bm25K1 AS DOUBLE)"
+    val k1p1 = s"CAST(${Bm25K1 + 1.0} AS DOUBLE)"
+    val b = s"CAST($Bm25B AS DOUBLE)"
+    val norm = s"(CAST(1.0 AS DOUBLE) - $b + $b * " +
+      "(CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))"
+    val terms = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+      s"(CAST(length(bin((16 * (n + 1)) // (df$i + 1))) - 4 AS DOUBLE)" +
+        s" * (($tf * $k1p1) / ($tf + $k1 * $norm)))"
+    }.mkString(" + ")
+    val dfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+       |  FROM documents
+       |), base AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM tok
+       |), st AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+       |    $dfs
+       |  FROM base
+       |)
+       |SELECT doc_id, dl, $terms AS bm25
+       |FROM base CROSS JOIN st
+       |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopN""".stripMargin
+  }
 
   private lazy val lmSurprisalSql: String =
       s"""WITH aug AS (

@@ -398,6 +398,16 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     assert(scores.head > 0.0)
   }
 
+  test("text_bm25_incremental: staged additive stats converge bit-for-bit to the one-shot report") {
+    val oneShot = graft.queries.TextQueries
+      .queries("text_bm25")(spark, dir).collect().map(_.toSeq).toSeq
+    val maintained = graft.queries.TextQueries
+      .queries("text_bm25_incremental")(spark, dir).collect().map(_.toSeq).toSeq
+    assert(oneShot.nonEmpty)
+    assert(maintained == oneShot,
+      "maintained BM25 stats diverged from the one-shot corpus aggregate")
+  }
+
   test("rel_fuzzy_join_fallback: exactly the starved probes escalate; plants recover their source, zero false links") {
     val primary = graft.queries.RelationalQueries
       .queries("rel_fuzzy_join")(spark, dir).collect()
