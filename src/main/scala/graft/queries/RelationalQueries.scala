@@ -29,11 +29,13 @@ object RelationalQueries {
     * finalized user (~2% fp rate — harmless: a false positive only
     * routes that user through the exact anti-join; a miss is
     * impossible, so the prefilter is byte-exact by construction, the
-    * pipe_decontam_bloom discipline). Capacity is FROZEN at store
-    * creation because merged blooms must share geometry; past capacity
-    * the fp rate degrades gracefully (more exact-join traffic, never
-    * wrong results) and a rebuild-on-compact resizes it — the
-    * pq_code_stats retrain-trigger shape.
+    * pipe_decontam_bloom discipline). This is the INITIAL capacity;
+    * the store carries its own geometry (bf, n_items, capacity) —
+    * merges require identical geometry, so capacity stays frozen
+    * between resizes, and past 50% fill the maintenance rebuilds at a
+    * doubled capacity from the finalized store (amortized O(log)
+    * rebuilds; fp rate never degrades past the sizing's bound).
+    * rel_funnel_bloom_stats is the saturation health report.
     */
   final val FunnelBloomItems = 1L << 17
   final val FunnelBloomBitsPerItem = 8L
@@ -161,7 +163,8 @@ object RelationalQueries {
     * ingests; the driver query calls it with a scratch dir.
     */
   private[graft] def funnelIncremental(s: SparkSession, ev: DataFrame,
-      storeDirOpt: Option[String] = None): DataFrame = {
+      storeDirOpt: Option[String] = None,
+      bloomItems: Long = FunnelBloomItems): DataFrame = {
     val storeDir =
       storeDirOpt.getOrElse(graft.sources.TempDirs.scratch("graft_funi_"))
     val parts = 16
@@ -201,7 +204,7 @@ object RelationalQueries {
           fev.join(s.read.parquet(resPath).select("user_id"),
             Seq("user_id"), "left_anti")
         } else {
-          val bf = s.read.parquet(bloomPath)
+          val bf = s.read.parquet(bloomPath).select("bf")
           // null-safe routing: might_contain(null) is null, but a
           // null-user row can't be finalized — it must PASS (the plain
           // anti-join kept it: null never equi-matches)
@@ -237,28 +240,59 @@ object RelationalQueries {
       // sidecar maintenance: OR this batch's finalized ids into the
       // stored bloom (segment-append, not rebuild — the SegmentStore
       // shape: O(batch) aggregation + one numBits/8-byte driver merge,
-      // the finalized store is never rescanned). Geometry is frozen at
-      // FunnelBloomItems so merges stay compatible; see the constant's
-      // scaladoc for the saturation story.
-      val finBytes = fin.agg(graft.functions.SketchExprs.bloomFilterAgg(
-          col("user_id"), FunnelBloomItems,
-          FunnelBloomItems * FunnelBloomBitsPerItem).as("bf"))
-        .head().getAs[Array[Byte]]("bf") // ONE row, numBits/8 bytes
-      if (finBytes != null) {
+      // the finalized store is never rescanned on the append path).
+      // Geometry is FROZEN PER STORE, not per constant: the sidecar
+      // row carries (bf, n_items, capacity) so the store knows its own
+      // fill, and past 50% fill the maintenance REBUILDS at a doubled
+      // capacity from the finalized store — the one full scan a
+      // resize costs, amortized O(log n_items) by doubling (the
+      // pq_code_stats retrain trigger, wired instead of documented).
+      // n_items is exact, not estimated: batches' finalized sets are
+      // disjoint by the tombstone, so the running count is a sum.
+      val finIds = fin.filter(col("user_id").isNotNull).select("user_id")
+      val nNew = finIds.count()
+      if (nNew > 0) {
         import org.apache.spark.util.sketch.BloomFilter
-        val merged =
-          if (!hasParquetData(s, bloomPath)) finBytes
+        def build(ids: DataFrame, cap: Long): Array[Byte] =
+          ids.agg(graft.functions.SketchExprs.bloomFilterAgg(
+            col("user_id"), cap, cap * FunnelBloomBitsPerItem).as("bf"))
+            .head().getAs[Array[Byte]]("bf") // ONE row, numBits/8 bytes
+        val (oldBf, oldN, cap0) =
+          if (!hasParquetData(s, bloomPath))
+            (null: Array[Byte], 0L, bloomItems)
           else {
-            val old = BloomFilter.readFrom(new java.io.ByteArrayInputStream(
-              s.read.parquet(bloomPath).head().getAs[Array[Byte]]("bf")))
-            old.mergeInPlace(BloomFilter.readFrom(
-              new java.io.ByteArrayInputStream(finBytes)))
-            val bos = new java.io.ByteArrayOutputStream()
-            old.writeTo(bos)
-            bos.toByteArray
+            val r0 = s.read.parquet(bloomPath).head()
+            (r0.getAs[Array[Byte]]("bf"), r0.getAs[Long]("n_items"),
+              r0.getAs[Long]("capacity"))
+          }
+        val nItems = oldN + nNew
+        val (bytes, cap) =
+          if (2L * nItems > cap0) {
+            // fill-triggered resize: double until under half full,
+            // re-freeze, rebuild over ALL finalized ids (resPath
+            // already holds this batch's append)
+            var c = cap0
+            while (2L * nItems > c) c *= 2L
+            (build(s.read.parquet(resPath)
+              .filter(col("user_id").isNotNull).select("user_id"), c), c)
+          } else {
+            val batchBytes = build(finIds, cap0)
+            val merged =
+              if (oldBf == null) batchBytes
+              else {
+                val old = BloomFilter.readFrom(
+                  new java.io.ByteArrayInputStream(oldBf))
+                old.mergeInPlace(BloomFilter.readFrom(
+                  new java.io.ByteArrayInputStream(batchBytes)))
+                val bos = new java.io.ByteArrayOutputStream()
+                old.writeTo(bos)
+                bos.toByteArray
+              }
+            (merged, cap0)
           }
         import s.implicits._
-        Seq(merged).toDF("bf").coalesce(1)
+        Seq((bytes, nItems, cap)).toDF("bf", "n_items", "capacity")
+          .coalesce(1)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(bloomPath)
       }
@@ -1015,6 +1049,51 @@ object RelationalQueries {
     "rel_funnel_incremental" -> ((s, dir) =>
       funnelIncremental(s, Tables.events(s, dir))),
 
+    // The bloom sidecar's SATURATION HEALTH REPORT (the pq_code_stats /
+    // mm_band_stats discipline applied to the funnel tombstone): run
+    // the staged fold, then read the sidecar's own geometry row and
+    // measure it — exact items inserted vs frozen capacity, and the
+    // OBSERVED positive rate over the non-finalized user population
+    // (every positive there is a false positive by construction, since
+    // the bloom holds exactly the finalized set). n_items and n_probed
+    // are exact integers the oracle recomputes from the event history;
+    // the fp / fill columns are hash-gated invariants (within
+    // capacity, fp under the sizing's bound, no rebuild due at driver
+    // SFs) — the bloom's bit pattern itself is engine-specific, so the
+    // BOUND is the cross-engine contract, the ft_dbsize_approx twin
+    // pattern. The wired resize path (fill > 50% ⇒ doubled rebuild)
+    // is spec-exercised with a tiny initial capacity.
+    "rel_funnel_bloom_stats" -> ((s, dir) => {
+      val storeDir = graft.sources.TempDirs.scratch("graft_fbs_")
+      val ev = Tables.events(s, dir)
+      funnelIncremental(s, ev, Some(storeDir)) // ingests run eagerly
+      val bloomDf = s.read.parquet(s"$storeDir/bloom")
+        .localCheckpoint(true) // geometry row + probe subquery read it
+      val finU = s.read.parquet(s"$storeDir/results")
+        .filter(col("user_id").isNotNull).select("user_id")
+      val nonFin = ev
+        .filter(col("event_type").isin("view", "click", "purchase") &&
+          col("user_id").isNotNull)
+        .select("user_id").distinct()
+        .join(finU, Seq("user_id"), "left_anti")
+      val probed = nonFin.agg(
+        count(lit(1)).as("n_probed"),
+        sum(when(coalesce(graft.functions.SketchExprs.mightContain(
+          bloomDf.select("bf"), col("user_id")), lit(false)), 1L)
+          .otherwise(0L)).as("n_fp"))
+      bloomDf.select("n_items", "capacity").crossJoin(probed)
+        .select(
+          col("capacity"),
+          col("n_items"),
+          col("n_probed").cast("long").as("n_probed"),
+          (col("n_items") <= col("capacity")).as("within_capacity"),
+          // observed fp rate under the ~2% sizing bound (+ sampling
+          // slack to 5%): 20·fp <= probed, integers only
+          (lit(20L) * coalesce(col("n_fp"), lit(0L)) <= col("n_probed"))
+            .as("fp_rate_ok"),
+          (lit(2L) * col("n_items") > col("capacity")).as("rebuild_due"))
+    }),
+
     // USER SESSIONIZATION — the per-user form of ft_sessions with the
     // product-analytics payload: one row per (user, session) with the
     // event count, purchase count, and exact duration; the substrate
@@ -1658,6 +1737,33 @@ object RelationalQueries {
     // and the final read chains the still-pending buffer, so the
     // incremental result is the one-shot chain exactly
     "rel_funnel_incremental" -> funnelSql,
+
+    // exact integers recomputed from the event history (finalized =
+    // non-null users whose first view clears the staged fold's final
+    // watermark minus the funnel horizon); the fill/fp columns are
+    // literal-TRUE/FALSE invariants — the bloom's bit pattern is
+    // engine-specific, so the BOUND is the cross-engine contract
+    "rel_funnel_bloom_stats" ->
+      s"""WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), fin AS (
+        |  SELECT user_id FROM v
+        |  WHERE user_id IS NOT NULL
+        |    AND t_view + INTERVAL ${FunnelClickWindowHours + FunnelBuyWindowHours} HOUR
+        |        < TIMESTAMP '2024-01-06 00:00:00'
+        |), u AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')
+        |    AND user_id IS NOT NULL
+        |)
+        |SELECT CAST($FunnelBloomItems AS BIGINT) AS capacity,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fin) AS n_items,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM u
+        |   WHERE user_id NOT IN (SELECT user_id FROM fin)) AS n_probed,
+        |  TRUE AS within_capacity,
+        |  TRUE AS fp_rate_ok,
+        |  FALSE AS rebuild_due""".stripMargin,
 
     "rel_retention" -> retentionSql,
 

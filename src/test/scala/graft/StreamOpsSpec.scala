@@ -477,6 +477,44 @@ class StreamOpsSpec extends AnyFunSuite {
       s"$fps/${nonFin.length} non-finalized users false-positive — sidecar not selective")
   }
 
+  test("funnel bloom resize: past-50% fill triggers a doubled rebuild that stays complete and convergent") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val storeDir = graft.sources.TempDirs.scratch("graft_fbr_spec_")
+    // initial capacity 4 — far under this corpus's finalized count, so
+    // the first ingest already blows past 50% fill and the maintenance
+    // MUST take the resize path (doubling until half-empty)
+    val inc = graft.queries.RelationalQueries
+      .funnelIncremental(spark, ev, Some(storeDir), bloomItems = 4L)
+      .as[(Long, Timestamp, Long, Timestamp, Timestamp)].collect().toSeq
+    val oneShot = StreamOps.funnel(ev,
+        graft.queries.RelationalQueries.FunnelClickWindowHours * 3600L * 1000L,
+        graft.queries.RelationalQueries.FunnelBuyWindowHours * 3600L * 1000L,
+        "1 hour")
+      .orderBy("user_id")
+      .as[(Long, Timestamp, Long, Timestamp, Timestamp)].collect().toSeq
+    assert(inc == oneShot,
+      "resize path broke the fold's convergence to the one-shot funnel")
+    val row = spark.read.parquet(s"$storeDir/bloom").head()
+    val (nItems, cap) =
+      (row.getAs[Long]("n_items"), row.getAs[Long]("capacity"))
+    val finIds = spark.read.parquet(s"$storeDir/results")
+      .filter(col("user_id").isNotNull)
+      .select("user_id").collect().map(_.getLong(0))
+    // exact item accounting and the post-resize fill invariant
+    assert(nItems == finIds.length.toLong,
+      s"n_items $nItems != finalized count ${finIds.length}")
+    assert(cap > 4L && (cap & (cap - 1L)) == 0L,
+      s"capacity $cap not a doubled power of two")
+    assert(2L * nItems <= cap, s"store still past 50% fill: $nItems/$cap")
+    // the rebuilt bloom is COMPLETE over the finalized set — the
+    // never-false-negative contract survives the re-freeze
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("bf")))
+    assert(finIds.nonEmpty && finIds.forall(bf.mightContain),
+      "rebuilt bloom missed a finalized id")
+  }
+
   test("incremental funnel carries null-ts views to the one-shot result") {
     import spark.implicits._
     // the events contract admits null ts: a range-staged fold would
