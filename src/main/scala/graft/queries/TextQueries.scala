@@ -49,6 +49,14 @@ object TextQueries {
   final val Bm25B = 0.75
   final val Bm25TopN = 100
 
+  /** text_bpe_train: number of byte-pair merges learned. Small by
+    * design — the gate hash-matches a DuckDB replay of the SAME
+    * deterministic merge sequence, and each round is one unrolled CTE
+    * block in the (static) oracle text; production trains thousands of
+    * rounds with the identical per-round aggregates.
+    */
+  final val BpeMerges = 6
+
   private val langHitsSql: String = LangProfiles.map { case (lang, words) =>
     val list = words.map(w => s"'$w'").mkString(", ")
     s"len(list_filter(toks, t -> t IN ($list))) AS h_$lang"
@@ -466,6 +474,70 @@ object TextQueries {
       bm25Score(base, st)
     }),
 
+    // TRAINED BPE MERGES — the tokenizer-training step text_tokens'
+    // pre-tokenizer assumes: iterative top-pair merge (Sennrich et al.
+    // 2016) over the word-frequency vocabulary, [[BpeMerges]] rounds.
+    // Each round is ONE map-side-combined pair-count aggregate over
+    // the vocab (a few hundred rows here, vocab-bounded at any corpus
+    // size — the corpus itself is scanned ONCE for word counts), one
+    // deterministic top-1 (count desc, pair asc — no float anywhere),
+    // and a row-local merge application. Words ride a self-delimited
+    // symbol encoding ("<a><b>…"), so applying a merge is a plain
+    // left-to-right non-overlapping string replace — the SAME
+    // primitive in Spark and DuckDB, which is what lets the oracle
+    // replay the identical greedy semantics (a fold-based apply would
+    // hinge on engine lambda quirks). Output: merge rank, the pair,
+    // its count, and the post-merge piece stats (total weighted
+    // pieces + distinct piece types) — the compression trajectory a
+    // tokenizer-training report shows. K rows via a bounded driver
+    // assembly (K = [[BpeMerges]], constant).
+    "text_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+      def syms(c: org.apache.spark.sql.Column) =
+        split(trim(c, "<>"), "><")
+      var vocab = d
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"),
+          concat(lit("<"),
+            array_join(transform(sequence(lit(1), length(col("w"))),
+              i => col("w").substr(i, lit(1))), "><"),
+            lit(">")).as("wrapped"))
+        .localCheckpoint(true)
+      val rows = (1 to BpeMerges).map { r =>
+        val top = vocab
+          .select(col("cnt"), syms(col("wrapped")).as("sy"))
+          .filter(size(col("sy")) >= 2) // a 1-symbol word has no pair
+          // (and sequence(1, 0) would DESCEND and fabricate one)
+          .select(col("cnt"),
+            explode(transform(sequence(lit(1), size(col("sy")) - 1),
+              i => struct(element_at(col("sy"), i).as("a"),
+                element_at(col("sy"), i + 1).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("cnt").cast("long").as("pc"))
+          .orderBy(col("pc").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()(0) // ONE row — the round's winning pair
+        val (a, b, pc) = (top.getAs[String]("a"), top.getAs[String]("b"),
+          top.getAs[Long]("pc"))
+        vocab = vocab
+          .select(col("cnt"),
+            expr(s"replace(wrapped, '<$a><$b>', '<$a$b>')").as("wrapped"))
+          .localCheckpoint(true) // flatten the per-round lineage
+        val np = vocab
+          .select(col("cnt"), syms(col("wrapped")).as("sy"))
+          .agg(sum(col("cnt") * size(col("sy"))).cast("long").as("np"))
+          .head().getAs[Long]("np")
+        val nt = vocab
+          .select(explode(syms(col("wrapped"))).as("p"))
+          .agg(countDistinct("p").as("nt"))
+          .head().getAs[Long]("nt")
+        (r.toLong, a, b, pc, np, nt)
+      }
+      rows.toDF("merge_rank", "lhs", "rhs", "pair_count", "n_pieces",
+        "n_piece_types").orderBy("merge_rank")
+    }),
+
     // LM-SURPRISAL quality filter (the CCNet/KenLM-perplexity signal
     // class): a token-bigram language model is TRAINED on 90% of the
     // corpus (doc_id % 10 != 0) and the held-out 10% is SCORED by mean
@@ -803,6 +875,52 @@ object TextQueries {
     // identical fixed-order double tree: integer-bit idf, exact-binary
     // k1/b literals, per-term scores summed as an expression (never a
     // float aggregate)
+    // the K-round merge loop unrolled: one (pairs, top-1, apply,
+    // stats) CTE block per round, the same deterministic (count desc,
+    // pair asc) winner and the same non-overlapping string replace
+    "text_bpe_train" -> {
+      val rounds = (1 to BpeMerges).map { r =>
+        s"""p$r AS (
+           |  SELECT p[1] AS a, p[2] AS b, CAST(SUM(cnt) AS BIGINT) AS pc
+           |  FROM (
+           |    SELECT cnt, UNNEST(list_transform(generate_series(1, len(sy) - 1),
+           |      i -> [sy[i], sy[i + 1]])) AS p
+           |    FROM (SELECT cnt, string_split(trim(wrapped, '<>'), '><') AS sy
+           |          FROM v${r - 1})
+           |    WHERE len(sy) >= 2
+           |  ) GROUP BY 1, 2
+           |), t$r AS (
+           |  SELECT a, b, pc FROM p$r ORDER BY pc DESC, a, b LIMIT 1
+           |), v$r AS (
+           |  SELECT cnt, replace(wrapped,
+           |    '<' || t.a || '><' || t.b || '>',
+           |    '<' || t.a || t.b || '>') AS wrapped
+           |  FROM v${r - 1} CROSS JOIN t$r t
+           |), s$r AS (
+           |  SELECT
+           |    (SELECT CAST(SUM(cnt * len(string_split(trim(wrapped, '<>'), '><'))) AS BIGINT)
+           |     FROM v$r) AS np,
+           |    (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) FROM
+           |      (SELECT UNNEST(string_split(trim(wrapped, '<>'), '><')) AS p
+           |       FROM v$r) q) AS nt
+           |)""".stripMargin
+      }.mkString(", ")
+      val sels = (1 to BpeMerges).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_rank, t$r.a AS lhs, t$r.b AS rhs, " +
+          s"t$r.pc AS pair_count, s$r.np AS n_pieces, s$r.nt AS n_piece_types " +
+          s"FROM t$r, s$r").mkString(" UNION ALL ")
+      s"""WITH v0 AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    '<' || array_to_string(list_transform(
+         |      generate_series(1, length(w)), i -> substr(w, i, 1)), '><')
+         |      || '>' AS wrapped
+         |  FROM (SELECT UNNEST(list_filter(string_split(text, ' '),
+         |          t -> t != '')) AS w FROM documents)
+         |  GROUP BY w
+         |), $rounds
+         |SELECT * FROM ($sels) ORDER BY merge_rank""".stripMargin
+    },
+
     "text_bm25" -> bm25Sql,
 
     // the maintained segment store sums the additive partial stats —

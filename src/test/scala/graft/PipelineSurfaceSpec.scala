@@ -398,6 +398,36 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     assert(scores.head > 0.0)
   }
 
+  test("text_bpe_train: K deterministic merges, compression monotone, one new piece type per round") {
+    val rows = graft.queries.TextQueries
+      .queries("text_bpe_train")(spark, dir).collect()
+    assert(rows.length == graft.queries.TextQueries.BpeMerges)
+    // pair counts are positive and the winning pair is applied: total
+    // weighted pieces strictly DECREASE by exactly the pair count
+    // (every merged occurrence removes one symbol)
+    rows.foreach(r => assert(r.getAs[Long]("pair_count") > 0L))
+    val np = rows.map(_.getAs[Long]("n_pieces"))
+    np.zip(np.tail).zip(rows.tail).foreach { case ((prev, cur), r) =>
+      assert(cur == prev - r.getAs[Long]("pair_count"),
+        s"round ${r.getAs[Long]("merge_rank")}: pieces $prev -> $cur " +
+          s"but pair_count ${r.getAs[Long]("pair_count")}")
+    }
+    // each round mints exactly one new piece type (the merged symbol;
+    // constituents may or may not survive elsewhere, so types grow by
+    // AT MOST one and never shrink by more than two — here the corpus
+    // keeps constituents alive, so it's +1 exactly)
+    val nt = rows.map(_.getAs[Long]("n_piece_types"))
+    nt.zip(nt.tail).foreach { case (a, b) => assert(b <= a + 1) }
+    // a learned merge can itself be merged later (the "m"+"er" shape)
+    // — the lhs/rhs strings are non-empty tokens over the corpus
+    // alphabet, and ranks are 1..K in order
+    assert(rows.map(_.getAs[Long]("merge_rank")).toSeq ==
+      (1 to graft.queries.TextQueries.BpeMerges).map(_.toLong))
+    rows.foreach { r =>
+      assert(r.getAs[String]("lhs").nonEmpty && r.getAs[String]("rhs").nonEmpty)
+    }
+  }
+
   test("text_bm25_incremental: staged additive stats converge bit-for-bit to the one-shot report") {
     val oneShot = graft.queries.TextQueries
       .queries("text_bm25")(spark, dir).collect().map(_.toSeq).toSeq
