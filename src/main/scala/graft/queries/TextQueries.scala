@@ -222,6 +222,55 @@ object TextQueries {
       .orderBy(col("bm25").desc, col("doc_id")).limit(Bm25TopN)
   }
 
+  /** text_bpe_train's K-round loop, factored so text_bpe_apply can
+    * reuse the learned sequence (see the query comment for the
+    * algorithm and determinism argument). Returns one tuple per round:
+    * (rank, lhs, rhs, pair_count, n_pieces, n_piece_types).
+    */
+  private[graft] def bpeTrainRounds(s: SparkSession, d: DataFrame)
+      : Seq[(Long, String, String, Long, Long, Long)] = {
+    def syms(c: org.apache.spark.sql.Column) =
+      split(trim(c, "<>"), "><")
+    var vocab = d
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        concat(lit("<"),
+          array_join(transform(sequence(lit(1), length(col("w"))),
+            i => col("w").substr(i, lit(1))), "><"),
+          lit(">")).as("wrapped"))
+      .localCheckpoint(true)
+    (1 to BpeMerges).map { r =>
+      val top = vocab
+        .select(col("cnt"), syms(col("wrapped")).as("sy"))
+        .filter(size(col("sy")) >= 2) // a 1-symbol word has no pair
+        // (and sequence(1, 0) would DESCEND and fabricate one)
+        .select(col("cnt"),
+          explode(transform(sequence(lit(1), size(col("sy")) - 1),
+            i => struct(element_at(col("sy"), i).as("a"),
+              element_at(col("sy"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").cast("long").as("pc"))
+        .orderBy(col("pc").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()(0) // ONE row — the round's winning pair
+      val (a, b, pc) = (top.getAs[String]("a"), top.getAs[String]("b"),
+        top.getAs[Long]("pc"))
+      vocab = vocab
+        .select(col("cnt"),
+          expr(s"replace(wrapped, '<$a><$b>', '<$a$b>')").as("wrapped"))
+        .localCheckpoint(true) // flatten the per-round lineage
+      val np = vocab
+        .select(col("cnt"), syms(col("wrapped")).as("sy"))
+        .agg(sum(col("cnt") * size(col("sy"))).cast("long").as("np"))
+        .head().getAs[Long]("np")
+      val nt = vocab
+        .select(explode(syms(col("wrapped"))).as("p"))
+        .agg(countDistinct("p").as("nt"))
+        .head().getAs[Long]("nt")
+      (r.toLong, a, b, pc, np, nt)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "text_stats" -> ((s, dir) => {
@@ -493,49 +542,47 @@ object TextQueries {
     // assembly (K = [[BpeMerges]], constant).
     "text_bpe_train" -> ((s, dir) => {
       import s.implicits._
+      bpeTrainRounds(s, Tables.documents(s, dir))
+        .toDF("merge_rank", "lhs", "rhs", "pair_count", "n_pieces",
+          "n_piece_types").orderBy("merge_rank")
+    }),
+
+    // The trained tokenizer APPLIED — the train→apply loop closed:
+    // the [[BpeMerges]] learned merges (re-trained here; a production
+    // pipeline loads them from the training run's artifact) are
+    // applied IN RANK ORDER to every word of every document, and the
+    // report is the per-doc segmentation cost a curation run budgets
+    // by: words, post-BPE pieces, and fertility (pieces per word —
+    // text_tokens' signal under the CORPUS-FITTED tokenizer instead
+    // of the fixed pre-tokenizer). Entirely row-local after the
+    // driver-side merge list is frozen: wrap, K chained replaces,
+    // count pieces, aggregate within the row — no shuffle but the
+    // output sort. The oracle re-derives the same merge sequence (the
+    // unrolled training CTEs) and applies it with the same
+    // non-overlapping replace chain.
+    "text_bpe_apply" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      def syms(c: org.apache.spark.sql.Column) =
-        split(trim(c, "<>"), "><")
-      var vocab = d
-        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("cnt"))
-        .select(col("cnt"),
+      val merges = bpeTrainRounds(s, d).map(r => (r._2, r._3))
+      def applied(t: org.apache.spark.sql.Column) =
+        merges.foldLeft(
           concat(lit("<"),
-            array_join(transform(sequence(lit(1), length(col("w"))),
-              i => col("w").substr(i, lit(1))), "><"),
-            lit(">")).as("wrapped"))
-        .localCheckpoint(true)
-      val rows = (1 to BpeMerges).map { r =>
-        val top = vocab
-          .select(col("cnt"), syms(col("wrapped")).as("sy"))
-          .filter(size(col("sy")) >= 2) // a 1-symbol word has no pair
-          // (and sequence(1, 0) would DESCEND and fabricate one)
-          .select(col("cnt"),
-            explode(transform(sequence(lit(1), size(col("sy")) - 1),
-              i => struct(element_at(col("sy"), i).as("a"),
-                element_at(col("sy"), i + 1).as("b")))).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum("cnt").cast("long").as("pc"))
-          .orderBy(col("pc").desc, col("a").asc, col("b").asc)
-          .limit(1).collect()(0) // ONE row — the round's winning pair
-        val (a, b, pc) = (top.getAs[String]("a"), top.getAs[String]("b"),
-          top.getAs[Long]("pc"))
-        vocab = vocab
-          .select(col("cnt"),
-            expr(s"replace(wrapped, '<$a><$b>', '<$a$b>')").as("wrapped"))
-          .localCheckpoint(true) // flatten the per-round lineage
-        val np = vocab
-          .select(col("cnt"), syms(col("wrapped")).as("sy"))
-          .agg(sum(col("cnt") * size(col("sy"))).cast("long").as("np"))
-          .head().getAs[Long]("np")
-        val nt = vocab
-          .select(explode(syms(col("wrapped"))).as("p"))
-          .agg(countDistinct("p").as("nt"))
-          .head().getAs[Long]("nt")
-        (r.toLong, a, b, pc, np, nt)
-      }
-      rows.toDF("merge_rank", "lhs", "rhs", "pair_count", "n_pieces",
-        "n_piece_types").orderBy("merge_rank")
+            array_join(transform(sequence(lit(1), length(t)),
+              i => t.substr(i, lit(1))), "><"),
+            lit(">"))) { case (acc, (a, b)) =>
+          replace(acc, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+        }
+      def pieceCount(c: org.apache.spark.sql.Column) =
+        (length(c) - length(replace(c, lit("<"), lit("")))).cast("long")
+      d.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_words"),
+          aggregate(transform(col("toks"), t => pieceCount(applied(t))),
+            lit(0L), (acc, x) => acc + x).as("n_pieces"))
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          when(col("n_words") > 0L,
+            col("n_pieces").cast("double") / col("n_words").cast("double"))
+            .otherwise(lit(0.0)).as("fertility"))
+        .orderBy("doc_id")
     }),
 
     // LM-SURPRISAL quality filter (the CCNet/KenLM-perplexity signal
@@ -879,46 +926,45 @@ object TextQueries {
     // stats) CTE block per round, the same deterministic (count desc,
     // pair asc) winner and the same non-overlapping string replace
     "text_bpe_train" -> {
-      val rounds = (1 to BpeMerges).map { r =>
-        s"""p$r AS (
-           |  SELECT p[1] AS a, p[2] AS b, CAST(SUM(cnt) AS BIGINT) AS pc
-           |  FROM (
-           |    SELECT cnt, UNNEST(list_transform(generate_series(1, len(sy) - 1),
-           |      i -> [sy[i], sy[i + 1]])) AS p
-           |    FROM (SELECT cnt, string_split(trim(wrapped, '<>'), '><') AS sy
-           |          FROM v${r - 1})
-           |    WHERE len(sy) >= 2
-           |  ) GROUP BY 1, 2
-           |), t$r AS (
-           |  SELECT a, b, pc FROM p$r ORDER BY pc DESC, a, b LIMIT 1
-           |), v$r AS (
-           |  SELECT cnt, replace(wrapped,
-           |    '<' || t.a || '><' || t.b || '>',
-           |    '<' || t.a || t.b || '>') AS wrapped
-           |  FROM v${r - 1} CROSS JOIN t$r t
-           |), s$r AS (
-           |  SELECT
-           |    (SELECT CAST(SUM(cnt * len(string_split(trim(wrapped, '<>'), '><'))) AS BIGINT)
-           |     FROM v$r) AS np,
-           |    (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) FROM
-           |      (SELECT UNNEST(string_split(trim(wrapped, '<>'), '><')) AS p
-           |       FROM v$r) q) AS nt
-           |)""".stripMargin
-      }.mkString(", ")
       val sels = (1 to BpeMerges).map(r =>
         s"SELECT CAST($r AS BIGINT) AS merge_rank, t$r.a AS lhs, t$r.b AS rhs, " +
           s"t$r.pc AS pair_count, s$r.np AS n_pieces, s$r.nt AS n_piece_types " +
           s"FROM t$r, s$r").mkString(" UNION ALL ")
-      s"""WITH v0 AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
-         |    '<' || array_to_string(list_transform(
-         |      generate_series(1, length(w)), i -> substr(w, i, 1)), '><')
-         |      || '>' AS wrapped
-         |  FROM (SELECT UNNEST(list_filter(string_split(text, ' '),
-         |          t -> t != '')) AS w FROM documents)
-         |  GROUP BY w
-         |), $rounds
+      s"""WITH $bpeRoundsCtes
          |SELECT * FROM ($sels) ORDER BY merge_rank""".stripMargin
+    },
+
+    // the trained sequence re-derived (same unrolled rounds), the K
+    // winners gathered into one broadcastable row, and the apply is
+    // the identical non-overlapping replace chain in rank order
+    "text_bpe_apply" -> {
+      val mgCols = (1 to BpeMerges).map(r =>
+        s"(SELECT a FROM t$r) AS a$r, (SELECT b FROM t$r) AS b$r").mkString(", ")
+      val wrap = "'<' || array_to_string(list_transform(" +
+        "generate_series(1, length(t)), i -> substr(t, i, 1)), '><') || '>'"
+      val rep = (1 to BpeMerges).foldLeft(wrap) { (acc, r) =>
+        s"replace($acc, '<' || a$r || '><' || b$r || '>', '<' || a$r || b$r || '>')"
+      }
+      s"""WITH $bpeRoundsCtes, mg AS (
+         |  SELECT $mgCols
+         |)
+         |SELECT doc_id, n_words, n_pieces,
+         |  CASE WHEN n_words > 0
+         |       THEN CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |       ELSE CAST(0.0 AS DOUBLE) END AS fertility
+         |FROM (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(COALESCE(list_sum(list_transform(ms,
+         |      m -> length(m) - length(replace(m, '<', '')))), 0) AS BIGINT)
+         |      AS n_pieces
+         |  FROM (
+         |    SELECT doc_id, toks, list_transform(toks, t -> $rep) AS ms
+         |    FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+         |            t -> t != '') AS toks FROM documents)
+         |    CROSS JOIN mg
+         |  )
+         |)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "text_bm25" -> bm25Sql,
@@ -949,6 +995,51 @@ object TextQueries {
         |       quantile_cont(n, 0.99) AS p99
         |FROM tok GROUP BY lang ORDER BY lang""".stripMargin
   )
+
+  /** The BPE training loop unrolled as static CTEs (v0 + one
+    * (pairs, top-1, apply, stats) block per round) — shared by the
+    * text_bpe_train oracle and text_bpe_apply's re-derivation.
+    */
+  private lazy val bpeRoundsCtes: String = {
+    val rounds = (1 to BpeMerges).map { r =>
+      s"""p$r AS (
+         |  SELECT p[1] AS a, p[2] AS b, CAST(SUM(cnt) AS BIGINT) AS pc
+         |  FROM (
+         |    SELECT cnt, UNNEST(list_transform(generate_series(1, len(sy) - 1),
+         |      i -> [sy[i], sy[i + 1]])) AS p
+         |    FROM (SELECT cnt, string_split(trim(wrapped, '<>'), '><') AS sy
+         |          FROM v${r - 1})
+         |    WHERE len(sy) >= 2
+         |  ) GROUP BY 1, 2
+         |), t$r AS (
+         |  SELECT a, b, pc FROM p$r ORDER BY pc DESC, a, b LIMIT 1
+         |), v$r AS (
+         |  SELECT cnt, replace(wrapped,
+         |    '<' || t.a || '><' || t.b || '>',
+         |    '<' || t.a || t.b || '>') AS wrapped
+         |  FROM v${r - 1} CROSS JOIN t$r t
+         |), s$r AS (
+         |  SELECT
+         |    (SELECT CAST(SUM(cnt * len(string_split(trim(wrapped, '<>'), '><'))) AS BIGINT)
+         |     FROM v$r) AS np,
+         |    (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) FROM
+         |      (SELECT UNNEST(string_split(trim(wrapped, '<>'), '><')) AS p
+         |       FROM v$r) q) AS nt
+         |)""".stripMargin
+    }.mkString(", ")
+    // NOTE: this string is interpolated into templates that apply
+    // their own stripMargin, so no line here may BEGIN with '||' (a
+    // second strip would eat one pipe and corrupt the concat operator)
+    s"""v0 AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    concat('<', array_to_string(list_transform(
+       |      generate_series(1, length(w)), i -> substr(w, i, 1)), '><'),
+       |      '>') AS wrapped
+       |  FROM (SELECT UNNEST(list_filter(string_split(text, ' '),
+       |          t -> t != '')) AS w FROM documents)
+       |  GROUP BY w
+       |), $rounds""".stripMargin
+  }
 
   /** Shared by text_bm25 and text_bm25_incremental: the maintained
     * stats are additive partial sums of the same BIGINT aggregates, so

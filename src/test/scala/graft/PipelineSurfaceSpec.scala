@@ -428,6 +428,29 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("text_bpe_apply: segmentation bounded by chars and words, merges actually compress") {
+    val rows = graft.queries.TextQueries
+      .queries("text_bpe_apply")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // per-doc: at least one piece per word, never more pieces than
+    // characters (a merge can only shrink the char segmentation)
+    val chars = graft.queries.TextQueries.queries("text_stats")(spark, dir)
+      .select("doc_id", "n_token_chars").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_token_chars")).toMap
+    var merged = 0L
+    rows.foreach { r =>
+      val (id, w, p, f) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_pieces"), r.getAs[Double]("fertility"))
+      assert(p >= w, s"doc $id: fewer pieces than words")
+      assert(p <= chars(id), s"doc $id: more pieces than characters")
+      merged += chars(id) - p
+      if (w > 0) assert(math.abs(f - p.toDouble / w.toDouble) == 0.0)
+    }
+    // the learned merges fire somewhere: the corpus-wide segmentation
+    // is strictly below the character baseline
+    assert(merged > 0L, "no merge ever applied — training and apply are disconnected")
+  }
+
   test("text_bm25_incremental: staged additive stats converge bit-for-bit to the one-shot report") {
     val oneShot = graft.queries.TextQueries
       .queries("text_bm25")(spark, dir).collect().map(_.toSeq).toSeq
