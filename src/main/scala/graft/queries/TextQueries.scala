@@ -257,7 +257,8 @@ object TextQueries {
         top.getAs[Long]("pc"))
       vocab = vocab
         .select(col("cnt"),
-          expr(s"replace(wrapped, '<$a><$b>', '<$a$b>')").as("wrapped"))
+          replace(col("wrapped"), lit(s"<$a><$b>"), lit(s"<$a$b>"))
+            .as("wrapped")) // literal args, no SQL-text round-trip
         .localCheckpoint(true) // flatten the per-round lineage
       val np = vocab
         .select(col("cnt"), syms(col("wrapped")).as("sy"))
