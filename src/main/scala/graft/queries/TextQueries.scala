@@ -199,6 +199,40 @@ object TextQueries {
     sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df$i")
   }
 
+  private def bm25StatNames: Seq[String] =
+    Seq("n", "sumdl") ++ Bm25Terms.indices.map(i => s"df$i")
+
+  /** One maintenance ingest: the batch's additive corpus stats (doc
+    * count, Σdl, per-term df) melted to (stat, v) partial rows and
+    * APPENDED to the segment store — zero reads of existing state, the
+    * same call from a batch staging or a streaming foreachBatch sink.
+    * An empty batch sums to null; coalesce to the additive identity.
+    */
+  private[graft] def bm25IngestStats(batch: DataFrame, path: String): Unit = {
+    val wide = batch.agg(count(lit(1)).as("n"),
+      (sum("dl").cast("long").as("sumdl") +: bm25DfAggs): _*)
+    graft.sources.SegmentStore.append(
+      wide.select(explode(array(bm25StatNames.map(nm =>
+        struct(lit(nm).as("stat"),
+          coalesce(col(nm).cast("long"), lit(0L)).as("v"))): _*)).as("s"))
+        .select(col("s.stat").as("stat"), col("s.v").as("v")),
+      path)
+  }
+
+  /** Read-time reconstruction of the ONE-ROW stats frame from the
+    * store's summed partials (disjoint-batch sums = one-shot totals
+    * exactly, all BIGINT).
+    */
+  private[graft] def bm25StatsFromStore(s: SparkSession, path: String): DataFrame = {
+    val m = graft.sources.SegmentStore.merged(s, path, Seq("stat"), "v")
+    m.agg(
+      sum(when(col("stat") === "n", col("v")).otherwise(0L))
+        .cast("long").as("n"),
+      bm25StatNames.tail.map(nm =>
+        sum(when(col("stat") === nm, col("v")).otherwise(0L))
+          .cast("long").as(nm)): _*)
+  }
+
   /** BM25 scoring against a ONE-ROW stats frame (columns n, sumdl,
     * df0..dfK): broadcast the stats, one row-local tf pass, TakeOrdered
     * top-N. Integer-bit idf on a 1/16 grid: bitlen((16·(N+1)) div
@@ -497,31 +531,11 @@ object TextQueries {
       val path = s"${graft.sources.TempDirs.scratch("graft_bm_")}/segments"
       val base = bm25Base(Tables.documents(s, dir))
         .localCheckpoint(true) // 3 ingests + the scoring pass read it
-      val statNames = Seq("n", "sumdl") ++ Bm25Terms.indices.map(i => s"df$i")
-      def ingest(batch: org.apache.spark.sql.DataFrame): Unit = {
-        val wide = batch.agg(count(lit(1)).as("n"),
-          (sum("dl").cast("long").as("sumdl") +: bm25DfAggs): _*)
-        // melt to the store's additive (stat, v) shape; an empty batch
-        // sums to null — coalesce to the additive identity
-        SegmentStore.append(
-          wide.select(explode(array(statNames.map(nm =>
-            struct(lit(nm).as("stat"),
-              coalesce(col(nm).cast("long"), lit(0L)).as("v"))): _*)).as("s"))
-            .select(col("s.stat").as("stat"), col("s.v").as("v")),
-          path)
-      }
-      ingest(base.filter(col("doc_id") % 3 === 0)) // day 1
-      ingest(base.filter(col("doc_id") % 3 === 1)) // day 2
+      bm25IngestStats(base.filter(col("doc_id") % 3 === 0), path) // day 1
+      bm25IngestStats(base.filter(col("doc_id") % 3 === 1), path) // day 2
       SegmentStore.compact(s, path, Seq("stat"), "v")
-      ingest(base.filter(col("doc_id") % 3 === 2)) // day 3, post-compact
-      val m = SegmentStore.merged(s, path, Seq("stat"), "v")
-      val st = m.agg(
-        sum(when(col("stat") === "n", col("v")).otherwise(0L))
-          .cast("long").as("n"),
-        statNames.tail.map(nm =>
-          sum(when(col("stat") === nm, col("v")).otherwise(0L))
-            .cast("long").as(nm)): _*)
-      bm25Score(base, st)
+      bm25IngestStats(base.filter(col("doc_id") % 3 === 2), path) // day 3
+      bm25Score(base, bm25StatsFromStore(s, path))
     }),
 
     // TRAINED BPE MERGES — the tokenizer-training step text_tokens'

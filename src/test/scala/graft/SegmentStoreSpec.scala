@@ -91,6 +91,42 @@ class SegmentStoreSpec extends AnyFunSuite {
     assert(got == want, "streamed partial sums diverged from the one-shot counts")
   }
 
+  test("streaming BM25 stats maintenance: foreachBatch ingests converge to the one-shot report") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the retrieval-stats model maintained FROM A STREAM: documents
+    // arrive as micro-batches, each foreachBatch calls the SAME ingest
+    // the batch staging uses (bm25IngestStats — additive melt +
+    // zero-read append), and scoring against the reconstructed stats
+    // row must equal the one-shot text_bm25 report byte-for-byte
+    val dir = "/root/testdata/sf0.001"
+    val path = tmpStore
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").localCheckpoint(true)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = mem.toDF().toDF("batch_no").writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // each stream element names a day-slice of the crawl
+        b.collect().foreach { r =>
+          val day = r.getLong(0)
+          graft.queries.TextQueries.bm25IngestStats(
+            graft.queries.TextQueries.bm25Base(
+              docs.filter(col("doc_id") % 3 === day)), path)
+        }
+      }.start()
+    try {
+      (0L until 3L).foreach { d => mem.addData(d); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = graft.queries.TextQueries.bm25Score(
+        graft.queries.TextQueries.bm25Base(docs),
+        graft.queries.TextQueries.bm25StatsFromStore(spark, path))
+      .collect().map(_.toSeq).toSeq
+    val oneShot = graft.queries.TextQueries.queries("text_bm25")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(oneShot.nonEmpty && streamed == oneShot,
+      "stream-maintained BM25 stats diverged from the one-shot report")
+  }
+
   test("compact swaps via a sibling temp dir and leaves no staging debris") {
     val path = tmpStore
     SegmentStore.append(batch("a" -> 1L), path)
