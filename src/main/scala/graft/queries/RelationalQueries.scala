@@ -138,9 +138,10 @@ object RelationalQueries {
     * Shared with StreamOpsSpec so the spec's "both store branches are
     * live" probe can never drift from what the query actually reads.
     */
-  private[graft] def hasPartData(p: String): Boolean = {
-    val f = new java.io.File(p)
-    f.isDirectory && f.listFiles.exists(_.getName.startsWith("part="))
+  private[graft] def hasPartData(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("part="))
   }
 
   /** Unpartitioned-parquet presence via the Hadoop FileSystem of the
@@ -174,7 +175,7 @@ object RelationalQueries {
     val resPath = s"$storeDir/results"
     val pendPath = s"$storeDir/pending"
     val bloomPath = s"$storeDir/bloom"
-    def hasData(p: String) = hasPartData(p)
+    def hasData(p: String) = hasPartData(s, p)
     def chain(e: DataFrame): DataFrame =
       graft.streaming.StreamOps.funnel(e, w1Ms, w2Ms, "1 hour")
     def ingest(batch: DataFrame, wm: org.apache.spark.sql.Column): Unit = {
@@ -198,9 +199,10 @@ object RelationalQueries {
           // batch was all-null user_ids so bloom_filter_agg produced
           // nothing, or a crash landed between the results append and
           // the bloom write): the sidecar is an OPTIMIZATION, so fall
-          // back to the plain exact anti-join rather than failing —
-          // the two-file update needs no recovery story because the
-          // bloom-less path is always correct.
+          // back to the plain exact anti-join rather than failing;
+          // the maintenance below then rebuilds the bloom from the
+          // FULL results store (never the batch alone), restoring the
+          // never-false-negative contract on the next write.
           fev.join(s.read.parquet(resPath).select("user_id"),
             Seq("user_id"), "left_anti")
         } else {
@@ -250,51 +252,72 @@ object RelationalQueries {
       // n_items is exact, not estimated: batches' finalized sets are
       // disjoint by the tombstone, so the running count is a sum.
       val finIds = fin.filter(col("user_id").isNotNull).select("user_id")
-      val nNew = finIds.count()
-      if (nNew > 0) {
-        import org.apache.spark.util.sketch.BloomFilter
-        def build(ids: DataFrame, cap: Long): Array[Byte] =
-          ids.agg(graft.functions.SketchExprs.bloomFilterAgg(
-            col("user_id"), cap, cap * FunnelBloomBitsPerItem).as("bf"))
-            .head().getAs[Array[Byte]]("bf") // ONE row, numBits/8 bytes
-        val (oldBf, oldN, cap0) =
-          if (!hasParquetData(s, bloomPath))
-            (null: Array[Byte], 0L, bloomItems)
-          else {
-            val r0 = s.read.parquet(bloomPath).head()
-            (r0.getAs[Array[Byte]]("bf"), r0.getAs[Long]("n_items"),
-              r0.getAs[Long]("capacity"))
-          }
-        val nItems = oldN + nNew
-        val (bytes, cap) =
-          if (2L * nItems > cap0) {
-            // fill-triggered resize: double until under half full,
-            // re-freeze, rebuild over ALL finalized ids (resPath
-            // already holds this batch's append)
-            var c = cap0
-            while (2L * nItems > c) c *= 2L
-            (build(s.read.parquet(resPath)
-              .filter(col("user_id").isNotNull).select("user_id"), c), c)
-          } else {
-            val batchBytes = build(finIds, cap0)
-            val merged =
-              if (oldBf == null) batchBytes
-              else {
-                val old = BloomFilter.readFrom(
-                  new java.io.ByteArrayInputStream(oldBf))
-                old.mergeInPlace(BloomFilter.readFrom(
-                  new java.io.ByteArrayInputStream(batchBytes)))
-                val bos = new java.io.ByteArrayOutputStream()
-                old.writeTo(bos)
-                bos.toByteArray
-              }
-            (merged, cap0)
-          }
+      import org.apache.spark.util.sketch.BloomFilter
+      def build(ids: DataFrame, cap: Long): Array[Byte] =
+        ids.agg(graft.functions.SketchExprs.bloomFilterAgg(
+          col("user_id"), cap, cap * FunnelBloomBitsPerItem).as("bf"))
+          .head().getAs[Array[Byte]]("bf") // ONE row, numBits/8 bytes
+      val (oldBf, oldN, cap0) =
+        if (!hasParquetData(s, bloomPath))
+          (null: Array[Byte], 0L, bloomItems)
+        else {
+          val r0 = s.read.parquet(bloomPath).head()
+          (r0.getAs[Array[Byte]]("bf"), r0.getAs[Long]("n_items"),
+            r0.getAs[Long]("capacity"))
+        }
+      // ONE pass over the batch: finalized count and the batch bloom
+      // come out of the same aggregation job
+      val batchRow = finIds.agg(
+        count(lit(1)).as("n"),
+        graft.functions.SketchExprs.bloomFilterAgg(col("user_id"),
+          cap0, cap0 * FunnelBloomBitsPerItem).as("bf")).head()
+      val nNew = batchRow.getAs[Long]("n")
+      def writeSidecar(bytes: Array[Byte], nItems: Long, cap: Long): Unit = {
         import s.implicits._
         Seq((bytes, nItems, cap)).toDF("bf", "n_items", "capacity")
           .coalesce(1)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(bloomPath)
+      }
+      def grow(cap0: Long, nItems: Long): Long = {
+        var c = cap0; while (2L * nItems > c) c *= 2L; c
+      }
+      if (nNew > 0 && oldBf == null) {
+        // no sidecar yet: the first finalized batch — OR recovery
+        // after a crash between the results append and the bloom
+        // write, in which case resPath holds MORE than this batch.
+        // Rebuild from the STORE (and count it exactly), never from
+        // the batch alone: a batch-only bloom would be
+        // false-negative-capable and silently re-admit earlier
+        // finalized users. First-batch cost is identical (the store
+        // IS the batch); recovery pays one store scan, which is the
+        // recovery's price.
+        val allIds = s.read.parquet(resPath)
+          .filter(col("user_id").isNotNull).select("user_id")
+          .localCheckpoint(true) // count + build both read it
+        val nItems = allIds.count()
+        val cap = grow(cap0, nItems)
+        writeSidecar(build(allIds, cap), nItems, cap)
+      } else if (nNew > 0) {
+        val nItems = oldN + nNew
+        if (2L * nItems > cap0) {
+          // fill-triggered resize: double until under half full,
+          // re-freeze, rebuild over ALL finalized ids (resPath
+          // already holds this batch's append)
+          val cap = grow(cap0, nItems)
+          writeSidecar(build(s.read.parquet(resPath)
+            .filter(col("user_id").isNotNull).select("user_id"), cap),
+            nItems, cap)
+        } else {
+          val old = BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(oldBf))
+          old.mergeInPlace(BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(
+              batchRow.getAs[Array[Byte]]("bf"))))
+          val bos = new java.io.ByteArrayOutputStream()
+          old.writeTo(bos)
+          writeSidecar(bos.toByteArray, nItems, cap0)
+        }
       }
       // pending': non-finalized users' events under the tighten-only
       // bound; a null v (no view yet) behaves as +infinity, so `least`
@@ -1067,10 +1090,21 @@ object RelationalQueries {
       val storeDir = graft.sources.TempDirs.scratch("graft_fbs_")
       val ev = Tables.events(s, dir)
       funnelIncremental(s, ev, Some(storeDir)) // ingests run eagerly
-      val bloomDf = s.read.parquet(s"$storeDir/bloom")
+      import s.implicits._
+      val bloomDf = (
+        // a corpus where no non-null user ever finalizes leaves no
+        // sidecar — report the empty geometry (the oracle's n_items
+        // is 0 there too) instead of failing on the missing path
+        if (!hasParquetData(s, s"$storeDir/bloom"))
+          Seq((null: Array[Byte], 0L, FunnelBloomItems))
+            .toDF("bf", "n_items", "capacity")
+        else s.read.parquet(s"$storeDir/bloom"))
         .localCheckpoint(true) // geometry row + probe subquery read it
-      val finU = s.read.parquet(s"$storeDir/results")
-        .filter(col("user_id").isNotNull).select("user_id")
+      val finU =
+        if (!hasPartData(s, s"$storeDir/results"))
+          Seq.empty[Long].toDF("user_id")
+        else s.read.parquet(s"$storeDir/results")
+          .filter(col("user_id").isNotNull).select("user_id")
       val nonFin = ev
         .filter(col("event_type").isin("view", "click", "purchase") &&
           col("user_id").isNotNull)

@@ -403,14 +403,18 @@ class PipelineSurfaceSpec extends AnyFunSuite {
       .queries("text_bpe_train")(spark, dir).collect()
     assert(rows.length == graft.queries.TextQueries.BpeMerges)
     // pair counts are positive and the winning pair is applied: total
-    // weighted pieces strictly DECREASE by exactly the pair count
-    // (every merged occurrence removes one symbol)
+    // weighted pieces strictly DECREASE, by at most the pair count —
+    // each merged occurrence removes one symbol, but a SELF-ADJACENT
+    // winner (lhs == rhs) counts overlapping pairs ("aaa" holds 2
+    // (a,a) pairs yet merges once), so exact equality only holds when
+    // no counted occurrence overlaps another
     rows.foreach(r => assert(r.getAs[Long]("pair_count") > 0L))
     val np = rows.map(_.getAs[Long]("n_pieces"))
     np.zip(np.tail).zip(rows.tail).foreach { case ((prev, cur), r) =>
-      assert(cur == prev - r.getAs[Long]("pair_count"),
+      val pc = r.getAs[Long]("pair_count")
+      assert(cur < prev && cur >= prev - pc,
         s"round ${r.getAs[Long]("merge_rank")}: pieces $prev -> $cur " +
-          s"but pair_count ${r.getAs[Long]("pair_count")}")
+          s"outside (prev - pair_count, prev) for pair_count $pc")
     }
     // each round mints exactly one new piece type (the merged symbol;
     // constituents may or may not survive elsewhere, so types grow by

@@ -436,7 +436,7 @@ class StreamOpsSpec extends AnyFunSuite {
     // and the read-time union branch dead code, and this spec vacuous);
     // the probe is the QUERY'S OWN hasPartData, so the check cannot
     // drift from what the fold actually reads
-    def hasData(p: String) = graft.queries.RelationalQueries.hasPartData(p)
+    def hasData(p: String) = graft.queries.RelationalQueries.hasPartData(spark, p)
     assert(hasData(s"$storeDir/results"),
       "no user finalized — the maintained-results branch never ran")
     assert(hasData(s"$storeDir/pending"),
@@ -513,6 +513,52 @@ class StreamOpsSpec extends AnyFunSuite {
       new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("bf")))
     assert(finIds.nonEmpty && finIds.forall(bf.mightContain),
       "rebuilt bloom missed a finalized id")
+  }
+
+  test("funnel bloom recovery: results-without-bloom store rebuilds from the FULL finalized set, not the batch") {
+    import spark.implicits._
+    // stage the crash state the bloomless fallback tolerates: a
+    // results store holding earlier-finalized users A=1, B=2 with NO
+    // sidecar (crash landed between the results append and the bloom
+    // write). The next staged fold finalizes a NEW user C=3 in its
+    // first ingest — recovery must rebuild the bloom from the STORE
+    // (A, B, C), because a batch-only bloom would read A as
+    // definitely-not-finalized and re-admit A's later event.
+    val storeDir = graft.sources.TempDirs.scratch("graft_fbrec_spec_")
+    val seeded = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L,
+        null.asInstanceOf[Timestamp], null.asInstanceOf[Timestamp]),
+      (2L, Timestamp.valueOf("2024-01-01 01:00:00"), 1L,
+        null.asInstanceOf[Timestamp], null.asInstanceOf[Timestamp]))
+      .toDF("user_id", "t_view", "reached", "t_click", "t_purchase")
+    seeded.withColumn("part", pmod(col("user_id"), lit(16L)))
+      .repartition(col("part"))
+      .write.partitionBy("part").parquet(s"$storeDir/results")
+    val ev = Seq(
+      (3L, "view", Timestamp.valueOf("2024-01-01 02:00:00")), // finalizes ingest 1
+      (1L, "view", Timestamp.valueOf("2024-01-22 00:00:00")), // A again — must tombstone
+      (4L, "view", Timestamp.valueOf("2024-01-11 00:00:00"))) // stays pending
+      .toDF("user_id", "event_type", "ts")
+    val out = graft.queries.RelationalQueries
+      .funnelIncremental(spark, ev, Some(storeDir))
+      .collect()
+    // A appears exactly once (the seeded row) — a batch-only recovery
+    // bloom would re-admit A's Jan-22 view and emit a second A row
+    val aRows = out.filter(_.getAs[Long]("user_id") == 1L)
+    assert(aRows.length == 1, s"user A emitted ${aRows.length} rows")
+    assert(aRows.head.getAs[Timestamp]("t_view") ==
+      Timestamp.valueOf("2024-01-01 00:00:00"),
+      "user A's seeded finalized row was overwritten")
+    assert(out.map(_.getAs[Long]("user_id")).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // the rebuilt sidecar covers the WHOLE finalized set with exact
+    // accounting
+    val row = spark.read.parquet(s"$storeDir/bloom").head()
+    assert(row.getAs[Long]("n_items") == 3L,
+      s"n_items ${row.getAs[Long]("n_items")} != 3 finalized users")
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("bf")))
+    assert(Seq(1L, 2L, 3L).forall(bf.mightContain),
+      "recovered bloom missed a previously finalized id")
   }
 
   test("incremental funnel carries null-ts views to the one-shot result") {
