@@ -269,6 +269,72 @@ object DedupQueries {
         .cast("long").as("mass"))
       .head().getLong(0)
 
+  /** dedup_clusters_incremental's assignment-store partition count. */
+  final val CcParts = 16L
+
+  /** One maintenance ingest of the MAINTAINED cluster assignment — a
+    * third maintenance shape next to the additive segment store and
+    * the key-replace indexes: component labels are MONOTONE (min-label
+    * only ever decreases), so merging a batch of new duplicate pairs
+    * never needs the full-graph BSP loop the one-shot dedup_clusters
+    * runs. Per ingest: (1) lift the batch's endpoints to their current
+    * labels — two equi joins against the assignment, the one linear
+    * pass (AQE broadcasts the batch side); (2) run connected
+    * components on the LABEL GRAPH (nodes = touched labels, edges =
+    * cross-component batch pairs — batch-bounded, a few rounds over a
+    * tiny frame); (3) rewrite ONLY the label partitions the remap
+    * touches (the AnnIndex upsert discipline: read touched `part`
+    * dirs, remap, dynamic-overwrite, drop fully-vacated dirs).
+    * Correctness is an invariant, not a hope: if the store holds
+    * min-label components of all pairs seen so far, merging components
+    * by label-graph CC with `least` labels yields min-label components
+    * of the union — so the staged form converges bit-exactly to the
+    * one-shot oracle regardless of how pairs are batched.
+    */
+  private[graft] def ccIngest(s: SparkSession, storePath: String,
+      pairBatch: DataFrame): Unit = {
+    def assign = s.read.parquet(storePath)
+    val edges = pairBatch
+      .join(assign.select(col("id").as("id_a"), col("label").as("la")), "id_a")
+      .join(assign.select(col("id").as("id_b"), col("label").as("lb")), "id_b")
+      .filter(col("la") =!= col("lb")) // same-component pairs are no-ops
+      .select(col("la").as("id_a"), col("lb").as("id_b"))
+      .distinct().localCheckpoint(true) // label-graph CC + emptiness read it
+    if (!edges.isEmpty) {
+      val lblNodes = edges.select(col("id_a").as("id"))
+        .unionByName(edges.select(col("id_b").as("id"))).distinct()
+      val remap = Dedup.connectedComponents(lblNodes, edges)
+        .filter(col("id") =!= col("label"))
+        .select(col("id").as("old_label"), col("label").as("new_label"))
+        .localCheckpoint(true) // part probe + rewrite join read it
+      val touched = remap
+        .select(pmod(col("old_label"), lit(CcParts)).as("part"))
+        .unionByName(remap.select(pmod(col("new_label"), lit(CcParts)).as("part")))
+        .distinct().collect().map(_.getLong(0)) // <= CcParts rows
+      val cur = assign.filter(col("part").isin(touched.map(Long.box): _*))
+      val updated = cur
+        .join(remap, cur("label") === remap("old_label"), "left")
+        .select(col("id"),
+          coalesce(col("new_label"), col("label")).as("label"))
+        .withColumn("part", pmod(col("label"), lit(CcParts)))
+        .localCheckpoint(true) // materialize before overwriting source
+      updated.repartition(col("part"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part").parquet(storePath)
+      // dynamic overwrite only rewrites directories present in the
+      // write: a touched dir whose every component moved out gets
+      // nothing written and would keep stale rows — drop it
+      val written = updated.select("part").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(storePath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      touched.filterNot(written).foreach { p =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$storePath/part=$p"), true)
+      }
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy on the text fingerprint.
@@ -297,6 +363,39 @@ object DedupQueries {
         minhashPairs(s, dir).select("id_a", "id_b"))
       val sizes = cc.groupBy("label").agg(count(lit(1)).as("cluster_size"))
       cc.join(sizes, "label")
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"))
+        .orderBy("doc_id")
+    }),
+
+    // MAINTAINED duplicate clusters ([[ccIngest]]): the assignment
+    // store seeds every corpus doc as a singleton, then the verified
+    // pair stream lands in three staged batches — each merged by
+    // label-graph CC with only the touched label partitions rewritten,
+    // no full-graph BSP loop after the seed. The daily-crawl shape:
+    // yesterday's cluster state absorbs today's verified pairs for
+    // O(batch + touched components) instead of re-clustering the
+    // corpus. Transitive merges ACROSS batches are the point (a~b in
+    // batch 1, b~c in batch 3 must land a, b, c in one cluster) and
+    // the min-label invariant makes them exact: converges bit-for-bit
+    // to the one-shot dedup_clusters oracle under any batching.
+    "dedup_clusters_incremental" -> ((s, dir) => {
+      val storePath = s"${graft.sources.TempDirs.scratch("graft_cci_")}/assign"
+      corpus(s, dir).select(col("doc_id").as("id"))
+        .select(col("id"), col("id").as("label"))
+        .withColumn("part", pmod(col("label"), lit(CcParts)))
+        .repartition(col("part"))
+        .write.partitionBy("part").parquet(storePath)
+      val pairs = minhashPairs(s, dir).select("id_a", "id_b")
+        .localCheckpoint(true) // three batch filters read it
+      (0L until 3L).foreach { b =>
+        ccIngest(s, storePath,
+          pairs.filter(pmod(col("id_a") + col("id_b"), lit(3L)) === b))
+      }
+      val a = s.read.parquet(storePath).select("id", "label")
+        .localCheckpoint(true) // sizes + final join read it
+      val sizes = a.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      a.join(sizes, "label")
         .select(col("id").as("doc_id"), col("label").as("cluster_id"),
           col("cluster_size"))
         .orderBy("doc_id")
@@ -678,6 +777,31 @@ object DedupQueries {
        |WHERE CAST(inter AS DOUBLE) / (CAST(sa.sz + sb.sz AS DOUBLE) - CAST(inter AS DOUBLE)) >= $JaccardThreshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Shared by dedup_clusters and dedup_clusters_incremental: the
+    * recursive-CTE transitive closure over the verified pair set with
+    * min-doc_id labels — the one-shot clustering the maintained
+    * assignment must converge to.
+    */
+  private lazy val clustersSql: String =
+    s"""WITH RECURSIVE $corpusCte, $shinglesCte, $minhashPairsCtes,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM corpus
+       |  UNION
+       |  SELECT e.dst AS id, r.r FROM reach r JOIN edges e ON e.src = r.id
+       |), lbl AS (
+       |  SELECT id, CAST(MIN(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id
+       |), szs AS (
+       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM lbl GROUP BY 1
+       |)
+       |SELECT l.id AS doc_id, l.cluster_id, s.cluster_size
+       |FROM lbl l JOIN szs s USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "dedup_exact" ->
@@ -692,25 +816,12 @@ object DedupQueries {
 
     // Min reachable id per doc via a recursive closure over the
     // symmetrized pair edges == the component's min id (cluster_id).
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $corpusCte, $shinglesCte, $minhashPairsCtes,
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT id_b AS src, id_a AS dst FROM pairs
-         |), reach AS (
-         |  SELECT doc_id AS id, doc_id AS r FROM corpus
-         |  UNION
-         |  SELECT e.dst AS id, r.r FROM reach r JOIN edges e ON e.src = r.id
-         |), lbl AS (
-         |  SELECT id, CAST(MIN(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id
-         |), szs AS (
-         |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
-         |  FROM lbl GROUP BY 1
-         |)
-         |SELECT l.id AS doc_id, l.cluster_id, s.cluster_size
-         |FROM lbl l JOIN szs s USING (cluster_id)
-         |ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> clustersSql,
+
+    // the maintained assignment converges bit-exactly to the one-shot
+    // clustering under any pair batching (min-label monotonicity), so
+    // both forms share one oracle
+    "dedup_clusters_incremental" -> clustersSql,
 
     "dedup_simhash" ->
       s"""WITH $corpusCte,

@@ -42,7 +42,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "sim_ann_opq_ivfpq_idx", "pipe_quality_nb_incremental",
     "rel_fuzzy_join_scaled", "mm_band_stats", "rel_fuzzy_join_banded",
     "rel_fuzzy_join_queue", "text_bm25_incremental",
-    "rel_funnel_bloom_stats", "text_bpe_train", "text_bpe_apply")
+    "rel_funnel_bloom_stats", "text_bpe_train", "text_bpe_apply",
+    "dedup_clusters_incremental")
 
   test("cacheManager gains no entries after each reusing query builder runs") {
     // SharedState (and its CacheManager) is per-SparkContext, shared with

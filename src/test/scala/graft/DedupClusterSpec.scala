@@ -21,6 +21,48 @@ class DedupClusterSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("maintained assignment: cross-batch transitive merges, partition-pruned rewrites, vacated dirs dropped") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    val storePath =
+      s"${graft.sources.TempDirs.scratch("graft_ccispec_")}/assign"
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L)
+    nodes.toDF("id").select(col("id"), col("id").as("label"))
+      .withColumn("part", pmod(col("label"), lit(DedupQueries.CcParts)))
+      .write.partitionBy("part").parquet(storePath)
+    def ingest(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      DedupQueries.ccIngest(spark, storePath, pairs.toDF("id_a", "id_b"))
+      spark.read.parquet(storePath).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    }
+    // batch 1: {2,3} merge (label 2), {6,7} merge (label 6)
+    val a1 = ingest(Seq((2L, 3L), (6L, 7L)))
+    assert(a1 == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 4L,
+      5L -> 5L, 6L -> 6L, 7L -> 6L))
+    // batch 2: the TRANSITIVE case — edge (1,3) arrives against a node
+    // whose label is already 2; the label-graph merge must relabel the
+    // WHOLE {2,3} component to 1, including member 2, which the batch
+    // never mentions
+    val a2 = ingest(Seq((1L, 3L)))
+    assert(a2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 6L, 7L -> 6L))
+    // batch 3: merge the two grown components via their non-label
+    // members (3 ~ 7): one cluster rooted at the global min
+    val a3 = ingest(Seq((3L, 7L)))
+    assert(a3 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 1L, 7L -> 1L))
+    // an empty / no-op batch (same-component pair) leaves the store
+    // untouched
+    val a4 = ingest(Seq((1L, 2L)))
+    assert(a4 == a3)
+    // store hygiene: every surviving partition directory matches its
+    // rows' labels (a fully-vacated dir would hold stale labels)
+    val parts = spark.read.parquet(storePath)
+      .select(pmod(col("label"), lit(DedupQueries.CcParts)).as("expect"),
+        col("part").cast("long").as("part")).collect() // dir-name partition values infer as int
+    parts.foreach(r => assert(r.getAs[Long]("expect") == r.getAs[Long]("part")))
+  }
+
   test("transitive chain closes into one cluster labeled by its min id") {
     // a-b, b-c, c-d: no (a,d) pair ever surfaced, yet all four must join.
     // A chain is also the worst case for propagation rounds (diameter 3).
