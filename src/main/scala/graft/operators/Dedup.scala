@@ -175,13 +175,29 @@ object Dedup {
     * driver-side loop holds no data — it only counts changed labels to
     * detect the fixpoint, the standard Pregel-style termination check.
     *
+    * Driver chattiness: each round is ONE job (the eager checkpoint of
+    * the propagated labels, which carries a `chg` flag computed in the
+    * SAME join — no second shuffle join against the previous labels)
+    * plus an `isEmpty` scan over the materialized blocks, which
+    * early-terminates on the first changed row. Under a contended
+    * scheduler per-job latency compounds, so the round structure — not
+    * the data volume — is what sets the wall clock here (the round-12
+    * driver-bench lesson).
+    *
     * @param nodes single-column `id` DataFrame (every corpus member —
     *              isolated docs become their own singleton cluster)
     * @param edges `id_a`/`id_b` pair DataFrame (undirected; symmetrized
     *              internally)
+    * @param requireConverged throw instead of returning silently-stale
+    *              labels when the loop hits `maxIter` before fixpoint —
+    *              MANDATORY on store-mutating paths (a truncated
+    *              convergence would persist wrong labels and compound
+    *              across later ingests; a one-shot query's error is at
+    *              least transient)
     * @return (id, label) — label = min id of the component
     */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25,
+      requireConverged: Boolean = false): DataFrame = {
     // localCheckpoint (eager), NOT persist: persist caches the DATA but
     // every action still re-analyzes the full logical lineage, which here
     // grows by one join+agg layer per round on top of the entire
@@ -203,21 +219,29 @@ object Dedup {
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
-    var changed = 1L
+    var changed = true
     var iter = 0
-    while (changed > 0L && iter < maxIter) {
+    while (changed && iter < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nbr_min"))
+      // prev label is ALREADY on the join — carry the changed flag out
+      // of the same pass instead of re-joining next against labels
+      // (the re-join was a whole extra shuffle join per round)
       val next = labels.join(nbrMin, Seq("id"))
-        .select(col("id"), least(col("label"), col("nbr_min")).as("label"))
+        .select(col("id"), least(col("label"), col("nbr_min")).as("label"),
+          (col("nbr_min") < col("label")).as("chg"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("id"), col("label").as("prev")), "id")
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
+      // scan of the materialized blocks, early-out on the first hit
+      changed = !next.filter(col("chg")).isEmpty
+      labels = next.select("id", "label")
       iter += 1
     }
+    if (changed && requireConverged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIter rounds — a label " +
+          "chain longer than maxIter would persist WRONG labels on a " +
+          "maintained store; raise maxIter or split the batch")
     // untouched nodes are their own singleton clusters
     nodes.select(col("id")).join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))

@@ -303,7 +303,10 @@ object DedupQueries {
     if (!edges.isEmpty) {
       val lblNodes = edges.select(col("id_a").as("id"))
         .unionByName(edges.select(col("id_b").as("id"))).distinct()
-      val remap = Dedup.connectedComponents(lblNodes, edges)
+      // requireConverged: this CC's labels are PERSISTED — a silent
+      // maxIter truncation would compound across later ingests
+      val remap = Dedup.connectedComponents(lblNodes, edges,
+          requireConverged = true)
         .filter(col("id") =!= col("label"))
         .select(col("id").as("old_label"), col("label").as("new_label"))
         .localCheckpoint(true) // part probe + rewrite join read it

@@ -474,8 +474,9 @@ object RelationalQueries {
     * contiguous family's (+2·[[FuzzyK]]x on the probe's positional
     * bands), linear in the corpus.
     */
-  private def fuzzyBandedGrams(df: DataFrame, keyCol: String,
-      nameCol: String, gram: Int, probe: Boolean) = {
+  private[graft] def fuzzyBandedGrams(df: DataFrame, keyCol: String,
+      nameCol: String, gram: Int, probe: Boolean,
+      bandsUsed: Seq[Int] = 0 until FuzzyBands) = {
     val nm = col(nameCol)
     val deltas: Seq[Int] = if (probe) -FuzzyK to FuzzyK else Seq(0)
     def anchors(span: Int) =
@@ -494,9 +495,11 @@ object RelationalQueries {
           i => concat(pos(i).plus(lit(d)).cast("string"), lit(":"), contiguous(i)))): _*))
     val b2 = positional(identity)
     val b3 = positional(i => length(nm) - i)
-    val perBand = Seq(b0, b1, b2, b3).zipWithIndex.map { case (arr, b) =>
-      transform(arr, g => struct(lit(b).as("band"), g.as("gram")))
-    }
+    val perBand = Seq(b0, b1, b2, b3).zipWithIndex
+      .filter { case (_, b) => bandsUsed.contains(b) }
+      .map { case (arr, b) =>
+        transform(arr, g => struct(lit(b).as("band"), g.as("gram")))
+      }
     df.select(col(keyCol), explode(flatten(array(perBand: _*))).as("bg"))
       .select(col(keyCol), col("bg.band").as("band"), col("bg.gram").as("gram"))
   }
@@ -511,19 +514,20 @@ object RelationalQueries {
     * all-pairs) exactly as fuzzyVerified is.
     */
   private[graft] def fuzzyBandedVerified(s: SparkSession, dir: String,
-      gram: Int): (DataFrame, DataFrame) = {
+      gram: Int,
+      bandsUsed: Seq[Int] = 0 until FuzzyBands): (DataFrame, DataFrame) = {
     val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
     val dirty = dirtyProbes(cust)
       .localCheckpoint(true) // grams, verify, and final join read it
     val cleanGrams = fuzzyBandedGrams(cust, "c_custkey", "c_name", gram,
-        probe = false)
+        probe = false, bandsUsed)
       .localCheckpoint(true) // feeds the df count AND the posting join
     val keep = cleanGrams.groupBy("band", "gram")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= FuzzyMaxDf)
       .select("band", "gram")
     val cands = fuzzyBandedGrams(dirty, "probe_key", "dirty_name", gram,
-        probe = true)
+        probe = true, bandsUsed)
       .join(keep, Seq("band", "gram")) // informative grams only, per band
       .join(cleanGrams, Seq("band", "gram"))
       .select("probe_key", "c_custkey").distinct() // cross-band dedup
@@ -1181,8 +1185,17 @@ object RelationalQueries {
     // in the final sort. The synthetic corpus
     // is deliberately uniform (natural max |z| ~ 3.0), so a 3x burst is
     // PLANTED on clicks/Jan-15 (the text_pii synthesis trick): exactly
-    // that one (type, day) must flag, spec-pinned. Both deviation and
-    // bound are emitted so the report carries its own evidence. Scale
+    // that one (type, day) must flag, spec-pinned. The decimal algebra
+    // stays INTERNAL: the report row emits only BIGINT/bool decision
+    // columns — n, is_anomaly, and the dev2/bound ratio quantized to
+    // integer bits (margin_bits = bitlen(1 + dev2 div (bound+1)), the
+    // text_lm bin()-length discipline; dev2 > bound ⟺ margin_bits >= 2,
+    // exactly, because integral div by bound+1 reads >= 1 iff
+    // dev2 > bound). Rationale: DECIMAL(38,0)-from-HUGEINT output
+    // columns were this gate's only repeat flake target two rounds
+    // running (driver-side DuckDB under load; the Spark parquet was
+    // bit-identical to passing runs) — the exact decimal evidence moved
+    // to the hash-gated rel_anomaly_days_invariant twin below. Scale
     // shape: one map-side-combined (type, day) count, a per-type 1-row
     // moment aggregate broadcast back over days — output bounded by
     // types x calendar days, like rel_retention.
@@ -1211,8 +1224,55 @@ object RelationalQueries {
             (dec(col("nd"), 38, 0) * dec(col("s2"), 38, 0) -
               dec(col("s1"), 38, 0) * dec(col("s1"), 38, 0)), 38, 0)
             .as("bound"))
-        .withColumn("is_anomaly", col("dev2") > col("bound"))
+        .select(col("event_type"), col("day"), col("n"),
+          length(bin(expr("1 + dev2 div (bound + 1)"))).cast("long")
+            .as("margin_bits"),
+          (col("dev2") > col("bound")).as("is_anomaly"))
         .orderBy("event_type", "day")
+    }),
+
+    // The decimal EVIDENCE behind rel_anomaly_days, as a hash-gated
+    // invariant twin (the ft_dbsize_approx_invariant discipline): the
+    // DECIMAL(38,0) moment algebra runs fully on the Spark side and is
+    // reduced to exact per-type boolean identities — Σ_days (n·nd − s1)
+    // = 0 (the deviations of any distribution sum to zero exactly),
+    // nd·s2 − s1² >= 0 (Cauchy–Schwarz on the daily counts), and the
+    // planted 3x click day flagged — against a literal-TRUE oracle, so
+    // the decimals are still exercised end to end without ever emitting
+    // a DECIMAL-from-HUGEINT column through the compare harness.
+    "rel_anomaly_days_invariant" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("ts").isNotNull)
+      val plantDay = lit("2024-01-15").cast("date")
+      val plant = ev.filter(col("event_type") === "click" &&
+        to_date(col("ts")) === plantDay)
+      val aug = ev.unionByName(plant).unionByName(plant)
+      val c = aug
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // feeds the moment aggregate AND the per-day join
+      val st = c.groupBy("event_type").agg(
+        count(lit(1)).as("nd"),
+        sum("n").cast("long").as("s1"),
+        sum(col("n") * col("n")).cast("long").as("s2"))
+      val dev = dec(col("n"), 38, 0) * dec(col("nd"), 38, 0) -
+        dec(col("s1"), 38, 0)
+      val bound = dec(dec(lit(AnomalyK.toLong * AnomalyK), 38, 0) *
+        (dec(col("nd"), 38, 0) * dec(col("s2"), 38, 0) -
+          dec(col("s1"), 38, 0) * dec(col("s1"), 38, 0)), 38, 0)
+      c.join(broadcast(st), "event_type")
+        .select(col("event_type"), col("day"), dev.as("dev"),
+          (dec(dev * dev, 38, 0) > bound).as("flag"),
+          (dec(col("nd"), 38, 0) * dec(col("s2"), 38, 0) -
+            dec(col("s1"), 38, 0) * dec(col("s1"), 38, 0) >= lit(0))
+            .as("nonneg"))
+        .groupBy("event_type")
+        .agg(
+          (sum(col("dev")) === lit(0)).as("dev_sum_zero"),
+          min(col("nonneg")).as("bound_nonneg"),
+          (col("event_type") =!= "click" ||
+            coalesce(max(when(col("day") === plantDay, col("flag"))),
+              lit(false))).as("planted_flagged"))
+        .orderBy("event_type")
     }),
 
     // FUZZY entity-matching join (the record-linkage / data-cleaning
@@ -1409,6 +1469,91 @@ object RelationalQueries {
           coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
           lit(q.toLong).as("gram_width"))
         .orderBy("probe_key")
+    }),
+
+    // BAND-COST HEALTH REPORT for the OR-amplified blocking — the
+    // pq_code_stats / mm_band_stats / ivf_cell_stats discipline applied
+    // to rel_fuzzy_join_banded's gram families, wiring the band-count
+    // cost dial the round-12 ablation documented by hand: per family,
+    // the clean-side GRAM MASS (posting rows — what the band adds to
+    // build cost), the mass and gram count SURVIVING the per-band df
+    // cap (the band's live selectivity), the matched probes the band
+    // COVERS (its winning pair collides there), and its MARGINAL
+    // matches — matched probes covered by NO other band, i.e. the
+    // recall actually lost if the band is dropped. A band whose
+    // marginal column reads 0 while its mass column is ~1/B of the
+    // total is the "25% less gram mass at identical recall" deployment
+    // move; a positional band owning nonzero marginals is the residual
+    // regime's proof of necessity. All-integer → hash-gated. Scale
+    // shape: the same one-scan banded gram build + equi joins as the
+    // banded query (mass aggregates are map-side-combined, coverage
+    // joins are match-set-sized), output bounded by the band count.
+    "rel_fuzzy_join_band_stats" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
+      val q = scaledFuzzyGram(cust.count())
+      val dirty = dirtyProbes(cust).localCheckpoint(true)
+      val cleanGrams = fuzzyBandedGrams(cust, "c_custkey", "c_name", q,
+          probe = false)
+        .localCheckpoint(true) // df count, posting join, and masses read it
+      val keep = cleanGrams.groupBy("band", "gram")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= FuzzyMaxDf)
+        .select("band", "gram")
+        .localCheckpoint(true) // kept-mass AND candidate join read it
+      // per-band candidate pairs (band retained through the dedup)
+      val candsB = fuzzyBandedGrams(dirty, "probe_key", "dirty_name", q,
+          probe = true)
+        .join(keep, Seq("band", "gram"))
+        .join(cleanGrams, Seq("band", "gram"))
+        .select("band", "probe_key", "c_custkey").distinct()
+        .localCheckpoint(true) // verify set + coverage both read it
+      val verified = candsB.select("probe_key", "c_custkey").distinct()
+        .join(dirty, "probe_key")
+        .join(cust, "c_custkey")
+        .withColumn("dist",
+          levenshtein(col("dirty_name"), col("c_name"), FuzzyK))
+      val w = Window.partitionBy("probe_key")
+        .orderBy(col("dist").asc, col("c_custkey").asc)
+      val best = verified.filter(col("dist") >= 0)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("probe_key"), col("c_custkey").as("match_key"))
+        .localCheckpoint(true) // coverage join + nb count read it
+      // which bands admitted each probe's WINNING pair (renamed join
+      // keys: best derives from candsB, so qualified refs are ambiguous)
+      val cover = best
+        .join(candsB.select(col("band"), col("probe_key").as("pk"),
+          col("c_custkey").as("ck")),
+          col("probe_key") === col("pk") && col("match_key") === col("ck"))
+        .select(col("probe_key"), col("band"))
+        .localCheckpoint(true) // per-band coverage + sole-band count
+      val nb = cover.groupBy("probe_key")
+        .agg(countDistinct("band").as("nbands"))
+      val covered = cover.groupBy("band")
+        .agg(countDistinct("probe_key").as("covered_matches"))
+      val marginal = cover.join(nb, "probe_key")
+        .filter(col("nbands") === 1)
+        .groupBy("band").agg(count(lit(1)).as("marginal_matches"))
+      val mass = cleanGrams.groupBy("band")
+        .agg(count(lit(1)).as("gram_mass"),
+          countDistinct("gram").as("n_grams"))
+      val keptMass = cleanGrams.join(keep, Seq("band", "gram"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("kept_mass"),
+          countDistinct("gram").as("n_kept_grams"))
+        .withColumnRenamed("band", "kband")
+      val coveredR = covered.withColumnRenamed("band", "cband")
+      val marginalR = marginal.withColumnRenamed("band", "gband")
+      mass.join(keptMass, col("band") === col("kband"), "left")
+        .join(coveredR, col("band") === col("cband"), "left")
+        .join(marginalR, col("band") === col("gband"), "left")
+        .select(col("band").cast("long").as("band"),
+          col("gram_mass"), coalesce(col("kept_mass"), lit(0L)).as("kept_mass"),
+          col("n_grams"), coalesce(col("n_kept_grams"), lit(0L)).as("n_kept_grams"),
+          coalesce(col("covered_matches"), lit(0L)).as("covered_matches"),
+          coalesce(col("marginal_matches"), lit(0L)).as("marginal_matches"),
+          lit(q.toLong).as("gram_width"))
+        .orderBy("band")
     }),
 
     // The fallback queue DRAINED ACROSS RUNS (see [[fuzzyQueueStaged]]):
@@ -1631,6 +1776,93 @@ object RelationalQueries {
       |GROUP BY c.cohort_day, day_offset
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** The banded-blocking CTE chain (derived width qw, dirty probes, the
+    * four clean-side gram families cg, per-band df keep, probe-side
+    * fanned families dg, band-retaining candidates candsb, cross-band
+    * deduped cands) — shared by the rel_fuzzy_join_banded oracle and
+    * the rel_fuzzy_join_band_stats report so the join and its health
+    * report can never disagree about a band's contribution.
+    */
+  private lazy val fuzzyBandedCtes: String = {
+    val caps = Seq(3, 4, 5, 6)
+      .map(q => FuzzyMaxDf.toLong * math.pow(10, q).toLong).mkString(", ")
+    s"""qw AS (
+      |  SELECT CAST(COALESCE(MIN(q), 6) AS BIGINT) AS q FROM (
+      |    SELECT UNNEST([3, 4, 5, 6]) AS q, UNNEST([$caps]) AS cap
+      |  ) t WHERE cap >= 16 * (SELECT COUNT(*) FROM customer)
+      |), dirty AS (
+      |  SELECT c_custkey AS probe_key,
+      |    CASE WHEN c_custkey % 4 = 0
+      |           THEN concat(substr(c_name,1,1), substr(c_name,3,1),
+      |                       substr(c_name,2,1), substr(c_name,4))
+      |         WHEN c_custkey % 4 = 1
+      |           THEN concat(substr(c_name,1,4), 'x', substr(c_name,6))
+      |         WHEN c_custkey % 4 = 2
+      |           THEN concat(substr(c_name,1,2), substr(c_name,4))
+      |         ELSE concat('zzzzzz', substr(c_name,7)) END AS dirty_name
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |), cg AS (
+      |  SELECT c_custkey, 0 AS band, UNNEST(list_distinct(list_transform(
+      |    generate_series(1, length(c_name) - (q - 1)),
+      |    i -> substr(c_name, i, CAST(q AS INT))))) AS gram
+      |  FROM customer CROSS JOIN qw
+      |  UNION ALL
+      |  SELECT c_custkey, 1 AS band, UNNEST(list_distinct(list_transform(
+      |    generate_series(1, length(c_name) - (q - 1) * 2),
+      |    i -> array_to_string(list_transform(
+      |      generate_series(0, CAST(q AS INT) - 1),
+      |      j -> substr(c_name, CAST(i + j * 2 AS INT), 1)), '')))) AS gram
+      |  FROM customer CROSS JOIN qw
+      |  UNION ALL
+      |  SELECT c_custkey, 2 AS band, UNNEST(list_distinct(list_transform(
+      |    generate_series(1, length(c_name) - (q - 1)),
+      |    i -> concat(CAST(i AS VARCHAR), ':',
+      |                substr(c_name, i, CAST(q AS INT)))))) AS gram
+      |  FROM customer CROSS JOIN qw
+      |  UNION ALL
+      |  SELECT c_custkey, 3 AS band, UNNEST(list_distinct(list_transform(
+      |    generate_series(1, length(c_name) - (q - 1)),
+      |    i -> concat(CAST(length(c_name) - i AS VARCHAR), ':',
+      |                substr(c_name, i, CAST(q AS INT)))))) AS gram
+      |  FROM customer CROSS JOIN qw
+      |), keep AS (
+      |  SELECT band, gram FROM (
+      |    SELECT band, gram, COUNT(*) AS df FROM cg GROUP BY 1, 2
+      |  ) t WHERE df <= $FuzzyMaxDf
+      |), deltas AS (
+      |  SELECT UNNEST(range(-$FuzzyK, ${FuzzyK + 1})) AS dd
+      |), dg AS (
+      |  SELECT probe_key, 0 AS band, UNNEST(list_distinct(list_transform(
+      |    generate_series(1, length(dirty_name) - (q - 1)),
+      |    i -> substr(dirty_name, i, CAST(q AS INT))))) AS gram
+      |  FROM dirty CROSS JOIN qw
+      |  UNION ALL
+      |  SELECT probe_key, 1 AS band, UNNEST(list_distinct(list_transform(
+      |    generate_series(1, length(dirty_name) - (q - 1) * 2),
+      |    i -> array_to_string(list_transform(
+      |      generate_series(0, CAST(q AS INT) - 1),
+      |      j -> substr(dirty_name, CAST(i + j * 2 AS INT), 1)), '')))) AS gram
+      |  FROM dirty CROSS JOIN qw
+      |  UNION ALL
+      |  SELECT probe_key, 2 AS band, UNNEST(list_distinct(list_transform(
+      |    generate_series(1, length(dirty_name) - (q - 1)),
+      |    i -> concat(CAST(i + dd AS VARCHAR), ':',
+      |                substr(dirty_name, i, CAST(q AS INT)))))) AS gram
+      |  FROM dirty CROSS JOIN qw CROSS JOIN deltas
+      |  UNION ALL
+      |  SELECT probe_key, 3 AS band, UNNEST(list_distinct(list_transform(
+      |    generate_series(1, length(dirty_name) - (q - 1)),
+      |    i -> concat(CAST(length(dirty_name) - i + dd AS VARCHAR), ':',
+      |                substr(dirty_name, i, CAST(q AS INT)))))) AS gram
+      |  FROM dirty CROSS JOIN qw CROSS JOIN deltas
+      |), candsb AS (
+      |  SELECT DISTINCT band, probe_key, c_custkey
+      |  FROM dg JOIN keep USING (band, gram) JOIN cg USING (band, gram)
+      |), cands AS (
+      |  SELECT DISTINCT probe_key, c_custkey FROM candsb
+      |)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "rel_q1" ->
@@ -1790,14 +2022,24 @@ object RelationalQueries {
         |  SELECT DISTINCT user_id FROM events
         |  WHERE event_type IN ('view', 'click', 'purchase')
         |    AND user_id IS NOT NULL
+        |), cap AS (
+        |  -- the wired resize's invariant: capacity is the smallest
+        |  -- doubling of the initial sizing with 2*n_items <= capacity
+        |  -- (the maintenance doubles past 50% fill, so the final
+        |  -- geometry is a pure function of the finalized count — a
+        |  -- literal here would diverge at any SF that triggers a resize)
+        |  SELECT CAST(MIN(c) AS BIGINT) AS capacity FROM (
+        |    SELECT $FunnelBloomItems * (CAST(1 AS BIGINT) << g) AS c
+        |    FROM (SELECT UNNEST(generate_series(0, 40)) AS g)
+        |  ) WHERE c >= 2 * (SELECT COUNT(*) FROM fin)
         |)
-        |SELECT CAST($FunnelBloomItems AS BIGINT) AS capacity,
+        |SELECT (SELECT capacity FROM cap) AS capacity,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fin) AS n_items,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM u
         |   WHERE user_id NOT IN (SELECT user_id FROM fin)) AS n_probed,
-        |  TRUE AS within_capacity,
+        |  (SELECT COUNT(*) FROM fin) <= (SELECT capacity FROM cap) AS within_capacity,
         |  TRUE AS fp_rate_ok,
-        |  FALSE AS rebuild_due""".stripMargin,
+        |  2 * (SELECT COUNT(*) FROM fin) > (SELECT capacity FROM cap) AS rebuild_due""".stripMargin,
 
     "rel_retention" -> retentionSql,
 
@@ -1840,9 +2082,10 @@ object RelationalQueries {
         |ORDER BY user_id, s_start""".stripMargin,
 
     // same 3x plant, same integer moment algebra; null-ts rows filtered
-    // (no day) on both sides; the squared products run in HUGEINT and
-    // land in DECIMAL(38,0), matching the Spark side's overflow-safe
-    // decimal discipline dtype-exact
+    // (no day) on both sides; the squared products run in HUGEINT
+    // INTERNALLY only — the emitted columns are BIGINT/bool (the ratio
+    // quantized to integer bits), the exact decimals live in the
+    // invariant twin
     "rel_anomaly_days" ->
       s"""WITH aug AS (
         |  SELECT event_type, ts FROM events WHERE ts IS NOT NULL
@@ -1864,20 +2107,33 @@ object RelationalQueries {
         |         CAST(SUM(n) AS BIGINT) AS s1,
         |         CAST(SUM(n * n) AS BIGINT) AS s2
         |  FROM c GROUP BY 1
+        |), m AS (
+        |  SELECT c.event_type, c.day, c.n,
+        |    (CAST(c.n AS HUGEINT) * st.nd - st.s1)
+        |      * (CAST(c.n AS HUGEINT) * st.nd - st.s1) AS dev2,
+        |    ${AnomalyK * AnomalyK} * (CAST(st.nd AS HUGEINT) * st.s2
+        |      - CAST(st.s1 AS HUGEINT) * st.s1) AS bound
+        |  FROM c JOIN st USING (event_type)
         |)
-        |SELECT c.event_type,
-        |  strftime(c.day, '%Y-%m-%d') AS day,
-        |  c.n,
-        |  CAST((CAST(c.n AS HUGEINT) * st.nd - st.s1)
-        |     * (CAST(c.n AS HUGEINT) * st.nd - st.s1) AS DECIMAL(38,0)) AS dev2,
-        |  CAST(${AnomalyK * AnomalyK} * (CAST(st.nd AS HUGEINT) * st.s2
-        |     - CAST(st.s1 AS HUGEINT) * st.s1) AS DECIMAL(38,0)) AS bound,
-        |  (CAST(c.n AS HUGEINT) * st.nd - st.s1)
-        |    * (CAST(c.n AS HUGEINT) * st.nd - st.s1)
-        |    > ${AnomalyK * AnomalyK} * (CAST(st.nd AS HUGEINT) * st.s2
-        |       - CAST(st.s1 AS HUGEINT) * st.s1) AS is_anomaly
-        |FROM c JOIN st USING (event_type)
+        |SELECT event_type,
+        |  strftime(day, '%Y-%m-%d') AS day,
+        |  n,
+        |  CAST(length(bin(CAST(1 + dev2 // (bound + 1) AS BIGINT))) AS BIGINT)
+        |    AS margin_bits,
+        |  dev2 > bound AS is_anomaly
+        |FROM m
         |ORDER BY event_type, day""".stripMargin,
+
+    // the decimal moment algebra runs Spark-side and reduces to exact
+    // boolean identities; the oracle is the literal-TRUE contract (the
+    // ft_dbsize_approx_invariant pattern)
+    "rel_anomaly_days_invariant" ->
+      """SELECT event_type,
+        |  TRUE AS dev_sum_zero,
+        |  TRUE AS bound_nonneg,
+        |  TRUE AS planted_flagged
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // same q-gram blocking + levenshtein verify + (dist, key) rank;
     // both engines' levenshtein is the plain unit-cost edit distance
@@ -2067,82 +2323,8 @@ object RelationalQueries {
     // side's anchors fanned +-k; df caps apply within each band on the
     // clean side's unfanned keys, the posting join is on (band, gram),
     // and candidates dedup across bands before verify
-    "rel_fuzzy_join_banded" -> {
-      val caps = Seq(3, 4, 5, 6)
-        .map(q => FuzzyMaxDf.toLong * math.pow(10, q).toLong).mkString(", ")
-      s"""WITH qw AS (
-        |  SELECT CAST(COALESCE(MIN(q), 6) AS BIGINT) AS q FROM (
-        |    SELECT UNNEST([3, 4, 5, 6]) AS q, UNNEST([$caps]) AS cap
-        |  ) t WHERE cap >= 16 * (SELECT COUNT(*) FROM customer)
-        |), dirty AS (
-        |  SELECT c_custkey AS probe_key,
-        |    CASE WHEN c_custkey % 4 = 0
-        |           THEN concat(substr(c_name,1,1), substr(c_name,3,1),
-        |                       substr(c_name,2,1), substr(c_name,4))
-        |         WHEN c_custkey % 4 = 1
-        |           THEN concat(substr(c_name,1,4), 'x', substr(c_name,6))
-        |         WHEN c_custkey % 4 = 2
-        |           THEN concat(substr(c_name,1,2), substr(c_name,4))
-        |         ELSE concat('zzzzzz', substr(c_name,7)) END AS dirty_name
-        |  FROM customer WHERE c_custkey % 7 = 0
-        |), cg AS (
-        |  SELECT c_custkey, 0 AS band, UNNEST(list_distinct(list_transform(
-        |    generate_series(1, length(c_name) - (q - 1)),
-        |    i -> substr(c_name, i, CAST(q AS INT))))) AS gram
-        |  FROM customer CROSS JOIN qw
-        |  UNION ALL
-        |  SELECT c_custkey, 1 AS band, UNNEST(list_distinct(list_transform(
-        |    generate_series(1, length(c_name) - (q - 1) * 2),
-        |    i -> array_to_string(list_transform(
-        |      generate_series(0, CAST(q AS INT) - 1),
-        |      j -> substr(c_name, CAST(i + j * 2 AS INT), 1)), '')))) AS gram
-        |  FROM customer CROSS JOIN qw
-        |  UNION ALL
-        |  SELECT c_custkey, 2 AS band, UNNEST(list_distinct(list_transform(
-        |    generate_series(1, length(c_name) - (q - 1)),
-        |    i -> concat(CAST(i AS VARCHAR), ':',
-        |                substr(c_name, i, CAST(q AS INT)))))) AS gram
-        |  FROM customer CROSS JOIN qw
-        |  UNION ALL
-        |  SELECT c_custkey, 3 AS band, UNNEST(list_distinct(list_transform(
-        |    generate_series(1, length(c_name) - (q - 1)),
-        |    i -> concat(CAST(length(c_name) - i AS VARCHAR), ':',
-        |                substr(c_name, i, CAST(q AS INT)))))) AS gram
-        |  FROM customer CROSS JOIN qw
-        |), keep AS (
-        |  SELECT band, gram FROM (
-        |    SELECT band, gram, COUNT(*) AS df FROM cg GROUP BY 1, 2
-        |  ) t WHERE df <= $FuzzyMaxDf
-        |), deltas AS (
-        |  SELECT UNNEST(range(-$FuzzyK, ${FuzzyK + 1})) AS dd
-        |), dg AS (
-        |  SELECT probe_key, 0 AS band, UNNEST(list_distinct(list_transform(
-        |    generate_series(1, length(dirty_name) - (q - 1)),
-        |    i -> substr(dirty_name, i, CAST(q AS INT))))) AS gram
-        |  FROM dirty CROSS JOIN qw
-        |  UNION ALL
-        |  SELECT probe_key, 1 AS band, UNNEST(list_distinct(list_transform(
-        |    generate_series(1, length(dirty_name) - (q - 1) * 2),
-        |    i -> array_to_string(list_transform(
-        |      generate_series(0, CAST(q AS INT) - 1),
-        |      j -> substr(dirty_name, CAST(i + j * 2 AS INT), 1)), '')))) AS gram
-        |  FROM dirty CROSS JOIN qw
-        |  UNION ALL
-        |  SELECT probe_key, 2 AS band, UNNEST(list_distinct(list_transform(
-        |    generate_series(1, length(dirty_name) - (q - 1)),
-        |    i -> concat(CAST(i + dd AS VARCHAR), ':',
-        |                substr(dirty_name, i, CAST(q AS INT)))))) AS gram
-        |  FROM dirty CROSS JOIN qw CROSS JOIN deltas
-        |  UNION ALL
-        |  SELECT probe_key, 3 AS band, UNNEST(list_distinct(list_transform(
-        |    generate_series(1, length(dirty_name) - (q - 1)),
-        |    i -> concat(CAST(length(dirty_name) - i + dd AS VARCHAR), ':',
-        |                substr(dirty_name, i, CAST(q AS INT)))))) AS gram
-        |  FROM dirty CROSS JOIN qw CROSS JOIN deltas
-        |), cands AS (
-        |  SELECT DISTINCT probe_key, c_custkey
-        |  FROM dg JOIN keep USING (band, gram) JOIN cg USING (band, gram)
-        |), verified AS (
+    "rel_fuzzy_join_banded" ->
+      s"""WITH $fuzzyBandedCtes, verified AS (
         |  SELECT v.probe_key, v.c_custkey,
         |         levenshtein(d.dirty_name, c.c_name) AS dist
         |  FROM cands v
@@ -2165,8 +2347,60 @@ object RelationalQueries {
         |  CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates,
         |  (SELECT q FROM qw) AS gram_width
         |FROM dirty d LEFT JOIN nc USING (probe_key) LEFT JOIN best b USING (probe_key)
-        |ORDER BY probe_key""".stripMargin
-    },
+        |ORDER BY probe_key""".stripMargin,
+
+    // per-band masses from cg, survival from keep, coverage/marginal
+    // from the winning pair's band memberships in candsb — the same
+    // factored CTE chain as the banded join, so report and join can
+    // never disagree about what a band contributes
+    "rel_fuzzy_join_band_stats" ->
+      s"""WITH $fuzzyBandedCtes, verified AS (
+        |  SELECT v.probe_key, v.c_custkey,
+        |         levenshtein(d.dirty_name, c.c_name) AS dist
+        |  FROM cands v
+        |  JOIN dirty d ON d.probe_key = v.probe_key
+        |  JOIN customer c ON c.c_custkey = v.c_custkey
+        |), best AS (
+        |  SELECT probe_key, c_custkey AS match_key
+        |  FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY probe_key ORDER BY dist, c_custkey) AS rnk
+        |    FROM verified WHERE dist <= $FuzzyK
+        |  ) t WHERE rnk = 1
+        |), cover AS (
+        |  SELECT DISTINCT b.probe_key, cb.band
+        |  FROM best b JOIN candsb cb
+        |    ON cb.probe_key = b.probe_key AND cb.c_custkey = b.match_key
+        |), nbq AS (
+        |  SELECT probe_key, COUNT(DISTINCT band) AS nbands
+        |  FROM cover GROUP BY 1
+        |), cov AS (
+        |  SELECT band, CAST(COUNT(DISTINCT probe_key) AS BIGINT) AS covered_matches
+        |  FROM cover GROUP BY 1
+        |), marg AS (
+        |  SELECT band, CAST(COUNT(*) AS BIGINT) AS marginal_matches
+        |  FROM cover JOIN nbq USING (probe_key)
+        |  WHERE nbands = 1 GROUP BY band
+        |), mass AS (
+        |  SELECT band, CAST(COUNT(*) AS BIGINT) AS gram_mass,
+        |         CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_grams
+        |  FROM cg GROUP BY 1
+        |), km AS (
+        |  SELECT band, CAST(COUNT(*) AS BIGINT) AS kept_mass,
+        |         CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_kept_grams
+        |  FROM cg JOIN keep USING (band, gram) GROUP BY 1
+        |)
+        |SELECT CAST(mass.band AS BIGINT) AS band,
+        |  gram_mass,
+        |  CAST(COALESCE(kept_mass, 0) AS BIGINT) AS kept_mass,
+        |  n_grams,
+        |  CAST(COALESCE(n_kept_grams, 0) AS BIGINT) AS n_kept_grams,
+        |  CAST(COALESCE(covered_matches, 0) AS BIGINT) AS covered_matches,
+        |  CAST(COALESCE(marginal_matches, 0) AS BIGINT) AS marginal_matches,
+        |  (SELECT q FROM qw) AS gram_width
+        |FROM mass LEFT JOIN km USING (band) LEFT JOIN cov USING (band)
+        |LEFT JOIN marg USING (band)
+        |ORDER BY band""".stripMargin,
 
     // the queue fold unrolled: enq_run is a pure function of the batch
     // split, each run's drain is the oldest `cap` pending probes (sv

@@ -260,6 +260,28 @@ object TextQueries {
     * reuse the learned sequence (see the query comment for the
     * algorithm and determinism argument). Returns one tuple per round:
     * (rank, lhs, rhs, pair_count, n_pieces, n_piece_types).
+    *
+    * Driver chattiness is the loop's real cost (the round-12 bench
+    * lesson: per-job scheduler latency compounds under a contended
+    * driver), so each round is exactly ONE action: a single aggregate
+    * over the per-symbol successor frame yields the post-merge piece
+    * stats AND the next round's winning pair together — np = Σ pc over
+    * all (a, b?) groups (every symbol occurrence appears as `a` once),
+    * nt = countDistinct(a), and the argmax pair via min_by over the
+    * (−pc, a, b) ordering struct (pc desc, then pair asc — the same
+    * deterministic winner as the oracle's ORDER BY). The vocab is
+    * checkpointed ONCE; each round stacks one literal `replace`
+    * projection on top (K cheap row-local passes over a vocab-bounded
+    * frame — no per-round checkpoint, no re-planning blowup).
+    *
+    * Early stop (degenerate corpora): when no adjacent pair remains
+    * before the merge budget is spent, the loop emits the rounds
+    * actually learned instead of indexing into an empty collect. The
+    * static unrolled oracle always replays the full budget; on any
+    * corpus where the budget is exhaustible the two would diverge by
+    * row count — the driver gate's corpora are far from that regime
+    * (vocab >> budget), and the guard exists so tiny/pathological
+    * inputs fail soft in library use.
     */
   private[graft] def bpeTrainRounds(s: SparkSession, d: DataFrame)
       : Seq[(Long, String, String, Long, Long, Long)] = {
@@ -273,37 +295,63 @@ object TextQueries {
           array_join(transform(sequence(lit(1), length(col("w"))),
             i => col("w").substr(i, lit(1))), "><"),
           lit(">")).as("wrapped"))
-      .localCheckpoint(true)
-    (1 to BpeMerges).map { r =>
-      val top = vocab
+      .localCheckpoint(true) // the ONE materialization; rounds stack replaces
+    // (np, nt, Option(next winning pair)) in ONE action: successor frame
+    // -> (a, b?, pc) groups -> one aggregate row
+    def roundStats(v: DataFrame): (Long, Long, Option[(String, String, Long)]) = {
+      val g = v
         .select(col("cnt"), syms(col("wrapped")).as("sy"))
-        .filter(size(col("sy")) >= 2) // a 1-symbol word has no pair
-        // (and sequence(1, 0) would DESCEND and fabricate one)
         .select(col("cnt"),
-          explode(transform(sequence(lit(1), size(col("sy")) - 1),
+          explode(transform(sequence(lit(1), size(col("sy"))),
             i => struct(element_at(col("sy"), i).as("a"),
-              element_at(col("sy"), i + 1).as("b")))).as("p"))
+              // word-final symbol: successor null (when() guards the
+              // out-of-range element_at under ANSI)
+              when(i < size(col("sy")), element_at(col("sy"), i + 1))
+                .as("b")))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("cnt").cast("long").as("pc"))
-        .orderBy(col("pc").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()(0) // ONE row — the round's winning pair
-      val (a, b, pc) = (top.getAs[String]("a"), top.getAs[String]("b"),
-        top.getAs[Long]("pc"))
-      vocab = vocab
-        .select(col("cnt"),
-          replace(col("wrapped"), lit(s"<$a><$b>"), lit(s"<$a$b>"))
-            .as("wrapped")) // literal args, no SQL-text round-trip
-        .localCheckpoint(true) // flatten the per-round lineage
-      val np = vocab
-        .select(col("cnt"), syms(col("wrapped")).as("sy"))
-        .agg(sum(col("cnt") * size(col("sy"))).cast("long").as("np"))
-        .head().getAs[Long]("np")
-      val nt = vocab
-        .select(explode(syms(col("wrapped"))).as("p"))
-        .agg(countDistinct("p").as("nt"))
-        .head().getAs[Long]("nt")
-      (r.toLong, a, b, pc, np, nt)
+      val row = g.agg(
+        sum("pc").cast("long").as("np"),
+        countDistinct("a").as("nt"),
+        min_by(struct(col("a"), col("b"), col("pc")),
+          // null ordering key on non-pair rows -> min_by skips them
+          when(col("b").isNotNull, struct((-col("pc")).as("npc"),
+            col("a"), col("b")))).as("top")).head()
+      val top = Option(row.getStruct(2)).map(t =>
+        (t.getAs[String]("a"), t.getAs[String]("b"), t.getAs[Long]("pc")))
+      (Option(row.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
+        row.getAs[Long]("nt"), top)
     }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long, Long, Long)]
+    var next = roundStats(vocab)._3 // round-1 winner (pre-merge stats unused)
+    var r = 1
+    while (r <= BpeMerges && next.isDefined) {
+      val (a, b, pc) = next.get
+      vocab = vocab.select(col("cnt"),
+        replace(col("wrapped"), lit(s"<$a><$b>"), lit(s"<$a$b>"))
+          .as("wrapped")) // literal args, no SQL-text round-trip
+      val (np, nt, nx) = roundStats(vocab) // post-merge stats + next winner
+      out += ((r.toLong, a, b, pc, np, nt))
+      next = nx
+      r += 1
+    }
+    out.toSeq
+  }
+
+  /** Train-once-per-corpus with the artifact frozen on disk: the merge
+    * list persists under a per-JVM stable dir keyed by the corpus path
+    * ([[graft.sources.BpeStore]] — the AnnIndex trainPq/savePerm
+    * discipline applied to the tokenizer), so text_bpe_apply LOADS the
+    * artifact instead of re-running the training loop. Returns the
+    * artifact dir.
+    */
+  private[graft] def bpeEnsureArtifact(s: SparkSession, dir: String): String = {
+    val adir = graft.sources.TempDirs.stable("graft_bpe_", dir)
+    if (!graft.sources.BpeStore.exists(s, adir))
+      graft.sources.BpeStore.save(s, adir,
+        bpeTrainRounds(s, Tables.documents(s, dir)))
+    adir
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -554,30 +602,39 @@ object TextQueries {
     // its count, and the post-merge piece stats (total weighted
     // pieces + distinct piece types) — the compression trajectory a
     // tokenizer-training report shows. K rows via a bounded driver
-    // assembly (K = [[BpeMerges]], constant).
+    // assembly (K = [[BpeMerges]], constant). The learned sequence is
+    // FROZEN as the on-disk tokenizer artifact
+    // ([[graft.sources.BpeStore]]) so text_bpe_apply loads it instead
+    // of re-training.
     "text_bpe_train" -> ((s, dir) => {
       import s.implicits._
-      bpeTrainRounds(s, Tables.documents(s, dir))
+      val rounds = bpeTrainRounds(s, Tables.documents(s, dir))
+      graft.sources.BpeStore.save(s,
+        graft.sources.TempDirs.stable("graft_bpe_", dir), rounds)
+      rounds
         .toDF("merge_rank", "lhs", "rhs", "pair_count", "n_pieces",
           "n_piece_types").orderBy("merge_rank")
     }),
 
     // The trained tokenizer APPLIED — the train→apply loop closed:
-    // the [[BpeMerges]] learned merges (re-trained here; a production
-    // pipeline loads them from the training run's artifact) are
-    // applied IN RANK ORDER to every word of every document, and the
-    // report is the per-doc segmentation cost a curation run budgets
-    // by: words, post-BPE pieces, and fertility (pieces per word —
-    // text_tokens' signal under the CORPUS-FITTED tokenizer instead
-    // of the fixed pre-tokenizer). Entirely row-local after the
-    // driver-side merge list is frozen: wrap, K chained replaces,
-    // count pieces, aggregate within the row — no shuffle but the
-    // output sort. The oracle re-derives the same merge sequence (the
-    // unrolled training CTEs) and applies it with the same
-    // non-overlapping replace chain.
+    // the [[BpeMerges]] learned merges, LOADED from the frozen on-disk
+    // artifact ([[bpeEnsureArtifact]] trains and saves it exactly once
+    // per corpus per JVM — the AnnIndex frozen-codebook discipline, so
+    // apply's cost and determinism no longer ride on the training
+    // loop), are applied IN RANK ORDER to every word of every
+    // document, and the report is the per-doc segmentation cost a
+    // curation run budgets by: words, post-BPE pieces, and fertility
+    // (pieces per word — text_tokens' signal under the CORPUS-FITTED
+    // tokenizer instead of the fixed pre-tokenizer). Entirely
+    // row-local after the driver-side merge list is loaded: wrap, K
+    // chained replaces, count pieces, aggregate within the row — no
+    // shuffle but the output sort. The oracle re-derives the same
+    // merge sequence (the unrolled training CTEs) and applies it with
+    // the same non-overlapping replace chain.
     "text_bpe_apply" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val merges = bpeTrainRounds(s, d).map(r => (r._2, r._3))
+      val merges = graft.sources.BpeStore
+        .load(s, bpeEnsureArtifact(s, dir)).map(r => (r._2, r._3))
       def applied(t: org.apache.spark.sql.Column) =
         merges.foldLeft(
           concat(lit("<"),

@@ -35,4 +35,17 @@ object TempDirs {
     registered.add(p)
     p.toString
   }
+
+  private val stableDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** One deterministic scratch dir per (prefix, key) for the lifetime
+    * of this JVM — the cross-query artifact handoff (a train query
+    * writes its frozen artifact here, the apply query loads it) without
+    * a globally-shared path that could leak stale artifacts across
+    * driver runs: the first call creates a fresh registered dir, later
+    * calls with the same (prefix, key) return it.
+    */
+  def stable(prefix: String, key: String): String =
+    stableDirs.computeIfAbsent(s"$prefix|$key", _ => scratch(prefix))
 }

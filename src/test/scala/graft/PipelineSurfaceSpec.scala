@@ -563,6 +563,48 @@ class PipelineSurfaceSpec extends AnyFunSuite {
       s"banded matched $bandedMatched < scaled $scaledMatched")
   }
 
+  test("rel_fuzzy_join_band_stats: report reconciles with the join; dropping the zero-marginal band preserves the match set") {
+    import org.apache.spark.sql.functions.col
+    val stats = graft.queries.RelationalQueries
+      .queries("rel_fuzzy_join_band_stats")(spark, dir).collect()
+    assert(stats.map(_.getAs[Long]("band")).toSeq == Seq(0L, 1L, 2L, 3L))
+    stats.foreach { r =>
+      assert(r.getAs[Long]("kept_mass") <= r.getAs[Long]("gram_mass"))
+      assert(r.getAs[Long]("n_kept_grams") <= r.getAs[Long]("n_grams"))
+      assert(r.getAs[Long]("marginal_matches") <=
+        r.getAs[Long]("covered_matches"))
+    }
+    // every band's covered count is bounded by the join's matched total
+    val q = graft.queries.RelationalQueries.scaledFuzzyGram(
+      graft.sources.Tables.customer(spark, dir).count())
+    def matchSet(bands: Seq[Int]) = {
+      val (_, verified) = graft.queries.RelationalQueries
+        .fuzzyBandedVerified(spark, dir, q, bands)
+      verified.filter(col("dist") >= 0)
+        .select("probe_key", "c_custkey", "dist").collect()
+        .groupBy(_.getAs[Long]("probe_key"))
+        .view.mapValues(_.map(r =>
+          (r.getAs[Number]("dist").longValue(),
+            r.getAs[Long]("c_custkey"))).min).toMap
+    }
+    val full = matchSet(0 until graft.queries.RelationalQueries.FuzzyBands)
+    val matched = stats.map(_.getAs[Long]("covered_matches")).max
+    assert(matched <= full.size, s"covered $matched > matched ${full.size}")
+    // the COST DIAL: at least one band carries zero marginal recall on
+    // this corpus (the round-12 ablation names stride-2), and removing
+    // it leaves the per-probe best match IDENTICAL — the "less gram
+    // mass at identical recall" deployment move, now spec-pinned
+    val zeroMarginal = stats.filter(r =>
+      r.getAs[Long]("marginal_matches") == 0L).map(_.getAs[Long]("band"))
+    assert(zeroMarginal.nonEmpty, "no droppable band on this corpus")
+    assert(zeroMarginal.contains(1L),
+      s"stride-2 expected zero-marginal, got bands ${zeroMarginal.toSeq}")
+    val ablated = matchSet((0 until graft.queries.RelationalQueries.FuzzyBands)
+      .filterNot(_ == 1))
+    assert(ablated == full,
+      "dropping the zero-marginal stride-2 band changed the match set")
+  }
+
   test("rel_fuzzy_join_scaled: width ladder rule holds; coincides with the fixed-width join where the rule lands on 3") {
     import graft.queries.RelationalQueries.scaledFuzzyGram
     // the integer ladder: 3 at driver scale, widening with log10(N),
@@ -614,12 +656,22 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     assert(flagged.head.getAs[String]("event_type") == "click" &&
       flagged.head.getAs[String]("day") == "2024-01-15",
       s"flagged ${flagged.head}")
-    // the emitted evidence must BE the decision (no hidden state);
-    // dev2/bound ride decimal(38,0), the overflow-safe moment dtype
+    // the emitted evidence must BE the decision (no hidden state):
+    // margin_bits = bitlen(1 + dev2 div (bound+1)), so dev2 > bound
+    // ⟺ the integral ratio >= 1 ⟺ margin_bits >= 2 — exactly
     rows.foreach { r =>
-      assert((r.getAs[java.math.BigDecimal]("dev2")
-        .compareTo(r.getAs[java.math.BigDecimal]("bound")) > 0) ==
-        r.getAs[Boolean]("is_anomaly"))
+      assert((r.getAs[Long]("margin_bits") >= 2L) ==
+        r.getAs[Boolean]("is_anomaly"),
+        s"margin/decision drift on $r")
+    }
+    // the decimal evidence twin: every invariant holds per type
+    val inv = graft.queries.RelationalQueries
+      .queries("rel_anomaly_days_invariant")(spark, dir).collect()
+    assert(inv.nonEmpty)
+    inv.foreach { r =>
+      assert(r.getAs[Boolean]("dev_sum_zero") &&
+        r.getAs[Boolean]("bound_nonneg") &&
+        r.getAs[Boolean]("planted_flagged"), s"invariant broken: $r")
     }
   }
 
