@@ -77,6 +77,18 @@ object DedupQueries {
     val existing = Tables.documents(s, dir).select("doc_id", "text")
     val idxDir = graft.sources.TempDirs.scratch("graft_mhidx_")
     graft.sources.AnnIndex.saveMinhash(existing, MinhashK, Bands, RowsPerBand, idxDir)
+    probeMinhash(s, idxDir, incoming)
+  }
+
+  /** Probe a stored MinHash index with an incoming (doc_id, text)
+    * batch: verified cross-snapshot pairs (id_new, id_old, jaccard).
+    * Only the batch is shingled/signed; the index contributes the
+    * banded buckets the batch keys touch. Shared by the plain, upsert,
+    * and retract incremental-dedup queries so "probe after maintenance"
+    * is one code path.
+    */
+  private[queries] def probeMinhash(s: SparkSession, idxDir: String,
+                                    incoming: DataFrame): DataFrame = {
     val old = graft.sources.AnnIndex.minhashSigs(s, idxDir)
     val nw = incoming
       .withColumn("sh", Dedup.shingleSet(col("text")))
@@ -106,6 +118,23 @@ object DedupQueries {
   private[queries] val corpusCte =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 < 3
+      |  UNION ALL
+      |  SELECT doc_id + 20000000,
+      |         array_to_string(list_filter(string_split(text, ' '), t -> t != '')[3:], ' ')
+      |  FROM documents
+      |  WHERE doc_id % 10 = 3
+      |    AND len(list_filter(string_split(text, ' '), t -> t != '')) >= 10
+      |)""".stripMargin
+
+  /** [[corpusCte]] with the BASE leg filtered — the retraction oracles'
+    * corpus-without (arms untouched: a takedown removes the stored
+    * source docs; the re-crawled copies keep arriving).
+    */
+  private def corpusCteWhere(basePred: String): String =
+    s"""corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE $basePred
       |  UNION ALL
       |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 < 3
       |  UNION ALL
@@ -338,6 +367,71 @@ object DedupQueries {
     }
   }
 
+  /** RETRACTION from the maintained cluster assignment — the takedown
+    * path [[ccIngest]] cannot provide: min-label is monotone only under
+    * edge ADDITION; deleting a doc can SPLIT its component (a∼b∼c loses
+    * b — a and c must part ways), so the store's labels cannot be
+    * patched incrementally. The bounded recompute: (1) the retracted
+    * ids name their components — the AFFECTED label set (small: one
+    * label per touched cluster); (2) only those components' surviving
+    * members re-cluster, over the observed pair graph restricted to
+    * them (both endpoints surviving — a takedown removes the node and
+    * its edges) — work is bounded by the touched components' member and
+    * edge counts, never the corpus; (3) the rewrite touches only the
+    * `part` directories of affected old labels and the new labels
+    * (retracted rows drop, vacated dirs are cleaned — the ccIngest
+    * rewrite discipline). Because MinHash band keys and Jaccard are
+    * row-pair-local, the observed-pairs-minus-retracted graph equals
+    * the pair graph of the corpus-without (bucket caps fire in neither
+    * regime at gate SFs), so staged add→retract converges bit-exactly
+    * to the one-shot clustering of the corpus WITHOUT the retracted
+    * docs — the dedup_clusters_retract oracle.
+    *
+    * @param pairs the verified duplicate pair stream the store was fed
+    *              (id_a, id_b) — the graph retraction operates on
+    */
+  private[graft] def ccRetract(s: SparkSession, storePath: String,
+      retractIds: DataFrame, pairs: DataFrame): Unit = {
+    def assign = s.read.parquet(storePath)
+    val rid = retractIds.select(col("id")).distinct().localCheckpoint(true)
+    if (rid.isEmpty) return
+    val affected = assign.join(rid, "id")
+      .select("label").distinct().localCheckpoint(true)
+    val members = assign.join(affected, "label")
+      .select("id", "label").localCheckpoint(true)
+    val survivors = members.join(rid, Seq("id"), "left_anti")
+      .select("id").localCheckpoint(true)
+    val subEdges = pairs.select("id_a", "id_b")
+      .join(survivors.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(survivors.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+    // requireConverged: these labels are persisted (the ccIngest rule)
+    val relab = Dedup.connectedComponents(survivors, subEdges,
+      requireConverged = true)
+    val touched = affected
+      .select(pmod(col("label"), lit(CcParts)).as("part"))
+      .unionByName(relab.select(pmod(col("label"), lit(CcParts)).as("part")))
+      .distinct().collect().map(_.getLong(0)) // <= CcParts rows
+    val cur = assign.filter(col("part").isin(touched.map(Long.box): _*))
+    // every affected-component row (member or retracted) is replaced or
+    // dropped; unaffected rows sharing a touched dir ride along
+    val updated = cur.join(affected, Seq("label"), "left_anti")
+      .select("id", "label")
+      .unionByName(relab.select("id", "label"))
+      .withColumn("part", pmod(col("label"), lit(CcParts)))
+      .localCheckpoint(true) // materialize before overwriting source
+    updated.repartition(col("part"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part").parquet(storePath)
+    val written = updated.select("part").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    touched.filterNot(written).foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$storePath/part=$p"), true)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy on the text fingerprint.
@@ -395,6 +489,41 @@ object DedupQueries {
         ccIngest(s, storePath,
           pairs.filter(pmod(col("id_a") + col("id_b"), lit(3L)) === b))
       }
+      val a = s.read.parquet(storePath).select("id", "label")
+        .localCheckpoint(true) // sizes + final join read it
+      val sizes = a.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      a.join(sizes, "label")
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"))
+        .orderBy("doc_id")
+    }),
+
+    // TAKEDOWN on the maintained cluster assignment ([[ccRetract]]) —
+    // the retraction path every add-only maintained structure was
+    // missing: the store absorbs the full corpus and its verified pair
+    // stream (seed singletons + one ccIngest), then every near-dup
+    // SOURCE doc (base ids, doc_id % 10 = 3 — each anchoring a planted
+    // cluster) is retracted. Min-label is NOT monotone under deletion,
+    // so only the touched components' survivors re-cluster over the
+    // surviving pair graph, and only their label partitions rewrite.
+    // Converges bit-exactly to the one-shot clustering of the corpus
+    // WITHOUT the retracted docs (the oracle recomputes the whole
+    // pipeline on the reduced corpus — candidate discovery included),
+    // which is exactly what "the doc is gone" must mean downstream.
+    "dedup_clusters_retract" -> ((s, dir) => {
+      val storePath = s"${graft.sources.TempDirs.scratch("graft_ccr_")}/assign"
+      corpus(s, dir).select(col("doc_id").as("id"))
+        .select(col("id"), col("id").as("label"))
+        .withColumn("part", pmod(col("label"), lit(CcParts)))
+        .repartition(col("part"))
+        .write.partitionBy("part").parquet(storePath)
+      val pairs = minhashPairs(s, dir).select("id_a", "id_b")
+        .localCheckpoint(true) // ingest + retraction graph read it
+      ccIngest(s, storePath, pairs)
+      ccRetract(s, storePath,
+        corpus(s, dir).filter(col("doc_id") < 10000000L &&
+          col("doc_id") % 10 === 3).select(col("doc_id").as("id")),
+        pairs)
       val a = s.read.parquet(storePath).select("id", "label")
         .localCheckpoint(true) // sizes + final join read it
       val sizes = a.groupBy("label").agg(count(lit(1)).as("cluster_size"))
@@ -579,6 +708,29 @@ object DedupQueries {
         .withColumn("jaccard", Dedup.jaccard(col("sh_n"), col("sh_o")))
         .filter(col("jaccard") >= JaccardThreshold)
         .select("id_new", "id_old", "jaccard")
+        .orderBy("id_new", "id_old")
+    }),
+
+    // TAKEDOWN on the maintained MinHash index
+    // ([[graft.sources.AnnIndex.deleteMinhash]]): the index absorbs the
+    // full corpus, then every 5th doc is retracted — only the touched
+    // pmod(doc_id) directories rewrite, vacated dirs drop — and
+    // tomorrow's crawl batch probes the post-takedown index. Signatures
+    // are row-local, so the deleted index is ROW-IDENTICAL to one built
+    // over the corpus without the retracted docs, and the oracle
+    // recomputes the full cross-snapshot pipeline on that reduced
+    // corpus: retracted docs can no longer claim incoming near-dups —
+    // the behavior a takedown is FOR (their copies must be allowed back
+    // in, or kept out by other surviving duplicates only).
+    "dedup_retract" -> ((s, dir) => {
+      val existing = Tables.documents(s, dir).select("doc_id", "text")
+      val idxDir = graft.sources.TempDirs.scratch("graft_mhdel_")
+      graft.sources.AnnIndex.saveMinhash(
+        existing, MinhashK, Bands, RowsPerBand, idxDir)
+      graft.sources.AnnIndex.deleteMinhash(s, idxDir,
+        existing.filter(col("doc_id") % 5 === 0).select("doc_id"))
+      probeMinhash(s, idxDir,
+        corpus(s, dir).filter(col("doc_id") >= 10000000L))
         .orderBy("id_new", "id_old")
     }),
 
@@ -785,8 +937,14 @@ object DedupQueries {
     * min-doc_id labels — the one-shot clustering the maintained
     * assignment must converge to.
     */
-  private lazy val clustersSql: String =
-    s"""WITH RECURSIVE $corpusCte, $shinglesCte, $minhashPairsCtes,
+  private lazy val clustersSql: String = clustersSqlOver(corpusCte)
+
+  /** The clustering closure over an arbitrary corpus CTE — shared by
+    * the one-shot/incremental forms (full corpus) and the retraction
+    * form (corpus-without, via [[corpusCteWhere]]).
+    */
+  private def clustersSqlOver(cc: String): String =
+    s"""WITH RECURSIVE $cc, $shinglesCte, $minhashPairsCtes,
        |edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION ALL
@@ -825,6 +983,11 @@ object DedupQueries {
     // clustering under any pair batching (min-label monotonicity), so
     // both forms share one oracle
     "dedup_clusters_incremental" -> clustersSql,
+
+    // add→retract must land exactly where a full recompute WITHOUT the
+    // retracted docs lands: the same closure, corpus base leg filtered
+    "dedup_clusters_retract" -> clustersSqlOver(
+      corpusCteWhere("doc_id % 10 != 3")),
 
     "dedup_simhash" ->
       s"""WITH $corpusCte,
@@ -937,6 +1100,18 @@ object DedupQueries {
     // the cross-snapshot result is identical by construction
     "dedup_incremental_upsert" ->
       s"""WITH $corpusCte, $shinglesCte, $minhashPairsCtes
+         |SELECT id_b AS id_new, id_a AS id_old, jaccard
+         |FROM pairs
+         |WHERE id_a < 10000000 AND id_b >= 10000000
+         |ORDER BY id_new, id_old""".stripMargin,
+
+    // build → delete → probe must equal the pipeline over the corpus
+    // WITHOUT the retracted docs: same CTEs, base leg filtered (bucket
+    // caps recount over the reduced population on both sides — the
+    // probe computes them from the post-delete index, the oracle from
+    // the reduced corpus)
+    "dedup_retract" ->
+      s"""WITH ${corpusCteWhere("doc_id % 5 != 0")}, $shinglesCte, $minhashPairsCtes
          |SELECT id_b AS id_new, id_a AS id_old, jaccard
          |FROM pairs
          |WHERE id_a < 10000000 AND id_b >= 10000000

@@ -186,6 +186,29 @@ object PipelineQueries {
       .select("doc_id", "shard", "n_tokens", "offset", "seq_id")
   }
 
+  /** The per-shard export manifest computed FROM THE FILES ON DISK
+    * (doc count, token count, sequence count, order-independent
+    * bit_xor content fingerprint) — shared by pipe_export and
+    * pipe_export_retract so the receipt a consumer checks is one code
+    * path whatever maintenance the artifact saw.
+    */
+  private def exportManifest(s: SparkSession, exportDir: String): DataFrame = {
+    // partition-column type inference reads shard back as int
+    val back = s.read.parquet(exportDir)
+      .select(col("shard").cast("long").as("shard"), col("doc_id"),
+        col("n_tokens"), col("offset"), col("seq_id"))
+    val fp = graft.functions.Md5Long60Expr(
+      concat_ws(":", col("doc_id"), col("n_tokens"), col("offset"), col("seq_id")),
+      PackSalt)
+    back.groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        countDistinct("seq_id").as("n_seqs"),
+        bit_xor(fp).as("content_fp"))
+      .orderBy("shard")
+  }
+
   /** Shared decontam plumbing: rare-shingle fingerprints per doc, split
     * into (train_doc, fp) and (test_doc, fp) sides. Scale shape mirrors
     * dedup_ngram: row-local shingle sets, one explode, doc-frequency
@@ -387,20 +410,64 @@ object PipelineQueries {
         .repartition(col("shard"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("shard").parquet(exportDir)
-      // partition-column type inference reads shard back as int
-      val back = s.read.parquet(exportDir)
-        .select(col("shard").cast("long").as("shard"), col("doc_id"),
-          col("n_tokens"), col("offset"), col("seq_id"))
-      val fp = graft.functions.Md5Long60Expr(
-        concat_ws(":", col("doc_id"), col("n_tokens"), col("offset"), col("seq_id")),
-        PackSalt)
-      back.groupBy("shard")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum("n_tokens").as("n_tokens"),
-          countDistinct("seq_id").as("n_seqs"),
-          bit_xor(fp).as("content_fp"))
-        .orderBy("shard")
+      exportManifest(s, exportDir)
+    }),
+
+    // TAKEDOWN on the exported training artifact — the retraction leg
+    // of pipe_export: a sparse takedown list (every 50th doc — real
+    // takedown batches are sparse) is removed from the SHIPPED shard
+    // layout by re-packing ONLY the shard directories holding a
+    // retracted doc (shard = hash(doc_id) is row-local, so untouched
+    // dirs are byte-identical to a full re-export and never rewrite;
+    // a fully-retracted shard dir is dropped). Re-packing a touched
+    // shard recomputes offsets/seq ids over its survivors — the same
+    // window over shard-local rows, so cost is touched-shards-sized,
+    // not corpus-sized. The manifest is then recomputed FROM DISK, and
+    // the oracle packs the corpus-without from scratch: touched-only
+    // rewrite must be indistinguishable from a full re-export without
+    // the retracted docs — the integrity receipt a consumer re-checks
+    // after any takedown.
+    "pipe_export_retract" -> ((s, dir) => {
+      val exportDir = graft.sources.TempDirs.scratch("graft_exret_")
+      packedSeqs(s, dir)
+        .repartition(col("shard"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("shard").parquet(exportDir)
+      val retracted = Tables.documents(s, dir)
+        .filter(col("doc_id") % 50 === 7).select("doc_id")
+        .localCheckpoint(true) // shard probe + anti-join read it
+      val touched = retracted
+        .select((graft.functions.Md5Long60Expr(
+          col("doc_id").cast("string"), PackSalt)
+          % lit(PackShards.toLong)).as("shard"))
+        .distinct().collect().map(_.getLong(0)) // <= PackShards rows
+      if (touched.nonEmpty) {
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val repacked = s.read.parquet(exportDir)
+          .select(col("doc_id"), col("shard").cast("long").as("shard"),
+            col("n_tokens"))
+          .filter(col("shard").isin(touched.map(Long.box): _*))
+          .join(retracted, Seq("doc_id"), "left_anti")
+          .withColumn("offset", sum("n_tokens").over(w) - col("n_tokens"))
+          .withColumn("seq_id",
+            floor(col("offset").cast("double") / lit(PackSeqLen.toDouble))
+              .cast("long"))
+          .select("doc_id", "shard", "n_tokens", "offset", "seq_id")
+          .localCheckpoint(true) // materialize before overwriting source
+        repacked.repartition(col("shard"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("shard").parquet(exportDir)
+        val written = repacked.select("shard").distinct()
+          .collect().map(_.getLong(0)).toSet
+        val fs = new org.apache.hadoop.fs.Path(exportDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        touched.filterNot(written).foreach { p =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$exportDir/shard=$p"), true)
+        }
+      }
+      exportManifest(s, exportDir)
     }),
 
     // JSONL interchange roundtrip — the de-facto LLM training-data
@@ -1046,6 +1113,35 @@ object PipelineQueries {
        |LEFT JOIN sc USING (doc_id) CROSS JOIN prior
        |ORDER BY d.doc_id""".stripMargin
 
+  /** The export-manifest oracle over `documents WHERE pred` — shared by
+    * pipe_export (TRUE) and pipe_export_retract (the corpus-without):
+    * one packing definition for both artifacts.
+    */
+  private def pipeExportSqlWhere(pred: String): String =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(concat('$PackSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % $PackShards AS shard,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE $pred
+       |), o AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS "offset"
+       |  FROM b
+       |), p AS (
+       |  SELECT doc_id, shard, n_tokens, "offset",
+       |    CAST(FLOOR(CAST("offset" AS DOUBLE) / $PackSeqLen.0) AS BIGINT) AS seq_id
+       |  FROM o
+       |)
+       |SELECT shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+       |  CAST(bit_xor(CAST(concat('0x', substr(md5(concat('$PackSalt:',
+       |    CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR) || ':' ||
+       |    CAST("offset" AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR))), 1, 15)) AS BIGINT)) AS BIGINT) AS content_fp
+       |FROM p GROUP BY shard ORDER BY shard""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "sample_split" ->
@@ -1137,30 +1233,11 @@ object PipelineQueries {
     // same packing CTEs; manifest = per-shard counts + bit_xor'd salted
     // row fingerprints (both engines: md5("13:" || doc:tok:off:seq),
     // low 60 bits)
-    "pipe_export" ->
-      s"""WITH b AS (
-         |  SELECT doc_id,
-         |    CAST(concat('0x', substr(md5(concat('$PackSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % $PackShards AS shard,
-         |    CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_tokens
-         |  FROM documents
-         |), o AS (
-         |  SELECT doc_id, shard, n_tokens,
-         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS "offset"
-         |  FROM b
-         |), p AS (
-         |  SELECT doc_id, shard, n_tokens, "offset",
-         |    CAST(FLOOR(CAST("offset" AS DOUBLE) / $PackSeqLen.0) AS BIGINT) AS seq_id
-         |  FROM o
-         |)
-         |SELECT shard,
-         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-         |  CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
-         |  CAST(bit_xor(CAST(concat('0x', substr(md5(concat('$PackSalt:',
-         |    CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR) || ':' ||
-         |    CAST("offset" AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR))), 1, 15)) AS BIGINT)) AS BIGINT) AS content_fp
-         |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
+    "pipe_export" -> pipeExportSqlWhere("TRUE"),
+
+    // touched-shard re-pack after the takedown must equal a full
+    // re-export of the corpus-without: same packing SQL, docs filtered
+    "pipe_export_retract" -> pipeExportSqlWhere("doc_id % 50 != 7"),
 
     "pipe_integrity" ->
       """SELECT

@@ -207,14 +207,21 @@ object TextQueries {
     * APPENDED to the segment store — zero reads of existing state, the
     * same call from a batch staging or a streaming foreachBatch sink.
     * An empty batch sums to null; coalesce to the additive identity.
+    *
+    * `sign = -1` is the RETRACTION path: additive state admits
+    * takedowns as one more zero-read append of the batch's NEGATED
+    * partials (the fuzzy queue's ±count shape applied to model stats)
+    * — read-time summing then reconstructs the corpus-without totals
+    * exactly, no store read, no rebuild.
     */
-  private[graft] def bm25IngestStats(batch: DataFrame, path: String): Unit = {
+  private[graft] def bm25IngestStats(batch: DataFrame, path: String,
+      sign: Long = 1L): Unit = {
     val wide = batch.agg(count(lit(1)).as("n"),
       (sum("dl").cast("long").as("sumdl") +: bm25DfAggs): _*)
     graft.sources.SegmentStore.append(
       wide.select(explode(array(bm25StatNames.map(nm =>
         struct(lit(nm).as("stat"),
-          coalesce(col(nm).cast("long"), lit(0L)).as("v"))): _*)).as("s"))
+          (coalesce(col(nm).cast("long"), lit(0L)) * lit(sign)).as("v"))): _*)).as("s"))
         .select(col("s.stat").as("stat"), col("s.v").as("v")),
       path)
   }
@@ -584,6 +591,33 @@ object TextQueries {
       SegmentStore.compact(s, path, Seq("stat"), "v")
       bm25IngestStats(base.filter(col("doc_id") % 3 === 2), path) // day 3
       bm25Score(base, bm25StatsFromStore(s, path))
+    }),
+
+    // TAKEDOWN on the maintained BM25 stats — the retraction leg of
+    // text_bm25_incremental, and the additive store's native takedown
+    // shape: after the three day-batches land (day 2's license
+    // expires), the retraction is ONE more zero-read append of day 2's
+    // NEGATED partials (sign = −1); read-time summing reconstructs the
+    // corpus-without totals exactly (BIGINT sums cancel bit-exactly),
+    // and the post-retraction compact proves the ± rows fold away like
+    // any additive state. Scoring then runs over the surviving slice
+    // with the corrected stats, converging bit-exactly to the one-shot
+    // BM25 of the corpus WITHOUT the retracted docs — contrast the
+    // key-replace indexes, where a takedown must rewrite touched
+    // partitions; here it never reads the store at all.
+    "text_bm25_retract" -> ((s, dir) => {
+      import graft.sources.SegmentStore
+      val path = s"${graft.sources.TempDirs.scratch("graft_bmr_")}/segments"
+      val base = bm25Base(Tables.documents(s, dir))
+        .localCheckpoint(true) // ingests + retraction + scoring read it
+      bm25IngestStats(base.filter(col("doc_id") % 3 === 0), path) // day 1
+      bm25IngestStats(base.filter(col("doc_id") % 3 === 1), path) // day 2
+      bm25IngestStats(base.filter(col("doc_id") % 3 === 2), path) // day 3
+      bm25IngestStats(base.filter(col("doc_id") % 3 === 1), path,
+        sign = -1L) // day 2 takedown: negated partials, zero reads
+      SegmentStore.compact(s, path, Seq("stat"), "v") // ± rows fold away
+      bm25Score(base.filter(col("doc_id") % 3 =!= 1),
+        bm25StatsFromStore(s, path))
     }),
 
     // TRAINED BPE MERGES — the tokenizer-training step text_tokens'
@@ -1046,6 +1080,10 @@ object TextQueries {
     // shares its oracle
     "text_bm25_incremental" -> bm25Sql,
 
+    // ingest-all then retract day 2 (negated partials) must equal the
+    // one-shot report over the corpus without day 2's docs
+    "text_bm25_retract" -> bm25SqlWhere("doc_id % 3 != 1"),
+
     // same bigram tree as text_repetition; surprisal in exact integer
     // bits via bin()-length (both engines agree bit-for-bit), unseen
     // bigrams at the total-mass ceiling
@@ -1115,9 +1153,12 @@ object TextQueries {
 
   /** Shared by text_bm25 and text_bm25_incremental: the maintained
     * stats are additive partial sums of the same BIGINT aggregates, so
-    * both forms reduce to this one report.
+    * both forms reduce to this one report. The retraction form is the
+    * same report over the corpus-without ([[bm25SqlWhere]]).
     */
-  private lazy val bm25Sql: String = {
+  private lazy val bm25Sql: String = bm25SqlWhere("TRUE")
+
+  private def bm25SqlWhere(pred: String): String = {
     val k1 = s"CAST($Bm25K1 AS DOUBLE)"
     val k1p1 = s"CAST(${Bm25K1 + 1.0} AS DOUBLE)"
     val b = s"CAST($Bm25B AS DOUBLE)"
@@ -1133,7 +1174,7 @@ object TextQueries {
     }.mkString(", ")
     s"""WITH tok AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
-       |  FROM documents
+       |  FROM documents WHERE $pred
        |), base AS (
        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM tok
        |), st AS (

@@ -752,6 +752,48 @@ object AnnIndex {
       .parquet(s"$dir/sigs")
   }
 
+  /** TAKEDOWN for the maintained signature table — [[upsertMinhash]]
+    * inverted: the retracted ids' `part = pmod(doc_id, parts)`
+    * directories (and ONLY those) are rewritten without their rows, so
+    * a takedown batch costs O(touched partitions), not an index
+    * rebuild. Signatures are row-local, so the post-delete table is
+    * ROW-IDENTICAL to an index built over the corpus without the
+    * retracted docs — the property that lets one oracle gate the whole
+    * build → delete → probe cycle. Unlike the upsert (where `part` is
+    * a pure function of doc_id and a dir can never empty), deleting
+    * every row of a touched dir leaves the dynamic overwrite nothing
+    * to write there — the vacated dir is dropped explicitly (the
+    * ccIngest cleanup rule). Ids absent from the index are no-ops.
+    */
+  def deleteMinhash(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val parts = meta.getAs[Int]("parts")
+    val del = ids.select(col("doc_id")).distinct()
+      .withColumn("part", pmod(col("doc_id"), lit(parts.toLong)))
+      .localCheckpoint(true) // part probe + anti-join read it
+    if (del.isEmpty) return
+    val partIds = del.select("part").distinct()
+      .collect().map(_.getLong(0)) // bounded by parts, driver-safe
+    val kept = spark.read.parquet(s"$dir/sigs")
+      .filter(col("part").isin(partIds.map(Long.box): _*))
+      .join(del.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("sh"), col("sig"), col("keys"),
+        col("part").cast("long").as("part"))
+      .localCheckpoint(true) // materialize before overwriting the source
+    kept.repartition(col("part"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part")
+      .parquet(s"$dir/sigs")
+    val written = kept.select("part").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val root = new org.apache.hadoop.fs.Path(s"$dir/sigs")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    partIds.filterNot(written).foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/sigs/part=$p"), true)
+    }
+  }
+
   // ------------------------------------------- Perceptual media (pHash)
 
   /** Freeze the perceptual-hash geometry: `nPatch` (derive it from the

@@ -419,6 +419,40 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(rows(incDir).size == 80)
   }
 
+  test("MinHash delete: add→retract converges to the build WITHOUT the retracted docs; vacated dirs drop; unknown ids no-op") {
+    import spark.implicits._
+    val docs = (0L until 80L).map { i =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta iota kappa doc$i")
+    }.toDF("doc_id", "text")
+    val delDir = Files.createTempDirectory("graft_mhdel_").toString
+    val refDir = Files.createTempDirectory("graft_mhdel_").toString
+    // staged add (save half, upsert rest) then retract every 4th doc
+    AnnIndex.saveMinhash(docs.filter(col("doc_id") < 50), 16, 4, 4, delDir)
+    AnnIndex.upsertMinhash(spark, delDir, docs.filter(col("doc_id") >= 50))
+    AnnIndex.deleteMinhash(spark, delDir,
+      docs.filter(col("doc_id") % 4 === 0).select("doc_id"))
+    AnnIndex.saveMinhash(docs.filter(col("doc_id") % 4 =!= 0), 16, 4, 4, refDir)
+    def rows(dir: String) = AnnIndex.minhashSigs(spark, dir)
+      .select(col("doc_id"), col("sig").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(delDir) == rows(refDir))
+    assert(rows(delDir).size == 60)
+    // deleting unknown ids is a no-op
+    AnnIndex.deleteMinhash(spark, delDir, Seq(9999L).toDF("doc_id"))
+    assert(rows(delDir).size == 60)
+    // vacated-dir cleanup: default parts hash by pmod(doc_id) — delete
+    // EVERY doc of one part and the dir must be gone, not stale
+    val meta = spark.read.parquet(s"$delDir/meta").head()
+    val parts = meta.getAs[Int]("parts")
+    val victims = (0L until 80L).filter(i => i % 4 != 0 && i % parts == 1)
+    AnnIndex.deleteMinhash(spark, delDir,
+      victims.toDF("doc_id"))
+    val dirs = new java.io.File(s"$delDir/sigs").listFiles()
+      .map(_.getName).filter(_.startsWith("part=")).toSet
+    assert(!dirs.contains("part=1"), s"vacated dir survived: $dirs")
+    assert(rows(delDir).size == 60 - victims.size)
+  }
+
   test("MinHash upsert: re-inserted doc_id takes the new text; dup batch rejected") {
     import spark.implicits._
     val docs = (0L until 30L).map { i =>

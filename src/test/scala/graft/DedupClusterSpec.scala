@@ -63,6 +63,46 @@ class DedupClusterSpec extends AnyFunSuite {
     parts.foreach(r => assert(r.getAs[Long]("expect") == r.getAs[Long]("part")))
   }
 
+  test("retraction SPLITS components: removing the bridge re-clusters survivors only, retracted rows drop") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    val storePath =
+      s"${graft.sources.TempDirs.scratch("graft_ccrspec_")}/assign"
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L)
+    nodes.toDF("id").select(col("id"), col("id").as("label"))
+      .withColumn("part", pmod(col("label"), lit(DedupQueries.CcParts)))
+      .write.partitionBy("part").parquet(storePath)
+    // chain 1-2-3 (2 is the ONLY bridge) + pair {5,6}; 4 and 7 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+      .localCheckpoint(true)
+    DedupQueries.ccIngest(spark, storePath, pairs)
+    def state() = spark.read.parquet(storePath).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(state() == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // retract the bridge: {1,2,3} minus 2 must SPLIT into {1} and {3}
+    // (min-label is NOT monotone under deletion — 3 needs a NEW label),
+    // every other component untouched, 2's row gone
+    DedupQueries.ccRetract(spark, storePath, Seq(2L).toDF("id"), pairs)
+    assert(state() == Map(1L -> 1L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // retract a component's LABEL member: survivor relabels to itself
+    DedupQueries.ccRetract(spark, storePath, Seq(5L).toDF("id"), pairs)
+    assert(state() == Map(1L -> 1L, 3L -> 3L, 4L -> 4L, 6L -> 6L, 7L -> 7L))
+    // retracting an id absent from the store is a no-op
+    DedupQueries.ccRetract(spark, storePath, Seq(99L).toDF("id"), pairs)
+    assert(state() == Map(1L -> 1L, 3L -> 3L, 4L -> 4L, 6L -> 6L, 7L -> 7L))
+    // store hygiene after deletes: no partition dir holds a row whose
+    // label doesn't hash there, and no retracted id survives anywhere
+    val rows = spark.read.parquet(storePath)
+      .select(col("id"), col("label"), col("part").cast("long").as("part"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("part") ==
+        math.floorMod(r.getAs[Long]("label"), DedupQueries.CcParts))
+    }
+  }
+
   test("transitive chain closes into one cluster labeled by its min id") {
     // a-b, b-c, c-d: no (a,d) pair ever surfaced, yet all four must join.
     // A chain is also the worst case for propagation rounds (diameter 3).
