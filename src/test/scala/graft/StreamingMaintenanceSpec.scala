@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming maintenance for the two newest maintained models — BM25
+  * corpus stats and the cluster assignment — via `foreachBatch` over a
+  * micro-batched stream, converging to the batch fold (the phash/LSH
+  * maintenance discipline): the SAME ingest call serves a batch staging
+  * and a streaming sink, so "maintained under a stream" is a spec-gated
+  * property, not a claim.
+  */
+class StreamingMaintenanceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.sources.GraftSession.local()
+
+  test("BM25 stats: foreachBatch ingests converge to the one-batch fold (additive partials)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 120L).map { i =>
+      val extra = if (i % 3 == 0) " stream vector" else if (i % 3 == 1) " window" else " batch batch"
+      (i, s"alpha beta gamma doc$i$extra")
+    }
+    val streamPath =
+      s"${graft.sources.TempDirs.scratch("graft_bmstream_")}/segments"
+    val onePath =
+      s"${graft.sources.TempDirs.scratch("graft_bmone_")}/segments"
+    // reference: the WHOLE corpus as one ingest
+    graft.queries.TextQueries.bm25IngestStats(
+      graft.queries.TextQueries.bm25Base(docs.toDF("doc_id", "text")), onePath)
+    // stream: three micro-batches, each appending its partials
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        graft.queries.TextQueries.bm25IngestStats(
+          graft.queries.TextQueries.bm25Base(batch), streamPath)
+      }.start()
+    try {
+      mem.addData(docs.filter(_._1 < 40L): _*)
+      q.processAllAvailable()
+      mem.addData(docs.filter(d => d._1 >= 40L && d._1 < 80L): _*)
+      q.processAllAvailable()
+      mem.addData(docs.filter(_._1 >= 80L): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def stats(path: String) = graft.queries.TextQueries
+      .bm25StatsFromStore(spark, path).head().toSeq
+    assert(stats(streamPath) == stats(onePath))
+    // and the micro-batched store really holds >1 segment pre-merge
+    assert(graft.sources.SegmentStore.segmentIds(spark, streamPath).size >= 3)
+  }
+
+  test("cluster assignment: foreachBatch pair ingests converge to the one-shot clustering") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val nodes = (1L to 40L)
+    // chains {1..4}, {10..13}, pair {20,21}, the rest isolated; edges
+    // arrive SPLIT ACROSS micro-batches so cross-batch transitive
+    // merges must fire (1-2 in batch 1, 2-3 in batch 2, ...)
+    val edges = Seq((1L, 2L), (10L, 11L), (20L, 21L),
+      (2L, 3L), (11L, 12L), (3L, 4L), (12L, 13L))
+    val storePath =
+      s"${graft.sources.TempDirs.scratch("graft_ccstream_")}/assign"
+    nodes.toDF("id").select(col("id"), col("id").as("label"))
+      .withColumn("part",
+        pmod(col("label"), lit(graft.queries.DedupQueries.CcParts)))
+      .write.partitionBy("part").parquet(storePath)
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("id_a", "id_b")
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        graft.queries.DedupQueries.ccIngest(spark, storePath, batch)
+      }.start()
+    try {
+      mem.addData(edges.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(edges.slice(3, 5): _*)
+      q.processAllAvailable()
+      mem.addData(edges.drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(storePath).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    val want = graft.operators.Dedup.connectedComponents(
+        nodes.toDF("id"), edges.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got(4L) == 1L && got(13L) == 10L && got(21L) == 20L)
+  }
+}
