@@ -95,10 +95,17 @@ object MultimodalQueries {
   /** mnd (hex corpus + arms), nd_p (derived width), ph (per-band hash
     * values), mm_pairs (all-pairs Hamming verify) — the oracle mirror
     * of [[nearDupPairs]], shared by mm_near_dup and mm_dedup_clusters.
+    * `basePred` filters the BASE leg (the retraction oracle's
+    * corpus-without); the width in nd_p always derives from the FULL
+    * population — the frozen-width contract (a takedown never
+    * retrains), mirrored by the Spark side freezing nPatch before any
+    * delete.
     */
-  private def mmNearDupCtes: String =
+  private def mmNearDupCtes: String = mmNearDupCtesOver("TRUE")
+
+  private def mmNearDupCtesOver(basePred: String): String =
     s"""mnd AS (
-       |  SELECT doc_id, $payloadHexSql AS hx FROM documents
+       |  SELECT doc_id, $payloadHexSql AS hx FROM documents WHERE $basePred
        |  UNION ALL
        |  SELECT doc_id + 20000000, concat($payloadHexSql, md5('reenc-tail'))
        |  FROM documents WHERE doc_id % 7 = 5
@@ -111,7 +118,9 @@ object MultimodalQueries {
        |    SELECT UNNEST([64, 128, 256]) AS p
        |  ) pp
        |  WHERE (CAST(${Multimodal.PHashBucketTarget} AS BIGINT) << (p // 8))
-       |          >= (SELECT COUNT(*) FROM mnd)
+       |          >= (SELECT (SELECT COUNT(*) FROM documents)
+       |              + (SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 5)
+       |              + (SELECT COUNT(*) FROM documents WHERE doc_id % 11 = 3))
        |), ph AS (
        |  SELECT doc_id,
        |    list_transform(generate_series(0, 7), b ->
@@ -239,6 +248,39 @@ object MultimodalQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // TAKEDOWN on the perceptual posting store
+    // ([[graft.sources.AnnIndex.deletePhash]]) — the media takedown
+    // (DMCA/CSAM) semantics: the store holds the base corpus + the
+    // content-edit arm; the re-encode arm's SOURCE payloads (base
+    // doc_id % 7 = 5) are then retracted — touched key-directory
+    // rewrites only, width FROZEN (a takedown never retrains) — and
+    // the re-encode arm arrives as tomorrow's probe batch. Every
+    // re-encode previously byte-matched its source (Hamming 0); post-
+    // takedown those matches are GONE, and a re-encode pairs only
+    // where a SURVIVING near-copy of its content exists (its source
+    // also carried the %11 content edit — the armB-mediated residual),
+    // which is exactly what "the payload was taken down" must mean:
+    // re-uploads are caught by surviving evidence only. Oracle:
+    // all-pairs at the frozen width over the corpus-without, restricted
+    // to pairs touching the probe arm.
+    "mm_near_dup_retract" -> ((s, dir) => {
+      val idxDir = graft.sources.TempDirs.scratch("graft_phdel_")
+      val media = nearDupMedia(s, dir).localCheckpoint(true)
+      val nPatch = Multimodal.phashPatches(media.count()) // frozen pre-delete
+      graft.sources.AnnIndex.trainPhash(s, idxDir, nPatch)
+      val armA = media.filter(col("doc_id") >= 20000000L &&
+        col("doc_id") < 30000000L)
+      graft.sources.AnnIndex.upsertPhash(s, idxDir,
+        media.filter(col("doc_id") < 20000000L || col("doc_id") >= 30000000L))
+      graft.sources.AnnIndex.deletePhash(s, idxDir,
+        media.filter(col("doc_id") < 10000000L && col("doc_id") % 7 === 5)
+          .select("doc_id"))
+      graft.sources.AnnIndex.probePhash(s, idxDir, armA, PHashHammingMax)
+        .select(col("id_a"), col("id_b"), col("hamming"),
+          lit(nPatch.toLong).as("n_patches"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // The APPLIED perceptual dedup — mm_near_dup's pairs closed into
     // components (the dedup_clusters treatment for media): a re-hosted
     // image re-encoded twice links a~b, b~c, and pairwise output alone
@@ -355,6 +397,18 @@ object MultimodalQueries {
          |SELECT id_a, id_b, hamming,
          |       (SELECT CAST(p AS BIGINT) FROM nd_p) AS n_patches
          |FROM mm_pairs ORDER BY id_a, id_b""".stripMargin,
+
+    // the corpus-without at the FROZEN width, pairs touching the probe
+    // arm only — build → delete → probe must equal discovery over a
+    // corpus that never contained the retracted payloads
+    "mm_near_dup_retract" ->
+      s"""WITH ${mmNearDupCtesOver("NOT (doc_id % 7 = 5)")}
+         |SELECT id_a, id_b, hamming,
+         |       (SELECT CAST(p AS BIGINT) FROM nd_p) AS n_patches
+         |FROM mm_pairs
+         |WHERE (id_a >= 20000000 AND id_a < 30000000)
+         |   OR (id_b >= 20000000 AND id_b < 30000000)
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // the dedup_clusters recursive closure over the perceptual pairs:
     // min reachable id per media row == the component's keeper

@@ -801,6 +801,29 @@ object SimilarityQueries {
       graft.sources.AnnIndex.probeLsh(s, idxDir, q, K).orderBy("q_id", "rnk")
     }),
 
+    // TAKEDOWN on the persisted LSH index
+    // ([[graft.sources.AnnIndex.deleteLsh]]): build over the full
+    // corpus, retract every 7th-shifted vector (vec_id % 7 = 6 — none
+    // of the probe queries), then serve the probe from the store. The
+    // retracted ids' rows are located by one column-pruned scan (the
+    // bucket is content-derived, so touched dirs aren't computable
+    // from ids alone), only those directories rewrite, vacated dirs
+    // drop. Bucketing is row-local, so probe-after-delete must equal
+    // the probe of an index BUILT without the retracted vectors — the
+    // oracle runs the LSH pipeline over the reduced corpus, and a
+    // retracted vector can never reappear as anyone's neighbor (the
+    // embedding-side right-to-be-forgotten semantics).
+    "sim_ann_lsh_delete" -> ((s, dir) => {
+      val idxDir = graft.sources.TempDirs.scratch("graft_lshdel_")
+      val all = vecs(s, dir)
+      graft.sources.AnnIndex.saveLsh(all, LshBits, Dim, idxDir)
+      graft.sources.AnnIndex.deleteLsh(s, idxDir,
+        all.filter(col("vec_id") % 7 === 6).select("vec_id"))
+      val q = all.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      graft.sources.AnnIndex.probeLsh(s, idxDir, q, K).orderBy("q_id", "rnk")
+    }),
+
     // Persisted IVF: centroids + cell-partitioned assignment on disk;
     // probes rank the stored k-row centroid table and read only the
     // probed cell directories. Oracle-identical to sim_ann_ivf.
@@ -1395,6 +1418,14 @@ object SimilarityQueries {
     // identical semantics served from the stored index
     "sim_ann_lsh_idx" ->
       s"""WITH $vecsCte, $lshCtes
+         |SELECT q_id, rnk, c_id, cosine FROM lsh_res ORDER BY q_id, rnk""".stripMargin,
+
+    // probe-after-delete == the LSH pipeline over the corpus-without
+    "sim_ann_lsh_delete" ->
+      s"""WITH vecs AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE vec_id % 7 != 6
+         |), $lshCtes
          |SELECT q_id, rnk, c_id, cosine FROM lsh_res ORDER BY q_id, rnk""".stripMargin,
 
     "sim_ann_ivf_idx" ->

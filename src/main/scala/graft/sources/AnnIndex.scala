@@ -144,6 +144,43 @@ object AnnIndex {
     }
   }
 
+  /** TAKEDOWN for the LSH layout — [[upsertLsh]] inverted: the
+    * retracted ids' rows are located with ONE column-pruned scan
+    * (vec_id, part — the bucket is content-derived, so unlike the
+    * minhash layout the touched directories are not computable from
+    * the ids alone; at extreme scale an id→part sidecar would replace
+    * the scan), then only those directories rewrite without the rows
+    * and fully-vacated dirs drop. Bucketing is row-local, so the
+    * post-delete index is row-identical to one built over the corpus
+    * without the retracted vectors. Unknown ids are no-ops.
+    */
+  def deleteLsh(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val del = ids.select(col("vec_id")).distinct().localCheckpoint(true)
+    if (del.isEmpty) return
+    val partIds = spark.read.parquet(s"$dir/corpus")
+      .join(del, Seq("vec_id"))
+      .select(col("part").cast("long")).distinct()
+      .collect().map(_.getLong(0)) // bounded by parts, driver-safe
+    if (partIds.isEmpty) return
+    val kept = spark.read.parquet(s"$dir/corpus")
+      .filter(col("part").isin(partIds.map(Long.box): _*))
+      .join(del, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("v"), col("bucket"),
+        col("part").cast("long").as("part"))
+      .localCheckpoint(true) // materialize before overwriting the source
+    kept.repartition(col("part"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part")
+      .parquet(s"$dir/corpus")
+    val written = kept.select("part").distinct().collect().map(_.getLong(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    partIds.filterNot(written).foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/corpus/part=$p"), true)
+    }
+  }
+
   /** Top-`k` cosine neighbors of each query served FROM THE STORED
     * index: only the partition directories containing the queries'
     * (multi-probe) buckets are read. `queries` must be broadcast-small
@@ -863,6 +900,46 @@ object AnnIndex {
       .write.mode(SaveMode.Append)
       .partitionBy("part")
       .parquet(s"$dir/postings")
+  }
+
+  /** TAKEDOWN for the perceptual posting store — the retraction path
+    * the additive layout needs (postings are append-only; a retracted
+    * doc's rows must physically leave, unlike summable counters which
+    * retract by a negative append): one column-pruned locate scan
+    * (doc_id, part — a doc's <= [[Multimodal.PHashBands]] postings
+    * spread over content-derived key dirs), touched-directory
+    * rewrites, vacated dirs dropped. Hashing is row-local and the
+    * width is FROZEN (a takedown never retrains — the codebook rule),
+    * so the post-delete postings equal a bulk load of the corpus
+    * without the retracted media at the same width; subsequent probes
+    * can no longer pair against the retracted payloads — the media
+    * takedown (DMCA/CSAM) semantics.
+    */
+  def deletePhash(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val del = ids.select(col("doc_id")).distinct().localCheckpoint(true)
+    if (del.isEmpty || !pathExists(spark, s"$dir/postings")) return
+    val partIds = spark.read.parquet(s"$dir/postings")
+      .join(del, Seq("doc_id"))
+      .select(col("part").cast("long")).distinct()
+      .collect().map(_.getLong(0)) // bounded by parts, driver-safe
+    if (partIds.isEmpty) return
+    val kept = spark.read.parquet(s"$dir/postings")
+      .filter(col("part").isin(partIds.map(Long.box): _*))
+      .join(del, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("bands"), col("band"), col("key"),
+        col("part").cast("long").as("part"))
+      .localCheckpoint(true) // materialize before overwriting the source
+    kept.repartition(col("part"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part")
+      .parquet(s"$dir/postings")
+    val written = kept.select("part").distinct().collect().map(_.getLong(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    partIds.filterNot(written).foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/postings/part=$p"), true)
+    }
   }
 
   /** Probe a media batch against the stored postings: verified

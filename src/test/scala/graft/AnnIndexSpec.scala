@@ -160,6 +160,79 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.lshCorpus(spark, dir).count() == 300L)
   }
 
+  test("LSH delete: add→retract converges to the build WITHOUT the retracted vectors; probes stop seeing them") {
+    import spark.implicits._
+    val all = synthVecs(300)
+    val delDir = Files.createTempDirectory("graft_lshdel_").toString
+    val refDir = Files.createTempDirectory("graft_lshdel_").toString
+    AnnIndex.saveLsh(all, NBits, Dim, delDir)
+    AnnIndex.deleteLsh(spark, delDir,
+      all.filter(col("vec_id") % 3 === 1).select("vec_id"))
+    AnnIndex.saveLsh(all.filter(col("vec_id") % 3 =!= 1), NBits, Dim, refDir)
+    def rows(dir: String) = AnnIndex.lshCorpus(spark, dir)
+      .select(col("vec_id"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(delDir) == rows(refDir))
+    assert(rows(delDir).size == 200)
+    // no probe result may name a retracted id
+    val got = AnnIndex.probeLsh(spark, delDir, queriesOf(all), K)
+      .select("c_id").collect().map(_.getLong(0))
+    assert(got.nonEmpty && got.forall(_ % 3 != 1))
+    // unknown ids are a no-op
+    AnnIndex.deleteLsh(spark, delDir, Seq(987654L).toDF("vec_id"))
+    assert(rows(delDir).size == 200)
+  }
+
+  test("pHash delete: postings after retraction equal a bulk load of the corpus-without at the frozen width") {
+    import spark.implicits._
+    def media(ids: Seq[Long]) = ids.map { i =>
+      (i, Array.tabulate(256)(b => ((b * 7 + i * 13) % 251).toByte))
+    }.toDF("doc_id", "payload")
+    val ids = 0L until 60L
+    val delDir = Files.createTempDirectory("graft_phdel_").toString
+    val refDir = Files.createTempDirectory("graft_phdel_").toString
+    val nPatch = graft.operators.Multimodal.phashPatches(ids.size.toLong)
+    AnnIndex.trainPhash(spark, delDir, nPatch)
+    AnnIndex.trainPhash(spark, refDir, nPatch) // SAME frozen width
+    AnnIndex.upsertPhash(spark, delDir, media(ids))
+    AnnIndex.deletePhash(spark, delDir,
+      ids.filter(_ % 4 == 2).toDF("doc_id"))
+    AnnIndex.upsertPhash(spark, refDir, media(ids.filterNot(_ % 4 == 2)))
+    def postings(dir: String) = spark.read.parquet(s"$dir/postings")
+      .select(col("doc_id"), col("band"), col("key"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(postings(delDir) == postings(refDir))
+    assert(postings(delDir).nonEmpty)
+    // the takedown's point: a RE-UPLOAD of a retracted payload (same
+    // bytes, new id) no longer matches anything — its only twin's
+    // postings are gone...
+    def reupload(srcIds: Seq[Long]) = srcIds.map { i =>
+      (i + 100000L, Array.tabulate(256)(b => ((b * 7 + i * 13) % 251).toByte))
+    }.toDF("doc_id", "payload")
+    // (unrelated hash collisions at the frozen width may legitimately
+    // pair — the contract is about the ORIGINAL: that exact pair must
+    // be gone for retracted sources, present for surviving ones)
+    def pairsOf(srcIds: Seq[Long]) =
+      AnnIndex.probePhash(spark, delDir, reupload(srcIds), hammingMax = 0)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val retractedSrc = ids.filter(_ % 4 == 2)
+    val reRetracted = pairsOf(retractedSrc)
+    retractedSrc.foreach { i =>
+      assert(!reRetracted.contains((i, i + 100000L)),
+        s"re-upload of retracted $i still matches its deleted original")
+    }
+    // ...while a re-upload of a SURVIVING payload still pairs with its
+    // stored original (the probe path itself is alive — the absence
+    // above is the takedown, not a broken probe)
+    val survivorSrc = ids.filter(_ % 4 == 0).take(3)
+    val reSurvivor = pairsOf(survivorSrc)
+    survivorSrc.foreach { i =>
+      assert(reSurvivor.contains((i, i + 100000L)),
+        s"surviving original $i no longer pairs with its re-upload")
+    }
+  }
+
   test("LSH upsert: a batch with duplicate vec_ids is rejected") {
     // the anti-join merge removes STORED rows only — a within-batch dupe
     // would break the "each vec_id exactly once" invariant silently
