@@ -55,6 +55,50 @@ object AnnIndex {
       s"upsert batch contains duplicate $keyCol ${dup.headOption.map(_.get(0))}")
   }
 
+  /** Shared takedown engine for every key-addressed layout: rewrite
+    * ONLY the `partCol` directories in `partIds` without the retracted
+    * `keyCol` rows (schema-agnostic — data columns come from the
+    * stored table), then drop any directory the delete fully vacated
+    * (dynamic overwrite writes nothing there, which would leave stale
+    * files). Callers locate `partIds` either directly from the ids
+    * (partition = pure id function: minhash/PQ) or by one
+    * column-pruned scan (content-derived partition: LSH bucket, IVF
+    * cell, phash key).
+    */
+  private def deleteRowsInParts(spark: SparkSession, tablePath: String,
+      keyCol: String, partCol: String, del: DataFrame,
+      partIds: Seq[Long]): Unit = {
+    if (partIds.isEmpty) return
+    val cur = spark.read.parquet(tablePath)
+    val dataCols = cur.columns.filterNot(_ == partCol)
+    val kept = cur.filter(col(partCol).isin(partIds.map(Long.box): _*))
+      .join(del.select(keyCol), Seq(keyCol), "left_anti")
+      .select(dataCols.map(col) :+ col(partCol).cast("long").as(partCol): _*)
+      .localCheckpoint(true) // materialize before overwriting the source
+    kept.repartition(col(partCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(tablePath)
+    val written = kept.select(partCol).distinct().collect().map(_.getLong(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    partIds.filterNot(written).foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/$partCol=$p"), true)
+    }
+  }
+
+  /** Touched-partition ids for a CONTENT-derived layout: one
+    * column-pruned scan of (keyCol, partCol) semi-joined to the ids.
+    * At extreme scale an id→partition sidecar replaces the scan.
+    */
+  private def locateParts(spark: SparkSession, tablePath: String,
+      keyCol: String, partCol: String, del: DataFrame): Seq[Long] =
+    spark.read.parquet(tablePath)
+      .join(del.select(keyCol), Seq(keyCol))
+      .select(col(partCol).cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded by the dir fan-out
+
   // -------------------------------------------------------------- LSH
 
   /** Build and write an LSH index over `(vec_id, v)` double vectors.
@@ -157,28 +201,49 @@ object AnnIndex {
   def deleteLsh(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
     val del = ids.select(col("vec_id")).distinct().localCheckpoint(true)
     if (del.isEmpty) return
-    val partIds = spark.read.parquet(s"$dir/corpus")
-      .join(del, Seq("vec_id"))
-      .select(col("part").cast("long")).distinct()
-      .collect().map(_.getLong(0)) // bounded by parts, driver-safe
-    if (partIds.isEmpty) return
-    val kept = spark.read.parquet(s"$dir/corpus")
-      .filter(col("part").isin(partIds.map(Long.box): _*))
-      .join(del, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("v"), col("bucket"),
-        col("part").cast("long").as("part"))
-      .localCheckpoint(true) // materialize before overwriting the source
-    kept.repartition(col("part"))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("part")
-      .parquet(s"$dir/corpus")
-    val written = kept.select("part").distinct().collect().map(_.getLong(0)).toSet
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    partIds.filterNot(written).foreach { p =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/corpus/part=$p"), true)
-    }
+    deleteRowsInParts(spark, s"$dir/corpus", "vec_id", "part", del,
+      locateParts(spark, s"$dir/corpus", "vec_id", "part", del))
+  }
+
+  /** TAKEDOWN for the IVF assignment — cell is content-derived
+    * (nearest stored centroid), so touched cells come from the locate
+    * scan; the quantizer stays FROZEN (a takedown never retrains, the
+    * [[upsertIvf]] rule), so the post-delete assignment equals an
+    * assignment of the corpus-without against the same centroids.
+    */
+  def deleteIvf(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val del = ids.select(col("vec_id")).distinct().localCheckpoint(true)
+    if (del.isEmpty) return
+    deleteRowsInParts(spark, s"$dir/assign", "vec_id", "cell", del,
+      locateParts(spark, s"$dir/assign", "vec_id", "cell", del))
+  }
+
+  /** TAKEDOWN for the PQ codes table — `part = pmod(vec_id, parts)` is
+    * a pure id function, so touched directories are computable from
+    * the ids alone (no locate scan); codebooks stay frozen, so the
+    * post-delete codes equal an encode of the corpus-without under
+    * the same quantizer.
+    */
+  def deletePq(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val parts = meta.getAs[Int]("parts")
+    val del = ids.select(col("vec_id")).distinct()
+      .withColumn("part", pmod(col("vec_id"), lit(parts.toLong)))
+      .localCheckpoint(true)
+    if (del.isEmpty || !pathExists(spark, s"$dir/codes")) return
+    val partIds = del.select("part").distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded by parts, driver-safe
+    deleteRowsInParts(spark, s"$dir/codes", "vec_id", "part", del, partIds)
+  }
+
+  /** TAKEDOWN for the two-level IVF+PQ codes table (cell-partitioned,
+    * content-derived — locate scan, frozen quantizers).
+    */
+  def deleteIvfPq(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val del = ids.select(col("vec_id")).distinct().localCheckpoint(true)
+    if (del.isEmpty || !pathExists(spark, s"$dir/codes")) return
+    deleteRowsInParts(spark, s"$dir/codes", "vec_id", "cell", del,
+      locateParts(spark, s"$dir/codes", "vec_id", "cell", del))
   }
 
   /** Top-`k` cosine neighbors of each query served FROM THE STORED
@@ -810,25 +875,8 @@ object AnnIndex {
       .localCheckpoint(true) // part probe + anti-join read it
     if (del.isEmpty) return
     val partIds = del.select("part").distinct()
-      .collect().map(_.getLong(0)) // bounded by parts, driver-safe
-    val kept = spark.read.parquet(s"$dir/sigs")
-      .filter(col("part").isin(partIds.map(Long.box): _*))
-      .join(del.select("doc_id"), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("sh"), col("sig"), col("keys"),
-        col("part").cast("long").as("part"))
-      .localCheckpoint(true) // materialize before overwriting the source
-    kept.repartition(col("part"))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("part")
-      .parquet(s"$dir/sigs")
-    val written = kept.select("part").distinct()
-      .collect().map(_.getLong(0)).toSet
-    val root = new org.apache.hadoop.fs.Path(s"$dir/sigs")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    partIds.filterNot(written).foreach { p =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/sigs/part=$p"), true)
-    }
+      .collect().map(_.getLong(0)).toSeq // bounded by parts, driver-safe
+    deleteRowsInParts(spark, s"$dir/sigs", "doc_id", "part", del, partIds)
   }
 
   // ------------------------------------------- Perceptual media (pHash)
@@ -918,28 +966,8 @@ object AnnIndex {
   def deletePhash(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
     val del = ids.select(col("doc_id")).distinct().localCheckpoint(true)
     if (del.isEmpty || !pathExists(spark, s"$dir/postings")) return
-    val partIds = spark.read.parquet(s"$dir/postings")
-      .join(del, Seq("doc_id"))
-      .select(col("part").cast("long")).distinct()
-      .collect().map(_.getLong(0)) // bounded by parts, driver-safe
-    if (partIds.isEmpty) return
-    val kept = spark.read.parquet(s"$dir/postings")
-      .filter(col("part").isin(partIds.map(Long.box): _*))
-      .join(del, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("bands"), col("band"), col("key"),
-        col("part").cast("long").as("part"))
-      .localCheckpoint(true) // materialize before overwriting the source
-    kept.repartition(col("part"))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("part")
-      .parquet(s"$dir/postings")
-    val written = kept.select("part").distinct().collect().map(_.getLong(0)).toSet
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    partIds.filterNot(written).foreach { p =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/postings/part=$p"), true)
-    }
+    deleteRowsInParts(spark, s"$dir/postings", "doc_id", "part", del,
+      locateParts(spark, s"$dir/postings", "doc_id", "part", del))
   }
 
   /** Probe a media batch against the stored postings: verified

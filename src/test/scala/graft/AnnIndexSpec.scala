@@ -492,6 +492,66 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(rows(incDir).size == 80)
   }
 
+  test("IVF/PQ/IVFPQ delete: quantizers stay frozen, post-delete tables are exactly the survivors' rows, probes stop naming retracted ids") {
+    import spark.implicits._
+    val all = synthVecs(200)
+    val retract = all.filter(col("vec_id") % 5 === 2).select("vec_id")
+    def survivors(rows: Set[Seq[Any]], idIdx: Int) =
+      rows.filterNot(r => r(idIdx).asInstanceOf[Long] % 5 == 2)
+    // IVF: cell-partitioned assignment
+    val ivfDir = Files.createTempDirectory("graft_ivfdel_").toString
+    AnnIndex.saveIvf(all, k = 8, sampleSize = 128, iters = 2, dim = Dim,
+      salt = 7, dir = ivfDir)
+    val ivfBefore = spark.read.parquet(s"$ivfDir/assign")
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(_.toSeq).toSet
+    val centsBefore = spark.read.parquet(s"$ivfDir/centroids")
+      .collect().map(_.toSeq).toSet
+    AnnIndex.deleteIvf(spark, ivfDir, retract)
+    val ivfAfter = spark.read.parquet(s"$ivfDir/assign")
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(_.toSeq).toSet
+    assert(ivfAfter == survivors(ivfBefore, 0))
+    assert(spark.read.parquet(s"$ivfDir/centroids")
+      .collect().map(_.toSeq).toSet == centsBefore) // frozen quantizer
+    val ivfGot = AnnIndex.probeIvf(spark, ivfDir, queriesOf(all), K, nProbe = 2)
+      .select("c_id").collect().map(_.getLong(0))
+    assert(ivfGot.nonEmpty && ivfGot.forall(_ % 5 != 2))
+    // PQ: pmod(vec_id)-partitioned codes — touched dirs from ids alone
+    val pqDir = Files.createTempDirectory("graft_pqdel_").toString
+    AnnIndex.savePq(all, m = 4, sub = 16, k = 8, sampleSize = 128, iters = 2,
+      salt = 11, dir = pqDir)
+    val pqBefore = spark.read.parquet(s"$pqDir/codes")
+      .select((col("vec_id") +: (0 until 4).map(m => col(s"code$m"))): _*)
+      .collect().map(_.toSeq).toSet
+    AnnIndex.deletePq(spark, pqDir, retract)
+    val pqAfter = spark.read.parquet(s"$pqDir/codes")
+      .select((col("vec_id") +: (0 until 4).map(m => col(s"code$m"))): _*)
+      .collect().map(_.toSeq).toSet
+    assert(pqAfter == survivors(pqBefore, 0))
+    val pqGot = AnnIndex.probePq(spark, pqDir, queriesOf(all)
+        .select(col("q_id").as("vec_id"), col("q_v").as("v")), K, m = 4, sub = 16)
+      .select("c_id").collect().map(_.getLong(0))
+    assert(pqGot.nonEmpty && pqGot.forall(_ % 5 != 2))
+    // IVF+PQ: cell-partitioned codes
+    val ipDir = Files.createTempDirectory("graft_ipdel_").toString
+    AnnIndex.saveIvfPq(all, ivfK = 8, sampleSize = 128, iters = 2, dim = Dim,
+      ivfSalt = 7, m = 4, sub = 16, pqK = 8, pqSalt = 11, dir = ipDir)
+    val ipBefore = spark.read.parquet(s"$ipDir/codes")
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(_.toSeq).toSet
+    AnnIndex.deleteIvfPq(spark, ipDir, retract)
+    val ipAfter = spark.read.parquet(s"$ipDir/codes")
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(_.toSeq).toSet
+    assert(ipAfter == survivors(ipBefore, 0))
+    val ipGot = AnnIndex.probeIvfPq(spark, ipDir, queriesOf(all),
+        all.filter(col("vec_id") % 5 =!= 2), K, nProbe = 2, m = 4, sub = 16,
+        shortK = 3 * K)
+      .select("c_id").collect().map(_.getLong(0))
+    assert(ipGot.nonEmpty && ipGot.forall(_ % 5 != 2))
+  }
+
   test("MinHash delete: add→retract converges to the build WITHOUT the retracted docs; vacated dirs drop; unknown ids no-op") {
     import spark.implicits._
     val docs = (0L until 80L).map { i =>
