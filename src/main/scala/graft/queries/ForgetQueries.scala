@@ -146,6 +146,43 @@ object ForgetQueries {
         .orderBy("dist", "bin")
     }),
 
+    // RETRACTION on the reference's own counter surface — the GDPR
+    // opt-out leg of ft_counts_incremental: after the full staged
+    // ingest, every event of the opted-out users (user_id % 10 = 7) is
+    // retracted by ONE zero-read append of the negated partial counts
+    // (additive state's native takedown — the text_bm25_retract shape
+    // on the founding aggregate), the post-retraction compact folds the
+    // ± rows away, and the read applies the reference's own prune
+    // filter (`count > 0`, goforget redis_utils.go:163-166): a bin
+    // whose counts cancel exactly to zero leaves the distribution, as
+    // if the user had never been counted. Converges bit-exactly to the
+    // one-shot counts of the event stream WITHOUT the opted-out users.
+    "ft_counts_retract" -> ((s, dir) => {
+      import graft.sources.SegmentStore
+      val path = s"${graft.sources.TempDirs.scratch("graft_ftr_")}/segments"
+      val ev = Tables.events(s, dir)
+      val t = (d: String) => lit(s"2024-01-$d 00:00:00").cast("timestamp")
+      def partials(batch: org.apache.spark.sql.DataFrame) =
+        batch.groupBy(
+            col("event_type").as("dist"),
+            col("user_id").cast("string").as("bin"))
+          .agg(count(lit(1)).as("count"))
+      // the ft_counts_incremental staging (exhaustive domain partition)
+      SegmentStore.append(partials(ev.filter(col("ts") < t("11"))), path)
+      SegmentStore.append(partials(
+        ev.filter(col("ts") >= t("11") && col("ts") < t("21"))), path)
+      SegmentStore.append(partials(
+        ev.filter(col("ts").isNull || col("ts") >= t("21"))), path)
+      SegmentStore.append(
+        partials(ev.filter(col("user_id") % 10 === 7))
+          .select(col("dist"), col("bin"), (-col("count")).as("count")),
+        path) // the takedown: negated partials, zero reads
+      SegmentStore.compact(s, path, Seq("dist", "bin"), "count")
+      SegmentStore.merged(s, path, Seq("dist", "bin"), "count")
+        .filter(col("count") > 0) // the reference's prune filter
+        .orderBy("dist", "bin")
+    }),
+
     // SEGMENT-STORE monitoring + auto-compaction policy, driver-gated:
     // the LSM read-amplification trade ft_counts_incremental states is
     // here BOUNDED by construction — SegIngests disjoint batches land
@@ -620,6 +657,19 @@ object ForgetQueries {
     "ft_counts_incremental" ->
       s"""WITH $countsCte
          |SELECT dist, bin, "count" FROM counts ORDER BY dist, bin""".stripMargin,
+
+    // ingest-all then retract the opted-out users (negated partials +
+    // prune filter) == the one-shot counts WITHOUT those users (null
+    // user_ids are nobody's opt-out — kept on both sides)
+    "ft_counts_retract" ->
+      """WITH rcounts AS (
+        |  SELECT event_type AS dist, CAST(user_id AS VARCHAR) AS bin,
+        |         CAST(COUNT(*) AS BIGINT) AS count
+        |  FROM events
+        |  WHERE user_id IS NULL OR user_id % 10 != 7
+        |  GROUP BY 1, 2
+        |)
+        |SELECT dist, bin, "count" FROM rcounts ORDER BY dist, bin""".stripMargin,
 
     "ft_counts_weighted" ->
       """SELECT event_type AS dist, CAST(user_id AS VARCHAR) AS bin,
