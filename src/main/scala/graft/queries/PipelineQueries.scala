@@ -744,6 +744,50 @@ object PipelineQueries {
       nbScoreFromCounts(d, tok, cls, pri)
     }),
 
+    // RETRACTION on the maintained classifier — the labeled-batch
+    // takedown leg of pipe_quality_nb_incremental (a mislabeled or
+    // license-pulled training day): after the full staged ingest, the
+    // middle batch's per-(token, class) counts AND its class-prior doc
+    // counts are retracted by ONE zero-read append each of the NEGATED
+    // partials (the text_bm25_retract / text_lm_retract shape — NB's
+    // whole model is additive, so untraining IS an append), the
+    // compacts fold the ± rows away, and count rows cancelled to zero
+    // are dropped at read — the model scores as if that batch was
+    // never labeled. Converges bit-exactly to the pipe_quality_nb
+    // oracle over the surviving train slice (same scored split).
+    "pipe_quality_nb_retract" -> ((s, dir) => {
+      import graft.sources.SegmentStore
+      val store = graft.sources.TempDirs.scratch("graft_nbr_")
+      val clsPath = s"$store/cls"
+      val priPath = s"$store/prior"
+      val (d, base, tok0) = nbBase(s, dir)
+      val tok = tok0.localCheckpoint(true) // ingests + scoring read it
+      def ingest(resid: Int, sign: Long = 1L): Unit = {
+        val slice = pmod(col("doc_id"), lit(9L)) === (3L * resid)
+        SegmentStore.append(tok.filter(slice)
+          .groupBy(col("tok"), col("is_spam").as("spam"))
+          .agg((lit(sign) * count(lit(1))).as("c")), clsPath)
+        SegmentStore.append(base.filter(slice)
+          .groupBy(col("is_spam").as("spam"))
+          .agg((lit(sign) * count(lit(1))).as("n")), priPath)
+      }
+      ingest(0)
+      ingest(1)
+      ingest(2)
+      ingest(1, sign = -1L) // the takedown: negated partials, zero reads
+      SegmentStore.compact(s, clsPath, Seq("tok", "spam"), "c")
+      SegmentStore.compact(s, priPath, Seq("spam"), "n")
+      val cls = SegmentStore.merged(s, clsPath, Seq("tok", "spam"), "c")
+        .filter(col("c") =!= 0L) // cancelled tokens leave the model
+        .groupBy("tok")
+        .agg(sum(when(col("spam"), col("c")).otherwise(0L)).as("cs"),
+          sum(when(!col("spam"), col("c")).otherwise(0L)).as("ch"))
+      val pri = SegmentStore.merged(s, priPath, Seq("spam"), "n")
+        .agg(sum(when(col("spam"), col("n")).otherwise(0L)).as("ns"),
+          sum(when(!col("spam"), col("n")).otherwise(0L)).as("nh"))
+      nbScoreFromCounts(d, tok, cls, pri)
+    }),
+
     // TOKEN-BUDGET subset selection: keep the highest-quality docs (by
     // quality desc, doc_id asc) until a token budget — half the corpus
     // mass — is spent. The naive plan is a GLOBAL ordered running sum:
@@ -1073,7 +1117,15 @@ object PipelineQueries {
     * the segment-store-maintained driver gates, because disjoint
     * train batches' partial counts sum to the one-shot counts exactly.
     */
-  private lazy val qualityNbSql: String =
+  private lazy val qualityNbSql: String = qualityNbSqlTrain("TRUE")
+
+  /** The NB report with the TRAIN slice further restricted by
+    * `trainPred` — shared by the one-shot/maintained forms (TRUE) and
+    * pipe_quality_nb_retract (the classifier-without: retracted
+    * labeled docs' counts never entered the model). The scored split
+    * is identical in every form; only the learned counts move.
+    */
+  private def qualityNbSqlTrain(trainPred: String): String =
     s"""WITH aug AS (
        |  SELECT doc_id, doc_id % 5 = 0 AS is_spam,
        |    concat(text, CASE WHEN doc_id % 5 = 0
@@ -1087,7 +1139,7 @@ object PipelineQueries {
        |  SELECT tok,
        |    CAST(SUM(CASE WHEN is_spam THEN 1 ELSE 0 END) AS BIGINT) AS cs,
        |    CAST(SUM(CASE WHEN is_spam THEN 0 ELSE 1 END) AS BIGINT) AS ch
-       |  FROM tok WHERE doc_id % 3 = 0 GROUP BY tok
+       |  FROM tok WHERE doc_id % 3 = 0 AND ($trainPred) GROUP BY tok
        |), w AS (
        |  SELECT tok,
        |    CAST(length(bin(cs + 1)) - length(bin(ch + 1)) AS BIGINT) AS w
@@ -1097,7 +1149,7 @@ object PipelineQueries {
        |    length(bin(CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) + 1)) -
        |    length(bin(CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END) AS BIGINT) + 1))
        |    AS BIGINT) AS prior
-       |  FROM documents WHERE doc_id % 3 = 0
+       |  FROM documents WHERE doc_id % 3 = 0 AND ($trainPred)
        |), occ AS (
        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS k FROM tok
        |  WHERE doc_id % 3 != 0 GROUP BY doc_id, tok
@@ -1271,6 +1323,10 @@ object PipelineQueries {
     // counts sum to the one-shot counts exactly, so the oracle is the
     // one-shot classifier unchanged
     "pipe_quality_nb_incremental" -> qualityNbSql,
+    // full ingest then middle-batch takedown == the classifier trained
+    // without it (train batches are doc_id % 9 in {0,3,6}; batch 1 is
+    // doc_id % 9 = 3)
+    "pipe_quality_nb_retract" -> qualityNbSqlTrain("doc_id % 9 != 3"),
 
     "pipe_score" ->
       s"""WITH tok AS (

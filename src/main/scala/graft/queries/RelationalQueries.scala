@@ -366,19 +366,148 @@ object RelationalQueries {
     ingest(ev.filter(col("ts").isNull || col("ts") < t("21")), t("03"))     // bulk
     ingest(ev.filter(col("ts") >= t("21") && col("ts") < t("25")), t("05")) // day 1
     ingest(ev.filter(col("ts") >= t("25")), t("06"))                        // day 2
+    funnelStoreRead(s, resPath, pendPath, chain(ev))
+  }
+
+  /** The maintained funnel's read-time union — finalized `results` ∪
+    * the pending carry-over's chain — with `fallback` (the one-shot
+    * chain over whatever corpus the store would have held) when both
+    * store legs are empty. Shared by [[funnelIncremental]]'s tail and
+    * rel_funnel_retract's post-takedown read, so the retraction form
+    * provably reads through the identical path.
+    */
+  private[graft] def funnelStoreRead(s: SparkSession, resPath: String,
+      pendPath: String, fallback: => DataFrame): DataFrame = {
+    val w1Ms = FunnelClickWindowHours * 3600L * 1000L
+    val w2Ms = FunnelBuyWindowHours * 3600L * 1000L
+    def chain(e: DataFrame): DataFrame =
+      graft.streaming.StreamOps.funnel(e, w1Ms, w2Ms, "1 hour")
     val res =
-      if (!hasData(resPath)) None
+      if (!hasPartData(s, resPath)) None
       else Some(s.read.parquet(resPath)
         .select("user_id", "t_view", "reached", "t_click", "t_purchase"))
     val late =
-      if (!hasData(pendPath)) None
+      if (!hasPartData(s, pendPath)) None
       else Some(chain(s.read.parquet(pendPath)
         .select(col("user_id"), col("event_type"), col("ts"))))
     (res, late) match {
       case (Some(r), Some(l)) => r.unionByName(l).orderBy("user_id")
       case (Some(r), None)    => r.orderBy("user_id")
       case (None, Some(l))    => l.orderBy("user_id")
-      case (None, None)       => chain(ev).orderBy("user_id") // empty input
+      case (None, None)       => fallback.orderBy("user_id") // empty store
+    }
+  }
+
+  /** User-hash directory fan-out of the retention stores (same
+    * bounded-file-count reasoning as the funnel store's 16).
+    */
+  private val RetentionParts = 16L
+
+  /** Append `batch` rows whose key combo is NEW to the store; rows for
+    * existing keys are dropped (first-batch-wins / set-union). Same
+    * stage/anti-join/dynamic-overwrite choreography as the
+    * AnnIndex.upsert* family with the precedence flipped (stored rows
+    * win here; upserts there replace).
+    */
+  private def retentionAppendNew(s: SparkSession, path: String,
+      batch: DataFrame, keys: Seq[String]): Unit = {
+    val staged = batch
+      .withColumn("part", pmod(col("user_id"), lit(RetentionParts)))
+      .localCheckpoint(true) // materialize before overwriting source
+    val merged =
+      if (!hasPartData(s, path)) staged
+      else {
+        val partIds = staged.select("part").distinct()
+          .collect().map(_.getLong(0)) // bounded by parts, driver-safe
+        val dataCols = staged.columns.dropRight(1)
+        val kept = s.read.parquet(path)
+          .filter(col("part").isin(partIds.map(Long.box): _*))
+          .select(dataCols.map(col) :+ col("part").cast("long").as("part"): _*)
+        kept.unionByName(staged.join(
+            kept.select(keys.map(col): _*), keys, "left_anti"))
+          .localCheckpoint(true)
+      }
+    merged.repartition(col("part"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part")
+      .parquet(path)
+  }
+
+  /** rel_retention_incremental's staged ingest (bulk history + two
+    * daily windows) into the cohort / activity-pair stores — factored
+    * so rel_retention_retract provably stages the identical store
+    * before its takedown.
+    */
+  private[graft] def retentionIngestStaged(s: SparkSession, storeDir: String,
+      ev: DataFrame): Unit = {
+    def ingest(e: DataFrame): Unit = {
+      val cohortBatch = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_day"))
+      retentionAppendNew(s, s"$storeDir/cohort", cohortBatch, Seq("user_id"))
+      val pairBatch = e.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      retentionAppendNew(s, s"$storeDir/pairs", pairBatch,
+        Seq("user_id", "day"))
+    }
+    val t = (d: String) => lit(s"2024-01-$d 00:00:00").cast("timestamp")
+    ingest(ev.filter(col("ts") < t("21")))                          // bulk
+    ingest(ev.filter(col("ts") >= t("21") && col("ts") < t("25")))  // day 1
+    ingest(ev.filter(col("ts") >= t("25")))                         // day 2
+  }
+
+  /** The cohort-matrix report off the maintained stores — shared by
+    * the incremental and retract forms, so both read through the
+    * identical path.
+    */
+  private[graft] def retentionStoreRead(s: SparkSession, storeDir: String): DataFrame = {
+    val cohort = s.read.parquet(s"$storeDir/cohort")
+      .select("user_id", "cohort_day")
+    val pairs = s.read.parquet(s"$storeDir/pairs").select("user_id", "day")
+    cohort.join(pairs, "user_id")
+      .withColumn("day_offset",
+        datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("day_offset") >= 0L)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user_id").cast("long").as("n_users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Rebuild the funnel's bloom sidecar from the finalized store with
+    * an exact recount — the ingest path's crash-recovery/resize scan
+    * re-aimed at TAKEDOWN maintenance. A bloom cannot delete: after a
+    * retraction the stale sidecar stays CORRECT (false positives only
+    * — positives still die in the exact anti-join), but its n_items
+    * accounting would drift upward and a retract-heavy store would
+    * degrade toward all-positive routing, so the takedown pays one
+    * finalized-store scan to re-freeze exact geometry (capacity grown
+    * from `cap0` by the same doubling rule as ingest). An emptied
+    * store drops the sidecar, matching the nothing-finalized-yet
+    * state the ingest path expects.
+    */
+  private[graft] def funnelSidecarRebuild(s: SparkSession, resPath: String,
+      bloomPath: String, cap0: Long = FunnelBloomItems): Unit = {
+    import s.implicits._
+    val ids =
+      if (!hasPartData(s, resPath)) None
+      else Some(s.read.parquet(resPath)
+        .filter(col("user_id").isNotNull).select("user_id")
+        .localCheckpoint(true)) // count + build both read it
+    val n = ids.map(_.count()).getOrElse(0L)
+    if (n == 0) {
+      val p = new org.apache.hadoop.fs.Path(bloomPath)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    } else {
+      var cap = cap0
+      while (2L * n > cap) cap *= 2L
+      val bf = ids.get.agg(graft.functions.SketchExprs.bloomFilterAgg(
+        col("user_id"), cap, cap * FunnelBloomBitsPerItem).as("bf"))
+        .head().getAs[Array[Byte]]("bf") // ONE row, numBits/8 bytes
+      Seq((bf, n, cap)).toDF("bf", "n_items", "capacity").coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(bloomPath)
     }
   }
 
@@ -974,63 +1103,37 @@ object RelationalQueries {
     // event history.
     "rel_retention_incremental" -> ((s, dir) => {
       val storeDir = graft.sources.TempDirs.scratch("graft_retn_")
-      val parts = 16
-      // append `batch` rows whose key combo is NEW to the store; rows
-      // for existing keys are dropped (first-batch-wins / set-union).
-      // Same stage/anti-join/dynamic-overwrite choreography as the
-      // AnnIndex.upsert* family with the precedence flipped (stored
-      // rows win here; upserts there replace) — if a third maintained
-      // store appears, lift a shared helper parameterized by
-      // keys/precedence.
-      def appendNew(path: String, batch: DataFrame, keys: Seq[String]): Unit = {
-        val staged = batch
-          .withColumn("part", pmod(col("user_id"), lit(parts.toLong)))
-          .localCheckpoint(true) // materialize before overwriting source
-        val exists = new java.io.File(path).isDirectory
-        val merged =
-          if (!exists) staged
-          else {
-            val partIds = staged.select("part").distinct()
-              .collect().map(_.getLong(0)) // bounded by parts, driver-safe
-            val dataCols = staged.columns.dropRight(1)
-            val kept = s.read.parquet(path)
-              .filter(col("part").isin(partIds.map(Long.box): _*))
-              .select(dataCols.map(col) :+ col("part").cast("long").as("part"): _*)
-            kept.unionByName(staged.join(
-                kept.select(keys.map(col): _*), keys, "left_anti"))
-              .localCheckpoint(true)
-          }
-        merged.repartition(col("part"))
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("part")
-          .parquet(path)
-      }
-      def ingest(ev: DataFrame): Unit = {
-        val cohortBatch = ev.filter(col("event_type") === "signup")
-          .groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_day"))
-        appendNew(s"$storeDir/cohort", cohortBatch, Seq("user_id"))
-        val pairBatch = ev.select(col("user_id"), to_date(col("ts")).as("day"))
-          .distinct()
-        appendNew(s"$storeDir/pairs", pairBatch, Seq("user_id", "day"))
-      }
+      retentionIngestStaged(s, storeDir, Tables.events(s, dir))
+      retentionStoreRead(s, storeDir)
+    }),
+
+    // RETRACTION on the maintained retention stores — the same staged
+    // ingest, then the retracted users' rows leave BOTH key-replace
+    // legs (cohort membership and the (user, day) activity pairs) via
+    // the shared AnnIndex touched-partition delete engine — partition
+    // is the same pure user-hash as the funnel store, so the rewrite
+    // set comes straight from the ids and directories the delete
+    // vacates are dropped. No sidecar to maintain here; the report
+    // read is [[retentionStoreRead]], the identical incremental path.
+    // Converges bit-exactly to the one-shot cohort matrix over the
+    // event history WITHOUT the retracted users (COUNT(DISTINCT)
+    // per cell simply never sees them).
+    "rel_retention_retract" -> ((s, dir) => {
+      val storeDir = graft.sources.TempDirs.scratch("graft_retr_")
       val ev = Tables.events(s, dir)
-      val t = (d: String) => lit(s"2024-01-$d 00:00:00").cast("timestamp")
-      ingest(ev.filter(col("ts") < t("21")))                          // bulk history
-      ingest(ev.filter(col("ts") >= t("21") && col("ts") < t("25")))  // daily window 1
-      ingest(ev.filter(col("ts") >= t("25")))                         // daily window 2
-      val cohort = s.read.parquet(s"$storeDir/cohort")
-        .select("user_id", "cohort_day")
-      val pairs = s.read.parquet(s"$storeDir/pairs").select("user_id", "day")
-      cohort.join(pairs, "user_id")
-        .withColumn("day_offset",
-          datediff(col("day"), col("cohort_day")).cast("long"))
-        .filter(col("day_offset") >= 0L)
-        .groupBy("cohort_day", "day_offset")
-        .agg(countDistinct("user_id").cast("long").as("n_users"))
-        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
-          col("day_offset"), col("n_users"))
-        .orderBy("cohort_day", "day_offset")
+      retentionIngestStaged(s, storeDir, ev)
+      val del = ev
+        .filter(col("user_id").isNotNull && col("user_id") % 10 === 7)
+        .select("user_id").distinct()
+        .localCheckpoint(true) // id set read by two deletes + parts probe
+      val delParts = del
+        .select(pmod(col("user_id"), lit(RetentionParts)).as("part"))
+        .distinct().collect().map(_.getLong(0)).toSeq // <= parts rows
+      for (leg <- Seq("cohort", "pairs");
+           p = s"$storeDir/$leg" if hasPartData(s, p))
+        graft.sources.AnnIndex.deleteRowsInParts(
+          s, p, "user_id", "part", del, delParts)
+      retentionStoreRead(s, storeDir)
     }),
 
     // INCREMENTAL funnel — the batch dual of the STREAMING funnel
@@ -1075,6 +1178,51 @@ object RelationalQueries {
     // and the pending-state bound per ingest.
     "rel_funnel_incremental" -> ((s, dir) =>
       funnelIncremental(s, Tables.events(s, dir))),
+
+    // RETRACTION on the maintained funnel — the GDPR-deletion leg of
+    // rel_funnel_incremental, and the KEY-REPLACE counterpart of the
+    // additive takedowns (text_bm25/lm, pipe_quality_nb,
+    // ft_counts_retract append negated partials; a per-user state
+    // store has no negation, so it deletes rows): a user's funnel is
+    // self-contained, so takedown = delete their rows from BOTH store
+    // legs — finalized results and the pending carry-over — via the
+    // shared AnnIndex touched-partition engine (partition is a pure
+    // id hash here, so the rewrite set comes straight from the
+    // retracted ids, no locating scan; directories the delete fully
+    // vacates are dropped), then REBUILD the bloom sidecar from the
+    // post-delete finalized store ([[funnelSidecarRebuild]] — a bloom
+    // cannot delete, and without the rebuild a retract-heavy store's
+    // routing decays toward all-positive while n_items drifts). The
+    // read is [[funnelStoreRead]], the identical path the incremental
+    // form uses. Converges bit-exactly to the one-shot funnel over
+    // the event history WITHOUT the retracted users — as if they
+    // never browsed.
+    "rel_funnel_retract" -> ((s, dir) => {
+      val storeDir = graft.sources.TempDirs.scratch("graft_funr_")
+      val parts = 16L
+      val ev = Tables.events(s, dir)
+      funnelIncremental(s, ev, Some(storeDir)) // staged ingests run here
+      val resPath = s"$storeDir/results"
+      val pendPath = s"$storeDir/pending"
+      val bloomPath = s"$storeDir/bloom"
+      val del = ev
+        .filter(col("user_id").isNotNull && col("user_id") % 10 === 7)
+        .select("user_id").distinct()
+        .localCheckpoint(true) // id set read by two deletes + the parts probe
+      val delParts = del
+        .select(pmod(col("user_id"), lit(parts)).as("part"))
+        .distinct().collect().map(_.getLong(0)).toSeq // <= 16 rows
+      for (p <- Seq(resPath, pendPath) if hasPartData(s, p))
+        graft.sources.AnnIndex.deleteRowsInParts(
+          s, p, "user_id", "part", del, delParts)
+      funnelSidecarRebuild(s, resPath, bloomPath)
+      funnelStoreRead(s, resPath, pendPath,
+        // empty-store fallback must also exclude the retracted users
+        graft.streaming.StreamOps.funnel(
+          ev.filter(col("user_id").isNull || col("user_id") % 10 =!= 7),
+          FunnelClickWindowHours * 3600L * 1000L,
+          FunnelBuyWindowHours * 3600L * 1000L, "1 hour"))
+    }),
 
     // The bloom sidecar's SATURATION HEALTH REPORT (the pq_code_stats /
     // mm_band_stats discipline applied to the funnel tombstone): run
@@ -1733,19 +1881,28 @@ object RelationalQueries {
     * construction; one definition so a window/schema tweak cannot
     * desynchronize them).
     */
-  private lazy val funnelSql: String =
-    s"""WITH v AS (
-      |  SELECT user_id, MIN(ts) AS t_view FROM events
+  private lazy val funnelSql: String = funnelSqlWhere("TRUE")
+
+  /** The one-shot funnel over `events WHERE pred` — TRUE for the
+    * one-shot/replay/maintained forms, the corpus-without for
+    * rel_funnel_retract (the pipeExportSqlWhere discipline: one chain
+    * definition for every artifact).
+    */
+  private def funnelSqlWhere(pred: String): String =
+    s"""WITH ev AS (
+      |  SELECT * FROM events WHERE $pred
+      |), v AS (
+      |  SELECT user_id, MIN(ts) AS t_view FROM ev
       |  WHERE event_type = 'view' GROUP BY user_id
       |), c AS (
       |  SELECT e.user_id, MIN(e.ts) AS t_click
-      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  FROM ev e JOIN v ON v.user_id = e.user_id
       |  WHERE e.event_type = 'click' AND e.ts > v.t_view
       |    AND e.ts <= v.t_view + INTERVAL $FunnelClickWindowHours HOUR
       |  GROUP BY e.user_id
       |), p AS (
       |  SELECT e.user_id, MIN(e.ts) AS t_purchase
-      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  FROM ev e JOIN c ON c.user_id = e.user_id
       |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
       |    AND e.ts <= c.t_click + INTERVAL $FunnelBuyWindowHours HOUR
       |  GROUP BY e.user_id
@@ -1761,12 +1918,20 @@ object RelationalQueries {
   /** The one-shot cohort matrix — shared by rel_retention and its
     * maintained form, same single-definition rationale as funnelSql.
     */
-  private lazy val retentionSql: String =
-    """WITH cohort AS (
-      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
+  private lazy val retentionSql: String = retentionSqlWhere("TRUE")
+
+  /** The cohort matrix over `events WHERE pred` — TRUE for the
+    * one-shot/maintained forms, the corpus-without for
+    * rel_retention_retract.
+    */
+  private def retentionSqlWhere(pred: String): String =
+    s"""WITH ev AS (
+      |  SELECT * FROM events WHERE $pred
+      |), cohort AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM ev
       |  WHERE event_type = 'signup' GROUP BY user_id
       |), activity AS (
-      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev
       |)
       |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
       |  CAST(datediff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
@@ -2003,6 +2168,10 @@ object RelationalQueries {
     // and the final read chains the still-pending buffer, so the
     // incremental result is the one-shot chain exactly
     "rel_funnel_incremental" -> funnelSql,
+    // maintained-store takedown == the funnel over the history without
+    // the retracted users
+    "rel_funnel_retract" ->
+      funnelSqlWhere("user_id IS NULL OR user_id % 10 != 7"),
 
     // exact integers recomputed from the event history (finalized =
     // non-null users whose first view clears the staged fold's final
@@ -2047,6 +2216,10 @@ object RelationalQueries {
     // cohorts == global MIN signup day, pair appends == the distinct
     // activity set, so the incremental matrix is the one-shot matrix
     "rel_retention_incremental" -> retentionSql,
+    // maintained-store takedown == the cohort matrix without the
+    // retracted users
+    "rel_retention_retract" ->
+      retentionSqlWhere("user_id IS NULL OR user_id % 10 != 7"),
 
     // islands form of the session merge: break strictly PAST the gap
     // (an event exactly at previous + gap merges — the Spark

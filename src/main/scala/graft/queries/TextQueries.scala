@@ -752,6 +752,40 @@ object TextQueries {
       lmScoreFromCounts(d, bg, SegmentStore.merged(s, path, Seq("g", "w1"), "c2"))
     }),
 
+    // RETRACTION on the maintained LM — the license-takedown leg of
+    // text_lm_incremental: after the full staged ingest, every day-2
+    // training document's bigrams are retracted by ONE zero-read
+    // append of the NEGATED partial counts (additive state's native
+    // takedown — the text_bm25_retract shape on the bigram store; a
+    // key-replace index would pay touched-partition rewrites for the
+    // same operation, [[graft.sources.AnnIndex]] delete family), the
+    // compact folds the ± rows away, and the model read keeps only
+    // `c2 > 0` — a bigram whose counts cancel exactly leaves the LM,
+    // and with it its contribution to the per-w1 conditional mass and
+    // the backoff ceiling, as if the retracted docs were never
+    // crawled. Converges bit-exactly to the surprisal report of the
+    // model trained WITHOUT the retracted slice (same holdout).
+    "text_lm_retract" -> ((s, dir) => {
+      import graft.sources.SegmentStore
+      val path = s"${graft.sources.TempDirs.scratch("graft_lmr_")}/segments"
+      val d = Tables.documents(s, dir)
+      val bg = lmBigrams(d).localCheckpoint(true) // ingests + scoring read it
+      val train = bg.filter(col("doc_id") % 10 =!= 0)
+      def ingest(batch: org.apache.spark.sql.DataFrame, sign: Long = 1L): Unit =
+        SegmentStore.append(
+          batch.groupBy("g", "w1")
+            .agg((lit(sign) * count(lit(1))).as("c2")), path)
+      ingest(train.filter(col("doc_id") % 3 === 0)) // day 1
+      ingest(train.filter(col("doc_id") % 3 === 1)) // day 2
+      ingest(train.filter(col("doc_id") % 3 === 2)) // day 3
+      ingest(train.filter(col("doc_id") % 3 === 1),
+        sign = -1L) // day 2 takedown: negated partials, zero reads
+      SegmentStore.compact(s, path, Seq("g", "w1"), "c2") // ± rows fold away
+      lmScoreFromCounts(d, bg,
+        SegmentStore.merged(s, path, Seq("g", "w1"), "c2")
+          .filter(col("c2") > 0)) // cancelled bigrams leave the model
+    }),
+
     // Grouped EXACT percentiles (linear interpolation) of document
     // length per language — the corpus-profiling aggregate a curation
     // run reports. Exact `percentile`, not approx_percentile, so the
@@ -1092,6 +1126,8 @@ object TextQueries {
     // the maintained segment store sums partial counts — associative,
     // so it converges to the one-shot LM and shares its oracle
     "text_lm_incremental" -> lmSurprisalSql,
+    // full ingest then day-2 takedown == the model trained without day 2
+    "text_lm_retract" -> lmSurprisalSqlTrain("doc_id % 3 != 1"),
 
     "text_len_quantiles" ->
       """WITH tok AS (
@@ -1187,7 +1223,15 @@ object TextQueries {
        |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopN""".stripMargin
   }
 
-  private lazy val lmSurprisalSql: String =
+  private lazy val lmSurprisalSql: String = lmSurprisalSqlTrain("TRUE")
+
+  /** The surprisal report with the TRAIN slice further restricted by
+    * `trainPred` — shared by the one-shot/maintained forms (TRUE) and
+    * text_lm_retract (the model-without: retracted training docs'
+    * bigrams never entered the LM). The scored holdout is identical in
+    * every form; only the model's counts move.
+    */
+  private def lmSurprisalSqlTrain(trainPred: String): String =
       s"""WITH aug AS (
          |  SELECT doc_id,
          |    concat(text, CASE WHEN doc_id % 20 = 0
@@ -1206,7 +1250,7 @@ object TextQueries {
          |  FROM tok WHERE len(toks) >= 2
          |), c2 AS (
          |  SELECT g, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
-         |  WHERE doc_id % 10 != 0 GROUP BY g
+         |  WHERE doc_id % 10 != 0 AND ($trainPred) GROUP BY g
          |), c1 AS (
          |  SELECT split_part(g, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
          |  FROM c2 GROUP BY 1

@@ -65,7 +65,7 @@ object AnnIndex {
     * column-pruned scan (content-derived partition: LSH bucket, IVF
     * cell, phash key).
     */
-  private def deleteRowsInParts(spark: SparkSession, tablePath: String,
+  private[graft] def deleteRowsInParts(spark: SparkSession, tablePath: String,
       keyCol: String, partCol: String, del: DataFrame,
       partIds: Seq[Long]): Unit = {
     if (partIds.isEmpty) return
