@@ -183,6 +183,67 @@ object ForgetQueries {
         .orderBy("dist", "bin")
     }),
 
+    // TOMBSTONE ACCOUNTING for the retraction path — what
+    // ft_counts_retract leaves behind, measured and reclaimed. A
+    // retracted key's ± partials cancel at read but survive every
+    // plain fold as a zero row, so a store taking continuous takedowns
+    // grows with its RETRACTION HISTORY, not its live population — at
+    // 100 TB that is unbounded dead weight every merged() read
+    // re-aggregates. This query stages the exact ft_counts_retract
+    // fold (3 disjoint ingests + one negated opt-out append), reads
+    // the tombstone health report (distinct keys / fully-cancelled /
+    // over-retracted / physical rows — all column-pruned aggregates),
+    // then runs the ZERO-DROP compact and proves the reclaim: physical
+    // rows shrink to exactly the live keys while the pruned read is
+    // bit-identical before and after (full-outer mismatch count, a
+    // distributed probe — nothing collects). Every count column is
+    // derived independently by the DuckDB oracle from the events
+    // table; the two booleans are the policy trigger (tombstone_due,
+    // oracle-derivable: opted-out keys exist) and the read-equality
+    // invariant.
+    "ft_tombstones" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.SegmentStore
+      val path = s"${graft.sources.TempDirs.scratch("graft_ftt_")}/segments"
+      val ev = Tables.events(s, dir)
+      val t = (d: String) => lit(s"2024-01-$d 00:00:00").cast("timestamp")
+      def partials(batch: org.apache.spark.sql.DataFrame) =
+        batch.groupBy(
+            col("event_type").as("dist"),
+            col("user_id").cast("string").as("bin"))
+          .agg(count(lit(1)).as("count"))
+      SegmentStore.append(partials(ev.filter(col("ts") < t("11"))), path)
+      SegmentStore.append(partials(
+        ev.filter(col("ts") >= t("11") && col("ts") < t("21"))), path)
+      SegmentStore.append(partials(
+        ev.filter(col("ts").isNull || col("ts") >= t("21"))), path)
+      SegmentStore.append(
+        partials(ev.filter(col("user_id") % 10 === 7))
+          .select(col("dist"), col("bin"), (-col("count")).as("count")),
+        path) // the takedown: negated partials, zero reads
+      val pre = SegmentStore.tombstoneStats(s, path, Seq("dist", "bin"),
+        "count").head() // ONE row
+      val before = SegmentStore.merged(s, path, Seq("dist", "bin"), "count")
+        .filter(col("count") > 0)
+        .localCheckpoint(true) // materialized — compact swaps the files under it
+      SegmentStore.compact(s, path, Seq("dist", "bin"), "count",
+        dropCancelled = true)
+      val post = SegmentStore.tombstoneStats(s, path, Seq("dist", "bin"),
+        "count").head() // ONE row
+      val after = SegmentStore.merged(s, path, Seq("dist", "bin"), "count")
+        .filter(col("count") > 0)
+        .select(col("dist").as("dist2"), col("bin").as("bin2"),
+          col("count").as("c2"))
+      val nBad = before
+        .join(after, col("dist") <=> col("dist2") &&
+          col("bin") <=> col("bin2"), "full_outer")
+        .filter(not(col("count") <=> col("c2"))).count()
+      Seq((pre.getLong(0), pre.getLong(1), pre.getLong(2), pre.getLong(3),
+        pre.getBoolean(4), post.getLong(3), nBad == 0L))
+        .toDF("n_keys", "n_cancelled", "n_negative", "phys_before",
+          "tombstone_due", "phys_after", "reads_equal")
+    }),
+
     // SEGMENT-STORE monitoring + auto-compaction policy, driver-gated:
     // the LSM read-amplification trade ft_counts_incremental states is
     // here BOUNDED by construction — SegIngests disjoint batches land
@@ -670,6 +731,38 @@ object ForgetQueries {
         |  GROUP BY 1, 2
         |)
         |SELECT dist, bin, "count" FROM rcounts ORDER BY dist, bin""".stripMargin,
+
+    // tombstone accounting derived independently from the events
+    // table: keys = distinct (event_type, user_id); cancelled = the
+    // opted-out users' keys (their negation batch is exactly their
+    // event set, so they cancel to zero and nothing else does);
+    // physical rows before the fold = the sum of each staged batch's
+    // distinct-key count (one parquet row per key per append);
+    // after the zero-drop fold = live keys only. reads_equal is the
+    // Spark-side full-outer invariant (before/after pruned reads
+    // bit-identical), TRUE by construction when the reclaim is sound.
+    "ft_tombstones" ->
+      """WITH
+        |b1 AS (SELECT DISTINCT event_type, user_id FROM events
+        |       WHERE ts < TIMESTAMP '2024-01-11 00:00:00'),
+        |b2 AS (SELECT DISTINCT event_type, user_id FROM events
+        |       WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
+        |         AND ts < TIMESTAMP '2024-01-21 00:00:00'),
+        |b3 AS (SELECT DISTINCT event_type, user_id FROM events
+        |       WHERE ts IS NULL OR ts >= TIMESTAMP '2024-01-21 00:00:00'),
+        |b4 AS (SELECT DISTINCT event_type, user_id FROM events
+        |       WHERE user_id % 10 = 7),
+        |keys AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n_keys,
+        |       CAST((SELECT COUNT(*) FROM b4) AS BIGINT) AS n_cancelled,
+        |       CAST(0 AS BIGINT) AS n_negative,
+        |       CAST((SELECT COUNT(*) FROM b1) + (SELECT COUNT(*) FROM b2)
+        |            + (SELECT COUNT(*) FROM b3) + (SELECT COUNT(*) FROM b4)
+        |            AS BIGINT) AS phys_before,
+        |       (SELECT COUNT(*) FROM b4) > 0 AS tombstone_due,
+        |       CAST((SELECT COUNT(*) FROM keys) - (SELECT COUNT(*) FROM b4)
+        |            AS BIGINT) AS phys_after,
+        |       TRUE AS reads_equal""".stripMargin,
 
     "ft_counts_weighted" ->
       """SELECT event_type AS dist, CAST(user_id AS VARCHAR) AS bin,

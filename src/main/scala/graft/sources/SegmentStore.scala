@@ -136,12 +136,53 @@ object SegmentStore {
       .agg(count(lit(1)).as("n_rows"))
   }
 
+  /** Retraction-tombstone report — the health probe that turns
+    * [[compact]]'s `dropCancelled` reclaim into a policy, the same
+    * stats-as-trigger discipline as [[segmentStats]] for the segment
+    * bound (and pq_code_stats / rel_funnel_bloom_stats for their
+    * structures). ONE row: distinct keys in the logical view, keys
+    * whose partials cancel exactly to zero (tombstones — dead weight
+    * every read re-merges and a plain fold carries forever), keys
+    * summing negative (over-retraction evidence — never reclaimed),
+    * and the store's physical row count (the amplification the
+    * tombstone mass adds on top of the segment count). `tombstone_due`
+    * fires on any fully-cancelled key; both scans are
+    * column-pruned aggregates over the store, safe at any scale.
+    */
+  def tombstoneStats(spark: SparkSession, path: String, keys: Seq[String],
+      sumCol: String): DataFrame = {
+    val (f, p) = fs(spark, path)
+    recover(f, p)
+    val logical = merged(spark, path, keys, sumCol)
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col(sumCol) === 0, 1).otherwise(0)).cast("long")
+          .as("n_cancelled"),
+        sum(when(col(sumCol) < 0, 1).otherwise(0)).cast("long")
+          .as("n_negative"))
+    val physical = spark.read.parquet(path)
+      .agg(count(lit(1)).cast("long").as("physical_rows"))
+    logical.crossJoin(physical)
+      .withColumn("tombstone_due", col("n_cancelled") > 0)
+  }
+
   /** Fold all segments into one, via sibling-temp-then-swap so the
     * fold never overwrites its own input and a full copy of the store
     * survives any single failure (see class doc).
+    *
+    * `dropCancelled = true` additionally removes keys whose partials
+    * sum EXACTLY to zero — the physical reclaim for retraction
+    * tombstones (a retracted key's ± rows otherwise survive every
+    * fold as a zero row, so a store that takes continuous takedowns
+    * grows with its retraction history, not its live population).
+    * Opting in asserts the store's semantics treat a zero total as
+    * "never existed" (the reference's own prune filter, goforget
+    * redis_utils.go:163-166, reads counters that way). NEGATIVE
+    * totals are never dropped: a key retracted harder than it was
+    * ingested is evidence of a double-takedown upstream, and folding
+    * it away would silently absorb the next legitimate ingest.
     */
   def compact(spark: SparkSession, path: String, keys: Seq[String],
-      sumCol: String): Unit = {
+      sumCol: String, dropCancelled: Boolean = false): Unit = {
     val (f, dst) = fs(spark, path)
     recover(f, dst) // roll a crashed prior swap forward FIRST —
     // only then is a surviving .old copy stale and safe to drop
@@ -149,7 +190,8 @@ object SegmentStore {
     val old = new HPath(path + ".old")
     f.delete(tmp, true)
     f.delete(old, true)
-    merged(spark, path, keys, sumCol)
+    val folded = merged(spark, path, keys, sumCol)
+    (if (dropCancelled) folded.filter(col(sumCol) =!= 0) else folded)
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/seg=0")
     if (!f.rename(dst, old))
       throw new java.io.IOException(s"compact: cannot stage $dst aside")

@@ -127,6 +127,42 @@ class SegmentStoreSpec extends AnyFunSuite {
       "stream-maintained BM25 stats diverged from the one-shot report")
   }
 
+  test("zero-drop compact reclaims exactly the cancelled keys, keeps negatives as evidence") {
+    val path = tmpStore
+    SegmentStore.append(batch("a" -> 5L, "b" -> 3L), path)
+    // retraction: a fully cancelled, b partially, c over-retracted
+    SegmentStore.append(batch("a" -> -5L, "b" -> -1L, "c" -> -2L), path)
+    val pre = SegmentStore.tombstoneStats(spark, path, Seq("k"), "c").head()
+    assert((pre.getLong(0), pre.getLong(1), pre.getLong(2), pre.getLong(3),
+      pre.getBoolean(4)) == ((3L, 1L, 1L, 5L, true)),
+      s"pre-compact tombstone report wrong: $pre")
+    SegmentStore.compact(spark, path, Seq("k"), "c", dropCancelled = true)
+    // physical: only b (live) and c (negative — evidence, never dropped)
+    val post = SegmentStore.tombstoneStats(spark, path, Seq("k"), "c").head()
+    assert((post.getLong(0), post.getLong(1), post.getLong(2),
+      post.getLong(3), post.getBoolean(4)) == ((2L, 0L, 1L, 2L, false)),
+      s"post-compact tombstone report wrong: $post")
+    val m = SegmentStore.merged(spark, path, Seq("k"), "c")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(m.toSeq == Seq("b" -> 2L, "c" -> -2L))
+    // a later legitimate ingest of the over-retracted key lands on the
+    // surviving negative balance instead of being silently absorbed
+    SegmentStore.append(batch("c" -> 3L), path)
+    val c = SegmentStore.merged(spark, path, Seq("k"), "c")
+      .filter(col("k") === "c").head().getLong(1)
+    assert(c == 1L, "negative balance was not preserved across the fold")
+  }
+
+  test("plain compact keeps zero rows; zero-drop is the explicit opt-in") {
+    val path = tmpStore
+    SegmentStore.append(batch("a" -> 4L), path)
+    SegmentStore.append(batch("a" -> -4L), path)
+    SegmentStore.compact(spark, path, Seq("k"), "c")
+    val st = SegmentStore.tombstoneStats(spark, path, Seq("k"), "c").head()
+    assert(st.getLong(1) == 1L && st.getLong(3) == 1L && st.getBoolean(4),
+      "plain compact must carry the tombstone (zero-drop is opt-in)")
+  }
+
   test("compact swaps via a sibling temp dir and leaves no staging debris") {
     val path = tmpStore
     SegmentStore.append(batch("a" -> 1L), path)

@@ -53,6 +53,59 @@ class StreamingMaintenanceSpec extends AnyFunSuite {
     assert(graft.sources.SegmentStore.segmentIds(spark, streamPath).size >= 3)
   }
 
+  test("takedowns arrive ON the stream: negated partials converge to the build-without; zero-drop fold reclaims") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.SegmentStore
+    val path = s"${graft.sources.TempDirs.scratch("graft_tdstream_")}/segments"
+    // production shape: adds and GDPR takedowns interleave on ONE
+    // stream as signed records; every micro-batch lands through the
+    // same zero-read signed-partial append (in-batch add+retract of
+    // the same key cancels inside the batch's groupBy — also covered)
+    val adds = (0L until 60L).flatMap { u =>
+      Seq((u, "click", 1L)) ++ (if (u % 2 == 0) Seq((u, "view", 1L)) else Nil)
+    }
+    val takedownUsers = (0L until 60L).filter(_ % 5 == 3).toSet
+    val retracts = adds.filter(a => takedownUsers(a._1))
+      .map(a => (a._1, a._2, -1L))
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF().toDF("user_id", "dist", "sign")
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        SegmentStore.append(
+          b.groupBy(col("dist"), col("user_id").cast("string").as("bin"))
+            .agg(sum("sign").as("count")), path)
+      }.start()
+    try {
+      mem.addData(adds.take(50): _*)
+      q.processAllAvailable()
+      // users >= 48 are ADDED in this same micro-batch (adds.drop(50)
+      // starts at u=34) — their retracts cancel inside the batch
+      mem.addData(adds.drop(50) ++ retracts.filter(_._1 >= 48L): _*)
+      q.processAllAvailable()
+      mem.addData(retracts.filter(_._1 < 48L): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = SegmentStore.merged(spark, path, Seq("dist", "bin"), "count")
+      .filter(col("count") > 0).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = adds.filterNot(a => takedownUsers(a._1))
+      .groupBy(a => (a._2, a._1.toString))
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(got == want, "stream-retracted read diverged from the build-without")
+    // retracted mass is tombstones until the zero-drop fold reclaims it
+    val pre = SegmentStore.tombstoneStats(spark, path, Seq("dist", "bin"),
+      "count").head()
+    assert(pre.getLong(1) == retracts.size.toLong && pre.getBoolean(4),
+      s"expected ${retracts.size} fully-cancelled keys pre-fold: $pre")
+    SegmentStore.compact(spark, path, Seq("dist", "bin"), "count",
+      dropCancelled = true)
+    val post = SegmentStore.tombstoneStats(spark, path, Seq("dist", "bin"),
+      "count").head()
+    assert(post.getLong(1) == 0L && post.getLong(3) == want.size.toLong,
+      s"zero-drop fold did not reclaim to exactly the live keys: $post")
+  }
+
   test("cluster assignment: foreachBatch pair ingests converge to the one-shot clustering") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
