@@ -244,6 +244,47 @@ object ForgetQueries {
           "tombstone_due", "phys_after", "reads_equal")
     }),
 
+    // AS-OF (time-travel) reads — the audit query the retraction path
+    // needs: history IS the log-structured store's physical layout, so
+    // "the counts as of ingest k" is a read over segments <= k, and
+    // because `seg` is the directory partition key that read is
+    // PARTITION-PRUNED (an as-of probe scans only the segments it
+    // covers, never the full history — plan-pinned in PlanShapeSpec).
+    // Stages the ft_counts_retract fold WITHOUT compacting (a fold
+    // collapses history — the compaction policy is also the audit
+    // retention policy) and reads four snapshots: after the bulk load,
+    // after each daily ingest, and after the takedown. The last
+    // snapshot proves the GDPR timeline end-to-end: the opted-out
+    // users' bins exist as of segment 2 and are gone as of segment 3,
+    // under the reference's own prune read. Each snapshot is a
+    // linear pruned scan; the union is four of them.
+    "ft_counts_asof" -> ((s, dir) => {
+      import graft.sources.SegmentStore
+      val path = s"${graft.sources.TempDirs.scratch("graft_ftao_")}/segments"
+      val ev = Tables.events(s, dir)
+      val t = (d: String) => lit(s"2024-01-$d 00:00:00").cast("timestamp")
+      def partials(batch: org.apache.spark.sql.DataFrame) =
+        batch.groupBy(
+            col("event_type").as("dist"),
+            col("user_id").cast("string").as("bin"))
+          .agg(count(lit(1)).as("count"))
+      SegmentStore.append(partials(ev.filter(col("ts") < t("11"))), path)
+      SegmentStore.append(partials(
+        ev.filter(col("ts") >= t("11") && col("ts") < t("21"))), path)
+      SegmentStore.append(partials(
+        ev.filter(col("ts").isNull || col("ts") >= t("21"))), path)
+      SegmentStore.append(
+        partials(ev.filter(col("user_id") % 10 === 7))
+          .select(col("dist"), col("bin"), (-col("count")).as("count")),
+        path) // the takedown: negated partials, zero reads
+      (0L to 3L).map { k =>
+        SegmentStore.mergedAsOf(s, path, Seq("dist", "bin"), "count", k)
+          .filter(col("count") > 0) // the reference's prune read
+          .select(lit(k).as("as_of"), col("dist"), col("bin"), col("count"))
+      }.reduce(_ unionByName _)
+        .orderBy("as_of", "dist", "bin")
+    }),
+
     // SEGMENT-STORE monitoring + auto-compaction policy, driver-gated:
     // the LSM read-amplification trade ft_counts_incremental states is
     // here BOUNDED by construction — SegIngests disjoint batches land
@@ -763,6 +804,29 @@ object ForgetQueries {
         |       CAST((SELECT COUNT(*) FROM keys) - (SELECT COUNT(*) FROM b4)
         |            AS BIGINT) AS phys_after,
         |       TRUE AS reads_equal""".stripMargin,
+
+    // four snapshots of the staged fold, each derived independently:
+    // asof 0 = bulk only; 1 = through day 1; 2 = every event; 3 =
+    // every event minus the opted-out users (their negation batch is
+    // exactly their event set, and the prune read drops the zeroes)
+    "ft_counts_asof" ->
+      """WITH snap AS (
+        |  SELECT 0 AS as_of, event_type, user_id FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-11 00:00:00'
+        |  UNION ALL
+        |  SELECT 1, event_type, user_id FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-21 00:00:00'
+        |  UNION ALL
+        |  SELECT 2, event_type, user_id FROM events
+        |  UNION ALL
+        |  SELECT 3, event_type, user_id FROM events
+        |  WHERE user_id IS NULL OR user_id % 10 != 7
+        |)
+        |SELECT CAST(as_of AS BIGINT) AS as_of, event_type AS dist,
+        |       CAST(user_id AS VARCHAR) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS count
+        |FROM snap GROUP BY 1, 2, 3
+        |ORDER BY as_of, dist, bin""".stripMargin,
 
     "ft_counts_weighted" ->
       """SELECT event_type AS dist, CAST(user_id AS VARCHAR) AS bin,

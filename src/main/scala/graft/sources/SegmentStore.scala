@@ -124,6 +124,27 @@ object SegmentStore {
       .agg(sum(sumCol).cast("long").as(sumCol))
   }
 
+  /** AS-OF read: the store's logical state after segment `maxSeg`
+    * landed — the snapshot/time-travel read a log-structured layout
+    * gives for FREE, because history is the physical layout. `seg` is
+    * the directory partition key, so the filter is PARTITION PRUNING:
+    * an as-of read scans only the segments it covers, never the
+    * store's full history (plan-pinned in PlanShapeSpec). This is the
+    * audit read a takedown pipeline needs — "as of segment k the
+    * user's rows existed; as of k+1 they are gone" — and it is what
+    * [[compact]] trades away: a fold collapses history into seg=0, so
+    * the compaction policy is also a RETENTION policy for auditability.
+    */
+  def mergedAsOf(spark: SparkSession, path: String, keys: Seq[String],
+      sumCol: String, maxSeg: Long): DataFrame = {
+    val (f, p) = fs(spark, path)
+    recover(f, p)
+    spark.read.parquet(path)
+      .filter(col("seg") <= maxSeg)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(sumCol).cast("long").as(sumCol))
+  }
+
   /** Per-segment row counts — the monitoring report that drives (and
     * audits) the compaction policy. Output is one row per live
     * segment: bounded by the policy itself.

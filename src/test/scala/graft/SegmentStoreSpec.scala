@@ -153,6 +153,37 @@ class SegmentStoreSpec extends AnyFunSuite {
     assert(c == 1L, "negative balance was not preserved across the fold")
   }
 
+  test("as-of reads replay the store's history; the takedown timeline is auditable") {
+    val path = tmpStore
+    SegmentStore.append(batch("a" -> 1L), path)
+    SegmentStore.append(batch("a" -> 2L, "b" -> 4L), path)
+    SegmentStore.append(batch("a" -> -3L), path) // the takedown of a
+    def asOf(k: Long) = SegmentStore
+      .mergedAsOf(spark, path, Seq("k"), "c", k)
+      .filter(col("c") > 0)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(asOf(0L) == Seq("a" -> 1L))
+    assert(asOf(1L) == Seq("a" -> 3L, "b" -> 4L))
+    // as of the takedown segment, a is gone — and the full merged read
+    // (the present) agrees with the last snapshot
+    assert(asOf(2L) == Seq("b" -> 4L))
+    val now = SegmentStore.merged(spark, path, Seq("k"), "c")
+      .filter(col("c") > 0)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(now == asOf(2L))
+  }
+
+  test("as-of read is partition-pruned on seg: history beyond the snapshot is never scanned") {
+    val path = tmpStore
+    SegmentStore.append(batch("a" -> 1L), path)
+    SegmentStore.append(batch("a" -> 2L), path)
+    SegmentStore.append(batch("a" -> 4L), path)
+    val plan = SegmentStore.mergedAsOf(spark, path, Seq("k"), "c", 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("(seg"), plan.take(4000))
+  }
+
   test("plain compact keeps zero rows; zero-drop is the explicit opt-in") {
     val path = tmpStore
     SegmentStore.append(batch("a" -> 4L), path)
