@@ -226,6 +226,38 @@ object ScaleProbe {
       val tN = time(run(stage))
       println(f"[probe] incr_dedup@fixed-batch $t1%6.2f  $tN%6.2f  ${tN / t1}%5.2f  (index 1x -> ${factor}x, batch fixed)")
     }
+    // The takedown cost claim isolated: deleteMinhash rewrites ONLY
+    // the retracted ids' `part = pmod(doc_id)` directories, so a
+    // takedown batch touching few partitions costs a small fixed
+    // FRACTION of the store at any scale — vs the full re-index it
+    // replaces (the pre-retraction answer to a takedown), which pays
+    // the signature pipeline over the whole corpus. Both legs grow
+    // linearly with the corpus; the receipt is the RATIO staying
+    // wide at both scales. The batch is ids ≡ {0,1} mod parts
+    // (bounded spread: 2 of 64 dirs touched however large the store).
+    if (targets.contains("dedup_retract")) {
+      import graft.queries.DedupQueries
+      import graft.sources.AnnIndex
+      def run(corpusDir: String): (Double, Double) = {
+        val docs = Tables.documents(spark, corpusDir).select("doc_id", "text")
+        val idxDir = graft.sources.TempDirs.scratch("graft_probe_mhdel_")
+        AnnIndex.saveMinhash(docs, DedupQueries.MinhashK, DedupQueries.Bands,
+          DedupQueries.RowsPerBand, idxDir)
+        val ids = docs.select("doc_id")
+          .filter(pmod(col("doc_id"), lit(AnnIndex.DefaultParts.toLong)) < 2)
+          .localCheckpoint(true)
+        val tDel = time(AnnIndex.deleteMinhash(spark, idxDir, ids))
+        val rebuildDir = graft.sources.TempDirs.scratch("graft_probe_mhreb_")
+        val tReb = time(AnnIndex.saveMinhash(
+          docs.join(ids, Seq("doc_id"), "left_anti"),
+          DedupQueries.MinhashK, DedupQueries.Bands,
+          DedupQueries.RowsPerBand, rebuildDir))
+        (tDel, tReb)
+      }
+      val (d1, r1) = run(base)
+      val (dN, rN) = run(stage)
+      println(f"[probe] mh_takedown vs rebuild 1x: del $d1%5.2f reb $r1%5.2f (${r1 / d1}%4.1fx)  ${factor}x: del $dN%5.2f reb $rN%5.2f (${rN / dN}%4.1fx)")
+    }
     // The gram-width ladder's RECALL claim isolated: blocking match
     // rate (probes whose best match survives) for the FIXED-width
     // fuzzy join vs the SCALED-width one, at 1x and Nx. The fixed

@@ -102,13 +102,19 @@ object SegmentStore {
 
   /** Append, then fold if the store's live-segment count passed
     * `maxSegments` — the auto-compaction policy that turns the LSM
-    * read-amplification trade into a hard bound.
+    * read-amplification trade into a hard bound. `dropCancelled`
+    * forwards to [[compact]]: a store taking continuous takedowns
+    * opts in so the policy's folds also reclaim retraction
+    * tombstones, bounding physical size by the LIVE population
+    * (plus at most `maxSegments` of un-folded churn) instead of the
+    * all-time retraction history.
     */
   def appendWithPolicy(partials: DataFrame, path: String, keys: Seq[String],
-      sumCol: String, maxSegments: Int): Unit = {
+      sumCol: String, maxSegments: Int,
+      dropCancelled: Boolean = false): Unit = {
     append(partials, path)
     if (segmentIds(partials.sparkSession, path).size > maxSegments)
-      compact(partials.sparkSession, path, keys, sumCol)
+      compact(partials.sparkSession, path, keys, sumCol, dropCancelled)
   }
 
   /** The read-time merge: sum the partial `sumCol` across all segments

@@ -183,6 +183,48 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(rows(delDir).size == 200)
   }
 
+  test("LSH streaming takedown: upserts and deletes interleave on ONE stream; converges to the build-without") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = synthVecs(300)
+    val dir = Files.createTempDirectory("graft_lshstream_del_").toString
+    AnnIndex.saveLsh(all.filter(col("vec_id") < 100), NBits, Dim, dir)
+    // signed maintenance records on one stream (the production shape:
+    // a takedown arrives like any other record): op = +1 upsert,
+    // -1 delete; each micro-batch applies upserts then deletes, so an
+    // id added and retracted in the SAME batch ends up absent
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Int)]
+    val stream = mem.toDF().toDF("vec_id", "op")
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.localCheckpoint(true) // split into two passes
+        AnnIndex.upsertLsh(spark, dir, b.filter(col("op") > 0)
+          .select(col("vec_id"), vExpr(col("vec_id")).as("v")))
+        AnnIndex.deleteLsh(spark, dir,
+          b.filter(col("op") < 0).select("vec_id"))
+      }.start()
+    try {
+      mem.addData((100L until 200L).map(_ -> 1): _*)
+      q.processAllAvailable()
+      // takedowns hit bulk-loaded AND stream-upserted ids
+      mem.addData((0L until 200L).filter(_ % 5 == 2).map(_ -> -1): _*)
+      q.processAllAvailable()
+      // mixed batch: new arrivals plus takedowns of ids arriving in it
+      mem.addData((200L until 300L).map(_ -> 1) ++
+        (250L until 300L).filter(_ % 9 == 0).map(_ -> -1): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val keepIds = (0L until 300L).filter(id =>
+      !(id < 200 && id % 5 == 2) && !(id >= 250 && id % 9 == 0))
+    val refDir = Files.createTempDirectory("graft_lshstream_ref_").toString
+    AnnIndex.saveLsh(all.filter(col("vec_id").isin(keepIds: _*)),
+      NBits, Dim, refDir)
+    def rows(d: String) = AnnIndex.lshCorpus(spark, d)
+      .select(col("vec_id"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(dir) == rows(refDir) && rows(dir).size == keepIds.size)
+  }
+
   test("pHash delete: postings after retraction equal a bulk load of the corpus-without at the frozen width") {
     import spark.implicits._
     def media(ids: Seq[Long]) = ids.map { i =>

@@ -153,6 +153,20 @@ class SegmentStoreSpec extends AnyFunSuite {
     assert(c == 1L, "negative balance was not preserved across the fold")
   }
 
+  test("appendWithPolicy(dropCancelled): the policy's own folds reclaim cancelled keys") {
+    val path = tmpStore
+    def land(b: org.apache.spark.sql.DataFrame): Unit =
+      SegmentStore.appendWithPolicy(b, path, Seq("k"), "c",
+        maxSegments = 2, dropCancelled = true)
+    land(batch("a" -> 1L))
+    land(batch("a" -> -1L, "b" -> 2L)) // takedown of a rides batch 2
+    land(batch("c" -> 3L)) // 3 segments > 2: policy fires the fold
+    assert(SegmentStore.segmentIds(spark, path).size == 1)
+    val st = SegmentStore.tombstoneStats(spark, path, Seq("k"), "c").head()
+    assert(st.getLong(1) == 0L && st.getLong(3) == 2L,
+      s"policy fold did not reclaim the cancelled key: $st")
+  }
+
   test("as-of reads replay the store's history; the takedown timeline is auditable") {
     val path = tmpStore
     SegmentStore.append(batch("a" -> 1L), path)
