@@ -57,6 +57,9 @@ object PipelineQueries {
   /** sample_reservoir: exact per-language cap and its hash salt. */
   final val ReservoirN = 20
   final val ReservoirSalt = 17
+  /** sample_weighted: global sample size and ticket-hash salt. */
+  final val WeightedK = 200
+  final val WeightedSalt = 29
   /** pipe_quality_nb: a train-side token holding more than 1/NbHeadBound
     * of either class's total mass is a head token — at most
     * NbHeadBound - 1 per class, so the head weight table always
@@ -362,6 +365,37 @@ object PipelineQueries {
         .filter(col("rnk") <= ReservoirN)
         .select("lang", "rnk", "doc_id")
         .orderBy("lang", "rnk")
+    }),
+
+    // WEIGHTED sampling — exact Efraimidis–Spirakis A-Res ("Weighted
+    // random sampling with a reservoir", IPL 2006) with INTEGER
+    // weights, float-free: the A-Res key u^(1/w) for integer w is
+    // distributed EXACTLY as the maximum of w i.i.d. uniforms, so w
+    // salted 60-bit hash draws per doc ("tickets") and a max give the
+    // exact weighted-reservoir order with no pow/log — which is what
+    // makes the pick bit-reproducible cross-engine AND stable under
+    // corpus growth (a doc's tickets never change when other docs
+    // arrive). Weights upsample the underrepresented languages (the
+    // mixture knob pipe_mix computes, applied as sampling pressure
+    // rather than a hard stratified rate). Spark-first shape: tickets
+    // are row-local codegen'd hash kernels; the global top-K compiles
+    // to TakeOrderedAndProject — a per-partition K-row heap merged at
+    // the driver, so a 100 TB corpus ships K rows per task, never a
+    // corpus-sized sort.
+    "sample_weighted" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      def ticket(j: Int) = graft.functions.Md5Long60Expr(
+        concat(col("doc_id").cast("string"), lit("#"), lit(j.toString)),
+        WeightedSalt)
+      val w = when(col("lang") === "en", lit(1L))
+        .when(col("lang").isin("es", "de", "fr"), lit(2L))
+        .otherwise(lit(3L))
+      val key = when(w === 1L, ticket(1))
+        .when(w === 2L, greatest(ticket(1), ticket(2)))
+        .otherwise(greatest(ticket(1), ticket(2), ticket(3)))
+      d.select(col("doc_id"), col("lang"), w.as("weight"), key.as("akey"))
+        .orderBy(col("akey").desc, col("doc_id"))
+        .limit(WeightedK)
     }),
 
     // Deterministic epoch shuffle: a stable pseudo-random global order
@@ -1203,6 +1237,27 @@ object PipelineQueries {
          |       WHEN CAST(concat('0x', substr(md5(concat('$SplitSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 < ${TrainPct + ValPct} THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // exact integer A-Res: the same three ticket hashes, the same
+    // CASE-selected max, the same (akey DESC, doc_id) top-K
+    "sample_weighted" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN lang = 'en' THEN 1
+         |         WHEN lang IN ('es', 'de', 'fr') THEN 2
+         |         ELSE 3 END AS weight,
+         |    CAST(concat('0x', substr(md5(concat('$WeightedSalt:', CAST(doc_id AS VARCHAR), '#1')), 1, 15)) AS BIGINT) AS h1,
+         |    CAST(concat('0x', substr(md5(concat('$WeightedSalt:', CAST(doc_id AS VARCHAR), '#2')), 1, 15)) AS BIGINT) AS h2,
+         |    CAST(concat('0x', substr(md5(concat('$WeightedSalt:', CAST(doc_id AS VARCHAR), '#3')), 1, 15)) AS BIGINT) AS h3
+         |  FROM documents
+         |)
+         |SELECT doc_id, lang, CAST(weight AS BIGINT) AS weight,
+         |       CASE WHEN weight = 1 THEN h1
+         |            WHEN weight = 2 THEN GREATEST(h1, h2)
+         |            ELSE GREATEST(h1, h2, h3) END AS akey
+         |FROM t
+         |ORDER BY akey DESC, doc_id
+         |LIMIT $WeightedK""".stripMargin,
 
     "pipe_mix" ->
       """WITH cur AS (

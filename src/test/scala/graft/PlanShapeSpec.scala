@@ -48,6 +48,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("sample_weighted: exact A-Res top-K plans as TakeOrderedAndProject, no ScalaUDF") {
+    val plan = qe("sample_weighted").executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("ft_dist_one: single-dist read pushes the dist predicate to scan") {
     val formatted = qe("ft_dist_one").explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
