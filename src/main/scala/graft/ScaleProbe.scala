@@ -153,7 +153,9 @@ object ScaleProbe {
       "pipe_quality_nb_incremental", "text_bm25", "rel_fuzzy_join_scaled",
       "mm_band_stats", "rel_fuzzy_join_banded", "rel_fuzzy_join_queue",
       "text_bm25_incremental", "rel_funnel_bloom_stats", "text_bpe_train",
-      "text_bpe_apply", "dedup_clusters_incremental")
+      "text_bpe_apply", "dedup_clusters_incremental", "dedup_retract",
+      "ft_counts_retract", "ft_tombstones", "ft_counts_asof",
+      "sample_weighted")
     // arg 2+: restrict to named queries (fast re-probe of one operator);
     // any SparkEntry query name is probeable, not just the default list
     val targets =

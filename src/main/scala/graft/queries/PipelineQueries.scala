@@ -173,9 +173,14 @@ object PipelineQueries {
     * pack query and the export path so the written artifact is
     * definitionally the packing the oracle checks.
     */
-  private def packedSeqs(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    val base = d.select(col("doc_id"),
+  /** Shard-local packing over an explicit doc set — the maintained
+    * export forms stage bulk/append subsets through the IDENTICAL
+    * packing, which is what makes their convergence to the one-shot
+    * export a property of the layout (shard = pure doc_id hash;
+    * within-shard order = doc_id) rather than of replay order.
+    */
+  private def packedSeqsOf(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
       (graft.functions.Md5Long60Expr(col("doc_id").cast("string"), PackSalt)
         % lit(PackShards.toLong)).as("shard"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
@@ -188,6 +193,9 @@ object PipelineQueries {
         floor(col("offset").cast("double") / lit(PackSeqLen.toDouble)).cast("long"))
       .select("doc_id", "shard", "n_tokens", "offset", "seq_id")
   }
+
+  private def packedSeqs(s: SparkSession, dir: String): DataFrame =
+    packedSeqsOf(Tables.documents(s, dir))
 
   /** The per-shard export manifest computed FROM THE FILES ON DISK
     * (doc count, token count, sequence count, order-independent
@@ -444,6 +452,56 @@ object PipelineQueries {
         .repartition(col("shard"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("shard").parquet(exportDir)
+      exportManifest(s, exportDir)
+    }),
+
+    // DELTA export — the append leg of the maintained artifact (the
+    // triad: one-shot / incremental / retract): a daily batch of new
+    // docs lands on an ALREADY-SHIPPED shard layout by re-packing only
+    // the shard directories its doc hashes touch. Because the shard is
+    // a pure doc_id hash and within-shard order is doc_id, untouched
+    // dirs are byte-identical to a full re-export INCLUDING the batch
+    // — so the oracle is pipe_export's own (convergence to the
+    // one-shot pack), and the cost a deployment pays per day is
+    // touched-shards-sized, never corpus-sized. The manifest is
+    // recomputed from disk: a consumer's integrity check cannot tell
+    // the delta-maintained artifact from a full re-export.
+    "pipe_export_incremental" -> ((s, dir) => {
+      val exportDir = graft.sources.TempDirs.scratch("graft_exinc_")
+      val d = Tables.documents(s, dir)
+      // the shipped artifact: everything before today's batch
+      packedSeqsOf(d.filter(col("doc_id") % 7 =!= 3))
+        .repartition(col("shard"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("shard").parquet(exportDir)
+      // today's arrivals, with their shard assignment and token counts
+      val batch = d.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"),
+          (graft.functions.Md5Long60Expr(col("doc_id").cast("string"),
+            PackSalt) % lit(PackShards.toLong)).as("shard"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .localCheckpoint(true) // shard probe + union read it
+      val touched = batch.select("shard").distinct()
+        .collect().map(_.getLong(0)) // <= PackShards rows
+      if (touched.nonEmpty) {
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val repacked = s.read.parquet(exportDir)
+          .select(col("doc_id"), col("shard").cast("long").as("shard"),
+            col("n_tokens"))
+          .filter(col("shard").isin(touched.map(Long.box): _*))
+          .unionByName(batch)
+          .withColumn("offset", sum("n_tokens").over(w) - col("n_tokens"))
+          .withColumn("seq_id",
+            floor(col("offset").cast("double") / lit(PackSeqLen.toDouble))
+              .cast("long"))
+          .select("doc_id", "shard", "n_tokens", "offset", "seq_id")
+          .localCheckpoint(true) // materialize before overwriting source
+        repacked.repartition(col("shard"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("shard").parquet(exportDir)
+      }
       exportManifest(s, exportDir)
     }),
 
@@ -1341,6 +1399,9 @@ object PipelineQueries {
     // row fingerprints (both engines: md5("13:" || doc:tok:off:seq),
     // low 60 bits)
     "pipe_export" -> pipeExportSqlWhere("TRUE"),
+    // the delta-maintained artifact converges to the one-shot export:
+    // same oracle as pipe_export by design
+    "pipe_export_incremental" -> pipeExportSqlWhere("TRUE"),
 
     // touched-shard re-pack after the takedown must equal a full
     // re-export of the corpus-without: same packing SQL, docs filtered
