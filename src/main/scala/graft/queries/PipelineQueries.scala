@@ -179,7 +179,7 @@ object PipelineQueries {
     * export a property of the layout (shard = pure doc_id hash;
     * within-shard order = doc_id) rather than of replay order.
     */
-  private def packedSeqsOf(docs: DataFrame): DataFrame = {
+  private[graft] def packedSeqsOf(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"),
       (graft.functions.Md5Long60Expr(col("doc_id").cast("string"), PackSalt)
         % lit(PackShards.toLong)).as("shard"),
@@ -196,6 +196,50 @@ object PipelineQueries {
 
   private def packedSeqs(s: SparkSession, dir: String): DataFrame =
     packedSeqsOf(Tables.documents(s, dir))
+
+  /** Ship a packed artifact as shard-partitioned parquet (one writer
+    * file per shard directory). */
+  private[graft] def exportShip(packed: DataFrame, exportDir: String): Unit =
+    packed.repartition(col("shard"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard").parquet(exportDir)
+
+  /** Land an append batch of raw documents (doc_id, text, ...) on a
+    * shipped artifact by re-packing ONLY the shard directories the
+    * batch's doc hashes touch (dynamic partition overwrite) — shared
+    * by the driver query and the spec that pins untouched dirs are
+    * never rewritten.
+    */
+  private[graft] def exportAppend(s: SparkSession, arrivals: DataFrame,
+      exportDir: String): Unit = {
+    val batch = arrivals
+      .select(col("doc_id"),
+        (graft.functions.Md5Long60Expr(col("doc_id").cast("string"),
+          PackSalt) % lit(PackShards.toLong)).as("shard"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .localCheckpoint(true) // shard probe + union read it
+    val touched = batch.select("shard").distinct()
+      .collect().map(_.getLong(0)) // <= PackShards rows
+    if (touched.nonEmpty) {
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val repacked = s.read.parquet(exportDir)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"),
+          col("n_tokens"))
+        .filter(col("shard").isin(touched.map(Long.box): _*))
+        .unionByName(batch)
+        .withColumn("offset", sum("n_tokens").over(w) - col("n_tokens"))
+        .withColumn("seq_id",
+          floor(col("offset").cast("double") / lit(PackSeqLen.toDouble))
+            .cast("long"))
+        .select("doc_id", "shard", "n_tokens", "offset", "seq_id")
+        .localCheckpoint(true) // materialize before overwriting source
+      repacked.repartition(col("shard"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard").parquet(exportDir)
+    }
+  }
 
   /** The per-shard export manifest computed FROM THE FILES ON DISK
     * (doc count, token count, sequence count, order-independent
@@ -470,38 +514,8 @@ object PipelineQueries {
       val exportDir = graft.sources.TempDirs.scratch("graft_exinc_")
       val d = Tables.documents(s, dir)
       // the shipped artifact: everything before today's batch
-      packedSeqsOf(d.filter(col("doc_id") % 7 =!= 3))
-        .repartition(col("shard"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("shard").parquet(exportDir)
-      // today's arrivals, with their shard assignment and token counts
-      val batch = d.filter(col("doc_id") % 7 === 3)
-        .select(col("doc_id"),
-          (graft.functions.Md5Long60Expr(col("doc_id").cast("string"),
-            PackSalt) % lit(PackShards.toLong)).as("shard"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-        .localCheckpoint(true) // shard probe + union read it
-      val touched = batch.select("shard").distinct()
-        .collect().map(_.getLong(0)) // <= PackShards rows
-      if (touched.nonEmpty) {
-        val w = Window.partitionBy("shard").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val repacked = s.read.parquet(exportDir)
-          .select(col("doc_id"), col("shard").cast("long").as("shard"),
-            col("n_tokens"))
-          .filter(col("shard").isin(touched.map(Long.box): _*))
-          .unionByName(batch)
-          .withColumn("offset", sum("n_tokens").over(w) - col("n_tokens"))
-          .withColumn("seq_id",
-            floor(col("offset").cast("double") / lit(PackSeqLen.toDouble))
-              .cast("long"))
-          .select("doc_id", "shard", "n_tokens", "offset", "seq_id")
-          .localCheckpoint(true) // materialize before overwriting source
-        repacked.repartition(col("shard"))
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("shard").parquet(exportDir)
-      }
+      exportShip(packedSeqsOf(d.filter(col("doc_id") % 7 =!= 3)), exportDir)
+      exportAppend(s, d.filter(col("doc_id") % 7 === 3), exportDir)
       exportManifest(s, exportDir)
     }),
 

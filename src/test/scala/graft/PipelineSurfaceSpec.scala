@@ -12,6 +12,45 @@ class PipelineSurfaceSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.sources.GraftSession.local()
   private val dir = "/root/testdata/sf0.001"
 
+  test("pipe_export_incremental: a sparse append rewrites ONLY its touched shard dirs; result equals the one-shot pack") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.PipelineQueries
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").localCheckpoint(true)
+    val sparse = col("doc_id") % 97 === 5 // a handful of docs -> few shards
+    val eDir = java.nio.file.Files
+      .createTempDirectory("graft_exinc_spec_").toString + "/export"
+    PipelineQueries.exportShip(
+      PipelineQueries.packedSeqsOf(docs.filter(not(sparse))), eDir)
+    // snapshot every shard dir's file listing + mtimes before the append
+    def dirState(p: java.io.File) =
+      p.listFiles.map(f => (f.getName, f.lastModified, f.length)).toSet
+    val before = new java.io.File(eDir).listFiles
+      .filter(_.getName.startsWith("shard="))
+      .map(d => d.getName -> dirState(d)).toMap
+    val touched = docs.filter(sparse)
+      .select((graft.functions.Md5Long60Expr(col("doc_id").cast("string"),
+        PipelineQueries.PackSalt) % lit(PipelineQueries.PackShards.toLong))
+        .as("shard"))
+      .distinct().collect().map(r => s"shard=${r.getLong(0)}").toSet
+    assert(touched.nonEmpty && (before.keySet -- touched).nonEmpty,
+      s"staging degenerate: touched=$touched of ${before.keySet.size} dirs")
+    PipelineQueries.exportAppend(spark, docs.filter(sparse), eDir)
+    // untouched dirs: byte-identical file listing (never rewritten)
+    (before.keySet -- touched).foreach { d =>
+      assert(dirState(new java.io.File(s"$eDir/$d")) == before(d),
+        s"untouched dir $d was rewritten by the append")
+    }
+    // and the delta-maintained artifact equals the one-shot pack
+    val got = spark.read.parquet(eDir)
+      .select(col("doc_id"), col("shard").cast("long").as("shard"),
+        col("n_tokens"), col("offset"), col("seq_id"))
+      .collect().map(_.toSeq).toSet
+    val want = PipelineQueries.packedSeqsOf(docs)
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "delta export diverged from the one-shot pack")
+  }
+
   test("sample_reservoir: every stratum capped at ReservoirN with contiguous ranks") {
     val res = graft.queries.PipelineQueries.queries("sample_reservoir")(spark, dir)
     val perLang = res.groupBy("lang")
