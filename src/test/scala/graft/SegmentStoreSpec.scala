@@ -187,6 +187,19 @@ class SegmentStoreSpec extends AnyFunSuite {
     assert(now == asOf(2L))
   }
 
+  test("compaction is the audit-retention policy: a fold collapses as-of history") {
+    val path = tmpStore
+    SegmentStore.append(batch("a" -> 1L), path)
+    SegmentStore.append(batch("a" -> 2L), path)
+    SegmentStore.compact(spark, path, Seq("k"), "c")
+    // post-fold the store is one segment: every as-of snapshot equals
+    // the present — the history is gone, by design (the store contract
+    // states compaction cadence bounds auditability)
+    val asOf0 = SegmentStore.mergedAsOf(spark, path, Seq("k"), "c", 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(asOf0 == Seq("a" -> 3L))
+  }
+
   test("as-of read is partition-pruned on seg: history beyond the snapshot is never scanned") {
     val path = tmpStore
     SegmentStore.append(batch("a" -> 1L), path)
