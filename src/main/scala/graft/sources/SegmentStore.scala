@@ -100,6 +100,57 @@ object SegmentStore {
     partials.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/seg=$next")
   }
 
+  /** EXACTLY-ONCE ingest for streaming maintenance. Structured
+    * Streaming's `foreachBatch` is AT-LEAST-ONCE: after a restart the
+    * last micro-batch can be re-delivered, and a plain [[append]]
+    * would double-count it — the silent-corruption mode of every
+    * additive store under a streaming writer. Keying the segment by
+    * the caller's MONOTONE batch id (the `foreachBatch` batchId)
+    * makes re-delivery a no-op instead:
+    *
+    *   - a committed `seg=batchId` dir (job-level `_SUCCESS`) exists
+    *     ⇒ this batch already landed — skip;
+    *   - the dir exists UNcommitted (writer crashed mid-write) ⇒
+    *     delete and rewrite — the retry is idempotent because no
+    *     reader-visible commit happened;
+    *   - otherwise `batchId <=` the max live segment id ⇒ the batch
+    *     landed and was since FOLDED: [[compact]] names its fold
+    *     after the max id it covers (a processed-batch WATERMARK), so
+    *     history collapse never forgets what was ingested;
+    *   - else write `seg=batchId`.
+    *
+    * Returns true iff this call ingested the batch. Same single-writer
+    * contract as [[append]].
+    */
+  def appendExactlyOnce(partials: DataFrame, path: String,
+      batchId: Long): Boolean = {
+    val spark = partials.sparkSession
+    val (f, p) = fs(spark, path)
+    recover(f, p)
+    val dst = new HPath(s"$path/seg=$batchId")
+    if (f.exists(dst)) {
+      if (f.exists(new HPath(dst, "_SUCCESS"))) return false
+      f.delete(dst, true) // crashed partial write: retry idempotently
+    } else if (segmentIds(spark, path).lastOption.exists(batchId <= _)) {
+      return false // at or below the fold watermark: already ingested
+    }
+    partials.write.mode(SaveMode.ErrorIfExists).parquet(dst.toString)
+    true
+  }
+
+  /** [[appendExactlyOnce]] + the [[appendWithPolicy]] fold bound — the
+    * streaming-sink form: re-delivered batches are no-ops, landed
+    * batches keep the live-segment count under `maxSegments`.
+    */
+  def appendExactlyOnceWithPolicy(partials: DataFrame, path: String,
+      keys: Seq[String], sumCol: String, maxSegments: Int, batchId: Long,
+      dropCancelled: Boolean = false): Boolean = {
+    val landed = appendExactlyOnce(partials, path, batchId)
+    if (landed && segmentIds(partials.sparkSession, path).size > maxSegments)
+      compact(partials.sparkSession, path, keys, sumCol, dropCancelled)
+    landed
+  }
+
   /** Append, then fold if the store's live-segment count passed
     * `maxSegments` — the auto-compaction policy that turns the LSM
     * read-amplification trade into a hard bound. `dropCancelled`
@@ -138,8 +189,11 @@ object SegmentStore {
     * store's full history (plan-pinned in PlanShapeSpec). This is the
     * audit read a takedown pipeline needs — "as of segment k the
     * user's rows existed; as of k+1 they are gone" — and it is what
-    * [[compact]] trades away: a fold collapses history into seg=0, so
-    * the compaction policy is also a RETENTION policy for auditability.
+    * [[compact]] trades away: a fold collapses history into one
+    * segment named after the max id it covers (the exactly-once
+    * watermark), so snapshots BELOW the fold id become unanswerable
+    * (empty) — the compaction policy is also a RETENTION policy for
+    * auditability.
     */
   def mergedAsOf(spark: SparkSession, path: String, keys: Seq[String],
       sumCol: String, maxSeg: Long): DataFrame = {
@@ -217,9 +271,13 @@ object SegmentStore {
     val old = new HPath(path + ".old")
     f.delete(tmp, true)
     f.delete(old, true)
+    // the fold keeps the MAX id it covers as its name — the
+    // processed-batch watermark [[appendExactlyOnce]] checks, so
+    // collapsing history never forgets which batch ids landed
+    val foldId = segmentIds(spark, path).lastOption.getOrElse(0L)
     val folded = merged(spark, path, keys, sumCol)
     (if (dropCancelled) folded.filter(col(sumCol) =!= 0) else folded)
-      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/seg=0")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/seg=$foldId")
     if (!f.rename(dst, old))
       throw new java.io.IOException(s"compact: cannot stage $dst aside")
     if (!f.rename(tmp, dst)) {

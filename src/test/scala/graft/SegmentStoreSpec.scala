@@ -68,11 +68,15 @@ class SegmentStoreSpec extends AnyFunSuite {
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
     val stream = mem.toDF().toDF("id")
       .select(concat(lit("k"), pmod(col("id"), lit(7))).as("k"))
+    var lastBatch: (org.apache.spark.sql.DataFrame, Long) = null
     val q = stream.writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        SegmentStore.appendWithPolicy(
-          batch.groupBy("k").agg(count(lit(1)).as("c")), path,
-          Seq("k"), "c", maxSegments = 2)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val partials = batch.groupBy("k").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true) // survives past the micro-batch for the replay below
+        lastBatch = (partials, batchId)
+        SegmentStore.appendExactlyOnceWithPolicy(partials, path,
+          Seq("k"), "c", maxSegments = 2, batchId = batchId)
+        () // foreachBatch wants Unit
       }.start()
     try {
       (0 until 4).foreach { i =>
@@ -80,6 +84,11 @@ class SegmentStoreSpec extends AnyFunSuite {
         q.processAllAvailable()
       }
     } finally q.stop()
+    // the restart case foreachBatch documents: the last micro-batch is
+    // RE-DELIVERED — the exactly-once sink must make it a no-op
+    assert(!SegmentStore.appendExactlyOnceWithPolicy(lastBatch._1, path,
+      Seq("k"), "c", maxSegments = 2, batchId = lastBatch._2),
+      "re-delivered micro-batch was ingested twice")
     assert(SegmentStore.segmentIds(spark, path).size <= 2,
       "policy let streaming segments escape the bound")
     val got = SegmentStore.merged(spark, path, Seq("k"), "c")
@@ -187,17 +196,56 @@ class SegmentStoreSpec extends AnyFunSuite {
     assert(now == asOf(2L))
   }
 
-  test("compaction is the audit-retention policy: a fold collapses as-of history") {
+  test("compaction is the audit-retention policy: a fold collapses as-of history to its watermark") {
     val path = tmpStore
     SegmentStore.append(batch("a" -> 1L), path)
     SegmentStore.append(batch("a" -> 2L), path)
     SegmentStore.compact(spark, path, Seq("k"), "c")
-    // post-fold the store is one segment: every as-of snapshot equals
-    // the present — the history is gone, by design (the store contract
-    // states compaction cadence bounds auditability)
-    val asOf0 = SegmentStore.mergedAsOf(spark, path, Seq("k"), "c", 0L)
+    // the fold keeps the max covered id (1) as its name: snapshots
+    // BELOW it are unanswerable (history gone, by design — the store
+    // contract states compaction cadence bounds auditability), and
+    // snapshots at/after it equal the present
+    assert(SegmentStore.segmentIds(spark, path) == Seq(1L))
+    def asOf(k: Long) = SegmentStore
+      .mergedAsOf(spark, path, Seq("k"), "c", k)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(asOf0 == Seq("a" -> 3L))
+    assert(asOf(0L).isEmpty)
+    assert(asOf(1L) == Seq("a" -> 3L))
+  }
+
+  test("appendExactlyOnce: re-delivered batches are no-ops, before AND after a fold") {
+    val path = tmpStore
+    assert(SegmentStore.appendExactlyOnce(batch("a" -> 1L), path, 0L))
+    assert(SegmentStore.appendExactlyOnce(batch("a" -> 2L, "b" -> 5L), path, 1L))
+    // the at-least-once case: batch 1 re-delivered after a restart
+    assert(!SegmentStore.appendExactlyOnce(batch("a" -> 2L, "b" -> 5L), path, 1L))
+    SegmentStore.compact(spark, path, Seq("k"), "c")
+    // re-delivery BELOW the fold watermark: still a no-op (the fold's
+    // name remembers the max batch id it covers)
+    assert(!SegmentStore.appendExactlyOnce(batch("a" -> 1L), path, 0L))
+    assert(!SegmentStore.appendExactlyOnce(batch("a" -> 2L, "b" -> 5L), path, 1L))
+    // a genuinely new batch still lands
+    assert(SegmentStore.appendExactlyOnce(batch("c" -> 7L), path, 2L))
+    val m = SegmentStore.merged(spark, path, Seq("k"), "c")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(m.toSeq == Seq("a" -> 3L, "b" -> 5L, "c" -> 7L),
+      "exactly-once ingest double- or under-counted")
+  }
+
+  test("appendExactlyOnce: a crashed partial write (no _SUCCESS) is retried, a committed one is not") {
+    val path = tmpStore
+    assert(SegmentStore.appendExactlyOnce(batch("a" -> 1L), path, 0L))
+    // simulate a writer that died mid-write of batch 1: dir exists,
+    // data junk present, no job-level _SUCCESS marker
+    val crashed = new java.io.File(s"$path/seg=1")
+    assert(crashed.mkdirs())
+    java.nio.file.Files.write(crashed.toPath.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(SegmentStore.appendExactlyOnce(batch("b" -> 4L), path, 1L),
+      "uncommitted partial dir must be retried")
+    val m = SegmentStore.merged(spark, path, Seq("k"), "c")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(m.toSeq == Seq("a" -> 1L, "b" -> 4L))
   }
 
   test("as-of read is partition-pruned on seg: history beyond the snapshot is never scanned") {
@@ -226,7 +274,7 @@ class SegmentStoreSpec extends AnyFunSuite {
     SegmentStore.append(batch("a" -> 1L), path)
     SegmentStore.append(batch("a" -> 2L, "b" -> 7L), path)
     SegmentStore.compact(spark, path, Seq("k"), "c")
-    assert(SegmentStore.segmentIds(spark, path) == Seq(0L))
+    assert(SegmentStore.segmentIds(spark, path) == Seq(1L)) // fold keeps the watermark id
     val m = SegmentStore.merged(spark, path, Seq("k"), "c")
       .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
     assert(m.toSeq == Seq("a" -> 3L, "b" -> 7L))
