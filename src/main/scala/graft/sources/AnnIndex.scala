@@ -930,12 +930,20 @@ object AnnIndex {
     * minhash/PQ rows), so the maintenance shape is the
     * [[SegmentStore]] one: hash the batch against the stored frozen
     * width and APPEND its posting rows to their `part` directories —
-    * O(batch) with ZERO reads of existing state, the write path a
-    * media firehose needs. Contract: batch doc_ids are NEW
-    * (within-batch uniqueness enforced; a changed-payload re-insert
-    * would strand stale postings and is a rebuild, exactly like
-    * codebook retraining). Works as the bulk load after
-    * [[trainPhash]].
+    * O(batch), the write path a media firehose needs. Contract: batch
+    * doc_ids are NEW (within-batch uniqueness enforced; a
+    * changed-payload re-insert would strand stale postings and is a
+    * rebuild, exactly like codebook retraining).
+    *
+    * IDEMPOTENT under re-delivery: `foreachBatch` is at-least-once —
+    * a restart re-delivers the last micro-batch, and a blind append
+    * would DOUBLE-POST it (duplicate candidate pairs, inflated
+    * mm_band_stats populations — the additive-store corruption
+    * [[SegmentStore.appendExactlyOnce]] exists for). Already-present
+    * doc_ids are dropped via one anti-join whose store side is
+    * column-pruned (doc_id) AND partition-pruned to the batch's own
+    * `part` dirs — the idempotence read is touched-dirs-sized, never
+    * the posting store. Works as the bulk load after [[trainPhash]].
     */
   def upsertPhash(spark: SparkSession, dir: String, media: DataFrame): Unit = {
     // check the RAW batch (a per-doc posting row count is a multiple of
@@ -944,7 +952,25 @@ object AnnIndex {
     val (posted, _, _) = phashPostings(spark, dir, media)
     val staged = posted.localCheckpoint(true)
     if (staged.isEmpty) return
-    staged.repartition(col("part"))
+    // a doc's postings land all-or-nothing (one job commit), and every
+    // posting of a doc lives in a part dir its own keys name — so
+    // probing the batch's part dirs for its doc_ids is a complete
+    // presence check
+    val touched = staged.select("part").distinct()
+      .collect().map(_.getLong(0)) // bounded by parts, driver-safe
+    val postPath = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val hasStore = postPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(postPath)
+    val existing =
+      if (hasStore)
+        spark.read.parquet(s"$dir/postings")
+          .filter(col("part").isin(touched.map(Long.box): _*))
+          .select("doc_id").distinct()
+      else staged.select("doc_id").limit(0)
+    val fresh = staged.join(existing, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // materialize before writing into its source
+    if (fresh.isEmpty) return // re-delivered batch: a no-op
+    fresh.repartition(col("part"))
       .write.mode(SaveMode.Append)
       .partitionBy("part")
       .parquet(s"$dir/postings")

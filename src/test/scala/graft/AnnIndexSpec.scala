@@ -225,6 +225,42 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(rows(dir) == rows(refDir) && rows(dir).size == keepIds.size)
   }
 
+  test("re-delivery idempotence: a repeated upsert batch is a no-op on both store classes") {
+    import spark.implicits._
+    // key-replace (LSH): anti-join + union makes the repeat identical
+    val all = synthVecs(200)
+    val lshDir = Files.createTempDirectory("graft_lshredel_").toString
+    AnnIndex.saveLsh(all.filter(col("vec_id") < 100), NBits, Dim, lshDir)
+    val lshBatch = all.filter(col("vec_id") >= 100)
+    AnnIndex.upsertLsh(spark, lshDir, lshBatch)
+    val once = AnnIndex.lshCorpus(spark, lshDir)
+      .select("vec_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    AnnIndex.upsertLsh(spark, lshDir, lshBatch) // foreachBatch re-delivery
+    val twice = AnnIndex.lshCorpus(spark, lshDir)
+      .select("vec_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(twice == once, "key-replace upsert re-delivery changed the index")
+    // additive postings (phash): already-present doc_ids must be
+    // dropped, or the repeat double-posts every row
+    def media(ids: Seq[Long]) = ids.map { i =>
+      (i, Array.tabulate(256)(b => ((b * 7 + i * 13) % 251).toByte))
+    }.toDF("doc_id", "payload")
+    val phDir = Files.createTempDirectory("graft_phredel_").toString
+    AnnIndex.trainPhash(spark, phDir,
+      graft.operators.Multimodal.phashPatches(40L))
+    AnnIndex.upsertPhash(spark, phDir, media(0L until 25L))
+    val batch = media(25L until 40L)
+    AnnIndex.upsertPhash(spark, phDir, batch)
+    val n1 = spark.read.parquet(s"$phDir/postings").count()
+    AnnIndex.upsertPhash(spark, phDir, batch) // re-delivery
+    val n2 = spark.read.parquet(s"$phDir/postings").count()
+    assert(n2 == n1, s"posting store double-posted a re-delivered batch: $n1 -> $n2")
+    // a genuinely new doc still lands
+    AnnIndex.upsertPhash(spark, phDir, media(Seq(500L)))
+    assert(spark.read.parquet(s"$phDir/postings").count() > n2)
+  }
+
   test("pHash delete: postings after retraction equal a bulk load of the corpus-without at the frozen width") {
     import spark.implicits._
     def media(ids: Seq[Long]) = ids.map { i =>
