@@ -163,11 +163,18 @@ object RelationalQueries {
     * can pass its own store dir and inspect the pending state between
     * ingests; the driver query calls it with a scratch dir.
     */
-  private[graft] def funnelIncremental(s: SparkSession, ev: DataFrame,
-      storeDirOpt: Option[String] = None,
-      bloomItems: Long = FunnelBloomItems): DataFrame = {
-    val storeDir =
-      storeDirOpt.getOrElse(graft.sources.TempDirs.scratch("graft_funi_"))
+  /** One maintained-funnel ingest against the store at `storeDir` —
+    * factored from [[funnelIncremental]] so the spec can drive single
+    * batches (and re-deliveries) directly. RE-DELIVERY SAFE: finalized
+    * users are tombstone-dropped before anything else, so the results
+    * store and the bloom sidecar cannot double-finalize; a re-delivered
+    * batch's still-pending events are exact duplicates of rows already
+    * in the pending buffer and collapse in its set-union rewrite (the
+    * funnel chain is min-ts per stage, so the dedup is semantics-free).
+    */
+  private[graft] def funnelIngest(s: SparkSession, storeDir: String,
+      batch: DataFrame, wm: org.apache.spark.sql.Column,
+      bloomItems: Long = FunnelBloomItems): Unit = {
     val parts = 16
     val w1Ms = FunnelClickWindowHours * 3600L * 1000L
     val w2Ms = FunnelBuyWindowHours * 3600L * 1000L
@@ -178,175 +185,193 @@ object RelationalQueries {
     def hasData(p: String) = hasPartData(s, p)
     def chain(e: DataFrame): DataFrame =
       graft.streaming.StreamOps.funnel(e, w1Ms, w2Ms, "1 hour")
-    def ingest(batch: DataFrame, wm: org.apache.spark.sql.Column): Unit = {
-      val fev = batch
-        .filter(col("event_type").isin("view", "click", "purchase"))
-        .select(col("user_id"), col("event_type"), col("ts"))
-      // tombstone drop: a finalized user's funnel is immutable (any
-      // later event sits above the watermark, hence outside it). The
-      // BLOOM SIDECAR routes it: rows whose user_id the bloom rejects
-      // are definitely-not-finalized and skip the store entirely (at a
-      // steady state that is almost the whole batch — finalized users
-      // stop producing events); only bloom-positives reach the exact
-      // anti-join, and the finalized scan behind it is PRUNED to the
-      // user-hash partitions those positives land in. Never a false
-      // negative, so the routed result is byte-identical to the plain
-      // anti-join; a ~2% fp sliver rides through and dies exactly.
-      val newEv =
-        if (!hasData(resPath)) fev
-        else if (!hasParquetData(s, bloomPath)) {
-          // results exist but the sidecar doesn't (first finalized
-          // batch was all-null user_ids so bloom_filter_agg produced
-          // nothing, or a crash landed between the results append and
-          // the bloom write): the sidecar is an OPTIMIZATION, so fall
-          // back to the plain exact anti-join rather than failing;
-          // the maintenance below then rebuilds the bloom from the
-          // FULL results store (never the batch alone), restoring the
-          // never-false-negative contract on the next write.
-          fev.join(s.read.parquet(resPath).select("user_id"),
+    val fev = batch
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+    // tombstone drop: a finalized user's funnel is immutable (any
+    // later event sits above the watermark, hence outside it). The
+    // BLOOM SIDECAR routes it: rows whose user_id the bloom rejects
+    // are definitely-not-finalized and skip the store entirely (at a
+    // steady state that is almost the whole batch — finalized users
+    // stop producing events); only bloom-positives reach the exact
+    // anti-join, and the finalized scan behind it is PRUNED to the
+    // user-hash partitions those positives land in. Never a false
+    // negative, so the routed result is byte-identical to the plain
+    // anti-join; a ~2% fp sliver rides through and dies exactly.
+    val newEv =
+      if (!hasData(resPath)) fev
+      else if (!hasParquetData(s, bloomPath)) {
+        // results exist but the sidecar doesn't (first finalized
+        // batch was all-null user_ids so bloom_filter_agg produced
+        // nothing, or a crash landed between the results append and
+        // the bloom write): the sidecar is an OPTIMIZATION, so fall
+        // back to the plain exact anti-join rather than failing;
+        // the maintenance below then rebuilds the bloom from the
+        // FULL results store (never the batch alone), restoring the
+        // never-false-negative contract on the next write.
+        fev.join(s.read.parquet(resPath).select("user_id"),
+          Seq("user_id"), "left_anti")
+      } else {
+        val bf = s.read.parquet(bloomPath).select("bf")
+        // null-safe routing: might_contain(null) is null, but a
+        // null-user row can't be finalized — it must PASS (the plain
+        // anti-join kept it: null never equi-matches)
+        val might = coalesce(
+          graft.functions.SketchExprs.mightContain(bf, col("user_id")),
+          lit(false))
+        val maybe = fev.filter(might)
+          .localCheckpoint(true) // feeds the part probe + the anti-join
+        val pass = fev.filter(!might)
+        val mParts = maybe
+          .select(pmod(col("user_id"), lit(parts.toLong)).as("part"))
+          .distinct().collect().map(_.getLong(0)) // <= parts rows
+        val checked =
+          if (mParts.isEmpty) maybe // bloom-empty batch: nothing to check
+          else maybe.join(
+            s.read.parquet(resPath)
+              .filter(col("part").isin(mParts.map(Long.box): _*))
+              .select("user_id"),
             Seq("user_id"), "left_anti")
-        } else {
-          val bf = s.read.parquet(bloomPath).select("bf")
-          // null-safe routing: might_contain(null) is null, but a
-          // null-user row can't be finalized — it must PASS (the plain
-          // anti-join kept it: null never equi-matches)
-          val might = coalesce(
-            graft.functions.SketchExprs.mightContain(bf, col("user_id")),
-            lit(false))
-          val maybe = fev.filter(might)
-            .localCheckpoint(true) // feeds the part probe + the anti-join
-          val pass = fev.filter(!might)
-          val mParts = maybe
-            .select(pmod(col("user_id"), lit(parts.toLong)).as("part"))
-            .distinct().collect().map(_.getLong(0)) // <= parts rows
-          val checked =
-            if (mParts.isEmpty) maybe // bloom-empty batch: nothing to check
-            else maybe.join(
-              s.read.parquet(resPath)
-                .filter(col("part").isin(mParts.map(Long.box): _*))
-                .select("user_id"),
-              Seq("user_id"), "left_anti")
-          pass.unionByName(checked)
-        }
-      val all = (if (!hasData(pendPath)) newEv
-        else s.read.parquet(pendPath)
-          .select(col("user_id"), col("event_type"), col("ts"))
-          .unionByName(newEv))
-        .localCheckpoint(true)
-      val ch = chain(all).localCheckpoint(true)
-      val fin = ch.filter(col("t_view") + expr(horizon) < wm)
-      fin.withColumn("part", pmod(col("user_id"), lit(parts.toLong)))
-        .repartition(col("part"))
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .partitionBy("part").parquet(resPath)
-      // sidecar maintenance: OR this batch's finalized ids into the
-      // stored bloom (segment-append, not rebuild — the SegmentStore
-      // shape: O(batch) aggregation + one numBits/8-byte driver merge,
-      // the finalized store is never rescanned on the append path).
-      // Geometry is FROZEN PER STORE, not per constant: the sidecar
-      // row carries (bf, n_items, capacity) so the store knows its own
-      // fill, and past 50% fill the maintenance REBUILDS at a doubled
-      // capacity from the finalized store — the one full scan a
-      // resize costs, amortized O(log n_items) by doubling (the
-      // pq_code_stats retrain trigger, wired instead of documented).
-      // n_items is exact, not estimated: batches' finalized sets are
-      // disjoint by the tombstone, so the running count is a sum.
-      val finIds = fin.filter(col("user_id").isNotNull).select("user_id")
-      import org.apache.spark.util.sketch.BloomFilter
-      def build(ids: DataFrame, cap: Long): Array[Byte] =
-        ids.agg(graft.functions.SketchExprs.bloomFilterAgg(
-          col("user_id"), cap, cap * FunnelBloomBitsPerItem).as("bf"))
-          .head().getAs[Array[Byte]]("bf") // ONE row, numBits/8 bytes
-      val (oldBf, oldN, cap0) =
-        if (!hasParquetData(s, bloomPath))
-          (null: Array[Byte], 0L, bloomItems)
-        else {
-          val r0 = s.read.parquet(bloomPath).head()
-          (r0.getAs[Array[Byte]]("bf"), r0.getAs[Long]("n_items"),
-            r0.getAs[Long]("capacity"))
-        }
-      // ONE pass over the batch: finalized count and the batch bloom
-      // come out of the same aggregation job
-      val batchRow = finIds.agg(
-        count(lit(1)).as("n"),
-        graft.functions.SketchExprs.bloomFilterAgg(col("user_id"),
-          cap0, cap0 * FunnelBloomBitsPerItem).as("bf")).head()
-      val nNew = batchRow.getAs[Long]("n")
-      def writeSidecar(bytes: Array[Byte], nItems: Long, cap: Long): Unit = {
-        import s.implicits._
-        Seq((bytes, nItems, cap)).toDF("bf", "n_items", "capacity")
-          .coalesce(1)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(bloomPath)
+        pass.unionByName(checked)
       }
-      def grow(cap0: Long, nItems: Long): Long = {
-        var c = cap0; while (2L * nItems > c) c *= 2L; c
-      }
-      if (nNew > 0 && oldBf == null) {
-        // no sidecar yet: the first finalized batch — OR recovery
-        // after a crash between the results append and the bloom
-        // write, in which case resPath holds MORE than this batch.
-        // Rebuild from the STORE (and count it exactly), never from
-        // the batch alone: a batch-only bloom would be
-        // false-negative-capable and silently re-admit earlier
-        // finalized users. First-batch cost is identical (the store
-        // IS the batch); recovery pays one store scan, which is the
-        // recovery's price.
-        val allIds = s.read.parquet(resPath)
-          .filter(col("user_id").isNotNull).select("user_id")
-          .localCheckpoint(true) // count + build both read it
-        val nItems = allIds.count()
-        val cap = grow(cap0, nItems)
-        writeSidecar(build(allIds, cap), nItems, cap)
-      } else if (nNew > 0) {
-        val nItems = oldN + nNew
-        if (2L * nItems > cap0) {
-          // fill-triggered resize: double until under half full,
-          // re-freeze, rebuild over ALL finalized ids (resPath
-          // already holds this batch's append)
-          val cap = grow(cap0, nItems)
-          writeSidecar(build(s.read.parquet(resPath)
-            .filter(col("user_id").isNotNull).select("user_id"), cap),
-            nItems, cap)
-        } else {
-          val old = BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(oldBf))
-          old.mergeInPlace(BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(
-              batchRow.getAs[Array[Byte]]("bf"))))
-          val bos = new java.io.ByteArrayOutputStream()
-          old.writeTo(bos)
-          writeSidecar(bos.toByteArray, nItems, cap0)
-        }
-      }
-      // pending': non-finalized users' events under the tighten-only
-      // bound; a null v (no view yet) behaves as +infinity, so `least`
-      // (null-skipping) gives lb = wm and the upper bounds vanish
-      val v = ch.select(col("user_id"), col("t_view").as("v"))
-      val lb = least(wm, col("v"))
-      val keep = all
-        .join(fin.select("user_id"), Seq("user_id"), "left_anti")
-        .join(v, Seq("user_id"), "left")
-        .filter(
-          // null-safe <=> : a user whose only views carry null ts has
-          // v = null (min ignores nothing else) and never finalizes —
-          // their view rows must survive the prune so the final chain
-          // emits the same null-t_view row the one-shot oracle does
-          when(col("event_type") === "view", col("ts") <=> col("v"))
-            .when(col("event_type") === "click",
-              col("ts") > lb && coalesce(
-                col("ts") <= col("v") +
-                  expr(s"INTERVAL $w1Ms MILLISECONDS"), lit(true)))
-            .otherwise(
-              col("ts") > lb && coalesce(
-                col("ts") <= col("v") + expr(horizon), lit(true))))
+    val all = (if (!hasData(pendPath)) newEv
+      else s.read.parquet(pendPath)
         .select(col("user_id"), col("event_type"), col("ts"))
-        .withColumn("part", pmod(col("user_id"), lit(parts.toLong)))
-        .localCheckpoint(true) // materialize before overwriting source
-      keep.repartition(col("part"))
+        .unionByName(newEv))
+      .localCheckpoint(true)
+    val ch = chain(all).localCheckpoint(true)
+    val fin = ch.filter(col("t_view") + expr(horizon) < wm)
+    fin.withColumn("part", pmod(col("user_id"), lit(parts.toLong)))
+      .repartition(col("part"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("part").parquet(resPath)
+    // sidecar maintenance: OR this batch's finalized ids into the
+    // stored bloom (segment-append, not rebuild — the SegmentStore
+    // shape: O(batch) aggregation + one numBits/8-byte driver merge,
+    // the finalized store is never rescanned on the append path).
+    // Geometry is FROZEN PER STORE, not per constant: the sidecar
+    // row carries (bf, n_items, capacity) so the store knows its own
+    // fill, and past 50% fill the maintenance REBUILDS at a doubled
+    // capacity from the finalized store — the one full scan a
+    // resize costs, amortized O(log n_items) by doubling (the
+    // pq_code_stats retrain trigger, wired instead of documented).
+    // n_items is exact, not estimated: batches' finalized sets are
+    // disjoint by the tombstone, so the running count is a sum.
+    val finIds = fin.filter(col("user_id").isNotNull).select("user_id")
+    import org.apache.spark.util.sketch.BloomFilter
+    def build(ids: DataFrame, cap: Long): Array[Byte] =
+      ids.agg(graft.functions.SketchExprs.bloomFilterAgg(
+        col("user_id"), cap, cap * FunnelBloomBitsPerItem).as("bf"))
+        .head().getAs[Array[Byte]]("bf") // ONE row, numBits/8 bytes
+    val (oldBf, oldN, cap0) =
+      if (!hasParquetData(s, bloomPath))
+        (null: Array[Byte], 0L, bloomItems)
+      else {
+        val r0 = s.read.parquet(bloomPath).head()
+        (r0.getAs[Array[Byte]]("bf"), r0.getAs[Long]("n_items"),
+          r0.getAs[Long]("capacity"))
+      }
+    // ONE pass over the batch: finalized count and the batch bloom
+    // come out of the same aggregation job
+    val batchRow = finIds.agg(
+      count(lit(1)).as("n"),
+      graft.functions.SketchExprs.bloomFilterAgg(col("user_id"),
+        cap0, cap0 * FunnelBloomBitsPerItem).as("bf")).head()
+    val nNew = batchRow.getAs[Long]("n")
+    def writeSidecar(bytes: Array[Byte], nItems: Long, cap: Long): Unit = {
+      import s.implicits._
+      Seq((bytes, nItems, cap)).toDF("bf", "n_items", "capacity")
+        .coalesce(1)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("part").parquet(pendPath)
+        .parquet(bloomPath)
     }
+    def grow(cap0: Long, nItems: Long): Long = {
+      var c = cap0; while (2L * nItems > c) c *= 2L; c
+    }
+    if (nNew > 0 && oldBf == null) {
+      // no sidecar yet: the first finalized batch — OR recovery
+      // after a crash between the results append and the bloom
+      // write, in which case resPath holds MORE than this batch.
+      // Rebuild from the STORE (and count it exactly), never from
+      // the batch alone: a batch-only bloom would be
+      // false-negative-capable and silently re-admit earlier
+      // finalized users. First-batch cost is identical (the store
+      // IS the batch); recovery pays one store scan, which is the
+      // recovery's price.
+      val allIds = s.read.parquet(resPath)
+        .filter(col("user_id").isNotNull).select("user_id")
+        .localCheckpoint(true) // count + build both read it
+      val nItems = allIds.count()
+      val cap = grow(cap0, nItems)
+      writeSidecar(build(allIds, cap), nItems, cap)
+    } else if (nNew > 0) {
+      val nItems = oldN + nNew
+      if (2L * nItems > cap0) {
+        // fill-triggered resize: double until under half full,
+        // re-freeze, rebuild over ALL finalized ids (resPath
+        // already holds this batch's append)
+        val cap = grow(cap0, nItems)
+        writeSidecar(build(s.read.parquet(resPath)
+          .filter(col("user_id").isNotNull).select("user_id"), cap),
+          nItems, cap)
+      } else {
+        val old = BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(oldBf))
+        old.mergeInPlace(BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(
+            batchRow.getAs[Array[Byte]]("bf"))))
+        val bos = new java.io.ByteArrayOutputStream()
+        old.writeTo(bos)
+        writeSidecar(bos.toByteArray, nItems, cap0)
+      }
+    }
+    // pending': non-finalized users' events under the tighten-only
+    // bound; a null v (no view yet) behaves as +infinity, so `least`
+    // (null-skipping) gives lb = wm and the upper bounds vanish
+    val v = ch.select(col("user_id"), col("t_view").as("v"))
+    val lb = least(wm, col("v"))
+    val keep = all
+      .join(fin.select("user_id"), Seq("user_id"), "left_anti")
+      .join(v, Seq("user_id"), "left")
+      .filter(
+        // null-safe <=> : a user whose only views carry null ts has
+        // v = null (min ignores nothing else) and never finalizes —
+        // their view rows must survive the prune so the final chain
+        // emits the same null-t_view row the one-shot oracle does
+        when(col("event_type") === "view", col("ts") <=> col("v"))
+          .when(col("event_type") === "click",
+            col("ts") > lb && coalesce(
+              col("ts") <= col("v") +
+                expr(s"INTERVAL $w1Ms MILLISECONDS"), lit(true)))
+          .otherwise(
+            col("ts") > lb && coalesce(
+              col("ts") <= col("v") + expr(horizon), lit(true))))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      // set-union semantics: a RE-DELIVERED batch's events are exact
+      // duplicates of rows the buffer already carried — collapsing
+      // them keeps the buffer from growing with redeliveries, and is
+      // semantics-free for the chain (min-ts per stage)
+      .distinct()
+      .withColumn("part", pmod(col("user_id"), lit(parts.toLong)))
+      .localCheckpoint(true) // materialize before overwriting source
+    keep.repartition(col("part"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("part").parquet(pendPath)
+  }
+
+  private[graft] def funnelIncremental(s: SparkSession, ev: DataFrame,
+      storeDirOpt: Option[String] = None,
+      bloomItems: Long = FunnelBloomItems): DataFrame = {
+    val storeDir =
+      storeDirOpt.getOrElse(graft.sources.TempDirs.scratch("graft_funi_"))
+    val w1Ms = FunnelClickWindowHours * 3600L * 1000L
+    val w2Ms = FunnelBuyWindowHours * 3600L * 1000L
+    val resPath = s"$storeDir/results"
+    val pendPath = s"$storeDir/pending"
+    def chain(e: DataFrame): DataFrame =
+      graft.streaming.StreamOps.funnel(e, w1Ms, w2Ms, "1 hour")
+    def ingest(batch: DataFrame, wm: org.apache.spark.sql.Column): Unit =
+      funnelIngest(s, storeDir, batch, wm, bloomItems)
     // the watermark LAGS the batch windows deliberately (large allowed
     // lateness — legal under the contract, which needs only a monotone
     // schedule with future arrivals at or above it): every first view

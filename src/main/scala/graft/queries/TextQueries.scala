@@ -214,16 +214,23 @@ object TextQueries {
     * — read-time summing then reconstructs the corpus-without totals
     * exactly, no store read, no rebuild.
     */
+  /** `batchId >= 0` routes through
+    * [[graft.sources.SegmentStore.appendExactlyOnce]] so a streaming
+    * writer's re-delivered micro-batch (at-least-once `foreachBatch`)
+    * cannot double-count the stats; the default is the plain append
+    * the deterministic batch stagings use.
+    */
   private[graft] def bm25IngestStats(batch: DataFrame, path: String,
-      sign: Long = 1L): Unit = {
+      sign: Long = 1L, batchId: Long = -1L): Unit = {
     val wide = batch.agg(count(lit(1)).as("n"),
       (sum("dl").cast("long").as("sumdl") +: bm25DfAggs): _*)
-    graft.sources.SegmentStore.append(
-      wide.select(explode(array(bm25StatNames.map(nm =>
+    val melted = wide.select(explode(array(bm25StatNames.map(nm =>
         struct(lit(nm).as("stat"),
           (coalesce(col(nm).cast("long"), lit(0L)) * lit(sign)).as("v"))): _*)).as("s"))
-        .select(col("s.stat").as("stat"), col("s.v").as("v")),
-      path)
+      .select(col("s.stat").as("stat"), col("s.v").as("v"))
+    if (batchId >= 0L)
+      graft.sources.SegmentStore.appendExactlyOnce(melted, path, batchId)
+    else graft.sources.SegmentStore.append(melted, path)
   }
 
   /** Read-time reconstruction of the ONE-ROW stats frame from the

@@ -120,12 +120,18 @@ class SegmentStoreSpec extends AnyFunSuite {
           val day = r.getLong(0)
           graft.queries.TextQueries.bm25IngestStats(
             graft.queries.TextQueries.bm25Base(
-              docs.filter(col("doc_id") % 3 === day)), path)
+              docs.filter(col("doc_id") % 3 === day)), path,
+            batchId = day) // exactly-once: keyed by the stream's batch id
         }
       }.start()
     try {
       (0L until 3L).foreach { d => mem.addData(d); q.processAllAvailable() }
     } finally q.stop()
+    // re-delivery of the last day (the foreachBatch restart case) must
+    // not double-count the additive stats
+    graft.queries.TextQueries.bm25IngestStats(
+      graft.queries.TextQueries.bm25Base(
+        docs.filter(col("doc_id") % 3 === 2L)), path, batchId = 2L)
     val streamed = graft.queries.TextQueries.bm25Score(
         graft.queries.TextQueries.bm25Base(docs),
         graft.queries.TextQueries.bm25StatsFromStore(spark, path))

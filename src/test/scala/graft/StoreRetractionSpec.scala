@@ -21,6 +21,32 @@ class StoreRetractionSpec extends AnyFunSuite {
 
   private def retractedPred = col("user_id").isNotNull && col("user_id") % 10 === 7
 
+  test("funnel re-delivery: repeating an ingest leaves every store leg and the read bit-identical") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val storeDir = graft.sources.TempDirs.scratch("graft_funredel_")
+    val t = (d: String) => lit(s"2024-01-$d 00:00:00").cast("timestamp")
+    val bulk = ev.filter(col("ts").isNull || col("ts") < t("21"))
+    val day1 = ev.filter(col("ts") >= t("21") && col("ts") < t("25"))
+    R.funnelIngest(spark, storeDir, bulk, t("03"))
+    R.funnelIngest(spark, storeDir, day1, t("05"))
+    def state() = {
+      def rows(p: String) = spark.read.parquet(s"$storeDir/$p")
+        .collect().map(_.toSeq).toSeq
+        .map(_.map { case b: Array[Byte] => b.toSeq; case x => x })
+        .sortBy(_.toString)
+      (rows("results"), rows("pending"), rows("bloom"))
+    }
+    val before = state()
+    // the foreachBatch restart case: day 1 re-delivered at the same
+    // watermark — finalized users tombstone-drop, pending rows collapse
+    // in the set-union, the sidecar sees zero new finalized ids
+    R.funnelIngest(spark, storeDir, day1, t("05"))
+    val after = state()
+    assert(after._1 == before._1, "results changed under re-delivery")
+    assert(after._2 == before._2, "pending buffer changed under re-delivery")
+    assert(after._3 == before._3, "bloom sidecar changed under re-delivery")
+  }
+
   test("funnel takedown: ids leave both store legs, sidecar recounted exactly, survivors never false-negative") {
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val storeDir = graft.sources.TempDirs.scratch("graft_funr_spec_")
