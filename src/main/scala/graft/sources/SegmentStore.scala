@@ -242,7 +242,7 @@ object SegmentStore {
           .as("n_negative"))
     val physical = spark.read.parquet(path)
       .agg(count(lit(1)).cast("long").as("physical_rows"))
-    logical.crossJoin(physical)
+    logical.crossJoin(broadcast(physical)) // 1-row × 1-row
       .withColumn("tombstone_due", col("n_cancelled") > 0)
   }
 
