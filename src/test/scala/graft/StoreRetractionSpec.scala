@@ -47,6 +47,24 @@ class StoreRetractionSpec extends AnyFunSuite {
     assert(after._3 == before._3, "bloom sidecar changed under re-delivery")
   }
 
+  test("retention re-delivery: repeating the entire staged ingest leaves both stores and the matrix bit-identical") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val storeDir = graft.sources.TempDirs.scratch("graft_retredel_")
+    R.retentionIngestStaged(spark, storeDir, ev)
+    def state() = (
+      spark.read.parquet(s"$storeDir/cohort")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString),
+      spark.read.parquet(s"$storeDir/pairs")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString),
+      R.retentionStoreRead(spark, storeDir).collect().map(_.toSeq).toSeq)
+    val before = state()
+    // re-deliver EVERY batch: first-batch-wins set-union must no-op
+    R.retentionIngestStaged(spark, storeDir, ev)
+    val after = state()
+    assert(after == before, "retention stores changed under re-delivery")
+    assert(before._1.nonEmpty && before._2.nonEmpty)
+  }
+
   test("funnel takedown: ids leave both store legs, sidecar recounted exactly, survivors never false-negative") {
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val storeDir = graft.sources.TempDirs.scratch("graft_funr_spec_")

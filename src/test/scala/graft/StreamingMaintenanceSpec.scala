@@ -142,5 +142,12 @@ class StreamingMaintenanceSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
     assert(got(4L) == 1L && got(13L) == 10L && got(21L) == 20L)
+    // re-delivery: the assignment is at a fixpoint for these edges, so
+    // repeating the last pair batch must leave every label unchanged
+    graft.queries.DedupQueries.ccIngest(spark, storePath,
+      edges.drop(5).toDF("id_a", "id_b"))
+    val replayed = spark.read.parquet(storePath).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(replayed == got, "cluster store changed under re-delivered pairs")
   }
 }
