@@ -102,6 +102,40 @@ object SimilarityQueries {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), Dedup.toDoubleVec(col("embedding")).as("v"))
 
+  /** The staged distribution-drift scenario shared by the *_retrain
+    * queries: a CONCENTRATED crawl wave — every 3rd base vector shifted
+    * by +2.0 per component (a new domain cluster: all wave vectors sit
+    * near the all-ones direction, a region no quantizer fit to the
+    * base distribution covers), at ids offset past the base range.
+    * This is the drift shape that actually hurts a frozen quantizer:
+    * the wave quantizes badly (gauge fires hard) AND piles into the
+    * one stale cell nearest its region (hot-partition scans —
+    * graft.DriftProbe prices both). Returns (drift wave, offset). The
+    * +2.0 shift is one IEEE add per component — bit-reproducible in
+    * the oracle ([[driftVecsCtes]]).
+    */
+  private def driftWave(all: DataFrame): (DataFrame, Long) = {
+    val off = all.agg(max("vec_id")).collect()(0).getLong(0) + 1L // 1 row
+    val wave = all.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + lit(off)).as("vec_id"),
+        transform(col("v"), x => x + lit(2.0)).as("v"))
+    (wave, off)
+  }
+
+  /** Oracle side of [[driftWave]]: rebinds `vecs` to base ∪ wave, so
+    * the shared quantizer CTEs run on the drifted world verbatim.
+    */
+  private val driftVecsCtes =
+    s"""vecs_base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), vecs AS (
+       |  SELECT vec_id, v FROM vecs_base
+       |  UNION ALL
+       |  SELECT b.vec_id + (SELECT MAX(vec_id) + 1 FROM vecs_base) AS vec_id,
+       |         list_transform(b.v, x -> x + 2.0) AS v
+       |  FROM vecs_base b WHERE b.vec_id % 3 = 0
+       |)""".stripMargin
+
   // ------------------------------------------------------- result builders
 
   /** k-NN graph at signature width `nBits`: corpus keeps one LSH bucket
@@ -836,6 +870,76 @@ object SimilarityQueries {
       graft.sources.AnnIndex.probeIvf(s, idxDir, q, K, IvfProbe).orderBy("q_id", "rnk")
     }),
 
+    // RETRAIN RESPONSE PATH — the lifecycle edge the health gauges
+    // (ivf_cell_stats, AnnIndex.ivfDriftStats) exist to trigger. Stage:
+    // the base corpus is indexed (January); a distribution-DRIFTED
+    // crawl wave lands (July: every 3rd vector shifted into a new
+    // concentrated domain cluster, fresh ids — driftWave) through the
+    // frozen-quantizer upsert; the
+    // stored-index drift gauge FIRES (the wave's mean own-centroid
+    // cosine sits strictly below the base population's — enforced with
+    // a require, the ccIngest requireConverged discipline, so a stage
+    // where the trigger never fired cannot silently pass); retrainIvf
+    // rebuilds the quantizer over the index's OWN live rows (in a real
+    // deployment the original staging frame is long gone) offline and
+    // swaps in two renames. Oracle: a fresh IVF build over the unioned
+    // corpus — retrain-from-index is bit-exact against it, hash-gating
+    // build -> upsert -> trigger -> retrain -> swap -> probe end to
+    // end. BASELINE.md records the recall degraded->recovered receipt
+    // and the measured retrain cost (graft.DriftProbe).
+    "sim_ann_ivf_retrain" -> ((s, dir) => {
+      val idxDir = graft.sources.TempDirs.scratch("graft_ivfrt_")
+      val all = vecs(s, dir)
+      graft.sources.AnnIndex.saveIvf(all, IvfK, IvfSample, IvfIters,
+        Dim, IvfSalt, idxDir)
+      val (drift, off) = driftWave(all)
+      graft.sources.AnnIndex.upsertIvf(s, idxDir, drift)
+      val gauge = graft.sources.AnnIndex
+        .ivfDriftStats(s, idxDir, col("vec_id") >= off)
+        .collect().map(r => r.getBoolean(0) -> r.getDouble(2)).toMap // 2 rows
+      require(gauge(true) < gauge(false),
+        s"drift gauge did not fire: wave mean_ccos ${gauge(true)} " +
+          s"vs base ${gauge(false)}")
+      graft.sources.AnnIndex.retrainIvf(s, idxDir, IvfK, IvfSample, IvfIters,
+        Dim, IvfSalt)
+      val q = all.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      graft.sources.AnnIndex.probeIvf(s, idxDir, q, K, IvfProbe).orderBy("q_id", "rnk")
+    }),
+
+    // The PQ arm of the retrain lifecycle: same staged drift, but the
+    // degraded artifact is the CODEBOOKS — the frozen subspace
+    // centroids quantize the shifted wave badly (pqDriftStats joins the
+    // codes table back to the embedding store, since a PQ index holds
+    // no floats) — and the response re-fits all PqM codebooks over the
+    // live id set and bulk RE-ENCODES every live vector (the 100 TB
+    // line item graft.DriftProbe prices) before the swap. The stored
+    // OPQ permutation would be preserved; this index has none. Oracle:
+    // one-shot PQ ADC over the drifted union — hash-gating
+    // train -> bulk -> append -> trigger -> retrain -> re-encode ->
+    // swap -> probe.
+    "sim_ann_pq_retrain" -> ((s, dir) => {
+      val idxDir = graft.sources.TempDirs.scratch("graft_pqrt_")
+      val all = vecs(s, dir)
+      graft.sources.AnnIndex.trainPq(all, PqM, PqSub, PqK, IvfSample,
+        PqIters, PqSalt, idxDir)
+      graft.sources.AnnIndex.upsertPq(s, idxDir, all) // bulk load
+      val (drift, off) = driftWave(all)
+      graft.sources.AnnIndex.upsertPq(s, idxDir, drift)
+      val store = all.unionByName(drift)
+      val gauge = graft.sources.AnnIndex
+        .pqDriftStats(s, idxDir, store, col("vec_id") >= off)
+        .collect().map(r => r.getBoolean(0) -> r.getDouble(2)).toMap // 2 rows
+      require(gauge(true) < gauge(false),
+        s"PQ drift gauge did not fire: wave mean_ccos ${gauge(true)} " +
+          s"vs base ${gauge(false)}")
+      graft.sources.AnnIndex.retrainPq(s, idxDir, store, IvfSample,
+        PqIters, PqSalt)
+      val q = all.filter(col("vec_id") < 5)
+      graft.sources.AnnIndex.probePq(s, idxDir, q, K, PqM, PqSub)
+        .orderBy("q_id", "rnk")
+    }),
+
     // Persisted IVF+PQ: the full two-level storage layout — codes table
     // PARTITIONED BY CELL on disk, so the probe's routing is literal
     // parquet partition pruning (AnnIndexSpec pins PartitionFilters in
@@ -1431,6 +1535,19 @@ object SimilarityQueries {
     "sim_ann_ivf_idx" ->
       s"""WITH $vecsCte, $ivfCtes
          |SELECT q_id, rnk, c_id, cosine FROM ivf_res ORDER BY q_id, rnk""".stripMargin,
+
+    // retrain-from-index == a fresh build over the drifted union corpus
+    // (base + the shifted wave at offset ids): the Lloyd sample depends
+    // only on (vec_id, v), which parquet round-trips exactly
+    "sim_ann_ivf_retrain" ->
+      s"""WITH $driftVecsCtes, $ivfCtes
+         |SELECT q_id, rnk, c_id, cosine FROM ivf_res ORDER BY q_id, rnk""".stripMargin,
+
+    // retrained codebooks + bulk re-encode == one-shot PQ over the
+    // drifted union: codebook fit and encode depend only on (vec_id, v)
+    "sim_ann_pq_retrain" ->
+      s"""WITH $driftVecsCtes, $pqCtes, $pqResCtes
+         |SELECT q_id, rnk, c_id, adc FROM pq_res ORDER BY q_id, rnk""".stripMargin,
 
     "sim_ann_pq_idx" ->
       s"""WITH $vecsCte, $pqCtes, $pqResCtes

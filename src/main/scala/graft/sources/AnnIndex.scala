@@ -306,6 +306,83 @@ object AnnIndex {
   def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/centroids")
 
+  /** The live corpus as the index itself holds it — `(vec_id, v)` read
+    * back from the cell-partitioned assignment. This is the retrain
+    * input: after months of upserts/deletes the ORIGINAL staging frame
+    * no longer exists anywhere; the index IS the system of record for
+    * which vectors are live.
+    */
+  def ivfLiveCorpus(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/assign").select(col("vec_id"), col("v"))
+
+  /** Quantizer-health gauge for the retrain decision, computed from the
+    * STORED index only (no re-assignment pass): each live row's cosine
+    * to its own assigned centroid, split by a caller predicate (e.g.
+    * "the newest ingest wave" vs "everything older"). Sums are
+    * 1e-9-quantized BIGINTs so the means are order-independent — the
+    * `ivf_cell_stats` discipline. Returns
+    * `(is_suspect, pop, mean_ccos)` — 2 rows.
+    */
+  def ivfDriftStats(spark: SparkSession, dir: String,
+                    suspect: org.apache.spark.sql.Column): DataFrame = {
+    val cents = broadcast(ivfCentroids(spark, dir)
+      .select(col("cent_id").as("cell"), col("cv")))
+    spark.read.parquet(s"$dir/assign")
+      .select(col("vec_id"), col("v"), col("cell").cast("long").as("cell"))
+      .join(cents, Seq("cell"))
+      .select(suspect.as("is_suspect"),
+        floor(Dedup.cosine(col("v"), col("cv")) * lit(1.0e9)).cast("long").as("qcos"))
+      .groupBy("is_suspect")
+      .agg(count(lit(1)).as("pop"), sum("qcos").as("sum_qcos"))
+      .select(col("is_suspect"), col("pop"),
+        (col("sum_qcos").cast("double") / col("pop").cast("double") / lit(1.0e9))
+          .as("mean_ccos"))
+  }
+
+  /** Retrain the coarse quantizer over the live corpus and swap the
+    * rebuilt index in — the response path to `ivf_cell_stats` /
+    * [[ivfDriftStats]] firing (a quantizer trained on January's
+    * embedding distribution serving July's crawl). The rebuild runs
+    * OFFLINE into a staging sibling while the old index keeps serving
+    * probes — downtime is two directory renames, not the O(N·k)
+    * re-assignment. The input is [[ivfLiveCorpus]] (the index's own
+    * assignment rows), so the result is bit-identical to a fresh
+    * [[saveIvf]] over whatever upserts/deletes left live — parquet
+    * round-trips doubles exactly, and the Lloyd's hash-ordered sample
+    * depends only on (vec_id, v). Renames are atomic on HDFS-like
+    * stores; an object store without atomic rename should stage under
+    * a versioned prefix and flip a pointer instead (same shape as
+    * [[SegmentStore]]'s fold marker).
+    */
+  def retrainIvf(spark: SparkSession, dir: String, k: Int, sampleSize: Int,
+                 iters: Int, dim: Int, salt: Int): Unit = {
+    val stage = s"$dir.retrain"
+    // the build re-scans the live assign dirs per Lloyd action; they are
+    // immutable until the swap below, so no checkpoint is needed
+    saveIvf(ivfLiveCorpus(spark, dir), k, sampleSize, iters, dim, salt, stage)
+    promoteStaged(spark, dir, stage)
+  }
+
+  /** Swap a fully-built staging index over the live one: retire the
+    * live dir, promote the staging dir, drop the retired copy. The old
+    * index serves probes until the first rename; total downtime is two
+    * renames (atomic on HDFS-like stores — an object store without
+    * atomic rename should version the prefix and flip a pointer
+    * instead).
+    */
+  private def promoteStaged(spark: SparkSession, dir: String,
+                            stage: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(s"$dir.pre-retrain")
+    fs.delete(old, true)
+    require(fs.rename(cur, old), s"retrain: could not retire $dir")
+    require(fs.rename(new org.apache.hadoop.fs.Path(stage), cur),
+      s"retrain: could not promote $stage")
+    fs.delete(old, true)
+  }
+
   /** Incremental IVF maintenance — same dynamic-partition-overwrite
     * shape as [[upsertLsh]]: the batch is assigned against the STORED
     * centroids (the quantizer never moves on upsert, so cell membership
@@ -313,8 +390,9 @@ object AnnIndex {
     * directories rewrite — both where new rows land and where any
     * re-inserted vec_id currently lives — and a cell directory emptied
     * by a moved vector is dropped. Cost is batch-bounded; centroid
-    * RETRAINING (when the corpus distribution drifts) is a rebuild via
-    * [[saveIvf]], deliberately not an upsert.
+    * RETRAINING (when the corpus distribution drifts) is
+    * [[retrainIvf]] — an offline rebuild + swap, deliberately not an
+    * upsert.
     */
   def upsertIvf(spark: SparkSession, dir: String, vecs: DataFrame): Unit = {
     val cents = broadcast(ivfCentroids(spark, dir))
@@ -566,6 +644,82 @@ object AnnIndex {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("part")
       .parquet(codesPath)
+  }
+
+  /** Quantization-quality gauge for the PQ retrain decision. The codes
+    * table holds no floats, so each LIVE code row joins its vector from
+    * `store` — the embedding relation the rerank path reads; the index
+    * supplies LIVENESS (ids deleted via [[deletePq]] never re-enter) —
+    * and scores the cosine of every subspace slice against its assigned
+    * sub-centroid, summed as 1e-9-quantized BIGINTs per population
+    * split (`suspect`, e.g. "the newest ingest wave"), the
+    * `ivf_cell_stats` order-independence discipline. Returns
+    * `(is_suspect, pop, mean_ccos)` — 2 rows; mean is per (row,
+    * subspace) pair.
+    */
+  def pqDriftStats(spark: SparkSession, dir: String, store: DataFrame,
+                   suspect: org.apache.spark.sql.Column): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val m = meta.getAs[Int]("m")
+    val sub = meta.getAs[Int]("sub")
+    val vec = applyPerm(store, storedPerm(spark, dir), "v")
+    val joined = spark.read.parquet(s"$dir/codes").join(vec, Seq("vec_id"))
+    val scored = (0 until m).foldLeft(joined) { (acc, mm) =>
+      val cb = broadcast(spark.read.parquet(s"$dir/codebook/m=$mm")
+        .select(col("cent_id").as(s"code$mm"), col("cv").as(s"cv$mm")))
+      acc.join(cb, Seq(s"code$mm"))
+    }
+    val qsum = (0 until m).map { mm =>
+      floor(Dedup.cosine(slice(col("v"), mm * sub + 1, sub), col(s"cv$mm"))
+        * lit(1.0e9)).cast("long")
+    }.reduce(_ + _)
+    scored.select(suspect.as("is_suspect"), qsum.as("qcos"))
+      .groupBy("is_suspect")
+      .agg(count(lit(1)).as("pop"), sum("qcos").as("sum_qcos"))
+      .select(col("is_suspect"), col("pop"),
+        (col("sum_qcos").cast("double")
+          / (col("pop") * lit(m.toLong)).cast("double") / lit(1.0e9))
+          .as("mean_ccos"))
+  }
+
+  /** Retrain the PQ codebooks over the live corpus and swap — the
+    * response to [[pqDriftStats]] / `pq_code_stats` firing. Liveness
+    * comes from the index's own codes table; floats from `store` (the
+    * PQ index stores codes only — same split as the rerank path). The
+    * frozen OPQ permutation is PRESERVED: the retrain re-fits codebooks
+    * within the existing subspace allocation (re-fitting the
+    * permutation itself is a full [[trainPq]] rebuild — it changes the
+    * code-space geometry, not just the centroids). Bit-identical to a
+    * fresh [[savePq]]/[[trainPq]]+bulk over the live set: the Lloyd
+    * sample and the encode depend only on (vec_id, v). Offline build +
+    * [[promoteStaged]] swap; `sampleSize`/`iters`/`salt` are the
+    * training knobs `meta` doesn't freeze.
+    */
+  def retrainPq(spark: SparkSession, dir: String, store: DataFrame,
+                sampleSize: Int, iters: Int, salt: Int): Unit = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val m = meta.getAs[Int]("m")
+    val sub = meta.getAs[Int]("sub")
+    val k = meta.getAs[Int]("k")
+    val parts = meta.getAs[Int]("parts")
+    val perm = storedPerm(spark, dir)
+    val live = applyPerm(
+      store.join(spark.read.parquet(s"$dir/codes").select("vec_id"),
+        Seq("vec_id"), "left_semi"),
+      perm, "v")
+    val stage = s"$dir.retrain"
+    savePerm(spark, stage, perm)
+    // `live` re-reads the current codes dir per action; immutable until
+    // the swap, so no checkpoint is needed
+    val cbs = trainPqCodebooks(live, m, sub, k, sampleSize, iters, salt,
+      stage, parts)
+    encodeWithCodebooks(live, m, sub, cbs)
+      .withColumn("part", pmod(col("vec_id"), lit(parts.toLong)))
+      .repartition(col("part"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("part")
+      .parquet(s"$stage/codes")
+    promoteStaged(spark, dir, stage)
   }
 
   /** Pure-ADC top-`k` from the stored codes: per-subspace lookup tables

@@ -816,4 +816,91 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(postings(streamDir) == postings(bulkDir))
     assert(postings(streamDir).size == 60 * Multimodal.PHashBands)
   }
+
+  test("IVF retrain: drifted upsert -> gauge fires -> retrain == fresh build over the live union; gauge recovers; staging dirs cleaned") {
+    val base = synthVecs(400)
+    val wave = base.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + lit(1000L)).as("vec_id"),
+        transform(col("v"), x => x + lit(2.0)).as("v"))
+    val union = base.unionByName(wave).localCheckpoint(true)
+    val dir = Files.createTempDirectory("graft_ivfrt_").toString
+    AnnIndex.saveIvf(base, k = 8, sampleSize = 128, iters = 2, dim = Dim,
+      salt = 7, dir = dir)
+    AnnIndex.upsertIvf(spark, dir, wave)
+    val pre = AnnIndex.ivfDriftStats(spark, dir, col("vec_id") >= 1000L)
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(2)).toMap
+    assert(pre(true) < pre(false), s"gauge should fire: $pre")
+    AnnIndex.retrainIvf(spark, dir, k = 8, sampleSize = 128, iters = 2,
+      dim = Dim, salt = 7)
+    // post-retrain the wave quantizes BETTER than the base population
+    // (it is a tight cluster with dedicated centroids now)
+    val post = AnnIndex.ivfDriftStats(spark, dir, col("vec_id") >= 1000L)
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(2)).toMap
+    assert(post(true) > pre(true), s"gauge should recover: $pre -> $post")
+    // retrain-from-index == fresh one-shot build over the union
+    val freshDir = Files.createTempDirectory("graft_ivfrt_fresh_").toString
+    AnnIndex.saveIvf(union, k = 8, sampleSize = 128, iters = 2, dim = Dim,
+      salt = 7, dir = freshDir)
+    def probe(d: String) = AnnIndex.probeIvf(spark, d, queriesOf(union), K, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe(dir) == probe(freshDir))
+    // the swap left no staging or retired dirs behind
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir.retrain")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir.pre-retrain")))
+  }
+
+  test("IVF retrain honors deletes: retracted ids never re-enter (liveness from the index, not the staging frame)") {
+    val base = synthVecs(300)
+    val dir = Files.createTempDirectory("graft_ivfrtdel_").toString
+    AnnIndex.saveIvf(base, k = 8, sampleSize = 128, iters = 2, dim = Dim,
+      salt = 7, dir = dir)
+    AnnIndex.deleteIvf(spark, dir, base.filter(col("vec_id") % 5 === 0).select("vec_id"))
+    AnnIndex.retrainIvf(spark, dir, k = 8, sampleSize = 128, iters = 2,
+      dim = Dim, salt = 7)
+    val survivors = base.filter(col("vec_id") % 5 =!= 0).localCheckpoint(true)
+    val freshDir = Files.createTempDirectory("graft_ivfrtdel_fresh_").toString
+    AnnIndex.saveIvf(survivors, k = 8, sampleSize = 128, iters = 2, dim = Dim,
+      salt = 7, dir = freshDir)
+    def probe(d: String) = AnnIndex.probeIvf(spark, d, queriesOf(survivors), K, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe(dir) == probe(freshDir))
+    val ids = spark.read.parquet(s"$dir/assign").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.forall(_ % 5 != 0) && ids.nonEmpty)
+  }
+
+  test("PQ retrain: codebooks re-fit over the live set + full re-encode == one-shot build; frozen OPQ perm preserved") {
+    val base = synthVecs(400)
+    val wave = base.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + lit(1000L)).as("vec_id"),
+        transform(col("v"), x => x + lit(2.0)).as("v"))
+    val union = base.unionByName(wave).localCheckpoint(true)
+    val perm = Similarity.opqPermutation(base, m = 4, dim = Dim)
+    val dir = Files.createTempDirectory("graft_pqrt_").toString
+    AnnIndex.trainPq(base, m = 4, sub = 16, k = 8, sampleSize = 128,
+      iters = 2, salt = 11, dir = dir, perm = perm)
+    AnnIndex.upsertPq(spark, dir, base)
+    AnnIndex.upsertPq(spark, dir, wave)
+    val pre = AnnIndex.pqDriftStats(spark, dir, union, col("vec_id") >= 1000L)
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(2)).toMap
+    assert(pre(true) < pre(false), s"PQ gauge should fire: $pre")
+    AnnIndex.retrainPq(spark, dir, union, sampleSize = 128, iters = 2, salt = 11)
+    val post = AnnIndex.pqDriftStats(spark, dir, union, col("vec_id") >= 1000L)
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(2)).toMap
+    assert(post(true) > pre(true), s"PQ gauge should recover: $pre -> $post")
+    // == one-shot permuted build over the union (perm survived the swap)
+    val freshDir = Files.createTempDirectory("graft_pqrt_fresh_").toString
+    AnnIndex.trainPq(union, m = 4, sub = 16, k = 8, sampleSize = 128,
+      iters = 2, salt = 11, dir = freshDir, perm = perm)
+    AnnIndex.upsertPq(spark, freshDir, union)
+    def codes(d: String) = spark.read.parquet(s"$d/codes")
+      .select("vec_id", "code0", "code1", "code2", "code3")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(codes(dir) == codes(freshDir))
+    def probe(d: String) = AnnIndex.probePq(spark, d,
+      union.filter(col("vec_id") < 3), K, 4, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe(dir) == probe(freshDir))
+  }
 }
