@@ -40,6 +40,17 @@ object RelationalQueries {
   final val FunnelBloomItems = 1L << 17
   final val FunnelBloomBitsPerItem = 8L
 
+  /** Takedown staleness a funnel bloom sidecar tolerates before the
+    * policy re-freezes it ([[funnelSidecarMaintain]]): a bloom cannot
+    * delete, so a retracted member only ever ADDS false positives —
+    * routing degrades gracefully, never incorrectly — and paying the
+    * full finalized-store re-freeze scan per takedown batch would make
+    * a daily-takedown deployment O(finalized users)/day. At 25%
+    * retired mass the observed fp uplift is still a constant factor on
+    * the sizing's bound; past it the rebuild restores exact geometry.
+    */
+  final val FunnelBloomStaleFrac = 0.25
+
   /** rel_sessionize: per-user session gap. Events in this corpus land
     * ~11h apart per user, so 6 hours yields a real mix of singleton and
     * multi-event sessions at every SF.
@@ -534,6 +545,62 @@ object RelationalQueries {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(bloomPath)
     }
+    // exact geometry again: the staleness ledger resets with it
+    val rp = new org.apache.hadoop.fs.Path(retiredPath(bloomPath))
+    rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
+  }
+
+  private def retiredPath(bloomPath: String): String = s"${bloomPath}_retired"
+
+  /** The sidecar's takedown-staleness LEDGER: one row counting keys
+    * retracted since the last re-freeze. O(1) per takedown batch — no
+    * store scan, no bloom read. Kept beside (not inside) the bloom row
+    * so the ingest path's sidecar merges never have to carry it.
+    */
+  private[graft] def funnelSidecarRetire(s: SparkSession, bloomPath: String,
+      nRetired: Long): Unit = {
+    if (nRetired <= 0 || !hasParquetData(s, bloomPath)) return
+    import s.implicits._
+    val prior =
+      if (!hasParquetData(s, retiredPath(bloomPath))) 0L
+      else s.read.parquet(retiredPath(bloomPath)).head().getAs[Long]("n_retired")
+    Seq(prior + nRetired).toDF("n_retired").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(retiredPath(bloomPath))
+  }
+
+  /** Policy-gated re-freeze — the deferred form of the per-takedown
+    * [[funnelSidecarRebuild]]. A bloom cannot delete, but it also does
+    * not have to: after a takedown the stale sidecar stays CORRECT
+    * (retracted members are false positives; every positive still
+    * passes the exact anti-join, which the delete already fixed), so
+    * serving continues through it and the re-freeze scan is paid only
+    * when the retired ledger crosses `staleFrac` of the frozen
+    * n_items — takedown cost becomes batch-sized, and the store-sized
+    * scan amortizes over many batches (the compaction-window
+    * discipline of [[graft.sources.SegmentStore]] applied to the
+    * sidecar). Returns true iff it rebuilt.
+    */
+  private[graft] def funnelSidecarMaintain(s: SparkSession, resPath: String,
+      bloomPath: String, staleFrac: Double = FunnelBloomStaleFrac): Boolean = {
+    if (!hasParquetData(s, bloomPath)) {
+      // the delete may have emptied the store outright — then the
+      // sidecar is already gone (or must go: nothing finalized)
+      if (!hasPartData(s, resPath)) funnelSidecarRebuild(s, resPath, bloomPath)
+      return false
+    }
+    if (!hasPartData(s, resPath)) {
+      funnelSidecarRebuild(s, resPath, bloomPath) // drops the sidecar
+      return true
+    }
+    val retired =
+      if (!hasParquetData(s, retiredPath(bloomPath))) 0L
+      else s.read.parquet(retiredPath(bloomPath)).head().getAs[Long]("n_retired")
+    val frozen = s.read.parquet(bloomPath).head().getAs[Long]("n_items")
+    if (retired > 0 && retired.toDouble >= staleFrac * frozen.toDouble) {
+      funnelSidecarRebuild(s, resPath, bloomPath)
+      true
+    } else false
   }
 
   /** Distinct `gram`-char substrings of `nameCol`, one row per
@@ -1214,14 +1281,22 @@ object RelationalQueries {
     // shared AnnIndex touched-partition engine (partition is a pure
     // id hash here, so the rewrite set comes straight from the
     // retracted ids, no locating scan; directories the delete fully
-    // vacates are dropped), then REBUILD the bloom sidecar from the
-    // post-delete finalized store ([[funnelSidecarRebuild]] — a bloom
-    // cannot delete, and without the rebuild a retract-heavy store's
-    // routing decays toward all-positive while n_items drifts). The
-    // read is [[funnelStoreRead]], the identical path the incremental
-    // form uses. Converges bit-exactly to the one-shot funnel over
-    // the event history WITHOUT the retracted users — as if they
-    // never browsed.
+    // vacates are dropped), then account the takedown in the sidecar's
+    // staleness ledger and let the POLICY decide the re-freeze
+    // ([[funnelSidecarRetire]] + [[funnelSidecarMaintain]]): a bloom
+    // cannot delete, but the stale sidecar stays CORRECT — retracted
+    // members are false positives and every positive still passes the
+    // exact anti-join the delete already fixed — so the finalized-
+    // store re-freeze scan is paid only when retired mass crosses
+    // FunnelBloomStaleFrac of the frozen geometry, making takedown
+    // cost purely batch-sized (this staging retires ~10% — below the
+    // dial — so the query's cost receipt shows the store-sized term
+    // GONE; StoreRetractionSpec drives the ledger past the dial and
+    // pins the rebuild + exact recount). The read is
+    // [[funnelStoreRead]], the identical path the incremental form
+    // uses. Converges bit-exactly to the one-shot funnel over the
+    // event history WITHOUT the retracted users — as if they never
+    // browsed.
     "rel_funnel_retract" -> ((s, dir) => {
       val storeDir = graft.sources.TempDirs.scratch("graft_funr_")
       val parts = 16L
@@ -1240,7 +1315,8 @@ object RelationalQueries {
       for (p <- Seq(resPath, pendPath) if hasPartData(s, p))
         graft.sources.AnnIndex.deleteRowsInParts(
           s, p, "user_id", "part", del, delParts)
-      funnelSidecarRebuild(s, resPath, bloomPath)
+      funnelSidecarRetire(s, bloomPath, del.count()) // ledger only, O(1)
+      funnelSidecarMaintain(s, resPath, bloomPath)
       funnelStoreRead(s, resPath, pendPath,
         // empty-store fallback must also exclude the retracted users
         graft.streaming.StreamOps.funnel(

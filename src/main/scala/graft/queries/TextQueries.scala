@@ -360,8 +360,24 @@ object TextQueries {
     * artifact instead of re-running the training loop. Returns the
     * artifact dir.
     */
+  /** The stable-dir key carries a cheap corpus FINGERPRINT (row count +
+    * max doc_id + char mass, one column-pruned aggregate) on top of the
+    * path: a corpus regenerated in place within one JVM session (e.g.
+    * re-synthesized at another scale into the same dir) gets a fresh
+    * artifact instead of silently reusing merges frozen from the old
+    * content.
+    */
+  private[graft] def bpeStableDir(s: SparkSession, dir: String): String = {
+    val fp = Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n"), max("doc_id").as("mx"),
+        sum(length(col("text"))).as("chars"))
+      .head()
+    graft.sources.TempDirs.stable("graft_bpe_",
+      s"$dir|n=${fp.get(0)}|max=${fp.get(1)}|chars=${fp.get(2)}")
+  }
+
   private[graft] def bpeEnsureArtifact(s: SparkSession, dir: String): String = {
-    val adir = graft.sources.TempDirs.stable("graft_bpe_", dir)
+    val adir = bpeStableDir(s, dir)
     if (!graft.sources.BpeStore.exists(s, adir))
       graft.sources.BpeStore.save(s, adir,
         bpeTrainRounds(s, Tables.documents(s, dir)))
@@ -650,8 +666,7 @@ object TextQueries {
     "text_bpe_train" -> ((s, dir) => {
       import s.implicits._
       val rounds = bpeTrainRounds(s, Tables.documents(s, dir))
-      graft.sources.BpeStore.save(s,
-        graft.sources.TempDirs.stable("graft_bpe_", dir), rounds)
+      graft.sources.BpeStore.save(s, bpeStableDir(s, dir), rounds)
       rounds
         .toDF("merge_rank", "lhs", "rhs", "pair_count", "n_pieces",
           "n_piece_types").orderBy("merge_rank")

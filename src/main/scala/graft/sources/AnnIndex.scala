@@ -599,6 +599,16 @@ object AnnIndex {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** True iff `path` holds at least one `part=` partition directory —
+    * the presence gate for partitioned stores whose deletes can vacate
+    * EVERY partition while the root (with its `_SUCCESS`) survives.
+    */
+  private def hasPartData(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.exists(p) && f.listStatus(p).exists(_.getPath.getName.startsWith("part="))
+  }
+
   /** Incremental PQ maintenance — encode-only append with the quantizer
     * frozen: the batch is encoded against the STORED codebooks (read
     * from `dir/codebook/`, so a batch can never fork the code space)
@@ -1112,11 +1122,12 @@ object AnnIndex {
     // presence check
     val touched = staged.select("part").distinct()
       .collect().map(_.getLong(0)) // bounded by parts, driver-safe
-    val postPath = new org.apache.hadoop.fs.Path(s"$dir/postings")
-    val hasStore = postPath
-      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(postPath)
+    // gate on part-DATA presence, not bare directory existence: after a
+    // takedown vacates every part= dir the root still exists (holding
+    // only _SUCCESS), and reading it would throw "unable to infer
+    // schema" instead of bulk-loading into the emptied store
     val existing =
-      if (hasStore)
+      if (hasPartData(spark, s"$dir/postings"))
         spark.read.parquet(s"$dir/postings")
           .filter(col("part").isin(touched.map(Long.box): _*))
           .select("doc_id").distinct()

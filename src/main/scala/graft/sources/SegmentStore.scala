@@ -45,35 +45,143 @@ import org.apache.spark.sql.functions._
   * `ft_counts_incremental` (the reference's O1 `/incr` counter — its Z
   * sum and SETNX/refresh-T max meta legs are mergeable the same way).
   *
-  * SINGLE-WRITER contract: [[append]] derives the next segment id from
-  * a directory listing with no coordination, so exactly one writer
-  * (job or stream) may ingest into a store at a time. Two concurrent
-  * writers can race to the same `seg=N`; `SaveMode.ErrorIfExists`
-  * makes the loser FAIL LOUDLY rather than corrupt state (retry the
-  * append to take the next id). Readers are unrestricted — [[merged]]
-  * sees whatever complete segments exist, and the [[compact]]
-  * crash-safety above is about a single writer crashing mid-swap, not
-  * about concurrent writers.
+  * WRITER contract. A store has exactly one LAYOUT and one MODE for
+  * its lifetime, both self-describing on disk and enforced loudly:
+  *
+  *   - '''flat / plain-append''' (`seg=N` at the root, ids from the
+  *     directory listing): exactly one writer (job or stream) at a
+  *     time. Two concurrent writers can race to the same `seg=N`;
+  *     `SaveMode.ErrorIfExists` makes the loser FAIL LOUDLY rather
+  *     than corrupt state (retry the append to take the next id).
+  *   - '''flat / exactly-once''' (`seg=<batchId>`, every committed
+  *     segment carries a `_GRAFT_XO` marker): one writer, segments
+  *     keyed by ITS monotone batch ids. The marker is what lets
+  *     [[appendExactlyOnce]] refuse a store previously populated by
+  *     plain [[append]] — without it, a stream whose batch ids start
+  *     at 0 would silently skip batches 0..n as "already landed"
+  *     because plain append had used those sequential ids itself.
+  *     The two flat modes NEVER mix in one store.
+  *   - '''multi-writer / exactly-once''' (`writer=<id>/seg=<batchId>`):
+  *     many concurrent producers, each owning its `writer=` subtree —
+  *     its own batch-id sequence, its own fold watermark, its own
+  *     compaction ([[compactWriter]]); the subtree IS a flat
+  *     exactly-once store. [[merged]] sums across all writers (the
+  *     partition columns drop in the groupBy), so disjoint producers
+  *     of an additive aggregate need no coordination at all — the
+  *     100 TB/day shape where one store takes a whole Kafka topic,
+  *     one writer per partition. The flat and namespaced layouts
+  *     never mix; as-of reads on a multi-writer store are per writer
+  *     ([[mergedAsOfWriter]] — a global snapshot would need a cross-
+  *     writer epoch the store deliberately doesn't impose).
+  *
+  * Readers are unrestricted — [[merged]] sees whatever complete
+  * segments exist, and the [[compact]] crash-safety above is about a
+  * writer crashing mid-swap, not about concurrent writers. Per-writer
+  * folds stage at HIDDEN siblings inside the root (`.writer=<id>.old`,
+  * leading dot ⇒ invisible to partition discovery, so a concurrent
+  * root reader can never see a retired copy as data); every entry
+  * point rolls parked subtrees forward.
   */
 object SegmentStore {
+
+  /** Marker file inside every committed exactly-once segment — the
+    * on-disk record that this store's segment ids are caller batch
+    * ids, not plain append's sequential counter (see the mode
+    * contract in the class doc).
+    */
+  private val XoMarker = "_GRAFT_XO"
+
+  /** Marker file inside a [[compact]] fold segment, written BEFORE the
+    * swap publishes it. [[appendExactlyOnce]]'s crashed-partial branch
+    * keys on it: a fold whose Spark `_SUCCESS` is absent (committer
+    * configured with marksuccessfuljobs=false, marker stripped by
+    * tooling) must still never be mistaken for a crashed partial write
+    * of a re-delivered batch at the watermark id — deleting it would
+    * destroy ALL folded history, not one batch's partials.
+    */
+  private val FoldMarker = "_GRAFT_FOLD"
 
   private def fs(spark: SparkSession, path: String): (FileSystem, HPath) = {
     val p = new HPath(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** Staging siblings for the [[compact]] swap of `dst`. A writer
+    * subtree (`writer=<id>`) stages at HIDDEN names inside the store
+    * root — the leading dot keeps partition discovery from ever
+    * reading a retired copy as a `writer=<id>.old` partition value;
+    * a store root stages at plain siblings outside itself.
+    */
+  private def stagePaths(dst: HPath): (HPath, HPath) = {
+    val name = dst.getName
+    if (name.startsWith("writer="))
+      (new HPath(dst.getParent, s".$name.compacting"),
+        new HPath(dst.getParent, s".$name.old"))
+    else
+      (new HPath(dst.toString + ".compacting"),
+        new HPath(dst.toString + ".old"))
+  }
+
   /** Roll-forward recovery for the [[compact]] swap: a crash between
-    * its two renames leaves the store parked at `path + ".old"` with
-    * `path` absent — the data is intact but unaddressed. Every store
-    * entry point calls this first: if the live path is missing and the
-    * staged-aside copy exists, one rename restores it. (Both-present
-    * means a crash after publish but before cleanup — the live path
-    * wins and the stale copy is dropped by the next compact.)
+    * its two renames leaves the store (or one writer's subtree) parked
+    * at its `.old` staging sibling with the live path absent — the
+    * data is intact but unaddressed. Every store entry point calls
+    * this first: if the live path is missing and the staged-aside copy
+    * exists, one rename restores it; on a multi-writer root, any
+    * parked `.writer=<id>.old` subtree rolls forward the same way.
+    * (Both-present means a crash after publish but before cleanup —
+    * the live path wins and the stale copy is dropped by the next
+    * compact of that path.)
     */
   private def recover(f: FileSystem, dst: HPath): Unit = {
-    val old = new HPath(dst.toString + ".old")
+    val (_, old) = stagePaths(dst)
     if (!f.exists(dst) && f.exists(old) && !f.rename(old, dst))
       throw new java.io.IOException(s"compact recovery: cannot restore $old")
+    if (f.exists(dst)) f.listStatus(dst).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".writer=") && n.endsWith(".old")) {
+        val target = new HPath(dst, n.stripPrefix(".").stripSuffix(".old"))
+        if (!f.exists(target) && !f.rename(st.getPath, target))
+          throw new java.io.IOException(
+            s"compact recovery: cannot restore ${st.getPath}")
+      }
+    }
+  }
+
+  /** Create an empty marker file (overwriting is fine — markers carry
+    * no content).
+    */
+  private def touch(f: FileSystem, p: HPath): Unit = f.create(p, true).close()
+
+  /** True iff any live segment is marked exactly-once. Markers are
+    * uniform per store (the mode guards enforce it), so scanning the
+    * policy-bounded segment list is for the one crash window where a
+    * segment committed before its marker landed.
+    */
+  private def isXo(f: FileSystem, path: String, ids: Seq[Long]): Boolean =
+    ids.exists(id => f.exists(new HPath(s"$path/seg=$id/$XoMarker")))
+
+  /** True iff any live segment committed (job `_SUCCESS` or a fold
+    * marker) — crashed partial dirs don't define the store's mode.
+    */
+  private def hasCommitted(f: FileSystem, path: String, ids: Seq[Long]): Boolean =
+    ids.exists(id => f.exists(new HPath(s"$path/seg=$id/_SUCCESS"))
+      || f.exists(new HPath(s"$path/seg=$id/$FoldMarker")))
+
+  /** Fail loudly when `path` holds a multi-writer store and the caller
+    * used a flat-layout entry point (or vice versa) — the two layouts
+    * never mix (class doc).
+    */
+  private def requireLayout(f: FileSystem, p: HPath, wantWriter: Boolean,
+      op: String): Unit = {
+    if (!f.exists(p)) return
+    val names = f.listStatus(p).map(_.getPath.getName)
+    val hasWriter = names.exists(_.startsWith("writer="))
+    val hasFlat = names.exists(_.startsWith("seg="))
+    if (wantWriter) require(!hasFlat,
+      s"$op: $p is a flat (single-writer) store; its segments are not writer-namespaced")
+    else require(!hasWriter,
+      s"$op: $p is a multi-writer store; use the writer-keyed variant")
   }
 
   /** Live segment ids, from the directory listing (driver-side, one
@@ -92,11 +200,19 @@ object SegmentStore {
 
   /** Append one batch's partial rows (already aggregated per key) as a
     * new segment. Pure append: no read of existing state — the id
-    * comes from one directory listing.
+    * comes from one directory listing. Refuses an exactly-once store:
+    * plain append's sequential ids would alias the caller-batch-id key
+    * space its watermark logic depends on (mode contract, class doc).
     */
   def append(partials: DataFrame, path: String): Unit = {
-    val next = segmentIds(partials.sparkSession, path)
-      .lastOption.map(_ + 1L).getOrElse(0L)
+    val spark = partials.sparkSession
+    val (f, p) = fs(spark, path)
+    requireLayout(f, p, wantWriter = false, "append")
+    val ids = segmentIds(spark, path)
+    require(!isXo(f, path, ids),
+      s"append: $path is an exactly-once store (segments are caller batch ids); " +
+        "plain append would alias its watermark — use appendExactlyOnce")
+    val next = ids.lastOption.map(_ + 1L).getOrElse(0L)
     partials.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/seg=$next")
   }
 
@@ -127,15 +243,52 @@ object SegmentStore {
     val spark = partials.sparkSession
     val (f, p) = fs(spark, path)
     recover(f, p)
+    requireLayout(f, p, wantWriter = false, "appendExactlyOnce")
+    val ids = segmentIds(spark, path)
+    // mode guard: the watermark check below is only sound when every
+    // live segment id IS a caller batch id — a store populated by plain
+    // append would silently swallow batches 0..maxId otherwise
+    require(ids.isEmpty || !hasCommitted(f, path, ids) || isXo(f, path, ids),
+      s"appendExactlyOnce: $path is a plain-append store (sequential segment " +
+        "ids); its ids would alias this writer's batch ids — modes never mix")
     val dst = new HPath(s"$path/seg=$batchId")
     if (f.exists(dst)) {
-      if (f.exists(new HPath(dst, "_SUCCESS"))) return false
+      // a fold is never a crashed partial, even with its _SUCCESS
+      // stripped: deleting it would destroy all folded history
+      if (f.exists(new HPath(dst, "_SUCCESS"))
+        || f.exists(new HPath(dst, FoldMarker))) return false
       f.delete(dst, true) // crashed partial write: retry idempotently
-    } else if (segmentIds(spark, path).lastOption.exists(batchId <= _)) {
+    } else if (ids.lastOption.exists(batchId <= _)) {
       return false // at or below the fold watermark: already ingested
     }
     partials.write.mode(SaveMode.ErrorIfExists).parquet(dst.toString)
+    touch(f, new HPath(dst, XoMarker))
     true
+  }
+
+  /** MULTI-WRITER exactly-once ingest: `writer`'s batch lands in its
+    * own `writer=<id>/seg=<batchId>` subtree — per-writer id sequence,
+    * per-writer fold watermark, zero coordination between producers
+    * (the layout section of the class doc). The subtree is a flat
+    * exactly-once store, so every idempotence/crash case of the
+    * single-writer form holds verbatim per writer.
+    */
+  def appendExactlyOnce(partials: DataFrame, path: String, writer: String,
+      batchId: Long): Boolean = {
+    val (f, p) = fs(partials.sparkSession, path)
+    recover(f, p)
+    requireLayout(f, p, wantWriter = true, "appendExactlyOnce(writer)")
+    appendExactlyOnce(partials, writerPath(path, writer), batchId)
+  }
+
+  /** One writer's subtree of a multi-writer store. `writer` must be a
+    * sane partition value (no separators or glob chars).
+    */
+  def writerPath(path: String, writer: String): String = {
+    require(writer.nonEmpty && writer.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"writer id must be [A-Za-z0-9._-]+: '$writer'")
+    s"$path/writer=$writer"
   }
 
   /** [[appendExactlyOnce]] + the [[appendWithPolicy]] fold bound — the
@@ -148,6 +301,21 @@ object SegmentStore {
     val landed = appendExactlyOnce(partials, path, batchId)
     if (landed && segmentIds(partials.sparkSession, path).size > maxSegments)
       compact(partials.sparkSession, path, keys, sumCol, dropCancelled)
+    landed
+  }
+
+  /** The multi-writer form of [[appendExactlyOnceWithPolicy]]: the
+    * fold bound holds PER WRITER (total live segments ≤ writers ×
+    * `maxSegments` — each producer amortizes its own compaction, no
+    * cross-producer coordination).
+    */
+  def appendExactlyOnceWithPolicy(partials: DataFrame, path: String,
+      writer: String, keys: Seq[String], sumCol: String, maxSegments: Int,
+      batchId: Long, dropCancelled: Boolean): Boolean = {
+    val landed = appendExactlyOnce(partials, path, writer, batchId)
+    val sub = writerPath(path, writer)
+    if (landed && segmentIds(partials.sparkSession, sub).size > maxSegments)
+      compact(partials.sparkSession, sub, keys, sumCol, dropCancelled)
     landed
   }
 
@@ -199,11 +367,24 @@ object SegmentStore {
       sumCol: String, maxSeg: Long): DataFrame = {
     val (f, p) = fs(spark, path)
     recover(f, p)
+    // a multi-writer store has one watermark PER WRITER — a global
+    // `seg <= k` would mix unrelated id sequences (class doc)
+    requireLayout(f, p, wantWriter = false, "mergedAsOf")
     spark.read.parquet(path)
       .filter(col("seg") <= maxSeg)
       .groupBy(keys.map(col): _*)
       .agg(sum(sumCol).cast("long").as(sumCol))
   }
+
+  /** AS-OF read of ONE writer's subtree of a multi-writer store — the
+    * snapshot a per-writer batch-id watermark can answer. A global
+    * cross-writer snapshot would need an epoch the store deliberately
+    * doesn't impose; audit questions against a multi-writer store are
+    * per-producer by construction.
+    */
+  def mergedAsOfWriter(spark: SparkSession, path: String, writer: String,
+      keys: Seq[String], sumCol: String, maxSeg: Long): DataFrame =
+    mergedAsOf(spark, writerPath(path, writer), keys, sumCol, maxSeg)
 
   /** Per-segment row counts — the monitoring report that drives (and
     * audits) the compaction policy. Output is one row per live
@@ -212,9 +393,15 @@ object SegmentStore {
   def segmentStats(spark: SparkSession, path: String): DataFrame = {
     val (f, p) = fs(spark, path)
     recover(f, p)
-    spark.read.parquet(path)
-      .groupBy(col("seg").cast("long").as("seg"))
-      .agg(count(lit(1)).as("n_rows"))
+    val df = spark.read.parquet(path)
+    // multi-writer layout: report per (writer, segment) — collapsing
+    // across writers would hide exactly the per-producer amplification
+    // the per-writer fold policy bounds
+    val grouped =
+      if (df.columns.contains("writer"))
+        df.groupBy(col("writer"), col("seg").cast("long").as("seg"))
+      else df.groupBy(col("seg").cast("long").as("seg"))
+    grouped.agg(count(lit(1)).as("n_rows"))
   }
 
   /** Retraction-tombstone report — the health probe that turns
@@ -267,17 +454,25 @@ object SegmentStore {
     val (f, dst) = fs(spark, path)
     recover(f, dst) // roll a crashed prior swap forward FIRST —
     // only then is a surviving .old copy stale and safe to drop
-    val tmp = new HPath(path + ".compacting")
-    val old = new HPath(path + ".old")
+    requireLayout(f, dst, wantWriter = false, "compact")
+    val (tmp, old) = stagePaths(dst)
     f.delete(tmp, true)
     f.delete(old, true)
     // the fold keeps the MAX id it covers as its name — the
     // processed-batch watermark [[appendExactlyOnce]] checks, so
     // collapsing history never forgets which batch ids landed
-    val foldId = segmentIds(spark, path).lastOption.getOrElse(0L)
+    val ids = segmentIds(spark, path)
+    val foldId = ids.lastOption.getOrElse(0L)
+    val xo = isXo(f, path, ids)
     val folded = merged(spark, path, keys, sumCol)
+    val foldDir = s"$tmp/seg=$foldId"
     (if (dropCancelled) folded.filter(col(sumCol) =!= 0) else folded)
-      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/seg=$foldId")
+      .write.mode(SaveMode.Overwrite).parquet(foldDir)
+    // markers land BEFORE the swap publishes the fold: detectable as a
+    // fold (never a crashed partial) independent of Spark's _SUCCESS,
+    // and the store's exactly-once mode survives the collapse
+    touch(f, new HPath(foldDir, FoldMarker))
+    if (xo) touch(f, new HPath(foldDir, XoMarker))
     if (!f.rename(dst, old))
       throw new java.io.IOException(s"compact: cannot stage $dst aside")
     if (!f.rename(tmp, dst)) {
@@ -286,4 +481,16 @@ object SegmentStore {
     }
     f.delete(old, true)
   }
+
+  /** [[compact]] of one writer's subtree of a multi-writer store — the
+    * fold, its watermark, and the crash-safe swap all scope to that
+    * writer; other producers ingest concurrently, and a root reader
+    * during the swap sees either the subtree or nothing (its staging
+    * siblings are hidden from partition discovery), never a retired
+    * copy as data.
+    */
+  def compactWriter(spark: SparkSession, path: String, writer: String,
+      keys: Seq[String], sumCol: String,
+      dropCancelled: Boolean = false): Unit =
+    compact(spark, writerPath(path, writer), keys, sumCol, dropCancelled)
 }

@@ -903,4 +903,28 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(probe(dir) == probe(freshDir))
   }
+
+  test("pHash upsert after a total takedown: the emptied store (root dir survives, every part= gone) bulk-loads cleanly") {
+    import spark.implicits._
+    def media(ids: Seq[Long]) = ids.map { i =>
+      (i, Array.tabulate(256)(b => ((b * 3 + i * 11) % 241).toByte))
+    }.toDF("doc_id", "payload")
+    val ids = 0L until 24L
+    val dir = Files.createTempDirectory("graft_phempty_").toString
+    val nPatch = graft.operators.Multimodal.phashPatches(ids.size.toLong)
+    AnnIndex.trainPhash(spark, dir, nPatch)
+    AnnIndex.upsertPhash(spark, dir, media(ids))
+    // retract EVERYTHING: every part= dir vacates; the postings root
+    // (holding only _SUCCESS) survives
+    AnnIndex.deletePhash(spark, dir, ids.toDF("doc_id"))
+    val root = new java.io.File(s"$dir/postings")
+    assert(root.exists() &&
+      !root.listFiles().exists(_.getName.startsWith("part=")),
+      "staging assumption broke: expected an emptied posting store")
+    // the presence probe must gate on part-DATA, not the bare root dir —
+    // a pathExists gate would throw 'unable to infer schema' here
+    AnnIndex.upsertPhash(spark, dir, media(ids.take(6)))
+    val n = spark.read.parquet(s"$dir/postings").count()
+    assert(n == 6 * graft.operators.Multimodal.PHashBands)
+  }
 }

@@ -289,4 +289,188 @@ class SegmentStoreSpec extends AnyFunSuite {
     val names = parent.listFiles.map(_.getName).toSet
     assert(names == Set("segments"), s"staging debris: $names")
   }
+
+  test("multi-writer exactly-once: interleaved producers with re-delivery converge bit-exactly to the union one-shot") {
+    val path = tmpStore
+    // two producers, each with its OWN batch-id sequence, interleaved;
+    // writer A's batch 1 and writer B's batch 0 are re-delivered
+    // (at-least-once foreachBatch after restarts)
+    assert(SegmentStore.appendExactlyOnce(batch("a" -> 1L), path, "w-a", 0L))
+    assert(SegmentStore.appendExactlyOnce(batch("b" -> 5L), path, "w-b", 0L))
+    assert(SegmentStore.appendExactlyOnce(batch("a" -> 2L), path, "w-a", 1L))
+    assert(!SegmentStore.appendExactlyOnce(batch("b" -> 5L), path, "w-b", 0L))
+    assert(SegmentStore.appendExactlyOnce(batch("b" -> 7L, "c" -> 1L), path, "w-b", 1L))
+    assert(!SegmentStore.appendExactlyOnce(batch("a" -> 2L), path, "w-a", 1L))
+    assert(SegmentStore.appendExactlyOnce(batch("c" -> 2L), path, "w-b", 2L))
+    val m = SegmentStore.merged(spark, path, Seq("k"), "c")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    // == the one-shot union of every batch exactly once
+    assert(m.toSeq == Seq("a" -> 3L, "b" -> 12L, "c" -> 3L),
+      "multi-writer ingest double- or under-counted")
+  }
+
+  test("multi-writer: per-writer folds keep per-writer watermarks; re-delivery below each fold is a no-op") {
+    val path = tmpStore
+    assert(SegmentStore.appendExactlyOnce(batch("a" -> 1L), path, "wa", 0L))
+    assert(SegmentStore.appendExactlyOnce(batch("a" -> 2L), path, "wa", 1L))
+    assert(SegmentStore.appendExactlyOnce(batch("b" -> 4L), path, "wb", 0L))
+    SegmentStore.compactWriter(spark, path, "wa", Seq("k"), "c")
+    // wa folded at watermark 1; wb untouched
+    assert(SegmentStore.segmentIds(spark,
+      SegmentStore.writerPath(path, "wa")) == Seq(1L))
+    assert(SegmentStore.segmentIds(spark,
+      SegmentStore.writerPath(path, "wb")) == Seq(0L))
+    // re-delivery below wa's fold: no-op; wb's OWN ids are unaffected
+    // by wa's watermark (the aliasing a shared flat sequence would hit)
+    assert(!SegmentStore.appendExactlyOnce(batch("a" -> 1L), path, "wa", 0L))
+    assert(!SegmentStore.appendExactlyOnce(batch("a" -> 2L), path, "wa", 1L))
+    assert(SegmentStore.appendExactlyOnce(batch("b" -> 6L), path, "wb", 1L))
+    val m = SegmentStore.merged(spark, path, Seq("k"), "c")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(m.toSeq == Seq("a" -> 3L, "b" -> 10L))
+    // per-writer as-of: wb's history is still replayable
+    val asOf0 = SegmentStore.mergedAsOfWriter(spark, path, "wb", Seq("k"), "c", 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(asOf0.toSeq == Seq("b" -> 4L))
+  }
+
+  test("a fold whose _SUCCESS was stripped is never deleted by a re-delivered batch at the watermark id") {
+    val path = tmpStore
+    assert(SegmentStore.appendExactlyOnce(batch("a" -> 1L), path, 0L))
+    assert(SegmentStore.appendExactlyOnce(batch("a" -> 2L, "b" -> 5L), path, 1L))
+    SegmentStore.compact(spark, path, Seq("k"), "c")
+    // committer configured without job markers / marker stripped by
+    // tooling: the fold dir has data but no Spark _SUCCESS
+    val success = new java.io.File(s"$path/seg=1/_SUCCESS")
+    assert(!success.exists() || success.delete())
+    // batch 1 re-delivered: without the fold marker this branch would
+    // treat the fold as a crashed partial of batch 1, delete ALL folded
+    // history, and replace it with one batch's partials
+    assert(!SegmentStore.appendExactlyOnce(batch("a" -> 2L, "b" -> 5L), path, 1L))
+    val m = SegmentStore.merged(spark, path, Seq("k"), "c")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(m.toSeq == Seq("a" -> 3L, "b" -> 5L),
+      "re-delivery at the watermark id destroyed the fold")
+  }
+
+  test("modes never mix: plain append onto an exactly-once store (and vice versa) fails loudly") {
+    val xoPath = tmpStore
+    assert(SegmentStore.appendExactlyOnce(batch("a" -> 1L), xoPath, 0L))
+    val e1 = intercept[IllegalArgumentException] {
+      SegmentStore.append(batch("b" -> 2L), xoPath)
+    }
+    assert(e1.getMessage.contains("exactly-once"))
+    // ... and the aliasing direction the watermark check cannot see:
+    // plain append named segments 0..n itself, so a fresh stream's
+    // batch 0..n would be silently skipped as "already landed"
+    val plainPath = tmpStore
+    SegmentStore.append(batch("a" -> 1L), plainPath)
+    SegmentStore.append(batch("a" -> 2L), plainPath)
+    val e2 = intercept[IllegalArgumentException] {
+      SegmentStore.appendExactlyOnce(batch("b" -> 3L), plainPath, 0L)
+    }
+    assert(e2.getMessage.contains("plain-append"))
+    // the xo mode survives compaction (the fold re-marks itself)
+    assert(SegmentStore.appendExactlyOnce(batch("a" -> 2L), xoPath, 1L))
+    SegmentStore.compact(spark, xoPath, Seq("k"), "c")
+    intercept[IllegalArgumentException] {
+      SegmentStore.append(batch("c" -> 1L), xoPath)
+    }
+  }
+
+  test("layouts never mix: flat entry points reject a multi-writer store and vice versa") {
+    val path = tmpStore
+    assert(SegmentStore.appendExactlyOnce(batch("a" -> 1L), path, "w0", 0L))
+    intercept[IllegalArgumentException] {
+      SegmentStore.append(batch("b" -> 2L), path)
+    }
+    intercept[IllegalArgumentException] {
+      SegmentStore.appendExactlyOnce(batch("b" -> 2L), path, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      SegmentStore.compact(spark, path, Seq("k"), "c")
+    }
+    intercept[IllegalArgumentException] {
+      SegmentStore.mergedAsOf(spark, path, Seq("k"), "c", 0L)
+    }
+    val flat = tmpStore
+    SegmentStore.append(batch("a" -> 1L), flat)
+    intercept[IllegalArgumentException] {
+      SegmentStore.appendExactlyOnce(batch("b" -> 2L), flat, "w0", 0L)
+    }
+  }
+
+  test("a crashed per-writer fold swap rolls forward on the next store access; hidden staging is invisible to readers") {
+    val path = tmpStore
+    assert(SegmentStore.appendExactlyOnce(batch("a" -> 1L), path, "wa", 0L))
+    assert(SegmentStore.appendExactlyOnce(batch("b" -> 2L), path, "wb", 0L))
+    // simulate a crash between compactWriter's two renames: wa's
+    // subtree parked at its hidden .old sibling, live path absent
+    val live = new java.io.File(s"$path/writer=wa")
+    val parked = new java.io.File(s"$path/.writer=wa.old")
+    assert(live.renameTo(parked))
+    // a root read rolls the subtree forward and sees the full store
+    val m = SegmentStore.merged(spark, path, Seq("k"), "c")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(m.toSeq == Seq("a" -> 1L, "b" -> 2L))
+    assert(new java.io.File(s"$path/writer=wa").exists() && !parked.exists())
+  }
+
+  test("multi-writer policy appends: the fold bound holds per writer; counts survive") {
+    val path = tmpStore
+    (0 until 5).foreach { i =>
+      assert(SegmentStore.appendExactlyOnceWithPolicy(batch("a" -> 1L), path,
+        "wa", Seq("k"), "c", 2, i.toLong, false))
+      assert(SegmentStore.appendExactlyOnceWithPolicy(batch("b" -> 1L), path,
+        "wb", Seq("k"), "c", 2, i.toLong, false))
+      assert(SegmentStore.segmentIds(spark,
+        SegmentStore.writerPath(path, "wa")).size <= 2)
+      assert(SegmentStore.segmentIds(spark,
+        SegmentStore.writerPath(path, "wb")).size <= 2)
+    }
+    val m = SegmentStore.merged(spark, path, Seq("k"), "c")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(m.toSeq == Seq("a" -> 5L, "b" -> 5L))
+    // the per-(writer, segment) amplification report
+    val st = SegmentStore.segmentStats(spark, path).collect()
+    assert(st.forall(_.length == 3) && st.nonEmpty)
+  }
+
+  test("two concurrent streams share one store through writer namespaces; converge to the one-shot union") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmpStore
+    // the 100 TB/day shape: one store, one writer per source partition,
+    // each stream's foreachBatch keyed by ITS OWN batch ids — no
+    // coordination, and a re-delivered micro-batch on either stream is
+    // a no-op within that writer's namespace only
+    def sink(writer: String) = { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      SegmentStore.appendExactlyOnceWithPolicy(
+        batch.groupBy("k").agg(count(lit(1)).as("c")), path, writer,
+        Seq("k"), "c", 2, batchId, false)
+      ()
+    }
+    val memA = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val memB = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    def toKeys(df: org.apache.spark.sql.DataFrame) =
+      df.select(concat(lit("k"), pmod(col("value"), lit(5))).as("k"))
+    val qA = toKeys(memA.toDF()).writeStream.outputMode("append")
+      .foreachBatch(sink("src-a")).start()
+    val qB = toKeys(memB.toDF()).writeStream.outputMode("append")
+      .foreachBatch(sink("src-b")).start()
+    try {
+      (0 until 3).foreach { i =>
+        memA.addData(i * 20L until (i + 1) * 20L: _*)
+        memB.addData(i * 10L until (i + 1) * 10L: _*)
+        qA.processAllAvailable(); qB.processAllAvailable()
+      }
+    } finally { qA.stop(); qB.stop() }
+    val got = SegmentStore.merged(spark, path, Seq("k"), "c")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = toKeys(spark.range(60).select(col("id").as("value")))
+      .unionByName(toKeys(spark.range(30).select(col("id").as("value"))))
+      .groupBy("k").agg(count(lit(1)).cast("long").as("c"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want, "concurrent writers diverged from the one-shot union")
+  }
 }

@@ -173,4 +173,71 @@ class StoreRetractionSpec extends AnyFunSuite {
     val want = R.retentionStoreRead(spark, cleanDir).collect().toSeq
     assert(got == want, "post-takedown report diverged from ingest-without")
   }
+
+  test("deferred sidecar re-freeze: takedowns below the stale dial serve through the stale bloom; past it the policy rebuilds exactly") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val storeDir = graft.sources.TempDirs.scratch("graft_fundefer_")
+    R.funnelIncremental(spark, ev, Some(storeDir))
+    val resPath = s"$storeDir/results"
+    val pendPath = s"$storeDir/pending"
+    val bloomPath = s"$storeDir/bloom"
+    val bytesBefore = spark.read.parquet(bloomPath).head()
+      .getAs[Array[Byte]]("bf").toSeq
+    val nFrozen = spark.read.parquet(bloomPath).head().getAs[Long]("n_items")
+
+    def takedown(pred: org.apache.spark.sql.Column): Long = {
+      val del = ev.filter(col("user_id").isNotNull && pred)
+        .select("user_id").distinct().localCheckpoint(true)
+      val delParts = del.select(pmod(col("user_id"), lit(16L)).as("part"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      for (p <- Seq(resPath, pendPath))
+        graft.sources.AnnIndex.deleteRowsInParts(
+          spark, p, "user_id", "part", del, delParts)
+      val n = del.count()
+      R.funnelSidecarRetire(spark, bloomPath, n)
+      n
+    }
+
+    // ~10% of users: below the 25% dial — the policy must NOT pay the
+    // store-sized re-freeze; the stale sidecar keeps serving (retracted
+    // members are false positives, the exact anti-join already fixed)
+    takedown(col("user_id") % 10 === 7)
+    assert(!R.funnelSidecarMaintain(spark, resPath, bloomPath),
+      "policy paid the re-freeze below the stale dial")
+    val mid = spark.read.parquet(bloomPath).head()
+    assert(mid.getAs[Array[Byte]]("bf").toSeq == bytesBefore
+      && mid.getAs[Long]("n_items") == nFrozen,
+      "sidecar changed without a rebuild")
+    // the report stays exact THROUGH the stale window — the bloom is
+    // routing only, never truth
+    val got1 = R.funnelStoreRead(spark, resPath, pendPath,
+      sys.error("store is non-empty")).collect().toSeq
+    val want1 = graft.streaming.StreamOps.funnel(
+        ev.filter(col("user_id").isNull || col("user_id") % 10 =!= 7),
+        R.FunnelClickWindowHours * 3600L * 1000L,
+        R.FunnelBuyWindowHours * 3600L * 1000L, "1 hour")
+      .orderBy("user_id").collect().toSeq
+    assert(got1 == want1, "stale-bloom window broke the report")
+
+    // three more deciles: the ledger crosses the dial — one rebuild,
+    // exact recount, ledger reset
+    takedown(col("user_id") % 10 === 1 || col("user_id") % 10 === 3
+      || col("user_id") % 10 === 5)
+    assert(R.funnelSidecarMaintain(spark, resPath, bloomPath),
+      "policy skipped the re-freeze past the stale dial")
+    val row = spark.read.parquet(bloomPath).head()
+    val survivors = spark.read.parquet(resPath)
+      .filter(col("user_id").isNotNull).select("user_id")
+      .collect().map(_.getLong(0)) // sf0.001 finalized set — spec-bounded
+    assert(row.getAs[Long]("n_items") == survivors.length.toLong,
+      "rebuild recount is not exact")
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("bf")))
+    assert(survivors.nonEmpty && survivors.forall(bf.mightContain),
+      "rebuilt sidecar missed a survivor")
+    // ledger reset: the next small takedown is below the dial again
+    takedown(col("user_id") % 10 === 9)
+    assert(!R.funnelSidecarMaintain(spark, resPath, bloomPath),
+      "retired ledger did not reset at the rebuild")
+  }
 }

@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--strict]
+
+Exit codes: 0 all pass; 1 at least one stable failure; 2 no failures
+but flake-suspects present (first compare differed, idle rerun matched
+-- re-adjudicate on an idle box). --strict folds exit 2 into exit 1
+for CI wrappers that treat any nonzero as hard failure.
 
 Loads each <name>.parquet written by graft.Verify, runs the matching
 oracle SQL from oracle_sql.json in DuckDB (tables = parquet files in
@@ -55,7 +60,7 @@ def wait_near_idle(max_wait: float = 60.0):
         time.sleep(5.0)
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, strict: bool = False) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -116,8 +121,11 @@ def main(sf_dir: str, out_dir: str) -> int:
           f"queries pass, {flake_suspects} flake-suspect, {failures} fail")
     if failures:
         return 1
-    return 2 if flake_suspects else 0
+    if flake_suspects:
+        return 1 if strict else 2
+    return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    sys.exit(main(args[0], args[1], strict="--strict" in sys.argv))
