@@ -197,6 +197,81 @@ object PipelineQueries {
   private def packedSeqs(s: SparkSession, dir: String): DataFrame =
     packedSeqsOf(Tables.documents(s, dir))
 
+  /** TOKEN-LEVEL training sequences — the step between this pipeline
+    * and a trainable batch: pipe_pack places whole documents by their
+    * START offset (a doc longer than [[PackSeqLen]] silently spans
+    * sequences); this SPLITS every document at sequence boundaries, so
+    * each row is a doc SPAN `(shard, seq_id, doc_id, tok_begin,
+    * tok_end, seq_off)` — "tokens [tok_begin, tok_end) of doc_id fill
+    * slots [seq_off, seq_off + len) of sequence seq_id" — and every
+    * sequence's spans sum to exactly PackSeqLen slots (the shard's
+    * last, still-filling sequence excepted). Token counts come from
+    * the FROZEN corpus-fitted tokenizer ([[TextQueries.bpeDocPieces]]
+    * — BPE pieces, not the whitespace pre-tokenizer), the same
+    * artifact the trainer's own tokenizer loads, so the span
+    * arithmetic is the loader's assembly map: a reader materializes
+    * sequence k of shard s by concatenating its spans in doc_id order
+    * — document boundaries explicit, no cross-doc attention bleed
+    * unaccounted. Scale shape: the piece count is a row-local codegen
+    * fold, the offset is pipe_pack's one window per shard, the split
+    * is a row-local explode (spans = docs + boundary crossings), and
+    * the integer arithmetic is bit-exact in both engines.
+    */
+  private[graft] def seqSpans(s: SparkSession, dir: String): DataFrame = {
+    val L = lit(PackSeqLen.toLong)
+    val base = TextQueries.bpeDocPieces(s, dir)
+      .select(col("doc_id"),
+        (graft.functions.Md5Long60Expr(col("doc_id").cast("string"), PackSalt)
+          % lit(PackShards.toLong)).as("shard"),
+        col("n_toks"))
+    val w = Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("tok_off", sum("n_toks").over(w) - col("n_toks"))
+      .filter(col("n_toks") > 0L) // a zero-token doc occupies no slot
+      .select(col("doc_id"), col("shard"), col("n_toks"), col("tok_off"),
+        explode(sequence(
+          floor(col("tok_off").cast("double") / lit(PackSeqLen.toDouble))
+            .cast("long"),
+          floor((col("tok_off") + col("n_toks") - lit(1L)).cast("double")
+            / lit(PackSeqLen.toDouble)).cast("long"))).as("seq_id"))
+      .select(col("shard"), col("seq_id"), col("doc_id"),
+        greatest(col("seq_id") * L - col("tok_off"), lit(0L)).as("tok_begin"),
+        (least((col("seq_id") + lit(1L)) * L, col("tok_off") + col("n_toks"))
+          - col("tok_off")).as("tok_end"),
+        greatest(col("tok_off") - col("seq_id") * L, lit(0L)).as("seq_off"))
+  }
+
+  /** Per-shard manifest of a shipped span artifact, computed FROM DISK
+    * (the [[exportManifest]] discipline): span/sequence/token counts,
+    * how many sequences are exactly full, and an order-independent
+    * content fingerprint.
+    */
+  private def seqExportManifest(s: SparkSession, exportDir: String): DataFrame = {
+    val back = s.read.parquet(exportDir)
+      .select(col("shard").cast("long").as("shard"), col("seq_id"),
+        col("doc_id"), col("tok_begin"), col("tok_end"), col("seq_off"))
+      .localCheckpoint(true) // span agg + fill agg both read it
+    val fp = graft.functions.Md5Long60Expr(
+      concat_ws(":", col("doc_id"), col("seq_id"), col("tok_begin"),
+        col("tok_end"), col("seq_off")),
+      PackSalt)
+    val spans = back.groupBy("shard")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("tok_end") - col("tok_begin")).as("n_tokens"),
+        bit_xor(fp).as("content_fp"))
+    val fills = back.groupBy("shard", "seq_id")
+      .agg(sum(col("tok_end") - col("tok_begin")).as("fill"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(when(col("fill") === lit(PackSeqLen.toLong), 1L).otherwise(0L))
+          .as("n_full"))
+    spans.join(fills, Seq("shard"))
+      .select("shard", "n_spans", "n_seqs", "n_full", "n_tokens", "content_fp")
+      .orderBy("shard")
+  }
+
   /** Ship a packed artifact as shard-partitioned parquet (one writer
     * file per shard directory). */
   private[graft] def exportShip(packed: DataFrame, exportDir: String): Unit =
@@ -475,6 +550,22 @@ object PipelineQueries {
     // concatenation order would be one unbounded-partition window — the
     // exact single-task bottleneck this query's plan avoids.
     "pipe_pack" -> ((s, dir) => packedSeqs(s, dir).orderBy("doc_id")),
+
+    // the trainable-batch assembly map: every doc split at sequence
+    // boundaries under the FROZEN BPE tokenizer's token counts — see
+    // [[seqSpans]]; integer-exact, so the oracle replays it bit-for-bit
+    "pipe_seqs" -> ((s, dir) =>
+      seqSpans(s, dir).orderBy("shard", "seq_id", "doc_id")),
+
+    // the span artifact SHIPPED shard-partitioned and manifested from
+    // disk — the pipe_export write->read gate applied to token-level
+    // sequences (n_full is the receipt a trainer checks: all sequences
+    // exactly PackSeqLen except each shard's last, still-filling one)
+    "pipe_seqs_export" -> ((s, dir) => {
+      val exportDir = graft.sources.TempDirs.scratch("graft_seqex_")
+      exportShip(seqSpans(s, dir), exportDir)
+      seqExportManifest(s, exportDir)
+    }),
 
     // EXPORT + MANIFEST: pipe_pack's packed sequences written as
     // shard-partitioned parquet (the training-data artifact — one
@@ -1275,6 +1366,34 @@ object PipelineQueries {
     * pipe_export (TRUE) and pipe_export_retract (the corpus-without):
     * one packing definition for both artifacts.
     */
+  /** CTEs from `bpe_doc_pieces` to `seq_spans(shard, seq_id, doc_id,
+    * tok_begin, tok_end, seq_off)` — the SQL twin of [[seqSpans]].
+    */
+  private lazy val seqSpansCtes: String =
+    s"""seq_b AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(concat('$PackSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % $PackShards AS shard,
+       |    n_toks
+       |  FROM bpe_doc_pieces
+       |), seq_o AS (
+       |  SELECT doc_id, shard, n_toks,
+       |    CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS BIGINT) AS tok_off
+       |  FROM seq_b
+       |), seq_spans AS (
+       |  SELECT shard, seq_id, doc_id,
+       |    CAST(GREATEST(seq_id * $PackSeqLen - tok_off, 0) AS BIGINT) AS tok_begin,
+       |    CAST(LEAST((seq_id + 1) * $PackSeqLen, tok_off + n_toks) - tok_off AS BIGINT) AS tok_end,
+       |    CAST(GREATEST(tok_off - seq_id * $PackSeqLen, 0) AS BIGINT) AS seq_off
+       |  FROM (
+       |    SELECT doc_id, shard, n_toks, tok_off,
+       |      UNNEST(generate_series(
+       |        CAST(FLOOR(CAST(tok_off AS DOUBLE) / $PackSeqLen.0) AS BIGINT),
+       |        CAST(FLOOR(CAST(tok_off + n_toks - 1 AS DOUBLE) / $PackSeqLen.0) AS BIGINT))) AS seq_id
+       |    FROM seq_o WHERE n_toks > 0
+       |  )
+       |)""".stripMargin
+
   private def pipeExportSqlWhere(pred: String): String =
     s"""WITH b AS (
        |  SELECT doc_id,
@@ -1398,6 +1517,37 @@ object PipelineQueries {
          |SELECT doc_id, shard, n_tokens, "offset",
          |  CAST(FLOOR(CAST("offset" AS DOUBLE) / $PackSeqLen.0) AS BIGINT) AS seq_id
          |FROM o ORDER BY doc_id""".stripMargin,
+
+    // doc spans at sequence boundaries over the re-derived BPE piece
+    // counts — pure integer arithmetic on both engines
+    "pipe_seqs" ->
+      s"""WITH ${TextQueries.bpeDocPiecesCtes}, $seqSpansCtes
+         |SELECT shard, seq_id, doc_id, tok_begin, tok_end, seq_off
+         |FROM seq_spans ORDER BY shard, seq_id, doc_id""".stripMargin,
+
+    // ship -> read-back -> manifest must equal the manifest of the
+    // packing arithmetic itself (the pipe_export discipline)
+    "pipe_seqs_export" ->
+      s"""WITH ${TextQueries.bpeDocPiecesCtes}, $seqSpansCtes, fills AS (
+         |  SELECT shard, seq_id,
+         |    CAST(SUM(tok_end - tok_begin) AS BIGINT) AS fill
+         |  FROM seq_spans GROUP BY shard, seq_id
+         |), per_seq AS (
+         |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+         |    CAST(SUM(CASE WHEN fill = $PackSeqLen THEN 1 ELSE 0 END) AS BIGINT) AS n_full
+         |  FROM fills GROUP BY shard
+         |), per_span AS (
+         |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |    CAST(SUM(tok_end - tok_begin) AS BIGINT) AS n_tokens,
+         |    CAST(bit_xor(CAST(concat('0x', substr(md5(concat('$PackSalt:',
+         |      CAST(doc_id AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR) || ':' ||
+         |      CAST(tok_begin AS VARCHAR) || ':' || CAST(tok_end AS VARCHAR) || ':' ||
+         |      CAST(seq_off AS VARCHAR))), 1, 15)) AS BIGINT)) AS BIGINT) AS content_fp
+         |  FROM seq_spans GROUP BY shard
+         |)
+         |SELECT shard, n_spans, n_seqs, n_full, n_tokens, content_fp
+         |FROM per_span JOIN per_seq USING (shard)
+         |ORDER BY shard""".stripMargin,
 
     // the receipt computed straight from the corpus — identical iff the
     // serialize -> write -> schema-on-read parse cycle is lossless

@@ -142,6 +142,19 @@ object RelationalQueries {
     */
   final val FuzzyBands = 4
 
+  /** The DEPLOYED band set — the band-cost dial CONNECTED: band 1
+    * (stride-2 skip-grams) is dropped because
+    * rel_fuzzy_join_band_stats measures it at ZERO marginal matches
+    * while carrying ~25% of the clean-side gram mass, at 1x and at the
+    * 10x staging (BASELINE.md receipt; PipelineSurfaceSpec pins that
+    * removing it preserves the match set exactly). The health report
+    * itself still watches all [[FuzzyBands]] families — a corpus where
+    * skip-grams start earning marginals re-opens this decision, the
+    * same frozen-artifact-plus-gauge discipline as the quantizer
+    * retrain.
+    */
+  final val FuzzyBandsDeployed: Seq[Int] = Seq(0, 2, 3)
+
   private def dec(c: org.apache.spark.sql.Column, p: Int, s: Int) =
     c.cast(s"decimal($p,$s)")
 
@@ -1292,7 +1305,13 @@ object RelationalQueries {
     // cost purely batch-sized (this staging retires ~10% — below the
     // dial — so the query's cost receipt shows the store-sized term
     // GONE; StoreRetractionSpec drives the ledger past the dial and
-    // pins the rebuild + exact recount). The read is
+    // pins the rebuild + exact recount). AS-OF/contract note: this
+    // store answers "what did we hold on date X" with the PRESENT only
+    // — deliberately. Retaining pre-delete snapshots would keep the
+    // retracted users' rows on disk and defeat the takedown; the audit
+    // trail is the accounting (ledger, exact recounts), and time travel
+    // lives on the additive stores (SegmentStore.mergedAsOf — see its
+    // contract paragraph). The read is
     // [[funnelStoreRead]], the identical path the incremental form
     // uses. Converges bit-exactly to the one-shot funnel over the
     // event history WITHOUT the retracted users — as if they never
@@ -1697,7 +1716,8 @@ object RelationalQueries {
     // the blocking joins stay equi on (band, gram) — plan-pinned.
     "rel_fuzzy_join_banded" -> ((s, dir) => {
       val q = scaledFuzzyGram(Tables.customer(s, dir).count())
-      val (dirty, verified0) = fuzzyBandedVerified(s, dir, q)
+      // the DEPLOYED band set (stride-2 dropped — see FuzzyBandsDeployed)
+      val (dirty, verified0) = fuzzyBandedVerified(s, dir, q, FuzzyBandsDeployed)
       val verified = verified0
         .localCheckpoint(true) // candidate audit + match rank both read it
       val nCands = verified.groupBy("probe_key")
@@ -2049,9 +2069,53 @@ object RelationalQueries {
     * the rel_fuzzy_join_band_stats report so the join and its health
     * report can never disagree about a band's contribution.
     */
-  private lazy val fuzzyBandedCtes: String = {
+  private def fuzzyBandedCtes(bands: Seq[Int]): String = {
     val caps = Seq(3, 4, 5, 6)
       .map(q => FuzzyMaxDf.toLong * math.pow(10, q).toLong).mkString(", ")
+    val cgArms = Map(
+      0 -> """SELECT c_custkey, 0 AS band, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, length(c_name) - (q - 1)),
+        |    i -> substr(c_name, i, CAST(q AS INT))))) AS gram
+        |  FROM customer CROSS JOIN qw""".stripMargin,
+      1 -> """SELECT c_custkey, 1 AS band, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, length(c_name) - (q - 1) * 2),
+        |    i -> array_to_string(list_transform(
+        |      generate_series(0, CAST(q AS INT) - 1),
+        |      j -> substr(c_name, CAST(i + j * 2 AS INT), 1)), '')))) AS gram
+        |  FROM customer CROSS JOIN qw""".stripMargin,
+      2 -> """SELECT c_custkey, 2 AS band, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, length(c_name) - (q - 1)),
+        |    i -> concat(CAST(i AS VARCHAR), ':',
+        |                substr(c_name, i, CAST(q AS INT)))))) AS gram
+        |  FROM customer CROSS JOIN qw""".stripMargin,
+      3 -> """SELECT c_custkey, 3 AS band, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, length(c_name) - (q - 1)),
+        |    i -> concat(CAST(length(c_name) - i AS VARCHAR), ':',
+        |                substr(c_name, i, CAST(q AS INT)))))) AS gram
+        |  FROM customer CROSS JOIN qw""".stripMargin)
+    val dgArms = Map(
+      0 -> """SELECT probe_key, 0 AS band, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, length(dirty_name) - (q - 1)),
+        |    i -> substr(dirty_name, i, CAST(q AS INT))))) AS gram
+        |  FROM dirty CROSS JOIN qw""".stripMargin,
+      1 -> """SELECT probe_key, 1 AS band, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, length(dirty_name) - (q - 1) * 2),
+        |    i -> array_to_string(list_transform(
+        |      generate_series(0, CAST(q AS INT) - 1),
+        |      j -> substr(dirty_name, CAST(i + j * 2 AS INT), 1)), '')))) AS gram
+        |  FROM dirty CROSS JOIN qw""".stripMargin,
+      2 -> """SELECT probe_key, 2 AS band, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, length(dirty_name) - (q - 1)),
+        |    i -> concat(CAST(i + dd AS VARCHAR), ':',
+        |                substr(dirty_name, i, CAST(q AS INT)))))) AS gram
+        |  FROM dirty CROSS JOIN qw CROSS JOIN deltas""".stripMargin,
+      3 -> """SELECT probe_key, 3 AS band, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, length(dirty_name) - (q - 1)),
+        |    i -> concat(CAST(length(dirty_name) - i + dd AS VARCHAR), ':',
+        |                substr(dirty_name, i, CAST(q AS INT)))))) AS gram
+        |  FROM dirty CROSS JOIN qw CROSS JOIN deltas""".stripMargin)
+    val cg = bands.sorted.map(cgArms).mkString("\n  UNION ALL\n  ")
+    val dg = bands.sorted.map(dgArms).mkString("\n  UNION ALL\n  ")
     s"""qw AS (
       |  SELECT CAST(COALESCE(MIN(q), 6) AS BIGINT) AS q FROM (
       |    SELECT UNNEST([3, 4, 5, 6]) AS q, UNNEST([$caps]) AS cap
@@ -2068,29 +2132,7 @@ object RelationalQueries {
       |         ELSE concat('zzzzzz', substr(c_name,7)) END AS dirty_name
       |  FROM customer WHERE c_custkey % 7 = 0
       |), cg AS (
-      |  SELECT c_custkey, 0 AS band, UNNEST(list_distinct(list_transform(
-      |    generate_series(1, length(c_name) - (q - 1)),
-      |    i -> substr(c_name, i, CAST(q AS INT))))) AS gram
-      |  FROM customer CROSS JOIN qw
-      |  UNION ALL
-      |  SELECT c_custkey, 1 AS band, UNNEST(list_distinct(list_transform(
-      |    generate_series(1, length(c_name) - (q - 1) * 2),
-      |    i -> array_to_string(list_transform(
-      |      generate_series(0, CAST(q AS INT) - 1),
-      |      j -> substr(c_name, CAST(i + j * 2 AS INT), 1)), '')))) AS gram
-      |  FROM customer CROSS JOIN qw
-      |  UNION ALL
-      |  SELECT c_custkey, 2 AS band, UNNEST(list_distinct(list_transform(
-      |    generate_series(1, length(c_name) - (q - 1)),
-      |    i -> concat(CAST(i AS VARCHAR), ':',
-      |                substr(c_name, i, CAST(q AS INT)))))) AS gram
-      |  FROM customer CROSS JOIN qw
-      |  UNION ALL
-      |  SELECT c_custkey, 3 AS band, UNNEST(list_distinct(list_transform(
-      |    generate_series(1, length(c_name) - (q - 1)),
-      |    i -> concat(CAST(length(c_name) - i AS VARCHAR), ':',
-      |                substr(c_name, i, CAST(q AS INT)))))) AS gram
-      |  FROM customer CROSS JOIN qw
+      |  $cg
       |), keep AS (
       |  SELECT band, gram FROM (
       |    SELECT band, gram, COUNT(*) AS df FROM cg GROUP BY 1, 2
@@ -2098,29 +2140,7 @@ object RelationalQueries {
       |), deltas AS (
       |  SELECT UNNEST(range(-$FuzzyK, ${FuzzyK + 1})) AS dd
       |), dg AS (
-      |  SELECT probe_key, 0 AS band, UNNEST(list_distinct(list_transform(
-      |    generate_series(1, length(dirty_name) - (q - 1)),
-      |    i -> substr(dirty_name, i, CAST(q AS INT))))) AS gram
-      |  FROM dirty CROSS JOIN qw
-      |  UNION ALL
-      |  SELECT probe_key, 1 AS band, UNNEST(list_distinct(list_transform(
-      |    generate_series(1, length(dirty_name) - (q - 1) * 2),
-      |    i -> array_to_string(list_transform(
-      |      generate_series(0, CAST(q AS INT) - 1),
-      |      j -> substr(dirty_name, CAST(i + j * 2 AS INT), 1)), '')))) AS gram
-      |  FROM dirty CROSS JOIN qw
-      |  UNION ALL
-      |  SELECT probe_key, 2 AS band, UNNEST(list_distinct(list_transform(
-      |    generate_series(1, length(dirty_name) - (q - 1)),
-      |    i -> concat(CAST(i + dd AS VARCHAR), ':',
-      |                substr(dirty_name, i, CAST(q AS INT)))))) AS gram
-      |  FROM dirty CROSS JOIN qw CROSS JOIN deltas
-      |  UNION ALL
-      |  SELECT probe_key, 3 AS band, UNNEST(list_distinct(list_transform(
-      |    generate_series(1, length(dirty_name) - (q - 1)),
-      |    i -> concat(CAST(length(dirty_name) - i + dd AS VARCHAR), ':',
-      |                substr(dirty_name, i, CAST(q AS INT)))))) AS gram
-      |  FROM dirty CROSS JOIN qw CROSS JOIN deltas
+      |  $dg
       |), candsb AS (
       |  SELECT DISTINCT band, probe_key, c_custkey
       |  FROM dg JOIN keep USING (band, gram) JOIN cg USING (band, gram)
@@ -2598,7 +2618,7 @@ object RelationalQueries {
     // clean side's unfanned keys, the posting join is on (band, gram),
     // and candidates dedup across bands before verify
     "rel_fuzzy_join_banded" ->
-      s"""WITH $fuzzyBandedCtes, verified AS (
+      s"""WITH ${fuzzyBandedCtes(FuzzyBandsDeployed)}, verified AS (
         |  SELECT v.probe_key, v.c_custkey,
         |         levenshtein(d.dirty_name, c.c_name) AS dist
         |  FROM cands v
@@ -2628,7 +2648,7 @@ object RelationalQueries {
     // factored CTE chain as the banded join, so report and join can
     // never disagree about what a band contributes
     "rel_fuzzy_join_band_stats" ->
-      s"""WITH $fuzzyBandedCtes, verified AS (
+      s"""WITH ${fuzzyBandedCtes(0 until FuzzyBands)}, verified AS (
         |  SELECT v.probe_key, v.c_custkey,
         |         levenshtein(d.dirty_name, c.c_name) AS dist
         |  FROM cands v

@@ -918,6 +918,38 @@ object SimilarityQueries {
     // one-shot PQ ADC over the drifted union — hash-gating
     // train -> bulk -> append -> trigger -> retrain -> re-encode ->
     // swap -> probe.
+    // The COMPOSED index's retrain — both quantizers re-fit in one
+    // pass (coarse routing is what a drifted wave degrades first: the
+    // ivfpqDriftStats gauge scores each live row against its own
+    // ROUTING centroid straight off the cell-partitioned codes table),
+    // every live vector re-routed and re-encoded, swap, probe with the
+    // two-level ADC + rerank. Oracle: one-shot IVF+PQ over the drifted
+    // union — the full IVFx,PQy lifecycle (train -> bulk -> append ->
+    // trigger -> retrain both -> re-encode -> swap -> route -> prune ->
+    // ADC -> rerank) hash-gated end to end.
+    "sim_ann_ivfpq_retrain" -> ((s, dir) => {
+      val idxDir = graft.sources.TempDirs.scratch("graft_ivfpqrt_")
+      val all = vecs(s, dir)
+      graft.sources.AnnIndex.trainIvfPq(all, IvfK, IvfSample, IvfIters, Dim,
+        IvfSalt, PqM, PqSub, PqK, PqSalt, idxDir)
+      graft.sources.AnnIndex.upsertIvfPq(s, idxDir, all) // bulk load
+      val (drift, off) = driftWave(all)
+      graft.sources.AnnIndex.upsertIvfPq(s, idxDir, drift)
+      val store = all.unionByName(drift)
+      val gauge = graft.sources.AnnIndex
+        .ivfpqDriftStats(s, idxDir, store, col("vec_id") >= off)
+        .collect().map(r => r.getBoolean(0) -> r.getDouble(2)).toMap // 2 rows
+      require(gauge(true) < gauge(false),
+        s"IVFPQ drift gauge did not fire: wave mean_ccos ${gauge(true)} " +
+          s"vs base ${gauge(false)}")
+      graft.sources.AnnIndex.retrainIvfPq(s, idxDir, store, IvfK, IvfSample,
+        IvfIters, Dim, IvfSalt, PqSalt)
+      val q = all.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      graft.sources.AnnIndex.probeIvfPq(s, idxDir, q, store, K, IvfProbe,
+        PqM, PqSub, PqShortK).orderBy("q_id", "rnk")
+    }),
+
     "sim_ann_pq_retrain" -> ((s, dir) => {
       val idxDir = graft.sources.TempDirs.scratch("graft_pqrt_")
       val all = vecs(s, dir)
@@ -1542,6 +1574,14 @@ object SimilarityQueries {
     "sim_ann_ivf_retrain" ->
       s"""WITH $driftVecsCtes, $ivfCtes
          |SELECT q_id, rnk, c_id, cosine FROM ivf_res ORDER BY q_id, rnk""".stripMargin,
+
+    // both quantizers re-fit + full re-route/re-encode == one-shot
+    // IVF+PQ over the drifted union (routing, ADC, and rerank all
+    // replayed by the shared CTEs on the rebound corpus)
+    "sim_ann_ivfpq_retrain" ->
+      s"""WITH $driftVecsCtes, $ivfBaseCtes, $pqCtes, $ivfpqScoredCtes,
+         |${rerankCtes("ivfpq_scored", "ivfpq")}
+         |SELECT q_id, rnk, c_id, cosine FROM ivfpq_res ORDER BY q_id, rnk""".stripMargin,
 
     // retrained codebooks + bulk re-encode == one-shot PQ over the
     // drifted union: codebook fit and encode depend only on (vec_id, v)

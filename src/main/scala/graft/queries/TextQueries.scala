@@ -384,6 +384,37 @@ object TextQueries {
     adir
   }
 
+  /** The frozen merge list applied to one word (the self-delimited
+    * symbol encoding + rank-order non-overlapping replaces of
+    * text_bpe_apply, factored for reuse).
+    */
+  private def bpeApplied(merges: Seq[(String, String)])(
+      t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    merges.foldLeft(
+      concat(lit("<"),
+        array_join(transform(sequence(lit(1), length(t)),
+          i => t.substr(i, lit(1))), "><"),
+        lit(">"))) { case (acc, (a, b)) =>
+      replace(acc, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+    }
+
+  private def bpePieceLen(c: org.apache.spark.sql.Column) =
+    (length(c) - length(replace(c, lit("<"), lit("")))).cast("long")
+
+  /** Per-document piece count under the frozen corpus-fitted tokenizer
+    * — the token counter a training-sequence packer budgets by
+    * (pipe_seqs). One row per document: (doc_id, n_toks).
+    */
+  private[graft] def bpeDocPieces(s: SparkSession, dir: String): DataFrame = {
+    val merges = graft.sources.BpeStore
+      .load(s, bpeEnsureArtifact(s, dir)).map(r => (r._2, r._3))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        aggregate(transform(TextAnalysis.tokens(col("text")),
+          t => bpePieceLen(bpeApplied(merges)(t))),
+          lit(0L), (acc, x) => acc + x).as("n_toks"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "text_stats" -> ((s, dir) => {
@@ -691,20 +722,11 @@ object TextQueries {
       val d = Tables.documents(s, dir)
       val merges = graft.sources.BpeStore
         .load(s, bpeEnsureArtifact(s, dir)).map(r => (r._2, r._3))
-      def applied(t: org.apache.spark.sql.Column) =
-        merges.foldLeft(
-          concat(lit("<"),
-            array_join(transform(sequence(lit(1), length(t)),
-              i => t.substr(i, lit(1))), "><"),
-            lit(">"))) { case (acc, (a, b)) =>
-          replace(acc, lit(s"<$a><$b>"), lit(s"<$a$b>"))
-        }
-      def pieceCount(c: org.apache.spark.sql.Column) =
-        (length(c) - length(replace(c, lit("<"), lit("")))).cast("long")
       d.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_words"),
-          aggregate(transform(col("toks"), t => pieceCount(applied(t))),
+          aggregate(transform(col("toks"),
+            t => bpePieceLen(bpeApplied(merges)(t))),
             lit(0L), (acc, x) => acc + x).as("n_pieces"))
         .select(col("doc_id"), col("n_words"), col("n_pieces"),
           when(col("n_words") > 0L,
@@ -1163,6 +1185,35 @@ object TextQueries {
         |       quantile_cont(n, 0.99) AS p99
         |FROM tok GROUP BY lang ORDER BY lang""".stripMargin
   )
+
+  /** CTE bundle ending in `bpe_doc_pieces(doc_id, n_toks)` — the
+    * per-document piece count under the re-derived merge sequence,
+    * shared by pipe_seqs' oracle (the SQL twin of [[bpeDocPieces]]).
+    * Prepend directly after WITH.
+    */
+  private[graft] lazy val bpeDocPiecesCtes: String = {
+    val mgCols = (1 to BpeMerges).map(r =>
+      s"(SELECT a FROM t$r) AS a$r, (SELECT b FROM t$r) AS b$r").mkString(", ")
+    val wrap = "'<' || array_to_string(list_transform(" +
+      "generate_series(1, length(t)), i -> substr(t, i, 1)), '><') || '>'"
+    val rep = (1 to BpeMerges).foldLeft(wrap) { (acc, r) =>
+      s"replace($acc, '<' || a$r || '><' || b$r || '>', '<' || a$r || b$r || '>')"
+    }
+    s"""$bpeRoundsCtes, bpe_mg AS (
+       |  SELECT $mgCols
+       |), bpe_doc_pieces AS (
+       |  SELECT doc_id,
+       |    CAST(COALESCE(list_sum(list_transform(ms,
+       |      m -> length(m) - length(replace(m, '<', '')))), 0) AS BIGINT)
+       |      AS n_toks
+       |  FROM (
+       |    SELECT doc_id, list_transform(toks, t -> $rep) AS ms
+       |    FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+       |            t -> t != '') AS toks FROM documents)
+       |    CROSS JOIN bpe_mg
+       |  )
+       |)""".stripMargin
+  }
 
   /** The BPE training loop unrolled as static CTEs (v0 + one
     * (pairs, top-1, apply, stats) block per round) — shared by the

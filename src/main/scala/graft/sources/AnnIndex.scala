@@ -832,15 +832,75 @@ object AnnIndex {
     encodeWithCodebooks(vecs, m, sub, cbs).join(cells, "vec_id")
   }
 
+  /** Coarse-routing drift gauge for the composed index: the codes
+    * table already stores each live row's CELL, so one join to the
+    * floats (`store` — the rerank relation; the index holds codes
+    * only) and the broadcast k-row centroid table scores every row's
+    * cosine to its own routing centroid — the quantity a drifted
+    * ingest wave degrades first (bad routing ⇒ the wave piles into
+    * hot cells AND probes miss it). Same 1e-9-quantized BIGINT means
+    * as [[ivfDriftStats]]; 2 rows.
+    */
+  def ivfpqDriftStats(spark: SparkSession, dir: String, store: DataFrame,
+                      suspect: org.apache.spark.sql.Column): DataFrame = {
+    val cents = broadcast(ivfCentroids(spark, dir)
+      .select(col("cent_id").as("cell"), col("cv")))
+    val vec = applyPerm(store, storedPerm(spark, dir), "v")
+    spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(vec, Seq("vec_id"))
+      .join(cents, Seq("cell"))
+      .select(suspect.as("is_suspect"),
+        floor(Dedup.cosine(col("v"), col("cv")) * lit(1.0e9)).cast("long").as("qcos"))
+      .groupBy("is_suspect")
+      .agg(count(lit(1)).as("pop"), sum("qcos").as("sum_qcos"))
+      .select(col("is_suspect"), col("pop"),
+        (col("sum_qcos").cast("double") / col("pop").cast("double") / lit(1.0e9))
+          .as("mean_ccos"))
+  }
+
+  /** Retrain BOTH quantizers of the composed index over the live
+    * corpus and swap — [[retrainIvf]] + [[retrainPq]] for the
+    * IVFx,PQy layout: liveness from the index's own codes table,
+    * floats from `store`, coarse centroids AND all m codebooks re-fit
+    * in one pass over the live set, every live vector re-routed and
+    * re-encoded (the O(corpus) line item), frozen OPQ permutation
+    * preserved, offline build + [[promoteStaged]] swap. Bit-identical
+    * to a fresh [[saveIvfPq]]/[[trainIvfPq]]+bulk over the live set.
+    */
+  def retrainIvfPq(spark: SparkSession, dir: String, store: DataFrame,
+                   ivfK: Int, sampleSize: Int, iters: Int, dim: Int,
+                   ivfSalt: Int, pqSalt: Int): Unit = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val m = meta.getAs[Int]("m")
+    val sub = meta.getAs[Int]("sub")
+    val pqK = meta.getAs[Int]("k")
+    val perm = storedPerm(spark, dir)
+    val live = applyPerm(
+      store.join(spark.read.parquet(s"$dir/codes").select("vec_id"),
+        Seq("vec_id"), "left_semi"),
+      perm, "v")
+    val stage = s"$dir.retrain"
+    savePerm(spark, stage, perm)
+    val (cents, cbs) = trainIvfPqQuantizers(live, ivfK, sampleSize, iters,
+      dim, ivfSalt, m, sub, pqK, pqSalt, stage)
+    encodeIvfPq(live, m, sub, cents, cbs)
+      .repartition(col("cell"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(s"$stage/codes")
+    promoteStaged(spark, dir, stage)
+  }
+
   /** Incremental IVF+PQ maintenance — the composition of [[upsertIvf]]
     * (frozen coarse centroids route the batch; the cell is a
     * CONTENT-derived key, so touched directories are both where new
     * rows land and where re-inserted vec_ids currently live, and an
     * emptied cell directory is dropped) and [[upsertPq]] (frozen stored
     * codebooks encode the batch). Works as the bulk load after
-    * [[trainIvfPq]]. Retraining either quantizer is a rebuild via
-    * [[saveIvfPq]] — `ivf_cell_stats` / `pq_code_stats` are the
-    * triggers.
+    * [[trainIvfPq]]. Retraining the quantizers on corpus drift is
+    * [[retrainIvfPq]] — `ivf_cell_stats` / `pq_code_stats` /
+    * [[ivfpqDriftStats]] are the triggers.
     */
   def upsertIvfPq(spark: SparkSession, dir: String, vecs: DataFrame): Unit = {
     val meta = spark.read.parquet(s"$dir/meta").head()

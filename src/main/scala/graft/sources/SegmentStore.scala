@@ -362,6 +362,18 @@ object SegmentStore {
     * watermark), so snapshots BELOW the fold id become unanswerable
     * (empty) — the compaction policy is also a RETENTION policy for
     * auditability.
+    *
+    * AS-OF IS AN ADDITIVE-STORE PROPERTY — a deliberate contract line,
+    * not a gap: the KEY-REPLACE stores (the [[AnnIndex]] upsert family
+    * and the funnel/retention user-hash stores) rewrite partitions in
+    * place and answer "what did we hold on date X" with the present
+    * only. For the GDPR stores this is REQUIRED, not merely accepted:
+    * retaining pre-delete partition snapshots would keep the retracted
+    * users' rows on disk and defeat the takedown itself. Their
+    * auditable artifacts are the accounting trails that hold no
+    * retracted payload — the tombstone/staleness ledgers, the exact
+    * sidecar recounts, and (on this store) the ± retraction segments
+    * until a `dropCancelled` fold reclaims them.
     */
   def mergedAsOf(spark: SparkSession, path: String, keys: Seq[String],
       sumCol: String, maxSeg: Long): DataFrame = {

@@ -927,4 +927,40 @@ class AnnIndexSpec extends AnyFunSuite {
     val n = spark.read.parquet(s"$dir/postings").count()
     assert(n == 6 * graft.operators.Multimodal.PHashBands)
   }
+
+  test("IVFPQ retrain: both quantizers re-fit over the live set + full re-route/re-encode == one-shot build; gauge fires and recovers") {
+    val base = synthVecs(400)
+    val wave = base.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + lit(1000L)).as("vec_id"),
+        transform(col("v"), x => x + lit(2.0)).as("v"))
+    val union = base.unionByName(wave).localCheckpoint(true)
+    val dir = Files.createTempDirectory("graft_ivfpqrt_").toString
+    AnnIndex.trainIvfPq(base, ivfK = 8, sampleSize = 128, iters = 2,
+      dim = Dim, ivfSalt = 7, m = 4, sub = 16, pqK = 8, pqSalt = 11, dir = dir)
+    AnnIndex.upsertIvfPq(spark, dir, base)
+    AnnIndex.upsertIvfPq(spark, dir, wave)
+    val pre = AnnIndex.ivfpqDriftStats(spark, dir, union, col("vec_id") >= 1000L)
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(2)).toMap
+    assert(pre(true) < pre(false), s"gauge should fire: $pre")
+    AnnIndex.retrainIvfPq(spark, dir, union, ivfK = 8, sampleSize = 128,
+      iters = 2, dim = Dim, ivfSalt = 7, pqSalt = 11)
+    val post = AnnIndex.ivfpqDriftStats(spark, dir, union, col("vec_id") >= 1000L)
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(2)).toMap
+    assert(post(true) > pre(true), s"gauge should recover: $pre -> $post")
+    val freshDir = Files.createTempDirectory("graft_ivfpqrt_fresh_").toString
+    AnnIndex.saveIvfPq(union, ivfK = 8, sampleSize = 128, iters = 2,
+      dim = Dim, ivfSalt = 7, m = 4, sub = 16, pqK = 8, pqSalt = 11,
+      dir = freshDir)
+    def codes(d: String) = spark.read.parquet(s"$d/codes")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("code0"), col("code1"), col("code2"), col("code3"))
+      .collect().map(_.toSeq).toSet
+    assert(codes(dir) == codes(freshDir))
+    def probe(d: String) = AnnIndex.probeIvfPq(spark, d, queriesOf(union),
+      union, K, 2, 4, 16, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe(dir) == probe(freshDir))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir.retrain")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir.pre-retrain")))
+  }
 }

@@ -642,6 +642,13 @@ class PipelineSurfaceSpec extends AnyFunSuite {
       .filterNot(_ == 1))
     assert(ablated == full,
       "dropping the zero-marginal stride-2 band changed the match set")
+    // the dial is CONNECTED: the deployed band set is exactly the full
+    // set minus the measured zero-marginal band, and the deployed join
+    // returns the identical per-probe best match
+    assert(graft.queries.RelationalQueries.FuzzyBandsDeployed == Seq(0, 2, 3),
+      "deployed band set drifted from the measured ablation")
+    assert(matchSet(graft.queries.RelationalQueries.FuzzyBandsDeployed) == full,
+      "the deployed band set changed the match set")
   }
 
   test("rel_fuzzy_join_scaled: width ladder rule holds; coincides with the fixed-width join where the rule lands on 3") {
@@ -730,5 +737,54 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     // both classes must actually appear in the held-out slice
     assert(rows.exists(_.getAs[Boolean]("is_spam")))
     assert(rows.exists(!_.getAs[Boolean]("is_spam")))
+  }
+
+  test("pipe_seqs: spans tile every sequence to exactly PackSeqLen (shard-last excepted) and partition every doc's tokens") {
+    import graft.queries.PipelineQueries
+    val spans = PipelineQueries.seqSpans(spark, dir).localCheckpoint(true)
+    val L = PipelineQueries.PackSeqLen.toLong
+
+    // 1. per (shard, seq_id): spans fill exactly L slots, except the
+    //    shard's LAST (still-filling) sequence
+    val fills = spans.groupBy("shard", "seq_id")
+      .agg(sum(col("tok_end") - col("tok_begin")).as("fill"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val lastSeq = fills.keys.groupBy(_._1).map { case (sh, ks) => sh -> ks.map(_._2).max }
+    fills.foreach { case ((sh, sq), fill) =>
+      if (sq == lastSeq(sh)) assert(fill <= L, s"overfull last seq ($sh,$sq): $fill")
+      else assert(fill == L, s"sequence ($sh,$sq) filled $fill != $L")
+    }
+
+    // 2. per doc: spans are contiguous, start at 0, end at the doc's
+    //    total piece count (nothing lost or duplicated at boundaries)
+    val docSpans = spans.orderBy("doc_id", "tok_begin")
+      .select("doc_id", "tok_begin", "tok_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val pieces = graft.queries.TextQueries.bpeDocPieces(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docSpans.foreach { case (doc, ss) =>
+      val sorted = ss.sortBy(_._2)
+      assert(sorted.head._2 == 0L, s"doc $doc spans start at ${sorted.head._2}")
+      sorted.sliding(2).foreach {
+        case Array((_, _, e), (_, b, _)) => assert(e == b, s"doc $doc gap at $e/$b")
+        case _ => ()
+      }
+      assert(sorted.last._3 == pieces(doc), s"doc $doc spans end early")
+    }
+
+    // 3. within a sequence, spans tile [0, fill) in doc_id order —
+    //    the loader's concatenation map is unambiguous
+    val bySeq = spans.select("shard", "seq_id", "doc_id", "seq_off", "tok_begin", "tok_end")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(5) - r.getLong(4))))
+      .groupBy(_._1)
+    bySeq.foreach { case (k, vs) =>
+      val inOrder = vs.map(_._2).sortBy(_._1) // doc_id order
+      var cursor = 0L
+      inOrder.foreach { case (_, off, len) =>
+        assert(off == cursor, s"seq $k: span at $off, expected $cursor")
+        cursor += len
+      }
+    }
   }
 }
