@@ -158,6 +158,30 @@ object DriftProbe {
       println(f"PQ   ${f}x n=$n gauge wave=${pqGauge(true)}%.4f->${pqGauge2(true)}%.4f " +
         f"base=${pqGauge(false)}%.4f->${pqGauge2(false)}%.4f " +
         f"recall=$pqStale%.3f->$pqFresh%.3f retrain_s=$tPq%.2f")
+
+      // -------------------------------------------------------- IVF+PQ
+      val ipDir = graft.sources.TempDirs.scratch("graft_driftivfpq_")
+      graft.sources.AnnIndex.trainIvfPq(all, 16, 256, 2, 64, 7, 4, 16, 8, 11, ipDir)
+      graft.sources.AnnIndex.upsertIvfPq(spark, ipDir, all)
+      graft.sources.AnnIndex.upsertIvfPq(spark, ipDir, wave)
+      val ipGauge = graft.sources.AnnIndex
+        .ivfpqDriftStats(spark, ipDir, union, col("vec_id") >= off)
+        .collect().map(r => r.getBoolean(0) -> r.getDouble(2)).toMap
+      val ipStale = recallOf(graft.sources.AnnIndex.probeIvfPq(
+        spark, ipDir, q.select(col("vec_id").as("q_id"), col("v").as("q_v")),
+        union, K, 2, 4, 16, 50), truth)
+      val tIp = time {
+        graft.sources.AnnIndex.retrainIvfPq(spark, ipDir, union, 16, 256, 2, 64, 7, 11)
+      }
+      val ipGauge2 = graft.sources.AnnIndex
+        .ivfpqDriftStats(spark, ipDir, union, col("vec_id") >= off)
+        .collect().map(r => r.getBoolean(0) -> r.getDouble(2)).toMap
+      val ipFresh = recallOf(graft.sources.AnnIndex.probeIvfPq(
+        spark, ipDir, q.select(col("vec_id").as("q_id"), col("v").as("q_v")),
+        union, K, 2, 4, 16, 50), truth)
+      println(f"IVFPQ ${f}x n=$n gauge wave=${ipGauge(true)}%.4f->${ipGauge2(true)}%.4f " +
+        f"base=${ipGauge(false)}%.4f recall=$ipStale%.3f->$ipFresh%.3f " +
+        f"retrain_s=$tIp%.2f")
     }
     spark.stop()
   }

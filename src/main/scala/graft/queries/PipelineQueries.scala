@@ -217,17 +217,26 @@ object PipelineQueries {
     * is a row-local explode (spans = docs + boundary crossings), and
     * the integer arithmetic is bit-exact in both engines.
     */
-  private[graft] def seqSpans(s: SparkSession, dir: String): DataFrame = {
-    val L = lit(PackSeqLen.toLong)
-    val base = TextQueries.bpeDocPieces(s, dir)
+  private[graft] def seqSpans(s: SparkSession, dir: String): DataFrame =
+    seqSpansOfCounts(TextQueries.bpeDocPieces(s, dir)
       .select(col("doc_id"),
         (graft.functions.Md5Long60Expr(col("doc_id").cast("string"), PackSalt)
           % lit(PackShards.toLong)).as("shard"),
-        col("n_toks"))
+        col("n_toks")))
+
+  /** The span arithmetic over an explicit `(doc_id, shard, n_toks)`
+    * frame — the maintained export forms re-pack TOUCHED SHARDS
+    * through this identical function (shard = pure doc_id hash,
+    * within-shard order = doc_id, offsets shard-local), which is what
+    * makes their convergence to the one-shot pack a property of the
+    * layout, the [[packedSeqsOf]] argument verbatim.
+    */
+  private[graft] def seqSpansOfCounts(counts: DataFrame): DataFrame = {
+    val L = lit(PackSeqLen.toLong)
     val w = Window
       .partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base
+    counts
       .withColumn("tok_off", sum("n_toks").over(w) - col("n_toks"))
       .filter(col("n_toks") > 0L) // a zero-token doc occupies no slot
       .select(col("doc_id"), col("shard"), col("n_toks"), col("tok_off"),
@@ -241,6 +250,43 @@ object PipelineQueries {
         (least((col("seq_id") + lit(1L)) * L, col("tok_off") + col("n_toks"))
           - col("tok_off")).as("tok_end"),
         greatest(col("tok_off") - col("seq_id") * L, lit(0L)).as("seq_off"))
+  }
+
+  /** Re-pack ONLY the `touched` shard directories of a shipped span
+    * artifact: per-doc token counts are recovered from the stored
+    * spans themselves (a doc's last span ends at its n_toks — the
+    * artifact is self-describing), `without` ids leave, the `extra`
+    * batch joins, and the survivors re-run [[seqSpansOfCounts]]
+    * shard-locally under dynamic partition overwrite; a directory the
+    * re-pack fully vacates is dropped. Untouched dirs are never
+    * rewritten — byte-identical to a full re-pack by the layout
+    * argument above.
+    */
+  private[graft] def seqRepackShards(s: SparkSession, exportDir: String,
+      touched: Seq[Long], extra: Option[DataFrame],
+      without: Option[DataFrame]): Unit = {
+    if (touched.isEmpty) return
+    val stored = s.read.parquet(exportDir)
+      .filter(col("shard").isin(touched.map(Long.box): _*))
+      .groupBy(col("doc_id"), col("shard").cast("long").as("shard"))
+      .agg(max("tok_end").as("n_toks"))
+    val survivors = without
+      .map(del => stored.join(del, Seq("doc_id"), "left_anti"))
+      .getOrElse(stored)
+    val counts = extra.map(survivors.unionByName(_)).getOrElse(survivors)
+      .localCheckpoint(true) // materialize before overwriting the source
+    val spans = seqSpansOfCounts(counts).localCheckpoint(true)
+    spans.repartition(col("shard"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard").parquet(exportDir)
+    val written = spans.select("shard").distinct()
+      .collect().map(_.getLong(0)).toSet // <= PackShards rows
+    val fs = new org.apache.hadoop.fs.Path(exportDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    touched.filterNot(written).foreach { sh =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$exportDir/shard=$sh"), true)
+    }
   }
 
   /** Per-shard manifest of a shipped span artifact, computed FROM DISK
@@ -564,6 +610,51 @@ object PipelineQueries {
     "pipe_seqs_export" -> ((s, dir) => {
       val exportDir = graft.sources.TempDirs.scratch("graft_seqex_")
       exportShip(seqSpans(s, dir), exportDir)
+      seqExportManifest(s, exportDir)
+    }),
+
+    // the APPEND leg of the sequence artifact (the pipe_export triad at
+    // token level): a daily doc batch lands on the shipped span layout
+    // by re-packing only its touched shard dirs — per-doc token counts
+    // for the survivors come from the artifact itself (self-describing:
+    // a doc's last span ends at n_toks), the batch's from the FROZEN
+    // tokenizer. Converges to the one-shot pipe_seqs_export, so it
+    // shares that oracle; untouched dirs byte-identical.
+    "pipe_seqs_export_incremental" -> ((s, dir) => {
+      val exportDir = graft.sources.TempDirs.scratch("graft_seqexinc_")
+      val counts = TextQueries.bpeDocPieces(s, dir)
+        .select(col("doc_id"),
+          (graft.functions.Md5Long60Expr(col("doc_id").cast("string"),
+            PackSalt) % lit(PackShards.toLong)).as("shard"),
+          col("n_toks"))
+        .localCheckpoint(true) // ship + batch + touched probe read it
+      exportShip(seqSpansOfCounts(counts.filter(col("doc_id") % 7 =!= 3)),
+        exportDir)
+      val batch = counts.filter(col("doc_id") % 7 === 3)
+      val touched = batch.select("shard").distinct()
+        .collect().map(_.getLong(0)).toSeq // <= PackShards rows
+      seqRepackShards(s, exportDir, touched, Some(batch), None)
+      seqExportManifest(s, exportDir)
+    }),
+
+    // the TAKEDOWN leg: a sparse retraction list leaves the shipped
+    // span artifact by re-packing only the shard dirs holding a
+    // retracted doc (offsets and seq ids recompute over the shard's
+    // survivors); fully-vacated dirs drop. The oracle packs the
+    // corpus-without from scratch — the touched-only rewrite must be
+    // indistinguishable from a full re-export without the retracted
+    // docs.
+    "pipe_seqs_export_retract" -> ((s, dir) => {
+      val exportDir = graft.sources.TempDirs.scratch("graft_seqexret_")
+      exportShip(seqSpans(s, dir), exportDir)
+      val retracted = Tables.documents(s, dir)
+        .filter(col("doc_id") % 50 === 7).select("doc_id")
+        .localCheckpoint(true) // shard probe + anti-join read it
+      val touched = retracted
+        .select((graft.functions.Md5Long60Expr(col("doc_id").cast("string"),
+          PackSalt) % lit(PackShards.toLong)).as("shard"))
+        .distinct().collect().map(_.getLong(0)).toSeq // <= PackShards rows
+      seqRepackShards(s, exportDir, touched, None, Some(retracted))
       seqExportManifest(s, exportDir)
     }),
 
@@ -1369,12 +1460,14 @@ object PipelineQueries {
   /** CTEs from `bpe_doc_pieces` to `seq_spans(shard, seq_id, doc_id,
     * tok_begin, tok_end, seq_off)` — the SQL twin of [[seqSpans]].
     */
-  private lazy val seqSpansCtes: String =
+  private lazy val seqSpansCtes: String = seqSpansCtesWhere("TRUE")
+
+  private def seqSpansCtesWhere(pred: String): String =
     s"""seq_b AS (
        |  SELECT doc_id,
        |    CAST(concat('0x', substr(md5(concat('$PackSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % $PackShards AS shard,
        |    n_toks
-       |  FROM bpe_doc_pieces
+       |  FROM bpe_doc_pieces WHERE $pred
        |), seq_o AS (
        |  SELECT doc_id, shard, n_toks,
        |    CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
@@ -1393,6 +1486,28 @@ object PipelineQueries {
        |    FROM seq_o WHERE n_toks > 0
        |  )
        |)""".stripMargin
+
+  private def seqExportSqlWhere(pred: String): String =
+    s"""WITH ${TextQueries.bpeDocPiecesCtes}, ${seqSpansCtesWhere(pred)}, fills AS (
+       |  SELECT shard, seq_id,
+       |    CAST(SUM(tok_end - tok_begin) AS BIGINT) AS fill
+       |  FROM seq_spans GROUP BY shard, seq_id
+       |), per_seq AS (
+       |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       |    CAST(SUM(CASE WHEN fill = $PackSeqLen THEN 1 ELSE 0 END) AS BIGINT) AS n_full
+       |  FROM fills GROUP BY shard
+       |), per_span AS (
+       |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |    CAST(SUM(tok_end - tok_begin) AS BIGINT) AS n_tokens,
+       |    CAST(bit_xor(CAST(concat('0x', substr(md5(concat('$PackSalt:',
+       |      CAST(doc_id AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR) || ':' ||
+       |      CAST(tok_begin AS VARCHAR) || ':' || CAST(tok_end AS VARCHAR) || ':' ||
+       |      CAST(seq_off AS VARCHAR))), 1, 15)) AS BIGINT)) AS BIGINT) AS content_fp
+       |  FROM seq_spans GROUP BY shard
+       |)
+       |SELECT shard, n_spans, n_seqs, n_full, n_tokens, content_fp
+       |FROM per_span JOIN per_seq USING (shard)
+       |ORDER BY shard""".stripMargin
 
   private def pipeExportSqlWhere(pred: String): String =
     s"""WITH b AS (
@@ -1527,27 +1642,15 @@ object PipelineQueries {
 
     // ship -> read-back -> manifest must equal the manifest of the
     // packing arithmetic itself (the pipe_export discipline)
-    "pipe_seqs_export" ->
-      s"""WITH ${TextQueries.bpeDocPiecesCtes}, $seqSpansCtes, fills AS (
-         |  SELECT shard, seq_id,
-         |    CAST(SUM(tok_end - tok_begin) AS BIGINT) AS fill
-         |  FROM seq_spans GROUP BY shard, seq_id
-         |), per_seq AS (
-         |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_seqs,
-         |    CAST(SUM(CASE WHEN fill = $PackSeqLen THEN 1 ELSE 0 END) AS BIGINT) AS n_full
-         |  FROM fills GROUP BY shard
-         |), per_span AS (
-         |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_spans,
-         |    CAST(SUM(tok_end - tok_begin) AS BIGINT) AS n_tokens,
-         |    CAST(bit_xor(CAST(concat('0x', substr(md5(concat('$PackSalt:',
-         |      CAST(doc_id AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR) || ':' ||
-         |      CAST(tok_begin AS VARCHAR) || ':' || CAST(tok_end AS VARCHAR) || ':' ||
-         |      CAST(seq_off AS VARCHAR))), 1, 15)) AS BIGINT)) AS BIGINT) AS content_fp
-         |  FROM seq_spans GROUP BY shard
-         |)
-         |SELECT shard, n_spans, n_seqs, n_full, n_tokens, content_fp
-         |FROM per_span JOIN per_seq USING (shard)
-         |ORDER BY shard""".stripMargin,
+    "pipe_seqs_export" -> seqExportSqlWhere("TRUE"),
+
+    // the delta-maintained span artifact converges to the one-shot
+    // export: same oracle by design
+    "pipe_seqs_export_incremental" -> seqExportSqlWhere("TRUE"),
+
+    // touched-shard re-pack after the takedown must equal a full
+    // re-export of the corpus-without
+    "pipe_seqs_export_retract" -> seqExportSqlWhere("doc_id % 50 != 7"),
 
     // the receipt computed straight from the corpus — identical iff the
     // serialize -> write -> schema-on-read parse cycle is lossless

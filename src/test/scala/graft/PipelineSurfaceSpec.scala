@@ -787,4 +787,63 @@ class PipelineSurfaceSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("pipe_seqs_export triad: append and takedown rewrite ONLY touched shard dirs; both equal the from-scratch pack") {
+    import graft.queries.{PipelineQueries => P, TextQueries}
+    val counts = TextQueries.bpeDocPieces(spark, dir)
+      .select(col("doc_id"),
+        (graft.functions.Md5Long60Expr(col("doc_id").cast("string"),
+          P.PackSalt) % lit(P.PackShards.toLong)).as("shard"),
+        col("n_toks"))
+      .localCheckpoint(true)
+    def dirState(p: java.io.File) =
+      p.listFiles.map(f => (f.getName, f.lastModified, f.length)).toSet
+    def snapshot(eDir: String) = new java.io.File(eDir).listFiles
+      .filter(_.getName.startsWith("shard="))
+      .map(d => d.getName -> dirState(d)).toMap
+    def spansOnDisk(eDir: String) = spark.read.parquet(eDir)
+      .select(col("shard").cast("long"), col("seq_id"), col("doc_id"),
+        col("tok_begin"), col("tok_end"), col("seq_off"))
+      .collect().map(_.toSeq).toSet
+
+    // --- append leg
+    val sparse = col("doc_id") % 97 === 5
+    val incDir = java.nio.file.Files
+      .createTempDirectory("graft_seqinc_spec_").toString + "/export"
+    P.exportShip(P.seqSpansOfCounts(counts.filter(not(sparse))), incDir)
+    val beforeInc = snapshot(incDir)
+    val batch = counts.filter(sparse)
+    val touchedInc = batch.select("shard").distinct()
+      .collect().map(r => s"shard=${r.getLong(0)}").toSet
+    assert(touchedInc.nonEmpty && (beforeInc.keySet -- touchedInc).nonEmpty)
+    P.seqRepackShards(spark, incDir,
+      touchedInc.map(_.stripPrefix("shard=").toLong).toSeq, Some(batch), None)
+    (beforeInc.keySet -- touchedInc).foreach { d =>
+      assert(dirState(new java.io.File(s"$incDir/$d")) == beforeInc(d),
+        s"untouched dir $d rewritten by the seq append")
+    }
+    assert(spansOnDisk(incDir) ==
+      P.seqSpansOfCounts(counts).collect().map(_.toSeq).toSet,
+      "seq append diverged from the one-shot pack")
+
+    // --- takedown leg
+    val retrPred = col("doc_id") % 50 === 7
+    val retDir = java.nio.file.Files
+      .createTempDirectory("graft_seqret_spec_").toString + "/export"
+    P.exportShip(P.seqSpansOfCounts(counts), retDir)
+    val beforeRet = snapshot(retDir)
+    val retracted = counts.filter(retrPred).select("doc_id").localCheckpoint(true)
+    val touchedRet = counts.filter(retrPred).select("shard").distinct()
+      .collect().map(r => s"shard=${r.getLong(0)}").toSet
+    assert(touchedRet.nonEmpty && (beforeRet.keySet -- touchedRet).nonEmpty)
+    P.seqRepackShards(spark, retDir,
+      touchedRet.map(_.stripPrefix("shard=").toLong).toSeq, None, Some(retracted))
+    (beforeRet.keySet -- touchedRet).foreach { d =>
+      assert(dirState(new java.io.File(s"$retDir/$d")) == beforeRet(d),
+        s"untouched dir $d rewritten by the seq takedown")
+    }
+    assert(spansOnDisk(retDir) ==
+      P.seqSpansOfCounts(counts.filter(not(retrPred))).collect().map(_.toSeq).toSet,
+      "seq takedown diverged from the from-scratch pack of the corpus-without")
+  }
 }

@@ -353,4 +353,14 @@ class PlanShapeSpec extends AnyFunSuite {
     val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
     assert(bhj >= 4, s"expected >=4 broadcast LUT joins, saw $bhj\n$plan")
   }
+
+  test("pipe_seqs: one shard shuffle; the BPE count and the boundary split stay row-local (no extra exchange)") {
+    val plan = qe("pipe_seqs").executedPlan.toString
+    // exactly one hash exchange on shard feeds the running-offset
+    // window; the piece-count fold and the span explode add NO shuffle
+    // (the final orderBy's range exchange is presentation, not work)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected 1 shard exchange, got $hashEx:\n$plan")
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
 }
