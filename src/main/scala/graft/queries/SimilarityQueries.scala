@@ -122,6 +122,21 @@ object SimilarityQueries {
     (wave, off)
   }
 
+  /** The GROWTH-drift scenario for sim_ann_lsh_rebucket: the corpus
+    * DOUBLES (a crawl wave of genuinely different vectors — each base
+    * vector rotated by one dimension, ScaleProbe's recipe — at offset
+    * ids). Unlike [[driftWave]]'s concentrated cluster, this is the
+    * drift that hurts LSH: hyperplanes are data-independent, so
+    * per-bucket population N/2^w grows with every wave and probes scan
+    * ever-fatter buckets until the width rule re-buckets.
+    */
+  private def growthWave(all: DataFrame): (DataFrame, Long) = {
+    val off = all.agg(max("vec_id")).collect()(0).getLong(0) + 1L // 1 row
+    val wave = all.select((col("vec_id") + lit(off)).as("vec_id"),
+      concat(slice(col("v"), 2, Dim - 1), slice(col("v"), 1, 1)).as("v"))
+    (wave, off)
+  }
+
   /** Oracle side of [[driftWave]]: rebinds `vecs` to base ∪ wave, so
     * the shared quantizer CTEs run on the drifted world verbatim.
     */
@@ -870,6 +885,35 @@ object SimilarityQueries {
       graft.sources.AnnIndex.probeIvf(s, idxDir, q, K, IvfProbe).orderBy("q_id", "rnk")
     }),
 
+    // The LSH family's retrain analog — REBUCKETING: hyperplanes are
+    // data-independent (nothing to re-fit), so LSH's drift dial is
+    // per-bucket POPULATION (sim_ann_bucket_stats), and the response
+    // is re-bucketing the live corpus at the knnScaledBits width.
+    // Stage: index at LshBits; a crawl wave DOUBLES the corpus
+    // (growthWave — rotated vectors, offset ids) through the
+    // frozen-width upsert; the width rule FIRES (N outgrew
+    // B·2^w — integer-exact, require-gated); rebucketLsh re-buckets
+    // the index's own live rows at the derived width and swaps; the
+    // probe runs at the new width. Oracle: the bucketed pipeline over
+    // the union at the SQL-derived width — prefix-stable hyperplanes
+    // let static SQL check any runtime width (the scaled-graph
+    // discipline), hash-gating build -> upsert -> trigger -> rebucket
+    // -> swap -> probe.
+    "sim_ann_lsh_rebucket" -> ((s, dir) => {
+      val idxDir = graft.sources.TempDirs.scratch("graft_lshrb_")
+      val all = vecs(s, dir)
+      graft.sources.AnnIndex.saveLsh(all, LshBits, Dim, idxDir)
+      val (wave, _) = growthWave(all)
+      graft.sources.AnnIndex.upsertLsh(s, idxDir, wave)
+      val n = graft.sources.AnnIndex.lshCorpus(s, idxDir).count()
+      require(n > (KnnBucketTarget.toLong << LshBits),
+        s"width rule did not fire: n=$n at width $LshBits")
+      graft.sources.AnnIndex.rebucketLsh(s, idxDir, knnScaledBits(n))
+      val q = all.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      graft.sources.AnnIndex.probeLsh(s, idxDir, q, K).orderBy("q_id", "rnk")
+    }),
+
     // RETRAIN RESPONSE PATH — the lifecycle edge the health gauges
     // (ivf_cell_stats, AnnIndex.ivfDriftStats) exist to trigger. Stage:
     // the base corpus is indexed (January); a distribution-DRIFTED
@@ -1567,6 +1611,39 @@ object SimilarityQueries {
     "sim_ann_ivf_idx" ->
       s"""WITH $vecsCte, $ivfCtes
          |SELECT q_id, rnk, c_id, cosine FROM ivf_res ORDER BY q_id, rnk""".stripMargin,
+
+    // re-bucketed index == the LSH pipeline over the doubled corpus at
+    // the width the integer rule derives; prefix-stable planes let the
+    // static max-width bucket expression check any runtime width by
+    // masking (the scaled-graph oracle discipline)
+    "sim_ann_lsh_rebucket" ->
+      s"""WITH vecs_base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), vecs AS (
+         |  SELECT vec_id, v FROM vecs_base
+         |  UNION ALL
+         |  SELECT b.vec_id + (SELECT MAX(vec_id) + 1 FROM vecs_base) AS vec_id,
+         |         list_transform(generate_series(1, $Dim), j -> b.v[(j % $Dim) + 1]) AS v
+         |  FROM vecs_base b
+         |), rb_w AS (
+         |  SELECT CAST(COALESCE(MIN(w), $KnnMaxBits) AS BIGINT) AS w
+         |  FROM (SELECT UNNEST(generate_series($LshBits, $KnnMaxBits)) AS w) ws
+         |  WHERE $KnnBucketTarget * (CAST(1 AS BIGINT) << w) >= (SELECT COUNT(*) FROM vecs)
+         |), rb_bucketed AS (
+         |  SELECT vec_id, v,
+         |    (${bucketSqlAt("v", KnnMaxBits)}) & ((CAST(1 AS BIGINT) << (SELECT w FROM rb_w)) - 1) AS bucket
+         |  FROM vecs
+         |), rb_scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |         ${cosineSql("q.v", "c.v")} AS cosine
+         |  FROM rb_bucketed q JOIN rb_bucketed c ON q.bucket = c.bucket
+         |  WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
+         |)
+         |SELECT q_id, rnk, c_id, cosine FROM (
+         |  SELECT q_id, c_id, cosine,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
+         |  FROM rb_scored
+         |) t WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin,
 
     // retrain-from-index == a fresh build over the drifted union corpus
     // (base + the shifted wave at offset ids): the Lloyd sample depends

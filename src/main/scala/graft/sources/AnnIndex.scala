@@ -128,6 +128,37 @@ object AnnIndex {
   def lshCorpus(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/corpus").select("vec_id", "v", "bucket")
 
+  /** Re-bucket the live corpus at a new signature width and swap —
+    * the LSH family's "retrain". The hyperplanes are data-independent
+    * (nothing to re-fit), so LSH's drift dial is per-bucket POPULATION:
+    * every crawl wave grows N / 2^nBits, and an over-full bucket is a
+    * per-probe scan — the same hot-partition failure as the IVF stale
+    * cell, watched by `sim_ann_bucket_stats` and priced by the
+    * knnScaledBits width rule (hold B ≈ N / 2^w). The md5-parity
+    * hyperplane family is PREFIX-STABLE (plane p depends only on
+    * (p, d)), so widening strictly REFINES every existing bucket —
+    * probes at the new width stay consistent with any signature the
+    * old width produced. Liveness comes from the index's own corpus
+    * rows ([[ivfLiveCorpus]] discipline); offline rebuild into the
+    * staging sibling, [[promoteStaged]] swap. One honest caveat the
+    * IVF/PQ retrains don't share: data-independent planes split
+    * UNIFORM mass, not a degenerate tight cluster (near-identical
+    * vectors share every signature at any width) — that pathology is
+    * the dedup family's job before indexing, or IVF's (whose centroids
+    * move to the data).
+    */
+  def rebucketLsh(spark: SparkSession, dir: String, newNBits: Int): Unit = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val dim = meta.getAs[Int]("dim")
+    val parts = meta.getAs[Int]("parts")
+    val stage = s"$dir.retrain"
+    // one write action over the still-immutable live dirs — no
+    // checkpoint needed (the retrainIvf argument)
+    saveLsh(lshCorpus(spark, dir).select("vec_id", "v"), newNBits, dim,
+      stage, parts)
+    promoteStaged(spark, dir, stage)
+  }
+
   /** Incremental index maintenance — [[StateStore.upsertDistributions]]'
     * dynamic-partition-overwrite pattern applied to the LSH layout: the
     * batch's vectors are bucketed with the STORED hyperplanes (read from
@@ -381,6 +412,33 @@ object AnnIndex {
     require(fs.rename(new org.apache.hadoop.fs.Path(stage), cur),
       s"retrain: could not promote $stage")
     fs.delete(old, true)
+  }
+
+  /** The retrain trigger WIRED into the ingest loop — the
+    * [[SegmentStore.appendWithPolicy]] discipline applied to the
+    * quantizer: land the batch through the frozen-quantizer
+    * [[upsertIvf]], read the store-wide quantization gauge (ONE
+    * [[ivfDriftStats]] row — mean own-centroid cosine over every live
+    * row, order-independent by the quantized-BIGINT sum), and when it
+    * falls below `minMeanCcos` run [[retrainIvf]] — so a drifting
+    * ingest stream heals itself at the batch boundary where the gauge
+    * crossed, instead of waiting for an operator to read a report.
+    * The gauge read is one store scan per batch (column-pruned to
+    * (v, cell) + a k-row broadcast); a deployment that ingests many
+    * small batches should sample it or check every Nth batch — the
+    * dial, like the threshold, is policy. Returns true iff this call
+    * retrained.
+    */
+  def upsertIvfWithPolicy(spark: SparkSession, dir: String, batch: DataFrame,
+      k: Int, sampleSize: Int, iters: Int, dim: Int, salt: Int,
+      minMeanCcos: Double): Boolean = {
+    upsertIvf(spark, dir, batch)
+    val mean = ivfDriftStats(spark, dir, lit(true))
+      .collect()(0).getDouble(2) // 1 row: the whole store
+    if (mean < minMeanCcos) {
+      retrainIvf(spark, dir, k, sampleSize, iters, dim, salt)
+      true
+    } else false
   }
 
   /** Incremental IVF maintenance — same dynamic-partition-overwrite

@@ -963,4 +963,41 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!Files.exists(java.nio.file.Paths.get(s"$dir.retrain")))
     assert(!Files.exists(java.nio.file.Paths.get(s"$dir.pre-retrain")))
   }
+
+  test("IVF policy-gated retrain: the gauge is wired into the ingest loop — base batches never retrain, the drift wave does, and the healed store equals the fresh build") {
+    val base = synthVecs(400)
+    val wave = base.filter(col("vec_id") % 2 === 0)
+      .select((col("vec_id") + lit(1000L)).as("vec_id"),
+        transform(col("v"), x => x + lit(2.0)).as("v"))
+    val dir = Files.createTempDirectory("graft_ivfpol_").toString
+    AnnIndex.saveIvf(base.filter(col("vec_id") < 200), k = 8,
+      sampleSize = 128, iters = 2, dim = Dim, salt = 7, dir = dir)
+    def storeMean() = AnnIndex.ivfDriftStats(spark, dir, lit(true))
+      .collect()(0).getDouble(2)
+    val meanBase = storeMean()
+    // dial between the healthy mean and what the wave will drag it to:
+    // a same-distribution batch must never trip it
+    val dial = meanBase - 0.02
+    def cents() = spark.read.parquet(s"$dir/centroids")
+      .collect().map(_.toSeq).toSet
+    val centsBefore = cents()
+    assert(!AnnIndex.upsertIvfWithPolicy(spark, dir,
+      base.filter(col("vec_id") >= 200), 8, 128, 2, Dim, 7, dial),
+      "a same-distribution batch tripped the retrain dial")
+    assert(cents() == centsBefore, "quantizer moved without a retrain")
+    // the drift wave drags the store mean below the dial -> the policy
+    // retrains inside the ingest call
+    assert(AnnIndex.upsertIvfWithPolicy(spark, dir, wave,
+      8, 128, 2, Dim, 7, dial),
+      "the drift wave did not trip the retrain dial")
+    assert(storeMean() > dial, "gauge did not recover after the retrain")
+    // healed store == fresh one-shot build over everything live
+    val union = base.unionByName(wave).localCheckpoint(true)
+    val freshDir = Files.createTempDirectory("graft_ivfpol_fresh_").toString
+    AnnIndex.saveIvf(union, k = 8, sampleSize = 128, iters = 2, dim = Dim,
+      salt = 7, dir = freshDir)
+    def probe(d: String) = AnnIndex.probeIvf(spark, d, queriesOf(union), K, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe(dir) == probe(freshDir))
+  }
 }

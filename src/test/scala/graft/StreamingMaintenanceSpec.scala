@@ -150,4 +150,56 @@ class StreamingMaintenanceSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
     assert(replayed == got, "cluster store changed under re-delivered pairs")
   }
+
+  test("streaming IVF maintenance: the retrain policy fires mid-stream at the batch where the gauge crossed; the healed index equals the fresh build") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Dim = 64
+    def vExpr(id: org.apache.spark.sql.Column) =
+      transform(sequence(lit(1), lit(Dim)),
+        j => (pmod(id * lit(31) + j * lit(17), lit(100)) - lit(50)).cast("double") / lit(50.0))
+    val dir = graft.sources.TempDirs.scratch("graft_ivfstream_")
+    graft.sources.AnnIndex.saveIvf(
+      spark.range(200).select(col("id").as("vec_id"), vExpr(col("id")).as("v")),
+      k = 8, sampleSize = 128, iters = 2, dim = Dim, salt = 7, dir = dir)
+    val dial = graft.sources.AnnIndex.ivfDriftStats(spark, dir, lit(true))
+      .collect()(0).getDouble(2) - 0.02
+    val retrainedAt = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = mem.toDF().toDF("vec_id").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // ids < 1000 are same-distribution; ids >= 1000 are the drifted
+        // crawl wave (+2.0 per component — a new domain cluster)
+        val vecs = batch.select(col("vec_id"),
+          when(col("vec_id") < 1000L, vExpr(col("vec_id")))
+            .otherwise(transform(vExpr(col("vec_id") - 1000L), x => x + lit(2.0)))
+            .as("v"))
+        if (graft.sources.AnnIndex.upsertIvfWithPolicy(spark, dir, vecs,
+          8, 128, 2, Dim, 7, dial)) retrainedAt += batchId
+        ()
+      }.start()
+    try {
+      mem.addData(200L until 300L: _*) // healthy batch 0
+      q.processAllAvailable()
+      mem.addData(300L until 400L: _*) // healthy batch 1
+      q.processAllAvailable()
+      mem.addData(1000L until 1200L: _*) // the drift wave: batch 2
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(retrainedAt.toSeq == Seq(2L),
+      s"retrain fired at batches $retrainedAt, expected exactly the wave batch")
+    // healed index == fresh one-shot build over everything live
+    val union = spark.range(400).select(col("id").as("vec_id"), vExpr(col("id")).as("v"))
+      .unionByName(spark.range(200).select((col("id") + lit(1000L)).as("vec_id"),
+        transform(vExpr(col("id")), x => x + lit(2.0)).as("v")))
+      .localCheckpoint(true)
+    val freshDir = graft.sources.TempDirs.scratch("graft_ivfstream_fresh_")
+    graft.sources.AnnIndex.saveIvf(union, k = 8, sampleSize = 128, iters = 2,
+      dim = Dim, salt = 7, dir = freshDir)
+    val qs = union.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    def probe(d: String) = graft.sources.AnnIndex.probeIvf(spark, d, qs, 5, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe(dir) == probe(freshDir))
+  }
 }
