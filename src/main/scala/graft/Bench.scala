@@ -29,11 +29,23 @@ object Bench {
     // generated code so the timed numbers are steady-state throughput,
     // not first-query JVM warmup (which otherwise dominates whichever
     // query happens to run first).
+    // The warmup timings double as a COST ORDER for the timed passes:
+    // running cheapest-first maximizes the wall-clock separation
+    // between an expensive query's two timed passes (cheap prefix of
+    // pass 2 sits between them), so one host load spike late in a run
+    // can't cover both samples of the expensive tail — min-of-2 stays
+    // contention-immune exactly where a contaminated reading costs the
+    // most. Deterministic (name tiebreak; name order if no warm dir).
     val warmDir = "/root/testdata/sf0.001"
+    val warmT = scala.collection.mutable.Map.empty[String, Double]
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      SparkEntry.queries.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
         try force(fn(spark, warmDir)) catch { case _: Throwable => () }
+        warmT(name) = (System.nanoTime() - t0) / 1e9
       }
+    val ordered = SparkEntry.queries.toSeq
+      .sortBy { case (n, _) => (warmT.getOrElse(n, Double.MaxValue), n) }
     // Timed pass. A query that throws is NOT hidden behind a
     // normal-looking timing: it's reported on stderr immediately and
     // carried in the output JSON's "failed" list so the driver can
@@ -41,7 +53,7 @@ object Bench {
     val loadStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { force(fn(spark, sfDir)) } catch {
         case e: Throwable =>
@@ -68,7 +80,7 @@ object Bench {
     // throw away a completed timed pass
     val passes = math.max(2,
       sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.trim.toIntOption).getOrElse(2))
-    val live = results.toSeq.filterNot { case (n, _) => failed.contains(n) }
+    val live = results.filterNot { case (n, _) => failed.contains(n) }
     val repeats = (2 to passes).foldLeft(live.map { case (n, t) => n -> (t, t) }) {
       (acc, _) =>
         acc.map { case (name, (t1, best)) =>
@@ -94,7 +106,7 @@ object Bench {
     val fs = failed.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val rep = repeats.map { case (k, (a, b)) => s"\"" + k + s"\":[${r4(a)},${r4(b)}]" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // total with each repeated query charged its min-of-2 — the
     // contention-adjusted reading the judge otherwise reconstructs
     val totalMin2 = total - repeats.map { case (_, (a, b)) => a - math.min(a, b) }.sum

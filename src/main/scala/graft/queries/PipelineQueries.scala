@@ -252,6 +252,64 @@ object PipelineQueries {
         greatest(col("tok_off") - col("seq_id") * L, lit(0L)).as("seq_off"))
   }
 
+  /** ASSEMBLED training sequences — the final binarized step past the
+    * [[seqSpans]] assembly map: actual token ids, one positional row
+    * `(shard, seq_id, pos, token_id)` per token slot, under the frozen
+    * BPE tokenizer ([[TextQueries.bpeDocPieceList]]) and its id
+    * vocabulary ([[TextQueries.bpeVocab]]). The arithmetic IS the span
+    * arithmetic restated per token: doc-local piece j at shard-stream
+    * position g = tok_off + j fills slot (seq_id = g div L,
+    * pos = g mod L) — so concatenating a sequence's spans in doc order
+    * and this relation's rows in pos order yield the same token
+    * stream; a spec pins the tiling. Scale shape: ONE shard-local
+    * window (corpus/[[PackShards]] rows per partition — pipe_pack's
+    * exchange), a row-local piece explode, and a broadcast vocab join
+    * (alphabet + [[TextQueries.BpeMerges]] rows); integer-exact on
+    * both engines, so the oracle replays the assembly bit-for-bit.
+    */
+  private[graft] def seqTokens(s: SparkSession, dir: String): DataFrame = {
+    val L = PackSeqLen.toDouble
+    val w = Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pieces = TextQueries.bpeDocPieceList(s, dir)
+      .select(col("doc_id"),
+        (graft.functions.Md5Long60Expr(col("doc_id").cast("string"), PackSalt)
+          % lit(PackShards.toLong)).as("shard"),
+        col("pieces"), size(col("pieces")).cast("long").as("n_toks"))
+    pieces
+      .withColumn("tok_off", sum("n_toks").over(w) - col("n_toks"))
+      .filter(col("n_toks") > 0L)
+      .select(col("shard"), col("tok_off"),
+        posexplode(col("pieces")).as(Seq("j", "piece")))
+      .select(col("shard"), col("piece"),
+        (col("tok_off") + col("j")).as("g"))
+      .select(col("shard"),
+        floor(col("g").cast("double") / lit(L)).cast("long").as("seq_id"),
+        pmod(col("g"), lit(PackSeqLen.toLong)).as("pos"),
+        col("piece"))
+      .join(broadcast(TextQueries.bpeVocab(s, dir)), Seq("piece"))
+      .select("shard", "seq_id", "pos", "token_id")
+  }
+
+  /** Per-shard manifest of a shipped TOKEN artifact, computed from
+    * disk — the [[seqExportManifest]] discipline over assembled
+    * sequences: token/sequence counts and an order-independent
+    * content fingerprint over (seq_id, pos, token_id).
+    */
+  private def seqTokensManifest(s: SparkSession, exportDir: String): DataFrame = {
+    val back = s.read.parquet(exportDir)
+      .select(col("shard").cast("long").as("shard"), col("seq_id"),
+        col("pos"), col("token_id"))
+    val fp = graft.functions.Md5Long60Expr(
+      concat_ws(":", col("seq_id"), col("pos"), col("token_id")), PackSalt)
+    back.groupBy("shard")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct("seq_id").as("n_seqs"),
+        bit_xor(fp).as("content_fp"))
+      .orderBy("shard")
+  }
+
   /** Re-pack ONLY the `touched` shard directories of a shipped span
     * artifact: per-doc token counts are recovered from the stored
     * spans themselves (a doc's last span ends at its n_toks — the
@@ -599,9 +657,33 @@ object PipelineQueries {
 
     // the trainable-batch assembly map: every doc split at sequence
     // boundaries under the FROZEN BPE tokenizer's token counts — see
-    // [[seqSpans]]; integer-exact, so the oracle replays it bit-for-bit
+    // [[seqSpans]]; integer-exact, so the oracle replays it bit-for-bit.
+    // is_doc_start (tok_begin = 0, row-local) marks spans opening a
+    // document so a loader derives attention-reset points without
+    // re-running any per-shard pass.
     "pipe_seqs" -> ((s, dir) =>
-      seqSpans(s, dir).orderBy("shard", "seq_id", "doc_id")),
+      seqSpans(s, dir)
+        .withColumn("is_doc_start", (col("tok_begin") === 0L).cast("boolean"))
+        .orderBy("shard", "seq_id", "doc_id")),
+
+    // the frozen tokenizer's id table — the decode artifact a
+    // dataloader pairs with pipe_seqs_tokens (base alphabet sorted,
+    // then one merged symbol per round in rank order)
+    "pipe_bpe_vocab" -> ((s, dir) =>
+      TextQueries.bpeVocab(s, dir).orderBy("token_id")),
+
+    // ASSEMBLED sequences — token ids in slot order, the file a
+    // trainer's loader mmaps; see [[seqTokens]]
+    "pipe_seqs_tokens" -> ((s, dir) =>
+      seqTokens(s, dir).orderBy("shard", "seq_id", "pos")),
+
+    // the token artifact SHIPPED shard-partitioned and manifested from
+    // disk (the pipe_seqs_export write->read gate at token level)
+    "pipe_seqs_tokens_export" -> ((s, dir) => {
+      val exportDir = graft.sources.TempDirs.scratch("graft_seqtokex_")
+      exportShip(seqTokens(s, dir), exportDir)
+      seqTokensManifest(s, exportDir)
+    }),
 
     // the span artifact SHIPPED shard-partitioned and manifested from
     // disk — the pipe_export write->read gate applied to token-level
@@ -1487,6 +1569,49 @@ object PipelineQueries {
        |  )
        |)""".stripMargin
 
+  /** The [[seqTokens]] assembly in DuckDB: per-doc piece lists from
+    * the unrolled BPE CTEs, ONE shard-local running-sum window, a
+    * zipped parallel UNNEST for (piece, doc-local index), the vocab id
+    * join. `manifest = true` reduces to the per-shard
+    * [[seqTokensManifest]] shape instead of the positional rows.
+    */
+  private def seqTokensSql(manifest: Boolean): String = {
+    val sel =
+      if (!manifest)
+        s"""SELECT shard, seq_id, pos, token_id
+           |FROM tok_ids ORDER BY shard, seq_id, pos""".stripMargin
+      else
+        s"""SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |  CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+           |  CAST(bit_xor(CAST(concat('0x', substr(md5(concat('$PackSalt:',
+           |    CAST(seq_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':' ||
+           |    CAST(token_id AS VARCHAR))), 1, 15)) AS BIGINT)) AS BIGINT) AS content_fp
+           |FROM tok_ids GROUP BY shard ORDER BY shard""".stripMargin
+    s"""WITH ${TextQueries.bpeDocPieceListCtes}, ${TextQueries.bpeVocabCtes}, tok_b AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(concat('$PackSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % $PackShards AS shard,
+       |    pieces, CAST(len(pieces) AS BIGINT) AS n_toks
+       |  FROM bpe_doc_plist
+       |), tok_o AS (
+       |  SELECT doc_id, shard, pieces,
+       |    CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS BIGINT) AS tok_off
+       |  FROM tok_b WHERE n_toks > 0
+       |), tok_g AS (
+       |  SELECT shard, tok_off + j - 1 AS g, piece FROM (
+       |    SELECT shard, tok_off, UNNEST(pieces) AS piece,
+       |      UNNEST(generate_series(1, len(pieces))) AS j
+       |    FROM tok_o
+       |  )
+       |), tok_ids AS (
+       |  SELECT shard,
+       |    CAST(FLOOR(CAST(g AS DOUBLE) / $PackSeqLen.0) AS BIGINT) AS seq_id,
+       |    CAST(g % $PackSeqLen AS BIGINT) AS pos, v.token_id
+       |  FROM tok_g t JOIN bpe_vocab v ON v.piece = t.piece
+       |)
+       |$sel""".stripMargin
+  }
+
   private def seqExportSqlWhere(pred: String): String =
     s"""WITH ${TextQueries.bpeDocPiecesCtes}, ${seqSpansCtesWhere(pred)}, fills AS (
        |  SELECT shard, seq_id,
@@ -1637,8 +1762,23 @@ object PipelineQueries {
     // counts — pure integer arithmetic on both engines
     "pipe_seqs" ->
       s"""WITH ${TextQueries.bpeDocPiecesCtes}, $seqSpansCtes
-         |SELECT shard, seq_id, doc_id, tok_begin, tok_end, seq_off
+         |SELECT shard, seq_id, doc_id, tok_begin, tok_end, seq_off,
+         |  (tok_begin = 0) AS is_doc_start
          |FROM seq_spans ORDER BY shard, seq_id, doc_id""".stripMargin,
+
+    // the id table re-derived from the unrolled training CTEs: alphabet
+    // ids by sorted order, merge symbols at |alphabet| + rank - 1
+    "pipe_bpe_vocab" ->
+      s"""WITH ${TextQueries.bpeDocPieceListCtes}, ${TextQueries.bpeVocabCtes}
+         |SELECT piece, token_id FROM bpe_vocab ORDER BY token_id""".stripMargin,
+
+    // the assembled token stream replayed in SQL: per-doc piece lists
+    // through the shard-stream arithmetic, ids from the vocab
+    "pipe_seqs_tokens" -> seqTokensSql(false),
+
+    // ship -> read-back -> manifest must equal the manifest of the
+    // assembly arithmetic itself
+    "pipe_seqs_tokens_export" -> seqTokensSql(true),
 
     // ship -> read-back -> manifest must equal the manifest of the
     // packing arithmetic itself (the pipe_export discipline)

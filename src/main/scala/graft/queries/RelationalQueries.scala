@@ -569,6 +569,12 @@ object RelationalQueries {
     * retracted since the last re-freeze. O(1) per takedown batch — no
     * store scan, no bloom read. Kept beside (not inside) the bloom row
     * so the ingest path's sidecar merges never have to carry it.
+    * UNIT CONTRACT: `nRetired` must count FINALIZED-store rows that
+    * actually left (the same unit as the frozen n_items the staleFrac
+    * dial divides by) — the takedown path counts them with one read
+    * pruned to the partitions it is about to rewrite. Feeding raw
+    * retracted-id counts would over-accumulate (never-finalized ids,
+    * repeat takedowns) and fire the store-sized re-freeze early.
     */
   private[graft] def funnelSidecarRetire(s: SparkSession, bloomPath: String,
       nRetired: Long): Unit = {
@@ -1331,10 +1337,23 @@ object RelationalQueries {
       val delParts = del
         .select(pmod(col("user_id"), lit(parts)).as("part"))
         .distinct().collect().map(_.getLong(0)).toSeq // <= 16 rows
+      // the ledger counts FINALIZED rows actually leaving — the same
+      // unit as the frozen n_items — not raw retracted ids: ids never
+      // finalized (or already removed by a repeat takedown) would
+      // over-accumulate staleness and fire the store-sized re-freeze
+      // earlier than the dial intends. One read, pruned to the same
+      // partitions the delete is about to rewrite anyway.
+      val nRetired =
+        if (!hasPartData(s, resPath)) 0L
+        else s.read.parquet(resPath)
+          .filter(col("part").isin(delParts.map(Long.box): _*) &&
+            col("user_id").isNotNull)
+          .join(del, Seq("user_id"), "left_semi")
+          .count()
       for (p <- Seq(resPath, pendPath) if hasPartData(s, p))
         graft.sources.AnnIndex.deleteRowsInParts(
           s, p, "user_id", "part", del, delParts)
-      funnelSidecarRetire(s, bloomPath, del.count()) // ledger only, O(1)
+      funnelSidecarRetire(s, bloomPath, nRetired) // ledger only, touched-parts read
       funnelSidecarMaintain(s, resPath, bloomPath)
       funnelStoreRead(s, resPath, pendPath,
         // empty-store fallback must also exclude the retracted users

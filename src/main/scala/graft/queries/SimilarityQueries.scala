@@ -1016,6 +1016,35 @@ object SimilarityQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // OPQ PERM-DRIFT GAUGE — the health report for the one frozen
+    // artifact the PQ retrain deliberately preserves: the permutation
+    // was fit to balance per-subspace variance over the BASE corpus
+    // (Ge et al.'s data-dependent objective), so a drift wave that
+    // reorders per-dimension variances silently invalidates the
+    // allocation even while codebooks re-fit cleanly. Stage:
+    // perm-trained PQ index, bulk load, drifted upsert; reading =
+    // per-subspace variance mass in the index's PERMUTED space over
+    // the live set (integer-grid scores summed as DECIMAL(38,0) —
+    // order-independent, engine-exact). The max/min ratio is the
+    // dial; the response is retrainPq(refitPerm = true), spec-pinned
+    // in AnnIndexSpec (re-balance + bit-exact vs the fresh permuted
+    // build). Oracle: the snake-deal assignment replayed from the
+    // base-corpus scores + the union's per-dim scores re-aggregated
+    // per assigned subspace.
+    "sim_ann_opq_drift" -> ((s, dir) => {
+      val idxDir = graft.sources.TempDirs.scratch("graft_opqdrift_")
+      val all = vecs(s, dir)
+      val perm = Similarity.opqPermutation(all, Dim, PqM)
+      graft.sources.AnnIndex.trainPq(all, PqM, PqSub, PqK, IvfSample,
+        PqIters, PqSalt, idxDir, perm = perm)
+      graft.sources.AnnIndex.upsertPq(s, idxDir, all) // bulk load
+      val (drift, _) = driftWave(all)
+      graft.sources.AnnIndex.upsertPq(s, idxDir, drift)
+      graft.sources.AnnIndex
+        .opqSubspaceVarStats(s, idxDir, all.unionByName(drift))
+        .orderBy("subspace")
+    }),
+
     // Persisted IVF+PQ: the full two-level storage layout — codes table
     // PARTITIONED BY CELL on disk, so the probe's routing is literal
     // parquet partition pruning (AnnIndexSpec pins PartitionFilters in
@@ -1665,6 +1694,41 @@ object SimilarityQueries {
     "sim_ann_pq_retrain" ->
       s"""WITH $driftVecsCtes, $pqCtes, $pqResCtes
          |SELECT q_id, rnk, c_id, adc FROM pq_res ORDER BY q_id, rnk""".stripMargin,
+
+    // the snake-deal perm replayed from base-corpus integer scores,
+    // union per-dim scores re-aggregated per assigned subspace — all
+    // integer/decimal arithmetic, engine-exact
+    "sim_ann_opq_drift" ->
+      s"""WITH $driftVecsCtes, dim_q AS (
+         |  SELECT pos - 1 AS pos, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(FLOOR(x * 10000.0) AS BIGINT)) AS BIGINT) AS sq,
+         |    CAST(SUM(CAST(FLOOR(x * 10000.0) AS BIGINT)
+         |      * CAST(FLOOR(x * 10000.0) AS BIGINT)) AS BIGINT) AS sq2
+         |  FROM (SELECT UNNEST(v) AS x,
+         |          UNNEST(generate_series(1, len(v))) AS pos FROM vecs_base)
+         |  GROUP BY 1
+         |), perm_rank AS (
+         |  SELECT pos,
+         |    ROW_NUMBER() OVER (ORDER BY (n * sq2 - sq * sq) DESC, pos) - 1 AS rk
+         |  FROM dim_q
+         |), sub_assign AS (
+         |  SELECT pos, CASE WHEN (rk // $PqM) % 2 = 0 THEN rk % $PqM
+         |    ELSE $PqM - 1 - (rk % $PqM) END AS subspace
+         |  FROM perm_rank
+         |), union_q AS (
+         |  SELECT pos - 1 AS pos, CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         |    CAST(SUM(CAST(FLOOR(x * 10000.0) AS BIGINT)) AS DECIMAL(38,0)) AS sq,
+         |    CAST(SUM(CAST(FLOOR(x * 10000.0) AS BIGINT)
+         |      * CAST(FLOOR(x * 10000.0) AS BIGINT)) AS DECIMAL(38,0)) AS sq2
+         |  FROM (SELECT UNNEST(v) AS x,
+         |          UNNEST(generate_series(1, len(v))) AS pos FROM vecs)
+         |  GROUP BY 1
+         |)
+         |SELECT CAST(subspace AS BIGINT) AS subspace,
+         |  CAST(COUNT(*) AS BIGINT) AS n_dims,
+         |  CAST(SUM(n * sq2 - sq * sq) AS DECIMAL(38,0)) AS var_score
+         |FROM union_q JOIN sub_assign USING (pos)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sim_ann_pq_idx" ->
       s"""WITH $vecsCte, $pqCtes, $pqResCtes

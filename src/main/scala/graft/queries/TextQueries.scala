@@ -401,6 +401,58 @@ object TextQueries {
   private def bpePieceLen(c: org.apache.spark.sql.Column) =
     (length(c) - length(replace(c, lit("<"), lit("")))).cast("long")
 
+  /** Per-document BPE piece SEQUENCE under the frozen artifact — the
+    * materialization [[bpeDocPieces]] only counts: one row per doc
+    * carrying the ordered piece array (flattened across whitespace
+    * tokens, document order preserved). `pipe_seqs_tokens` explodes
+    * it through the shard-stream arithmetic into dataloader-ready
+    * token ids. Row-local column work (the frozen merge replaces +
+    * piece splits) — no shuffle; `size(pieces)` equals
+    * [[bpeDocPieces]]' n_toks by construction, so the assembled
+    * sequences tile exactly the spans `pipe_seqs` ships.
+    */
+  private[graft] def bpeDocPieceList(s: SparkSession, dir: String): DataFrame = {
+    val merges = graft.sources.BpeStore
+      .load(s, bpeEnsureArtifact(s, dir)).map(r => (r._2, r._3))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        flatten(transform(TextAnalysis.tokens(col("text")), t => {
+          val m = bpeApplied(merges)(t)
+          // "<ab><c>" -> ["ab", "c"]: strip the outer delimiters, split
+          // on the inner ones (the bpePieceLen counting, materialized)
+          split(m.substr(lit(2), length(m) - lit(2)), "><")
+        })).as("pieces"))
+  }
+
+  /** The frozen tokenizer's VOCABULARY with integer token ids — the
+    * standard BPE id assignment: the corpus base alphabet (distinct
+    * single characters of the whitespace tokens, sorted) takes ids
+    * 0..|A|-1, then each merge round's new symbol (lhs+rhs) takes the
+    * next id in rank order. Every piece [[bpeDocPieceList]] emits is
+    * either a base character or a merged symbol, so the vocabulary
+    * covers the piece space exactly. Ids are assigned BEFORE deduping
+    * (two merge rounds can in principle synthesize the same string,
+    * e.g. ab+c and a+bc); duplicates keep their FIRST id and later
+    * ids stay consumed — deterministic on both engines. Bounded
+    * driver-side work: the alphabet + [[BpeMerges]] rows.
+    */
+  private[graft] def bpeVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = graft.sources.BpeStore.load(s, bpeEnsureArtifact(s, dir))
+    val alphabet = Tables.documents(s, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .select(explode(transform(sequence(lit(1), length(col("t"))),
+        i => col("t").substr(i, lit(1)))).as("p"))
+      .distinct()
+      .collect().map(_.getString(0)).sorted // bounded: the corpus alphabet
+    val syms = alphabet.toSeq ++ merges.sortBy(_._1).map(r => r._2 + r._3)
+    syms.zipWithIndex
+      .groupBy(_._1).view.mapValues(_.map(_._2).min.toLong).toSeq
+      .map { case (p, id) => (p, id) }
+      .sortBy(_._2)
+      .toDF("piece", "token_id")
+  }
+
   /** Per-document piece count under the frozen corpus-fitted tokenizer
     * — the token counter a training-sequence packer budgets by
     * (pipe_seqs). One row per document: (doc_id, n_toks).
@@ -1212,6 +1264,59 @@ object TextQueries {
        |            t -> t != '') AS toks FROM documents)
        |    CROSS JOIN bpe_mg
        |  )
+       |)""".stripMargin
+  }
+
+  /** [[bpeDocPiecesCtes]]' piece-LIST sibling: `bpe_doc_plist` with
+    * per-doc ORDERED piece arrays (the [[bpeDocPieceList]] oracle
+    * form). Includes the rounds + bpe_mg CTEs, so compose it the same
+    * way.
+    */
+  private[graft] lazy val bpeDocPieceListCtes: String = {
+    val mgCols = (1 to BpeMerges).map(r =>
+      s"(SELECT a FROM t$r) AS a$r, (SELECT b FROM t$r) AS b$r").mkString(", ")
+    val wrap = "'<' || array_to_string(list_transform(" +
+      "generate_series(1, length(t)), i -> substr(t, i, 1)), '><') || '>'"
+    val rep = (1 to BpeMerges).foldLeft(wrap) { (acc, r) =>
+      s"replace($acc, '<' || a$r || '><' || b$r || '>', '<' || a$r || b$r || '>')"
+    }
+    s"""$bpeRoundsCtes, bpe_mg AS (
+       |  SELECT $mgCols
+       |), bpe_doc_plist AS (
+       |  SELECT doc_id, flatten(list_transform(ms,
+       |    m -> string_split(substr(m, 2, length(m) - 2), '><'))) AS pieces
+       |  FROM (
+       |    SELECT doc_id, list_transform(toks, t -> $rep) AS ms
+       |    FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+       |            t -> t != '') AS toks FROM documents)
+       |    CROSS JOIN bpe_mg
+       |  )
+       |)""".stripMargin
+  }
+
+  /** The [[bpeVocab]] id assignment as CTEs (`bpe_vocab`): alphabet
+    * ids by sorted order, merge symbols at |alphabet| + rank - 1, ids
+    * assigned before the MIN-dedupe — composes after
+    * [[bpeDocPieceListCtes]] (needs its `bpe_mg`).
+    */
+  private[graft] lazy val bpeVocabCtes: String = {
+    val mergeRows = (1 to BpeMerges).map(r =>
+      s"SELECT a$r || b$r AS piece, (SELECT n FROM bpe_nalpha) + ${r - 1} AS tid FROM bpe_mg")
+      .mkString("\n    UNION ALL\n    ")
+    s"""bpe_alpha AS (
+       |  SELECT DISTINCT UNNEST(list_transform(generate_series(1, length(t)),
+       |    i -> substr(t, i, 1))) AS p
+       |  FROM (SELECT UNNEST(list_filter(string_split(text, ' '),
+       |          t -> t != '')) AS t FROM documents)
+       |), bpe_nalpha AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bpe_alpha
+       |), bpe_vocab AS (
+       |  SELECT piece, CAST(MIN(tid) AS BIGINT) AS token_id FROM (
+       |    SELECT p AS piece,
+       |      ROW_NUMBER() OVER (ORDER BY p) - 1 AS tid FROM bpe_alpha
+       |    UNION ALL
+       |    $mergeRows
+       |  ) GROUP BY piece
        |)""".stripMargin
   }
 

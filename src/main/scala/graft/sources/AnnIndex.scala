@@ -126,7 +126,7 @@ object AnnIndex {
 
   /** The full bucketed corpus (no pruning) — for rebuilds / audits. */
   def lshCorpus(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/corpus").select("vec_id", "v", "bucket")
+    readIndex(spark, dir, "corpus").select("vec_id", "v", "bucket")
 
   /** Re-bucket the live corpus at a new signature width and swap —
     * the LSH family's "retrain". The hyperplanes are data-independent
@@ -148,7 +148,7 @@ object AnnIndex {
     * move to the data).
     */
   def rebucketLsh(spark: SparkSession, dir: String, newNBits: Int): Unit = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = readIndex(spark, dir, "meta").head()
     val dim = meta.getAs[Int]("dim")
     val parts = meta.getAs[Int]("parts")
     val stage = s"$dir.retrain"
@@ -171,7 +171,7 @@ object AnnIndex {
     * orders of magnitude larger than any one batch.
     */
   def upsertLsh(spark: SparkSession, dir: String, vecs: DataFrame): Unit = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = readIndex(spark, dir, "meta").head()
     val nBits = meta.getAs[Int]("n_bits")
     val dim = meta.getAs[Int]("dim")
     val parts = meta.getAs[Int]("parts")
@@ -188,12 +188,12 @@ object AnnIndex {
     // directory would leave the stale row behind in the old one).
     val newParts = staged.select("part").distinct()
       .collect().map(_.getLong(0)) // bounded by parts, driver-safe
-    val oldParts = spark.read.parquet(s"$dir/corpus")
+    val oldParts = readIndex(spark, dir, "corpus")
       .join(staged.select("vec_id"), Seq("vec_id"))
       .select(col("part").cast("long")).distinct()
       .collect().map(_.getLong(0))
     val partIds = (newParts ++ oldParts).distinct
-    val kept = spark.read.parquet(s"$dir/corpus")
+    val kept = readIndex(spark, dir, "corpus")
       .filter(col("part").isin(partIds.map(Long.box): _*))
       .join(staged.select("vec_id"), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("v"), col("bucket"),
@@ -219,6 +219,47 @@ object AnnIndex {
     }
   }
 
+  /** The bucket-target width rule, integer-exact: the
+    * smallest width in [minBits, maxBits] whose bucket space holds `n`
+    * rows at ~`bucketTarget` per bucket (`bucketTarget << w >= n`),
+    * clamping at maxBits. The same rule `sim_ann_knn_scaled` derives
+    * its signature width from — lifted here so the wired LSH policy
+    * and the query layer can never fork it.
+    */
+  private[graft] def lshWidthFor(n: Long, bucketTarget: Int, minBits: Int,
+                                 maxBits: Int): Int =
+    (minBits to maxBits)
+      .find(w => (bucketTarget.toLong << w) >= n)
+      .getOrElse(maxBits)
+
+  /** The LSH arm of the wired maintenance policy. LSH's hyperplanes are
+    * data-independent — nothing to re-fit — so its drift dial is
+    * per-bucket POPULATION, not quantization quality: every crawl wave
+    * grows N / 2^nBits, and an over-full bucket is a per-probe scan
+    * (the hot-cell failure [[rebucketLsh]]'s scaladoc names). The
+    * policy lands the batch through the frozen-width [[upsertLsh]],
+    * then (every `checkEvery`-th batch — population drift is monotone
+    * and slow, so amortizing the count costs at most checkEvery
+    * batches of lag, unlike a quantization wave) counts the live
+    * corpus (a parquet metadata-only aggregate — no row data read) and
+    * re-buckets at [[lshWidthFor]]'s derived width when the corpus
+    * outgrew the current one. Prefix-stable planes make the widened
+    * index strictly refine the old buckets. Returns true iff this
+    * call re-bucketed.
+    */
+  def upsertLshWithPolicy(spark: SparkSession, dir: String, batch: DataFrame,
+      bucketTarget: Int, maxBits: Int, checkEvery: Int = 1): Boolean = {
+    upsertLsh(spark, dir, batch)
+    if (!policyCounterBump(spark, dir, checkEvery)) return false
+    val nBits = readIndex(spark, dir, "meta").head().getAs[Int]("n_bits")
+    val n = readIndex(spark, dir, "corpus").count()
+    val needed = lshWidthFor(n, bucketTarget, nBits, maxBits)
+    if (needed > nBits) {
+      rebucketLsh(spark, dir, needed)
+      true
+    } else false
+  }
+
   /** TAKEDOWN for the LSH layout — [[upsertLsh]] inverted: the
     * retracted ids' rows are located with ONE column-pruned scan
     * (vec_id, part — the bucket is content-derived, so unlike the
@@ -230,6 +271,7 @@ object AnnIndex {
     * without the retracted vectors. Unknown ids are no-ops.
     */
   def deleteLsh(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    recoverPromotion(spark, dir)
     val del = ids.select(col("vec_id")).distinct().localCheckpoint(true)
     if (del.isEmpty) return
     deleteRowsInParts(spark, s"$dir/corpus", "vec_id", "part", del,
@@ -243,6 +285,7 @@ object AnnIndex {
     * assignment of the corpus-without against the same centroids.
     */
   def deleteIvf(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    recoverPromotion(spark, dir)
     val del = ids.select(col("vec_id")).distinct().localCheckpoint(true)
     if (del.isEmpty) return
     deleteRowsInParts(spark, s"$dir/assign", "vec_id", "cell", del,
@@ -256,7 +299,7 @@ object AnnIndex {
     * the same quantizer.
     */
   def deletePq(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = readIndex(spark, dir, "meta").head()
     val parts = meta.getAs[Int]("parts")
     val del = ids.select(col("vec_id")).distinct()
       .withColumn("part", pmod(col("vec_id"), lit(parts.toLong)))
@@ -271,6 +314,7 @@ object AnnIndex {
     * content-derived — locate scan, frozen quantizers).
     */
   def deleteIvfPq(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    recoverPromotion(spark, dir)
     val del = ids.select(col("vec_id")).distinct().localCheckpoint(true)
     if (del.isEmpty || !pathExists(spark, s"$dir/codes")) return
     deleteRowsInParts(spark, s"$dir/codes", "vec_id", "cell", del,
@@ -285,7 +329,7 @@ object AnnIndex {
     */
   def probeLsh(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
                masks: Seq[Long] = Seq(0L)): DataFrame = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = readIndex(spark, dir, "meta").head()
     val nBits = meta.getAs[Int]("n_bits")
     val dim = meta.getAs[Int]("dim")
     val parts = meta.getAs[Int]("parts")
@@ -299,7 +343,7 @@ object AnnIndex {
     // the partition filter folds to literals => directory-level pruning.
     val buckets = probes.select("bucket").distinct().collect().map(_.getLong(0))
     val partIds = buckets.map(b => ((b % parts) + parts) % parts).distinct
-    val c = spark.read.parquet(s"$dir/corpus")
+    val c = readIndex(spark, dir, "corpus")
       .filter(col("part").isin(partIds.map(Long.box): _*) &&
         col("bucket").isin(buckets.map(Long.box): _*))
       .select(col("vec_id").as("c_id"), col("v").as("c_v"), col("bucket"))
@@ -335,7 +379,7 @@ object AnnIndex {
 
   /** Stored centroids (k rows). */
   def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/centroids")
+    readIndex(spark, dir, "centroids")
 
   /** The live corpus as the index itself holds it — `(vec_id, v)` read
     * back from the cell-partitioned assignment. This is the retrain
@@ -344,7 +388,7 @@ object AnnIndex {
     * which vectors are live.
     */
   def ivfLiveCorpus(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/assign").select(col("vec_id"), col("v"))
+    readIndex(spark, dir, "assign").select(col("vec_id"), col("v"))
 
   /** Quantizer-health gauge for the retrain decision, computed from the
     * STORED index only (no re-assignment pass): each live row's cosine
@@ -355,10 +399,11 @@ object AnnIndex {
     * `(is_suspect, pop, mean_ccos)` — 2 rows.
     */
   def ivfDriftStats(spark: SparkSession, dir: String,
-                    suspect: org.apache.spark.sql.Column): DataFrame = {
+                    suspect: org.apache.spark.sql.Column,
+                    sampleMod: Long = 1L): DataFrame = {
     val cents = broadcast(ivfCentroids(spark, dir)
       .select(col("cent_id").as("cell"), col("cv")))
-    spark.read.parquet(s"$dir/assign")
+    sampleRows(readIndex(spark, dir, "assign"), sampleMod)
       .select(col("vec_id"), col("v"), col("cell").cast("long").as("cell"))
       .join(cents, Seq("cell"))
       .select(suspect.as("is_suspect"),
@@ -399,10 +444,13 @@ object AnnIndex {
     * index serves probes until the first rename; total downtime is two
     * renames (atomic on HDFS-like stores — an object store without
     * atomic rename should version the prefix and flip a pointer
-    * instead).
+    * instead). A crash between the renames parks a COMPLETE copy with
+    * the live dir briefly absent — [[recoverPromotion]] rolls that
+    * state forward from every index entry point.
     */
   private def promoteStaged(spark: SparkSession, dir: String,
                             stage: String): Unit = {
+    recoverPromotion(spark, dir) // resume a prior crashed swap first
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new org.apache.hadoop.fs.Path(dir)
@@ -412,6 +460,36 @@ object AnnIndex {
     require(fs.rename(new org.apache.hadoop.fs.Path(stage), cur),
       s"retrain: could not promote $stage")
     fs.delete(old, true)
+  }
+
+  /** Roll a crashed [[promoteStaged]] forward — the [[SegmentStore]]
+    * recover discipline applied to the index swap. The swap's only
+    * dir-absent states are (a) between its two renames: the retrain
+    * build COMPLETED (`$dir.retrain` only exists fully built — the
+    * retire rename runs after the staging build's last write action)
+    * and the live dir was retired — finish the promotion with one
+    * rename; (b) no staging build exists (shouldn't arise from the
+    * swap's ordering, but a stray manual delete could) — restore the
+    * retired copy. Both-present (crash after publish, before cleanup)
+    * needs nothing: the live dir wins and the stale retired copy is
+    * dropped by the next swap. Called from every public entry point —
+    * one driver-side `exists` probe when the index is healthy.
+    */
+  private[graft] def recoverPromotion(spark: SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(cur)) return
+    val stage = new org.apache.hadoop.fs.Path(s"$dir.retrain")
+    val old = new org.apache.hadoop.fs.Path(s"$dir.pre-retrain")
+    if (fs.exists(stage)) {
+      require(fs.rename(stage, cur),
+        s"retrain recovery: could not promote $stage")
+      fs.delete(old, true)
+    } else if (fs.exists(old)) {
+      require(fs.rename(old, cur),
+        s"retrain recovery: could not restore $old")
+    }
   }
 
   /** The retrain trigger WIRED into the ingest loop — the
@@ -428,17 +506,48 @@ object AnnIndex {
     * small batches should sample it or check every Nth batch — the
     * dial, like the threshold, is policy. Returns true iff this call
     * retrained.
+    *
+    * Cost dials (all default to the round-14 behavior — gauge the full
+    * store every batch):
+    *
+    *   - `minBatchMeanCcos`: a SECOND dial on the incoming batch's OWN
+    *     mean own-centroid cosine, computed from the staged assignment
+    *     (O(batch) — no store read at all). This is the
+    *     dilution fix: a small badly-quantizing drift wave into a large
+    *     healthy store barely moves the store-wide mean, but its own
+    *     population mean is degenerate immediately — so the batch dial
+    *     trips at the wave's OWN batch regardless of store size.
+    *   - `checkEvery`: run the store-wide gauge only every Nth batch
+    *     ([[policyCounterBump]]) — K small batches pay at most one
+    *     store scan. The batch dial still runs on every batch, so
+    *     amortizing the store scan never delays wave detection; what
+    *     it defers (by < checkEvery batches) is the CUMULATIVE-drift
+    *     response no single batch exhibits.
+    *   - `gaugeSampleMod`: gauge on a deterministic 1/mod hash-sample
+    *     of live rows ([[sampleRows]]) — the store scan itself shrinks
+    *     by mod while staying order-independent and run-reproducible.
     */
   def upsertIvfWithPolicy(spark: SparkSession, dir: String, batch: DataFrame,
       k: Int, sampleSize: Int, iters: Int, dim: Int, salt: Int,
-      minMeanCcos: Double): Boolean = {
-    upsertIvf(spark, dir, batch)
-    val mean = ivfDriftStats(spark, dir, lit(true))
-      .collect()(0).getDouble(2) // 1 row: the whole store
-    if (mean < minMeanCcos) {
+      minMeanCcos: Double,
+      minBatchMeanCcos: Double = Double.NegativeInfinity,
+      checkEvery: Int = 1, gaugeSampleMod: Long = 1L): Boolean = {
+    val cents = broadcast(ivfCentroids(spark, dir))
+    requireUniqueKeys(batch.select("vec_id"), "vec_id")
+    val staged = assignIvf(batch, cents).localCheckpoint(true)
+    upsertIvfStaged(spark, dir, staged.drop("ccos"))
+    // bump ONCE per ingest call, before any retrain (the counter file
+    // dies with the dir on the swap — a healed store restarts cadence)
+    val storeCheckDue = policyCounterBump(spark, dir, checkEvery)
+    def retrain(): Boolean = {
       retrainIvf(spark, dir, k, sampleSize, iters, dim, salt)
       true
-    } else false
+    }
+    if (stagedMeanCcos(staged).exists(_ < minBatchMeanCcos)) retrain()
+    else if (storeCheckDue &&
+      ivfDriftStats(spark, dir, lit(true), gaugeSampleMod)
+        .collect()(0).getDouble(2) < minMeanCcos) retrain()
+    else false
   }
 
   /** Incremental IVF maintenance — same dynamic-partition-overwrite
@@ -454,27 +563,43 @@ object AnnIndex {
     */
   def upsertIvf(spark: SparkSession, dir: String, vecs: DataFrame): Unit = {
     val cents = broadcast(ivfCentroids(spark, dir))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
     // check the RAW batch: the assignment's per-vec_id rank window would
     // silently collapse a duplicate key (keeping an arbitrary vector's
     // cell) before a post-assignment check could see it — the same
     // ordering upsertPq/upsertIvfPq use
     requireUniqueKeys(vecs.select("vec_id"), "vec_id")
-    val staged = vecs.crossJoin(cents)
+    val staged = assignIvf(vecs, cents).drop("ccos").localCheckpoint(true)
+    upsertIvfStaged(spark, dir, staged)
+  }
+
+  /** Nearest-stored-centroid assignment, KEEPING each row's own-centroid
+    * cosine — the one assignment definition [[upsertIvf]] and the wired
+    * policy share, so the policy's batch gauge scores exactly what the
+    * upsert stores (no second cross-join).
+    */
+  private def assignIvf(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    vecs.crossJoin(cents)
       .withColumn("ccos", Dedup.cosine(col("v"), col("cv")))
       .withColumn("crn", row_number().over(wAssign))
       .filter(col("crn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
-      .localCheckpoint(true)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("v"), col("ccos"))
+  }
+
+  /** The merge half of [[upsertIvf]], over an already-materialized
+    * `(vec_id, cell, v)` stage.
+    */
+  private def upsertIvfStaged(spark: SparkSession, dir: String,
+                              staged: DataFrame): Unit = {
     if (staged.isEmpty) return
     val newCells = staged.select("cell").distinct()
       .collect().map(_.getLong(0)) // bounded by k, driver-safe
-    val oldCells = spark.read.parquet(s"$dir/assign")
+    val oldCells = readIndex(spark, dir, "assign")
       .join(staged.select("vec_id"), Seq("vec_id"))
       .select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0))
     val cellIds = (newCells ++ oldCells).distinct
-    val kept = spark.read.parquet(s"$dir/assign")
+    val kept = readIndex(spark, dir, "assign")
       .filter(col("cell").isin(cellIds.map(Long.box): _*))
       .join(staged.select("vec_id"), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell").cast("long").as("cell"), col("v"))
@@ -510,7 +635,7 @@ object AnnIndex {
       .select(col("q_id"), col("q_v"), col("cent_id").as("cell"))
       .localCheckpoint(true)
     val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
-    val assign = spark.read.parquet(s"$dir/assign")
+    val assign = readIndex(spark, dir, "assign")
       .filter(col("cell").isin(cells.map(Long.box): _*))
       .select(col("vec_id").as("c_id"), col("v").as("c_v"), col("cell"))
     val scored = broadcast(probes).join(assign, Seq("cell"))
@@ -652,6 +777,76 @@ object AnnIndex {
   private def storedCodebooks(spark: SparkSession, dir: String, m: Int): Seq[DataFrame] =
     (0 until m).map(mm => spark.read.parquet(s"$dir/codebook/m=$mm"))
 
+  /** Gauge-cadence counter for the `*WithPolicy` ingest loops — the
+    * "check every Nth batch" dial the wired policies' scaladoc names.
+    * One small text file inside the index dir, read+rewritten per
+    * policy call (driver-side, no Spark job): returns true when the
+    * store-wide gauge is DUE this batch (every `checkEvery`-th call),
+    * false otherwise. The file deliberately dies with the dir on a
+    * retrain swap — a freshly-retrained index starts a fresh cadence,
+    * so the first post-heal store scan is a full interval away. The
+    * counter is per-store single-writer like the ingest loop itself.
+    */
+  private def policyCounterBump(spark: SparkSession, dir: String,
+                                checkEvery: Int): Boolean = {
+    if (checkEvery <= 1) return true
+    val p = new org.apache.hadoop.fs.Path(s"$dir/policy.count")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n =
+      if (!f.exists(p)) 0
+      else {
+        val in = f.open(p)
+        try {
+          val b = new Array[Byte](32)
+          val len = in.read(b)
+          new String(b, 0, math.max(len, 0), "UTF-8").trim.toInt
+        } finally in.close()
+      }
+    val due = n + 1 >= checkEvery
+    val out = f.create(p, true)
+    try out.write((if (due) "0" else (n + 1).toString).getBytes("UTF-8"))
+    finally out.close()
+    due
+  }
+
+  /** Deterministic hash-sample of an index relation for the amortized
+    * store-wide gauges: keeps rows whose `pmod(xxhash64(vec_id),
+    * sampleMod) = 0` — 1/sampleMod of the store, the SAME rows every
+    * call (xxhash64 of a literal-seeded column is deterministic), so
+    * the sampled 1e-9-quantized BIGINT sums stay order-independent AND
+    * run-reproducible. `sampleMod <= 1` is the full store.
+    */
+  private def sampleRows(rows: DataFrame, sampleMod: Long): DataFrame =
+    if (sampleMod <= 1L) rows
+    else rows.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+
+  /** Mean own-centroid cosine of a staged assignment carrying a `ccos`
+    * column — the BATCH-population gauge the wired policies run every
+    * batch: O(batch) rows, so detection sensitivity is independent of
+    * store size (a small badly-quantizing wave into a large healthy
+    * store trips THIS dial even while it can't move the store-wide
+    * mean). Same 1e-9-quantized BIGINT sum as [[ivfDriftStats]], so
+    * the two dials share a scale. None on an empty batch.
+    */
+  private def stagedMeanCcos(staged: DataFrame): Option[Double] = {
+    val r = staged
+      .agg(sum(floor(col("ccos") * lit(1.0e9)).cast("long")).as("s"),
+        count(lit(1)).as("n")).head()
+    if (r.isNullAt(0) || r.getLong(1) == 0L) None
+    else Some(r.getLong(0).toDouble / r.getLong(1).toDouble / 1.0e9)
+  }
+
+  /** Entry-gated read of an index component: every public read/maintain
+    * path enters the store through this, so a crashed [[promoteStaged]]
+    * (live dir parked at `.retrain`/`.pre-retrain`) rolls forward
+    * before any plan is built instead of throwing path-not-found until
+    * an operator renames by hand. One driver-side `exists` when healthy.
+    */
+  private def readIndex(spark: SparkSession, dir: String, sub: String): DataFrame = {
+    recoverPromotion(spark, dir)
+    spark.read.parquet(s"$dir/$sub")
+  }
+
   private def pathExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -681,7 +876,7 @@ object AnnIndex {
     * codes) is a rebuild via [[savePq]], deliberately not an upsert.
     */
   def upsertPq(spark: SparkSession, dir: String, vecs: DataFrame): Unit = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = readIndex(spark, dir, "meta").head()
     val m = meta.getAs[Int]("m")
     val sub = meta.getAs[Int]("sub")
     val parts = meta.getAs[Int]("parts")
@@ -693,6 +888,14 @@ object AnnIndex {
         m, sub, storedCodebooks(spark, dir, m))
       .withColumn("part", pmod(col("vec_id"), lit(parts.toLong)))
       .localCheckpoint(true) // materialize before overwriting the source
+    upsertPqStaged(spark, dir, staged)
+  }
+
+  /** The merge half of [[upsertPq]], over an already-materialized
+    * `(vec_id, code0..code{m-1}, part)` stage.
+    */
+  private def upsertPqStaged(spark: SparkSession, dir: String,
+                             staged: DataFrame): Unit = {
     if (staged.isEmpty) return
     val codesPath = s"$dir/codes"
     val merged =
@@ -726,12 +929,25 @@ object AnnIndex {
     * subspace) pair.
     */
   def pqDriftStats(spark: SparkSession, dir: String, store: DataFrame,
-                   suspect: org.apache.spark.sql.Column): DataFrame = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+                   suspect: org.apache.spark.sql.Column,
+                   sampleMod: Long = 1L): DataFrame = {
+    val meta = readIndex(spark, dir, "meta").head()
     val m = meta.getAs[Int]("m")
     val sub = meta.getAs[Int]("sub")
     val vec = applyPerm(store, storedPerm(spark, dir), "v")
-    val joined = spark.read.parquet(s"$dir/codes").join(vec, Seq("vec_id"))
+    val joined = sampleRows(readIndex(spark, dir, "codes"), sampleMod)
+      .join(vec, Seq("vec_id"))
+    pqMeanCcosFrame(spark, dir, joined, m, sub, suspect)
+  }
+
+  /** The shared (row, subspace) cosine scoring of code rows carrying
+    * their float vector `v` — [[pqDriftStats]] over the live store and
+    * the policy's batch gauge both reduce to it, so their dials share
+    * a scale. Returns `(is_suspect, pop, mean_ccos)` rows.
+    */
+  private def pqMeanCcosFrame(spark: SparkSession, dir: String,
+      joined: DataFrame, m: Int, sub: Int,
+      suspect: org.apache.spark.sql.Column): DataFrame = {
     val scored = (0 until m).foldLeft(joined) { (acc, mm) =>
       val cb = broadcast(spark.read.parquet(s"$dir/codebook/m=$mm")
         .select(col("cent_id").as(s"code$mm"), col("cv").as(s"cv$mm")))
@@ -750,6 +966,49 @@ object AnnIndex {
           .as("mean_ccos"))
   }
 
+  /** The PQ arm of the wired retrain policy — [[upsertIvfWithPolicy]]'s
+    * discipline applied to the codebooks: land the batch through the
+    * frozen-quantizer encode, gauge, retrain below the dial. `store` is
+    * the embedding relation (the PQ index holds codes only — both the
+    * store-wide gauge and a retrain read floats from it). Dials as in
+    * [[upsertIvfWithPolicy]]: `minBatchMeanCcos` scores the INCOMING
+    * batch against the stored codebooks from its own staged encode —
+    * O(batch·m), no store read, store-size-independent detection;
+    * `checkEvery`/`gaugeSampleMod` amortize and sample the store-wide
+    * [[pqDriftStats]] read. Returns true iff this call retrained.
+    */
+  def upsertPqWithPolicy(spark: SparkSession, dir: String, store: DataFrame,
+      batch: DataFrame, sampleSize: Int, iters: Int, salt: Int,
+      minMeanCcos: Double,
+      minBatchMeanCcos: Double = Double.NegativeInfinity,
+      checkEvery: Int = 1, gaugeSampleMod: Long = 1L): Boolean = {
+    val meta = readIndex(spark, dir, "meta").head()
+    val m = meta.getAs[Int]("m")
+    val sub = meta.getAs[Int]("sub")
+    val parts = meta.getAs[Int]("parts")
+    requireUniqueKeys(batch.select("vec_id"), "vec_id")
+    val permuted = applyPerm(batch, storedPerm(spark, dir), "v")
+    val staged = encodeWithCodebooks(permuted, m, sub,
+        storedCodebooks(spark, dir, m))
+      .withColumn("part", pmod(col("vec_id"), lit(parts.toLong)))
+      .localCheckpoint(true)
+    upsertPqStaged(spark, dir, staged)
+    val storeCheckDue = policyCounterBump(spark, dir, checkEvery)
+    def retrain(): Boolean = {
+      retrainPq(spark, dir, store, sampleSize, iters, salt)
+      true
+    }
+    val batchMean = pqMeanCcosFrame(spark, dir,
+        staged.join(permuted.select("vec_id", "v"), Seq("vec_id")),
+        m, sub, lit(true))
+      .collect().headOption.map(_.getDouble(2)) // <= 1 row: the batch
+    if (batchMean.exists(_ < minBatchMeanCcos)) retrain()
+    else if (storeCheckDue &&
+      pqDriftStats(spark, dir, store, lit(true), gaugeSampleMod)
+        .collect()(0).getDouble(2) < minMeanCcos) retrain()
+    else false
+  }
+
   /** Retrain the PQ codebooks over the live corpus and swap — the
     * response to [[pqDriftStats]] / `pq_code_stats` firing. Liveness
     * comes from the index's own codes table; floats from `store` (the
@@ -762,19 +1021,34 @@ object AnnIndex {
     * sample and the encode depend only on (vec_id, v). Offline build +
     * [[promoteStaged]] swap; `sampleSize`/`iters`/`salt` are the
     * training knobs `meta` doesn't freeze.
+    *
+    * `refitPerm = true` additionally RE-LEARNS the OPQ permutation from
+    * the live corpus ([[Similarity.opqPermutation]] — Ge et al.'s
+    * variance-balancing objective is data-dependent, so a perm fit to
+    * January's per-dimension variance structure can misallocate July's;
+    * [[opqSubspaceVarStats]] is the gauge that watches for it). This is
+    * safe inside the same swap because every live vector is re-encoded
+    * anyway: the staged index is a NEW self-consistent artifact version
+    * (perm + codebooks + codes all agree), bit-identical to a fresh
+    * [[trainPq]]+bulk whose `perm` came from the same live set — old
+    * codes never mix with the new geometry. The default keeps the
+    * frozen perm: code-space geometry is corpus-epoch-scoped, and a
+    * plain codebook re-fit must not silently move it.
     */
   def retrainPq(spark: SparkSession, dir: String, store: DataFrame,
-                sampleSize: Int, iters: Int, salt: Int): Unit = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+                sampleSize: Int, iters: Int, salt: Int,
+                refitPerm: Boolean = false): Unit = {
+    val meta = readIndex(spark, dir, "meta").head()
     val m = meta.getAs[Int]("m")
     val sub = meta.getAs[Int]("sub")
     val k = meta.getAs[Int]("k")
     val parts = meta.getAs[Int]("parts")
-    val perm = storedPerm(spark, dir)
-    val live = applyPerm(
-      store.join(spark.read.parquet(s"$dir/codes").select("vec_id"),
-        Seq("vec_id"), "left_semi"),
-      perm, "v")
+    val liveRaw = store.join(readIndex(spark, dir, "codes").select("vec_id"),
+      Seq("vec_id"), "left_semi")
+    val perm =
+      if (refitPerm) Similarity.opqPermutation(liveRaw, m * sub, m)
+      else storedPerm(spark, dir)
+    val live = applyPerm(liveRaw, perm, "v")
     val stage = s"$dir.retrain"
     savePerm(spark, stage, perm)
     // `live` re-reads the current codes dir per action; immutable until
@@ -790,6 +1064,45 @@ object AnnIndex {
     promoteStaged(spark, dir, stage)
   }
 
+  /** OPQ-permutation drift gauge — the per-subspace VARIANCE BALANCE
+    * the stored permutation was fit to equalize ([[Similarity
+    * .opqPermutation]]'s greedy snake deals dimensions by descending
+    * variance so each subspace carries comparable mass — Ge et al.'s
+    * data-dependent objective). Corpus drift that reorders per-dim
+    * variances silently invalidates that allocation even while the
+    * codebooks re-fit cleanly, so this gauge sits NEXT TO
+    * [[pqDriftStats]]: liveness from the index's own codes table,
+    * floats from `store`, variance measured in the index's PERMUTED
+    * space on [[Similarity.opqPermutation]]'s own integer grid
+    * (q = floor(x·1e4), per-dim score n·Σq² − (Σq)²), summed per
+    * subspace as DECIMAL(38,0) — order-independent, integer-exact,
+    * and directly comparable to what a fresh perm fit would balance.
+    * Returns `m` rows `(subspace, n_dims, var_score)`; the policy
+    * reading is the max/min `var_score` ratio (≈1 ⇒ the frozen perm
+    * still balances; 1 of the subspaces starving ⇒
+    * [[retrainPq]]`(refitPerm = true)`).
+    */
+  def opqSubspaceVarStats(spark: SparkSession, dir: String,
+                          store: DataFrame): DataFrame = {
+    val meta = readIndex(spark, dir, "meta").head()
+    val sub = meta.getAs[Int]("sub")
+    val live = applyPerm(
+      store.join(readIndex(spark, dir, "codes").select("vec_id"),
+        Seq("vec_id"), "left_semi"),
+      storedPerm(spark, dir), "v")
+    val q = floor(col("x") * lit(10000.0)).cast("long")
+    val dec = "decimal(38,0)"
+    live.select(posexplode(col("v"))).toDF("pos", "x")
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(q.cast(dec)).as("sq"),
+        sum((q * q).cast(dec)).as("sq2"))
+      .select((col("pos").cast("long") / lit(sub.toLong)).cast("long").as("subspace"),
+        (col("n") * col("sq2") - col("sq") * col("sq")).cast(dec).as("score"))
+      .groupBy("subspace")
+      .agg(count(lit(1)).as("n_dims"), sum("score").cast(dec).as("var_score"))
+  }
+
   /** Pure-ADC top-`k` from the stored codes: per-subspace lookup tables
     * (|queries| x PqK dots against the stored codebooks) broadcast onto
     * ONE pass over the codes scan — no embedding floats are read.
@@ -797,7 +1110,7 @@ object AnnIndex {
     */
   def probePq(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
               m: Int, sub: Int): DataFrame = {
-    val codes = spark.read.parquet(s"$dir/codes")
+    val codes = readIndex(spark, dir, "codes")
     // queries enter the stored code space through the same frozen OPQ
     // permutation the encode side applied (identity when absent)
     val qp = applyPerm(queries, storedPerm(spark, dir), "v")
@@ -839,7 +1152,7 @@ object AnnIndex {
                 pqSalt: Int, dir: String): Unit = {
     val cents = trainIvfPqQuantizers(vecs, ivfK, sampleSize, iters, dim,
       ivfSalt, m, sub, pqK, pqSalt, dir)
-    encodeIvfPq(vecs, m, sub, cents._1, cents._2)
+    encodeIvfPq(vecs, m, sub, cents._1, cents._2).drop("ccos")
       .repartition(col("cell")) // one file per cell dir, any cluster width
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
@@ -881,12 +1194,12 @@ object AnnIndex {
     */
   private def encodeIvfPq(vecs: DataFrame, m: Int, sub: Int,
                           cents: DataFrame, cbs: Seq[DataFrame]): DataFrame = {
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-    val cells = vecs.crossJoin(broadcast(cents))
-      .withColumn("ccos", Dedup.cosine(col("v"), col("cv")))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"))
+    // keeps each row's routing cosine (`ccos`) so the wired policy's
+    // batch gauge reads it straight off the stage; both writers drop
+    // the column before the codes table lands (on-disk schema is
+    // unchanged)
+    val cells = assignIvf(vecs, broadcast(cents))
+      .select(col("vec_id"), col("cell"), col("ccos"))
     encodeWithCodebooks(vecs, m, sub, cbs).join(cells, "vec_id")
   }
 
@@ -900,11 +1213,12 @@ object AnnIndex {
     * as [[ivfDriftStats]]; 2 rows.
     */
   def ivfpqDriftStats(spark: SparkSession, dir: String, store: DataFrame,
-                      suspect: org.apache.spark.sql.Column): DataFrame = {
+                      suspect: org.apache.spark.sql.Column,
+                      sampleMod: Long = 1L): DataFrame = {
     val cents = broadcast(ivfCentroids(spark, dir)
       .select(col("cent_id").as("cell"), col("cv")))
     val vec = applyPerm(store, storedPerm(spark, dir), "v")
-    spark.read.parquet(s"$dir/codes")
+    sampleRows(readIndex(spark, dir, "codes"), sampleMod)
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
       .join(vec, Seq("vec_id"))
       .join(cents, Seq("cell"))
@@ -929,20 +1243,20 @@ object AnnIndex {
   def retrainIvfPq(spark: SparkSession, dir: String, store: DataFrame,
                    ivfK: Int, sampleSize: Int, iters: Int, dim: Int,
                    ivfSalt: Int, pqSalt: Int): Unit = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = readIndex(spark, dir, "meta").head()
     val m = meta.getAs[Int]("m")
     val sub = meta.getAs[Int]("sub")
     val pqK = meta.getAs[Int]("k")
     val perm = storedPerm(spark, dir)
     val live = applyPerm(
-      store.join(spark.read.parquet(s"$dir/codes").select("vec_id"),
+      store.join(readIndex(spark, dir, "codes").select("vec_id"),
         Seq("vec_id"), "left_semi"),
       perm, "v")
     val stage = s"$dir.retrain"
     savePerm(spark, stage, perm)
     val (cents, cbs) = trainIvfPqQuantizers(live, ivfK, sampleSize, iters,
       dim, ivfSalt, m, sub, pqK, pqSalt, stage)
-    encodeIvfPq(live, m, sub, cents, cbs)
+    encodeIvfPq(live, m, sub, cents, cbs).drop("ccos")
       .repartition(col("cell"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
@@ -961,16 +1275,25 @@ object AnnIndex {
     * [[ivfpqDriftStats]] are the triggers.
     */
   def upsertIvfPq(spark: SparkSession, dir: String, vecs: DataFrame): Unit = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = readIndex(spark, dir, "meta").head()
     val m = meta.getAs[Int]("m")
     val sub = meta.getAs[Int]("sub")
-    val cents = spark.read.parquet(s"$dir/centroids")
+    val cents = readIndex(spark, dir, "centroids")
     // raw-batch check: both the cell-assignment and per-subspace encode
     // windows would silently collapse a duplicate key otherwise
     requireUniqueKeys(vecs.select("vec_id"), "vec_id")
     val staged = encodeIvfPq(applyPerm(vecs, storedPerm(spark, dir), "v"),
         m, sub, cents, storedCodebooks(spark, dir, m))
+      .drop("ccos")
       .localCheckpoint(true) // materialize before overwriting the source
+    upsertIvfPqStaged(spark, dir, staged)
+  }
+
+  /** The merge half of [[upsertIvfPq]], over an already-materialized
+    * `(vec_id, code0..code{m-1}, cell)` stage.
+    */
+  private def upsertIvfPqStaged(spark: SparkSession, dir: String,
+                                staged: DataFrame): Unit = {
     if (staged.isEmpty) return
     val codesPath = s"$dir/codes"
     if (!pathExists(spark, codesPath)) {
@@ -1008,6 +1331,46 @@ object AnnIndex {
     }
   }
 
+  /** The composed index's arm of the wired retrain policy — the
+    * [[upsertIvfWithPolicy]] discipline for the IVFx,PQy layout: land
+    * the batch through the frozen-quantizer encode, gauge the ROUTING
+    * quality (what a drifted wave degrades first — see
+    * [[ivfpqDriftStats]]), and retrain BOTH quantizers below the dial
+    * via [[retrainIvfPq]]. The batch dial reads each staged row's own
+    * routing cosine straight off the encode (O(batch), no store read —
+    * store-size-independent detection); `checkEvery`/`gaugeSampleMod`
+    * amortize and sample the store-wide gauge, whose floats come from
+    * `store` (the index holds codes only). Returns true iff this call
+    * retrained.
+    */
+  def upsertIvfPqWithPolicy(spark: SparkSession, dir: String,
+      store: DataFrame, batch: DataFrame, ivfK: Int, sampleSize: Int,
+      iters: Int, dim: Int, ivfSalt: Int, pqSalt: Int,
+      minMeanCcos: Double,
+      minBatchMeanCcos: Double = Double.NegativeInfinity,
+      checkEvery: Int = 1, gaugeSampleMod: Long = 1L): Boolean = {
+    val meta = readIndex(spark, dir, "meta").head()
+    val m = meta.getAs[Int]("m")
+    val sub = meta.getAs[Int]("sub")
+    val cents = readIndex(spark, dir, "centroids")
+    requireUniqueKeys(batch.select("vec_id"), "vec_id")
+    val staged = encodeIvfPq(applyPerm(batch, storedPerm(spark, dir), "v"),
+        m, sub, cents, storedCodebooks(spark, dir, m))
+      .localCheckpoint(true)
+    upsertIvfPqStaged(spark, dir, staged.drop("ccos"))
+    val storeCheckDue = policyCounterBump(spark, dir, checkEvery)
+    def retrain(): Boolean = {
+      retrainIvfPq(spark, dir, store, ivfK, sampleSize, iters, dim,
+        ivfSalt, pqSalt)
+      true
+    }
+    if (stagedMeanCcos(staged).exists(_ < minBatchMeanCcos)) retrain()
+    else if (storeCheckDue &&
+      ivfpqDriftStats(spark, dir, store, lit(true), gaugeSampleMod)
+        .collect()(0).getDouble(2) < minMeanCcos) retrain()
+    else false
+  }
+
   /** Two-stage probe of the stored IVF+PQ index: route each query to
     * its top-`nProbe` cells against the k-row stored centroids (scan =
     * only those cell partitions of the codes table), ADC-score the
@@ -1019,7 +1382,7 @@ object AnnIndex {
   def probeIvfPq(spark: SparkSession, dir: String, queries: DataFrame,
                  corpus: DataFrame, k: Int, nProbe: Int, m: Int, sub: Int,
                  shortK: Int): DataFrame = {
-    val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
+    val cents = broadcast(readIndex(spark, dir, "centroids"))
     // the stored quantizers live in the index's (possibly OPQ-permuted)
     // space: routing, ADC, and the exact-cosine rerank all run there —
     // the rerank VALUE is permutation-invariant, but summing the dot in
@@ -1036,7 +1399,7 @@ object AnnIndex {
       .localCheckpoint(true)
     val cellIds = probes.select("cell").distinct()
       .collect().map(_.getLong(0)) // bounded by ivfK, driver-safe
-    val codes = spark.read.parquet(s"$dir/codes")
+    val codes = readIndex(spark, dir, "codes")
       .filter(col("cell").isin(cellIds.map(Long.box): _*))
     val cand = codes.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
@@ -1090,7 +1453,7 @@ object AnnIndex {
 
   /** The stored signature table. */
   def minhashSigs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/sigs").select("doc_id", "sh", "sig", "keys")
+    readIndex(spark, dir, "sigs").select("doc_id", "sh", "sig", "keys")
 
   /** Incremental MinHash maintenance — the [[upsertLsh]] treatment for
     * the signature table: the batch's signatures are computed with the
@@ -1106,7 +1469,7 @@ object AnnIndex {
     * re-signing the whole corpus.
     */
   def upsertMinhash(spark: SparkSession, dir: String, corpus: DataFrame): Unit = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = readIndex(spark, dir, "meta").head()
     val k = meta.getAs[Int]("k")
     val bands = meta.getAs[Int]("bands")
     val rowsPerBand = meta.getAs[Int]("rows_per_band")
@@ -1122,7 +1485,7 @@ object AnnIndex {
     requireUniqueKeys(staged, "doc_id")
     val partIds = staged.select("part").distinct()
       .collect().map(_.getLong(0)) // bounded by parts, driver-safe
-    val kept = spark.read.parquet(s"$dir/sigs")
+    val kept = readIndex(spark, dir, "sigs")
       .filter(col("part").isin(partIds.map(Long.box): _*))
       .join(staged.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("sh"), col("sig"), col("keys"),
@@ -1150,7 +1513,7 @@ object AnnIndex {
     * ccIngest cleanup rule). Ids absent from the index are no-ops.
     */
   def deleteMinhash(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = readIndex(spark, dir, "meta").head()
     val parts = meta.getAs[Int]("parts")
     val del = ids.select(col("doc_id")).distinct()
       .withColumn("part", pmod(col("doc_id"), lit(parts.toLong)))
@@ -1192,7 +1555,7 @@ object AnnIndex {
   private def phashPostings(spark: SparkSession, dir: String,
                             media: DataFrame): (DataFrame, Int, Int) = {
     import spark.implicits._
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = readIndex(spark, dir, "meta").head()
     val nPatch = meta.getAs[Int]("n_patches")
     val parts = meta.getAs[Int]("parts")
     val ph = Multimodal.perceptualHash(
@@ -1273,10 +1636,66 @@ object AnnIndex {
     * takedown (DMCA/CSAM) semantics.
     */
   def deletePhash(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    recoverPromotion(spark, dir)
     val del = ids.select(col("doc_id")).distinct().localCheckpoint(true)
     if (del.isEmpty || !pathExists(spark, s"$dir/postings")) return
     deleteRowsInParts(spark, s"$dir/postings", "doc_id", "part", del,
       locateParts(spark, s"$dir/postings", "doc_id", "part", del))
+  }
+
+  /** Re-index the perceptual posting store at a wider patch count and
+    * swap — the response path to the [[trainPhash]] re-index trigger
+    * (corpus growth crossed a [[Multimodal.phashPatches]] threshold, so
+    * per-(band, key) bucket populations — and every probe — now grow
+    * linearly instead of holding at ~[[Multimodal.PHashBucketTarget]]).
+    * Liveness comes from the index's own posting doc_ids (deleted media
+    * never re-enter — the [[ivfLiveCorpus]] discipline); payload bytes
+    * come from `store` (the media relation — postings hold band keys
+    * only, the codes-only split). Offline rebuild into the staging
+    * sibling, [[promoteStaged]] two-rename swap. Bit-identical to a
+    * fresh [[trainPhash]]+bulk over the live media at `nPatch`: hashing
+    * is row-local and depends only on (doc_id, payload).
+    */
+  def reindexPhash(spark: SparkSession, dir: String, store: DataFrame,
+                   nPatch: Int): Unit = {
+    val parts = readIndex(spark, dir, "meta").head().getAs[Int]("parts")
+    val live = readIndex(spark, dir, "postings").select("doc_id").distinct()
+    val liveMedia = store.join(live, Seq("doc_id"), "left_semi")
+    val stage = s"$dir.retrain"
+    // the bulk load below APPENDS (additive postings, unlike the
+    // Overwrite-mode vector builds) — a crashed prior attempt's partial
+    // staging must not pollute it
+    val p = new org.apache.hadoop.fs.Path(stage)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    trainPhash(spark, stage, nPatch, parts)
+    upsertPhash(spark, stage, liveMedia) // bulk load at the new width
+    promoteStaged(spark, dir, stage)
+  }
+
+  /** The perceptual-media arm of the wired maintenance policy — the
+    * width trigger [[trainPhash]]'s scaladoc documents, now wired like
+    * [[upsertLshWithPolicy]]: land the batch through the frozen-width
+    * [[upsertPhash]], then (every `checkEvery`-th batch — population
+    * growth is monotone) read the live doc count off the posting store
+    * (a metadata-only count; every doc posts exactly
+    * [[Multimodal.PHashBands]] rows) and [[reindexPhash]] when
+    * [[Multimodal.phashPatches]] says the corpus crossed the next
+    * width threshold. `store` supplies the live payloads for the
+    * rebuild. Returns true iff this call re-indexed.
+    */
+  def upsertPhashWithPolicy(spark: SparkSession, dir: String,
+      media: DataFrame, store: DataFrame, checkEvery: Int = 1): Boolean = {
+    upsertPhash(spark, dir, media)
+    if (!policyCounterBump(spark, dir, checkEvery)) return false
+    if (!hasPartData(spark, s"$dir/postings")) return false
+    val nPatch = readIndex(spark, dir, "meta").head().getAs[Int]("n_patches")
+    val nDocs = readIndex(spark, dir, "postings").count() /
+      Multimodal.PHashBands
+    val needed = Multimodal.phashPatches(nDocs)
+    if (needed > nPatch) {
+      reindexPhash(spark, dir, store, needed)
+      true
+    } else false
   }
 
   /** Probe a media batch against the stored postings: verified

@@ -71,8 +71,10 @@ import org.apache.spark.sql.functions._
   *     100 TB/day shape where one store takes a whole Kafka topic,
   *     one writer per partition. The flat and namespaced layouts
   *     never mix; as-of reads on a multi-writer store are per writer
-  *     ([[mergedAsOfWriter]] — a global snapshot would need a cross-
-  *     writer epoch the store deliberately doesn't impose).
+  *     ([[mergedAsOfWriter]]) or at a caller-supplied VECTOR watermark
+  *     (the `Map[writer -> maxSeg]` overload of [[mergedAsOf]] — the
+  *     store imposes no cross-writer epoch of its own; the vector IS
+  *     the epoch).
   *
   * Readers are unrestricted — [[merged]] sees whatever complete
   * segments exist, and the [[compact]] crash-safety above is about a
@@ -122,29 +124,60 @@ object SegmentStore {
         new HPath(dst.toString + ".old"))
   }
 
-  /** Roll-forward recovery for the [[compact]] swap: a crash between
-    * its two renames leaves the store (or one writer's subtree) parked
-    * at its `.old` staging sibling with the live path absent — the
-    * data is intact but unaddressed. Every store entry point calls
-    * this first: if the live path is missing and the staged-aside copy
-    * exists, one rename restores it; on a multi-writer root, any
-    * parked `.writer=<id>.old` subtree rolls forward the same way.
+  /** SHARED roll-forward recovery for the [[compact]] swap — the form
+    * readers and OTHER writers run: a crash between compact's two
+    * renames leaves the store (or one writer's subtree) parked at its
+    * `.old` staging sibling with the live path absent — the data is
+    * intact but unaddressed; one rename restores it.
+    *
+    * The `.compacting` sibling is the IN-FLIGHT/RESUMABLE guard: while
+    * it exists, the parked state is either a fold racing its two
+    * renames RIGHT NOW (resurrecting the retired copy would make the
+    * owner's publish rename fail spuriously — the zero-coordination
+    * multi-writer race) or a crashed fold the path's OWNER resumes via
+    * [[recoverOwned]] at its next call — either way not this caller's
+    * to touch. A lost rename race (another recoverer got there first)
+    * is success, not failure: re-check the target before throwing.
     * (Both-present means a crash after publish but before cleanup —
     * the live path wins and the stale copy is dropped by the next
     * compact of that path.)
     */
   private def recover(f: FileSystem, dst: HPath): Unit = {
-    val (_, old) = stagePaths(dst)
-    if (!f.exists(dst) && f.exists(old) && !f.rename(old, dst))
+    val (tmp, old) = stagePaths(dst)
+    if (!f.exists(dst) && f.exists(old) && !f.exists(tmp)
+      && !f.rename(old, dst) && !f.exists(dst))
       throw new java.io.IOException(s"compact recovery: cannot restore $old")
     if (f.exists(dst)) f.listStatus(dst).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith(".writer=") && n.endsWith(".old")) {
-        val target = new HPath(dst, n.stripPrefix(".").stripSuffix(".old"))
-        if (!f.exists(target) && !f.rename(st.getPath, target))
+        val writerName = n.stripPrefix(".").stripSuffix(".old")
+        val target = new HPath(dst, writerName)
+        val compacting = new HPath(dst, s".$writerName.compacting")
+        if (!f.exists(target) && !f.exists(compacting)
+          && !f.rename(st.getPath, target) && !f.exists(target))
           throw new java.io.IOException(
             s"compact recovery: cannot restore ${st.getPath}")
       }
+    }
+  }
+
+  /** OWNER roll-forward recovery — the form a path's OWN single writer
+    * runs from its append/compact entry points. Unlike [[recover]], a
+    * parked `.old` copy rolls forward even when a `.compacting`
+    * sibling survives: the owner is the only process that folds this
+    * path, so from inside the owner an in-flight fold is impossible —
+    * the surviving staging is a crashed fold's leftovers, dropped here
+    * and re-derived by the next compact. (This split is what keeps a
+    * crashed per-writer fold from parking that writer's subtree
+    * forever: root-level [[recover]] deliberately leaves it alone, the
+    * owner's next append or compact restores it.)
+    */
+  private def recoverOwned(f: FileSystem, dst: HPath): Unit = {
+    val (tmp, old) = stagePaths(dst)
+    if (!f.exists(dst) && f.exists(old)) {
+      f.delete(tmp, true) // crashed fold staging: stale, re-derived later
+      if (!f.rename(old, dst) && !f.exists(dst))
+        throw new java.io.IOException(s"compact recovery: cannot restore $old")
     }
   }
 
@@ -207,6 +240,7 @@ object SegmentStore {
   def append(partials: DataFrame, path: String): Unit = {
     val spark = partials.sparkSession
     val (f, p) = fs(spark, path)
+    recoverOwned(f, p) // the appender IS this path's owner
     requireLayout(f, p, wantWriter = false, "append")
     val ids = segmentIds(spark, path)
     require(!isXo(f, path, ids),
@@ -242,16 +276,35 @@ object SegmentStore {
       batchId: Long): Boolean = {
     val spark = partials.sparkSession
     val (f, p) = fs(spark, path)
-    recover(f, p)
+    recoverOwned(f, p) // the appender IS this path's owner
     requireLayout(f, p, wantWriter = false, "appendExactlyOnce")
     val ids = segmentIds(spark, path)
+    val dst = new HPath(s"$path/seg=$batchId")
+    // crashed-marker window: the XO marker lands AFTER the parquet job
+    // commits _SUCCESS, so a writer dying in between leaves a committed
+    // but UNMARKED segment at its own batchId. On retry that segment
+    // must not be mistaken for a plain-append store (which would fail
+    // the mode guard forever — the store bricked for exactly-once
+    // ingest on its very first batch): when no OTHER committed segment
+    // contradicts XO mode, re-touch the marker and report the batch
+    // landed. (A genuine single-segment plain-append store claimed at
+    // the same id is indistinguishable from this crash window; it
+    // resolves the same safe way — no double write.)
+    if (f.exists(new HPath(dst, "_SUCCESS"))
+      && !f.exists(new HPath(dst, XoMarker))
+      && !f.exists(new HPath(dst, FoldMarker))) {
+      val others = ids.filterNot(_ == batchId)
+      if (!hasCommitted(f, path, others) || isXo(f, path, others)) {
+        touch(f, new HPath(dst, XoMarker))
+        return false
+      }
+    }
     // mode guard: the watermark check below is only sound when every
     // live segment id IS a caller batch id — a store populated by plain
     // append would silently swallow batches 0..maxId otherwise
     require(ids.isEmpty || !hasCommitted(f, path, ids) || isXo(f, path, ids),
       s"appendExactlyOnce: $path is a plain-append store (sequential segment " +
         "ids); its ids would alias this writer's batch ids — modes never mix")
-    val dst = new HPath(s"$path/seg=$batchId")
     if (f.exists(dst)) {
       // a fold is never a crashed partial, even with its _SUCCESS
       // stripped: deleting it would destroy all folded history
@@ -398,6 +451,42 @@ object SegmentStore {
       keys: Seq[String], sumCol: String, maxSeg: Long): DataFrame =
     mergedAsOf(spark, writerPath(path, writer), keys, sumCol, maxSeg)
 
+  /** GLOBAL as-of read of a multi-writer store at a VECTOR WATERMARK —
+    * the cross-writer snapshot [[mergedAsOfWriter]]'s scaladoc said
+    * would need an epoch: the epoch is the `writer → maxSeg` map
+    * itself (writer batch-id sequences are causally independent, so a
+    * consistent global snapshot IS a vector of per-writer watermarks —
+    * the distributed-snapshot shape, supplied by whatever coordination
+    * layer the caller has: a manifest it committed, per-topic Kafka
+    * offsets, "everything as of each stream's last checkpoint").
+    * Exactly the union of the per-writer snapshots: both `writer` and
+    * `seg` are partition directories, so the OR-of-ANDs predicate is
+    * pure PARTITION PRUNING — only the covered segment dirs are
+    * scanned (the [[mergedAsOf]] plan shape per subtree). Per-writer
+    * semantics are preserved verbatim: a writer folded ABOVE its
+    * requested watermark contributes nothing (snapshots below a fold
+    * are unanswerable — the retention trade), and a writer ABSENT from
+    * the vector contributes nothing (its epoch precedes its first
+    * batch). A GDPR audit over a multi-writer store is one call:
+    * snapshot at the pre-takedown vector shows the rows, at the
+    * post-takedown vector shows them gone.
+    */
+  def mergedAsOf(spark: SparkSession, path: String, keys: Seq[String],
+      sumCol: String, watermarks: Map[String, Long]): DataFrame = {
+    val (f, p) = fs(spark, path)
+    recover(f, p)
+    requireLayout(f, p, wantWriter = true, "mergedAsOf(watermarks)")
+    require(watermarks.nonEmpty, "mergedAsOf: empty watermark vector")
+    watermarks.keys.foreach(w => writerPath(path, w)) // validate ids
+    val cond = watermarks.map { case (w, s) =>
+      col("writer") === lit(w) && col("seg") <= lit(s)
+    }.reduce(_ || _)
+    spark.read.parquet(path)
+      .filter(cond)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(sumCol).cast("long").as(sumCol))
+  }
+
   /** Per-segment row counts — the monitoring report that drives (and
     * audits) the compaction policy. Output is one row per live
     * segment: bounded by the policy itself.
@@ -464,8 +553,10 @@ object SegmentStore {
   def compact(spark: SparkSession, path: String, keys: Seq[String],
       sumCol: String, dropCancelled: Boolean = false): Unit = {
     val (f, dst) = fs(spark, path)
-    recover(f, dst) // roll a crashed prior swap forward FIRST —
+    recoverOwned(f, dst) // roll a crashed prior swap forward FIRST —
     // only then is a surviving .old copy stale and safe to drop
+    // (owner form: compaction is owner-only, so a surviving
+    // .compacting sibling is always a crashed fold, never in-flight)
     requireLayout(f, dst, wantWriter = false, "compact")
     val (tmp, old) = stagePaths(dst)
     f.delete(tmp, true)

@@ -1000,4 +1000,289 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(probe(dir) == probe(freshDir))
   }
+
+  test("PQ policy-gated retrain: the batch dial trips at the wave's own batch even when the store-wide mean barely moves; healed == fresh") {
+    val base = synthVecs(400)
+    // a SMALL wave (40 rows into a 400-row store) shifted hard: the
+    // dilution case — its own mean is degenerate, the store mean isn't
+    val wave = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + lit(1000L)).as("vec_id"),
+        transform(col("v"), x => x + lit(2.0)).as("v"))
+    val union = base.unionByName(wave).localCheckpoint(true)
+    val dir = Files.createTempDirectory("graft_pqpol_").toString
+    AnnIndex.trainPq(base.filter(col("vec_id") < 200), m = 4, sub = 16,
+      k = 8, sampleSize = 128, iters = 2, salt = 11, dir = dir)
+    AnnIndex.upsertPq(spark, dir, base.filter(col("vec_id") < 200))
+    val storeMean = AnnIndex.pqDriftStats(spark, dir,
+        base.filter(col("vec_id") < 200), lit(true))
+      .collect()(0).getDouble(2)
+    val batchDial = storeMean - 0.05 // healthy batches sit near storeMean
+    // store-wide dial deliberately unreachable: only the batch dial may fire
+    assert(!AnnIndex.upsertPqWithPolicy(spark, dir, base,
+      base.filter(col("vec_id") >= 200), 128, 2, 11,
+      minMeanCcos = -1.0, minBatchMeanCcos = batchDial),
+      "a same-distribution batch tripped the PQ batch dial")
+    // the store-wide mean after the wave lands would move by ~wave/store —
+    // verify the dilution premise (store mean stays ABOVE the batch dial)
+    assert(AnnIndex.upsertPqWithPolicy(spark, dir, union, wave, 128, 2, 11,
+      minMeanCcos = -1.0, minBatchMeanCcos = batchDial),
+      "the drift wave did not trip the PQ batch dial")
+    assert(AnnIndex.pqDriftStats(spark, dir, union, lit(true))
+      .collect()(0).getDouble(2) > batchDial,
+      "post-heal store mean did not recover above the dial")
+    // healed == fresh one-shot build over everything live
+    val freshDir = Files.createTempDirectory("graft_pqpol_fresh_").toString
+    AnnIndex.savePq(union, m = 4, sub = 16, k = 8, sampleSize = 128,
+      iters = 2, salt = 11, dir = freshDir)
+    def codes(d: String) = spark.read.parquet(s"$d/codes")
+      .select("vec_id", "code0", "code1", "code2", "code3")
+      .collect().map(_.toSeq).toSet
+    assert(codes(dir) == codes(freshDir))
+  }
+
+  test("IVFPQ policy-gated retrain: the routing batch dial is wired into the ingest loop; healed == fresh") {
+    val base = synthVecs(400)
+    val wave = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + lit(1000L)).as("vec_id"),
+        transform(col("v"), x => x + lit(2.0)).as("v"))
+    val union = base.unionByName(wave).localCheckpoint(true)
+    val dir = Files.createTempDirectory("graft_ivfpqpol_").toString
+    AnnIndex.trainIvfPq(base.filter(col("vec_id") < 200), ivfK = 8,
+      sampleSize = 128, iters = 2, dim = Dim, ivfSalt = 7, m = 4, sub = 16,
+      pqK = 8, pqSalt = 11, dir = dir)
+    AnnIndex.upsertIvfPq(spark, dir, base.filter(col("vec_id") < 200))
+    val storeMean = AnnIndex.ivfpqDriftStats(spark, dir,
+        base.filter(col("vec_id") < 200), lit(true))
+      .collect()(0).getDouble(2)
+    val batchDial = storeMean - 0.05
+    assert(!AnnIndex.upsertIvfPqWithPolicy(spark, dir, base,
+      base.filter(col("vec_id") >= 200), 8, 128, 2, Dim, 7, 11,
+      minMeanCcos = -1.0, minBatchMeanCcos = batchDial),
+      "a same-distribution batch tripped the IVFPQ batch dial")
+    assert(AnnIndex.upsertIvfPqWithPolicy(spark, dir, union, wave,
+      8, 128, 2, Dim, 7, 11,
+      minMeanCcos = -1.0, minBatchMeanCcos = batchDial),
+      "the drift wave did not trip the IVFPQ batch dial")
+    val freshDir = Files.createTempDirectory("graft_ivfpqpol_fresh_").toString
+    AnnIndex.saveIvfPq(union, ivfK = 8, sampleSize = 128, iters = 2,
+      dim = Dim, ivfSalt = 7, m = 4, sub = 16, pqK = 8, pqSalt = 11,
+      dir = freshDir)
+    def codes(d: String) = spark.read.parquet(s"$d/codes")
+      .select(col("vec_id"), col("cell").cast("long"),
+        col("code0"), col("code1"), col("code2"), col("code3"))
+      .collect().map(_.toSeq).toSet
+    assert(codes(dir) == codes(freshDir))
+    def probe(d: String) = AnnIndex.probeIvfPq(spark, d, queriesOf(union),
+      union, K, 2, 4, 16, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe(dir) == probe(freshDir))
+  }
+
+  test("LSH policy-gated rebucket: the population width rule is wired; healed == fresh build at the derived width") {
+    val base = synthVecs(400)
+    val dir = Files.createTempDirectory("graft_lshpol_").toString
+    AnnIndex.saveLsh(base, NBits, Dim, dir) // 8 << 6 = 512 capacity
+    // below capacity: no rebucket
+    val small = spark.range(400, 480).select(col("id").as("vec_id"),
+      vExpr(col("id")).as("v"))
+    assert(!AnnIndex.upsertLshWithPolicy(spark, dir, small,
+      bucketTarget = 8, maxBits = 16),
+      "an in-capacity batch tripped the width rule")
+    assert(spark.read.parquet(s"$dir/meta").head().getAs[Int]("n_bits") == NBits)
+    // the growth wave pushes n past 8 << 6: the rule fires and the
+    // policy re-buckets at the derived width inside the ingest call
+    val wave = spark.range(480, 700).select(col("id").as("vec_id"),
+      vExpr(col("id")).as("v"))
+    assert(AnnIndex.upsertLshWithPolicy(spark, dir, wave,
+      bucketTarget = 8, maxBits = 16),
+      "the growth wave did not trip the width rule")
+    val newBits = spark.read.parquet(s"$dir/meta").head().getAs[Int]("n_bits")
+    assert(newBits == 7, s"expected derived width 7, got $newBits") // 8 << 7 = 1024 >= 700
+    val union = spark.range(700).select(col("id").as("vec_id"),
+      vExpr(col("id")).as("v")).localCheckpoint(true)
+    val freshDir = Files.createTempDirectory("graft_lshpol_fresh_").toString
+    AnnIndex.saveLsh(union, newBits, Dim, freshDir)
+    def rows(d: String) = spark.read.parquet(s"$d/corpus")
+      .select("vec_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(dir) == rows(freshDir))
+    def probe(d: String) = AnnIndex.probeLsh(spark, d, queriesOf(union), K)
+      .select("q_id", "rnk", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe(dir) == probe(freshDir))
+  }
+
+  test("phash policy-gated re-index: corpus growth across the width threshold re-indexes at the wider width; healed == fresh") {
+    import graft.operators.Multimodal
+    val hx = concat((0 until 16).map(j =>
+      md5(concat(col("doc_id").cast("string"), lit(s":$j")))): _*)
+    def media(from: Long, until: Long) =
+      spark.range(from, until).select(col("id").as("doc_id"))
+        .withColumn("payload", unhex(hx))
+    // 16_300 docs hold at width 64 (64 << 8 = 16_384); the wave crosses it
+    val n0 = 16300L
+    val store = media(0L, n0 + 300L).localCheckpoint(true)
+    val dir = Files.createTempDirectory("graft_phpol_").toString
+    AnnIndex.trainPhash(spark, dir, Multimodal.phashPatches(n0))
+    AnnIndex.upsertPhash(spark, dir, media(0L, n0))
+    assert(!AnnIndex.upsertPhashWithPolicy(spark, dir, media(n0, n0 + 50L),
+      store), "an under-threshold batch tripped the re-index")
+    assert(spark.read.parquet(s"$dir/meta").head()
+      .getAs[Int]("n_patches") == 64)
+    assert(AnnIndex.upsertPhashWithPolicy(spark, dir,
+      media(n0 + 50L, n0 + 300L), store),
+      "the threshold-crossing batch did not trip the re-index")
+    assert(spark.read.parquet(s"$dir/meta").head()
+      .getAs[Int]("n_patches") == 128)
+    // healed == fresh bulk at the wider width over the same live docs
+    val freshDir = Files.createTempDirectory("graft_phpol_fresh_").toString
+    AnnIndex.trainPhash(spark, freshDir, 128)
+    AnnIndex.upsertPhash(spark, freshDir, store)
+    def postings(d: String) = spark.read.parquet(s"$d/postings")
+      .groupBy(col("band").cast("long").as("band"), col("key")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(postings(dir) == postings(freshDir))
+    assert(spark.read.parquet(s"$dir/postings").count() ==
+      (n0 + 300L) * Multimodal.PHashBands)
+  }
+
+  test("IVF policy amortization: checkEvery batches pay at most one store gauge; the batch dial still trips the wave at ITS batch; sampled gauge is deterministic") {
+    import java.nio.file.{Files => JF, Paths}
+    val base = synthVecs(400)
+    val wave = base.filter(col("vec_id") % 2 === 0)
+      .select((col("vec_id") + lit(1000L)).as("vec_id"),
+        transform(col("v"), x => x + lit(2.0)).as("v"))
+    val dir = Files.createTempDirectory("graft_ivfamort_").toString
+    AnnIndex.saveIvf(base.filter(col("vec_id") < 160), k = 8,
+      sampleSize = 128, iters = 2, dim = Dim, salt = 7, dir = dir)
+    val storeMean = AnnIndex.ivfDriftStats(spark, dir, lit(true))
+      .collect()(0).getDouble(2)
+    val batchDial = storeMean - 0.05
+    def counter(): String =
+      new String(JF.readAllBytes(Paths.get(s"$dir/policy.count")), "UTF-8")
+    // three healthy batches under checkEvery = 3: the counter file shows
+    // the cadence (1, 2, then a reset 0 at the one store-gauge batch)
+    val healthy = Seq((160, 240), (240, 320), (320, 400))
+    val fired = healthy.map { case (a, b) =>
+      val r = AnnIndex.upsertIvfWithPolicy(spark, dir,
+        base.filter(col("vec_id") >= a && col("vec_id") < b),
+        8, 128, 2, Dim, 7,
+        minMeanCcos = storeMean - 0.1, minBatchMeanCcos = batchDial,
+        checkEvery = 3, gaugeSampleMod = 4L)
+      (r, counter())
+    }
+    assert(fired.map(_._1) == Seq(false, false, false),
+      s"healthy batches retrained: $fired")
+    assert(fired.map(_._2) == Seq("1", "2", "0"),
+      s"gauge cadence off: ${fired.map(_._2)} (expected 1, 2, 0)")
+    // sampled store gauge: deterministic (same rows every call)
+    val s1 = AnnIndex.ivfDriftStats(spark, dir, lit(true), sampleMod = 4L)
+      .collect()(0)
+    val s2 = AnnIndex.ivfDriftStats(spark, dir, lit(true), sampleMod = 4L)
+      .collect()(0)
+    assert(s1.getLong(1) == s2.getLong(1) && s1.getDouble(2) == s2.getDouble(2))
+    assert(s1.getLong(1) < 400L, "sample did not shrink the gauge read")
+    // the wave lands at a NOT-due batch (counter 0 -> 1): the store scan
+    // is skipped, but the O(batch) batch dial trips the retrain at the
+    // wave's own batch anyway
+    assert(AnnIndex.upsertIvfWithPolicy(spark, dir, wave,
+      8, 128, 2, Dim, 7,
+      minMeanCcos = storeMean - 0.1, minBatchMeanCcos = batchDial,
+      checkEvery = 3, gaugeSampleMod = 4L),
+      "the drift wave did not trip the batch dial at its own batch")
+    // the counter file died with the swapped-out dir: fresh cadence
+    assert(!JF.exists(Paths.get(s"$dir/policy.count")),
+      "policy counter survived the retrain swap")
+    val union = base.unionByName(wave).localCheckpoint(true)
+    val freshDir = Files.createTempDirectory("graft_ivfamort_fresh_").toString
+    AnnIndex.saveIvf(union, k = 8, sampleSize = 128, iters = 2, dim = Dim,
+      salt = 7, dir = freshDir)
+    def probe(d: String) = AnnIndex.probeIvf(spark, d, queriesOf(union), K, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe(dir) == probe(freshDir))
+  }
+
+  test("promoteStaged crash recovery: a swap parked between its two renames rolls forward from any entry point") {
+    import java.nio.file.{Files => JF, Paths, StandardCopyOption}
+    val base = synthVecs(300)
+    val union = base.unionByName(
+      spark.range(1000, 1100).select(col("id").as("vec_id"),
+        vExpr(col("id")).as("v"))).localCheckpoint(true)
+    // state (b): live dir retired, no staging build — restore the old copy
+    val dirB = Files.createTempDirectory("graft_rcvb_").toString
+    AnnIndex.saveIvf(base, k = 8, sampleSize = 128, iters = 2, dim = Dim,
+      salt = 7, dir = dirB)
+    val wantB = AnnIndex.probeIvf(spark, dirB, queriesOf(base), K, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    JF.move(Paths.get(dirB), Paths.get(s"$dirB.pre-retrain"),
+      StandardCopyOption.ATOMIC_MOVE)
+    val gotB = AnnIndex.probeIvf(spark, dirB, queriesOf(base), K, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotB == wantB, "restore-path recovery changed the probe")
+    assert(!JF.exists(Paths.get(s"$dirB.pre-retrain")) ||
+      JF.exists(Paths.get(dirB)))
+    // state (a): completed staging build + retired live dir (the crash
+    // window between promoteStaged's two renames) — FINISH the promotion
+    val dirA = Files.createTempDirectory("graft_rcva_").toString
+    AnnIndex.saveIvf(base, k = 8, sampleSize = 128, iters = 2, dim = Dim,
+      salt = 7, dir = dirA)
+    AnnIndex.saveIvf(union, k = 8, sampleSize = 128, iters = 2, dim = Dim,
+      salt = 7, dir = s"$dirA.retrain")
+    JF.move(Paths.get(dirA), Paths.get(s"$dirA.pre-retrain"),
+      StandardCopyOption.ATOMIC_MOVE)
+    val gotA = AnnIndex.probeIvf(spark, dirA, queriesOf(union), K, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val freshDir = Files.createTempDirectory("graft_rcva_fresh_").toString
+    AnnIndex.saveIvf(union, k = 8, sampleSize = 128, iters = 2, dim = Dim,
+      salt = 7, dir = freshDir)
+    val want = AnnIndex.probeIvf(spark, freshDir, queriesOf(union), K, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotA == want, "promotion recovery did not serve the staged build")
+    assert(!JF.exists(Paths.get(s"$dirA.retrain")))
+    assert(!JF.exists(Paths.get(s"$dirA.pre-retrain")))
+  }
+
+  test("OPQ perm refit: drift that unbalances per-subspace variance fires the gauge; retrainPq(refitPerm) re-balances and equals the fresh permuted build") {
+    // boost dims 0, 8, 16, ... 56: under the base perm those all land in
+    // ONE subspace (tied base variances snake-deal by position), so the
+    // balance gauge degenerates hard
+    val base = synthVecs(400).localCheckpoint(true)
+    val heavy = (0 until Dim).map { j =>
+      if (j % 8 == 0) element_at(col("v"), j + 1) * lit(4.0)
+      else element_at(col("v"), j + 1)
+    }
+    val wave = base
+      .select((col("vec_id") + lit(1000L)).as("vec_id"), array(heavy: _*).as("v"))
+    val union = base.unionByName(wave).localCheckpoint(true)
+    val perm0 = Similarity.opqPermutation(base, dim = Dim, m = 4)
+    val dir = Files.createTempDirectory("graft_opqrefit_").toString
+    AnnIndex.trainPq(base, m = 4, sub = 16, k = 8, sampleSize = 128,
+      iters = 2, salt = 11, dir = dir, perm = perm0)
+    AnnIndex.upsertPq(spark, dir, base)
+    AnnIndex.upsertPq(spark, dir, wave)
+    def balance(): Double = {
+      val v = AnnIndex.opqSubspaceVarStats(spark, dir, union)
+        .collect().map(_.getDecimal(2).doubleValue())
+      v.max / v.min
+    }
+    val pre = balance()
+    assert(pre > 2.0, s"drift did not unbalance the subspaces (ratio $pre)")
+    AnnIndex.retrainPq(spark, dir, union, sampleSize = 128, iters = 2,
+      salt = 11, refitPerm = true)
+    val post = balance()
+    assert(post < pre / 2.0, s"perm refit did not re-balance: $pre -> $post")
+    // == a fresh permuted build whose perm came from the same live set
+    val freshDir = Files.createTempDirectory("graft_opqrefit_fresh_").toString
+    AnnIndex.trainPq(union, m = 4, sub = 16, k = 8, sampleSize = 128,
+      iters = 2, salt = 11, dir = freshDir,
+      perm = Similarity.opqPermutation(union, dim = Dim, m = 4))
+    AnnIndex.upsertPq(spark, freshDir, union)
+    def codes(d: String) = spark.read.parquet(s"$d/codes")
+      .select("vec_id", "code0", "code1", "code2", "code3")
+      .collect().map(_.toSeq).toSet
+    assert(codes(dir) == codes(freshDir))
+    def perm(d: String) = spark.read.parquet(s"$d/perm")
+      .orderBy("pos").collect().map(_.getAs[Int]("src")).toSeq
+    assert(perm(dir) == perm(freshDir))
+  }
 }

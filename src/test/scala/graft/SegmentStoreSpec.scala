@@ -473,4 +473,106 @@ class SegmentStoreSpec extends AnyFunSuite {
       .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == want, "concurrent writers diverged from the one-shot union")
   }
+
+  test("XO marker crash window: a committed-but-unmarked first batch re-marks on retry instead of bricking the store") {
+    val path = tmpStore
+    assert(SegmentStore.appendExactlyOnce(batch("a" -> 1L), path, 0L))
+    // simulate the crash between the parquet job's _SUCCESS and the
+    // marker touch: strip the XO marker off the store's ONLY segment
+    val marker = new java.io.File(s"$path/seg=0/_GRAFT_XO")
+    assert(marker.exists, "staging assumption broke: no XO marker")
+    assert(marker.delete())
+    // retry of the same batch: recognized as the crash window (no other
+    // committed segment contradicts XO mode) — re-marked, not ingested
+    // again, and the mode guard never fires
+    assert(!SegmentStore.appendExactlyOnce(batch("a" -> 1L), path, 0L),
+      "the re-delivered batch double-ingested")
+    assert(marker.exists, "the marker was not re-touched")
+    // the store works normally afterwards
+    assert(SegmentStore.appendExactlyOnce(batch("a" -> 2L), path, 1L))
+    val m = SegmentStore.merged(spark, path, Seq("k"), "c")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(m.toSeq == Seq("a" -> 3L))
+    // a GENUINE plain-append store still fails the guard loudly: the
+    // crash-window path only claims the caller's own batch id
+    val plain = tmpStore
+    SegmentStore.append(batch("x" -> 1L), plain)
+    SegmentStore.append(batch("x" -> 2L), plain)
+    val e = intercept[IllegalArgumentException] {
+      SegmentStore.appendExactlyOnce(batch("x" -> 3L), plain, 1L)
+    }
+    assert(e.getMessage.contains("plain-append"))
+  }
+
+  test("cross-writer recovery leaves an in-flight fold alone: a parked subtree with a .compacting sibling is the owner's to resume") {
+    import java.nio.file.{Files => JF, Paths, StandardCopyOption}
+    val path = tmpStore
+    assert(SegmentStore.appendExactlyOnce(batch("a" -> 1L), path, "wa", 0L))
+    assert(SegmentStore.appendExactlyOnce(batch("a" -> 2L), path, "wa", 1L))
+    assert(SegmentStore.appendExactlyOnce(batch("b" -> 4L), path, "wb", 0L))
+    // simulate wa's compact crashed (or racing) between its two renames:
+    // subtree parked at .writer=wa.old, fold staged at .writer=wa.compacting
+    SegmentStore.compactWriter(spark, path, "wa", Seq("k"), "c")
+    JF.move(Paths.get(s"$path/writer=wa"),
+      Paths.get(s"$path/.writer=wa.compacting"),
+      StandardCopyOption.ATOMIC_MOVE) // stand-in complete fold staging
+    assert(SegmentStore.appendExactlyOnce(batch("a" -> 100L), path, "wa2", 0L))
+    JF.move(Paths.get(s"$path/writer=wa2"), Paths.get(s"$path/.writer=wa.old"),
+      StandardCopyOption.ATOMIC_MOVE) // stand-in retired pre-fold copy
+    // ANOTHER producer's ingest (root-level shared recovery) must NOT
+    // resurrect wa's parked copy while the .compacting sibling exists
+    assert(SegmentStore.appendExactlyOnce(batch("b" -> 6L), path, "wb", 1L))
+    assert(!JF.exists(Paths.get(s"$path/writer=wa")),
+      "shared recovery resurrected a subtree whose fold is in flight")
+    // ...and a root READER sees only the live writers meanwhile
+    val mid = SegmentStore.merged(spark, path, Seq("k"), "c")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(mid.toSeq == Seq("b" -> 10L))
+    // the OWNER's next entry point resumes: parked copy rolls forward,
+    // stale fold staging dropped, and its ingest lands on top
+    assert(SegmentStore.appendExactlyOnce(batch("a" -> 5L), path, "wa", 2L))
+    assert(!JF.exists(Paths.get(s"$path/.writer=wa.old")))
+    assert(!JF.exists(Paths.get(s"$path/.writer=wa.compacting")))
+    val m = SegmentStore.merged(spark, path, Seq("k"), "c")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(m.toSeq == Seq("a" -> 105L, "b" -> 10L))
+  }
+
+  test("global as-of at a vector watermark == the union of per-writer snapshots; takedowns audit in one call") {
+    val path = tmpStore
+    // two producers; wb's seg 1 is a RETRACTION (negative partials)
+    assert(SegmentStore.appendExactlyOnce(batch("u1" -> 3L, "u2" -> 1L), path, "wa", 0L))
+    assert(SegmentStore.appendExactlyOnce(batch("u1" -> 2L), path, "wb", 0L))
+    assert(SegmentStore.appendExactlyOnce(batch("u2" -> 4L), path, "wa", 1L))
+    assert(SegmentStore.appendExactlyOnce(batch("u1" -> -5L), path, "wb", 1L))
+    def snap(v: Map[String, Long]) =
+      SegmentStore.mergedAsOf(spark, path, Seq("k"), "c", v)
+        .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // pre-takedown epoch: u1 held across both writers
+    assert(snap(Map("wa" -> 0L, "wb" -> 0L)) == Seq("u1" -> 5L, "u2" -> 1L))
+    // post-takedown epoch: u1's rows gone (net 0 survives as accounting)
+    assert(snap(Map("wa" -> 1L, "wb" -> 1L)) == Seq("u1" -> 0L, "u2" -> 5L))
+    // == union of the per-writer snapshots at the same vector
+    def perWriter(w: String, seg: Long) =
+      SegmentStore.mergedAsOfWriter(spark, path, w, Seq("k"), "c", seg)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val union = (perWriter("wa", 1L).toSeq ++ perWriter("wb", 1L).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(snap(Map("wa" -> 1L, "wb" -> 1L)).toMap == union)
+    // a writer ABSENT from the vector contributes nothing (its epoch
+    // precedes its first batch)
+    assert(snap(Map("wa" -> 1L)) == Seq("u1" -> 3L, "u2" -> 5L))
+    // per-writer fold watermarks preserved: folding wb above seg 0 makes
+    // snapshots below its fold unanswerable for wb ONLY
+    SegmentStore.compactWriter(spark, path, "wb", Seq("k"), "c")
+    assert(snap(Map("wa" -> 1L, "wb" -> 0L)) == Seq("u1" -> 3L, "u2" -> 5L))
+    assert(snap(Map("wa" -> 1L, "wb" -> 1L)) == Seq("u1" -> 0L, "u2" -> 5L))
+    // the flat layout rejects the vector read (layouts never mix)
+    val flat = tmpStore
+    SegmentStore.append(batch("a" -> 1L), flat)
+    val e = intercept[IllegalArgumentException] {
+      SegmentStore.mergedAsOf(spark, flat, Seq("k"), "c", Map("wa" -> 0L))
+    }
+    assert(e.getMessage.contains("flat"))
+  }
 }

@@ -202,4 +202,187 @@ class StreamingMaintenanceSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(probe(dir) == probe(freshDir))
   }
+
+  test("streaming PQ maintenance: the batch dial fires mid-stream at the drift wave's batch; healed codes equal the fresh build") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Dim = 64
+    def vExpr(id: org.apache.spark.sql.Column) =
+      transform(sequence(lit(1), lit(Dim)),
+        j => (pmod(id * lit(31) + j * lit(17), lit(100)) - lit(50)).cast("double") / lit(50.0))
+    def vecsOf(ids: org.apache.spark.sql.DataFrame) = ids.select(col("vec_id"),
+      when(col("vec_id") < 1000L, vExpr(col("vec_id")))
+        .otherwise(transform(vExpr(col("vec_id") - 1000L), x => x + lit(2.0)))
+        .as("v"))
+    val store = vecsOf(spark.range(400).select(col("id").as("vec_id"))
+        .unionByName(spark.range(1000, 1200).select(col("id").as("vec_id"))))
+      .localCheckpoint(true)
+    val dir = graft.sources.TempDirs.scratch("graft_pqstream_")
+    graft.sources.AnnIndex.trainPq(
+      vecsOf(spark.range(200).select(col("id").as("vec_id"))),
+      m = 4, sub = 16, k = 8, sampleSize = 128, iters = 2, salt = 11, dir = dir)
+    graft.sources.AnnIndex.upsertPq(spark, dir,
+      vecsOf(spark.range(200).select(col("id").as("vec_id"))))
+    val dial = graft.sources.AnnIndex.pqDriftStats(spark, dir,
+        store.filter(col("vec_id") < 200), lit(true))
+      .collect()(0).getDouble(2) - 0.05
+    val retrainedAt = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("vec_id").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (graft.sources.AnnIndex.upsertPqWithPolicy(spark, dir, store,
+          vecsOf(batch.toDF()), 128, 2, 11,
+          minMeanCcos = -1.0, minBatchMeanCcos = dial)) retrainedAt += batchId
+        ()
+      }.start()
+    try {
+      mem.addData(200L until 300L: _*) // healthy batch 0
+      q.processAllAvailable()
+      mem.addData(300L until 400L: _*) // healthy batch 1
+      q.processAllAvailable()
+      mem.addData(1000L until 1200L: _*) // the drift wave: batch 2
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(retrainedAt.toSeq == Seq(2L),
+      s"PQ retrain fired at batches $retrainedAt, expected exactly the wave batch")
+    val freshDir = graft.sources.TempDirs.scratch("graft_pqstream_fresh_")
+    graft.sources.AnnIndex.savePq(store, m = 4, sub = 16, k = 8,
+      sampleSize = 128, iters = 2, salt = 11, dir = freshDir)
+    def codes(d: String) = spark.read.parquet(s"$d/codes")
+      .select("vec_id", "code0", "code1", "code2", "code3")
+      .collect().map(_.toSeq).toSet
+    assert(codes(dir) == codes(freshDir))
+  }
+
+  test("streaming IVFPQ maintenance: the routing dial fires mid-stream; healed index equals the fresh build") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Dim = 64
+    def vExpr(id: org.apache.spark.sql.Column) =
+      transform(sequence(lit(1), lit(Dim)),
+        j => (pmod(id * lit(31) + j * lit(17), lit(100)) - lit(50)).cast("double") / lit(50.0))
+    def vecsOf(ids: org.apache.spark.sql.DataFrame) = ids.select(col("vec_id"),
+      when(col("vec_id") < 1000L, vExpr(col("vec_id")))
+        .otherwise(transform(vExpr(col("vec_id") - 1000L), x => x + lit(2.0)))
+        .as("v"))
+    val store = vecsOf(spark.range(400).select(col("id").as("vec_id"))
+        .unionByName(spark.range(1000, 1200).select(col("id").as("vec_id"))))
+      .localCheckpoint(true)
+    val dir = graft.sources.TempDirs.scratch("graft_ivfpqstream_")
+    graft.sources.AnnIndex.trainIvfPq(
+      vecsOf(spark.range(200).select(col("id").as("vec_id"))),
+      ivfK = 8, sampleSize = 128, iters = 2, dim = Dim, ivfSalt = 7,
+      m = 4, sub = 16, pqK = 8, pqSalt = 11, dir = dir)
+    graft.sources.AnnIndex.upsertIvfPq(spark, dir,
+      vecsOf(spark.range(200).select(col("id").as("vec_id"))))
+    val dial = graft.sources.AnnIndex.ivfpqDriftStats(spark, dir,
+        store.filter(col("vec_id") < 200), lit(true))
+      .collect()(0).getDouble(2) - 0.05
+    val retrainedAt = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("vec_id").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (graft.sources.AnnIndex.upsertIvfPqWithPolicy(spark, dir, store,
+          vecsOf(batch.toDF()), 8, 128, 2, Dim, 7, 11,
+          minMeanCcos = -1.0, minBatchMeanCcos = dial)) retrainedAt += batchId
+        ()
+      }.start()
+    try {
+      mem.addData(200L until 400L: _*) // healthy batch 0
+      q.processAllAvailable()
+      mem.addData(1000L until 1200L: _*) // the drift wave: batch 1
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(retrainedAt.toSeq == Seq(1L),
+      s"IVFPQ retrain fired at batches $retrainedAt, expected exactly the wave batch")
+    val freshDir = graft.sources.TempDirs.scratch("graft_ivfpqstream_fresh_")
+    graft.sources.AnnIndex.saveIvfPq(store, ivfK = 8, sampleSize = 128,
+      iters = 2, dim = Dim, ivfSalt = 7, m = 4, sub = 16, pqK = 8,
+      pqSalt = 11, dir = freshDir)
+    def codes(d: String) = spark.read.parquet(s"$d/codes")
+      .select(col("vec_id"), col("cell").cast("long"),
+        col("code0"), col("code1"), col("code2"), col("code3"))
+      .collect().map(_.toSeq).toSet
+    assert(codes(dir) == codes(freshDir))
+  }
+
+  test("streaming LSH maintenance: the population width rule fires mid-stream; healed index equals the fresh build at the derived width") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Dim = 64
+    def vExpr(id: org.apache.spark.sql.Column) =
+      transform(sequence(lit(1), lit(Dim)),
+        j => (pmod(id * lit(31) + j * lit(17), lit(100)) - lit(50)).cast("double") / lit(50.0))
+    val dir = graft.sources.TempDirs.scratch("graft_lshstream_")
+    graft.sources.AnnIndex.saveLsh(
+      spark.range(400).select(col("id").as("vec_id"), vExpr(col("id")).as("v")),
+      nBits = 6, dim = Dim, dir = dir) // capacity 8 << 6 = 512
+    val rebucketedAt = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("vec_id").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (graft.sources.AnnIndex.upsertLshWithPolicy(spark, dir,
+          batch.toDF().select(col("vec_id"), vExpr(col("vec_id")).as("v")),
+          bucketTarget = 8, maxBits = 16)) rebucketedAt += batchId
+        ()
+      }.start()
+    try {
+      mem.addData(400L until 480L: _*) // in capacity: batch 0
+      q.processAllAvailable()
+      mem.addData(480L until 700L: _*) // the growth wave: batch 1
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rebucketedAt.toSeq == Seq(1L),
+      s"rebucket fired at batches $rebucketedAt, expected exactly the wave batch")
+    assert(spark.read.parquet(s"$dir/meta").head().getAs[Int]("n_bits") == 7)
+    val union = spark.range(700).select(col("id").as("vec_id"),
+      vExpr(col("id")).as("v"))
+    val freshDir = graft.sources.TempDirs.scratch("graft_lshstream_fresh_")
+    graft.sources.AnnIndex.saveLsh(union, nBits = 7, dim = Dim, dir = freshDir)
+    def rows(d: String) = spark.read.parquet(s"$d/corpus")
+      .select("vec_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(dir) == rows(freshDir))
+  }
+
+  test("streaming phash maintenance: the width trigger fires mid-stream; healed postings equal the fresh build at the wider width") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    val hx = concat((0 until 16).map(j =>
+      md5(concat(col("doc_id").cast("string"), lit(s":$j")))): _*)
+    def media(ids: org.apache.spark.sql.DataFrame) =
+      ids.withColumn("payload", unhex(hx))
+    val n0 = 16300L
+    val store = media(spark.range(n0 + 300L).select(col("id").as("doc_id")))
+      .localCheckpoint(true)
+    val dir = graft.sources.TempDirs.scratch("graft_phstream_")
+    graft.sources.AnnIndex.trainPhash(spark, dir, Multimodal.phashPatches(n0))
+    graft.sources.AnnIndex.upsertPhash(spark, dir,
+      media(spark.range(n0).select(col("id").as("doc_id"))))
+    val reindexedAt = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("doc_id").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (graft.sources.AnnIndex.upsertPhashWithPolicy(spark, dir,
+          media(batch.toDF()), store)) reindexedAt += batchId
+        ()
+      }.start()
+    try {
+      mem.addData(n0 until (n0 + 50L): _*) // under threshold: batch 0
+      q.processAllAvailable()
+      mem.addData((n0 + 50L) until (n0 + 300L): _*) // crosses it: batch 1
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(reindexedAt.toSeq == Seq(1L),
+      s"re-index fired at batches $reindexedAt, expected exactly the crossing batch")
+    assert(spark.read.parquet(s"$dir/meta").head().getAs[Int]("n_patches") == 128)
+    val freshDir = graft.sources.TempDirs.scratch("graft_phstream_fresh_")
+    graft.sources.AnnIndex.trainPhash(spark, freshDir, 128)
+    graft.sources.AnnIndex.upsertPhash(spark, freshDir, store)
+    def postings(d: String) = spark.read.parquet(s"$d/postings")
+      .groupBy(col("band").cast("long").as("band"), col("key")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(postings(dir) == postings(freshDir))
+  }
 }
