@@ -487,6 +487,27 @@ object SegmentStore {
       .agg(sum(sumCol).cast("long").as(sumCol))
   }
 
+  /** The live per-writer watermark VECTOR of a multi-writer store —
+    * max committed segment id per writer subtree, from directory
+    * listings (driver-side, bounded by writers × the per-writer fold
+    * cap). This is the "snapshot NOW" epoch for the vector-watermark
+    * [[mergedAsOf]]: an audit freezes the vector first, then reads
+    * against it — appends landing after the freeze take HIGHER batch
+    * ids in their writer's monotone sequence, so they stay invisible
+    * to the frozen snapshot by construction.
+    */
+  def currentWatermarks(spark: SparkSession, path: String): Map[String, Long] = {
+    val (f, p) = fs(spark, path)
+    recover(f, p)
+    requireLayout(f, p, wantWriter = true, "currentWatermarks")
+    if (!f.exists(p)) return Map.empty
+    f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("writer="))
+      .map(_.stripPrefix("writer="))
+      .flatMap(w => segmentIds(spark, writerPath(path, w)).lastOption.map(w -> _))
+      .toMap
+  }
+
   /** Per-segment row counts — the monitoring report that drives (and
     * audits) the compaction policy. Output is one row per live
     * segment: bounded by the policy itself.

@@ -846,4 +846,48 @@ class PipelineSurfaceSpec extends AnyFunSuite {
       P.seqSpansOfCounts(counts.filter(not(retrPred))).collect().map(_.toSeq).toSet,
       "seq takedown diverged from the from-scratch pack of the corpus-without")
   }
+
+  test("pipe_seqs_tokens: the assembled stream is exactly the span map's concatenation; no token lost to the vocab join") {
+    import graft.queries.PipelineQueries
+    val L = PipelineQueries.PackSeqLen.toLong
+    val toks = PipelineQueries.seqTokens(spark, dir).localCheckpoint(true)
+
+    // 1. coverage: the inner vocab join drops NOTHING — the assembled
+    //    token count equals the frozen tokenizer's total piece count
+    //    (a piece missing from the vocab would silently vanish here)
+    val nToks = toks.count()
+    val nPieces = graft.queries.TextQueries.bpeDocPieces(spark, dir)
+      .agg(sum("n_toks")).collect()(0).getLong(0)
+    assert(nToks == nPieces, s"assembled $nToks tokens != $nPieces pieces")
+
+    // 2. slot tiling: within each (shard, seq_id), pos covers exactly
+    //    [0, fill) with no gap or double-fill
+    val bad = toks.groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n"), countDistinct("pos").as("nd"),
+        min("pos").as("mn"), max("pos").as("mx"))
+      .filter(col("n") =!= col("nd") || col("mn") =!= 0L ||
+        col("mx") =!= col("n") - 1L || col("n") > lit(L))
+      .count()
+    assert(bad == 0L, "a sequence's slots are gapped, doubled, or overfull")
+
+    // 3. equivalence with the span map: assembling sequence slots by
+    //    slicing each doc's piece list through its span (the loader's
+    //    read path) yields the identical (shard, seq_id, pos, token_id)
+    //    set — the direct stream arithmetic and the span map can never
+    //    disagree
+    val pieces = graft.queries.TextQueries.bpeDocPieceList(spark, dir)
+    val vocab = broadcast(graft.queries.TextQueries.bpeVocab(spark, dir))
+    val viaSpans = PipelineQueries.seqSpans(spark, dir)
+      .join(pieces, Seq("doc_id"))
+      .select(col("shard"), col("seq_id"), col("seq_off"),
+        posexplode(slice(col("pieces"), (col("tok_begin") + 1L).cast("int"),
+          (col("tok_end") - col("tok_begin")).cast("int")))
+          .as(Seq("i", "piece")))
+      .select(col("shard"), col("seq_id"),
+        (col("seq_off") + col("i")).as("pos"), col("piece"))
+      .join(vocab, Seq("piece"))
+      .select("shard", "seq_id", "pos", "token_id")
+    assert(viaSpans.exceptAll(toks).isEmpty && toks.exceptAll(viaSpans).isEmpty,
+      "span-sliced assembly diverged from the direct token stream")
+  }
 }

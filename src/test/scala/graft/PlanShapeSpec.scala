@@ -363,4 +363,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashEx == 1, s"expected 1 shard exchange, got $hashEx:\n$plan")
     assert(!plan.contains("ScalaUDF"), plan)
   }
+
+  test("pipe_seqs_tokens: one shard shuffle + a broadcast vocab join; the piece explode stays row-local") {
+    val plan = qe("pipe_seqs_tokens").executedPlan.toString
+    // the assembled-token relation must keep the pipe_seqs shape: ONE
+    // hash exchange on shard feeds the running-offset window, the
+    // piece list + posexplode are row-local, and the id mapping is a
+    // BROADCAST join (alphabet + BpeMerges rows) — a vocab join that
+    // shuffled the exploded token stream would shuffle the whole
+    // corpus token mass
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected 1 shard exchange, got $hashEx:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
 }

@@ -567,6 +567,16 @@ class SegmentStoreSpec extends AnyFunSuite {
     SegmentStore.compactWriter(spark, path, "wb", Seq("k"), "c")
     assert(snap(Map("wa" -> 1L, "wb" -> 0L)) == Seq("u1" -> 3L, "u2" -> 5L))
     assert(snap(Map("wa" -> 1L, "wb" -> 1L)) == Seq("u1" -> 0L, "u2" -> 5L))
+    // currentWatermarks freezes "now" as a vector: a snapshot at it
+    // equals the live merge, and appends AFTER the freeze stay
+    // invisible to the frozen snapshot
+    val now = SegmentStore.currentWatermarks(spark, path)
+    assert(now == Map("wa" -> 1L, "wb" -> 1L), s"watermark vector: $now")
+    val frozen = snap(now)
+    assert(frozen.toMap == SegmentStore.merged(spark, path, Seq("k"), "c")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap)
+    assert(SegmentStore.appendExactlyOnce(batch("u3" -> 9L), path, "wa", 2L))
+    assert(snap(now) == frozen, "a post-freeze append leaked into the snapshot")
     // the flat layout rejects the vector read (layouts never mix)
     val flat = tmpStore
     SegmentStore.append(batch("a" -> 1L), flat)
