@@ -268,7 +268,6 @@ object PipelineQueries {
     * both engines, so the oracle replays the assembly bit-for-bit.
     */
   private[graft] def seqTokens(s: SparkSession, dir: String): DataFrame = {
-    val L = PackSeqLen.toDouble
     val w = Window
       .partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -280,16 +279,140 @@ object PipelineQueries {
     pieces
       .withColumn("tok_off", sum("n_toks").over(w) - col("n_toks"))
       .filter(col("n_toks") > 0L)
-      .select(col("shard"), col("tok_off"),
+      .select(col("shard"), col("doc_id"), col("tok_off"),
         posexplode(col("pieces")).as(Seq("j", "piece")))
-      .select(col("shard"), col("piece"),
+      .select(col("shard"), col("doc_id"), col("piece"),
         (col("tok_off") + col("j")).as("g"))
       .select(col("shard"),
-        floor(col("g").cast("double") / lit(L)).cast("long").as("seq_id"),
+        floor(col("g").cast("double") / lit(PackSeqLen.toDouble)).cast("long")
+          .as("seq_id"),
         pmod(col("g"), lit(PackSeqLen.toLong)).as("pos"),
-        col("piece"))
+        col("doc_id"), col("piece"))
       .join(broadcast(TextQueries.bpeVocab(s, dir)), Seq("piece"))
-      .select("shard", "seq_id", "pos", "token_id")
+      .select("shard", "seq_id", "pos", "doc_id", "token_id")
+  }
+
+  /** Re-pack ONLY the `touched` shard directories of a shipped TOKEN
+    * artifact — the [[seqRepackShards]] treatment for assembled
+    * sequences, possible because carrying `doc_id` makes the artifact
+    * SELF-DESCRIBING: a surviving doc's token sequence is recoverable
+    * in order from its stored rows (doc-local index = global slot
+    * g = seq_id·L + pos minus the doc's min g), so neither the corpus
+    * text nor the tokenizer is re-read for survivors — a takedown
+    * re-tokenizes NOTHING, an append re-tokenizes only its own batch
+    * (`extra`, already as `(shard, doc_id, j, token_id)` rows). The
+    * re-pack's own shuffles (the per-doc recount + offset window +
+    * re-slot) are TOUCHED-SHARD-sized, never the artifact; untouched
+    * dirs are never rewritten; a fully-vacated dir drops.
+    *
+    * Semantics per batch: `extra` UPSERTS (a doc already stored is
+    * replaced, so an at-least-once re-delivery of the same tokenized
+    * batch is a no-op), `without` retracts LAST (a doc both upserted
+    * and retracted in one batch is retracted — the in-batch-cancel
+    * rule the signed segment-store ingest also follows). An absent
+    * `exportDir` is an empty artifact, so the same call bootstraps a
+    * fresh store on its first micro-batch.
+    */
+  private[graft] def seqRepackTokenShards(s: SparkSession, exportDir: String,
+      touched: Seq[Long], extra: Option[DataFrame],
+      without: Option[DataFrame]): Unit = {
+    if (touched.isEmpty) return
+    val L = lit(PackSeqLen.toLong)
+    val fs0 = new org.apache.hadoop.fs.Path(exportDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stored =
+      if (fs0.exists(new org.apache.hadoop.fs.Path(exportDir)))
+        s.read.parquet(exportDir)
+          .filter(col("shard").isin(touched.map(Long.box): _*))
+          .select(col("shard").cast("long").as("shard"), col("doc_id"),
+            (col("seq_id") * L + col("pos")).as("g"), col("token_id"))
+      else // bootstrap: zero stored rows, same BIGINT schema
+        s.range(0).select(col("id").as("shard"), col("id").as("doc_id"),
+          col("id").as("g"), col("id").as("token_id"))
+    val g0 = stored.groupBy("shard", "doc_id").agg(min("g").as("g0"))
+    val survTok = stored.join(g0, Seq("shard", "doc_id"))
+      .select(col("shard"), col("doc_id"),
+        (col("g") - col("g0")).as("j"), col("token_id"))
+    val upserted = extra
+      .map(b => survTok
+        .join(b.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+        .select("shard", "doc_id", "j", "token_id")
+        .unionByName(b.select("shard", "doc_id", "j", "token_id")))
+      .getOrElse(survTok)
+    val tok = without
+      .map(del => upserted.join(del.select("doc_id"), Seq("doc_id"), "left_anti"))
+      .getOrElse(upserted)
+      .localCheckpoint(true) // materialize before overwriting the source
+    val w = Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val counts = tok.groupBy("shard", "doc_id")
+      .agg(count(lit(1)).as("n_toks"))
+      .withColumn("tok_off", sum("n_toks").over(w) - col("n_toks"))
+    val rows = tok
+      .join(counts.select("shard", "doc_id", "tok_off"), Seq("shard", "doc_id"))
+      .select(col("shard"),
+        floor((col("tok_off") + col("j")).cast("double")
+          / lit(PackSeqLen.toDouble)).cast("long").as("seq_id"),
+        pmod(col("tok_off") + col("j"), L).as("pos"),
+        col("doc_id"), col("token_id"))
+      .localCheckpoint(true)
+    rows.repartition(col("shard"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard").parquet(exportDir)
+    val written = rows.select("shard").distinct()
+      .collect().map(_.getLong(0)).toSet // <= PackShards rows
+    val fs = new org.apache.hadoop.fs.Path(exportDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    touched.filterNot(written).foreach { sh =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$exportDir/shard=$sh"), true)
+    }
+  }
+
+  /** A fresh doc batch tokenized into the repack's input shape
+    * `(shard, doc_id, j, token_id)` — only the batch pays the
+    * tokenizer.
+    */
+  private def batchTokenRows(s: SparkSession, dir: String,
+      batchDocs: DataFrame): DataFrame =
+    TextQueries.bpeDocPieceList(s, dir)
+      .join(batchDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        (graft.functions.Md5Long60Expr(col("doc_id").cast("string"), PackSalt)
+          % lit(PackShards.toLong)).as("shard"),
+        posexplode(col("pieces")).as(Seq("j", "piece")))
+      .join(broadcast(TextQueries.bpeVocab(s, dir)), Seq("piece"))
+      .select(col("shard"), col("doc_id"), col("j").cast("long").as("j"),
+        col("token_id"))
+
+  /** ONE maintenance call for the token artifact — the micro-batch
+    * entry point a `foreachBatch` sink (or a batch staging job) drives
+    * with this batch's doc upserts and takedowns together: tokenize
+    * ONLY the adds ([[batchTokenRows]] — the corpus-sized tokenizer
+    * never runs for survivors), derive the touched shard set from both
+    * sides' doc ids (≤ [[PackShards]] values), and re-pack just those
+    * dirs via [[seqRepackTokenShards]] (upsert-then-retract batch
+    * semantics, re-delivery-idempotent, bootstraps an absent dir).
+    * Mirrors the BM25/cluster/index `foreachBatch` maintenance
+    * discipline — spec-gated in StreamingMaintenanceSpec.
+    */
+  private[graft] def seqTokensMaintain(s: SparkSession, dir: String,
+      exportDir: String, adds: Option[DataFrame],
+      retracts: Option[DataFrame]): Unit = {
+    val batch = adds.map(a =>
+      batchTokenRows(s, dir, a.select("doc_id")).localCheckpoint(true))
+    val retr = retracts.map(_.select("doc_id").localCheckpoint(true))
+    val addShards = batch.map(_.select("shard").distinct()
+      .collect().map(_.getLong(0)).toSet) // <= PackShards rows
+      .getOrElse(Set.empty[Long])
+    val retrShards = retr.map(_
+      .select((graft.functions.Md5Long60Expr(col("doc_id").cast("string"),
+        PackSalt) % lit(PackShards.toLong)).as("shard"))
+      .distinct().collect().map(_.getLong(0)).toSet) // <= PackShards rows
+      .getOrElse(Set.empty[Long])
+    seqRepackTokenShards(s, exportDir, (addShards ++ retrShards).toSeq,
+      batch, retr)
   }
 
   /** Per-shard manifest of a shipped TOKEN artifact, computed from
@@ -300,9 +423,10 @@ object PipelineQueries {
   private def seqTokensManifest(s: SparkSession, exportDir: String): DataFrame = {
     val back = s.read.parquet(exportDir)
       .select(col("shard").cast("long").as("shard"), col("seq_id"),
-        col("pos"), col("token_id"))
+        col("pos"), col("doc_id"), col("token_id"))
     val fp = graft.functions.Md5Long60Expr(
-      concat_ws(":", col("seq_id"), col("pos"), col("token_id")), PackSalt)
+      concat_ws(":", col("seq_id"), col("pos"), col("doc_id"),
+        col("token_id")), PackSalt)
     back.groupBy("shard")
       .agg(count(lit(1)).as("n_tokens"),
         countDistinct("seq_id").as("n_seqs"),
@@ -682,6 +806,42 @@ object PipelineQueries {
     "pipe_seqs_tokens_export" -> ((s, dir) => {
       val exportDir = graft.sources.TempDirs.scratch("graft_seqtokex_")
       exportShip(seqTokens(s, dir), exportDir)
+      seqTokensManifest(s, exportDir)
+    }),
+
+    // APPEND leg of the token artifact: only the batch pays the
+    // tokenizer; survivors' token sequences are recovered from the
+    // artifact itself (doc_id makes it self-describing) and only the
+    // batch's touched shard dirs re-pack. Converges to the one-shot
+    // export, so it shares that oracle.
+    "pipe_seqs_tokens_export_incremental" -> ((s, dir) => {
+      val exportDir = graft.sources.TempDirs.scratch("graft_seqtokinc_")
+      val tokens = seqTokens(s, dir).localCheckpoint(true)
+      exportShip(tokens.filter(col("doc_id") % 7 =!= 3), exportDir)
+      val batchDocs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 7 === 3).select("doc_id")
+      val batch = batchTokenRows(s, dir, batchDocs).localCheckpoint(true)
+      val touched = batch.select("shard").distinct()
+        .collect().map(_.getLong(0)).toSeq // <= PackShards rows
+      seqRepackTokenShards(s, exportDir, touched, Some(batch), None)
+      seqTokensManifest(s, exportDir)
+    }),
+
+    // TAKEDOWN leg: retracted docs leave the token artifact by
+    // re-packing only the shard dirs that held them — NOTHING is
+    // re-tokenized (survivor sequences come from the stored rows).
+    // Oracle assembles the corpus-without from scratch.
+    "pipe_seqs_tokens_export_retract" -> ((s, dir) => {
+      val exportDir = graft.sources.TempDirs.scratch("graft_seqtokret_")
+      exportShip(seqTokens(s, dir), exportDir)
+      val retracted = Tables.documents(s, dir)
+        .filter(col("doc_id") % 50 === 7).select("doc_id")
+        .localCheckpoint(true) // shard probe + anti-join read it
+      val touched = retracted
+        .select((graft.functions.Md5Long60Expr(col("doc_id").cast("string"),
+          PackSalt) % lit(PackShards.toLong)).as("shard"))
+        .distinct().collect().map(_.getLong(0)).toSeq // <= PackShards rows
+      seqRepackTokenShards(s, exportDir, touched, None, Some(retracted))
       seqTokensManifest(s, exportDir)
     }),
 
@@ -1575,38 +1735,39 @@ object PipelineQueries {
     * join. `manifest = true` reduces to the per-shard
     * [[seqTokensManifest]] shape instead of the positional rows.
     */
-  private def seqTokensSql(manifest: Boolean): String = {
+  private def seqTokensSql(manifest: Boolean, pred: String): String = {
     val sel =
       if (!manifest)
-        s"""SELECT shard, seq_id, pos, token_id
+        s"""SELECT shard, seq_id, pos, doc_id, token_id
            |FROM tok_ids ORDER BY shard, seq_id, pos""".stripMargin
       else
         s"""SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_tokens,
            |  CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
            |  CAST(bit_xor(CAST(concat('0x', substr(md5(concat('$PackSalt:',
            |    CAST(seq_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':' ||
+           |    CAST(doc_id AS VARCHAR) || ':' ||
            |    CAST(token_id AS VARCHAR))), 1, 15)) AS BIGINT)) AS BIGINT) AS content_fp
            |FROM tok_ids GROUP BY shard ORDER BY shard""".stripMargin
     s"""WITH ${TextQueries.bpeDocPieceListCtes}, ${TextQueries.bpeVocabCtes}, tok_b AS (
        |  SELECT doc_id,
        |    CAST(concat('0x', substr(md5(concat('$PackSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % $PackShards AS shard,
        |    pieces, CAST(len(pieces) AS BIGINT) AS n_toks
-       |  FROM bpe_doc_plist
+       |  FROM bpe_doc_plist WHERE $pred
        |), tok_o AS (
        |  SELECT doc_id, shard, pieces,
        |    CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS BIGINT) AS tok_off
        |  FROM tok_b WHERE n_toks > 0
        |), tok_g AS (
-       |  SELECT shard, tok_off + j - 1 AS g, piece FROM (
-       |    SELECT shard, tok_off, UNNEST(pieces) AS piece,
+       |  SELECT shard, doc_id, tok_off + j - 1 AS g, piece FROM (
+       |    SELECT shard, doc_id, tok_off, UNNEST(pieces) AS piece,
        |      UNNEST(generate_series(1, len(pieces))) AS j
        |    FROM tok_o
        |  )
        |), tok_ids AS (
        |  SELECT shard,
        |    CAST(FLOOR(CAST(g AS DOUBLE) / $PackSeqLen.0) AS BIGINT) AS seq_id,
-       |    CAST(g % $PackSeqLen AS BIGINT) AS pos, v.token_id
+       |    CAST(g % $PackSeqLen AS BIGINT) AS pos, doc_id, v.token_id
        |  FROM tok_g t JOIN bpe_vocab v ON v.piece = t.piece
        |)
        |$sel""".stripMargin
@@ -1774,11 +1935,20 @@ object PipelineQueries {
 
     // the assembled token stream replayed in SQL: per-doc piece lists
     // through the shard-stream arithmetic, ids from the vocab
-    "pipe_seqs_tokens" -> seqTokensSql(false),
+    "pipe_seqs_tokens" -> seqTokensSql(manifest = false, pred = "TRUE"),
 
     // ship -> read-back -> manifest must equal the manifest of the
     // assembly arithmetic itself
-    "pipe_seqs_tokens_export" -> seqTokensSql(true),
+    "pipe_seqs_tokens_export" -> seqTokensSql(manifest = true, pred = "TRUE"),
+
+    // artifact-recovered re-pack converges to the one-shot assembly
+    "pipe_seqs_tokens_export_incremental" ->
+      seqTokensSql(manifest = true, pred = "TRUE"),
+
+    // touched-shard takedown == a from-scratch assembly of the
+    // corpus-without
+    "pipe_seqs_tokens_export_retract" ->
+      seqTokensSql(manifest = true, pred = "doc_id % 50 != 7"),
 
     // ship -> read-back -> manifest must equal the manifest of the
     // packing arithmetic itself (the pipe_export discipline)

@@ -879,15 +879,105 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     val vocab = broadcast(graft.queries.TextQueries.bpeVocab(spark, dir))
     val viaSpans = PipelineQueries.seqSpans(spark, dir)
       .join(pieces, Seq("doc_id"))
-      .select(col("shard"), col("seq_id"), col("seq_off"),
+      .select(col("shard"), col("seq_id"), col("doc_id"), col("seq_off"),
         posexplode(slice(col("pieces"), (col("tok_begin") + 1L).cast("int"),
           (col("tok_end") - col("tok_begin")).cast("int")))
           .as(Seq("i", "piece")))
       .select(col("shard"), col("seq_id"),
-        (col("seq_off") + col("i")).as("pos"), col("piece"))
+        (col("seq_off") + col("i")).as("pos"), col("doc_id"), col("piece"))
       .join(vocab, Seq("piece"))
-      .select("shard", "seq_id", "pos", "token_id")
+      .select("shard", "seq_id", "pos", "doc_id", "token_id")
     assert(viaSpans.exceptAll(toks).isEmpty && toks.exceptAll(viaSpans).isEmpty,
       "span-sliced assembly diverged from the direct token stream")
+  }
+
+  test("pipe_seqs_tokens triad: token re-packs touch only their shard dirs, recover survivors from the artifact, and equal the one-shot assembly") {
+    import graft.queries.{PipelineQueries => P}
+    val tokens = P.seqTokens(spark, dir).localCheckpoint(true)
+    def dirState(p: java.io.File) =
+      p.listFiles.map(f => (f.getName, f.lastModified, f.length)).toSet
+    def snapshot(eDir: String) = new java.io.File(eDir).listFiles
+      .filter(_.getName.startsWith("shard="))
+      .map(d => d.getName -> dirState(d)).toMap
+    def onDisk(eDir: String) = spark.read.parquet(eDir)
+      .select(col("shard").cast("long"), col("seq_id"), col("pos"),
+        col("doc_id"), col("token_id"))
+      .collect().map(_.toSeq).toSet
+
+    // --- takedown leg: survivors come from the STORED rows (nothing
+    //     re-tokenized), only the retracted docs' shard dirs rewrite
+    val retrPred = col("doc_id") % 50 === 7
+    val retDir = java.nio.file.Files
+      .createTempDirectory("graft_tokret_spec_").toString + "/export"
+    P.exportShip(tokens, retDir)
+    val beforeRet = snapshot(retDir)
+    val retracted = tokens.filter(retrPred).select("doc_id").distinct()
+      .localCheckpoint(true)
+    val touchedRet = tokens.filter(retrPred).select("shard").distinct()
+      .collect().map(r => s"shard=${r.getLong(0)}").toSet
+    assert(touchedRet.nonEmpty && (beforeRet.keySet -- touchedRet).nonEmpty)
+    P.seqRepackTokenShards(spark, retDir,
+      touchedRet.map(_.stripPrefix("shard=").toLong).toSeq, None, Some(retracted))
+    (beforeRet.keySet -- touchedRet).foreach { d =>
+      assert(dirState(new java.io.File(s"$retDir/$d")) == beforeRet(d),
+        s"untouched dir $d rewritten by the token takedown")
+    }
+    assert(onDisk(retDir) ==
+      tokensWithout(tokens, retrPred).collect().map(_.toSeq).toSet,
+      "token takedown diverged from the from-scratch assembly of the corpus-without")
+
+    // --- append leg: ship corpus-minus-batch, re-tokenize ONLY the
+    //     batch, re-pack its touched dirs — equals the full one-shot
+    val sparse = col("doc_id") % 97 === 5
+    val incDir = java.nio.file.Files
+      .createTempDirectory("graft_tokinc_spec_").toString + "/export"
+    P.exportShip(tokensWithout(tokens, sparse), incDir)
+    val beforeInc = snapshot(incDir)
+    val batchTok = tokens.filter(sparse)
+      .select(col("shard"), col("doc_id"),
+        (col("seq_id") * lit(P.PackSeqLen.toLong) + col("pos")).as("g"),
+        col("token_id"))
+    // reconstruct batch (shard, doc_id, j, token_id) via per-doc min g
+    val g0 = batchTok.groupBy("shard", "doc_id").agg(min("g").as("g0"))
+    val batchRows = batchTok.join(g0, Seq("shard", "doc_id"))
+      .select(col("shard"), col("doc_id"), (col("g") - col("g0")).as("j"),
+        col("token_id")).localCheckpoint(true)
+    val touchedInc = batchRows.select("shard").distinct()
+      .collect().map(r => s"shard=${r.getLong(0)}").toSet
+    assert(touchedInc.nonEmpty && (beforeInc.keySet -- touchedInc).nonEmpty)
+    P.seqRepackTokenShards(spark, incDir,
+      touchedInc.map(_.stripPrefix("shard=").toLong).toSeq, Some(batchRows), None)
+    (beforeInc.keySet -- touchedInc).foreach { d =>
+      assert(dirState(new java.io.File(s"$incDir/$d")) == beforeInc(d),
+        s"untouched dir $d rewritten by the token append")
+    }
+    assert(onDisk(incDir) == tokens.collect().map(_.toSeq).toSet,
+      "token append diverged from the one-shot assembly")
+  }
+
+  /** One-shot token assembly of the corpus minus a doc predicate —
+    * recomputed through the SAME slot arithmetic over the surviving
+    * docs' (doc-local) token rows, the reference every re-pack leg
+    * must match.
+    */
+  private def tokensWithout(tokens: org.apache.spark.sql.DataFrame,
+      pred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    import graft.queries.{PipelineQueries => P}
+    import org.apache.spark.sql.expressions.Window
+    val L = P.PackSeqLen.toLong
+    val surv = tokens.filter(not(pred))
+      .select(col("shard"), col("doc_id"),
+        (col("seq_id") * lit(L) + col("pos")).as("g"), col("token_id"))
+    val g0 = surv.groupBy("shard", "doc_id").agg(min("g").as("g0"),
+      count(lit(1)).as("n_toks"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = g0.withColumn("tok_off", sum("n_toks").over(w) - col("n_toks"))
+    surv.join(offs, Seq("shard", "doc_id"))
+      .select(col("shard"),
+        floor((col("tok_off") + col("g") - col("g0")).cast("double")
+          / lit(L.toDouble)).cast("long").as("seq_id"),
+        pmod(col("tok_off") + col("g") - col("g0"), lit(L)).as("pos"),
+        col("doc_id"), col("token_id"))
   }
 }

@@ -385,4 +385,53 @@ class StreamingMaintenanceSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(postings(dir) == postings(freshDir))
   }
+
+  test("streaming token artifact: adds + takedowns on one stream maintain the export; converges to the one-call build; re-delivery is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = "/root/testdata/sf0.001"
+    val P = graft.queries.PipelineQueries
+    def docsOf(ids: Seq[Long]) = ids.toDF("doc_id")
+    def onDisk(d: String) = spark.read.parquet(d)
+      .select(col("shard").cast("long"), col("seq_id"), col("pos"),
+        col("doc_id"), col("token_id"))
+      .collect().map(_.toSeq).toSet
+    val allIds = graft.sources.Tables.documents(spark, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq // sf0.001 corpus
+    val (b1, b2) = allIds.splitAt(allIds.length / 2)
+    val retracted = allIds.filter(_ % 9 == 2)
+    // reference: the surviving doc set built in ONE bootstrap call
+    val oneDir = s"${graft.sources.TempDirs.scratch("graft_tokone_")}/export"
+    P.seqTokensMaintain(spark, corpus, oneDir,
+      Some(docsOf(allIds.filterNot(retracted.contains))), None)
+    // stream: signed doc-id micro-batches through the SAME call
+    val exportDir = s"${graft.sources.TempDirs.scratch("graft_tokstr_")}/export"
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("doc_id", "sign").writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val adds = b.filter(col("sign") > 0).select("doc_id")
+        val dels = b.filter(col("sign") < 0).select("doc_id")
+        P.seqTokensMaintain(spark, corpus, exportDir,
+          if (adds.isEmpty) None else Some(adds),
+          if (dels.isEmpty) None else Some(dels))
+      }.start()
+    try {
+      mem.addData(b1.map(d => (d, 1L)): _*) // bootstraps the absent dir
+      q.processAllAvailable()
+      mem.addData(b2.map(d => (d, 1L)): _*)
+      q.processAllAvailable()
+      // takedowns, one arriving WITH a same-batch re-add: retract wins
+      mem.addData(retracted.map(d => (d, -1L)) :+ (retracted.head, 1L): _*)
+      q.processAllAvailable()
+      val settled = onDisk(exportDir)
+      assert(settled == onDisk(oneDir),
+        "streamed token artifact diverged from the one-call build")
+      // at-least-once: re-delivering a whole surviving add batch upserts
+      // identical rows — the artifact must not change
+      mem.addData(b2.filterNot(retracted.contains).map(d => (d, 1L)): _*)
+      q.processAllAvailable()
+      assert(onDisk(exportDir) == settled,
+        "re-delivered add batch mutated the settled artifact")
+    } finally q.stop()
+  }
 }
