@@ -94,6 +94,7 @@ object PipelineQueries {
   final val PackShards = 32
   final val PackSeqLen = 2048
   final val PackSalt = 13
+  final val PackEpochs = 3
   /** pipe_score weights (fixed-order weighted sum, oracle-mirrored). */
   final val ScoreWQuality = 0.7
   final val ScoreWRarity = 0.3
@@ -414,6 +415,54 @@ object PipelineQueries {
     seqRepackTokenShards(s, exportDir, (addShards ++ retrShards).toSeq,
       batch, retr)
   }
+
+  /** The token artifact in its DATALOADER-FINAL shape: one row per
+    * sequence with the full ordered token stream (comma-joined —
+    * exact-comparable across engines, unlike a float; the ids are
+    * integers so the join is lossless) plus the attention/loss-mask
+    * inputs a trainer needs alongside it: `n_docs` and `doc_starts`,
+    * the in-sequence positions where a new document begins (packing
+    * concatenates docs, so cross-doc attention is masked at exactly
+    * these boundaries). Tokens reduce by (shard, seq_id) — the agg key
+    * is prefix-aligned with the artifact's shard partitioning, so at
+    * scale the exchange is the binarization shuffle and nothing more;
+    * doc_starts come from the SPAN map ([[seqSpans]] — docs×seqs rows,
+    * three orders smaller than the token stream), where each span's
+    * `seq_off` IS its doc's first in-seq position.
+    */
+  private[graft] def seqTokensPacked(s: SparkSession, dir: String): DataFrame = {
+    val packed = seqTokens(s, dir).groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_toks"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("pos"), col("token_id")))),
+          x => x.getField("token_id").cast("string"))).as("tokens"))
+    val bounds = seqSpans(s, dir).groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",", transform(array_sort(collect_list(col("seq_off"))),
+          _.cast("string"))).as("doc_starts"))
+    packed.join(bounds, Seq("shard", "seq_id"))
+      .select("shard", "seq_id", "n_toks", "n_docs", "tokens", "doc_starts")
+  }
+
+  /** Deterministic per-epoch traversal order for the sequence
+    * artifact — the data-order leg of reproducible training. For each
+    * epoch 0..[[PackEpochs]]-1 every sequence gets a 60-bit
+    * `order_key` = md5-60 of `ep:<epoch>:<shard>:<seq_id>` under
+    * [[PackSalt]]: keys are decorrelated across epochs (a fresh
+    * shuffle each epoch) yet fully reproducible from the salt alone.
+    * Scale shape: NO global sort is run or materialized — the key IS
+    * the order, and a loader range-partitions on it (the standard
+    * sort-by-key read); this relation is a row-local projection of
+    * the distinct sequence ids, epochs exploded row-locally.
+    */
+  private[graft] def seqEpochOrder(s: SparkSession, dir: String): DataFrame =
+    seqSpans(s, dir).select("shard", "seq_id").distinct()
+      .select(col("shard"), col("seq_id"),
+        explode(sequence(lit(0L), lit(PackEpochs - 1L))).as("epoch"))
+      .select(col("epoch"), col("shard"), col("seq_id"),
+        graft.functions.Md5Long60Expr(
+          concat_ws(":", lit("ep"), col("epoch"), col("shard"),
+            col("seq_id")), PackSalt).as("order_key"))
 
   /** Per-shard manifest of a shipped TOKEN artifact, computed from
     * disk — the [[seqExportManifest]] discipline over assembled
@@ -844,6 +893,18 @@ object PipelineQueries {
       seqRepackTokenShards(s, exportDir, touched, None, Some(retracted))
       seqTokensManifest(s, exportDir)
     }),
+
+    // dataloader-final shape: per-sequence ordered token stream +
+    // doc-boundary positions (the attention/loss-mask input)
+    "pipe_seqs_tokens_packed" -> ((s, dir) =>
+      seqTokensPacked(s, dir).orderBy("shard", "seq_id")),
+
+    // reproducible per-epoch traversal order: salted md5-60 keys, no
+    // global sort run or shipped in the RELATION — the key IS the
+    // order (the trailing orderBy is oracle presentation, plan-pinned
+    // absent from the core)
+    "pipe_seqs_epoch_order" -> ((s, dir) =>
+      seqEpochOrder(s, dir).orderBy("epoch", "shard", "seq_id")),
 
     // the span artifact SHIPPED shard-partitioned and manifested from
     // disk — the pipe_export write->read gate applied to token-level
@@ -1748,7 +1809,15 @@ object PipelineQueries {
            |    CAST(doc_id AS VARCHAR) || ':' ||
            |    CAST(token_id AS VARCHAR))), 1, 15)) AS BIGINT)) AS BIGINT) AS content_fp
            |FROM tok_ids GROUP BY shard ORDER BY shard""".stripMargin
-    s"""WITH ${TextQueries.bpeDocPieceListCtes}, ${TextQueries.bpeVocabCtes}, tok_b AS (
+    s"""WITH ${seqTokenIdCtes(pred)}
+       |$sel""".stripMargin
+  }
+
+  /** The CTE chain ending in `tok_ids (shard, seq_id, pos, doc_id,
+    * token_id)` — the shared basis of every token-artifact oracle.
+    */
+  private def seqTokenIdCtes(pred: String): String =
+    s"""${TextQueries.bpeDocPieceListCtes}, ${TextQueries.bpeVocabCtes}, tok_b AS (
        |  SELECT doc_id,
        |    CAST(concat('0x', substr(md5(concat('$PackSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % $PackShards AS shard,
        |    pieces, CAST(len(pieces) AS BIGINT) AS n_toks
@@ -1769,9 +1838,43 @@ object PipelineQueries {
        |    CAST(FLOOR(CAST(g AS DOUBLE) / $PackSeqLen.0) AS BIGINT) AS seq_id,
        |    CAST(g % $PackSeqLen AS BIGINT) AS pos, doc_id, v.token_id
        |  FROM tok_g t JOIN bpe_vocab v ON v.piece = t.piece
+       |)""".stripMargin
+
+  /** The [[seqTokensPacked]] reduction replayed in DuckDB:
+    * order-exact string_agg per sequence + per-doc min-pos starts.
+    */
+  private def seqTokensPackedSql: String =
+    s"""WITH ${seqTokenIdCtes("TRUE")}, packed AS (
+       |  SELECT shard, seq_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+       |    string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY pos) AS tokens
+       |  FROM tok_ids GROUP BY shard, seq_id
+       |), starts AS (
+       |  SELECT shard, seq_id, doc_id, MIN(pos) AS p0
+       |  FROM tok_ids GROUP BY shard, seq_id, doc_id
+       |), bounds AS (
+       |  SELECT shard, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    string_agg(CAST(p0 AS VARCHAR), ',' ORDER BY p0) AS doc_starts
+       |  FROM starts GROUP BY shard, seq_id
        |)
-       |$sel""".stripMargin
-  }
+       |SELECT p.shard, p.seq_id, p.n_toks, b.n_docs, p.tokens, b.doc_starts
+       |FROM packed p JOIN bounds b USING (shard, seq_id)
+       |ORDER BY p.shard, p.seq_id""".stripMargin
+
+  /** The [[seqEpochOrder]] keys replayed in DuckDB — the md5-60
+    * arithmetic on the same `ep:<epoch>:<shard>:<seq_id>` preimage.
+    */
+  private def seqEpochOrderSql: String =
+    s"""WITH ${seqTokenIdCtes("TRUE")}, seqs AS (
+       |  SELECT DISTINCT shard, seq_id FROM tok_ids
+       |), eps AS (
+       |  SELECT CAST(UNNEST(generate_series(0, ${PackEpochs - 1})) AS BIGINT) AS epoch
+       |)
+       |SELECT e.epoch, s.shard, s.seq_id,
+       |  CAST(concat('0x', substr(md5(concat('$PackSalt:',
+       |    'ep:' || CAST(e.epoch AS VARCHAR) || ':' || CAST(s.shard AS VARCHAR)
+       |    || ':' || CAST(s.seq_id AS VARCHAR))), 1, 15)) AS BIGINT) AS order_key
+       |FROM seqs s CROSS JOIN eps e
+       |ORDER BY e.epoch, s.shard, s.seq_id""".stripMargin
 
   private def seqExportSqlWhere(pred: String): String =
     s"""WITH ${TextQueries.bpeDocPiecesCtes}, ${seqSpansCtesWhere(pred)}, fills AS (
@@ -1949,6 +2052,12 @@ object PipelineQueries {
     // corpus-without
     "pipe_seqs_tokens_export_retract" ->
       seqTokensSql(manifest = true, pred = "doc_id % 50 != 7"),
+
+    // order-exact per-sequence reduction of the token stream
+    "pipe_seqs_tokens_packed" -> seqTokensPackedSql,
+
+    // the epoch-order keys are pure hash arithmetic on (epoch, seq)
+    "pipe_seqs_epoch_order" -> seqEpochOrderSql,
 
     // ship -> read-back -> manifest must equal the manifest of the
     // packing arithmetic itself (the pipe_export discipline)

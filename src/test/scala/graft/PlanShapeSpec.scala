@@ -377,4 +377,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("ScalaUDF"), plan)
   }
+
+  test("pipe_seqs_epoch_order: no sort is run — the key IS the order; epochs explode row-locally") {
+    val plan = graft.queries.PipelineQueries.seqEpochOrder(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the epoch-shuffle relation must never materialize a GLOBAL
+    // ordering: a range exchange over epochs x sequences is the scale
+    // bug this design avoids — a loader range-partitions on order_key
+    // instead. (The span window's partition-LOCAL sort is pipe_seqs'
+    // own shape and stays.)
+    assert(!plan.contains("rangepartitioning"),
+      s"epoch order shipped a range exchange:\n$plan")
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
 }
