@@ -313,6 +313,14 @@ object PipelineQueries {
     * rule the signed segment-store ingest also follows). An absent
     * `exportDir` is an empty artifact, so the same call bootstraps a
     * fresh store on its first micro-batch.
+    *
+    * Crash contract: the dynamic overwrite is per-shard-dir, so a
+    * crash mid-write leaves a MIX of new and old dirs — and that is
+    * already healed by the call's own idempotence: shard offsets are
+    * shard-LOCAL (no cross-dir state), so re-running the same batch
+    * converges every dir regardless of which ones the crash caught
+    * (spec-pinned in StreamingMaintenanceSpec). No marker files or
+    * recovery scan needed; replay IS recovery.
     */
   private[graft] def seqRepackTokenShards(s: SparkSession, exportDir: String,
       touched: Seq[Long], extra: Option[DataFrame],
@@ -905,6 +913,34 @@ object PipelineQueries {
     // absent from the core)
     "pipe_seqs_epoch_order" -> ((s, dir) =>
       seqEpochOrder(s, dir).orderBy("epoch", "shard", "seq_id")),
+
+    // the trainer's one-row receipt for the token artifact: sizes,
+    // full-sequence count, and vocab coverage. Each statistic takes
+    // its own partial-agg path (NO multi-distinct Expand over the
+    // token stream: distinct docs come from the span map, distinct
+    // ids from a token_id-keyed partial agg), then 1-row crossJoins.
+    "pipe_seqs_card" -> ((s, dir) => {
+      val toks = seqTokens(s, dir)
+      val perSeq = toks.groupBy("shard", "seq_id")
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).cast("long").as("n_seqs"),
+          coalesce(sum(when(col("n") === PackSeqLen.toLong, 1L)
+            .otherwise(0L)), lit(0L)).cast("long").as("n_full"))
+      val tots = toks.agg(count(lit(1)).cast("long").as("n_tokens"))
+      val used = toks.select("token_id").distinct()
+        .agg(count(lit(1)).cast("long").as("vocab_used"))
+      val docs = seqSpans(s, dir).select("doc_id").distinct()
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+      val shards = seqSpans(s, dir).select("shard").distinct()
+        .agg(count(lit(1)).cast("long").as("n_shards"))
+      val vocab = TextQueries.bpeVocab(s, dir)
+        .agg(count(lit(1)).cast("long").as("vocab_size"))
+      tots.crossJoin(broadcast(perSeq)).crossJoin(broadcast(used))
+        .crossJoin(broadcast(docs)).crossJoin(broadcast(shards))
+        .crossJoin(broadcast(vocab))
+        .select("n_shards", "n_seqs", "n_full", "n_docs", "n_tokens",
+          "vocab_used", "vocab_size")
+    }),
 
     // the span artifact SHIPPED shard-partitioned and manifested from
     // disk — the pipe_export write->read gate applied to token-level
@@ -2058,6 +2094,25 @@ object PipelineQueries {
 
     // the epoch-order keys are pure hash arithmetic on (epoch, seq)
     "pipe_seqs_epoch_order" -> seqEpochOrderSql,
+
+    // one-row artifact receipt: every statistic an exact COUNT
+    "pipe_seqs_card" ->
+      s"""WITH ${seqTokenIdCtes("TRUE")}, fulls AS (
+         |  SELECT shard, seq_id, COUNT(*) AS n FROM tok_ids GROUP BY shard, seq_id
+         |), fu AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_seqs,
+         |    CAST(SUM(CASE WHEN n = $PackSeqLen THEN 1 ELSE 0 END) AS BIGINT) AS n_full
+         |  FROM fulls
+         |), tots AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards,
+         |    CAST(COUNT(DISTINCT token_id) AS BIGINT) AS vocab_used
+         |  FROM tok_ids
+         |), vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size FROM bpe_vocab)
+         |SELECT t.n_shards, f.n_seqs, f.n_full, t.n_docs, t.n_tokens,
+         |  t.vocab_used, v.vocab_size
+         |FROM tots t, fu f, vs v""".stripMargin,
 
     // ship -> read-back -> manifest must equal the manifest of the
     // packing arithmetic itself (the pipe_export discipline)

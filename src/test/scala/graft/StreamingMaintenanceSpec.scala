@@ -434,4 +434,53 @@ class StreamingMaintenanceSpec extends AnyFunSuite {
         "re-delivered add batch mutated the settled artifact")
     } finally q.stop()
   }
+
+  test("token repack crash recovery: re-running the same batch over a half-applied artifact converges (shard dirs independent + upsert idempotent)") {
+    import spark.implicits._
+    val corpus = "/root/testdata/sf0.001"
+    val P = graft.queries.PipelineQueries
+    def onDisk(d: String) = spark.read.parquet(d)
+      .select(col("shard").cast("long"), col("seq_id"), col("pos"),
+        col("doc_id"), col("token_id"))
+      .collect().map(_.toSeq).toSet
+    val allIds = graft.sources.Tables.documents(spark, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val retracted = allIds.filter(_ % 11 == 4)
+    // the state the batch is applied TO, and the state it must reach
+    val preDir = s"${graft.sources.TempDirs.scratch("graft_tokcr_pre_")}/export"
+    P.seqTokensMaintain(spark, corpus, preDir, Some(allIds.toDF("doc_id")), None)
+    val wantDir = s"${graft.sources.TempDirs.scratch("graft_tokcr_want_")}/export"
+    P.seqTokensMaintain(spark, corpus, wantDir,
+      Some(allIds.filterNot(retracted.contains).toDF("doc_id")), None)
+    // apply the takedown fully, then SIMULATE a crash mid-overwrite:
+    // dynamic partition overwrite is per-dir, so a crash leaves a MIX
+    // of new dirs and old dirs — restore the PRE state into half of
+    // the touched shard dirs
+    val liveDir = s"${graft.sources.TempDirs.scratch("graft_tokcr_live_")}/export"
+    P.seqTokensMaintain(spark, corpus, liveDir, Some(allIds.toDF("doc_id")), None)
+    P.seqTokensMaintain(spark, corpus, liveDir, None,
+      Some(retracted.toDF("doc_id")))
+    val touched = retracted
+      .map(d => graft.functions.HashKernels.md5Long60(P.PackSalt,
+        org.apache.spark.unsafe.types.UTF8String.fromString(d.toString))
+        % P.PackShards).distinct.sorted
+    val rollBack = touched.take(math.max(1, touched.size / 2))
+    rollBack.foreach { sh =>
+      val dst = new java.io.File(s"$liveDir/shard=$sh")
+      val src = new java.io.File(s"$preDir/shard=$sh")
+      dst.mkdirs() // a fully-vacated dir was dropped; crash resurrects it
+      dst.listFiles.foreach(_.delete())
+      src.listFiles.foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(dst, f.getName).toPath)
+      }
+    }
+    assert(onDisk(liveDir) != onDisk(wantDir),
+      "crash simulation did not actually corrupt the artifact")
+    // recovery = re-run the SAME maintenance batch
+    P.seqTokensMaintain(spark, corpus, liveDir, None,
+      Some(retracted.toDF("doc_id")))
+    assert(onDisk(liveDir) == onDisk(wantDir),
+      "replaying the takedown over the half-applied artifact did not converge")
+  }
 }
