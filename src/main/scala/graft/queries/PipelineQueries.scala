@@ -472,6 +472,39 @@ object PipelineQueries {
           concat_ws(":", lit("ep"), col("epoch"), col("shard"),
             col("seq_id")), PackSalt).as("order_key"))
 
+  /** Curriculum ordering for the sequence artifact — the
+    * quality-first epoch-0 leg next to [[seqEpochOrder]]'s hashed
+    * epochs: each sequence gets an exact token-weighted mean of its
+    * docs' quality scores (per-doc `floor(quality*1e9)` LONG — the
+    * per-row double is bit-identical on both engines, and everything
+    * after it is integer arithmetic: weighted sum, integer division),
+    * and a single sortable `cur_key` packing quality-descending with
+    * a salted 20-bit hash tiebreak. Like the epoch keys, NO sort is
+    * run or shipped — a loader range-partitions on cur_key. The
+    * doc-quality join is spans-sized (docs x seqs), never the token
+    * stream.
+    */
+  private[graft] def seqCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val spans = seqSpans(s, dir)
+      .select(col("shard"), col("seq_id"), col("doc_id"),
+        (col("tok_end") - col("tok_begin")).as("span_toks"))
+    val q = Tables.documents(s, dir).select(col("doc_id"),
+      floor(TextAnalysis.qualityScore(col("text")) * lit(1.0e9))
+        .cast("long").as("q_scaled"))
+    spans.join(q, Seq("doc_id"))
+      .groupBy("shard", "seq_id")
+      .agg(sum(col("span_toks")).as("n_toks"),
+        sum(col("q_scaled") * col("span_toks")).as("q_sum"))
+      .select(col("shard"), col("seq_id"), col("n_toks"),
+        expr("q_sum div n_toks").as("q_mean_scaled"))
+      .select(col("shard"), col("seq_id"), col("n_toks"),
+        col("q_mean_scaled"),
+        ((lit(1000000000L) - col("q_mean_scaled")) * lit(1048576L)
+          + pmod(graft.functions.Md5Long60Expr(
+              concat_ws(":", lit("cur"), col("shard"), col("seq_id")),
+              PackSalt), lit(1048576L))).as("cur_key"))
+  }
+
   /** Per-shard manifest of a shipped TOKEN artifact, computed from
     * disk — the [[seqExportManifest]] discipline over assembled
     * sequences: token/sequence counts and an order-independent
@@ -913,6 +946,12 @@ object PipelineQueries {
     // absent from the core)
     "pipe_seqs_epoch_order" -> ((s, dir) =>
       seqEpochOrder(s, dir).orderBy("epoch", "shard", "seq_id")),
+
+    // the quality-first epoch-0 leg: token-weighted per-seq quality
+    // (integer-exact past the per-row double) packed into one
+    // sortable key; no sort run or shipped, spans-sized join only
+    "pipe_seqs_curriculum" -> ((s, dir) =>
+      seqCurriculum(s, dir).orderBy("shard", "seq_id")),
 
     // the trainer's one-row receipt for the token artifact: sizes,
     // full-sequence count, and vocab coverage. Each statistic takes
@@ -2094,6 +2133,39 @@ object PipelineQueries {
 
     // the epoch-order keys are pure hash arithmetic on (epoch, seq)
     "pipe_seqs_epoch_order" -> seqEpochOrderSql,
+
+    // quality-desc curriculum keys: the per-row double quality is
+    // bit-identical cross-engine; everything after is integer
+    "pipe_seqs_curriculum" ->
+      s"""WITH ${TextQueries.bpeDocPiecesCtes}, ${seqSpansCtesWhere("TRUE")}, qtok AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+         |  FROM documents
+         |), qm AS (
+         |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS n,
+         |    CAST(len(list_filter(toks, t -> t IN ($enStopsSql))) AS DOUBLE) AS stop_hits,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct,
+         |    CAST(list_aggregate(list_transform(toks, t -> CAST(length(t) AS BIGINT)), 'sum') AS DOUBLE) AS chars
+         |  FROM qtok
+         |), q AS (
+         |  SELECT doc_id, CAST(FLOOR((((stop_hits / n) * CAST(0.25 AS DOUBLE))
+         |    + ((n_distinct / n) * CAST(0.35 AS DOUBLE))
+         |    + (GREATEST(CAST(0.0 AS DOUBLE),
+         |         CAST(1.0 AS DOUBLE) - ABS((chars / n) - CAST(5.5 AS DOUBLE)) / CAST(5.5 AS DOUBLE))
+         |       * CAST(0.4 AS DOUBLE))) * CAST(1000000000.0 AS DOUBLE)) AS BIGINT) AS q_scaled
+         |  FROM qm
+         |), per_seq AS (
+         |  SELECT shard, seq_id,
+         |    CAST(SUM(tok_end - tok_begin) AS BIGINT) AS n_toks,
+         |    CAST(SUM(q_scaled * (tok_end - tok_begin)) AS BIGINT) AS q_sum
+         |  FROM seq_spans JOIN q USING (doc_id)
+         |  GROUP BY shard, seq_id
+         |)
+         |SELECT shard, seq_id, n_toks, q_sum // n_toks AS q_mean_scaled,
+         |  (CAST(1000000000 AS BIGINT) - q_sum // n_toks) * CAST(1048576 AS BIGINT)
+         |  + CAST(concat('0x', substr(md5(concat('$PackSalt:',
+         |      'cur:' || CAST(shard AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR))), 1, 15)) AS BIGINT)
+         |    % CAST(1048576 AS BIGINT) AS cur_key
+         |FROM per_seq ORDER BY shard, seq_id""".stripMargin,
 
     // one-row artifact receipt: every statistic an exact COUNT
     "pipe_seqs_card" ->
