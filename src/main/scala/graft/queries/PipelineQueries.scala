@@ -326,6 +326,17 @@ object PipelineQueries {
       touched: Seq[Long], extra: Option[DataFrame],
       without: Option[DataFrame]): Unit = {
     if (touched.isEmpty) return
+    // LOUD guard, not silent data loss: a batch row landing in a shard
+    // OUTSIDE `touched` would dynamic-overwrite that dir with ONLY the
+    // batch's rows — the stored survivors there were never read (the
+    // scan is pruned to `touched`). Cost: one <= PackShards-row collect.
+    extra.foreach { b =>
+      val extraShards = b.select("shard").distinct()
+        .collect().map(_.getLong(0)).toSet
+      require(extraShards.subsetOf(touched.toSet),
+        s"extra rows land in shards ${extraShards -- touched.toSet} not " +
+          s"listed as touched — their stored survivors would be dropped")
+    }
     val L = lit(PackSeqLen.toLong)
     val fs0 = new org.apache.hadoop.fs.Path(exportDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
