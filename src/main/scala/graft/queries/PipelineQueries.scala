@@ -442,12 +442,15 @@ object PipelineQueries {
     * inputs a trainer needs alongside it: `n_docs` and `doc_starts`,
     * the in-sequence positions where a new document begins (packing
     * concatenates docs, so cross-doc attention is masked at exactly
-    * these boundaries). Tokens reduce by (shard, seq_id) — the agg key
-    * is prefix-aligned with the artifact's shard partitioning, so at
-    * scale the exchange is the binarization shuffle and nothing more;
-    * doc_starts come from the SPAN map ([[seqSpans]] — docs×seqs rows,
-    * three orders smaller than the token stream), where each span's
-    * `seq_off` IS its doc's first in-seq position.
+    * these boundaries). Tokens reduce by (shard, seq_id) — and since
+    * ClusteredDistribution(shard, seq_id) is satisfied by the assembly
+    * window's HashPartitioning(shard), the packing agg adds ZERO
+    * exchange: partial+final collect_list run in place on the shard
+    * partitions and the token stream is never reshuffled (plan-pinned
+    * — no exchange carries seq_id). doc_starts come from the SPAN map
+    * ([[seqSpans]] — docs×seqs rows, three orders smaller than the
+    * token stream), where each span's `seq_off` IS its doc's first
+    * in-seq position, joined as a broadcast.
     */
   private[graft] def seqTokensPacked(s: SparkSession, dir: String): DataFrame = {
     val packed = seqTokens(s, dir).groupBy("shard", "seq_id")

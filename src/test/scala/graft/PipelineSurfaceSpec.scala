@@ -953,6 +953,19 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     }
     assert(onDisk(incDir) == tokens.collect().map(_.toSeq).toSet,
       "token append diverged from the one-shot assembly")
+
+    // --- guard leg: a batch row whose shard is NOT in the touched
+    //     set must fail LOUDLY (silent acceptance would overwrite that
+    //     shard dir with only the batch's rows, dropping survivors)
+    val wrong = batchRows.limit(1)
+      .select((col("shard") + 1L).as("shard"), col("doc_id"), col("j"),
+        col("token_id"))
+    val mis = intercept[IllegalArgumentException] {
+      P.seqRepackTokenShards(spark, incDir,
+        wrong.select("shard").collect().map(_.getLong(0) + 1L).toSeq,
+        Some(wrong), None)
+    }
+    assert(mis.getMessage.contains("touched"), mis.getMessage)
   }
 
   /** One-shot token assembly of the corpus minus a doc predicate —

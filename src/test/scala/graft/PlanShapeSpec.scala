@@ -378,6 +378,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("pipe_seqs_tokens_packed: packing agg reuses the shard partitioning — token stream never reshuffles; boundary join rides a broadcast") {
+    val plan = qe("pipe_seqs_tokens_packed").executedPlan.toString
+    // map-side packing: partial_collect_list folds each sequence's
+    // tokens BEFORE any exchange...
+    assert(plan.contains("partial_collect_list"), plan)
+    // ...and no exchange ever carries seq_id: ClusteredDistribution
+    // (shard, seq_id) is satisfied by the window's HashPartitioning
+    // (shard), so the (shard, seq_id) agg adds ZERO shuffle — the only
+    // hash exchanges are the two shard windows' own (tokens + spans
+    // paths), and the doc_starts side joins as a broadcast
+    assert(!"Exchange hashpartitioning\\([^)]*seq_id".r
+      .findFirstIn(plan).isDefined,
+      s"packing agg reshuffled the token stream on (shard, seq_id):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("pipe_seqs_epoch_order: no sort is run — the key IS the order; epochs explode row-locally") {
     val plan = graft.queries.PipelineQueries.seqEpochOrder(spark, sfDir)
       .queryExecution.executedPlan.toString
