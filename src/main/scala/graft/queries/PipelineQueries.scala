@@ -338,10 +338,15 @@ object PipelineQueries {
           s"listed as touched — their stored survivors would be dropped")
     }
     val L = lit(PackSeqLen.toLong)
-    val fs0 = new org.apache.hadoop.fs.Path(exportDir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(exportDir)
+    val fs0 = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // "exists" must mean HOLDS DATA: a retract-only first batch (or a
+    // takedown that vacated every shard) leaves the dir with only
+    // _SUCCESS, and read.parquet on it dies inferring a schema
+    val hasData = fs0.exists(root) &&
+      fs0.listStatus(root).exists(_.getPath.getName.startsWith("shard="))
     val stored =
-      if (fs0.exists(new org.apache.hadoop.fs.Path(exportDir)))
+      if (hasData)
         s.read.parquet(exportDir)
           .filter(col("shard").isin(touched.map(Long.box): _*))
           .select(col("shard").cast("long").as("shard"), col("doc_id"),

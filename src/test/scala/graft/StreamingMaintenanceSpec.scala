@@ -435,6 +435,29 @@ class StreamingMaintenanceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("token maintenance: a retract-only FIRST batch is a no-op on the absent store, and the next add still bootstraps cleanly") {
+    import spark.implicits._
+    val corpus = "/root/testdata/sf0.001"
+    val P = graft.queries.PipelineQueries
+    def onDisk(d: String) = spark.read.parquet(d)
+      .select(col("shard").cast("long"), col("seq_id"), col("pos"),
+        col("doc_id"), col("token_id"))
+      .collect().map(_.toSeq).toSet
+    val ids = graft.sources.Tables.documents(spark, corpus).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val d = s"${graft.sources.TempDirs.scratch("graft_tokboot_")}/export"
+    // out-of-order delivery: the takedown lands before any data has —
+    // the store must not be left in a state the next batch can't read
+    // (a bare _SUCCESS dir used to kill read.parquet's schema inference)
+    P.seqTokensMaintain(spark, corpus, d, None,
+      Some(ids.take(3).toDF("doc_id")))
+    P.seqTokensMaintain(spark, corpus, d, Some(ids.toDF("doc_id")), None)
+    val one = s"${graft.sources.TempDirs.scratch("graft_tokboot_one_")}/export"
+    P.seqTokensMaintain(spark, corpus, one, Some(ids.toDF("doc_id")), None)
+    assert(onDisk(d) == onDisk(one),
+      "early-takedown-then-add diverged from the clean bootstrap")
+  }
+
   test("token repack crash recovery: re-running the same batch over a half-applied artifact converges (shard dirs independent + upsert idempotent)") {
     import spark.implicits._
     val corpus = "/root/testdata/sf0.001"
