@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.{PipelineQueries, TextQueries}
+import graft.sources.Tables
+
+/** Dev tool: the token-artifact maintenance scale receipt for
+  * BASELINE.md (not part of the driver contract).
+  *
+  * Round 15 made the shipped token artifact self-describing (rows carry
+  * doc_id, so survivor sequences are recoverable from the artifact
+  * itself) and gave it a micro-batch maintenance entry point
+  * ([[PipelineQueries.seqTokensMaintain]]). The scale claim this probe
+  * measures: maintenance cost is
+  *
+  *   O(batch tokenize) + (touched shards / PackShards) x artifact I/O
+  *
+  * — never a corpus re-tokenize and never a full-artifact rewrite —
+  * while the full rebuild (assemble + ship everything) grows linearly
+  * with the corpus. At a FIXED [[PipelineQueries.PackShards]] each
+  * shard dir itself grows with the corpus, so a batch touching the
+  * same 2 shards pays 2/32 of a growing artifact (the fraction law
+  * this probe shows at 1x vs Nx); a deployment holds the per-shard
+  * size constant by scaling PackShards with the corpus, which turns
+  * the same law into flat per-batch cost. The tokenizer is frozen
+  * per corpus (BpeStore artifact) — its one-time training is timed
+  * separately so neither side's number hides it.
+  *
+  * Per corpus size it prints: train_s (one-time), rebuild_s (assemble
+  * + ship all), maintain_s (a ~fixed batch of adds+takedowns confined
+  * to 2 shards, through the one entry point), and the converged
+  * artifact's row count as the correctness witness (maintained ==
+  * rebuilt-over-final-corpus, checked exactly).
+  */
+object TokenProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 4
+    val base = "/root/testdata/sf0.1"
+    val spark = graft.sources.GraftSession.local("local[8]", 16)
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Nx documents, the ScaleProbe staging: ids shifted per copy, the
+    // letter permutation keeps copies genuinely different documents
+    // (distinct BPE statistics), identity for copy 0
+    val rot = "abcdefghijklmnopqrstuvwxyz"
+    def permFor(c: Int): String = {
+      val arr = rot.toCharArray
+      if (c > 0) {
+        val rnd = new scala.util.Random(c)
+        for (i <- arr.length - 1 to 1 by -1) {
+          val j = rnd.nextInt(i + 1)
+          val t = arr(i); arr(i) = arr(j); arr(j) = t
+        }
+      }
+      new String(arr)
+    }
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    Seq(1, factor).foreach { f =>
+      val stage = graft.sources.TempDirs.scratch(s"graft_tokprobe${f}x_")
+      val docs = Tables.documents(spark, base)
+      (0 until f).map { c =>
+        docs.select((col("doc_id") + lit(c.toLong * 100000000L)).as("doc_id"),
+          translate(col("text"), rot, permFor(c)).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$stage/documents.parquet")
+
+      val nDocs = Tables.documents(spark, stage).count()
+      // one-time tokenizer training, charged to neither side
+      val trainS = time { TextQueries.bpeEnsureArtifact(spark, stage) }
+
+      val shardOf = graft.functions.Md5Long60Expr(
+        col("doc_id").cast("string"), PipelineQueries.PackSalt) %
+        lit(PipelineQueries.PackShards.toLong)
+      val all = Tables.documents(spark, stage).select(col("doc_id"),
+        shardOf.as("shard"))
+      // the maintenance batch lives in shards {0, 1} and is FIXED-SIZE
+      // at every factor (the steady-state deployment shape): adds = the
+      // slice's first 400 %7==3 docs (held out of the initial build),
+      // takedowns = its first 200 %50==7 docs
+      val inSlice = col("shard") < 2L
+      val adds = all.filter(inSlice && col("doc_id") % 7 === 3)
+        .select("doc_id").orderBy("doc_id").limit(400)
+        .localCheckpoint(true)
+      val dels = all.filter(inSlice && col("doc_id") % 7 =!= 3 &&
+          col("doc_id") % 50 === 7)
+        .select("doc_id").orderBy("doc_id").limit(200)
+        .localCheckpoint(true)
+
+      // full rebuild: assemble + ship EVERYTHING except the held-out adds
+      val exp = graft.sources.TempDirs.scratch(s"graft_tokprobe_exp${f}x_")
+      val initial = PipelineQueries.seqTokens(spark, stage)
+        .join(adds, Seq("doc_id"), "left_anti")
+      val rebuildS = time { PipelineQueries.exportShip(initial, exp) }
+
+      // one maintenance micro-batch through the single entry point
+      val maintainS = time {
+        PipelineQueries.seqTokensMaintain(spark, stage, exp,
+          Some(adds.toDF()), Some(dels.toDF()))
+      }
+
+      // correctness witness: maintained artifact == the one-shot
+      // assembly of the final corpus (exact anti-join count, both ways)
+      val want = PipelineQueries.seqTokens(spark, stage)
+        .join(dels, Seq("doc_id"), "left_anti")
+        .select("shard", "seq_id", "pos", "doc_id", "token_id")
+      val got = spark.read.parquet(exp)
+        .select(col("shard").cast("long").as("shard"), col("seq_id"),
+          col("pos"), col("doc_id"), col("token_id"))
+      val mismatch = got.unionByName(want).groupBy(
+          "shard", "seq_id", "pos", "doc_id", "token_id")
+        .agg(count(lit(1)).as("n")).filter(col("n") =!= 2L).count()
+      val nTok = got.count()
+
+      println(f"""{"probe":"token_maintain","factor":$f,"n_docs":$nDocs,""" +
+        f""""n_tokens":$nTok,"train_s":$trainS%.2f,"rebuild_s":$rebuildS%.2f,""" +
+        f""""maintain_s":$maintainS%.2f,"adds":${adds.count()},""" +
+        f""""dels":${dels.count()},"mismatch_rows":$mismatch}""")
+    }
+    spark.stop()
+  }
+}

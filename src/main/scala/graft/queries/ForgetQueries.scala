@@ -285,6 +285,60 @@ object ForgetQueries {
         .orderBy("as_of", "dist", "bin")
     }),
 
+    // GLOBAL as-of over a MULTI-WRITER store at a COMMITTED EPOCH —
+    // the cross-producer audit ft_counts_asof answers for one log:
+    // three zero-coordination producers (web = even user_ids, app =
+    // the complement including null, gdpr = the takedown stream) land
+    // their own writer=/seg= sequences, and the coordination job
+    // commits two epoch manifests at MIXED per-writer frontiers —
+    // epoch 0 freezes (web -> 1, app -> 0), a vector NO single global
+    // segment bound can express (web is fully ingested, app only
+    // through day 10), epoch 1 freezes the complete store including
+    // the takedown. Each snapshot is one mergedAsOfEpoch call: the
+    // manifest replays the frozen vector, the OR-of-ANDs predicate
+    // prunes to exactly the covered writer/seg directories, and the
+    // epoch-1 read under the reference's prune filter proves the GDPR
+    // timeline — the opted-out users exist at epoch 0 and are gone at
+    // epoch 1. Oracle derives both snapshots independently from the
+    // events table.
+    "ft_counts_asof_global" -> ((s, dir) => {
+      import graft.sources.SegmentStore
+      val path = s"${graft.sources.TempDirs.scratch("graft_ftaog_")}/segments"
+      val ev = Tables.events(s, dir)
+      val t11 = lit("2024-01-11 00:00:00").cast("timestamp")
+      val isWeb = col("user_id").isNotNull && col("user_id") % 2 === 0
+      def partials(batch: DataFrame) =
+        batch.groupBy(
+            col("event_type").as("dist"),
+            col("user_id").cast("string").as("bin"))
+          .agg(count(lit(1)).as("count"))
+      // web: two batches split at day 11 (null ts rides the second)
+      SegmentStore.appendExactlyOnce(
+        partials(ev.filter(isWeb && col("ts") < t11)), path, "web", 0L)
+      SegmentStore.appendExactlyOnce(
+        partials(ev.filter(isWeb && (col("ts").isNull || col("ts") >= t11))),
+        path, "web", 1L)
+      // app: the complement population, same split
+      SegmentStore.appendExactlyOnce(
+        partials(ev.filter(!isWeb && col("ts") < t11)), path, "app", 0L)
+      SegmentStore.commitEpoch(s, path, 0L) // frontier (web -> 1, app -> 0)
+      SegmentStore.appendExactlyOnce(
+        partials(ev.filter(!isWeb && (col("ts").isNull || col("ts") >= t11))),
+        path, "app", 1L)
+      // gdpr: its own producer — negated partials of the opted-out users
+      SegmentStore.appendExactlyOnce(
+        partials(ev.filter(col("user_id") % 10 === 7))
+          .select(col("dist"), col("bin"), (-col("count")).as("count")),
+        path, "gdpr", 0L)
+      SegmentStore.commitEpoch(s, path, 1L) // the complete store
+      SegmentStore.epochs(s, path).map { e =>
+        SegmentStore.mergedAsOfEpoch(s, path, Seq("dist", "bin"), "count", e)
+          .filter(col("count") > 0) // the reference's prune read
+          .select(lit(e).as("epoch"), col("dist"), col("bin"), col("count"))
+      }.reduce(_ unionByName _)
+        .orderBy("epoch", "dist", "bin")
+    }),
+
     // SEGMENT-STORE monitoring + auto-compaction policy, driver-gated:
     // the LSM read-amplification trade ft_counts_incremental states is
     // here BOUNDED by construction — SegIngests disjoint batches land
@@ -827,6 +881,26 @@ object ForgetQueries {
         |       CAST(COUNT(*) AS BIGINT) AS count
         |FROM snap GROUP BY 1, 2, 3
         |ORDER BY as_of, dist, bin""".stripMargin,
+
+    // two committed-epoch snapshots derived independently: epoch 0 =
+    // the frozen MIXED frontier (all of web's even-user population +
+    // the complement population through day 10); epoch 1 = the whole
+    // store minus the opted-out users (their gdpr-writer negation is
+    // exactly their event set, and the prune read drops the zeroes)
+    "ft_counts_asof_global" ->
+      """WITH snap AS (
+        |  SELECT 0 AS epoch, event_type, user_id FROM events
+        |  WHERE (user_id IS NOT NULL AND user_id % 2 = 0)
+        |     OR ts < TIMESTAMP '2024-01-11 00:00:00'
+        |  UNION ALL
+        |  SELECT 1, event_type, user_id FROM events
+        |  WHERE user_id IS NULL OR user_id % 10 != 7
+        |)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, event_type AS dist,
+        |       CAST(user_id AS VARCHAR) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS count
+        |FROM snap GROUP BY 1, 2, 3
+        |ORDER BY epoch, dist, bin""".stripMargin,
 
     "ft_counts_weighted" ->
       """SELECT event_type AS dist, CAST(user_id AS VARCHAR) AS bin,

@@ -421,6 +421,18 @@ object PipelineQueries {
     * semantics, re-delivery-idempotent, bootstraps an absent dir).
     * Mirrors the BM25/cluster/index `foreachBatch` maintenance
     * discipline — spec-gated in StreamingMaintenanceSpec.
+    *
+    * Concurrency contract: ONE maintainer per artifact. The repack
+    * derives each touched shard's offsets from the artifact's current
+    * state, so two maintainers racing the same shard dir would each
+    * overwrite the other's read under dynamic overwrite — last write
+    * wins, the loser's batch silently vanishes. That is the
+    * [[graft.sources.SegmentStore]] multi-writer problem, and it has
+    * the same answer here: a `foreachBatch` sink is serialized per
+    * query (the spec-driven shape), and many producers either funnel
+    * through one maintenance stream or own disjoint artifacts. Crash
+    * recovery needs no second writer — replay of the same batch IS
+    * recovery (idempotence above).
     */
   private[graft] def seqTokensMaintain(s: SparkSession, dir: String,
       exportDir: String, adds: Option[DataFrame],
@@ -557,6 +569,16 @@ object PipelineQueries {
       touched: Seq[Long], extra: Option[DataFrame],
       without: Option[DataFrame]): Unit = {
     if (touched.isEmpty) return
+    // LOUD guard, the [[seqRepackTokenShards]] one: a batch row landing
+    // in a shard OUTSIDE `touched` would dynamic-overwrite that dir
+    // with ONLY the batch's rows — its stored survivors were never read
+    extra.foreach { b =>
+      val extraShards = b.select("shard").distinct()
+        .collect().map(_.getLong(0)).toSet // <= PackShards rows
+      require(extraShards.subsetOf(touched.toSet),
+        s"extra rows land in shards ${extraShards -- touched.toSet} not " +
+          s"listed as touched — their stored survivors would be dropped")
+    }
     val stored = s.read.parquet(exportDir)
       .filter(col("shard").isin(touched.map(Long.box): _*))
       .groupBy(col("doc_id"), col("shard").cast("long").as("shard"))

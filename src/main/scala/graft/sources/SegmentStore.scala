@@ -508,6 +508,98 @@ object SegmentStore {
       .toMap
   }
 
+  /** Hidden manifest directory for COMMITTED epochs of a multi-writer
+    * store. The leading dot keeps partition discovery from reading
+    * manifests as a `epochs=...` partition value — the same hiding
+    * rule the `.writer=<id>.old` staging siblings use.
+    */
+  private def epochDir(p: HPath) = new HPath(p, ".epochs")
+  private def epochFile(p: HPath, epoch: Long) =
+    new HPath(epochDir(p), s"epoch-$epoch")
+
+  /** COMMIT the store's current vector watermark as named epoch
+    * `epoch` — the durable half of the vector-watermark [[mergedAsOf]]
+    * contract: [[currentWatermarks]] freezes "now", this call makes
+    * the frozen vector REPLAYABLE by name, so an audit months later
+    * reads the same snapshot without the caller having persisted the
+    * vector itself. The manifest is driver-written (writers × 1 lines,
+    * KBs) and published by ONE rename (write to a dotted temp sibling,
+    * rename into place) — atomic on HDFS-like stores, so a crash
+    * mid-commit leaves either no epoch or the whole epoch, never a
+    * torn vector. Exactly-once under re-delivery, the
+    * [[appendExactlyOnce]] discipline: an epoch id already committed
+    * is a no-op returning false (the rename-lost race is the same
+    * outcome — whoever lost reads the winner's identical-or-earlier
+    * vector, both consistent), so a restarted coordination job can
+    * re-fire its commit safely. Epoch ids are the caller's monotone
+    * sequence (checkpoint ids, days); the store only requires them
+    * unique.
+    */
+  def commitEpoch(spark: SparkSession, path: String, epoch: Long): Boolean = {
+    val (f, p) = fs(spark, path)
+    val vec = currentWatermarks(spark, path) // recovers + checks layout
+    require(vec.nonEmpty,
+      s"commitEpoch: $path has no committed writer segments to freeze")
+    val dst = epochFile(p, epoch)
+    if (f.exists(dst)) return false
+    f.mkdirs(epochDir(p))
+    val tmp = new HPath(epochDir(p), s".epoch-$epoch.tmp")
+    val out = f.create(tmp, true)
+    try out.write(vec.toSeq.sorted
+      .map { case (w, s) => s"$w\t$s\n" }.mkString.getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, dst)) { // lost a concurrent commit of this epoch
+      f.delete(tmp, true)
+      return false
+    }
+    true
+  }
+
+  /** Committed epoch ids, ascending — from the manifest listing
+    * (driver-side, bounded by the caller's epoch cadence).
+    */
+  def epochs(spark: SparkSession, path: String): Seq[Long] = {
+    val (f, p) = fs(spark, path)
+    val d = epochDir(p)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("epoch-"))
+      .map(_.stripPrefix("epoch-").toLong)
+      .sorted
+  }
+
+  /** The frozen vector of a committed epoch. */
+  def epochVector(spark: SparkSession, path: String,
+      epoch: Long): Map[String, Long] = {
+    val (f, p) = fs(spark, path)
+    val src = epochFile(p, epoch)
+    require(f.exists(src), s"epoch $epoch was never committed at $path")
+    val in = f.open(src)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      buf.toByteArray
+    } finally in.close()
+    new String(bytes, "UTF-8").split("\n").iterator
+      .filter(_.nonEmpty)
+      .map { line =>
+        val Array(w, s) = line.split("\t", 2)
+        w -> s.toLong
+      }.toMap
+  }
+
+  /** GLOBAL as-of read at a COMMITTED epoch — the vector-watermark
+    * [[mergedAsOf]] with the vector supplied by the store's own
+    * manifest instead of the caller's memory. Same semantics verbatim
+    * (union of per-writer snapshots, pure partition pruning, fold
+    * watermarks preserved); what the manifest adds is durability: the
+    * audit question "what did we hold at epoch e" stays answerable
+    * after the coordination layer that chose the vector is gone.
+    */
+  def mergedAsOfEpoch(spark: SparkSession, path: String, keys: Seq[String],
+      sumCol: String, epoch: Long): DataFrame =
+    mergedAsOf(spark, path, keys, sumCol, epochVector(spark, path, epoch))
+
   /** Per-segment row counts — the monitoring report that drives (and
     * audits) the compaction policy. Output is one row per live
     * segment: bounded by the policy itself.

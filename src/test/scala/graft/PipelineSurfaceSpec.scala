@@ -993,4 +993,42 @@ class PipelineSurfaceSpec extends AnyFunSuite {
         pmod(col("tok_off") + col("g") - col("g0"), lit(L)).as("pos"),
         col("doc_id"), col("token_id"))
   }
+
+  test("repack touched-set guards: a batch row in an unlisted shard fails LOUDLY on both artifacts, stored dirs untouched") {
+    import graft.queries.{PipelineQueries => P}
+    import spark.implicits._
+    def dirState(eDir: String) = new java.io.File(eDir).listFiles
+      .filter(_.getName.startsWith("shard="))
+      .map(d => d.getName ->
+        d.listFiles.map(f => (f.getName, f.lastModified, f.length)).toSet)
+      .toMap
+
+    // --- span artifact: stored docs in shards 0 and 1
+    val counts = Seq((10L, 0L, 5L), (11L, 1L, 7L))
+      .toDF("doc_id", "shard", "n_toks")
+    val spanDir = java.nio.file.Files
+      .createTempDirectory("graft_guard_span_").toString + "/export"
+    P.exportShip(P.seqSpansOfCounts(counts), spanDir)
+    val beforeSpan = dirState(spanDir)
+    val badCounts = Seq((12L, 1L, 3L)).toDF("doc_id", "shard", "n_toks")
+    val e1 = intercept[IllegalArgumentException] {
+      P.seqRepackShards(spark, spanDir, Seq(0L), Some(badCounts), None)
+    }
+    assert(e1.getMessage.contains("touched"))
+    assert(dirState(spanDir) == beforeSpan, "guard failure still wrote dirs")
+
+    // --- token artifact: bootstrap shards 0 and 1, then the bad batch
+    val tokDir = java.nio.file.Files
+      .createTempDirectory("graft_guard_tok_").toString + "/export"
+    val seed = Seq((0L, 10L, 0L, 3L), (0L, 10L, 1L, 4L), (1L, 11L, 0L, 5L))
+      .toDF("shard", "doc_id", "j", "token_id")
+    P.seqRepackTokenShards(spark, tokDir, Seq(0L, 1L), Some(seed), None)
+    val beforeTok = dirState(tokDir)
+    val badTok = Seq((1L, 12L, 0L, 6L)).toDF("shard", "doc_id", "j", "token_id")
+    val e2 = intercept[IllegalArgumentException] {
+      P.seqRepackTokenShards(spark, tokDir, Seq(0L), Some(badTok), None)
+    }
+    assert(e2.getMessage.contains("touched"))
+    assert(dirState(tokDir) == beforeTok, "guard failure still wrote dirs")
+  }
 }

@@ -585,4 +585,80 @@ class SegmentStoreSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("flat"))
   }
+
+  test("vector-watermark read is partition-pruned on (writer, seg): uncovered subtrees and history are never scanned") {
+    val path = tmpStore
+    assert(SegmentStore.appendExactlyOnce(batch("a" -> 1L), path, "wa", 0L))
+    assert(SegmentStore.appendExactlyOnce(batch("a" -> 2L), path, "wa", 1L))
+    assert(SegmentStore.appendExactlyOnce(batch("a" -> 4L), path, "wb", 0L))
+    val plan = SegmentStore
+      .mergedAsOf(spark, path, Seq("k"), "c", Map("wa" -> 0L, "wb" -> 0L))
+      .queryExecution.executedPlan.toString
+    // the OR-of-ANDs predicate is on partition columns only, so it
+    // must land in PartitionFilters (pure pruning, no row filter)
+    val pf = plan.linesIterator
+      .find(_.contains("PartitionFilters: [")).getOrElse("")
+    assert(pf.contains("writer") && pf.contains("seg"), plan.take(4000))
+  }
+
+  test("committed epochs make the vector durable: manifests replay frozen snapshots, commits are exactly-once and crash-atomic") {
+    val path = tmpStore
+    assert(SegmentStore.appendExactlyOnce(batch("u1" -> 3L, "u2" -> 1L), path, "wa", 0L))
+    assert(SegmentStore.appendExactlyOnce(batch("u1" -> 2L), path, "wb", 0L))
+    // epoch 10 freezes a MIXED frontier: wa has landed seg 1 by commit
+    // time, wb has not — no global seg bound expresses this vector
+    assert(SegmentStore.appendExactlyOnce(batch("u2" -> 4L), path, "wa", 1L))
+    assert(SegmentStore.commitEpoch(spark, path, 10L))
+    assert(SegmentStore.epochVector(spark, path, 10L) == Map("wa" -> 1L, "wb" -> 0L))
+    // re-delivered commit of the same epoch id is a no-op (returns
+    // false, manifest unchanged) — the appendExactlyOnce discipline
+    assert(SegmentStore.appendExactlyOnce(batch("u1" -> -5L), path, "wb", 1L))
+    assert(!SegmentStore.commitEpoch(spark, path, 10L))
+    assert(SegmentStore.epochVector(spark, path, 10L) == Map("wa" -> 1L, "wb" -> 0L))
+    assert(SegmentStore.commitEpoch(spark, path, 20L))
+    assert(SegmentStore.epochs(spark, path) == Seq(10L, 20L))
+    def snapAt(e: Long) =
+      SegmentStore.mergedAsOfEpoch(spark, path, Seq("k"), "c", e)
+        .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // epoch 10: all of wa, wb through seg 0 — and identical to the
+    // caller-supplied-vector read (the manifest only adds durability)
+    assert(snapAt(10L) == Seq("u1" -> 5L, "u2" -> 5L))
+    assert(snapAt(10L) == SegmentStore
+      .mergedAsOf(spark, path, Seq("k"), "c", Map("wa" -> 1L, "wb" -> 0L))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+    // epoch 20: the takedown landed — u1 cancelled (net 0 accounting)
+    assert(snapAt(20L) == Seq("u1" -> 0L, "u2" -> 5L))
+    // appends after a commit stay invisible to it
+    assert(SegmentStore.appendExactlyOnce(batch("u3" -> 9L), path, "wa", 2L))
+    assert(snapAt(20L) == Seq("u1" -> 0L, "u2" -> 5L))
+    // crash-atomicity: a torn commit parks at the dotted temp name —
+    // readers see no epoch (listing + reads unchanged), and the
+    // re-fired commit publishes over it
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.epochs/.epoch-30.tmp")
+    val out = f.create(tmp, true); out.write("wa\t999\n".getBytes); out.close()
+    assert(SegmentStore.epochs(spark, path) == Seq(10L, 20L))
+    intercept[IllegalArgumentException] {
+      SegmentStore.epochVector(spark, path, 30L)
+    }
+    assert(SegmentStore.commitEpoch(spark, path, 30L))
+    assert(SegmentStore.epochVector(spark, path, 30L) ==
+      Map("wa" -> 2L, "wb" -> 1L))
+    // an epoch id is required to have been committed before it answers
+    intercept[IllegalArgumentException] {
+      SegmentStore.mergedAsOfEpoch(spark, path, Seq("k"), "c", 99L)
+    }
+    // flat stores have no epochs to commit (layouts never mix)
+    val flat = tmpStore
+    SegmentStore.append(batch("a" -> 1L), flat)
+    val e2 = intercept[IllegalArgumentException] {
+      SegmentStore.commitEpoch(spark, flat, 0L)
+    }
+    assert(e2.getMessage.contains("flat"))
+    // an empty store has nothing to freeze — loud, not a torn manifest
+    intercept[IllegalArgumentException] {
+      SegmentStore.commitEpoch(spark, tmpStore, 0L)
+    }
+  }
 }
