@@ -36,7 +36,7 @@ import graft.sources.Tables
   */
 object TokenProbe {
   def main(args: Array[String]): Unit = {
-    val factor = if (args.nonEmpty) args(0).toInt else 4
+    val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4)
     val base = "/root/testdata/sf0.1"
     val spark = graft.sources.GraftSession.local("local[8]", 16)
     spark.sparkContext.setLogLevel("WARN")
@@ -61,7 +61,7 @@ object TokenProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    Seq(1, factor).foreach { f =>
+    factors.foreach { f =>
       val stage = graft.sources.TempDirs.scratch(s"graft_tokprobe${f}x_")
       val docs = Tables.documents(spark, base)
       (0 until f).map { c =>
@@ -106,9 +106,29 @@ object TokenProbe {
       }
 
       // correctness witness: maintained artifact == the one-shot
-      // assembly of the final corpus (exact anti-join count, both ways)
-      val want = PipelineQueries.seqTokens(spark, stage)
+      // assembly of the FINAL corpus (exact anti-join count, both
+      // ways). A takedown re-packs its shards — offsets recompute over
+      // the survivors — so the expected state is the assembly of the
+      // corpus-without-dels (re-slotted), NOT the full assembly minus
+      // the deleted rows.
+      val L = PipelineQueries.PackSeqLen.toLong
+      val surv = PipelineQueries.seqTokens(spark, stage)
         .join(dels, Seq("doc_id"), "left_anti")
+        .select(col("shard"), col("doc_id"),
+          (col("seq_id") * lit(L) + col("pos")).as("g"), col("token_id"))
+      val g0 = surv.groupBy("shard", "doc_id")
+        .agg(min("g").as("g0"), count(lit(1)).as("n_toks"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val offs = g0.withColumn("tok_off", sum("n_toks").over(w) - col("n_toks"))
+      val want = surv.join(offs, Seq("shard", "doc_id"))
+        .select(col("shard"),
+          floor((col("tok_off") + col("g") - col("g0")).cast("double")
+            / lit(L.toDouble)).cast("long").as("seq_id"),
+          pmod(col("tok_off") + col("g") - col("g0"), lit(L)).as("pos"),
+          col("doc_id"), col("token_id"))
         .select("shard", "seq_id", "pos", "doc_id", "token_id")
       val got = spark.read.parquet(exp)
         .select(col("shard").cast("long").as("shard"), col("seq_id"),

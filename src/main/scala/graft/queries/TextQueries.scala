@@ -360,27 +360,50 @@ object TextQueries {
     * artifact instead of re-running the training loop. Returns the
     * artifact dir.
     */
-  /** The stable-dir key carries a cheap corpus FINGERPRINT (row count +
-    * max doc_id + char mass, one column-pruned aggregate) on top of the
-    * path: a corpus regenerated in place within one JVM session (e.g.
-    * re-synthesized at another scale into the same dir) gets a fresh
-    * artifact instead of silently reusing merges frozen from the old
-    * content.
+  /** The stable-dir key carries a cheap corpus FINGERPRINT on top of
+    * the path: a corpus regenerated in place within one JVM session
+    * (e.g. re-synthesized at another scale into the same dir) gets a
+    * fresh artifact instead of silently reusing merges frozen from the
+    * old content. The fingerprint is FILE METADATA (name, length,
+    * modification time of every documents.parquet part — one driver
+    * listing RPC), not a data aggregate: an earlier data fingerprint
+    * (count + max id + char mass) re-scanned the whole text column on
+    * EVERY artifact resolution, which a per-batch maintenance loop
+    * cannot afford at 100 TB (graft.TokenProbe measured the tax) — and
+    * any in-place regeneration rewrites the part files, so the
+    * metadata signature catches exactly the same staleness.
     */
   private[graft] def bpeStableDir(s: SparkSession, dir: String): String = {
-    val fp = Tables.documents(s, dir)
-      .agg(count(lit(1)).as("n"), max("doc_id").as("mx"),
-        sum(length(col("text"))).as("chars"))
-      .head()
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val sig = fs.listStatus(p).toSeq
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(",")
     graft.sources.TempDirs.stable("graft_bpe_",
-      s"$dir|n=${fp.get(0)}|max=${fp.get(1)}|chars=${fp.get(2)}")
+      s"$dir|${java.util.UUID.nameUUIDFromBytes(sig.getBytes("UTF-8"))}")
   }
+
+  /** The corpus base-alphabet derivation — distinct single characters
+    * of the whitespace tokens, sorted. ONE corpus scan; paid at train
+    * time (the artifact freezes it) and never again.
+    */
+  private def bpeDeriveAlphabet(s: SparkSession, dir: String): Seq[String] =
+    Tables.documents(s, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .select(explode(transform(sequence(lit(1), length(col("t"))),
+        i => col("t").substr(i, lit(1)))).as("p"))
+      .distinct()
+      .collect().map(_.getString(0)).sorted.toSeq // bounded: the alphabet
 
   private[graft] def bpeEnsureArtifact(s: SparkSession, dir: String): String = {
     val adir = bpeStableDir(s, dir)
-    if (!graft.sources.BpeStore.exists(s, adir))
+    if (!graft.sources.BpeStore.exists(s, adir)) {
       graft.sources.BpeStore.save(s, adir,
         bpeTrainRounds(s, Tables.documents(s, dir)))
+      // the shipped tokenizer is merges + alphabet: freeze both, so no
+      // later apply/vocab call re-scans the corpus
+      graft.sources.BpeStore.saveAlphabet(s, adir, bpeDeriveAlphabet(s, dir))
+    }
     adir
   }
 
@@ -438,13 +461,18 @@ object TextQueries {
     */
   private[graft] def bpeVocab(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val merges = graft.sources.BpeStore.load(s, bpeEnsureArtifact(s, dir))
-    val alphabet = Tables.documents(s, dir)
-      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
-      .select(explode(transform(sequence(lit(1), length(col("t"))),
-        i => col("t").substr(i, lit(1)))).as("p"))
-      .distinct()
-      .collect().map(_.getString(0)).sorted // bounded: the corpus alphabet
+    val adir = bpeEnsureArtifact(s, dir)
+    val merges = graft.sources.BpeStore.load(s, adir)
+    // alphabet comes FROM THE ARTIFACT (frozen at train time) — a
+    // vocab load must not cost a corpus scan. The backfill arm covers
+    // an artifact frozen by the train query directly (merges only):
+    // derive once, freeze, never re-scan.
+    val alphabet = graft.sources.BpeStore.loadAlphabet(s, adir)
+      .getOrElse {
+        val a = bpeDeriveAlphabet(s, dir)
+        graft.sources.BpeStore.saveAlphabet(s, adir, a)
+        a
+      }
     val syms = alphabet.toSeq ++ merges.sortBy(_._1).map(r => r._2 + r._3)
     syms.zipWithIndex
       .groupBy(_._1).view.mapValues(_.map(_._2).min.toLong).toSeq

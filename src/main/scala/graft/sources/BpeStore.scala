@@ -42,4 +42,31 @@ object BpeStore {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("part-"))
   }
+
+  /** The corpus BASE ALPHABET, frozen next to the merges — a shipped
+    * tokenizer is merges + alphabet, and freezing both is what keeps a
+    * MAINTENANCE batch from paying a corpus-wide distinct-characters
+    * scan per call just to rebuild the id table (the 100 TB ingest-loop
+    * tax graft.TokenProbe measured). Sorted on write; bounded (the
+    * character inventory of the corpus).
+    */
+  def saveAlphabet(spark: SparkSession, dir: String,
+      alphabet: Seq[String]): Unit = {
+    import spark.implicits._
+    alphabet.sorted.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("ord", "ch")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/alphabet")
+  }
+
+  /** None when the artifact predates the alphabet file (e.g. frozen by
+    * the train query directly) — callers derive once and backfill.
+    */
+  def loadAlphabet(spark: SparkSession, dir: String): Option[Seq[String]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/alphabet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) ||
+      !fs.listStatus(p).exists(_.getPath.getName.startsWith("part-"))) None
+    else Some(spark.read.parquet(s"$dir/alphabet")
+      .orderBy("ord").collect().map(_.getAs[String]("ch")).toSeq)
+  }
 }
