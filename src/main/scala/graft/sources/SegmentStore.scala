@@ -590,15 +590,54 @@ object SegmentStore {
 
   /** GLOBAL as-of read at a COMMITTED epoch — the vector-watermark
     * [[mergedAsOf]] with the vector supplied by the store's own
-    * manifest instead of the caller's memory. Same semantics verbatim
-    * (union of per-writer snapshots, pure partition pruning, fold
-    * watermarks preserved); what the manifest adds is durability: the
-    * audit question "what did we hold at epoch e" stays answerable
-    * after the coordination layer that chose the vector is gone.
+    * manifest instead of the caller's memory. Same read shape (union
+    * of per-writer snapshots, pure partition pruning); what the
+    * manifest adds is durability: the audit question "what did we
+    * hold at epoch e" stays answerable after the coordination layer
+    * that chose the vector is gone.
+    *
+    * Durability is also why this read is STRICT where the raw vector
+    * read is not: a fold above a writer's epoch watermark collapsed
+    * the history the epoch points into (folds merge ALL live
+    * segments, so any fold id > e swallowed the <= e view), and the
+    * raw read's "that writer contributes nothing" convention would
+    * here return a silently partial audit against a manifest that
+    * promises the whole snapshot. So compaction past a committed
+    * epoch makes this read fail LOUDLY — the retention coupling is a
+    * policy choice the operator sees: either keep folds at/below
+    * committed epochs, or [[retireEpoch]] first. An operator who
+    * wants the partial per-writer view can still read
+    * [[epochVector]] and call the raw [[mergedAsOf]].
     */
   def mergedAsOfEpoch(spark: SparkSession, path: String, keys: Seq[String],
-      sumCol: String, epoch: Long): DataFrame =
-    mergedAsOf(spark, path, keys, sumCol, epochVector(spark, path, epoch))
+      sumCol: String, epoch: Long): DataFrame = {
+    val vec = epochVector(spark, path, epoch)
+    val (f, _) = fs(spark, path)
+    vec.foreach { case (w, e) =>
+      val wp = writerPath(path, w)
+      val foldAbove = segmentIds(spark, wp)
+        .filter(_ > e)
+        .filter(id => f.exists(new HPath(s"$wp/seg=$id/$FoldMarker")))
+      require(foldAbove.isEmpty,
+        s"epoch $epoch is no longer answerable: writer '$w' compacted to " +
+          s"fold seg=${foldAbove.head} above the epoch's watermark $e — " +
+          s"retention policy must keep folds at/below committed epochs " +
+          s"(or retireEpoch before folding)")
+    }
+    mergedAsOf(spark, path, keys, sumCol, vec)
+  }
+
+  /** Retire a committed epoch — the retention policy's other half:
+    * once an audit window closes, dropping the manifest is what frees
+    * compaction to fold past its watermark without tripping
+    * [[mergedAsOfEpoch]]'s durability guard. Returns false when the
+    * epoch was never committed (idempotent under re-delivery, like
+    * [[commitEpoch]]).
+    */
+  def retireEpoch(spark: SparkSession, path: String, epoch: Long): Boolean = {
+    val (f, p) = fs(spark, path)
+    f.delete(epochFile(p, epoch), false)
+  }
 
   /** Per-segment row counts — the monitoring report that drives (and
     * audits) the compaction policy. Output is one row per live

@@ -474,6 +474,100 @@ class SegmentStoreSpec extends AnyFunSuite {
     assert(got == want, "concurrent writers diverged from the one-shot union")
   }
 
+  test("epoch durability guard: compaction past a committed epoch fails the epoch read LOUDLY; retireEpoch frees the fold") {
+    val path = tmpStore
+    assert(SegmentStore.appendExactlyOnce(batch("u1" -> 3L), path, "wa", 0L))
+    assert(SegmentStore.appendExactlyOnce(batch("u2" -> 1L), path, "wa", 1L))
+    assert(SegmentStore.appendExactlyOnce(batch("u1" -> 2L), path, "wb", 0L))
+    assert(SegmentStore.commitEpoch(spark, path, 0L)) // (wa -> 1, wb -> 0)
+    def snapAt(e: Long) =
+      SegmentStore.mergedAsOfEpoch(spark, path, Seq("k"), "c", e)
+        .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(snapAt(0L) == Seq("u1" -> 5L, "u2" -> 1L))
+    // a fold AT the epoch's watermark keeps it answerable (fold id ==
+    // max covered id == the watermark)
+    SegmentStore.compactWriter(spark, path, "wa", Seq("k"), "c")
+    assert(snapAt(0L) == Seq("u1" -> 5L, "u2" -> 1L))
+    // wa ingests past the epoch and folds again: the new fold's id is
+    // ABOVE epoch 0's wa watermark — the <= 1 history is collapsed and
+    // the epoch read must fail loudly, not return a partial audit
+    assert(SegmentStore.appendExactlyOnce(batch("u3" -> 7L), path, "wa", 2L))
+    SegmentStore.compactWriter(spark, path, "wa", Seq("k"), "c")
+    val e = intercept[IllegalArgumentException] { snapAt(0L) }
+    assert(e.getMessage.contains("no longer answerable") &&
+      e.getMessage.contains("retention"), e.getMessage)
+    // the raw vector read keeps its documented partial-view convention
+    val partial = SegmentStore
+      .mergedAsOf(spark, path, Seq("k"), "c", Map("wa" -> 1L, "wb" -> 0L))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(partial == Seq("u1" -> 2L)) // wb only: wa folded above 1
+    // retiring the epoch is the operator's sanctioned way out
+    assert(SegmentStore.retireEpoch(spark, path, 0L))
+    assert(!SegmentStore.retireEpoch(spark, path, 0L)) // idempotent
+    assert(SegmentStore.epochs(spark, path).isEmpty)
+    intercept[IllegalArgumentException] { snapAt(0L) } // never committed now
+    // a FRESH epoch at the post-fold frontier answers cleanly
+    assert(SegmentStore.commitEpoch(spark, path, 1L))
+    assert(snapAt(1L) == Seq("u1" -> 5L, "u2" -> 1L, "u3" -> 7L))
+  }
+
+  test("epoch commits over live streams: the coordination job freezes consistent snapshots between micro-batch rounds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmpStore
+    // the deployed shape: writer streams ingest with zero coordination;
+    // a separate coordination job calls commitEpoch at its own cadence
+    // ("everything as of each stream's last checkpoint") — snapshots
+    // stay answerable long after that job is gone
+    def sink(writer: String) = { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      SegmentStore.appendExactlyOnce(
+        batch.groupBy("k").agg(count(lit(1)).as("c")), path, writer, batchId)
+      ()
+    }
+    val memA = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val memB = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    def toKeys(df: org.apache.spark.sql.DataFrame) =
+      df.select(concat(lit("k"), pmod(col("value"), lit(5))).as("k"))
+    val qA = toKeys(memA.toDF()).writeStream.outputMode("append")
+      .foreachBatch(sink("src-a")).start()
+    val qB = toKeys(memB.toDF()).writeStream.outputMode("append")
+      .foreachBatch(sink("src-b")).start()
+    def snapAt(e: Long) = SegmentStore
+      .mergedAsOfEpoch(spark, path, Seq("k"), "c", e)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    def oneShot(n: Long) = toKeys(spark.range(n).select(col("id").as("value")))
+      .groupBy("k").agg(count(lit(1)).cast("long").as("c"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    try {
+      memA.addData(0L until 20L: _*); memB.addData(0L until 20L: _*)
+      qA.processAllAvailable(); qB.processAllAvailable()
+      assert(SegmentStore.commitEpoch(spark, path, 0L))
+      memA.addData(20L until 50L: _*) // only A advances past epoch 0
+      qA.processAllAvailable()
+      assert(SegmentStore.commitEpoch(spark, path, 1L)) // mixed frontier
+      // a re-fired coordination job (restart, at-least-once) is a no-op
+      assert(!SegmentStore.commitEpoch(spark, path, 1L))
+      memB.addData(20L until 50L: _*)
+      qB.processAllAvailable()
+    } finally { qA.stop(); qB.stop() }
+    // epoch 0: both sides through their first 20
+    val both20 = oneShot(20L).toMap.map { case (k, c) => k -> c * 2 }.toSeq
+      .sortBy(_._1)
+    assert(snapAt(0L) == both20, s"epoch 0: ${snapAt(0L)}")
+    // epoch 1: A through 50, B still at 20 — the mixed frontier, and
+    // ingest AFTER the commit (B's later batches) stays invisible
+    val mixed = (oneShot(50L).toMap.toSeq ++ oneShot(20L).toMap.toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+    assert(snapAt(1L) == mixed, s"epoch 1: ${snapAt(1L)}")
+    // the live merge has moved past every committed epoch
+    val live = SegmentStore.merged(spark, path, Seq("k"), "c")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(live == oneShot(50L).toMap.map { case (k, c) => k -> c * 2 }
+      .toSeq.sortBy(_._1))
+    assert(SegmentStore.epochs(spark, path) == Seq(0L, 1L))
+  }
+
   test("XO marker crash window: a committed-but-unmarked first batch re-marks on retry instead of bricking the store") {
     val path = tmpStore
     assert(SegmentStore.appendExactlyOnce(batch("a" -> 1L), path, 0L))
