@@ -450,6 +450,11 @@ object PipelineQueries {
       .getOrElse(Set.empty[Long])
     seqRepackTokenShards(s, exportDir, (addShards ++ retrShards).toSeq,
       batch, retr)
+    // the maintained artifact stays self-identifying: ship the frozen
+    // decode table on bootstrap (presence probe only afterwards — the
+    // tokenizer never changes under maintenance, by the frozen-artifact
+    // contract)
+    if (!tokenizerShipped(s, exportDir)) shipTokenizer(s, dir, exportDir)
   }
 
   /** The token artifact in its DATALOADER-FINAL shape: one row per
@@ -536,10 +541,35 @@ object PipelineQueries {
               PackSalt), lit(1048576L))).as("cur_key"))
   }
 
+  /** Ship the FROZEN TOKENIZER into a token-artifact export — ids are
+    * meaningless without the vocab that assigned them, so the shipped
+    * artifact carries its own decode table at `_tokenizer/vocab` (the
+    * underscore prefix keeps partition discovery from reading it as
+    * data, like Spark's own `_SUCCESS`). A dataloader pairing the
+    * artifact with ANY other vocab is the silent-garbage failure the
+    * manifest's `tokenizer_fp` makes checkable.
+    */
+  private[graft] def shipTokenizer(s: SparkSession, dir: String,
+      exportDir: String): Unit =
+    TextQueries.bpeVocab(s, dir).coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$exportDir/_tokenizer/vocab")
+
+  private def tokenizerShipped(s: SparkSession, exportDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$exportDir/_tokenizer/vocab")
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.exists(p) && f.listStatus(p).exists(_.getPath.getName.startsWith("part-"))
+  }
+
   /** Per-shard manifest of a shipped TOKEN artifact, computed from
     * disk — the [[seqExportManifest]] discipline over assembled
-    * sequences: token/sequence counts and an order-independent
-    * content fingerprint over (seq_id, pos, token_id).
+    * sequences: token/sequence counts, an order-independent content
+    * fingerprint over (seq_id, pos, token_id), and `tokenizer_fp` —
+    * the same xor-of-md5-60 over the SHIPPED vocab's (piece,
+    * token_id) rows, the artifact self-identifying its tokenizer. The
+    * oracle derives the vocab independently from the corpus, so a
+    * matching fp proves the shipped decode table IS the
+    * corpus-trained one.
     */
   private def seqTokensManifest(s: SparkSession, exportDir: String): DataFrame = {
     val back = s.read.parquet(exportDir)
@@ -548,10 +578,15 @@ object PipelineQueries {
     val fp = graft.functions.Md5Long60Expr(
       concat_ws(":", col("seq_id"), col("pos"), col("doc_id"),
         col("token_id")), PackSalt)
+    val tokFp = s.read.parquet(s"$exportDir/_tokenizer/vocab")
+      .agg(bit_xor(graft.functions.Md5Long60Expr(
+        concat_ws(":", col("piece"), col("token_id")), PackSalt))
+        .as("tokenizer_fp"))
     back.groupBy("shard")
       .agg(count(lit(1)).as("n_tokens"),
         countDistinct("seq_id").as("n_seqs"),
         bit_xor(fp).as("content_fp"))
+      .crossJoin(broadcast(tokFp)) // 1 row
       .orderBy("shard")
   }
 
@@ -937,6 +972,7 @@ object PipelineQueries {
     "pipe_seqs_tokens_export" -> ((s, dir) => {
       val exportDir = graft.sources.TempDirs.scratch("graft_seqtokex_")
       exportShip(seqTokens(s, dir), exportDir)
+      shipTokenizer(s, dir, exportDir)
       seqTokensManifest(s, exportDir)
     }),
 
@@ -949,6 +985,7 @@ object PipelineQueries {
       val exportDir = graft.sources.TempDirs.scratch("graft_seqtokinc_")
       val tokens = seqTokens(s, dir).localCheckpoint(true)
       exportShip(tokens.filter(col("doc_id") % 7 =!= 3), exportDir)
+      shipTokenizer(s, dir, exportDir)
       val batchDocs = Tables.documents(s, dir)
         .filter(col("doc_id") % 7 === 3).select("doc_id")
       val batch = batchTokenRows(s, dir, batchDocs).localCheckpoint(true)
@@ -965,6 +1002,7 @@ object PipelineQueries {
     "pipe_seqs_tokens_export_retract" -> ((s, dir) => {
       val exportDir = graft.sources.TempDirs.scratch("graft_seqtokret_")
       exportShip(seqTokens(s, dir), exportDir)
+      shipTokenizer(s, dir, exportDir)
       val retracted = Tables.documents(s, dir)
         .filter(col("doc_id") % 50 === 7).select("doc_id")
         .localCheckpoint(true) // shard probe + anti-join read it
@@ -1923,7 +1961,10 @@ object PipelineQueries {
            |  CAST(bit_xor(CAST(concat('0x', substr(md5(concat('$PackSalt:',
            |    CAST(seq_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':' ||
            |    CAST(doc_id AS VARCHAR) || ':' ||
-           |    CAST(token_id AS VARCHAR))), 1, 15)) AS BIGINT)) AS BIGINT) AS content_fp
+           |    CAST(token_id AS VARCHAR))), 1, 15)) AS BIGINT)) AS BIGINT) AS content_fp,
+           |  (SELECT CAST(bit_xor(CAST(concat('0x', substr(md5(concat('$PackSalt:',
+           |    piece || ':' || CAST(token_id AS VARCHAR))), 1, 15))
+           |    AS BIGINT)) AS BIGINT) FROM bpe_vocab) AS tokenizer_fp
            |FROM tok_ids GROUP BY shard ORDER BY shard""".stripMargin
     s"""WITH ${seqTokenIdCtes(pred)}
        |$sel""".stripMargin
