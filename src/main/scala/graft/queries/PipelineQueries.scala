@@ -95,6 +95,12 @@ object PipelineQueries {
   final val PackSeqLen = 2048
   final val PackSalt = 13
   final val PackEpochs = 3
+  /** pipe_seqs_mm: patch slots an image doc reserves (a 4x4 patch
+    * grid), and the sentinel id filling them (outside the BPE vocab's
+    * non-negative id space — the embedding router's modality switch).
+    */
+  final val MmSeqPatches = 16
+  final val MmPatchTok = -1L
   /** pipe_score weights (fixed-order weighted sum, oracle-mirrored). */
   final val ScoreWQuality = 0.7
   final val ScoreWRarity = 0.3
@@ -291,6 +297,65 @@ object PipelineQueries {
         col("doc_id"), col("piece"))
       .join(broadcast(TextQueries.bpeVocab(s, dir)), Seq("piece"))
       .select("shard", "seq_id", "pos", "doc_id", "token_id")
+  }
+
+  /** MULTIMODAL training sequences — the VLM packing shape: an image
+    * doc's sample is its text tokens followed by [[MmSeqPatches]]
+    * PATCH-PLACEHOLDER slots (the positions a vision encoder's patch
+    * embeddings fill at train time; [[MmPatchTok]] is the modality
+    * sentinel, outside the BPE id space), and samples pack into
+    * [[PackSeqLen]] sequences under the same shard-stream law as
+    * [[seqTokens]] — per-doc length is just `n_toks + n_patch`. Patch
+    * rows carry `patch_idx` 0..P-1 (text rows -1) and `doc_id`, which
+    * IS the media reference (the [[graft.operators.Multimodal]] table
+    * keys media by doc_id) — the loader resolves payload bytes from
+    * the media store at the patch positions and token embeddings
+    * everywhere else, with nothing else to join. Scale shape is
+    * [[seqTokens]]' verbatim: ONE shard window (over doc COUNTS — the
+    * narrow frame is what materializes; per-branch explodes are
+    * row-local), a broadcast vocab join on the text branch only, a
+    * unioned patch branch that never touches payload bytes. The
+    * offset frame materializes ONCE (localCheckpoint — the same bytes
+    * the one exchange already moved) so the two branches don't each
+    * re-run the shard shuffle. Integer-exact throughout — the oracle
+    * replays the interleave.
+    */
+  private[graft] def seqMmTokens(s: SparkSession, dir: String): DataFrame = {
+    val P = lit(MmSeqPatches.toLong)
+    val base = TextQueries.bpeDocPieceList(s, dir)
+      .select(col("doc_id"),
+        (graft.functions.Md5Long60Expr(col("doc_id").cast("string"), PackSalt)
+          % lit(PackShards.toLong)).as("shard"),
+        col("pieces"), size(col("pieces")).cast("long").as("n_toks"))
+      .withColumn("n_patch",
+        when(col("doc_id") % 3 === 0, P).otherwise(lit(0L)))
+      .withColumn("n_total", col("n_toks") + col("n_patch"))
+    val w = Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = base
+      .withColumn("tok_off", sum("n_total").over(w) - col("n_total"))
+      .filter(col("n_total") > 0L)
+      .localCheckpoint(true) // text + patch branches both read it
+    val text = offs
+      .select(col("shard"), col("doc_id"), col("tok_off"),
+        posexplode(col("pieces")).as(Seq("j", "piece")))
+      .join(broadcast(TextQueries.bpeVocab(s, dir)), Seq("piece"))
+      .select(col("shard"), col("doc_id"),
+        (col("tok_off") + col("j")).as("g"),
+        col("token_id"), lit(-1L).as("patch_idx"))
+    val patch = offs.filter(col("n_patch") > 0L)
+      .select(col("shard"), col("doc_id"), col("tok_off"), col("n_toks"),
+        explode(sequence(lit(0L), col("n_patch") - 1L)).as("k"))
+      .select(col("shard"), col("doc_id"),
+        (col("tok_off") + col("n_toks") + col("k")).as("g"),
+        lit(MmPatchTok).as("token_id"), col("k").as("patch_idx"))
+    text.unionByName(patch)
+      .select(col("shard"),
+        floor(col("g").cast("double") / lit(PackSeqLen.toDouble)).cast("long")
+          .as("seq_id"),
+        pmod(col("g"), lit(PackSeqLen.toLong)).as("pos"),
+        col("doc_id"), col("token_id"), col("patch_idx"))
   }
 
   /** Re-pack ONLY the `touched` shard directories of a shipped TOKEN
@@ -1018,6 +1083,12 @@ object PipelineQueries {
     // doc-boundary positions (the attention/loss-mask input)
     "pipe_seqs_tokens_packed" -> ((s, dir) =>
       seqTokensPacked(s, dir).orderBy("shard", "seq_id")),
+
+    // MULTIMODAL sequences: image docs' text tokens followed by their
+    // patch-placeholder slots, packed under the same shard-stream law;
+    // doc_id on a patch row IS the media reference
+    "pipe_seqs_mm" -> ((s, dir) =>
+      seqMmTokens(s, dir).orderBy("shard", "seq_id", "pos")),
 
     // reproducible per-epoch traversal order: salted md5-60 keys, no
     // global sort run or shipped in the RELATION — the key IS the
@@ -2212,6 +2283,44 @@ object PipelineQueries {
 
     // order-exact per-sequence reduction of the token stream
     "pipe_seqs_tokens_packed" -> seqTokensPackedSql,
+
+    // text tokens + patch-placeholder interleave replayed exactly:
+    // per-doc length = n_toks + (16 if image), same running-sum law
+    "pipe_seqs_mm" ->
+      s"""WITH ${TextQueries.bpeDocPieceListCtes}, ${TextQueries.bpeVocabCtes}, mm_b AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(concat('$PackSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % $PackShards AS shard,
+         |    pieces, CAST(len(pieces) AS BIGINT) AS n_toks,
+         |    CAST(CASE WHEN doc_id % 3 = 0 THEN $MmSeqPatches ELSE 0 END AS BIGINT) AS n_patch
+         |  FROM bpe_doc_plist
+         |), mm_o AS (
+         |  SELECT doc_id, shard, pieces, n_toks, n_patch,
+         |    CAST(SUM(n_toks + n_patch) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - (n_toks + n_patch) AS BIGINT) AS tok_off
+         |  FROM mm_b WHERE n_toks + n_patch > 0
+         |), mm_g AS (
+         |  SELECT shard, doc_id, tok_off + j - 1 AS g, v.token_id,
+         |    CAST(-1 AS BIGINT) AS patch_idx
+         |  FROM (
+         |    SELECT shard, doc_id, tok_off, UNNEST(pieces) AS piece,
+         |      UNNEST(generate_series(1, len(pieces))) AS j
+         |    FROM mm_o
+         |  ) t JOIN bpe_vocab v ON v.piece = t.piece
+         |  UNION ALL
+         |  SELECT shard, doc_id, tok_off + n_toks + k AS g,
+         |    CAST($MmPatchTok AS BIGINT) AS token_id, CAST(k AS BIGINT) AS patch_idx
+         |  FROM (
+         |    SELECT shard, doc_id, tok_off, n_toks,
+         |      UNNEST(generate_series(0, $MmSeqPatches - 1)) AS k
+         |    FROM mm_o WHERE n_patch > 0
+         |  )
+         |)
+         |SELECT shard,
+         |  CAST(FLOOR(CAST(g AS DOUBLE) / $PackSeqLen.0) AS BIGINT) AS seq_id,
+         |  CAST(g % $PackSeqLen AS BIGINT) AS pos, doc_id, token_id, patch_idx
+         |FROM mm_g
+         |ORDER BY shard, seq_id, pos""".stripMargin,
 
     // the epoch-order keys are pure hash arithmetic on (epoch, seq)
     "pipe_seqs_epoch_order" -> seqEpochOrderSql,

@@ -994,6 +994,54 @@ class PipelineSurfaceSpec extends AnyFunSuite {
         col("doc_id"), col("token_id"))
   }
 
+  test("pipe_seqs_mm: patch slots tile contiguously after each image doc's text; the shard stream has no gap or overlap") {
+    import graft.queries.{PipelineQueries => P}
+    val L = P.PackSeqLen.toLong
+    val rows = P.seqMmTokens(spark, dir)
+      .select(col("shard"), (col("seq_id") * lit(L) + col("pos")).as("g"),
+        col("doc_id"), col("token_id"), col("patch_idx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+
+    // 1. per doc: patch rows exist iff doc_id % 3 == 0, exactly
+    //    MmSeqPatches of them, contiguous AFTER the text run, idx in order
+    rows.groupBy(_._3).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val (text, patch) = sorted.partition(_._5 == -1L)
+      if (doc % 3 == 0) {
+        assert(patch.length == P.MmSeqPatches, s"doc $doc: ${patch.length} patches")
+        assert(patch.map(_._5).toSeq == (0L until P.MmSeqPatches.toLong),
+          s"doc $doc: patch_idx out of order")
+        assert(patch.forall(_._4 == P.MmPatchTok))
+        if (text.nonEmpty)
+          assert(patch.head._2 == text.last._2 + 1,
+            s"doc $doc: patches not adjacent to text")
+      } else assert(patch.isEmpty, s"doc $doc: unexpected patches")
+      // the doc's whole sample is one contiguous g-run
+      val gs = sorted.map(_._2)
+      assert(gs.zip(gs.tail).forall { case (a, b) => b == a + 1 },
+        s"doc $doc: sample not contiguous")
+    }
+
+    // 2. per shard: g tiles 0..N-1 exactly (the packing law)
+    rows.groupBy(_._1).foreach { case (sh, rs) =>
+      val gs = rs.map(_._2).sorted
+      assert(gs.head == 0L && gs.last == gs.length - 1L &&
+        gs.distinct.length == gs.length, s"shard $sh: stream gaps/overlaps")
+    }
+
+    // 3. text rows are the seqTokens stream under the widened offsets:
+    //    same per-doc token_id sequence, exactly
+    val mmText = rows.filter(_._5 == -1L).groupBy(_._3).view
+      .mapValues(_.sortBy(_._2).map(_._4).toSeq).toMap
+    val pure = P.seqTokens(spark, dir)
+      .select((col("seq_id") * lit(L) + col("pos")).as("g"),
+        col("doc_id"), col("token_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._2).view.mapValues(_.sortBy(_._1).map(_._3).toSeq).toMap
+    assert(mmText == pure, "mm text stream diverged from seqTokens")
+  }
+
   test("repack touched-set guards: a batch row in an unlisted shard fails LOUDLY on both artifacts, stored dirs untouched") {
     import graft.queries.{PipelineQueries => P}
     import spark.implicits._
