@@ -133,9 +133,15 @@ object TokenProbe {
       val got = spark.read.parquet(exp)
         .select(col("shard").cast("long").as("shard"), col("seq_id"),
           col("pos"), col("doc_id"), col("token_id"))
-      val mismatch = got.unionByName(want).groupBy(
-          "shard", "seq_id", "pos", "doc_id", "token_id")
-        .agg(count(lit(1)).as("n")).filter(col("n") =!= 2L).count()
+      // multiplicity-aware compare: per-key counts PER SIDE must agree
+      // (a plain union-count-==2 check is blind to a row duplicated on
+      // one side and absent on the other)
+      val keyCols = Seq("shard", "seq_id", "pos", "doc_id", "token_id")
+      val mismatch = got.withColumn("side", lit(1L))
+        .unionByName(want.withColumn("side", lit(-1L)))
+        .groupBy(keyCols.map(col): _*)
+        .agg(sum("side").as("d"), count(lit(1)).as("n"))
+        .filter(col("d") =!= 0L || col("n") =!= 2L).count()
       val nTok = got.count()
 
       println(f"""{"probe":"token_maintain","factor":$f,"n_docs":$nDocs,""" +

@@ -387,21 +387,45 @@ object PipelineQueries {
     * (spec-pinned in StreamingMaintenanceSpec). No marker files or
     * recovery scan needed; replay IS recovery.
     */
+  /** LOUD guards for the touched-shard re-packs — both silent-failure
+    * modes of a mis-derived `touched` set, checked on every call (cost:
+    * <= [[PackShards]]-row collects):
+    *
+    *   - a batch (`extra`) row landing in a shard OUTSIDE `touched`
+    *     would dynamic-overwrite that dir with ONLY the batch's rows —
+    *     the stored survivors there were never read (the scan is
+    *     pruned to `touched`): silent DATA LOSS;
+    *   - a retraction (`without`) doc whose shard is outside `touched`
+    *     is never seen by the anti-join — the takedown silently
+    *     NO-OPS and the retracted (GDPR) document's rows stay in the
+    *     artifact.
+    */
+  private def requireRepackCovers(touched: Seq[Long],
+      extra: Option[DataFrame], without: Option[DataFrame]): Unit = {
+    val t = touched.toSet
+    extra.foreach { b =>
+      val extraShards = b.select("shard").distinct()
+        .collect().map(_.getLong(0)).toSet
+      require(extraShards.subsetOf(t),
+        s"extra rows land in shards ${extraShards -- t} not " +
+          s"listed as touched — their stored survivors would be dropped")
+    }
+    without.foreach { del =>
+      val retrShards = del
+        .select((graft.functions.Md5Long60Expr(col("doc_id").cast("string"),
+          PackSalt) % lit(PackShards.toLong)).as("shard"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      require(retrShards.subsetOf(t),
+        s"retracted docs live in shards ${retrShards -- t} not " +
+          s"listed as touched — their takedown would silently no-op")
+    }
+  }
+
   private[graft] def seqRepackTokenShards(s: SparkSession, exportDir: String,
       touched: Seq[Long], extra: Option[DataFrame],
       without: Option[DataFrame]): Unit = {
     if (touched.isEmpty) return
-    // LOUD guard, not silent data loss: a batch row landing in a shard
-    // OUTSIDE `touched` would dynamic-overwrite that dir with ONLY the
-    // batch's rows — the stored survivors there were never read (the
-    // scan is pruned to `touched`). Cost: one <= PackShards-row collect.
-    extra.foreach { b =>
-      val extraShards = b.select("shard").distinct()
-        .collect().map(_.getLong(0)).toSet
-      require(extraShards.subsetOf(touched.toSet),
-        s"extra rows land in shards ${extraShards -- touched.toSet} not " +
-          s"listed as touched — their stored survivors would be dropped")
-    }
+    requireRepackCovers(touched, extra, without)
     val L = lit(PackSeqLen.toLong)
     val root = new org.apache.hadoop.fs.Path(exportDir)
     val fs0 = root.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -669,16 +693,7 @@ object PipelineQueries {
       touched: Seq[Long], extra: Option[DataFrame],
       without: Option[DataFrame]): Unit = {
     if (touched.isEmpty) return
-    // LOUD guard, the [[seqRepackTokenShards]] one: a batch row landing
-    // in a shard OUTSIDE `touched` would dynamic-overwrite that dir
-    // with ONLY the batch's rows — its stored survivors were never read
-    extra.foreach { b =>
-      val extraShards = b.select("shard").distinct()
-        .collect().map(_.getLong(0)).toSet // <= PackShards rows
-      require(extraShards.subsetOf(touched.toSet),
-        s"extra rows land in shards ${extraShards -- touched.toSet} not " +
-          s"listed as touched — their stored survivors would be dropped")
-    }
+    requireRepackCovers(touched, extra, without)
     val stored = s.read.parquet(exportDir)
       .filter(col("shard").isin(touched.map(Long.box): _*))
       .groupBy(col("doc_id"), col("shard").cast("long").as("shard"))

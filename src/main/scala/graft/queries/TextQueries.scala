@@ -372,6 +372,14 @@ object TextQueries {
     * cannot afford at 100 TB (graft.TokenProbe measured the tax) — and
     * any in-place regeneration rewrites the part files, so the
     * metadata signature catches exactly the same staleness.
+    *
+    * Caveat (disclosed trade): a corpus staged by an mtime-PRESERVING
+    * copy (`rsync -a`, `cp -p`) whose part names and byte lengths
+    * coincide with a previous generation's would alias the old key —
+    * Spark-written dirs never do (part names embed job UUIDs), but a
+    * deployment staging corpora with external tooling should touch
+    * the directory (or re-enable a data fingerprint) as part of the
+    * staging contract.
     */
   private[graft] def bpeStableDir(s: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")

@@ -504,7 +504,17 @@ object SegmentStore {
     f.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("writer="))
       .map(_.stripPrefix("writer="))
-      .flatMap(w => segmentIds(spark, writerPath(path, w)).lastOption.map(w -> _))
+      .flatMap { w =>
+        val wp = writerPath(path, w)
+        // COMMITTED segments only: a crashed partial dir (no _SUCCESS,
+        // no fold marker) is not part of the store's logical state, and
+        // a frozen epoch pointing at it would durably reference data
+        // that was never committed
+        segmentIds(spark, wp)
+          .filter(id => f.exists(new HPath(s"$wp/seg=$id/_SUCCESS"))
+            || f.exists(new HPath(s"$wp/seg=$id/$FoldMarker")))
+          .lastOption.map(w -> _)
+      }
       .toMap
   }
 
@@ -543,7 +553,14 @@ object SegmentStore {
     val dst = epochFile(p, epoch)
     if (f.exists(dst)) return false
     f.mkdirs(epochDir(p))
-    val tmp = new HPath(epochDir(p), s".epoch-$epoch.tmp")
+    // per-ATTEMPT temp name: two concurrent commits of the same epoch
+    // (an at-least-once coordination job racing its own re-fire) must
+    // not share a staging file, or the loser's truncating re-create
+    // could be what the winner's rename publishes — a torn manifest
+    // through the exact path the rename exists to prevent. A crashed
+    // attempt's temp is inert debris (dot-prefixed, never listed).
+    val tmp = new HPath(epochDir(p),
+      s".epoch-$epoch.${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, true)
     try out.write(vec.toSeq.sorted
       .map { case (w, s) => s"$w\t$s\n" }.mkString.getBytes("UTF-8"))
@@ -615,14 +632,24 @@ object SegmentStore {
     val (f, _) = fs(spark, path)
     vec.foreach { case (w, e) =>
       val wp = writerPath(path, w)
-      val foldAbove = segmentIds(spark, wp)
-        .filter(_ > e)
+      val ids = segmentIds(spark, wp)
+      val foldAbove = ids.filter(_ > e)
         .filter(id => f.exists(new HPath(s"$wp/seg=$id/$FoldMarker")))
       require(foldAbove.isEmpty,
         s"epoch $epoch is no longer answerable: writer '$w' compacted to " +
           s"fold seg=${foldAbove.head} above the epoch's watermark $e — " +
           s"retention policy must keep folds at/below committed epochs " +
           s"(or retireEpoch before folding)")
+      // the watermark segment itself must still be addressable: a
+      // vanished writer subtree (or its covered segments removed
+      // without a fold — retention tooling bypassing the store) would
+      // otherwise read as "contributes nothing" and return a silently
+      // partial audit. Folding keeps the max covered id, so a healthy
+      // history always holds seg e (as itself or as the fold at e).
+      require(ids.contains(e),
+        s"epoch $epoch is no longer answerable: writer '$w' has no live " +
+          s"segment at its committed watermark $e (subtree removed or " +
+          s"segments deleted outside the store's fold discipline)")
     }
     mergedAsOf(spark, path, keys, sumCol, vec)
   }

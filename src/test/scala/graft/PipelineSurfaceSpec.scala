@@ -1078,5 +1078,25 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("touched"))
     assert(dirState(tokDir) == beforeTok, "guard failure still wrote dirs")
+
+    // --- retraction side: a takedown doc whose (hash) shard is outside
+    // `touched` must fail loudly, not silently keep the doc's rows
+    val someDoc = 12345L
+    val docShard = graft.sources.Tables.documents(spark, dir).sparkSession
+      .range(1).select(
+        (graft.functions.Md5Long60Expr(lit(someDoc.toString), P.PackSalt)
+          % lit(P.PackShards.toLong)).as("s"))
+      .head().getLong(0)
+    val otherShard = (docShard + 1) % P.PackShards.toLong
+    val e3 = intercept[IllegalArgumentException] {
+      P.seqRepackTokenShards(spark, tokDir, Seq(otherShard), None,
+        Some(Seq(someDoc).toDF("doc_id")))
+    }
+    assert(e3.getMessage.contains("no-op"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      P.seqRepackShards(spark, spanDir, Seq(otherShard), None,
+        Some(Seq(someDoc).toDF("doc_id")))
+    }
+    assert(e4.getMessage.contains("no-op"), e4.getMessage)
   }
 }

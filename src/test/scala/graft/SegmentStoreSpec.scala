@@ -474,6 +474,35 @@ class SegmentStoreSpec extends AnyFunSuite {
     assert(got == want, "concurrent writers diverged from the one-shot union")
   }
 
+  test("epochs freeze COMMITTED state only: crashed partials don't advance the vector; a vanished subtree fails the read loudly") {
+    val path = tmpStore
+    assert(SegmentStore.appendExactlyOnce(batch("u1" -> 3L), path, "wa", 0L))
+    assert(SegmentStore.appendExactlyOnce(batch("u2" -> 1L), path, "wb", 0L))
+    // a crashed partial write: seg dir present, no _SUCCESS, no fold
+    // marker — not part of the store's logical state, and a durable
+    // epoch must not point at it
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$path/writer=wa/seg=7"))
+    assert(SegmentStore.currentWatermarks(spark, path) ==
+      Map("wa" -> 0L, "wb" -> 0L), "crashed partial advanced the vector")
+    assert(SegmentStore.commitEpoch(spark, path, 0L))
+    assert(SegmentStore.epochVector(spark, path, 0L) ==
+      Map("wa" -> 0L, "wb" -> 0L))
+    assert(SegmentStore
+      .mergedAsOfEpoch(spark, path, Seq("k"), "c", 0L)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq("u1" -> 3L, "u2" -> 1L))
+    // retention tooling removes a writer's subtree outside the store's
+    // fold discipline: the committed epoch must fail loudly, not read
+    // as "that writer contributes nothing"
+    f.delete(new org.apache.hadoop.fs.Path(s"$path/writer=wb"), true)
+    val e = intercept[IllegalArgumentException] {
+      SegmentStore.mergedAsOfEpoch(spark, path, Seq("k"), "c", 0L)
+    }
+    assert(e.getMessage.contains("no live segment"), e.getMessage)
+  }
+
   test("epoch durability guard: compaction past a committed epoch fails the epoch read LOUDLY; retireEpoch frees the fold") {
     val path = tmpStore
     assert(SegmentStore.appendExactlyOnce(batch("u1" -> 3L), path, "wa", 0L))
