@@ -423,10 +423,32 @@ object PipelineQueries {
 
   private[graft] def seqRepackTokenShards(s: SparkSession, exportDir: String,
       touched: Seq[Long], extra: Option[DataFrame],
-      without: Option[DataFrame]): Unit = {
+      without: Option[DataFrame]): Unit =
+    repackSlotShards(s, exportDir, touched, extra, without, Seq("token_id"))
+
+  /** The multimodal form: rows additionally carry `patch_idx` — the
+    * same slot arithmetic, one more value column.
+    */
+  private[graft] def seqRepackMmShards(s: SparkSession, exportDir: String,
+      touched: Seq[Long], extra: Option[DataFrame],
+      without: Option[DataFrame]): Unit =
+    repackSlotShards(s, exportDir, touched, extra, without,
+      Seq("token_id", "patch_idx"))
+
+  /** The shared slot-repack engine behind [[seqRepackTokenShards]] and
+    * [[seqRepackMmShards]]: the artifact's rows are (shard, seq_id,
+    * pos, doc_id, `valueCols`...), a doc's slots are contiguous in
+    * g = seq_id·L + pos, and everything the re-pack needs is
+    * recoverable from the touched shards themselves (j = g − min g per
+    * doc) — the carried value columns ride along untouched.
+    */
+  private def repackSlotShards(s: SparkSession, exportDir: String,
+      touched: Seq[Long], extra: Option[DataFrame],
+      without: Option[DataFrame], valueCols: Seq[String]): Unit = {
     if (touched.isEmpty) return
     requireRepackCovers(touched, extra, without)
     val L = lit(PackSeqLen.toLong)
+    val rowCols = Seq("shard", "doc_id", "j") ++ valueCols
     val root = new org.apache.hadoop.fs.Path(exportDir)
     val fs0 = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     // "exists" must mean HOLDS DATA: a retract-only first batch (or a
@@ -438,20 +460,21 @@ object PipelineQueries {
       if (hasData)
         s.read.parquet(exportDir)
           .filter(col("shard").isin(touched.map(Long.box): _*))
-          .select(col("shard").cast("long").as("shard"), col("doc_id"),
-            (col("seq_id") * L + col("pos")).as("g"), col("token_id"))
+          .select(Seq(col("shard").cast("long").as("shard"), col("doc_id"),
+            (col("seq_id") * L + col("pos")).as("g")) ++
+            valueCols.map(col): _*)
       else // bootstrap: zero stored rows, same BIGINT schema
-        s.range(0).select(col("id").as("shard"), col("id").as("doc_id"),
-          col("id").as("g"), col("id").as("token_id"))
+        s.range(0).select(Seq(col("id").as("shard"), col("id").as("doc_id"),
+          col("id").as("g")) ++ valueCols.map(c => col("id").as(c)): _*)
     val g0 = stored.groupBy("shard", "doc_id").agg(min("g").as("g0"))
     val survTok = stored.join(g0, Seq("shard", "doc_id"))
-      .select(col("shard"), col("doc_id"),
-        (col("g") - col("g0")).as("j"), col("token_id"))
+      .select(Seq(col("shard"), col("doc_id"),
+        (col("g") - col("g0")).as("j")) ++ valueCols.map(col): _*)
     val upserted = extra
       .map(b => survTok
         .join(b.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-        .select("shard", "doc_id", "j", "token_id")
-        .unionByName(b.select("shard", "doc_id", "j", "token_id")))
+        .select(rowCols.map(col): _*)
+        .unionByName(b.select(rowCols.map(col): _*)))
       .getOrElse(survTok)
     val tok = without
       .map(del => upserted.join(del.select("doc_id"), Seq("doc_id"), "left_anti"))
@@ -465,11 +488,11 @@ object PipelineQueries {
       .withColumn("tok_off", sum("n_toks").over(w) - col("n_toks"))
     val rows = tok
       .join(counts.select("shard", "doc_id", "tok_off"), Seq("shard", "doc_id"))
-      .select(col("shard"),
+      .select(Seq(col("shard"),
         floor((col("tok_off") + col("j")).cast("double")
           / lit(PackSeqLen.toDouble)).cast("long").as("seq_id"),
         pmod(col("tok_off") + col("j"), L).as("pos"),
-        col("doc_id"), col("token_id"))
+        col("doc_id")) ++ valueCols.map(col): _*)
       .localCheckpoint(true)
     rows.repartition(col("shard"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -482,6 +505,62 @@ object PipelineQueries {
     touched.filterNot(written).foreach { sh =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$exportDir/shard=$sh"), true)
     }
+  }
+
+  /** A fresh doc batch rendered into the MULTIMODAL repack's input
+    * shape `(shard, doc_id, j, token_id, patch_idx)`: text slots then
+    * the image docs' patch-placeholder run — only the batch pays the
+    * tokenizer, and payload bytes are never read (placeholders carry
+    * the media REFERENCE, which is doc_id itself).
+    */
+  private def batchMmRows(s: SparkSession, dir: String,
+      batchDocs: DataFrame): DataFrame = {
+    val base = TextQueries.bpeDocPieceList(s, dir)
+      .join(batchDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        (graft.functions.Md5Long60Expr(col("doc_id").cast("string"), PackSalt)
+          % lit(PackShards.toLong)).as("shard"),
+        col("pieces"), size(col("pieces")).cast("long").as("n_toks"))
+      .localCheckpoint(true) // text + patch branches both read it
+    val text = base
+      .select(col("shard"), col("doc_id"),
+        posexplode(col("pieces")).as(Seq("j", "piece")))
+      .join(broadcast(TextQueries.bpeVocab(s, dir)), Seq("piece"))
+      .select(col("shard"), col("doc_id"), col("j").cast("long").as("j"),
+        col("token_id"), lit(-1L).as("patch_idx"))
+    val patch = base.filter(col("doc_id") % 3 === 0)
+      .select(col("shard"), col("doc_id"), col("n_toks"),
+        explode(sequence(lit(0L), lit(MmSeqPatches.toLong - 1L))).as("k"))
+      .select(col("shard"), col("doc_id"),
+        (col("n_toks") + col("k")).as("j"),
+        lit(MmPatchTok).as("token_id"), col("k").as("patch_idx"))
+    text.unionByName(patch)
+  }
+
+  /** Per-shard manifest of a shipped MULTIMODAL artifact — the
+    * [[seqTokensManifest]] discipline with the patch dimension in the
+    * receipt: content fingerprint over all five value positions plus
+    * `n_patches` (the slot mass a vision encoder must fill), and the
+    * same `tokenizer_fp` self-identification.
+    */
+  private def seqMmManifest(s: SparkSession, exportDir: String): DataFrame = {
+    val back = s.read.parquet(exportDir)
+      .select(col("shard").cast("long").as("shard"), col("seq_id"),
+        col("pos"), col("doc_id"), col("token_id"), col("patch_idx"))
+    val fp = graft.functions.Md5Long60Expr(
+      concat_ws(":", col("seq_id"), col("pos"), col("doc_id"),
+        col("token_id"), col("patch_idx")), PackSalt)
+    val tokFp = s.read.parquet(s"$exportDir/_tokenizer/vocab")
+      .agg(bit_xor(graft.functions.Md5Long60Expr(
+        concat_ws(":", col("piece"), col("token_id")), PackSalt))
+        .as("tokenizer_fp"))
+    back.groupBy("shard")
+      .agg(count(lit(1)).as("n_slots"),
+        countDistinct("seq_id").as("n_seqs"),
+        sum(when(col("patch_idx") >= 0L, 1L).otherwise(0L)).as("n_patches"),
+        bit_xor(fp).as("content_fp"))
+      .crossJoin(broadcast(tokFp)) // 1 row
+      .orderBy("shard")
   }
 
   /** A fresh doc batch tokenized into the repack's input shape
@@ -1104,6 +1183,52 @@ object PipelineQueries {
     // doc_id on a patch row IS the media reference
     "pipe_seqs_mm" -> ((s, dir) =>
       seqMmTokens(s, dir).orderBy("shard", "seq_id", "pos")),
+
+    // the multimodal artifact SHIPPED + manifested from disk, with the
+    // patch mass in the receipt and the tokenizer self-identification
+    "pipe_seqs_mm_export" -> ((s, dir) => {
+      val exportDir = graft.sources.TempDirs.scratch("graft_seqmmex_")
+      exportShip(seqMmTokens(s, dir), exportDir)
+      shipTokenizer(s, dir, exportDir)
+      seqMmManifest(s, exportDir)
+    }),
+
+    // APPEND leg of the multimodal artifact: only the batch is
+    // tokenized (and only its image members get patch runs); survivor
+    // samples — patches included — are recovered from the artifact
+    // itself, and only touched shard dirs re-pack. Converges to the
+    // one-shot export, so it shares that oracle.
+    "pipe_seqs_mm_export_incremental" -> ((s, dir) => {
+      val exportDir = graft.sources.TempDirs.scratch("graft_seqmminc_")
+      val rows = seqMmTokens(s, dir).localCheckpoint(true)
+      exportShip(rows.filter(col("doc_id") % 7 =!= 3), exportDir)
+      shipTokenizer(s, dir, exportDir)
+      val batchDocs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 7 === 3).select("doc_id")
+      val batch = batchMmRows(s, dir, batchDocs).localCheckpoint(true)
+      val touched = batch.select("shard").distinct()
+        .collect().map(_.getLong(0)).toSeq // <= PackShards rows
+      seqRepackMmShards(s, exportDir, touched, Some(batch), None)
+      seqMmManifest(s, exportDir)
+    }),
+
+    // TAKEDOWN leg: a retracted image doc's PATCH SLOTS leave with its
+    // text — the media reference disappears from the artifact in the
+    // same touched-shard re-pack, nothing re-tokenized
+    "pipe_seqs_mm_export_retract" -> ((s, dir) => {
+      val exportDir = graft.sources.TempDirs.scratch("graft_seqmmret_")
+      exportShip(seqMmTokens(s, dir), exportDir)
+      shipTokenizer(s, dir, exportDir)
+      val retracted = Tables.documents(s, dir)
+        .filter(col("doc_id") % 50 === 7).select("doc_id")
+        .localCheckpoint(true) // shard probe + anti-join read it
+      val touched = retracted
+        .select((graft.functions.Md5Long60Expr(col("doc_id").cast("string"),
+          PackSalt) % lit(PackShards.toLong)).as("shard"))
+        .distinct().collect().map(_.getLong(0)).toSeq // <= PackShards rows
+      seqRepackMmShards(s, exportDir, touched, None, Some(retracted))
+      seqMmManifest(s, exportDir)
+    }),
 
     // reproducible per-epoch traversal order: salted md5-60 keys, no
     // global sort run or shipped in the RELATION — the key IS the
@@ -2056,6 +2181,65 @@ object PipelineQueries {
        |$sel""".stripMargin
   }
 
+  /** The multimodal oracle — rows or manifest over the `mm_ids` chain
+    * (text pieces under the vocab + the image docs' patch runs,
+    * interleaved by the widened running sum).
+    */
+  private def seqMmSql(manifest: Boolean, pred: String): String = {
+    val sel =
+      if (!manifest)
+        s"""SELECT shard, seq_id, pos, doc_id, token_id, patch_idx
+           |FROM mm_ids ORDER BY shard, seq_id, pos""".stripMargin
+      else
+        s"""SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_slots,
+           |  CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+           |  CAST(SUM(CASE WHEN patch_idx >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_patches,
+           |  CAST(bit_xor(CAST(concat('0x', substr(md5(concat('$PackSalt:',
+           |    CAST(seq_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':' ||
+           |    CAST(doc_id AS VARCHAR) || ':' ||
+           |    CAST(token_id AS VARCHAR) || ':' ||
+           |    CAST(patch_idx AS VARCHAR))), 1, 15)) AS BIGINT)) AS BIGINT) AS content_fp,
+           |  (SELECT CAST(bit_xor(CAST(concat('0x', substr(md5(concat('$PackSalt:',
+           |    piece || ':' || CAST(token_id AS VARCHAR))), 1, 15))
+           |    AS BIGINT)) AS BIGINT) FROM bpe_vocab) AS tokenizer_fp
+           |FROM mm_ids GROUP BY shard ORDER BY shard""".stripMargin
+    s"""WITH ${TextQueries.bpeDocPieceListCtes}, ${TextQueries.bpeVocabCtes}, mm_b AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(concat('$PackSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % $PackShards AS shard,
+       |    pieces, CAST(len(pieces) AS BIGINT) AS n_toks,
+       |    CAST(CASE WHEN doc_id % 3 = 0 THEN $MmSeqPatches ELSE 0 END AS BIGINT) AS n_patch
+       |  FROM bpe_doc_plist WHERE $pred
+       |), mm_o AS (
+       |  SELECT doc_id, shard, pieces, n_toks, n_patch,
+       |    CAST(SUM(n_toks + n_patch) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - (n_toks + n_patch) AS BIGINT) AS tok_off
+       |  FROM mm_b WHERE n_toks + n_patch > 0
+       |), mm_g AS (
+       |  SELECT shard, doc_id, tok_off + j - 1 AS g, v.token_id,
+       |    CAST(-1 AS BIGINT) AS patch_idx
+       |  FROM (
+       |    SELECT shard, doc_id, tok_off, UNNEST(pieces) AS piece,
+       |      UNNEST(generate_series(1, len(pieces))) AS j
+       |    FROM mm_o
+       |  ) t JOIN bpe_vocab v ON v.piece = t.piece
+       |  UNION ALL
+       |  SELECT shard, doc_id, tok_off + n_toks + k AS g,
+       |    CAST($MmPatchTok AS BIGINT) AS token_id, CAST(k AS BIGINT) AS patch_idx
+       |  FROM (
+       |    SELECT shard, doc_id, tok_off, n_toks,
+       |      UNNEST(generate_series(0, $MmSeqPatches - 1)) AS k
+       |    FROM mm_o WHERE n_patch > 0
+       |  )
+       |), mm_ids AS (
+       |  SELECT shard,
+       |    CAST(FLOOR(CAST(g AS DOUBLE) / $PackSeqLen.0) AS BIGINT) AS seq_id,
+       |    CAST(g % $PackSeqLen AS BIGINT) AS pos, doc_id, token_id, patch_idx
+       |  FROM mm_g
+       |)
+       |$sel""".stripMargin
+  }
+
   /** The CTE chain ending in `tok_ids (shard, seq_id, pos, doc_id,
     * token_id)` — the shared basis of every token-artifact oracle.
     */
@@ -2301,41 +2485,19 @@ object PipelineQueries {
 
     // text tokens + patch-placeholder interleave replayed exactly:
     // per-doc length = n_toks + (16 if image), same running-sum law
-    "pipe_seqs_mm" ->
-      s"""WITH ${TextQueries.bpeDocPieceListCtes}, ${TextQueries.bpeVocabCtes}, mm_b AS (
-         |  SELECT doc_id,
-         |    CAST(concat('0x', substr(md5(concat('$PackSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % $PackShards AS shard,
-         |    pieces, CAST(len(pieces) AS BIGINT) AS n_toks,
-         |    CAST(CASE WHEN doc_id % 3 = 0 THEN $MmSeqPatches ELSE 0 END AS BIGINT) AS n_patch
-         |  FROM bpe_doc_plist
-         |), mm_o AS (
-         |  SELECT doc_id, shard, pieces, n_toks, n_patch,
-         |    CAST(SUM(n_toks + n_patch) OVER (PARTITION BY shard ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |      - (n_toks + n_patch) AS BIGINT) AS tok_off
-         |  FROM mm_b WHERE n_toks + n_patch > 0
-         |), mm_g AS (
-         |  SELECT shard, doc_id, tok_off + j - 1 AS g, v.token_id,
-         |    CAST(-1 AS BIGINT) AS patch_idx
-         |  FROM (
-         |    SELECT shard, doc_id, tok_off, UNNEST(pieces) AS piece,
-         |      UNNEST(generate_series(1, len(pieces))) AS j
-         |    FROM mm_o
-         |  ) t JOIN bpe_vocab v ON v.piece = t.piece
-         |  UNION ALL
-         |  SELECT shard, doc_id, tok_off + n_toks + k AS g,
-         |    CAST($MmPatchTok AS BIGINT) AS token_id, CAST(k AS BIGINT) AS patch_idx
-         |  FROM (
-         |    SELECT shard, doc_id, tok_off, n_toks,
-         |      UNNEST(generate_series(0, $MmSeqPatches - 1)) AS k
-         |    FROM mm_o WHERE n_patch > 0
-         |  )
-         |)
-         |SELECT shard,
-         |  CAST(FLOOR(CAST(g AS DOUBLE) / $PackSeqLen.0) AS BIGINT) AS seq_id,
-         |  CAST(g % $PackSeqLen AS BIGINT) AS pos, doc_id, token_id, patch_idx
-         |FROM mm_g
-         |ORDER BY shard, seq_id, pos""".stripMargin,
+    "pipe_seqs_mm" -> seqMmSql(manifest = false, pred = "TRUE"),
+
+    // ship -> read-back -> manifest over the multimodal artifact
+    "pipe_seqs_mm_export" -> seqMmSql(manifest = true, pred = "TRUE"),
+
+    // artifact-recovered mm re-pack converges to the one-shot interleave
+    "pipe_seqs_mm_export_incremental" ->
+      seqMmSql(manifest = true, pred = "TRUE"),
+
+    // touched-shard mm takedown == a from-scratch interleave of the
+    // corpus-without
+    "pipe_seqs_mm_export_retract" ->
+      seqMmSql(manifest = true, pred = "doc_id % 50 != 7"),
 
     // the epoch-order keys are pure hash arithmetic on (epoch, seq)
     "pipe_seqs_epoch_order" -> seqEpochOrderSql,
