@@ -625,6 +625,33 @@ object PipelineQueries {
     if (!tokenizerShipped(s, exportDir)) shipTokenizer(s, dir, exportDir)
   }
 
+  /** [[seqTokensMaintain]] for the MULTIMODAL artifact: same micro-
+    * batch contract (upsert-then-retract, re-delivery-idempotent,
+    * bootstraps an absent dir, one maintainer per artifact), with the
+    * batch rendered by [[batchMmRows]] (text slots + the image docs'
+    * patch runs) and the shared slot-repack engine carrying
+    * `patch_idx` through. Payload bytes are never read — the
+    * placeholders carry the media reference (doc_id) only.
+    */
+  private[graft] def seqMmMaintain(s: SparkSession, dir: String,
+      exportDir: String, adds: Option[DataFrame],
+      retracts: Option[DataFrame]): Unit = {
+    val batch = adds.map(a =>
+      batchMmRows(s, dir, a.select("doc_id")).localCheckpoint(true))
+    val retr = retracts.map(_.select("doc_id").localCheckpoint(true))
+    val addShards = batch.map(_.select("shard").distinct()
+      .collect().map(_.getLong(0)).toSet) // <= PackShards rows
+      .getOrElse(Set.empty[Long])
+    val retrShards = retr.map(_
+      .select((graft.functions.Md5Long60Expr(col("doc_id").cast("string"),
+        PackSalt) % lit(PackShards.toLong)).as("shard"))
+      .distinct().collect().map(_.getLong(0)).toSet) // <= PackShards rows
+      .getOrElse(Set.empty[Long])
+    seqRepackMmShards(s, exportDir, (addShards ++ retrShards).toSeq,
+      batch, retr)
+    if (!tokenizerShipped(s, exportDir)) shipTokenizer(s, dir, exportDir)
+  }
+
   /** The token artifact in its DATALOADER-FINAL shape: one row per
     * sequence with the full ordered token stream (comma-joined —
     * exact-comparable across engines, unlike a float; the ids are

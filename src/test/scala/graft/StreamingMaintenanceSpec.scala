@@ -435,6 +435,57 @@ class StreamingMaintenanceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mm maintenance stream: signed add/takedown batches converge to the one-call build; re-delivery is a no-op; patches travel with their doc") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = "/root/testdata/sf0.001"
+    val P = graft.queries.PipelineQueries
+    def docsOf(ids: Seq[Long]) = ids.toDF("doc_id")
+    def onDisk(d: String) = spark.read.parquet(d)
+      .select(col("shard").cast("long"), col("seq_id"), col("pos"),
+        col("doc_id"), col("token_id"), col("patch_idx"))
+      .collect().map(_.toSeq).toSet
+    val allIds = graft.sources.Tables.documents(spark, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val (b1, b2) = allIds.splitAt(allIds.length / 2)
+    // retract a set that INCLUDES image docs (doc_id % 3 == 0), so the
+    // takedown provably removes patch slots (media references) too
+    val retracted = allIds.filter(_ % 9 == 3) // every third is % 3 == 0
+    assert(retracted.exists(_ % 3 == 0))
+    val oneDir = s"${graft.sources.TempDirs.scratch("graft_mmone_")}/export"
+    P.seqMmMaintain(spark, corpus, oneDir,
+      Some(docsOf(allIds.filterNot(retracted.contains))), None)
+    val exportDir = s"${graft.sources.TempDirs.scratch("graft_mmstr_")}/export"
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("doc_id", "sign").writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val adds = b.filter(col("sign") > 0).select("doc_id")
+        val dels = b.filter(col("sign") < 0).select("doc_id")
+        P.seqMmMaintain(spark, corpus, exportDir,
+          if (adds.isEmpty) None else Some(adds),
+          if (dels.isEmpty) None else Some(dels))
+      }.start()
+    try {
+      mem.addData(b1.map(d => (d, 1L)): _*) // bootstraps the absent dir
+      q.processAllAvailable()
+      mem.addData(b2.map(d => (d, 1L)): _*)
+      q.processAllAvailable()
+      mem.addData(retracted.map(d => (d, -1L)): _*)
+      q.processAllAvailable()
+      val settled = onDisk(exportDir)
+      assert(settled == onDisk(oneDir),
+        "streamed mm artifact diverged from the one-call build")
+      // no retracted doc's patch slots survive anywhere
+      assert(!settled.exists(r => retracted.contains(r(3))),
+        "a retracted doc's slots (incl. media refs) survived the takedown")
+      // at-least-once: re-delivering surviving adds is a no-op
+      mem.addData(b1.filterNot(retracted.contains).map(d => (d, 1L)): _*)
+      q.processAllAvailable()
+      assert(onDisk(exportDir) == settled,
+        "re-delivered mm add batch mutated the settled artifact")
+    } finally q.stop()
+  }
+
   test("token maintenance: a retract-only FIRST batch is a no-op on the absent store, and the next add still bootstraps cleanly") {
     import spark.implicits._
     val corpus = "/root/testdata/sf0.001"
