@@ -378,6 +378,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("pipe_seqs_mm: both branches read the ONE checkpointed offset frame — no post-checkpoint exchange; vocab join broadcasts") {
+    val plan = qe("pipe_seqs_mm").executedPlan.toString
+    // the offset frame (the shard window's output) materialized once —
+    // eagerly, at plan build — and the text/patch branches must both
+    // scan it in place: any hash exchange in the visible plan would
+    // mean a branch re-shuffled the token stream
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 0, s"expected 0 post-checkpoint exchanges, got $hashEx:\n$plan")
+    val rddScans = "Scan ExistingRDD".r.findAllIn(plan).size
+    assert(rddScans == 2, s"expected both branches on the checkpoint:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("pipe_seqs_tokens_packed: packing agg reuses the shard partitioning — token stream never reshuffles; boundary join rides a broadcast") {
     val plan = qe("pipe_seqs_tokens_packed").executedPlan.toString
     // map-side packing: partial_collect_list folds each sequence's
