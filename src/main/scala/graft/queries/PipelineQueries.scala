@@ -105,6 +105,15 @@ object PipelineQueries {
   final val ScoreWQuality = 0.7
   final val ScoreWRarity = 0.3
 
+  /** THE doc->shard derivation every sequence-artifact path (pack,
+    * repack coverage guards, maintain entry points, retract probes)
+    * must agree on — one definition, or a salt/shard-count change
+    * silently forks the layout.
+    */
+  private[graft] def docShard(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.Md5Long60Expr(c.cast("string"), PackSalt) %
+      lit(PackShards.toLong)
+
   /** pipe_quality_nb's corpus synthesis: (documents frame, per-doc
     * (doc_id, is_spam, toks), exploded (doc_id, is_spam, tok)) with the
     * planted spam blurb appended to the doc_id % 5 == 0 docs — shared
@@ -188,8 +197,7 @@ object PipelineQueries {
     */
   private[graft] def packedSeqsOf(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"),
-      (graft.functions.Md5Long60Expr(col("doc_id").cast("string"), PackSalt)
-        % lit(PackShards.toLong)).as("shard"),
+      docShard(col("doc_id")).as("shard"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
     val w = Window
       .partitionBy("shard").orderBy("doc_id")
@@ -227,8 +235,7 @@ object PipelineQueries {
   private[graft] def seqSpans(s: SparkSession, dir: String): DataFrame =
     seqSpansOfCounts(TextQueries.bpeDocPieces(s, dir)
       .select(col("doc_id"),
-        (graft.functions.Md5Long60Expr(col("doc_id").cast("string"), PackSalt)
-          % lit(PackShards.toLong)).as("shard"),
+        docShard(col("doc_id")).as("shard"),
         col("n_toks")))
 
   /** The span arithmetic over an explicit `(doc_id, shard, n_toks)`
@@ -280,8 +287,7 @@ object PipelineQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pieces = TextQueries.bpeDocPieceList(s, dir)
       .select(col("doc_id"),
-        (graft.functions.Md5Long60Expr(col("doc_id").cast("string"), PackSalt)
-          % lit(PackShards.toLong)).as("shard"),
+        docShard(col("doc_id")).as("shard"),
         col("pieces"), size(col("pieces")).cast("long").as("n_toks"))
     pieces
       .withColumn("tok_off", sum("n_toks").over(w) - col("n_toks"))
@@ -324,8 +330,7 @@ object PipelineQueries {
     val P = lit(MmSeqPatches.toLong)
     val base = TextQueries.bpeDocPieceList(s, dir)
       .select(col("doc_id"),
-        (graft.functions.Md5Long60Expr(col("doc_id").cast("string"), PackSalt)
-          % lit(PackShards.toLong)).as("shard"),
+        docShard(col("doc_id")).as("shard"),
         col("pieces"), size(col("pieces")).cast("long").as("n_toks"))
       .withColumn("n_patch",
         when(col("doc_id") % 3 === 0, P).otherwise(lit(0L)))
@@ -412,8 +417,7 @@ object PipelineQueries {
     }
     without.foreach { del =>
       val retrShards = del
-        .select((graft.functions.Md5Long60Expr(col("doc_id").cast("string"),
-          PackSalt) % lit(PackShards.toLong)).as("shard"))
+        .select(docShard(col("doc_id")).as("shard"))
         .distinct().collect().map(_.getLong(0)).toSet
       require(retrShards.subsetOf(t),
         s"retracted docs live in shards ${retrShards -- t} not " +
@@ -518,8 +522,7 @@ object PipelineQueries {
     val base = TextQueries.bpeDocPieceList(s, dir)
       .join(batchDocs.select("doc_id"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
-        (graft.functions.Md5Long60Expr(col("doc_id").cast("string"), PackSalt)
-          % lit(PackShards.toLong)).as("shard"),
+        docShard(col("doc_id")).as("shard"),
         col("pieces"), size(col("pieces")).cast("long").as("n_toks"))
       .localCheckpoint(true) // text + patch branches both read it
     val text = base
@@ -543,22 +546,37 @@ object PipelineQueries {
     * `n_patches` (the slot mass a vision encoder must fill), and the
     * same `tokenizer_fp` self-identification.
     */
-  private def seqMmManifest(s: SparkSession, exportDir: String): DataFrame = {
+  private def seqMmManifest(s: SparkSession, exportDir: String): DataFrame =
+    slotManifest(s, exportDir, Seq("token_id", "patch_idx"), "n_slots",
+      withPatches = true)
+
+  /** The ONE from-disk manifest discipline behind both artifact
+    * manifests: content fingerprint over (seq_id, pos, doc_id,
+    * `valueCols`...), the shipped-vocab `tokenizer_fp`, and the
+    * per-shard counts — so the self-identification rule cannot drift
+    * between the text and mm receipts.
+    */
+  private def slotManifest(s: SparkSession, exportDir: String,
+      valueCols: Seq[String], countName: String,
+      withPatches: Boolean): DataFrame = {
     val back = s.read.parquet(exportDir)
-      .select(col("shard").cast("long").as("shard"), col("seq_id"),
-        col("pos"), col("doc_id"), col("token_id"), col("patch_idx"))
+      .select(Seq(col("shard").cast("long").as("shard"), col("seq_id"),
+        col("pos"), col("doc_id")) ++ valueCols.map(col): _*)
     val fp = graft.functions.Md5Long60Expr(
-      concat_ws(":", col("seq_id"), col("pos"), col("doc_id"),
-        col("token_id"), col("patch_idx")), PackSalt)
+      concat_ws(":", Seq(col("seq_id"), col("pos"), col("doc_id")) ++
+        valueCols.map(col): _*), PackSalt)
     val tokFp = s.read.parquet(s"$exportDir/_tokenizer/vocab")
       .agg(bit_xor(graft.functions.Md5Long60Expr(
         concat_ws(":", col("piece"), col("token_id")), PackSalt))
         .as("tokenizer_fp"))
+    val aggs = Seq(countDistinct("seq_id").as("n_seqs")) ++
+      (if (withPatches)
+        Seq(sum(when(col("patch_idx") >= 0L, 1L).otherwise(0L))
+          .as("n_patches"))
+      else Nil) ++
+      Seq(bit_xor(fp).as("content_fp"))
     back.groupBy("shard")
-      .agg(count(lit(1)).as("n_slots"),
-        countDistinct("seq_id").as("n_seqs"),
-        sum(when(col("patch_idx") >= 0L, 1L).otherwise(0L)).as("n_patches"),
-        bit_xor(fp).as("content_fp"))
+      .agg(count(lit(1)).as(countName), aggs: _*)
       .crossJoin(broadcast(tokFp)) // 1 row
       .orderBy("shard")
   }
@@ -572,8 +590,7 @@ object PipelineQueries {
     TextQueries.bpeDocPieceList(s, dir)
       .join(batchDocs.select("doc_id"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
-        (graft.functions.Md5Long60Expr(col("doc_id").cast("string"), PackSalt)
-          % lit(PackShards.toLong)).as("shard"),
+        docShard(col("doc_id")).as("shard"),
         posexplode(col("pieces")).as(Seq("j", "piece")))
       .join(broadcast(TextQueries.bpeVocab(s, dir)), Seq("piece"))
       .select(col("shard"), col("doc_id"), col("j").cast("long").as("j"),
@@ -604,26 +621,9 @@ object PipelineQueries {
     */
   private[graft] def seqTokensMaintain(s: SparkSession, dir: String,
       exportDir: String, adds: Option[DataFrame],
-      retracts: Option[DataFrame]): Unit = {
-    val batch = adds.map(a =>
-      batchTokenRows(s, dir, a.select("doc_id")).localCheckpoint(true))
-    val retr = retracts.map(_.select("doc_id").localCheckpoint(true))
-    val addShards = batch.map(_.select("shard").distinct()
-      .collect().map(_.getLong(0)).toSet) // <= PackShards rows
-      .getOrElse(Set.empty[Long])
-    val retrShards = retr.map(_
-      .select((graft.functions.Md5Long60Expr(col("doc_id").cast("string"),
-        PackSalt) % lit(PackShards.toLong)).as("shard"))
-      .distinct().collect().map(_.getLong(0)).toSet) // <= PackShards rows
-      .getOrElse(Set.empty[Long])
-    seqRepackTokenShards(s, exportDir, (addShards ++ retrShards).toSeq,
-      batch, retr)
-    // the maintained artifact stays self-identifying: ship the frozen
-    // decode table on bootstrap (presence probe only afterwards — the
-    // tokenizer never changes under maintenance, by the frozen-artifact
-    // contract)
-    if (!tokenizerShipped(s, exportDir)) shipTokenizer(s, dir, exportDir)
-  }
+      retracts: Option[DataFrame]): Unit =
+    slotMaintain(s, dir, exportDir, adds, retracts,
+      batchTokenRows, seqRepackTokenShards)
 
   /** [[seqTokensMaintain]] for the MULTIMODAL artifact: same micro-
     * batch contract (upsert-then-retract, re-delivery-idempotent,
@@ -635,20 +635,36 @@ object PipelineQueries {
     */
   private[graft] def seqMmMaintain(s: SparkSession, dir: String,
       exportDir: String, adds: Option[DataFrame],
-      retracts: Option[DataFrame]): Unit = {
+      retracts: Option[DataFrame]): Unit =
+    slotMaintain(s, dir, exportDir, adds, retracts,
+      batchMmRows, seqRepackMmShards)
+
+  /** The ONE micro-batch maintenance contract behind both artifact
+    * maintain entry points — batch renderer and repack engine are the
+    * only degrees of freedom, so the shard-derivation, bootstrap, and
+    * tokenizer-shipping discipline cannot drift between them.
+    */
+  private def slotMaintain(s: SparkSession, dir: String,
+      exportDir: String, adds: Option[DataFrame],
+      retracts: Option[DataFrame],
+      batchFn: (SparkSession, String, DataFrame) => DataFrame,
+      repackFn: (SparkSession, String, Seq[Long], Option[DataFrame],
+        Option[DataFrame]) => Unit): Unit = {
     val batch = adds.map(a =>
-      batchMmRows(s, dir, a.select("doc_id")).localCheckpoint(true))
+      batchFn(s, dir, a.select("doc_id")).localCheckpoint(true))
     val retr = retracts.map(_.select("doc_id").localCheckpoint(true))
     val addShards = batch.map(_.select("shard").distinct()
       .collect().map(_.getLong(0)).toSet) // <= PackShards rows
       .getOrElse(Set.empty[Long])
     val retrShards = retr.map(_
-      .select((graft.functions.Md5Long60Expr(col("doc_id").cast("string"),
-        PackSalt) % lit(PackShards.toLong)).as("shard"))
+      .select(docShard(col("doc_id")).as("shard"))
       .distinct().collect().map(_.getLong(0)).toSet) // <= PackShards rows
       .getOrElse(Set.empty[Long])
-    seqRepackMmShards(s, exportDir, (addShards ++ retrShards).toSeq,
-      batch, retr)
+    repackFn(s, exportDir, (addShards ++ retrShards).toSeq, batch, retr)
+    // the maintained artifact stays self-identifying: ship the frozen
+    // decode table on bootstrap (presence probe only afterwards — the
+    // tokenizer never changes under maintenance, by the frozen-artifact
+    // contract)
     if (!tokenizerShipped(s, exportDir)) shipTokenizer(s, dir, exportDir)
   }
 
@@ -766,24 +782,9 @@ object PipelineQueries {
     * matching fp proves the shipped decode table IS the
     * corpus-trained one.
     */
-  private def seqTokensManifest(s: SparkSession, exportDir: String): DataFrame = {
-    val back = s.read.parquet(exportDir)
-      .select(col("shard").cast("long").as("shard"), col("seq_id"),
-        col("pos"), col("doc_id"), col("token_id"))
-    val fp = graft.functions.Md5Long60Expr(
-      concat_ws(":", col("seq_id"), col("pos"), col("doc_id"),
-        col("token_id")), PackSalt)
-    val tokFp = s.read.parquet(s"$exportDir/_tokenizer/vocab")
-      .agg(bit_xor(graft.functions.Md5Long60Expr(
-        concat_ws(":", col("piece"), col("token_id")), PackSalt))
-        .as("tokenizer_fp"))
-    back.groupBy("shard")
-      .agg(count(lit(1)).as("n_tokens"),
-        countDistinct("seq_id").as("n_seqs"),
-        bit_xor(fp).as("content_fp"))
-      .crossJoin(broadcast(tokFp)) // 1 row
-      .orderBy("shard")
-  }
+  private def seqTokensManifest(s: SparkSession, exportDir: String): DataFrame =
+    slotManifest(s, exportDir, Seq("token_id"), "n_tokens",
+      withPatches = false)
 
   /** Re-pack ONLY the `touched` shard directories of a shipped span
     * artifact: per-doc token counts are recovered from the stored
@@ -869,8 +870,7 @@ object PipelineQueries {
       exportDir: String): Unit = {
     val batch = arrivals
       .select(col("doc_id"),
-        (graft.functions.Md5Long60Expr(col("doc_id").cast("string"),
-          PackSalt) % lit(PackShards.toLong)).as("shard"),
+        docShard(col("doc_id")).as("shard"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
       .localCheckpoint(true) // shard probe + union read it
     val touched = batch.select("shard").distinct()
@@ -1169,8 +1169,9 @@ object PipelineQueries {
     // export, so it shares that oracle.
     "pipe_seqs_tokens_export_incremental" -> ((s, dir) => {
       val exportDir = graft.sources.TempDirs.scratch("graft_seqtokinc_")
-      val tokens = seqTokens(s, dir).localCheckpoint(true)
-      exportShip(tokens.filter(col("doc_id") % 7 =!= 3), exportDir)
+      // ship in ONE pass — the assembly has a single consumer here, so
+      // a checkpoint would materialize a full extra artifact copy
+      exportShip(seqTokens(s, dir).filter(col("doc_id") % 7 =!= 3), exportDir)
       shipTokenizer(s, dir, exportDir)
       val batchDocs = Tables.documents(s, dir)
         .filter(col("doc_id") % 7 === 3).select("doc_id")
@@ -1193,8 +1194,7 @@ object PipelineQueries {
         .filter(col("doc_id") % 50 === 7).select("doc_id")
         .localCheckpoint(true) // shard probe + anti-join read it
       val touched = retracted
-        .select((graft.functions.Md5Long60Expr(col("doc_id").cast("string"),
-          PackSalt) % lit(PackShards.toLong)).as("shard"))
+        .select(docShard(col("doc_id")).as("shard"))
         .distinct().collect().map(_.getLong(0)).toSeq // <= PackShards rows
       seqRepackTokenShards(s, exportDir, touched, None, Some(retracted))
       seqTokensManifest(s, exportDir)
@@ -1227,8 +1227,8 @@ object PipelineQueries {
     // one-shot export, so it shares that oracle.
     "pipe_seqs_mm_export_incremental" -> ((s, dir) => {
       val exportDir = graft.sources.TempDirs.scratch("graft_seqmminc_")
-      val rows = seqMmTokens(s, dir).localCheckpoint(true)
-      exportShip(rows.filter(col("doc_id") % 7 =!= 3), exportDir)
+      // ship in ONE pass (single consumer — see the token leg)
+      exportShip(seqMmTokens(s, dir).filter(col("doc_id") % 7 =!= 3), exportDir)
       shipTokenizer(s, dir, exportDir)
       val batchDocs = Tables.documents(s, dir)
         .filter(col("doc_id") % 7 === 3).select("doc_id")
@@ -1250,8 +1250,7 @@ object PipelineQueries {
         .filter(col("doc_id") % 50 === 7).select("doc_id")
         .localCheckpoint(true) // shard probe + anti-join read it
       val touched = retracted
-        .select((graft.functions.Md5Long60Expr(col("doc_id").cast("string"),
-          PackSalt) % lit(PackShards.toLong)).as("shard"))
+        .select(docShard(col("doc_id")).as("shard"))
         .distinct().collect().map(_.getLong(0)).toSeq // <= PackShards rows
       seqRepackMmShards(s, exportDir, touched, None, Some(retracted))
       seqMmManifest(s, exportDir)
@@ -1319,8 +1318,7 @@ object PipelineQueries {
       val exportDir = graft.sources.TempDirs.scratch("graft_seqexinc_")
       val counts = TextQueries.bpeDocPieces(s, dir)
         .select(col("doc_id"),
-          (graft.functions.Md5Long60Expr(col("doc_id").cast("string"),
-            PackSalt) % lit(PackShards.toLong)).as("shard"),
+          docShard(col("doc_id")).as("shard"),
           col("n_toks"))
         .localCheckpoint(true) // ship + batch + touched probe read it
       exportShip(seqSpansOfCounts(counts.filter(col("doc_id") % 7 =!= 3)),
@@ -1346,8 +1344,7 @@ object PipelineQueries {
         .filter(col("doc_id") % 50 === 7).select("doc_id")
         .localCheckpoint(true) // shard probe + anti-join read it
       val touched = retracted
-        .select((graft.functions.Md5Long60Expr(col("doc_id").cast("string"),
-          PackSalt) % lit(PackShards.toLong)).as("shard"))
+        .select(docShard(col("doc_id")).as("shard"))
         .distinct().collect().map(_.getLong(0)).toSeq // <= PackShards rows
       seqRepackShards(s, exportDir, touched, None, Some(retracted))
       seqExportManifest(s, exportDir)
