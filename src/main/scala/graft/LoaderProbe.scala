@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.PipelineQueries
+import graft.sources.Tables
+
+/** Dev tool: the READ-SIDE receipt for the epoch-order / curriculum
+  * artifact contract (not part of the driver contract).
+  *
+  * `pipe_seqs_epoch_order` / `pipe_seqs_curriculum` prove no sort is
+  * run or shipped when the KEYS are produced — the key IS the order.
+  * This probe drives the other half: a dataloader consuming the shipped
+  * token artifact in key order, the standard sort-by-key read —
+  *
+  *   shipped rows  JOIN  epoch-0 keys (seq-level, broadcast)
+  *     -> repartitionByRange(order_key)   (the ONE exchange)
+  *     -> sortWithinPartitions(order_key, pos)  (split-local, no global
+  *        sort — each split is an independent, contiguous key interval)
+  *     -> consume every column (the Bench checksum harness)
+  *
+  * and reports rows/s at 1x/10x plus the split-balance receipt
+  * (max/mean rows per split — salted uniform keys mean no hot split)
+  * and a plan audit (exactly one RangePartitioning exchange, zero
+  * global SortExec). Run: `runMain graft.LoaderProbe [factors...]`,
+  * default 1 10. `cur` as first arg reads in CURRICULUM order instead
+  * (same shape, cur_key).
+  */
+object LoaderProbe {
+  def main(args: Array[String]): Unit = {
+    val (cur, factorArgs) = args.toList match {
+      case "cur" :: rest => (true, rest)
+      case rest          => (false, rest)
+    }
+    val factors = if (factorArgs.nonEmpty) factorArgs.map(_.toInt) else List(1, 10)
+    val base = "/root/testdata/sf0.1"
+    val spark = graft.sources.GraftSession.local("local[8]", 16)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val rot = "abcdefghijklmnopqrstuvwxyz"
+    def permFor(c: Int): String = {
+      val arr = rot.toCharArray
+      if (c > 0) {
+        val rnd = new scala.util.Random(c)
+        for (i <- arr.length - 1 to 1 by -1) {
+          val j = rnd.nextInt(i + 1)
+          val t = arr(i); arr(i) = arr(j); arr(j) = t
+        }
+      }
+      new String(arr)
+    }
+
+    factors.foreach { f =>
+      val stage = graft.sources.TempDirs.scratch(s"graft_loadprobe${f}x_")
+      val docs = Tables.documents(spark, base)
+      (0 until f).map { c =>
+        docs.select((col("doc_id") + lit(c.toLong * 100000000L)).as("doc_id"),
+          translate(col("text"), rot, permFor(c)).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$stage/documents.parquet")
+
+      // ship the artifact once (not timed as part of the read)
+      val exp = graft.sources.TempDirs.scratch(s"graft_loadprobe_exp${f}x_")
+      PipelineQueries.exportShip(
+        PipelineQueries.seqTokens(spark, stage), exp)
+
+      val keyCol = if (cur) "cur_key" else "order_key"
+      val keys = (
+        if (cur) PipelineQueries.seqCurriculum(spark, stage)
+          .select("shard", "seq_id", "cur_key")
+        else PipelineQueries.seqEpochOrder(spark, stage)
+          .filter(col("epoch") === 0L)
+          .select("shard", "seq_id", "order_key")
+        ).localCheckpoint(true) // seq-level, small; built once, read twice
+
+      val art = spark.read.parquet(exp)
+        .select(col("shard").cast("long").as("shard"), col("seq_id"),
+          col("pos"), col("doc_id"), col("token_id"))
+      def stream = art
+        .join(broadcast(keys), Seq("shard", "seq_id"))
+        .repartitionByRange(32, col(keyCol))
+        .sortWithinPartitions(col(keyCol), col("pos"))
+
+      // plan audit: one range exchange, zero GLOBAL sorts
+      val plan = stream.queryExecution.executedPlan
+      val nRange = plan.toString.linesIterator
+        .count(_.contains("rangepartitioning"))
+      val globalSorts = plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => s
+      }.size
+
+      // timed read: every column consumed (xxhash checksum per row,
+      // xor-combined — the Bench.force discipline)
+      val t0 = System.nanoTime()
+      Bench.force(stream)
+      val readS = (System.nanoTime() - t0) / 1e9
+
+      // split-balance receipt over the SAME read shape
+      val counts = stream.withColumn("pid", spark_partition_id())
+        .groupBy("pid").count()
+        .collect().map(_.getLong(1))
+      val nRows = counts.sum
+      val maxOverMean =
+        if (counts.isEmpty) 0.0
+        else counts.max.toDouble / (nRows.toDouble / counts.length)
+
+      println(f"""{"probe":"loader_read","order":"$keyCol%s","factor":$f,""" +
+        f""""n_rows":$nRows,"read_s":$readS%.2f,""" +
+        f""""rows_per_s":${nRows / readS}%.0f,"n_splits":${counts.length},""" +
+        f""""max_over_mean":$maxOverMean%.3f,"range_exchanges":$nRange,""" +
+        f""""global_sorts":$globalSorts}""")
+    }
+    spark.stop()
+  }
+}

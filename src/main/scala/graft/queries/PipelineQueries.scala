@@ -662,10 +662,29 @@ object PipelineQueries {
       .getOrElse(Set.empty[Long])
     repackFn(s, exportDir, (addShards ++ retrShards).toSeq, batch, retr)
     // the maintained artifact stays self-identifying: ship the frozen
-    // decode table on bootstrap (presence probe only afterwards — the
-    // tokenizer never changes under maintenance, by the frozen-artifact
-    // contract)
+    // decode table on bootstrap; on every later call VERIFY the current
+    // vocab still fingerprints to the shipped one. The frozen-artifact
+    // contract says the tokenizer never changes under maintenance — but
+    // if the corpus-derived vocab ever did drift between batches, a
+    // mere presence probe would keep appending new-vocab ids next to
+    // survivors' old-vocab ids while the manifest's tokenizer_fp
+    // (computed from the shipped old vocab) masked the mix. Fail loudly
+    // instead; the check is two aggregates over vocab-sized inputs.
     if (!tokenizerShipped(s, exportDir)) shipTokenizer(s, dir, exportDir)
+    else {
+      def fpOf(df: DataFrame): Long = df.agg(
+        bit_xor(graft.functions.Md5Long60Expr(
+          concat_ws(":", col("piece"), col("token_id")), PackSalt)).as("fp"))
+        .collect()(0).getLong(0) // 1 row; vocab nonempty by construction
+      val cur = fpOf(TextQueries.bpeVocab(s, dir))
+      val shipped = fpOf(s.read.parquet(s"$exportDir/_tokenizer/vocab"))
+      require(cur == shipped,
+        s"slotMaintain: tokenizer drift — the corpus-derived vocab " +
+          s"(fp=$cur) no longer matches the artifact's shipped " +
+          s"_tokenizer/vocab (fp=$shipped) at $exportDir; new batch ids " +
+          s"would mix vocabularies with survivors. Rebuild the artifact " +
+          s"under the new tokenizer (or restore the frozen one).")
+    }
   }
 
   /** The token artifact in its DATALOADER-FINAL shape: one row per
@@ -1263,6 +1282,33 @@ object PipelineQueries {
     "pipe_seqs_epoch_order" -> ((s, dir) =>
       seqEpochOrder(s, dir).orderBy("epoch", "shard", "seq_id")),
 
+    // the CONSUMER half of the epoch-order contract: a loader range-
+    // partitions on order_key and reads sequences split by split — so
+    // the registered plan carries the loader's actual exchange (ONE
+    // RangePartitioning on order_key, NO global sort: the key IS the
+    // order; plan-pinned in PlanShapeSpec). The receipt aggregates by
+    // FIXED-WIDTH key ranges (top 4 bits of the 60-bit key — a
+    // deterministic stand-in for the loader's splits, so the oracle
+    // replays them) and proves the two properties a range read needs:
+    // splits are contiguous key intervals (key_lo/key_hi nest in the
+    // bucket range by construction) and near-uniform in mass (salted
+    // uniform keys -> no hot split). Throughput at 1x/10x is
+    // graft.LoaderProbe's receipt in BASELINE.md.
+    "pipe_seqs_loader_batches" -> ((s, dir) => {
+      val keys = seqEpochOrder(s, dir).filter(col("epoch") === 0L)
+      val fills = seqTokens(s, dir).groupBy("shard", "seq_id")
+        .agg(count(lit(1)).as("n_toks"))
+      keys.join(fills, Seq("shard", "seq_id"))
+        .repartitionByRange(s.sessionState.conf.numShufflePartitions,
+          col("order_key"))
+        .withColumn("bucket", shiftright(col("order_key"), 56))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_seqs"), sum("n_toks").as("n_toks"),
+          min("order_key").as("key_lo"), max("order_key").as("key_hi"),
+          bit_xor(col("order_key")).as("keys_fp"))
+        .orderBy("bucket")
+    }),
+
     // the quality-first epoch-0 leg: token-weighted per-seq quality
     // (integer-exact past the per-row double) packed into one
     // sortable key; no sort run or shipped, spans-sized join only
@@ -1811,14 +1857,40 @@ object PipelineQueries {
         acc += bt
       }
       val fullKeep = base.filter(lit(cutoff == Long.MinValue) || col("qb") > lit(cutoff))
-      val w = Window.orderBy(col("q").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // The cutoff bucket's exact running sum as a DISTRIBUTED prefix
+      // sum — no unpartitioned window anywhere in the plan at any
+      // scale. Range-partition the bucket on the selection order
+      // (q desc, doc_id), sum each range partition, carry the
+      // preceding-partition offsets in via a broadcast join (one
+      // bounded collect of <= numShufflePartitions rows, same contract
+      // as the bucket-sum collect above), and run the per-row window
+      // WITHIN each range partition. Partition boundaries never affect
+      // the result — only where the carried offset splits — so the
+      // RangePartitioner's sampling needs no determinism guarantee.
       val boundary =
         if (cutoff == Long.MinValue) base.limit(0)
-        else base.filter(col("qb") === lit(cutoff))
-          .withColumn("cum", lit(cutoffOffset) + sum("n_tokens").over(w))
-          .filter(col("cum") <= lit(budget))
-          .drop("cum")
+        else {
+          val nSub = s.sessionState.conf.numShufflePartitions
+          val bnd = base.filter(col("qb") === lit(cutoff))
+            .repartitionByRange(nSub, col("q").desc, col("doc_id"))
+            .withColumn("pid", spark_partition_id())
+            .localCheckpoint(true) // partition sums + ranked rows both read it
+          val psums = bnd.groupBy("pid").agg(sum("n_tokens").as("pt"))
+            .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+          // carried offset of pid_i = token mass of all range
+          // partitions strictly before it in the selection order
+          val carried = psums.map(_._1)
+            .zip(psums.map(_._2).scanLeft(0L)(_ + _).init).toSeq
+          val offDf = s.createDataFrame(carried).toDF("pid", "p_off")
+          val wSub = Window.partitionBy("pid")
+            .orderBy(col("q").desc, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          bnd.join(broadcast(offDf), Seq("pid"), "left")
+            .withColumn("cum", lit(cutoffOffset)
+              + coalesce(col("p_off"), lit(0L)) + sum("n_tokens").over(wSub))
+            .filter(col("cum") <= lit(budget))
+            .drop("cum", "pid", "p_off")
+        }
       fullKeep.unionByName(boundary)
         .select("doc_id", "n_tokens")
         .orderBy("doc_id")
@@ -2201,8 +2273,12 @@ object PipelineQueries {
            |    piece || ':' || CAST(token_id AS VARCHAR))), 1, 15))
            |    AS BIGINT)) AS BIGINT) FROM bpe_vocab) AS tokenizer_fp
            |FROM tok_ids GROUP BY shard ORDER BY shard""".stripMargin
-    s"""WITH ${seqTokenIdCtes(pred)}
-       |$sel""".stripMargin
+    // TextQueries.mat: DuckDB would otherwise re-inline the BPE CTE
+    // chain per reference (measured 16-66 s/oracle at sf0.01 vs <0.3 s
+    // materialized, bit-identical results) — the round-16 fix for the
+    // driver's correctness-gate budget.
+    TextQueries.mat(s"""WITH ${seqTokenIdCtes(pred)}
+       |$sel""".stripMargin)
   }
 
   /** The multimodal oracle — rows or manifest over the `mm_ids` chain
@@ -2227,7 +2303,7 @@ object PipelineQueries {
            |    piece || ':' || CAST(token_id AS VARCHAR))), 1, 15))
            |    AS BIGINT)) AS BIGINT) FROM bpe_vocab) AS tokenizer_fp
            |FROM mm_ids GROUP BY shard ORDER BY shard""".stripMargin
-    s"""WITH ${TextQueries.bpeDocPieceListCtes}, ${TextQueries.bpeVocabCtes}, mm_b AS (
+    TextQueries.mat(s"""WITH ${TextQueries.bpeDocPieceListCtes}, ${TextQueries.bpeVocabCtes}, mm_b AS (
        |  SELECT doc_id,
        |    CAST(concat('0x', substr(md5(concat('$PackSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % $PackShards AS shard,
        |    pieces, CAST(len(pieces) AS BIGINT) AS n_toks,
@@ -2261,7 +2337,7 @@ object PipelineQueries {
        |    CAST(g % $PackSeqLen AS BIGINT) AS pos, doc_id, token_id, patch_idx
        |  FROM mm_g
        |)
-       |$sel""".stripMargin
+       |$sel""".stripMargin)
   }
 
   /** The CTE chain ending in `tok_ids (shard, seq_id, pos, doc_id,
@@ -2295,7 +2371,7 @@ object PipelineQueries {
     * order-exact string_agg per sequence + per-doc min-pos starts.
     */
   private def seqTokensPackedSql: String =
-    s"""WITH ${seqTokenIdCtes("TRUE")}, packed AS (
+    TextQueries.mat(s"""WITH ${seqTokenIdCtes("TRUE")}, packed AS (
        |  SELECT shard, seq_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
        |    string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY pos) AS tokens
        |  FROM tok_ids GROUP BY shard, seq_id
@@ -2309,13 +2385,13 @@ object PipelineQueries {
        |)
        |SELECT p.shard, p.seq_id, p.n_toks, b.n_docs, p.tokens, b.doc_starts
        |FROM packed p JOIN bounds b USING (shard, seq_id)
-       |ORDER BY p.shard, p.seq_id""".stripMargin
+       |ORDER BY p.shard, p.seq_id""".stripMargin)
 
   /** The [[seqEpochOrder]] keys replayed in DuckDB — the md5-60
     * arithmetic on the same `ep:<epoch>:<shard>:<seq_id>` preimage.
     */
   private def seqEpochOrderSql: String =
-    s"""WITH ${seqTokenIdCtes("TRUE")}, seqs AS (
+    TextQueries.mat(s"""WITH ${seqTokenIdCtes("TRUE")}, seqs AS (
        |  SELECT DISTINCT shard, seq_id FROM tok_ids
        |), eps AS (
        |  SELECT CAST(UNNEST(generate_series(0, ${PackEpochs - 1})) AS BIGINT) AS epoch
@@ -2325,10 +2401,10 @@ object PipelineQueries {
        |    'ep:' || CAST(e.epoch AS VARCHAR) || ':' || CAST(s.shard AS VARCHAR)
        |    || ':' || CAST(s.seq_id AS VARCHAR))), 1, 15)) AS BIGINT) AS order_key
        |FROM seqs s CROSS JOIN eps e
-       |ORDER BY e.epoch, s.shard, s.seq_id""".stripMargin
+       |ORDER BY e.epoch, s.shard, s.seq_id""".stripMargin)
 
   private def seqExportSqlWhere(pred: String): String =
-    s"""WITH ${TextQueries.bpeDocPiecesCtes}, ${seqSpansCtesWhere(pred)}, fills AS (
+    TextQueries.mat(s"""WITH ${TextQueries.bpeDocPiecesCtes}, ${seqSpansCtesWhere(pred)}, fills AS (
        |  SELECT shard, seq_id,
        |    CAST(SUM(tok_end - tok_begin) AS BIGINT) AS fill
        |  FROM seq_spans GROUP BY shard, seq_id
@@ -2347,7 +2423,7 @@ object PipelineQueries {
        |)
        |SELECT shard, n_spans, n_seqs, n_full, n_tokens, content_fp
        |FROM per_span JOIN per_seq USING (shard)
-       |ORDER BY shard""".stripMargin
+       |ORDER BY shard""".stripMargin)
 
   private def pipeExportSqlWhere(pred: String): String =
     s"""WITH b AS (
@@ -2476,16 +2552,17 @@ object PipelineQueries {
     // doc spans at sequence boundaries over the re-derived BPE piece
     // counts — pure integer arithmetic on both engines
     "pipe_seqs" ->
-      s"""WITH ${TextQueries.bpeDocPiecesCtes}, $seqSpansCtes
+      TextQueries.mat(s"""WITH ${TextQueries.bpeDocPiecesCtes}, $seqSpansCtes
          |SELECT shard, seq_id, doc_id, tok_begin, tok_end, seq_off,
          |  (tok_begin = 0) AS is_doc_start
-         |FROM seq_spans ORDER BY shard, seq_id, doc_id""".stripMargin,
+         |FROM seq_spans ORDER BY shard, seq_id, doc_id""".stripMargin),
 
     // the id table re-derived from the unrolled training CTEs: alphabet
     // ids by sorted order, merge symbols at |alphabet| + rank - 1
     "pipe_bpe_vocab" ->
-      s"""WITH ${TextQueries.bpeDocPieceListCtes}, ${TextQueries.bpeVocabCtes}
-         |SELECT piece, token_id FROM bpe_vocab ORDER BY token_id""".stripMargin,
+      TextQueries.mat(
+        s"""WITH ${TextQueries.bpeDocPieceListCtes}, ${TextQueries.bpeVocabCtes}
+           |SELECT piece, token_id FROM bpe_vocab ORDER BY token_id""".stripMargin),
 
     // the assembled token stream replayed in SQL: per-doc piece lists
     // through the shard-stream arithmetic, ids from the vocab
@@ -2526,10 +2603,31 @@ object PipelineQueries {
     // the epoch-order keys are pure hash arithmetic on (epoch, seq)
     "pipe_seqs_epoch_order" -> seqEpochOrderSql,
 
+    // the loader's fixed-width range splits over the epoch-0 keys,
+    // replayed from the same md5-60 arithmetic; range partitioning
+    // never moves values, so the receipt is exchange-invariant
+    "pipe_seqs_loader_batches" ->
+      TextQueries.mat(s"""WITH ${seqTokenIdCtes("TRUE")}, lb_seqs AS (
+         |  SELECT shard, seq_id, CAST(COUNT(*) AS BIGINT) AS n_toks
+         |  FROM tok_ids GROUP BY shard, seq_id
+         |), lb_keys AS (
+         |  SELECT n_toks,
+         |    CAST(concat('0x', substr(md5(concat('$PackSalt:',
+         |      'ep:0:' || CAST(shard AS VARCHAR) || ':'
+         |      || CAST(seq_id AS VARCHAR))), 1, 15)) AS BIGINT) AS order_key
+         |  FROM lb_seqs
+         |)
+         |SELECT order_key >> 56 AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_seqs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_toks,
+         |  MIN(order_key) AS key_lo, MAX(order_key) AS key_hi,
+         |  CAST(bit_xor(order_key) AS BIGINT) AS keys_fp
+         |FROM lb_keys GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // quality-desc curriculum keys: the per-row double quality is
     // bit-identical cross-engine; everything after is integer
     "pipe_seqs_curriculum" ->
-      s"""WITH ${TextQueries.bpeDocPiecesCtes}, ${seqSpansCtesWhere("TRUE")}, qtok AS (
+      TextQueries.mat(s"""WITH ${TextQueries.bpeDocPiecesCtes}, ${seqSpansCtesWhere("TRUE")}, qtok AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
          |  FROM documents
          |), qm AS (
@@ -2557,11 +2655,11 @@ object PipelineQueries {
          |  + CAST(concat('0x', substr(md5(concat('$PackSalt:',
          |      'cur:' || CAST(shard AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR))), 1, 15)) AS BIGINT)
          |    % CAST(1048576 AS BIGINT) AS cur_key
-         |FROM per_seq ORDER BY shard, seq_id""".stripMargin,
+         |FROM per_seq ORDER BY shard, seq_id""".stripMargin),
 
     // one-row artifact receipt: every statistic an exact COUNT
     "pipe_seqs_card" ->
-      s"""WITH ${seqTokenIdCtes("TRUE")}, fulls AS (
+      TextQueries.mat(s"""WITH ${seqTokenIdCtes("TRUE")}, fulls AS (
          |  SELECT shard, seq_id, COUNT(*) AS n FROM tok_ids GROUP BY shard, seq_id
          |), fu AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_seqs,
@@ -2576,7 +2674,7 @@ object PipelineQueries {
          |), vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size FROM bpe_vocab)
          |SELECT t.n_shards, f.n_seqs, f.n_full, t.n_docs, t.n_tokens,
          |  t.vocab_used, v.vocab_size
-         |FROM tots t, fu f, vs v""".stripMargin,
+         |FROM tots t, fu f, vs v""".stripMargin),
 
     // ship -> read-back -> manifest must equal the manifest of the
     // packing arithmetic itself (the pipe_export discipline)

@@ -973,13 +973,18 @@ object SimilarityQueries {
     // ADC -> rerank) hash-gated end to end.
     "sim_ann_ivfpq_retrain" -> ((s, dir) => {
       val idxDir = graft.sources.TempDirs.scratch("graft_ivfpqrt_")
-      val all = vecs(s, dir)
+      // checkpoint once: train/bulk/drift/gauge/retrain/probe are six
+      // consuming lineages — without it each re-reads and re-derives
+      // the staged corpus (the round-15 driver bench charged the
+      // re-derivation ~6x on the most expensive query class)
+      val all = vecs(s, dir).localCheckpoint(true)
       graft.sources.AnnIndex.trainIvfPq(all, IvfK, IvfSample, IvfIters, Dim,
         IvfSalt, PqM, PqSub, PqK, PqSalt, idxDir)
       graft.sources.AnnIndex.upsertIvfPq(s, idxDir, all) // bulk load
       val (drift, off) = driftWave(all)
       graft.sources.AnnIndex.upsertIvfPq(s, idxDir, drift)
-      val store = all.unionByName(drift)
+      // gauge + retrain + probe all read the drifted union
+      val store = all.unionByName(drift).localCheckpoint(true)
       val gauge = graft.sources.AnnIndex
         .ivfpqDriftStats(s, idxDir, store, col("vec_id") >= off)
         .collect().map(r => r.getBoolean(0) -> r.getDouble(2)).toMap // 2 rows
@@ -996,13 +1001,14 @@ object SimilarityQueries {
 
     "sim_ann_pq_retrain" -> ((s, dir) => {
       val idxDir = graft.sources.TempDirs.scratch("graft_pqrt_")
-      val all = vecs(s, dir)
+      // same checkpoint-once discipline as sim_ann_ivfpq_retrain
+      val all = vecs(s, dir).localCheckpoint(true)
       graft.sources.AnnIndex.trainPq(all, PqM, PqSub, PqK, IvfSample,
         PqIters, PqSalt, idxDir)
       graft.sources.AnnIndex.upsertPq(s, idxDir, all) // bulk load
       val (drift, off) = driftWave(all)
       graft.sources.AnnIndex.upsertPq(s, idxDir, drift)
-      val store = all.unionByName(drift)
+      val store = all.unionByName(drift).localCheckpoint(true)
       val gauge = graft.sources.AnnIndex
         .pqDriftStats(s, idxDir, store, col("vec_id") >= off)
         .collect().map(r => r.getBoolean(0) -> r.getDouble(2)).toMap // 2 rows
@@ -1033,7 +1039,9 @@ object SimilarityQueries {
     // per assigned subspace.
     "sim_ann_opq_drift" -> ((s, dir) => {
       val idxDir = graft.sources.TempDirs.scratch("graft_opqdrift_")
-      val all = vecs(s, dir)
+      // checkpoint-once: perm fit, train, bulk load, drift derivation
+      // and the variance gauge all consume this staged corpus
+      val all = vecs(s, dir).localCheckpoint(true)
       val perm = Similarity.opqPermutation(all, Dim, PqM)
       graft.sources.AnnIndex.trainPq(all, PqM, PqSub, PqK, IvfSample,
         PqIters, PqSalt, idxDir, perm = perm)

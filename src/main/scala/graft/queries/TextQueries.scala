@@ -373,22 +373,47 @@ object TextQueries {
     * any in-place regeneration rewrites the part files, so the
     * metadata signature catches exactly the same staleness.
     *
-    * Caveat (disclosed trade): a corpus staged by an mtime-PRESERVING
-    * copy (`rsync -a`, `cp -p`) whose part names and byte lengths
-    * coincide with a previous generation's would alias the old key —
-    * Spark-written dirs never do (part names embed job UUIDs), but a
-    * deployment staging corpora with external tooling should touch
-    * the directory (or re-enable a data fingerprint) as part of the
-    * staging contract.
+    * The metadata signature alone has a silent-garbage path: a corpus
+    * staged by an mtime-PRESERVING copy (`rsync -a`, `cp -p`) whose
+    * part names and byte lengths coincide with a previous generation's
+    * aliases the old key and reuses a stale tokenizer. So the key also
+    * folds in something CONTENT-derived but still scan-free, two-tier:
+    * (1) a `_graft_fingerprint` sidecar, when corpus staging wrote one
+    * — a single small read, the preferred contract at 100 TB part
+    * counts; (2) otherwise the per-part ROW COUNTS from the parquet
+    * footers — no data pages read, one footer (KBs) per part, bounded
+    * by part count. Name/length/mtime-coinciding regenerations of
+    * synthetic corpora differ in row counts or footer absence in
+    * practice; a deployment needing a cryptographic guarantee stages
+    * the sidecar.
     */
   private[graft] def bpeStableDir(s: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val sig = fs.listStatus(p).toSeq
+    val parts = fs.listStatus(p).toSeq
+    val meta = parts
       .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
       .sorted.mkString(",")
+    val sidecar = new org.apache.hadoop.fs.Path(p, "_graft_fingerprint")
+    val content =
+      if (fs.exists(sidecar)) {
+        val in = fs.open(sidecar)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+          "sidecar:" + new String(buf.toByteArray, "UTF-8")
+        } finally in.close()
+      } else "rows:" + parts
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+        .map { st =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(st, s.sparkContext.hadoopConfiguration))
+          try r.getRecordCount finally r.close()
+        }.mkString(",")
     graft.sources.TempDirs.stable("graft_bpe_",
-      s"$dir|${java.util.UUID.nameUUIDFromBytes(sig.getBytes("UTF-8"))}")
+      s"$dir|${java.util.UUID.nameUUIDFromBytes((meta + "|" + content).getBytes("UTF-8"))}")
   }
 
   /** The corpus base-alphabet derivation — distinct single characters
@@ -678,7 +703,15 @@ object TextQueries {
       val dfTab = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
       val top = dfTab.orderBy(col("df").desc, col("shingle")).limit(BoilerplateTopN)
       val tot = d.agg(count(lit(1)).cast("long").as("n_docs"))
+      // corpus-constant partition key (n_docs — one value for every
+      // row): the window ranks the <= TopN rows the limit already
+      // reduced to, so one partition is the DESIGN here; the explicit
+      // key says so in the plan and keeps the "No Partition Defined"
+      // scale warning out of logs it doesn't apply to. (A literal key
+      // would be constant-folded back to the empty spec — it has to be
+      // a column.)
       val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_docs"))
         .orderBy(col("df").desc, col("shingle"))
       top.crossJoin(broadcast(tot))
         .withColumn("rnk", row_number().over(w).cast("long"))
@@ -1202,8 +1235,8 @@ object TextQueries {
         s"SELECT CAST($r AS BIGINT) AS merge_rank, t$r.a AS lhs, t$r.b AS rhs, " +
           s"t$r.pc AS pair_count, s$r.np AS n_pieces, s$r.nt AS n_piece_types " +
           s"FROM t$r, s$r").mkString(" UNION ALL ")
-      s"""WITH $bpeRoundsCtes
-         |SELECT * FROM ($sels) ORDER BY merge_rank""".stripMargin
+      mat(s"""WITH $bpeRoundsCtes
+         |SELECT * FROM ($sels) ORDER BY merge_rank""".stripMargin)
     },
 
     // the trained sequence re-derived (same unrolled rounds), the K
@@ -1217,7 +1250,7 @@ object TextQueries {
       val rep = (1 to BpeMerges).foldLeft(wrap) { (acc, r) =>
         s"replace($acc, '<' || a$r || '><' || b$r || '>', '<' || a$r || b$r || '>')"
       }
-      s"""WITH $bpeRoundsCtes, mg AS (
+      mat(s"""WITH $bpeRoundsCtes, mg AS (
          |  SELECT $mgCols
          |)
          |SELECT doc_id, n_words, n_pieces,
@@ -1236,7 +1269,7 @@ object TextQueries {
          |    CROSS JOIN mg
          |  )
          |)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin)
     },
 
     "text_bm25" -> bm25Sql,
@@ -1355,6 +1388,21 @@ object TextQueries {
        |  ) GROUP BY piece
        |)""".stripMargin
   }
+
+  /** Pins every top-level CTE in a DuckDB oracle to single evaluation
+    * (`name AS MATERIALIZED (...)`). DuckDB inlines WITH-CTEs per
+    * reference, so the unrolled BPE round chain below — referenced by
+    * bpe_mg's 2·K scalar subqueries, which bpe_vocab's K merge arms
+    * each re-reference — re-derives the whole training history
+    * combinatorially many times when inlined: measured 134 s for the
+    * pipe_seqs_card oracle at sf0.01 vs 0.2 s materialized, with
+    * bit-identical results across the whole token/mm oracle family.
+    * Idempotent (already-materialized CTEs don't match the pattern);
+    * safe on these strings because no oracle uses a named WINDOW
+    * clause (the only other `name AS (` form in SQL).
+    */
+  private[graft] def mat(sql: String): String =
+    sql.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
 
   /** The BPE training loop unrolled as static CTEs (v0 + one
     * (pairs, top-1, apply, stats) block per round) — shared by the

@@ -565,11 +565,48 @@ object SegmentStore {
     try out.write(vec.toSeq.sorted
       .map { case (w, s) => s"$w\t$s\n" }.mkString.getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, dst)) { // lost a concurrent commit of this epoch
-      f.delete(tmp, true)
-      return false
+    // Publish with FileContext.rename(..., Options.Rename.NONE), not
+    // FileSystem.rename: the old API's rename OVERWRITES an existing
+    // destination on RawLocalFileSystem (and other FS), so a re-fired
+    // commit racing past the exists() check above could silently
+    // REPLACE an already-committed epoch manifest with a later
+    // watermark vector — breaking replayability of a previously-read
+    // epoch. Rename.NONE refuses an existing destination on every
+    // Hadoop FS (atomically on HDFS; inside the rename call
+    // elsewhere), so the duplicate commit loses loudly instead.
+    try {
+      val fc = org.apache.hadoop.fs.FileContext
+        .getFileContext(dst.toUri, f.getConf)
+      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException |
+           _: org.apache.hadoop.fs.ParentNotDirectoryException =>
+        // lost a concurrent commit of this epoch — the winner's
+        // manifest stands untouched
+        f.delete(tmp, true)
+        false
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // no AbstractFileSystem for this scheme: fall back to the old
+        // API, then verify the published manifest is OURS — if the
+        // re-read differs we overwrote-or-lost a race and report false
+        // either way (the caller treats false as "already committed").
+        if (!f.rename(tmp, dst)) { f.delete(tmp, true); false }
+        else {
+          val ours = vec.toSeq.sorted
+            .map { case (w, s2) => s"$w\t$s2\n" }.mkString
+          val now = try {
+            val in = f.open(dst)
+            try {
+              val buf = new java.io.ByteArrayOutputStream()
+              org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+              new String(buf.toByteArray, "UTF-8")
+            } finally in.close()
+          } catch { case _: Throwable => "" }
+          now == ours
+        }
     }
-    true
   }
 
   /** Committed epoch ids, ascending — from the manifest listing
@@ -578,10 +615,13 @@ object SegmentStore {
   def epochs(spark: SparkSession, path: String): Seq[Long] = {
     val (f, p) = fs(spark, path)
     val d = epochDir(p)
+    // strict numeric match: one stray non-numeric name ('epoch-5.bak'
+    // dropped by tooling) must be ignored like the dotted '.epoch-*.tmp'
+    // staging debris already is, not NumberFormatException every read
+    val committed = "^epoch-(\\d+)$".r
     if (!f.exists(d)) Seq.empty
     else f.listStatus(d).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("epoch-"))
-      .map(_.stripPrefix("epoch-").toLong)
+      .collect { case committed(id) => id.toLong }
       .sorted
   }
 
@@ -629,8 +669,8 @@ object SegmentStore {
   def mergedAsOfEpoch(spark: SparkSession, path: String, keys: Seq[String],
       sumCol: String, epoch: Long): DataFrame = {
     val vec = epochVector(spark, path, epoch)
-    val (f, _) = fs(spark, path)
-    vec.foreach { case (w, e) =>
+    def guard(): Unit = vec.foreach { case (w, e) =>
+      val (f, _) = fs(spark, path)
       val wp = writerPath(path, w)
       val ids = segmentIds(spark, wp)
       val foldAbove = ids.filter(_ > e)
@@ -651,7 +691,23 @@ object SegmentStore {
           s"segment at its committed watermark $e (subtree removed or " +
           s"segments deleted outside the store's fold discipline)")
     }
-    mergedAsOf(spark, path, keys, sumCol, vec)
+    guard()
+    val snap = mergedAsOf(spark, path, keys, sumCol, vec)
+    // Guard a SECOND time after the scan's file listing is resolved:
+    // the plan above pins the concrete parquet files it will read, so
+    // a compaction landing between the first guard and plan
+    // construction — the listing-pass TOCTOU — is caught here instead
+    // of yielding the silent-partial snapshot the guard exists to
+    // prevent. Remaining window (documented contract, not a check): a
+    // fold that lands AFTER this returns swaps the writer subtree away
+    // (parked at its dotted `.old` sibling), so the caller's later
+    // action fails loudly — FileNotFound on a pinned file — never as a
+    // silent-partial snapshot. Eliminating even that loud window needs
+    // the single-compactor-per-writer-path discipline the store's fold
+    // swap already assumes.
+    snap.queryExecution.executedPlan // force listing + plan resolution
+    guard()
+    snap
   }
 
   /** Retire a committed epoch — the retention policy's other half:

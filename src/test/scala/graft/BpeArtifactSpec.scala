@@ -47,6 +47,44 @@ class BpeArtifactSpec extends AnyFunSuite {
       "artifact diverged from a fresh training run on the same corpus")
   }
 
+  test("stable-dir key folds in content: the fingerprint sidecar (preferred) and footer row counts both move it") {
+    import spark.implicits._
+    def stage(rows: Seq[(Long, String)]): String = {
+      val d = graft.sources.TempDirs.scratch("graft_bpekey_")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d
+    }
+    val dir = stage(Seq(1L -> "aa bb aa", 2L -> "bb cc"))
+    val base = graft.queries.TextQueries.bpeStableDir(spark, dir)
+    assert(base == graft.queries.TextQueries.bpeStableDir(spark, dir),
+      "key not stable under unchanged corpus")
+    // a _graft_fingerprint sidecar OVERRIDES the footer tier: staging
+    // tooling owns the content signature, and changing it re-keys the
+    // artifact even with part metadata untouched (the rsync -a /
+    // cp -p aliasing path the metadata signature alone cannot see)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet/_graft_fingerprint")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeSidecar(s: String): Unit = {
+      val o = f.create(p, true)
+      try o.write(s.getBytes("UTF-8")) finally o.close()
+    }
+    writeSidecar("gen-1")
+    val k1 = graft.queries.TextQueries.bpeStableDir(spark, dir)
+    assert(k1 != base, "sidecar arrival must re-key")
+    writeSidecar("gen-2")
+    val k2 = graft.queries.TextQueries.bpeStableDir(spark, dir)
+    assert(k2 != k1, "sidecar content change must re-key")
+    // without a sidecar the footer ROW-COUNT tier is active and the key
+    // stays stable across repeated resolutions (footers re-read each
+    // call — the whole point is that the reading is scan-free, so it
+    // can afford to never cache)
+    f.delete(p, false)
+    val k3 = graft.queries.TextQueries.bpeStableDir(spark, dir)
+    assert(k3 == graft.queries.TextQueries.bpeStableDir(spark, dir))
+    assert(k3 == base, "same metadata + same row counts must re-derive the same key")
+  }
+
   test("degenerate corpus: merge budget outruns the pair vocabulary -> early stop, no crash") {
     import spark.implicits._
     // single repeated 2-char word: exactly ONE learnable merge (a,b);

@@ -421,4 +421,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"epoch order shipped a range exchange:\n$plan")
     assert(!plan.contains("ScalaUDF"), plan)
   }
+
+  test("pipe_token_budget: every window is partitioned — the cutoff bucket is a carried-offset distributed prefix sum") {
+    // The boundary bucket's exact running sum must ride range
+    // partitions (partition-local window + broadcast carried offsets):
+    // an empty-partitionBy window here would funnel corpus/1000 rows
+    // through ONE task at scale — the last unpartitioned window in any
+    // registered plan, removed in round 16.
+    val plan = qe("pipe_token_budget").executedPlan.toString
+    val windowLines = plan.linesIterator
+      .filter(l => l.contains("Window [") && !l.contains("WindowGroupLimit"))
+      .toList
+    assert(windowLines.nonEmpty, plan)
+    windowLines.foreach { l =>
+      assert("""\], \[pid#\d+\], \[""".r.findFirstIn(l).isDefined,
+        s"unpartitioned window in pipe_token_budget: $l")
+    }
+  }
+
+  test("pipe_seqs_loader_batches: loader read range-partitions on order_key, never globally sorts the keys") {
+    val plan = qe("pipe_seqs_loader_batches").executedPlan.toString
+    // the consumer contract: the ONE exchange is RangePartitioning on
+    // the order key (the loader's split assignment)...
+    assert(plan.contains("rangepartitioning(order_key"), plan)
+    // ...and order_key is never globally sorted — the only global sort
+    // allowed is the 16-row receipt presentation (ORDER BY bucket)
+    plan.linesIterator
+      .filter(l => l.contains("Sort [") && l.contains("], true,"))
+      .foreach { l =>
+        assert(!l.contains("order_key#"), s"global sort on order_key: $l")
+      }
+  }
 }

@@ -540,6 +540,34 @@ class SegmentStoreSpec extends AnyFunSuite {
     assert(snapAt(1L) == Seq("u1" -> 5L, "u2" -> 1L, "u3" -> 7L))
   }
 
+  test("epoch listing tolerates tooling debris; duplicate commits never replace a committed manifest") {
+    val path = tmpStore
+    assert(SegmentStore.appendExactlyOnce(batch("u1" -> 3L), path, "wa", 0L))
+    assert(SegmentStore.commitEpoch(spark, path, 0L))
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stray non-numeric names next to real manifests (an 'epoch-0.bak'
+    // dropped by backup tooling) must be IGNORED like the dotted
+    // staging debris, not NumberFormatException every epoch read
+    Seq("epoch-0.bak", "epoch-x", "README").foreach { n =>
+      val o = f.create(new org.apache.hadoop.fs.Path(s"$path/.epochs/$n"), true)
+      try o.write("junk".getBytes("UTF-8")) finally o.close()
+    }
+    assert(SegmentStore.epochs(spark, path) == Seq(0L))
+    assert(SegmentStore.epochVector(spark, path, 0L) == Map("wa" -> 0L))
+    // the watermark moves, then epoch 0 is RE-committed (an at-least-
+    // once coordination job re-firing): the duplicate must lose — the
+    // manifest keeps the ORIGINAL vector, replayable identically
+    assert(SegmentStore.appendExactlyOnce(batch("u2" -> 1L), path, "wa", 1L))
+    assert(!SegmentStore.commitEpoch(spark, path, 0L))
+    assert(SegmentStore.epochVector(spark, path, 0L) == Map("wa" -> 0L),
+      "a re-fired commit replaced a committed epoch manifest")
+    // and no staging debris survives the lost commit
+    val names = f.listStatus(new org.apache.hadoop.fs.Path(s"$path/.epochs"))
+      .map(_.getPath.getName).toSet
+    assert(!names.exists(_.endsWith(".tmp")), names.toString)
+  }
+
   test("epoch commits over live streams: the coordination job freezes consistent snapshots between micro-batch rounds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -557,4 +557,33 @@ class StreamingMaintenanceSpec extends AnyFunSuite {
     assert(onDisk(liveDir) == onDisk(wantDir),
       "replaying the takedown over the half-applied artifact did not converge")
   }
+
+  test("tokenizer drift fails maintenance LOUDLY: a changed corpus vocab must not mix ids into a shipped artifact") {
+    import spark.implicits._
+    val corpus = "/root/testdata/sf0.001"
+    val P = graft.queries.PipelineQueries
+    // a variant corpus whose alphabet (hence vocab ids) differs —
+    // the letters e/t/a become digits the base corpus never contains
+    val variant = graft.sources.TempDirs.scratch("graft_tokdrift_")
+    graft.sources.Tables.documents(spark, corpus)
+      .withColumn("text", translate(col("text"), "eta", "019"))
+      .write.mode("overwrite").parquet(s"$variant/documents.parquet")
+    val ids = graft.sources.Tables.documents(spark, corpus).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val d = s"${graft.sources.TempDirs.scratch("graft_tokdrift_exp_")}/export"
+    // bootstrap under the base corpus's frozen tokenizer...
+    P.seqTokensMaintain(spark, corpus, d, Some(ids.take(20).toDF("doc_id")), None)
+    // ...then a later batch arrives tokenized under a DIFFERENT vocab:
+    // the presence probe alone would append new-vocab ids next to the
+    // survivors' old-vocab ids and the manifest's tokenizer_fp
+    // (computed from the shipped old vocab) would mask the mix
+    val e = intercept[IllegalArgumentException] {
+      P.seqTokensMaintain(spark, variant, d,
+        Some(ids.slice(20, 30).toDF("doc_id")), None)
+    }
+    assert(e.getMessage.contains("tokenizer drift"), e.getMessage)
+    // same-vocab maintenance still flows
+    P.seqTokensMaintain(spark, corpus, d,
+      Some(ids.slice(20, 30).toDF("doc_id")), None)
+  }
 }
