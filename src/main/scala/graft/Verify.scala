@@ -16,19 +16,38 @@ object Verify {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    selected.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        // Distinct tag from the '[verify] ... failed' lines the driver
-        // greps — a per-query wall-time receipt for budget triage.
-        System.err.println(
-          f"[verify-time] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    // Queries dump CONCURRENTLY (SPARK_GRAFT_VERIFY_PAR threads,
+    // default 4): each query is an independent Spark job writing its
+    // own output dir, and one query's plan rarely saturates the local
+    // executor, so overlapping them recovers the idle cores — the
+    // sequential dump was the bulk of the correctness gate's wall time
+    // (the round-15 driver artifact landed empty on a budget). Results
+    // are unaffected: per-query outputs are disjoint, the scheduler is
+    // FIFO across jobs, and every query's determinism rules are
+    // per-row (no cross-query state beyond scratch dirs keyed per
+    // query). Failures stay per-query and loud.
+    val par = math.max(1, sys.env.get("SPARK_GRAFT_VERIFY_PAR")
+      .flatMap(_.trim.toIntOption).getOrElse(4))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    val tasks = selected.toSeq.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            // Distinct tag from the '[verify] ... failed' lines the
+            // driver greps — a per-query wall-time receipt for triage.
+            System.err.println(
+              f"[verify-time] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
+      })
     }
+    tasks.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -428,14 +428,26 @@ object TextQueries {
       .distinct()
       .collect().map(_.getString(0)).sorted.toSeq // bounded: the alphabet
 
+  // train-once under CONCURRENT callers: Verify dumps queries from a
+  // thread pool, and the token-family queries all funnel through this
+  // ensure — without the lock two threads could both see the artifact
+  // absent and interleave their saves into the SAME stable dir. The
+  // JVM-level lock is correct because the stable dir is per-JVM by
+  // construction (TempDirs.stable); the double-check keeps the common
+  // already-trained path lock-cheap.
+  private val bpeEnsureLock = new Object
   private[graft] def bpeEnsureArtifact(s: SparkSession, dir: String): String = {
     val adir = bpeStableDir(s, dir)
-    if (!graft.sources.BpeStore.exists(s, adir)) {
-      graft.sources.BpeStore.save(s, adir,
-        bpeTrainRounds(s, Tables.documents(s, dir)))
-      // the shipped tokenizer is merges + alphabet: freeze both, so no
-      // later apply/vocab call re-scans the corpus
-      graft.sources.BpeStore.saveAlphabet(s, adir, bpeDeriveAlphabet(s, dir))
+    if (!graft.sources.BpeStore.exists(s, adir)) bpeEnsureLock.synchronized {
+      if (!graft.sources.BpeStore.exists(s, adir)) {
+        // the shipped tokenizer is merges + alphabet: freeze both, so no
+        // later apply/vocab call re-scans the corpus. Alphabet FIRST:
+        // exists() keys on the merges, so merges-present must imply the
+        // whole artifact for the lock-free fast path above.
+        graft.sources.BpeStore.saveAlphabet(s, adir, bpeDeriveAlphabet(s, dir))
+        graft.sources.BpeStore.save(s, adir,
+          bpeTrainRounds(s, Tables.documents(s, dir)))
+      }
     }
     adir
   }
