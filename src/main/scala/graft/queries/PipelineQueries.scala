@@ -653,25 +653,17 @@ object PipelineQueries {
     val batch = adds.map(a =>
       batchFn(s, dir, a.select("doc_id")).localCheckpoint(true))
     val retr = retracts.map(_.select("doc_id").localCheckpoint(true))
-    val addShards = batch.map(_.select("shard").distinct()
-      .collect().map(_.getLong(0)).toSet) // <= PackShards rows
-      .getOrElse(Set.empty[Long])
-    val retrShards = retr.map(_
-      .select(docShard(col("doc_id")).as("shard"))
-      .distinct().collect().map(_.getLong(0)).toSet) // <= PackShards rows
-      .getOrElse(Set.empty[Long])
-    repackFn(s, exportDir, (addShards ++ retrShards).toSeq, batch, retr)
-    // the maintained artifact stays self-identifying: ship the frozen
-    // decode table on bootstrap; on every later call VERIFY the current
-    // vocab still fingerprints to the shipped one. The frozen-artifact
-    // contract says the tokenizer never changes under maintenance — but
-    // if the corpus-derived vocab ever did drift between batches, a
-    // mere presence probe would keep appending new-vocab ids next to
-    // survivors' old-vocab ids while the manifest's tokenizer_fp
-    // (computed from the shipped old vocab) masked the mix. Fail loudly
-    // instead; the check is two aggregates over vocab-sized inputs.
-    if (!tokenizerShipped(s, exportDir)) shipTokenizer(s, dir, exportDir)
-    else {
+    // The maintained artifact stays self-identifying: the frozen decode
+    // table ships on bootstrap (below), and every LATER batch that
+    // TOKENIZES must first prove the current vocab still fingerprints
+    // to the shipped one — BEFORE any shard is written, or the mixed-
+    // vocabulary state the check exists to prevent would already be on
+    // disk when it throws. Takedown-only batches introduce no ids, so
+    // they skip the gate (and never pay tokenizer training in a fresh
+    // JVM just to re-verify the frozen contract); for add batches the
+    // artifact is already ensured by batchFn's tokenize, so the check
+    // is two aggregates over vocab-sized inputs.
+    if (batch.isDefined && tokenizerShipped(s, exportDir)) {
       def fpOf(df: DataFrame): Long = df.agg(
         bit_xor(graft.functions.Md5Long60Expr(
           concat_ws(":", col("piece"), col("token_id")), PackSalt)).as("fp"))
@@ -685,6 +677,15 @@ object PipelineQueries {
           s"would mix vocabularies with survivors. Rebuild the artifact " +
           s"under the new tokenizer (or restore the frozen one).")
     }
+    val addShards = batch.map(_.select("shard").distinct()
+      .collect().map(_.getLong(0)).toSet) // <= PackShards rows
+      .getOrElse(Set.empty[Long])
+    val retrShards = retr.map(_
+      .select(docShard(col("doc_id")).as("shard"))
+      .distinct().collect().map(_.getLong(0)).toSet) // <= PackShards rows
+      .getOrElse(Set.empty[Long])
+    repackFn(s, exportDir, (addShards ++ retrShards).toSeq, batch, retr)
+    if (!tokenizerShipped(s, exportDir)) shipTokenizer(s, dir, exportDir)
   }
 
   /** The token artifact in its DATALOADER-FINAL shape: one row per

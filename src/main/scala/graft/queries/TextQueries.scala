@@ -380,12 +380,13 @@ object TextQueries {
     * folds in something CONTENT-derived but still scan-free, two-tier:
     * (1) a `_graft_fingerprint` sidecar, when corpus staging wrote one
     * — a single small read, the preferred contract at 100 TB part
-    * counts; (2) otherwise the per-part ROW COUNTS from the parquet
-    * footers — no data pages read, one footer (KBs) per part, bounded
-    * by part count. Name/length/mtime-coinciding regenerations of
-    * synthetic corpora differ in row counts or footer absence in
-    * practice; a deployment needing a cryptographic guarantee stages
-    * the sidecar.
+    * counts; (2) otherwise ROW COUNTS from a bounded sample (<= 8) of
+    * parquet footers — no data pages read, O(1) footers per
+    * resolution at any part count, each read degrading to a length
+    * marker rather than throwing. Name/length/mtime-coinciding
+    * regenerations of synthetic corpora differ in sampled row counts
+    * in practice; a deployment needing a cryptographic guarantee
+    * stages the sidecar.
     */
   private[graft] def bpeStableDir(s: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
@@ -403,15 +404,28 @@ object TextQueries {
           org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
           "sidecar:" + new String(buf.toByteArray, "UTF-8")
         } finally in.close()
-      } else "rows:" + parts
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getPath.getName)
-        .map { st =>
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile
-              .fromStatus(st, s.sparkContext.hadoopConfiguration))
-          try r.getRecordCount finally r.close()
+      } else {
+        // bounded sample: <= 8 parts spread across the sorted listing,
+        // so the per-resolution cost is O(1) footers at ANY part count
+        // (resolutions run per maintenance batch). Each read is
+        // Try-wrapped — a mid-copy zero-length part or stray dir named
+        // *.parquet must degrade to its length marker, not fail every
+        // token-family query from inside key derivation.
+        val data = parts.filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+        val idx =
+          if (data.length <= 8) data.indices
+          else (0 until 8).map(i => i * (data.length - 1) / 7).distinct
+        "rows:" + data.length + ":" + idx.map { i =>
+          val st = data(i)
+          scala.util.Try {
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromStatus(st, s.sparkContext.hadoopConfiguration))
+            try r.getRecordCount.toString finally r.close()
+          }.getOrElse(s"len${st.getLen}")
         }.mkString(",")
+      }
     graft.sources.TempDirs.stable("graft_bpe_",
       s"$dir|${java.util.UUID.nameUUIDFromBytes((meta + "|" + content).getBytes("UTF-8"))}")
   }
@@ -512,12 +526,17 @@ object TextQueries {
     // vocab load must not cost a corpus scan. The backfill arm covers
     // an artifact frozen by the train query directly (merges only):
     // derive once, freeze, never re-scan.
+    // backfill under the SAME lock as ensure (double-checked): two
+    // concurrent vocab loads over a legacy merges-only artifact must
+    // not interleave their saveAlphabet overwrites into one dir
     val alphabet = graft.sources.BpeStore.loadAlphabet(s, adir)
-      .getOrElse {
-        val a = bpeDeriveAlphabet(s, dir)
-        graft.sources.BpeStore.saveAlphabet(s, adir, a)
-        a
-      }
+      .getOrElse(bpeEnsureLock.synchronized {
+        graft.sources.BpeStore.loadAlphabet(s, adir).getOrElse {
+          val a = bpeDeriveAlphabet(s, dir)
+          graft.sources.BpeStore.saveAlphabet(s, adir, a)
+          a
+        }
+      })
     val syms = alphabet.toSeq ++ merges.sortBy(_._1).map(r => r._2 + r._3)
     syms.zipWithIndex
       .groupBy(_._1).view.mapValues(_.map(_._2).min.toLong).toSeq
@@ -829,8 +848,13 @@ object TextQueries {
     // of re-training.
     "text_bpe_train" -> ((s, dir) => {
       import s.implicits._
-      val rounds = bpeTrainRounds(s, Tables.documents(s, dir))
-      graft.sources.BpeStore.save(s, bpeStableDir(s, dir), rounds)
+      // the report comes FROM the frozen artifact: ensure trains (and
+      // freezes) exactly once per corpus per JVM under its lock, and
+      // the stored rounds roundtrip the full training report
+      // (BpeArtifactSpec pins load == fresh train). Writing the stable
+      // dir directly here would race the ensure path under Verify's
+      // concurrent dump — this query must not be a second writer.
+      val rounds = graft.sources.BpeStore.load(s, bpeEnsureArtifact(s, dir))
       rounds
         .toDF("merge_rank", "lhs", "rhs", "pair_count", "n_pieces",
           "n_piece_types").orderBy("merge_rank")

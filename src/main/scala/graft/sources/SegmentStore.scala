@@ -588,11 +588,18 @@ object SegmentStore {
         f.delete(tmp, true)
         false
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        // no AbstractFileSystem for this scheme: fall back to the old
-        // API, then verify the published manifest is OURS — if the
-        // re-read differs we overwrote-or-lost a race and report false
-        // either way (the caller treats false as "already committed").
-        if (!f.rename(tmp, dst)) { f.delete(tmp, true); false }
+        // No AbstractFileSystem for this scheme: the old API offers no
+        // atomic no-overwrite rename, so re-check the destination
+        // immediately before renaming and verify the published
+        // manifest is OURS after — a lost race reports false either
+        // way (the caller treats false as "already committed"). The
+        // residual window (two commits passing the re-check in the
+        // same instant on an overwriting-rename FS) cannot be closed
+        // from this API; on such schemes the coordination job must not
+        // race its own re-fires (single-committer per store — the
+        // assumption its at-least-once retry semantics already imply).
+        if (f.exists(dst)) { f.delete(tmp, true); false }
+        else if (!f.rename(tmp, dst)) { f.delete(tmp, true); false }
         else {
           val ours = vec.toSeq.sorted
             .map { case (w, s2) => s"$w\t$s2\n" }.mkString
@@ -617,8 +624,10 @@ object SegmentStore {
     val d = epochDir(p)
     // strict numeric match: one stray non-numeric name ('epoch-5.bak'
     // dropped by tooling) must be ignored like the dotted '.epoch-*.tmp'
-    // staging debris already is, not NumberFormatException every read
-    val committed = "^epoch-(\\d+)$".r
+    // staging debris already is, not NumberFormatException every read.
+    // Negative ids stay listable — the store requires epoch ids only
+    // unique, not non-negative, and epochVector accepts what commit wrote
+    val committed = "^epoch-(-?\\d+)$".r
     if (!f.exists(d)) Seq.empty
     else f.listStatus(d).toSeq.map(_.getPath.getName)
       .collect { case committed(id) => id.toLong }
