@@ -24,14 +24,19 @@ import graft.sources.Tables
   * and a plan audit (exactly one RangePartitioning exchange, zero
   * global SortExec). Run: `runMain graft.LoaderProbe [factors...]`,
   * default 1 10. `cur` as first arg reads in CURRICULUM order instead
-  * (same shape, cur_key).
+  * (same shape, cur_key); `mm` reads the MULTIMODAL artifact with
+  * epoch keys derived by the same salted arithmetic over ITS seq
+  * inventory — the key contract is generic over (shard, seq_id), so a
+  * VLM loader needs no separate relation, just the same derivation.
   */
 object LoaderProbe {
   def main(args: Array[String]): Unit = {
-    val (cur, factorArgs) = args.toList match {
-      case "cur" :: rest => (true, rest)
-      case rest          => (false, rest)
+    val (mode, factorArgs) = args.toList match {
+      case ("cur" | "mm") :: rest => (args.head, rest)
+      case rest                   => ("epoch", rest)
     }
+    val cur = mode == "cur"
+    val mm = mode == "mm"
     val factors = if (factorArgs.nonEmpty) factorArgs.map(_.toInt) else List(1, 10)
     val base = "/root/testdata/sf0.1"
     val spark = graft.sources.GraftSession.local("local[8]", 16)
@@ -63,20 +68,30 @@ object LoaderProbe {
       // ship the artifact once (not timed as part of the read)
       val exp = graft.sources.TempDirs.scratch(s"graft_loadprobe_exp${f}x_")
       PipelineQueries.exportShip(
-        PipelineQueries.seqTokens(spark, stage), exp)
+        (if (mm) PipelineQueries.seqMmTokens(spark, stage)
+         else PipelineQueries.seqTokens(spark, stage)), exp)
+
+      val valueCols = if (mm) Seq("token_id", "patch_idx") else Seq("token_id")
+      val art = spark.read.parquet(exp)
+        .select(Seq(col("shard").cast("long").as("shard"), col("seq_id"),
+          col("pos"), col("doc_id")) ++ valueCols.map(col): _*)
 
       val keyCol = if (cur) "cur_key" else "order_key"
       val keys = (
         if (cur) PipelineQueries.seqCurriculum(spark, stage)
           .select("shard", "seq_id", "cur_key")
+        else if (mm)
+          // the generic key derivation applied to the MM artifact's own
+          // seq inventory — identical arithmetic to seqEpochOrder
+          art.select("shard", "seq_id").distinct()
+            .select(col("shard"), col("seq_id"),
+              graft.functions.Md5Long60Expr(
+                concat_ws(":", lit("ep"), lit(0L), col("shard"),
+                  col("seq_id")), PipelineQueries.PackSalt).as("order_key"))
         else PipelineQueries.seqEpochOrder(spark, stage)
           .filter(col("epoch") === 0L)
           .select("shard", "seq_id", "order_key")
         ).localCheckpoint(true) // seq-level, small; built once, read twice
-
-      val art = spark.read.parquet(exp)
-        .select(col("shard").cast("long").as("shard"), col("seq_id"),
-          col("pos"), col("doc_id"), col("token_id"))
       def stream = art
         .join(broadcast(keys), Seq("shard", "seq_id"))
         .repartitionByRange(32, col(keyCol))
@@ -105,7 +120,7 @@ object LoaderProbe {
         if (counts.isEmpty) 0.0
         else counts.max.toDouble / (nRows.toDouble / counts.length)
 
-      println(f"""{"probe":"loader_read","order":"$keyCol%s","factor":$f,""" +
+      println(f"""{"probe":"loader_read","order":"$mode%s","factor":$f,""" +
         f""""n_rows":$nRows,"read_s":$readS%.2f,""" +
         f""""rows_per_s":${nRows / readS}%.0f,"n_splits":${counts.length},""" +
         f""""max_over_mean":$maxOverMean%.3f,"range_exchanges":$nRange,""" +

@@ -85,6 +85,34 @@ class BpeArtifactSpec extends AnyFunSuite {
     assert(k3 == base, "same metadata + same row counts must re-derive the same key")
   }
 
+  test("concurrent ensure: N threads racing a cold artifact produce ONE complete, loadable tokenizer") {
+    import spark.implicits._
+    // the Verify dump runs queries from a thread pool, and every
+    // token-family query funnels through bpeEnsureArtifact — this is
+    // the race the ensure lock exists for, driven with real threads
+    val d = graft.sources.TempDirs.scratch("graft_bperace_")
+    (0L until 80L).map(i => (i, s"alpha beta gamma delta tok$i epsilon"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val dirs = (0 until 8).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = graft.queries.TextQueries.bpeEnsureArtifact(spark, d)
+      })
+    }.map(_.get())
+    pool.shutdown()
+    assert(dirs.toSet.size == 1, s"ensure forked stable dirs: ${dirs.toSet}")
+    // the artifact is complete and loadable: merges AND alphabet, and
+    // a fresh single-threaded training agrees bit-for-bit
+    val adir = dirs.head
+    val merges = graft.sources.BpeStore.load(spark, adir)
+    assert(graft.sources.BpeStore.loadAlphabet(spark, adir).isDefined,
+      "exists() implied a complete artifact but the alphabet is missing")
+    val fresh = graft.queries.TextQueries.bpeTrainRounds(spark,
+      graft.sources.Tables.documents(spark, d))
+    assert(merges == fresh, "raced artifact diverged from a clean training run")
+  }
+
   test("degenerate corpus: merge budget outruns the pair vocabulary -> early stop, no crash") {
     import spark.implicits._
     // single repeated 2-char word: exactly ONE learnable merge (a,b);
