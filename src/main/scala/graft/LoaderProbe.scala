@@ -92,18 +92,23 @@ object LoaderProbe {
           .filter(col("epoch") === 0L)
           .select("shard", "seq_id", "order_key")
         ).localCheckpoint(true) // seq-level, small; built once, read twice
+      val nSplits = 32
       def stream = art
         .join(broadcast(keys), Seq("shard", "seq_id"))
-        .repartitionByRange(32, col(keyCol))
+        .repartitionByRange(nSplits, col(keyCol))
         .sortWithinPartitions(col(keyCol), col("pos"))
 
-      // plan audit: one range exchange, zero GLOBAL sorts
-      val plan = stream.queryExecution.executedPlan
-      val nRange = plan.toString.linesIterator
+      // plan audit: one range exchange, zero GLOBAL sorts. Both checks
+      // grep the plan STRING — under AQE the executedPlan root is an
+      // AdaptiveSparkPlanExec leaf, so a typed collect over SortExec
+      // would see nothing and report 0 vacuously; toString prints the
+      // full initial tree (a local sort renders "], false," where a
+      // global one renders "], true,").
+      val planStr = stream.queryExecution.executedPlan.toString
+      val nRange = planStr.linesIterator
         .count(_.contains("rangepartitioning"))
-      val globalSorts = plan.collect {
-        case s: org.apache.spark.sql.execution.SortExec if s.global => s
-      }.size
+      val globalSorts = planStr.linesIterator
+        .count(l => l.contains("Sort [") && l.contains("], true,"))
 
       // timed read: every column consumed (xxhash checksum per row,
       // xor-combined — the Bench.force discipline)
@@ -111,14 +116,17 @@ object LoaderProbe {
       Bench.force(stream)
       val readS = (System.nanoTime() - t0) / 1e9
 
-      // split-balance receipt over the SAME read shape
+      // split-balance receipt over the SAME read shape. The mean is
+      // over the REQUESTED split count: groupBy(pid) only returns
+      // non-empty splits, and a degenerate keying that vacated most of
+      // them must read as imbalance, not as a small balanced run.
       val counts = stream.withColumn("pid", spark_partition_id())
         .groupBy("pid").count()
         .collect().map(_.getLong(1))
       val nRows = counts.sum
       val maxOverMean =
         if (counts.isEmpty) 0.0
-        else counts.max.toDouble / (nRows.toDouble / counts.length)
+        else counts.max.toDouble / (nRows.toDouble / nSplits)
 
       println(f"""{"probe":"loader_read","order":"$mode%s","factor":$f,""" +
         f""""n_rows":$nRows,"read_s":$readS%.2f,""" +

@@ -663,19 +663,31 @@ object PipelineQueries {
     // JVM just to re-verify the frozen contract); for add batches the
     // artifact is already ensured by batchFn's tokenize, so the check
     // is two aggregates over vocab-sized inputs.
-    if (batch.isDefined && tokenizerShipped(s, exportDir)) {
-      def fpOf(df: DataFrame): Long = df.agg(
-        bit_xor(graft.functions.Md5Long60Expr(
-          concat_ws(":", col("piece"), col("token_id")), PackSalt)).as("fp"))
-        .collect()(0).getLong(0) // 1 row; vocab nonempty by construction
-      val cur = fpOf(TextQueries.bpeVocab(s, dir))
-      val shipped = fpOf(s.read.parquet(s"$exportDir/_tokenizer/vocab"))
-      require(cur == shipped,
-        s"slotMaintain: tokenizer drift — the corpus-derived vocab " +
-          s"(fp=$cur) no longer matches the artifact's shipped " +
-          s"_tokenizer/vocab (fp=$shipped) at $exportDir; new batch ids " +
-          s"would mix vocabularies with survivors. Rebuild the artifact " +
-          s"under the new tokenizer (or restore the frozen one).")
+    if (batch.isDefined) {
+      if (tokenizerShipped(s, exportDir)) {
+        def fpOf(df: DataFrame): Long = df.agg(
+          bit_xor(graft.functions.Md5Long60Expr(
+            concat_ws(":", col("piece"), col("token_id")), PackSalt)).as("fp"))
+          .collect()(0).getLong(0) // 1 row; vocab nonempty by construction
+        val cur = fpOf(TextQueries.bpeVocab(s, dir))
+        val shipped = fpOf(s.read.parquet(s"$exportDir/_tokenizer/vocab"))
+        require(cur == shipped,
+          s"slotMaintain: tokenizer drift — the corpus-derived vocab " +
+            s"(fp=$cur) no longer matches the artifact's shipped " +
+            s"_tokenizer/vocab (fp=$shipped) at $exportDir; new batch ids " +
+            s"would mix vocabularies with survivors. Rebuild the artifact " +
+            s"under the new tokenizer (or restore the frozen one).")
+      } else {
+        // ship BEFORE the first repack, not after: with ship-last a
+        // crash between repack and ship leaves shards on disk with no
+        // tokenizer, and a later batch under a regenerated vocab would
+        // pass the absent-tokenizer fast path, mix ids, and then ship
+        // the NEW vocab — masking the mix behind a matching
+        // tokenizer_fp. Ship-first makes "tokenizer present" hold from
+        // the instant any shard exists (re-shipping on a replayed
+        // bootstrap is idempotent: same frozen vocab, Overwrite mode).
+        shipTokenizer(s, dir, exportDir)
+      }
     }
     val addShards = batch.map(_.select("shard").distinct()
       .collect().map(_.getLong(0)).toSet) // <= PackShards rows
@@ -685,7 +697,6 @@ object PipelineQueries {
       .distinct().collect().map(_.getLong(0)).toSet) // <= PackShards rows
       .getOrElse(Set.empty[Long])
     repackFn(s, exportDir, (addShards ++ retrShards).toSeq, batch, retr)
-    if (!tokenizerShipped(s, exportDir)) shipTokenizer(s, dir, exportDir)
   }
 
   /** The token artifact in its DATALOADER-FINAL shape: one row per

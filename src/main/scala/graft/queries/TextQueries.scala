@@ -398,12 +398,21 @@ object TextQueries {
     val sidecar = new org.apache.hadoop.fs.Path(p, "_graft_fingerprint")
     val content =
       if (fs.exists(sidecar)) {
-        val in = fs.open(sidecar)
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
-          "sidecar:" + new String(buf.toByteArray, "UTF-8")
-        } finally in.close()
+        // failure-wrapped like the footer tier below: a sidecar mid-
+        // replace (non-atomic staging) or a directory squatting the
+        // name must degrade, not fail every token-family query from
+        // inside key derivation. The degraded marker is constant, but
+        // `meta` above already carries the sidecar's own name/length/
+        // mtime (it is a listed entry of documents.parquet), so two
+        // generations never alias through the degraded branch alone.
+        scala.util.Try {
+          val in = fs.open(sidecar)
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+            "sidecar:" + new String(buf.toByteArray, "UTF-8")
+          } finally in.close()
+        }.getOrElse("sidecar-unreadable")
       } else {
         // bounded sample: <= 8 parts spread across the sorted listing,
         // so the per-resolution cost is O(1) footers at ANY part count
