@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.queries.PipelineQueries
-import graft.sources.Tables
 
 /** Dev tool: the READ-SIDE receipt for the epoch-order / curriculum
   * artifact contract (not part of the driver contract).
@@ -42,28 +41,9 @@ object LoaderProbe {
     val spark = graft.sources.GraftSession.local("local[8]", 16)
     spark.sparkContext.setLogLevel("WARN")
 
-    val rot = "abcdefghijklmnopqrstuvwxyz"
-    def permFor(c: Int): String = {
-      val arr = rot.toCharArray
-      if (c > 0) {
-        val rnd = new scala.util.Random(c)
-        for (i <- arr.length - 1 to 1 by -1) {
-          val j = rnd.nextInt(i + 1)
-          val t = arr(i); arr(i) = arr(j); arr(j) = t
-        }
-      }
-      new String(arr)
-    }
-
     factors.foreach { f =>
       val stage = graft.sources.TempDirs.scratch(s"graft_loadprobe${f}x_")
-      val docs = Tables.documents(spark, base)
-      (0 until f).map { c =>
-        docs.select((col("doc_id") + lit(c.toLong * 100000000L)).as("doc_id"),
-          translate(col("text"), rot, permFor(c)).as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$stage/documents.parquet")
+      ProbeStaging.stageDocuments(spark, base, stage, f)
 
       // ship the artifact once (not timed as part of the read)
       val exp = graft.sources.TempDirs.scratch(s"graft_loadprobe_exp${f}x_")
@@ -82,12 +62,10 @@ object LoaderProbe {
           .select("shard", "seq_id", "cur_key")
         else if (mm)
           // the generic key derivation applied to the MM artifact's own
-          // seq inventory — identical arithmetic to seqEpochOrder
+          // seq inventory — the same expression seqEpochOrder uses
           art.select("shard", "seq_id").distinct()
             .select(col("shard"), col("seq_id"),
-              graft.functions.Md5Long60Expr(
-                concat_ws(":", lit("ep"), lit(0L), col("shard"),
-                  col("seq_id")), PipelineQueries.PackSalt).as("order_key"))
+              PipelineQueries.epochOrderKey(lit(0L)).as("order_key"))
         else PipelineQueries.seqEpochOrder(spark, stage)
           .filter(col("epoch") === 0L)
           .select("shard", "seq_id", "order_key")

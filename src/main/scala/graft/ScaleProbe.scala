@@ -25,36 +25,10 @@ object ScaleProbe {
     // a DISTINCT deterministic permutation per copy so copies are
     // genuinely DIFFERENT documents — otherwise every doc has N
     // near-dup variants and the dedup result set grows quadratically by
-    // construction, which would mask the plan's own scaling. A seeded
-    // Fisher–Yates permutation (identity for copy 0, so the 1x corpus
-    // is a literal subset) stays collision-free at ANY factor — the
-    // earlier `rotate by c % 26` wrapped at factor 27+, making copies
-    // 26+k exact text twins of copies k and exploding the near-dup
-    // pair set ~50x at factor 30 purely by construction.
-    val docs = Tables.documents(spark, base)
-    val rot = "abcdefghijklmnopqrstuvwxyz"
-    def permFor(c: Int): String = {
-      val arr = rot.toCharArray
-      if (c > 0) {
-        val rnd = new scala.util.Random(c)
-        for (i <- arr.length - 1 to 1 by -1) {
-          val j = rnd.nextInt(i + 1)
-          val t = arr(i); arr(i) = arr(j); arr(j) = t
-        }
-      }
-      new String(arr)
-    }
-    val docsN = (0 until factor).map { c =>
-      docs.select((col("doc_id") + lit(c.toLong * 100000000L)).as("doc_id"),
-        translate(col("text"), rot, permFor(c)).as("text"),
-        col("lang"),
-        // source carries through unchanged: the realistic growth mode is
-        // the SAME domains getting more docs (per-source population
-        // scales with the corpus) — the shape pipe_source_cap's flat
-        // cap-bounded output is asserted against
-        col("source"), col("n_chars"))
-    }.reduce(_ unionByName _)
-    docsN.write.mode("overwrite").parquet(s"$stage/documents.parquet")
+    // construction, which would mask the plan's own scaling (see
+    // [[ProbeStaging]] — shared with TokenProbe/LoaderProbe; the shape
+    // pipe_source_cap's flat cap-bounded output is asserted against)
+    ProbeStaging.stageDocuments(spark, base, stage, factor)
 
     // the staged copy writes ts as epoch-nanos LONG — Tables.events is
     // schema-adaptive (LONG ⇒ nanos shim, timestamp ⇒ pass-through), so

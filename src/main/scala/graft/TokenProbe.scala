@@ -63,35 +63,13 @@ object TokenProbe {
     val valueCols = if (mm) Seq("token_id", "patch_idx") else Seq("token_id")
     val probeName = if (mm) "mm_maintain" else "token_maintain"
 
-    // Nx documents, the ScaleProbe staging: ids shifted per copy, the
-    // letter permutation keeps copies genuinely different documents
-    // (distinct BPE statistics), identity for copy 0
-    val rot = "abcdefghijklmnopqrstuvwxyz"
-    def permFor(c: Int): String = {
-      val arr = rot.toCharArray
-      if (c > 0) {
-        val rnd = new scala.util.Random(c)
-        for (i <- arr.length - 1 to 1 by -1) {
-          val j = rnd.nextInt(i + 1)
-          val t = arr(i); arr(i) = arr(j); arr(j) = t
-        }
-      }
-      new String(arr)
-    }
-
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
     factors.foreach { f =>
       val stage = graft.sources.TempDirs.scratch(s"graft_tokprobe${f}x_")
-      val docs = Tables.documents(spark, base)
-      (0 until f).map { c =>
-        docs.select((col("doc_id") + lit(c.toLong * 100000000L)).as("doc_id"),
-          translate(col("text"), rot, permFor(c)).as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$stage/documents.parquet")
+      ProbeStaging.stageDocuments(spark, base, stage, f)
 
       val nDocs = Tables.documents(spark, stage).count()
       // one-time tokenizer training, charged to neither side

@@ -741,14 +741,23 @@ object PipelineQueries {
     * sort-by-key read); this relation is a row-local projection of
     * the distinct sequence ids, epochs exploded row-locally.
     */
+  /** The per-epoch order key for ONE (epoch, shard, seq_id) — the
+    * generic derivation behind [[seqEpochOrder]], usable over ANY seq
+    * inventory (a VLM loader applies it to the mm artifact's distinct
+    * (shard, seq_id) set; graft.LoaderProbe's mm mode drives that).
+    */
+  private[graft] def epochOrderKey(epoch: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    graft.functions.Md5Long60Expr(
+      concat_ws(":", lit("ep"), epoch, col("shard"), col("seq_id")),
+      PackSalt)
+
   private[graft] def seqEpochOrder(s: SparkSession, dir: String): DataFrame =
     seqSpans(s, dir).select("shard", "seq_id").distinct()
       .select(col("shard"), col("seq_id"),
         explode(sequence(lit(0L), lit(PackEpochs - 1L))).as("epoch"))
       .select(col("epoch"), col("shard"), col("seq_id"),
-        graft.functions.Md5Long60Expr(
-          concat_ws(":", lit("ep"), col("epoch"), col("shard"),
-            col("seq_id")), PackSalt).as("order_key"))
+        epochOrderKey(col("epoch")).as("order_key"))
 
   /** Curriculum ordering for the sequence artifact — the
     * quality-first epoch-0 leg next to [[seqEpochOrder]]'s hashed
