@@ -1330,6 +1330,27 @@ object PipelineQueries {
         .orderBy("bucket")
     }),
 
+    // the SAME consumer contract over the MULTIMODAL artifact: the
+    // epoch-key derivation is generic over (shard, seq_id), so a VLM
+    // loader applies it to the mm seq inventory directly — no separate
+    // key relation. Same plan shape (one RangePartitioning on
+    // order_key, no global key sort) and the same fixed-width-range
+    // receipt, with slot mass (text tokens + patch placeholders) as
+    // the per-split payload measure.
+    "pipe_seqs_mm_loader_batches" -> ((s, dir) => {
+      val seqs = seqMmTokens(s, dir).groupBy("shard", "seq_id")
+        .agg(count(lit(1)).as("n_slots"))
+      seqs.withColumn("order_key", epochOrderKey(lit(0L)))
+        .repartitionByRange(s.sessionState.conf.numShufflePartitions,
+          col("order_key"))
+        .withColumn("bucket", shiftright(col("order_key"), 56))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_seqs"), sum("n_slots").as("n_slots"),
+          min("order_key").as("key_lo"), max("order_key").as("key_hi"),
+          bit_xor(col("order_key")).as("keys_fp"))
+        .orderBy("bucket")
+    }),
+
     // the quality-first epoch-0 leg: token-weighted per-seq quality
     // (integer-exact past the per-row double) packed into one
     // sortable key; no sort run or shipped, spans-sized join only
@@ -2324,7 +2345,16 @@ object PipelineQueries {
            |    piece || ':' || CAST(token_id AS VARCHAR))), 1, 15))
            |    AS BIGINT)) AS BIGINT) FROM bpe_vocab) AS tokenizer_fp
            |FROM mm_ids GROUP BY shard ORDER BY shard""".stripMargin
-    TextQueries.mat(s"""WITH ${TextQueries.bpeDocPieceListCtes}, ${TextQueries.bpeVocabCtes}, mm_b AS (
+    TextQueries.mat(s"""WITH ${seqMmIdCtes(pred)}
+       |$sel""".stripMargin)
+  }
+
+  /** The CTE chain ending in `mm_ids (shard, seq_id, pos, doc_id,
+    * token_id, patch_idx)` — [[seqTokenIdCtes]]' multimodal sibling,
+    * the shared basis of the mm oracles.
+    */
+  private def seqMmIdCtes(pred: String): String =
+    s"""${TextQueries.bpeDocPieceListCtes}, ${TextQueries.bpeVocabCtes}, mm_b AS (
        |  SELECT doc_id,
        |    CAST(concat('0x', substr(md5(concat('$PackSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % $PackShards AS shard,
        |    pieces, CAST(len(pieces) AS BIGINT) AS n_toks,
@@ -2357,9 +2387,7 @@ object PipelineQueries {
        |    CAST(FLOOR(CAST(g AS DOUBLE) / $PackSeqLen.0) AS BIGINT) AS seq_id,
        |    CAST(g % $PackSeqLen AS BIGINT) AS pos, doc_id, token_id, patch_idx
        |  FROM mm_g
-       |)
-       |$sel""".stripMargin)
-  }
+       |)""".stripMargin
 
   /** The CTE chain ending in `tok_ids (shard, seq_id, pos, doc_id,
     * token_id)` — the shared basis of every token-artifact oracle.
@@ -2644,6 +2672,26 @@ object PipelineQueries {
          |  MIN(order_key) AS key_lo, MAX(order_key) AS key_hi,
          |  CAST(bit_xor(order_key) AS BIGINT) AS keys_fp
          |FROM lb_keys GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // the mm loader's splits: identical key arithmetic over the
+    // mm_ids seq inventory, slot mass per split
+    "pipe_seqs_mm_loader_batches" ->
+      TextQueries.mat(s"""WITH ${seqMmIdCtes("TRUE")}, mlb_seqs AS (
+         |  SELECT shard, seq_id, CAST(COUNT(*) AS BIGINT) AS n_slots
+         |  FROM mm_ids GROUP BY shard, seq_id
+         |), mlb_keys AS (
+         |  SELECT n_slots,
+         |    CAST(concat('0x', substr(md5(concat('$PackSalt:',
+         |      'ep:0:' || CAST(shard AS VARCHAR) || ':'
+         |      || CAST(seq_id AS VARCHAR))), 1, 15)) AS BIGINT) AS order_key
+         |  FROM mlb_seqs
+         |)
+         |SELECT order_key >> 56 AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_seqs,
+         |  CAST(SUM(n_slots) AS BIGINT) AS n_slots,
+         |  MIN(order_key) AS key_lo, MAX(order_key) AS key_hi,
+         |  CAST(bit_xor(order_key) AS BIGINT) AS keys_fp
+         |FROM mlb_keys GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // quality-desc curriculum keys: the per-row double quality is
     // bit-identical cross-engine; everything after is integer

@@ -440,16 +440,18 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("pipe_seqs_loader_batches: loader read range-partitions on order_key, never globally sorts the keys") {
-    val plan = qe("pipe_seqs_loader_batches").executedPlan.toString
-    // the consumer contract: the ONE exchange is RangePartitioning on
-    // the order key (the loader's split assignment)...
-    assert(plan.contains("rangepartitioning(order_key"), plan)
-    // ...and order_key is never globally sorted — the only global sort
-    // allowed is the 16-row receipt presentation (ORDER BY bucket)
-    plan.linesIterator
-      .filter(l => l.contains("Sort [") && l.contains("], true,"))
-      .foreach { l =>
-        assert(!l.contains("order_key#"), s"global sort on order_key: $l")
-      }
+    Seq("pipe_seqs_loader_batches", "pipe_seqs_mm_loader_batches").foreach { n =>
+      val plan = qe(n).executedPlan.toString
+      // the consumer contract: the ONE exchange is RangePartitioning on
+      // the order key (the loader's split assignment)...
+      assert(plan.contains("rangepartitioning(order_key"), s"$n: $plan")
+      // ...and order_key is never globally sorted — the only global sort
+      // allowed is the 16-row receipt presentation (ORDER BY bucket)
+      plan.linesIterator
+        .filter(l => l.contains("Sort [") && l.contains("], true,"))
+        .foreach { l =>
+          assert(!l.contains("order_key#"), s"$n: global sort on order_key: $l")
+        }
+    }
   }
 }
