@@ -36,15 +36,22 @@ object Bench {
     // can't cover both samples of the expensive tail — min-of-2 stays
     // contention-immune exactly where a contaminated reading costs the
     // most. Deterministic (name tiebreak; name order if no warm dir).
+    // Dev loop: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the timed set —
+    // targeted near-idle re-measurement of a flagged query without
+    // paying the full suite (driver leaves it unset -> full run).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val bench = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val warmDir = "/root/testdata/sf0.001"
     val warmT = scala.collection.mutable.Map.empty[String, Double]
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (name, fn) =>
+      bench.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try force(fn(spark, warmDir)) catch { case _: Throwable => () }
         warmT(name) = (System.nanoTime() - t0) / 1e9
       }
-    val ordered = SparkEntry.queries.toSeq
+    val ordered = bench.toSeq
       .sortBy { case (n, _) => (warmT.getOrElse(n, Double.MaxValue), n) }
     // Timed pass. A query that throws is NOT hidden behind a
     // normal-looking timing: it's reported on stderr immediately and

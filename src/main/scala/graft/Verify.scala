@@ -40,8 +40,14 @@ object Verify {
             // driver greps — a per-query wall-time receipt for triage.
             System.err.println(
               f"[verify-time] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
-          } catch { case e: Throwable =>
-            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          } catch {
+            // NonFatal ONLY: an OutOfMemoryError (likelier with 4
+            // queries in flight) logged as a per-query failure would
+            // let the dump continue in a poisoned JVM and risk
+            // silently-wrong parquet for every later query. Fatal
+            // errors must kill the run and zero the round loudly.
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
         }
       })

@@ -95,6 +95,15 @@ object PipelineQueries {
   final val PackSeqLen = 2048
   final val PackSalt = 13
   final val PackEpochs = 3
+  /** pipe_seqs*_loader_batches: ceiling on max-over-mean bucket mass
+    * (integer percent) the loader read's range splits must stay under.
+    * LoaderProbe measures <= 117 at 30x; the gate is looser because it
+    * must also hold at tiny SF (multinomial fluctuation over 16 buckets
+    * is proportionally larger there) — it exists to catch a STRUCTURAL
+    * hot split (broken salt, truncated key), which blows past any
+    * constant, not to re-measure the probe's plateau.
+    */
+  final val LoaderBalancePct = 200L
   /** pipe_seqs_mm: patch slots an image doc reserves (a 4x4 patch
     * grid), and the sentinel id filling them (outside the BPE vocab's
     * non-negative id space — the embedding router's modality switch).
@@ -211,6 +220,26 @@ object PipelineQueries {
 
   private def packedSeqs(s: SparkSession, dir: String): DataFrame =
     packedSeqsOf(Tables.documents(s, dir))
+
+  /** Hash-gated half of the loader throughput contract: per-bucket
+    * `balance_pct` = this run's max bucket mass over the mean bucket
+    * mass, integer percent (exact BIGINT arithmetic — both engines
+    * replay it identically), and `balance_ok` pins it under
+    * [[LoaderBalancePct]]. Constant across the bucket rows by
+    * construction: the 1-row extremes broadcast-cross-join onto the
+    * (<= 16) bucket rows, no unpartitioned window enters the plan.
+    */
+  private def loaderBalanceGate(buckets: DataFrame,
+      massCol: String): DataFrame = {
+    val ext = buckets.agg(max(col(massCol)).as("gate_max"),
+      sum(col(massCol)).cast("long").as("gate_tot"),
+      count(lit(1)).as("gate_n"))
+    buckets.crossJoin(broadcast(ext))
+      .withColumn("balance_pct",
+        expr("CAST((gate_max * gate_n * 100) DIV gate_tot AS BIGINT)"))
+      .withColumn("balance_ok", col("balance_pct") <= lit(LoaderBalancePct))
+      .drop("gate_max", "gate_tot", "gate_n")
+  }
 
   /** TOKEN-LEVEL training sequences — the step between this pipeline
     * and a trainable batch: pipe_pack places whole documents by their
@@ -688,6 +717,17 @@ object PipelineQueries {
         // bootstrap is idempotent: same frozen vocab, Overwrite mode).
         shipTokenizer(s, dir, exportDir)
       }
+    } else if (retr.isDefined && !tokenizerShipped(s, exportDir) &&
+        graft.sources.BpeStore.exists(s, TextQueries.bpeStableDir(s, dir))) {
+      // Retract-only backfill: a legacy artifact missing _tokenizer
+      // that only ever receives takedowns would otherwise stay
+      // non-self-describing forever (the manifest read throws on it).
+      // When the frozen BPE artifact is ALREADY materialized the ship
+      // is vocab-sized (presence probe above is one listing — no
+      // corpus-scale tokenizer training sneaks into a takedown batch);
+      // when it isn't, the artifact needs one add batch or a rebuild,
+      // which is the path that legitimately pays the training cost.
+      shipTokenizer(s, dir, exportDir)
     }
     val addShards = batch.map(_.select("shard").distinct()
       .collect().map(_.getLong(0)).toSet) // <= PackShards rows
@@ -1315,11 +1355,21 @@ object PipelineQueries {
     // bucket range by construction) and near-uniform in mass (salted
     // uniform keys -> no hot split). Throughput at 1x/10x is
     // graft.LoaderProbe's receipt in BASELINE.md.
+    // The throughput contract's SKEW HALF is hash-gated here too, not
+    // just probe-measured: balance_pct = max bucket mass over mean
+    // bucket mass (integer percent, exact BIGINT arithmetic on both
+    // engines), and balance_ok pins it under LoaderBalancePct. The
+    // LoaderProbe receipt measures <= 117 at 30x; the gate is looser
+    // because the bound must also hold at tiny SF where multinomial
+    // fluctuation over 16 buckets is proportionally larger — it exists
+    // to catch a STRUCTURAL hot split (a broken salt or key
+    // truncation blows past any constant), not to re-measure the
+    // probe's plateau.
     "pipe_seqs_loader_batches" -> ((s, dir) => {
       val keys = seqEpochOrder(s, dir).filter(col("epoch") === 0L)
       val fills = seqTokens(s, dir).groupBy("shard", "seq_id")
         .agg(count(lit(1)).as("n_toks"))
-      keys.join(fills, Seq("shard", "seq_id"))
+      val buckets = keys.join(fills, Seq("shard", "seq_id"))
         .repartitionByRange(s.sessionState.conf.numShufflePartitions,
           col("order_key"))
         .withColumn("bucket", shiftright(col("order_key"), 56))
@@ -1327,7 +1377,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_seqs"), sum("n_toks").as("n_toks"),
           min("order_key").as("key_lo"), max("order_key").as("key_hi"),
           bit_xor(col("order_key")).as("keys_fp"))
-        .orderBy("bucket")
+      loaderBalanceGate(buckets, "n_toks").orderBy("bucket")
     }),
 
     // the SAME consumer contract over the MULTIMODAL artifact: the
@@ -1335,12 +1385,12 @@ object PipelineQueries {
     // loader applies it to the mm seq inventory directly — no separate
     // key relation. Same plan shape (one RangePartitioning on
     // order_key, no global key sort) and the same fixed-width-range
-    // receipt, with slot mass (text tokens + patch placeholders) as
-    // the per-split payload measure.
+    // receipt + balance gate, with slot mass (text tokens + patch
+    // placeholders) as the per-split payload measure.
     "pipe_seqs_mm_loader_batches" -> ((s, dir) => {
       val seqs = seqMmTokens(s, dir).groupBy("shard", "seq_id")
         .agg(count(lit(1)).as("n_slots"))
-      seqs.withColumn("order_key", epochOrderKey(lit(0L)))
+      val buckets = seqs.withColumn("order_key", epochOrderKey(lit(0L)))
         .repartitionByRange(s.sessionState.conf.numShufflePartitions,
           col("order_key"))
         .withColumn("bucket", shiftright(col("order_key"), 56))
@@ -1348,7 +1398,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_seqs"), sum("n_slots").as("n_slots"),
           min("order_key").as("key_lo"), max("order_key").as("key_hi"),
           bit_xor(col("order_key")).as("keys_fp"))
-        .orderBy("bucket")
+      loaderBalanceGate(buckets, "n_slots").orderBy("bucket")
     }),
 
     // the quality-first epoch-0 leg: token-weighted per-seq quality
@@ -1393,6 +1443,47 @@ object PipelineQueries {
       val exportDir = graft.sources.TempDirs.scratch("graft_seqex_")
       exportShip(seqSpans(s, dir), exportDir)
       seqExportManifest(s, exportDir)
+    }),
+
+    // CURATE → PACK → SHIP composed end-to-end — the query a training-
+    // data user actually runs: the span artifact is built from
+    // [[curateKept]]'s survivors ONLY (the exact population
+    // pipe_dataset_card summarizes), counted under the frozen corpus
+    // tokenizer, shipped shard-partitioned, and manifested FROM DISK.
+    // The reconciliation columns close the loop with the card:
+    // kept_docs is the card's survivor count (same curated frame);
+    // docs_ok pins that every packable survivor (n_toks > 0 — a
+    // zero-piece doc occupies no slot by the span law) and nothing
+    // else reached the artifact; tokens_ok pins that the shipped spans
+    // tile the survivors' token mass EXACTLY (no token lost or
+    // duplicated through pack+ship). The oracle chains the curate CTEs
+    // into the span arithmetic — the composition is hash-gated, not an
+    // on-paper property of the parts.
+    "pipe_seqs_curated" -> ((s, dir) => {
+      val exportDir = graft.sources.TempDirs.scratch("graft_seqcur_")
+      val counts = curatedCounts(s, dir)
+        .localCheckpoint(true) // ship + reconciliation both read it
+      exportShip(seqSpansOfCounts(counts), exportDir)
+      val man = seqExportManifest(s, exportDir)
+        .localCheckpoint(true) // shard rows + shipped-token total
+      val rec = counts.agg(
+        count(lit(1)).cast("long").as("kept_docs"),
+        coalesce(sum(when(col("n_toks") > 0L, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("packable_docs"),
+        coalesce(sum("n_toks"), lit(0L)).cast("long").as("kept_bpe_tokens"))
+      val shipTot = man.agg(coalesce(sum("n_tokens"), lit(0L))
+        .cast("long").as("shipped_tokens"))
+      val shipDocs = s.read.parquet(exportDir)
+        .agg(countDistinct(col("doc_id")).cast("long").as("shipped_docs"))
+      man.crossJoin(broadcast(rec)).crossJoin(broadcast(shipDocs))
+        .crossJoin(broadcast(shipTot))
+        .select(col("shard"), col("n_spans"), col("n_seqs"), col("n_full"),
+          col("n_tokens"), col("content_fp"), col("kept_docs"),
+          col("packable_docs"), col("shipped_docs"),
+          col("kept_bpe_tokens"), col("shipped_tokens"),
+          (col("shipped_docs") === col("packable_docs")).as("docs_ok"),
+          (col("shipped_tokens") === col("kept_bpe_tokens")).as("tokens_ok"))
+        .orderBy("shard")
     }),
 
     // the APPEND leg of the sequence artifact (the pipe_export triad at
@@ -2060,6 +2151,22 @@ object PipelineQueries {
     * verified MinHash pairs), quality-gated and language-filtered.
     * Shared by pipe_curate and pipe_dataset_card.
     */
+  /** The curate→pack bridge: per-SURVIVOR BPE piece counts, shard-
+    * keyed — [[curateKept]]'s survivor set counted under the FROZEN
+    * corpus-fitted tokenizer ([[TextQueries.bpeDocPiecesOf]]; the
+    * tokenizer does not drift when the survivor set does — the shipped
+    * `_tokenizer` stays the corpus-trained artifact whatever subset
+    * packs). This is the `(doc_id, shard, n_toks)` frame
+    * [[seqSpansOfCounts]] packs, so the curated export is the SAME
+    * span arithmetic over the card's exact population. Shared by
+    * pipe_seqs_curated and its PlanShapeSpec pin.
+    */
+  private[graft] def curatedCounts(s: SparkSession, dir: String): DataFrame =
+    TextQueries.bpeDocPiecesOf(s, dir,
+        curateKept(s, dir).select("doc_id", "text"))
+      .select(col("doc_id"), docShard(col("doc_id")).as("shard"),
+        col("n_toks"))
+
   private def curateKept(s: SparkSession, dir: String): DataFrame = {
     val c = DedupQueries.corpus(s, dir)
     val cc = Dedup.connectedComponents(
@@ -2654,7 +2761,10 @@ object PipelineQueries {
 
     // the loader's fixed-width range splits over the epoch-0 keys,
     // replayed from the same md5-60 arithmetic; range partitioning
-    // never moves values, so the receipt is exchange-invariant
+    // never moves values, so the receipt is exchange-invariant. The
+    // balance gate (max-over-mean bucket mass, integer percent) rides
+    // along as constant columns — the skew half of the throughput
+    // contract, hash-gated.
     "pipe_seqs_loader_batches" ->
       TextQueries.mat(s"""WITH ${seqTokenIdCtes("TRUE")}, lb_seqs AS (
          |  SELECT shard, seq_id, CAST(COUNT(*) AS BIGINT) AS n_toks
@@ -2665,16 +2775,28 @@ object PipelineQueries {
          |      'ep:0:' || CAST(shard AS VARCHAR) || ':'
          |      || CAST(seq_id AS VARCHAR))), 1, 15)) AS BIGINT) AS order_key
          |  FROM lb_seqs
+         |), lb_buckets AS (
+         |  SELECT order_key >> 56 AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS n_seqs,
+         |    CAST(SUM(n_toks) AS BIGINT) AS n_toks,
+         |    MIN(order_key) AS key_lo, MAX(order_key) AS key_hi,
+         |    CAST(bit_xor(order_key) AS BIGINT) AS keys_fp
+         |  FROM lb_keys GROUP BY 1
+         |), lb_ext AS (
+         |  SELECT MAX(n_toks) AS gate_max,
+         |    CAST(SUM(n_toks) AS BIGINT) AS gate_tot,
+         |    CAST(COUNT(*) AS BIGINT) AS gate_n
+         |  FROM lb_buckets
          |)
-         |SELECT order_key >> 56 AS bucket,
-         |  CAST(COUNT(*) AS BIGINT) AS n_seqs,
-         |  CAST(SUM(n_toks) AS BIGINT) AS n_toks,
-         |  MIN(order_key) AS key_lo, MAX(order_key) AS key_hi,
-         |  CAST(bit_xor(order_key) AS BIGINT) AS keys_fp
-         |FROM lb_keys GROUP BY 1 ORDER BY 1""".stripMargin),
+         |SELECT bucket, n_seqs, n_toks, key_lo, key_hi, keys_fp,
+         |  CAST((gate_max * gate_n * 100) // gate_tot AS BIGINT)
+         |    AS balance_pct,
+         |  (gate_max * gate_n * 100) // gate_tot <= $LoaderBalancePct
+         |    AS balance_ok
+         |FROM lb_buckets, lb_ext ORDER BY bucket""".stripMargin),
 
     // the mm loader's splits: identical key arithmetic over the
-    // mm_ids seq inventory, slot mass per split
+    // mm_ids seq inventory, slot mass per split, same balance gate
     "pipe_seqs_mm_loader_batches" ->
       TextQueries.mat(s"""WITH ${seqMmIdCtes("TRUE")}, mlb_seqs AS (
          |  SELECT shard, seq_id, CAST(COUNT(*) AS BIGINT) AS n_slots
@@ -2685,13 +2807,25 @@ object PipelineQueries {
          |      'ep:0:' || CAST(shard AS VARCHAR) || ':'
          |      || CAST(seq_id AS VARCHAR))), 1, 15)) AS BIGINT) AS order_key
          |  FROM mlb_seqs
+         |), mlb_buckets AS (
+         |  SELECT order_key >> 56 AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS n_seqs,
+         |    CAST(SUM(n_slots) AS BIGINT) AS n_slots,
+         |    MIN(order_key) AS key_lo, MAX(order_key) AS key_hi,
+         |    CAST(bit_xor(order_key) AS BIGINT) AS keys_fp
+         |  FROM mlb_keys GROUP BY 1
+         |), mlb_ext AS (
+         |  SELECT MAX(n_slots) AS gate_max,
+         |    CAST(SUM(n_slots) AS BIGINT) AS gate_tot,
+         |    CAST(COUNT(*) AS BIGINT) AS gate_n
+         |  FROM mlb_buckets
          |)
-         |SELECT order_key >> 56 AS bucket,
-         |  CAST(COUNT(*) AS BIGINT) AS n_seqs,
-         |  CAST(SUM(n_slots) AS BIGINT) AS n_slots,
-         |  MIN(order_key) AS key_lo, MAX(order_key) AS key_hi,
-         |  CAST(bit_xor(order_key) AS BIGINT) AS keys_fp
-         |FROM mlb_keys GROUP BY 1 ORDER BY 1""".stripMargin),
+         |SELECT bucket, n_seqs, n_slots, key_lo, key_hi, keys_fp,
+         |  CAST((gate_max * gate_n * 100) // gate_tot AS BIGINT)
+         |    AS balance_pct,
+         |  (gate_max * gate_n * 100) // gate_tot <= $LoaderBalancePct
+         |    AS balance_ok
+         |FROM mlb_buckets, mlb_ext ORDER BY bucket""".stripMargin),
 
     // quality-desc curriculum keys: the per-row double quality is
     // bit-identical cross-engine; everything after is integer
@@ -2748,6 +2882,57 @@ object PipelineQueries {
     // ship -> read-back -> manifest must equal the manifest of the
     // packing arithmetic itself (the pipe_export discipline)
     "pipe_seqs_export" -> seqExportSqlWhere("TRUE"),
+
+    // curate→pack→ship composed: the curate chain (recursive cluster
+    // closure + quality/lang gate) feeds curated_text, the BPE chain
+    // (trained on the full corpus — the frozen artifact) counts ONLY
+    // those survivors, and the span arithmetic + manifest replay the
+    // shipped artifact; reconciliation totals ride as constants. The
+    // mat() pin wraps only the token-side CTEs — a RECURSIVE list
+    // member must stay un-materialized.
+    "pipe_seqs_curated" -> (curateKeptSql + s""",
+       |curated_text AS (
+       |  SELECT cu.doc_id, c.text
+       |  FROM curated cu JOIN corpus c ON c.doc_id = cu.doc_id
+       |),
+       |""".stripMargin +
+      TextQueries.mat(
+        s"""${TextQueries.bpeDocPiecesCtesOf("curated_text")}, ${seqSpansCtesWhere("TRUE")}, fills AS (
+           |  SELECT shard, seq_id,
+           |    CAST(SUM(tok_end - tok_begin) AS BIGINT) AS fill
+           |  FROM seq_spans GROUP BY shard, seq_id
+           |), per_seq AS (
+           |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           |    CAST(SUM(CASE WHEN fill = $PackSeqLen THEN 1 ELSE 0 END) AS BIGINT) AS n_full
+           |  FROM fills GROUP BY shard
+           |), per_span AS (
+           |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           |    CAST(SUM(tok_end - tok_begin) AS BIGINT) AS n_tokens,
+           |    CAST(bit_xor(CAST(concat('0x', substr(md5(concat('$PackSalt:',
+           |      CAST(doc_id AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR) || ':' ||
+           |      CAST(tok_begin AS VARCHAR) || ':' || CAST(tok_end AS VARCHAR) || ':' ||
+           |      CAST(seq_off AS VARCHAR))), 1, 15)) AS BIGINT)) AS BIGINT) AS content_fp
+           |  FROM seq_spans GROUP BY shard
+           |), rec AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS kept_docs,
+           |    CAST(COALESCE(SUM(CASE WHEN n_toks > 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |      AS packable_docs,
+           |    CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS kept_bpe_tokens
+           |  FROM seq_b
+           |), shiptot AS (
+           |  SELECT CAST(COALESCE(SUM(tok_end - tok_begin), 0) AS BIGINT)
+           |      AS shipped_tokens,
+           |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS shipped_docs
+           |  FROM seq_spans
+           |)
+           |SELECT shard, n_spans, n_seqs, n_full, n_tokens, content_fp,
+           |  kept_docs, packable_docs, shipped_docs, kept_bpe_tokens,
+           |  shipped_tokens,
+           |  shipped_docs = packable_docs AS docs_ok,
+           |  shipped_tokens = kept_bpe_tokens AS tokens_ok
+           |FROM per_span JOIN per_seq USING (shard)
+           |CROSS JOIN rec CROSS JOIN shiptot
+           |ORDER BY shard""".stripMargin)),
 
     // the delta-maintained span artifact converges to the one-shot
     // export: same oracle by design

@@ -1037,6 +1037,19 @@ object SimilarityQueries {
     // build). Oracle: the snake-deal assignment replayed from the
     // base-corpus scores + the union's per-dim scores re-aggregated
     // per assigned subspace.
+    //
+    // COMPARE SURFACE = the policy's DECISION DIAL in BIGINT, not the
+    // raw DECIMAL(38,0) masses: r16's driver artifact recorded a
+    // hash_match=false on this query that two idle re-runs adjudicated
+    // as a DuckDB-under-load value flake on the wide-decimal compare
+    // (Spark output bit-identical both times). What the refit policy
+    // actually reads is each subspace's share of the max and the
+    // max/min ratio, both exact integer quotients of exact integer
+    // sums — fold to those (IntegralDivide on DECIMAL is the exact
+    // quotient on both engines, floor == truncate on nonnegative
+    // scores), so a single-shot checker compares three BIGINTs per
+    // row. The raw masses stay available via
+    // [[graft.sources.AnnIndex.opqSubspaceVarStats]] (spec-pinned).
     "sim_ann_opq_drift" -> ((s, dir) => {
       val idxDir = graft.sources.TempDirs.scratch("graft_opqdrift_")
       // checkpoint-once: perm fit, train, bulk load, drift derivation
@@ -1048,8 +1061,20 @@ object SimilarityQueries {
       graft.sources.AnnIndex.upsertPq(s, idxDir, all) // bulk load
       val (drift, _) = driftWave(all)
       graft.sources.AnnIndex.upsertPq(s, idxDir, drift)
-      graft.sources.AnnIndex
+      val scored = graft.sources.AnnIndex
         .opqSubspaceVarStats(s, idxDir, all.unionByName(drift))
+      // 1-row extremes broadcast onto the m subspace rows — no
+      // unpartitioned window enters the registered plan
+      val ext = scored.agg(max(col("var_score")).as("max_var"),
+        min(col("var_score")).as("min_var"))
+      scored.crossJoin(broadcast(ext))
+        .select(col("subspace"), col("n_dims"),
+          expr("CAST((var_score * 1000) DIV " +
+            "greatest(max_var, CAST(1 AS DECIMAL(38,0))) AS BIGINT)")
+            .as("permille_of_max"),
+          expr("CAST((max_var * 100) DIV " +
+            "greatest(min_var, CAST(1 AS DECIMAL(38,0))) AS BIGINT)")
+            .as("ratio_pct"))
         .orderBy("subspace")
     }),
 
@@ -1705,7 +1730,11 @@ object SimilarityQueries {
 
     // the snake-deal perm replayed from base-corpus integer scores,
     // union per-dim scores re-aggregated per assigned subspace — all
-    // integer/decimal arithmetic, engine-exact
+    // integer/decimal arithmetic, engine-exact; the SELECT folds the
+    // DECIMAL masses to the policy's BIGINT dial (exact HUGEINT floor
+    // division on nonnegative scores — mirrors Spark's DIV), keeping
+    // the driver's single-shot compare off wide decimals (the r16
+    // flake surface)
     "sim_ann_opq_drift" ->
       s"""WITH $driftVecsCtes, dim_q AS (
          |  SELECT pos - 1 AS pos, CAST(COUNT(*) AS BIGINT) AS n,
@@ -1731,12 +1760,22 @@ object SimilarityQueries {
          |  FROM (SELECT UNNEST(v) AS x,
          |          UNNEST(generate_series(1, len(v))) AS pos FROM vecs)
          |  GROUP BY 1
+         |), scored AS (
+         |  SELECT CAST(subspace AS BIGINT) AS subspace,
+         |    CAST(COUNT(*) AS BIGINT) AS n_dims,
+         |    CAST(SUM(n * sq2 - sq * sq) AS HUGEINT) AS var_score
+         |  FROM union_q JOIN sub_assign USING (pos)
+         |  GROUP BY 1
+         |), ext AS (
+         |  SELECT MAX(var_score) AS max_var, MIN(var_score) AS min_var
+         |  FROM scored
          |)
-         |SELECT CAST(subspace AS BIGINT) AS subspace,
-         |  CAST(COUNT(*) AS BIGINT) AS n_dims,
-         |  CAST(SUM(n * sq2 - sq * sq) AS DECIMAL(38,0)) AS var_score
-         |FROM union_q JOIN sub_assign USING (pos)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+         |SELECT subspace, n_dims,
+         |  CAST((var_score * 1000) // GREATEST(max_var, 1) AS BIGINT)
+         |    AS permille_of_max,
+         |  CAST((max_var * 100) // GREATEST(min_var, 1) AS BIGINT)
+         |    AS ratio_pct
+         |FROM scored, ext ORDER BY subspace""".stripMargin,
 
     "sim_ann_pq_idx" ->
       s"""WITH $vecsCte, $pqCtes, $pqResCtes

@@ -558,10 +558,20 @@ object TextQueries {
     * — the token counter a training-sequence packer budgets by
     * (pipe_seqs). One row per document: (doc_id, n_toks).
     */
-  private[graft] def bpeDocPieces(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bpeDocPieces(s: SparkSession, dir: String): DataFrame =
+    bpeDocPiecesOf(s, dir, Tables.documents(s, dir))
+
+  /** [[bpeDocPieces]] over an EXPLICIT `(doc_id, text)` frame — the
+    * curate→pack composition counts ONLY the curation survivors, under
+    * the same frozen artifact (tokenization must not drift when the
+    * survivor set does; the shipped `_tokenizer` is the corpus-trained
+    * one whatever subset packs). Row-local codegen fold, no shuffle.
+    */
+  private[graft] def bpeDocPiecesOf(s: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
     val merges = graft.sources.BpeStore
       .load(s, bpeEnsureArtifact(s, dir)).map(r => (r._2, r._3))
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"),
         aggregate(transform(TextAnalysis.tokens(col("text")),
           t => bpePieceLen(bpeApplied(merges)(t))),
@@ -1357,7 +1367,15 @@ object TextQueries {
     * shared by pipe_seqs' oracle (the SQL twin of [[bpeDocPieces]]).
     * Prepend directly after WITH.
     */
-  private[graft] lazy val bpeDocPiecesCtes: String = {
+  private[graft] lazy val bpeDocPiecesCtes: String =
+    bpeDocPiecesCtesOf("documents")
+
+  /** [[bpeDocPiecesCtes]] with the SOURCE RELATION a parameter — the
+    * curate→pack composition's oracle counts pieces over the curated
+    * survivor CTE instead of the raw table (the SQL twin of
+    * [[bpeDocPiecesOf]]). `rel` must expose (doc_id, text).
+    */
+  private[graft] def bpeDocPiecesCtesOf(rel: String): String = {
     val mgCols = (1 to BpeMerges).map(r =>
       s"(SELECT a FROM t$r) AS a$r, (SELECT b FROM t$r) AS b$r").mkString(", ")
     val wrap = "'<' || array_to_string(list_transform(" +
@@ -1375,7 +1393,7 @@ object TextQueries {
        |  FROM (
        |    SELECT doc_id, list_transform(toks, t -> $rep) AS ms
        |    FROM (SELECT doc_id, list_filter(string_split(text, ' '),
-       |            t -> t != '') AS toks FROM documents)
+       |            t -> t != '') AS toks FROM $rel)
        |    CROSS JOIN bpe_mg
        |  )
        |)""".stripMargin
@@ -1444,10 +1462,24 @@ object TextQueries {
     * bit-identical results across the whole token/mm oracle family.
     * Idempotent (already-materialized CTEs don't match the pattern);
     * safe on these strings because no oracle uses a named WINDOW
-    * clause (the only other `name AS (` form in SQL).
+    * clause (the only other `name AS (` form in SQL) — and that
+    * precondition is now a loud gate, not an assumption: a future
+    * oracle with a named WINDOW clause or a string literal containing
+    * ` AS (` would otherwise be silently rewritten into invalid SQL.
     */
-  private[graft] def mat(sql: String): String =
+  private[graft] def mat(sql: String): String = {
+    require(!sql.toUpperCase.contains("WINDOW "),
+      "mat(): oracle uses a named WINDOW clause — the blind ' AS (' " +
+        "rewrite would corrupt it; anchor the pin by hand for this oracle")
+    // odd-indexed segments of a quote-split are the literal bodies
+    // (SQL escapes a quote by doubling it, which only splits a literal
+    // into more odd segments — still covered)
+    require(!sql.split("'", -1).zipWithIndex
+      .exists { case (seg, i) => i % 2 == 1 && seg.contains(" AS (") },
+      "mat(): oracle has a string literal containing ' AS (' — the " +
+        "blind rewrite would edit inside the literal")
     sql.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
+  }
 
   /** The BPE training loop unrolled as static CTEs (v0 + one
     * (pairs, top-1, apply, stats) block per round) — shared by the

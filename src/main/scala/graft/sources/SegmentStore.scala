@@ -83,6 +83,34 @@ import org.apache.spark.sql.functions._
   * leading dot ⇒ invisible to partition discovery, so a concurrent
   * root reader can never see a retired copy as data); every entry
   * point rolls parked subtrees forward.
+  *
+  * COMPACTOR rule (the writer rule's other half): at most ONE
+  * compactor per store (per writer subtree in the multi-writer
+  * layout) — in practice the subtree's own writer, folding between
+  * its appends, which the flat modes' one-writer rule already gives
+  * for free. Concurrent folds of one subtree would race the two-rename
+  * swap itself. Epoch readers get a weaker, still-loud guarantee
+  * against the one racer the rule does NOT exclude (a fold landing
+  * while a [[mergedAsOfEpoch]] read is in flight): the read guards
+  * watermark coverage twice — before planning and again after the
+  * scan's file listing is pinned — so a fold landing between them is
+  * caught as a thrown coverage error, and one landing after the
+  * second guard swaps the listed files away, failing the read's
+  * execution loudly (FileNotFound on a pinned file). Neither race can
+  * yield a silent-partial snapshot; eliminating even the loud window
+  * needs the one-compactor rule above.
+  *
+  * EPOCH-COMMITTER rule: ONE coordination job commits epochs per
+  * store. [[commitEpoch]]'s staging is per-attempt and its publish
+  * refuses an existing destination (`FileContext.rename(Rename.NONE)`),
+  * so even racing duplicate commits lose loudly, never tear a
+  * manifest — but on a filesystem with NO AbstractFileSystem binding
+  * the fallback path's re-check-then-rename leaves a same-instant
+  * double-commit window that cannot be closed from the old API; on
+  * such schemes the single-committer rule is a hard requirement, not
+  * hygiene (it is already implied by the caller's at-least-once retry
+  * semantics: re-fires of YOUR OWN commit are safe in every layout —
+  * spec-staged in SegmentStoreSpec).
   */
 object SegmentStore {
 
@@ -603,16 +631,34 @@ object SegmentStore {
         else {
           val ours = vec.toSeq.sorted
             .map { case (w, s2) => s"$w\t$s2\n" }.mkString
-          val now = try {
+          // Read-back failure modes are DISTINCT: a readable manifest
+          // with different bytes is a detected overwrite race — report
+          // false, the other committer's vector stands. A manifest we
+          // cannot READ is not evidence of a race: our rename already
+          // returned true, and on these no-AbstractFileSystem schemes
+          // the single-committer contract (above) is what rules the
+          // race out — so a transient read-back IO failure must not
+          // demote a successful commit to "already committed by
+          // someone else" (the caller would then skip recording OUR
+          // epoch as its own). Report true on unreadable, false only
+          // on a genuine content mismatch.
+          scala.util.Try {
             val in = f.open(dst)
             try {
               val buf = new java.io.ByteArrayOutputStream()
               org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
               new String(buf.toByteArray, "UTF-8")
             } finally in.close()
-          } catch { case _: Throwable => "" }
-          now == ours
+          }.map(_ == ours).getOrElse(true)
         }
+      case e: Throwable =>
+        // An FS signalling dest-exists through a type outside the
+        // caught set (a generic IOException is common) must not leave
+        // the per-attempt staging file behind as permanent debris:
+        // rename either moved tmp (delete is a no-op) or left it (we
+        // remove it) — then propagate, the caller decides.
+        scala.util.Try(f.delete(tmp, true))
+        throw e
     }
   }
 

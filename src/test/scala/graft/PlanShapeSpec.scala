@@ -439,6 +439,27 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("pipe_seqs_curated: the curated pack is ONE shard exchange past the staged survivor counts — the curate subtree's cost never re-enters the span arithmetic") {
+    // the query stages curatedCounts behind a localCheckpoint, so the
+    // pack plan the cluster actually runs starts at the checkpoint
+    // scan: exactly one Exchange (hashpartitioning on shard — the
+    // span window's), every window partitioned, no ScalaUDF
+    val counts = graft.queries.PipelineQueries
+      .curatedCounts(spark, sfDir).localCheckpoint(true)
+    val plan = graft.queries.PipelineQueries
+      .seqSpansOfCounts(counts).queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges == 1, s"curated pack shipped $exchanges exchanges:\n$plan")
+    assert(plan.contains("hashpartitioning(shard"), plan)
+    plan.linesIterator
+      .filter(l => l.contains("Window [") && !l.contains("WindowGroupLimit"))
+      .foreach { l =>
+        assert(l.contains("[shard#") || l.contains(", shard#"),
+          s"unpartitioned window in the curated pack: $l")
+      }
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("pipe_seqs_loader_batches: loader read range-partitions on order_key, never globally sorts the keys") {
     Seq("pipe_seqs_loader_batches", "pipe_seqs_mm_loader_batches").foreach { n =>
       val plan = qe(n).executedPlan.toString

@@ -568,6 +568,53 @@ class SegmentStoreSpec extends AnyFunSuite {
     assert(!names.exists(_.endsWith(".tmp")), names.toString)
   }
 
+  test("commitEpoch same-instant race: the publish primitive itself refuses an existing destination (single-committer is hygiene here, a hard rule only on no-AbstractFileSystem schemes)") {
+    // Stage the race the exists() pre-check cannot see: a second
+    // committer that already passed the check and holds a staged tmp
+    // when the winner's manifest lands. On every scheme with an
+    // AbstractFileSystem binding (file:// included), the publish is
+    // FileContext.rename(Rename.NONE), which refuses the existing
+    // destination — so the loser fails loudly INSIDE the rename and
+    // the winner's manifest survives byte-identical. This is the
+    // property the class doc's EPOCH-COMMITTER rule leans on; the
+    // documented residual window exists only where this primitive is
+    // unavailable (UnsupportedFileSystemException fallback).
+    val path = tmpStore
+    assert(SegmentStore.appendExactlyOnce(batch("u1" -> 3L), path, "wa", 0L))
+    assert(SegmentStore.commitEpoch(spark, path, 0L)) // the winner
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(s"$path/.epochs/epoch-0")
+    val f = dst.getFileSystem(conf)
+    val before = {
+      val in = f.open(dst)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+    }
+    // the loser's per-attempt staged tmp, carrying a LATER vector
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/.epochs/.epoch-0.racer.tmp")
+    val out = f.create(tmp, true)
+    try out.write("wa\t99\n".getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+    intercept[Exception] {
+      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+    }
+    val after = {
+      val in = f.open(dst)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+    }
+    assert(after == before,
+      "the racing publish replaced a committed epoch manifest")
+    assert(SegmentStore.epochVector(spark, path, 0L) == Map("wa" -> 0L))
+  }
+
   test("epoch commits over live streams: the coordination job freezes consistent snapshots between micro-batch rounds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
