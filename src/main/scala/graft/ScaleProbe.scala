@@ -49,11 +49,22 @@ object ScaleProbe {
     // the corpus grows — exactly the 100 TB read pattern.
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     val embN = (0 until factor).map { c =>
+      // rotation index wraps at the 64-dim width (a raw `c` handed
+      // slice() negative lengths past factor 64); copies beyond one
+      // full rotation cycle additionally sign-flip one dimension per
+      // cycle, so every copy stays a DISTINCT unit-norm vector (no
+      // exact twins to quadratically inflate near-dup results) up to
+      // 64*64 copies
+      val r = c % 64
       val rot =
-        if (c == 0) col("embedding")
-        else concat(slice(col("embedding"), c + 1, 64 - c), slice(col("embedding"), 1, c))
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, 64 - r), slice(col("embedding"), 1, r))
+      val v =
+        if (c < 64) rot
+        else transform(rot, (x, i) =>
+          when(i === lit(c / 64 - 1), -x).otherwise(x))
       emb.select((col("vec_id") + lit(c.toLong * 100000000L)).as("vec_id"),
-        rot.as("embedding"), col("label"))
+        v.as("embedding"), col("label"))
     }.reduce(_ unionByName _)
     embN.write.mode("overwrite").parquet(s"$stage/embeddings.parquet")
 

