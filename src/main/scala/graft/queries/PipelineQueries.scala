@@ -1497,7 +1497,11 @@ object PipelineQueries {
     // on-paper property of the parts.
     "pipe_seqs_curated" -> ((s, dir) => {
       val exportDir = graft.sources.TempDirs.scratch("graft_seqcur_")
-      val counts = curatedCounts(s, dir)
+      val kept = curateKept(s, dir).select("doc_id", "text")
+        .localCheckpoint(true) // BPE counts + the card's ws-token mass
+      val counts = TextQueries.bpeDocPiecesOf(s, dir, kept)
+        .select(col("doc_id"), docShard(col("doc_id")).as("shard"),
+          col("n_toks"))
         .localCheckpoint(true) // ship + reconciliation both read it
       exportShip(seqSpansOfCounts(counts), exportDir)
       val man = seqExportManifest(s, exportDir)
@@ -1507,16 +1511,24 @@ object PipelineQueries {
         coalesce(sum(when(col("n_toks") > 0L, 1L).otherwise(0L)), lit(0L))
           .cast("long").as("packable_docs"),
         coalesce(sum("n_toks"), lit(0L)).cast("long").as("kept_bpe_tokens"))
+      // the EXACT quantity pipe_dataset_card reports as kept_tokens
+      // (whitespace token mass over the same survivor frame) — a
+      // consumer can diff this artifact's receipt against the shipped
+      // dataset card with no recomputation
+      val card = kept.agg(coalesce(sum(
+          TextAnalysis.tokenCount(col("text")).cast("long")), lit(0L))
+        .cast("long").as("kept_ws_tokens"))
       val shipTot = man.agg(coalesce(sum("n_tokens"), lit(0L))
         .cast("long").as("shipped_tokens"))
       val shipDocs = s.read.parquet(exportDir)
         .agg(countDistinct(col("doc_id")).cast("long").as("shipped_docs"))
       man.crossJoin(broadcast(rec)).crossJoin(broadcast(shipDocs))
-        .crossJoin(broadcast(shipTot))
+        .crossJoin(broadcast(shipTot)).crossJoin(broadcast(card))
         .select(col("shard"), col("n_spans"), col("n_seqs"), col("n_full"),
           col("n_tokens"), col("content_fp"), col("kept_docs"),
           col("packable_docs"), col("shipped_docs"),
           col("kept_bpe_tokens"), col("shipped_tokens"),
+          col("kept_ws_tokens"),
           (col("shipped_docs") === col("packable_docs")).as("docs_ok"),
           (col("shipped_tokens") === col("kept_bpe_tokens")).as("tokens_ok"))
         .orderBy("shard")
@@ -2960,14 +2972,19 @@ object PipelineQueries {
            |      AS shipped_tokens,
            |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS shipped_docs
            |  FROM seq_spans
+           |), card AS (
+           |  SELECT CAST(COALESCE(SUM(len(list_filter(
+           |      string_split(text, ' '), t -> t != ''))), 0) AS BIGINT)
+           |    AS kept_ws_tokens
+           |  FROM curated_text
            |)
            |SELECT shard, n_spans, n_seqs, n_full, n_tokens, content_fp,
            |  kept_docs, packable_docs, shipped_docs, kept_bpe_tokens,
-           |  shipped_tokens,
+           |  shipped_tokens, kept_ws_tokens,
            |  shipped_docs = packable_docs AS docs_ok,
            |  shipped_tokens = kept_bpe_tokens AS tokens_ok
            |FROM per_span JOIN per_seq USING (shard)
-           |CROSS JOIN rec CROSS JOIN shiptot
+           |CROSS JOIN rec CROSS JOIN shiptot CROSS JOIN card
            |ORDER BY shard""".stripMargin)),
 
     // the delta-maintained span artifact converges to the one-shot
