@@ -509,6 +509,34 @@ class StreamingMaintenanceSpec extends AnyFunSuite {
       "early-takedown-then-add diverged from the clean bootstrap")
   }
 
+  test("retract-only backfill: a legacy artifact missing _tokenizer becomes self-describing on its next takedown batch when the frozen BPE artifact is materialized") {
+    import spark.implicits._
+    val corpus = "/root/testdata/sf0.001"
+    val P = graft.queries.PipelineQueries
+    val ids = graft.sources.Tables.documents(spark, corpus).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val d = s"${graft.sources.TempDirs.scratch("graft_tokbackfill_")}/export"
+    // stage the LEGACY state: shards on disk, no _tokenizer dir (ship
+    // happened before the tokenizer-shipping discipline existed)
+    P.seqTokensMaintain(spark, corpus, d, Some(ids.toDF("doc_id")), None)
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tokDir = new org.apache.hadoop.fs.Path(s"$d/_tokenizer")
+    assert(fs.exists(tokDir)) // the add batch shipped it
+    fs.delete(tokDir, true)   // make it legacy
+    // the frozen BPE artifact IS materialized (the add batch above
+    // ensured it), so a takedown-only batch must backfill the ship —
+    // presence probe + vocab-sized write, no corpus-scale training
+    P.seqTokensMaintain(spark, corpus, d, None,
+      Some(ids.take(2).toDF("doc_id")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$d/_tokenizer/vocab")),
+      "retract-only batch left the legacy artifact non-self-describing")
+    // and the shipped vocab is the frozen one: the manifest's
+    // tokenizer_fp gate reads it without throwing, and a later add
+    // batch passes the drift check against it
+    P.seqTokensMaintain(spark, corpus, d, Some(ids.take(2).toDF("doc_id")), None)
+  }
+
   test("token repack crash recovery: re-running the same batch over a half-applied artifact converges (shard dirs independent + upsert idempotent)") {
     import spark.implicits._
     val corpus = "/root/testdata/sf0.001"
