@@ -104,6 +104,14 @@ object PipelineQueries {
     * constant, not to re-measure the probe's plateau.
     */
   final val LoaderBalancePct = 200L
+  /** [[LoaderBalancePct]] for the CURATED read: the survivor set is
+    * ~4% of the corpus, so at test SF the bucket masses are tens of
+    * sequences and multinomial noise dominates (measured 4xx pct at
+    * sf0.01); the bound scales the same structural-hot-split intent
+    * to that population. At deployment survivor counts the two bounds
+    * coincide in practice (balance tightens as 1/sqrt(mass)).
+    */
+  final val CuratedBalancePct = 600L
   /** pipe_seqs_mm: patch slots an image doc reserves (a 4x4 patch
     * grid), and the sentinel id filling them (outside the BPE vocab's
     * non-negative id space — the embedding router's modality switch).
@@ -229,15 +237,15 @@ object PipelineQueries {
     * construction: the 1-row extremes broadcast-cross-join onto the
     * (<= 16) bucket rows, no unpartitioned window enters the plan.
     */
-  private def loaderBalanceGate(buckets: DataFrame,
-      massCol: String): DataFrame = {
+  private def loaderBalanceGate(buckets: DataFrame, massCol: String,
+      boundPct: Long = LoaderBalancePct): DataFrame = {
     val ext = buckets.agg(max(col(massCol)).as("gate_max"),
       sum(col(massCol)).cast("long").as("gate_tot"),
       count(lit(1)).as("gate_n"))
     buckets.crossJoin(broadcast(ext))
       .withColumn("balance_pct",
         expr("CAST((gate_max * gate_n * 100) DIV gate_tot AS BIGINT)"))
-      .withColumn("balance_ok", col("balance_pct") <= lit(LoaderBalancePct))
+      .withColumn("balance_ok", col("balance_pct") <= lit(boundPct))
       .drop("gate_max", "gate_tot", "gate_n")
   }
 
@@ -1435,6 +1443,33 @@ object PipelineQueries {
           min("order_key").as("key_lo"), max("order_key").as("key_hi"),
           bit_xor(col("order_key")).as("keys_fp"))
       loaderBalanceGate(buckets, "n_slots").orderBy("bucket")
+    }),
+
+    // the consumer contract over the CURATED artifact — closing the
+    // loop a training-data user actually runs: curate -> pack -> ship
+    // (pipe_seqs_curated) -> RANGE-READ. The epoch-key derivation is
+    // generic over (shard, seq_id), so the curated span inventory
+    // takes it directly; same ONE-RangePartitioning plan shape, same
+    // fixed-width-range receipt and balance gate. The survivor set is
+    // SMALL at test SF (~200 docs -> ~40 seqs), so the gate uses the
+    // curated bound (multinomial noise over 16 buckets is
+    // proportionally larger on tiny populations — the gate still
+    // catches a structural hot split, which is unbounded).
+    "pipe_seqs_curated_loader" -> ((s, dir) => {
+      val counts = curatedCounts(s, dir).localCheckpoint(true)
+      val seqs = seqSpansOfCounts(counts)
+        .groupBy("shard", "seq_id")
+        .agg(sum(col("tok_end") - col("tok_begin")).as("n_toks"))
+      val buckets = seqs.withColumn("order_key", epochOrderKey(lit(0L)))
+        .repartitionByRange(s.sessionState.conf.numShufflePartitions,
+          col("order_key"))
+        .withColumn("bucket", shiftright(col("order_key"), 56))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_seqs"), sum("n_toks").as("n_toks"),
+          min("order_key").as("key_lo"), max("order_key").as("key_hi"),
+          bit_xor(col("order_key")).as("keys_fp"))
+      loaderBalanceGate(buckets, "n_toks", CuratedBalancePct)
+        .orderBy("bucket")
     }),
 
     // the quality-first epoch-0 leg: token-weighted per-seq quality
@@ -2986,6 +3021,46 @@ object PipelineQueries {
            |FROM per_span JOIN per_seq USING (shard)
            |CROSS JOIN rec CROSS JOIN shiptot CROSS JOIN card
            |ORDER BY shard""".stripMargin)),
+
+    // the range read over the curated artifact: the same epoch-key
+    // and fixed-width-bucket replay as pipe_seqs_loader_batches,
+    // chained onto the curate CTEs' span arithmetic
+    "pipe_seqs_curated_loader" -> (curateKeptSql + s""",
+       |curated_text AS (
+       |  SELECT cu.doc_id, c.text
+       |  FROM curated cu JOIN corpus c ON c.doc_id = cu.doc_id
+       |),
+       |""".stripMargin +
+      TextQueries.mat(
+        s"""${TextQueries.bpeDocPiecesCtesOf("curated_text")}, ${seqSpansCtesWhere("TRUE")}, cl_seqs AS (
+           |  SELECT shard, seq_id,
+           |    CAST(SUM(tok_end - tok_begin) AS BIGINT) AS n_toks
+           |  FROM seq_spans GROUP BY shard, seq_id
+           |), cl_keys AS (
+           |  SELECT n_toks,
+           |    CAST(concat('0x', substr(md5(concat('$PackSalt:',
+           |      'ep:0:' || CAST(shard AS VARCHAR) || ':'
+           |      || CAST(seq_id AS VARCHAR))), 1, 15)) AS BIGINT) AS order_key
+           |  FROM cl_seqs
+           |), cl_buckets AS (
+           |  SELECT order_key >> 56 AS bucket,
+           |    CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           |    CAST(SUM(n_toks) AS BIGINT) AS n_toks,
+           |    MIN(order_key) AS key_lo, MAX(order_key) AS key_hi,
+           |    CAST(bit_xor(order_key) AS BIGINT) AS keys_fp
+           |  FROM cl_keys GROUP BY 1
+           |), cl_ext AS (
+           |  SELECT MAX(n_toks) AS gate_max,
+           |    CAST(SUM(n_toks) AS BIGINT) AS gate_tot,
+           |    CAST(COUNT(*) AS BIGINT) AS gate_n
+           |  FROM cl_buckets
+           |)
+           |SELECT bucket, n_seqs, n_toks, key_lo, key_hi, keys_fp,
+           |  CAST((gate_max * gate_n * 100) // gate_tot AS BIGINT)
+           |    AS balance_pct,
+           |  (gate_max * gate_n * 100) // gate_tot <= $CuratedBalancePct
+           |    AS balance_ok
+           |FROM cl_buckets, cl_ext ORDER BY bucket""".stripMargin)),
 
     // the delta-maintained span artifact converges to the one-shot
     // export: same oracle by design

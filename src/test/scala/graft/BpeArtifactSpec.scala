@@ -126,4 +126,30 @@ class BpeArtifactSpec extends AnyFunSuite {
     val none = Seq((1L, "a b c a")).toDF("doc_id", "text")
     assert(graft.queries.TextQueries.bpeTrainRounds(spark, none).isEmpty)
   }
+
+  test("mat() pins CTEs and guards its own blind spots (named WINDOW, literal ' AS (')") {
+    val M = graft.queries.TextQueries
+    // the rewrite itself, and its idempotence on already-pinned CTEs
+    assert(M.mat("WITH a AS (SELECT 1), b AS (SELECT 2) SELECT * FROM b")
+      == "WITH a AS MATERIALIZED (SELECT 1), b AS MATERIALIZED (SELECT 2) " +
+         "SELECT * FROM b")
+    val pinned = "WITH a AS MATERIALIZED (SELECT 1) SELECT * FROM a"
+    assert(M.mat(pinned) == pinned)
+    // a named WINDOW clause is the other `name AS (` form in SQL — the
+    // blind rewrite would corrupt it into invalid SQL; must throw
+    intercept[IllegalArgumentException] {
+      M.mat("SELECT rank() OVER w FROM t WINDOW w AS (ORDER BY x)")
+    }
+    // a string literal containing ' AS (' would be edited in place
+    intercept[IllegalArgumentException] {
+      M.mat("WITH a AS (SELECT 'x AS (y' AS s) SELECT * FROM a")
+    }
+    // ...but quoted text NOT containing the pattern must pass, even
+    // when a legitimate `name AS (` sits BETWEEN two literals (a
+    // regex spanning quote boundaries — the guard's first draft —
+    // would false-positive here and reject every multi-literal oracle)
+    assert(M.mat("WITH a AS (SELECT concat('p:', x) AS s FROM t), " +
+        "b AS (SELECT 'q' AS u) SELECT * FROM a, b")
+      .contains("b AS MATERIALIZED ("))
+  }
 }
