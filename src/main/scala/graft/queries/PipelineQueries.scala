@@ -363,9 +363,18 @@ object PipelineQueries {
     * re-run the shard shuffle. Integer-exact throughout — the oracle
     * replays the interleave.
     */
-  private[graft] def seqMmTokens(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def seqMmTokens(s: SparkSession, dir: String): DataFrame =
+    seqMmTokensOf(s, dir, Tables.documents(s, dir))
+
+  /** [[seqMmTokens]] over an EXPLICIT `(doc_id, text)` frame — the
+    * curate→pack composition's VLM leg packs ONLY the survivors, same
+    * frozen tokenizer, same interleave law (a survivor with
+    * doc_id % 3 == 0 still reserves its patch run).
+    */
+  private[graft] def seqMmTokensOf(s: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
     val P = lit(MmSeqPatches.toLong)
-    val base = TextQueries.bpeDocPieceList(s, dir)
+    val base = TextQueries.bpeDocPieceListOf(s, dir, docs)
       .select(col("doc_id"),
         docShard(col("doc_id")).as("shard"),
         col("pieces"), size(col("pieces")).cast("long").as("n_toks"))
@@ -1361,6 +1370,37 @@ object PipelineQueries {
         .collect().map(_.getLong(0)).toSeq // <= PackShards rows
       seqRepackMmShards(s, exportDir, touched, Some(batch), None)
       seqMmManifest(s, exportDir)
+    }),
+
+    // CURATE → PACK → SHIP for the VLM artifact — pipe_seqs_curated's
+    // multimodal twin: ONLY the curation survivors interleave (an
+    // image survivor still reserves its patch run), under the same
+    // frozen tokenizer, shipped + manifested from disk with the
+    // tokenizer_fp self-identification. Reconciliation closes the loop
+    // with the card's population: kept_docs is the card's survivor
+    // count; slots_ok pins that the shipped slot mass (text tokens +
+    // patch placeholders) tiles the survivors' mass EXACTLY.
+    "pipe_seqs_mm_curated" -> ((s, dir) => {
+      val exportDir = graft.sources.TempDirs.scratch("graft_seqmmcur_")
+      val kept = curateKept(s, dir).select("doc_id", "text")
+        .localCheckpoint(true) // pack + reconciliation both read it
+      exportShip(seqMmTokensOf(s, dir, kept), exportDir)
+      shipTokenizer(s, dir, exportDir)
+      val man = seqMmManifest(s, exportDir)
+        .localCheckpoint(true) // shard rows + shipped-slot total
+      val P = lit(MmSeqPatches.toLong)
+      val rec = TextQueries.bpeDocPiecesOf(s, dir, kept).agg(
+        count(lit(1)).cast("long").as("kept_docs"),
+        coalesce(sum(when(col("doc_id") % 3 === 0, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("kept_image_docs"),
+        coalesce(sum(col("n_toks") +
+          when(col("doc_id") % 3 === 0, P).otherwise(lit(0L))), lit(0L))
+          .cast("long").as("kept_slots"))
+      val shipped = man.agg(coalesce(sum("n_slots"), lit(0L))
+        .cast("long").as("shipped_slots"))
+      man.crossJoin(broadcast(rec)).crossJoin(broadcast(shipped))
+        .withColumn("slots_ok", col("shipped_slots") === col("kept_slots"))
+        .orderBy("shard")
     }),
 
     // TAKEDOWN leg: a retracted image doc's PATCH SLOTS leave with its
@@ -2544,7 +2584,14 @@ object PipelineQueries {
     * the shared basis of the mm oracles.
     */
   private def seqMmIdCtes(pred: String): String =
-    s"""${TextQueries.bpeDocPieceListCtes}, ${TextQueries.bpeVocabCtes}, mm_b AS (
+    seqMmIdCtesOf("documents", pred)
+
+  /** [[seqMmIdCtes]] with the document SOURCE a parameter — the
+    * curated mm composition renders the survivor relation through the
+    * identical interleave chain.
+    */
+  private def seqMmIdCtesOf(rel: String, pred: String): String =
+    s"""${TextQueries.bpeDocPieceListCtesOf(rel)}, ${TextQueries.bpeVocabCtes}, mm_b AS (
        |  SELECT doc_id,
        |    CAST(concat('0x', substr(md5(concat('$PackSalt:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % $PackShards AS shard,
        |    pieces, CAST(len(pieces) AS BIGINT) AS n_toks,
@@ -3061,6 +3108,46 @@ object PipelineQueries {
            |  (gate_max * gate_n * 100) // gate_tot <= $CuratedBalancePct
            |    AS balance_ok
            |FROM cl_buckets, cl_ext ORDER BY bucket""".stripMargin)),
+
+    // the VLM curate→pack→ship: the curate CTEs feed the identical mm
+    // interleave chain (patch runs for image survivors included), the
+    // manifest reduce replays the shipped artifact, reconciliation
+    // constants ride along
+    "pipe_seqs_mm_curated" -> (curateKeptSql + s""",
+       |curated_text AS (
+       |  SELECT cu.doc_id, c.text
+       |  FROM curated cu JOIN corpus c ON c.doc_id = cu.doc_id
+       |),
+       |""".stripMargin +
+      TextQueries.mat(
+        s"""${seqMmIdCtesOf("curated_text", "TRUE")}, mc_rec AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS kept_docs,
+           |    CAST(COALESCE(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END), 0)
+           |      AS BIGINT) AS kept_image_docs,
+           |    CAST(COALESCE(SUM(n_toks + n_patch), 0) AS BIGINT) AS kept_slots
+           |  FROM mm_b
+           |), mc_ship AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS shipped_slots FROM mm_ids
+           |), mc_man AS (
+           |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_slots,
+           |    CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+           |    CAST(SUM(CASE WHEN patch_idx >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_patches,
+           |    CAST(bit_xor(CAST(concat('0x', substr(md5(concat('$PackSalt:',
+           |      CAST(seq_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':' ||
+           |      CAST(doc_id AS VARCHAR) || ':' ||
+           |      CAST(token_id AS VARCHAR) || ':' ||
+           |      CAST(patch_idx AS VARCHAR))), 1, 15)) AS BIGINT)) AS BIGINT)
+           |      AS content_fp,
+           |    (SELECT CAST(bit_xor(CAST(concat('0x', substr(md5(concat('$PackSalt:',
+           |      piece || ':' || CAST(token_id AS VARCHAR))), 1, 15))
+           |      AS BIGINT)) AS BIGINT) FROM bpe_vocab) AS tokenizer_fp
+           |  FROM mm_ids GROUP BY shard
+           |)
+           |SELECT shard, n_slots, n_seqs, n_patches, content_fp,
+           |  tokenizer_fp, kept_docs, kept_image_docs, kept_slots,
+           |  shipped_slots, shipped_slots = kept_slots AS slots_ok
+           |FROM mc_man, mc_rec, mc_ship ORDER BY shard""".stripMargin)),
 
     // the delta-maintained span artifact converges to the one-shot
     // export: same oracle by design

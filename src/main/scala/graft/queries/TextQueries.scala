@@ -1414,7 +1414,14 @@ object TextQueries {
     * form). Includes the rounds + bpe_mg CTEs, so compose it the same
     * way.
     */
-  private[graft] lazy val bpeDocPieceListCtes: String = {
+  private[graft] lazy val bpeDocPieceListCtes: String =
+    bpeDocPieceListCtesOf("documents")
+
+  /** [[bpeDocPieceListCtes]] with the SOURCE RELATION a parameter —
+    * the mm curate→pack composition's oracle (SQL twin of
+    * [[bpeDocPieceListOf]]). `rel` must expose (doc_id, text).
+    */
+  private[graft] def bpeDocPieceListCtesOf(rel: String): String = {
     val mgCols = (1 to BpeMerges).map(r =>
       s"(SELECT a FROM t$r) AS a$r, (SELECT b FROM t$r) AS b$r").mkString(", ")
     val wrap = "'<' || array_to_string(list_transform(" +
@@ -1430,7 +1437,7 @@ object TextQueries {
        |  FROM (
        |    SELECT doc_id, list_transform(toks, t -> $rep) AS ms
        |    FROM (SELECT doc_id, list_filter(string_split(text, ' '),
-       |            t -> t != '') AS toks FROM documents)
+       |            t -> t != '') AS toks FROM $rel)
        |    CROSS JOIN bpe_mg
        |  )
        |)""".stripMargin
