@@ -13,7 +13,14 @@ object Verify {
     // Dev loop: SPARK_GRAFT_ONLY=a,b,c restricts the dump (driver leaves
     // it unset -> full run).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A typo'd name must fail loudly, not silently shrink the dump to
+    // the empty set (a dev loop that "passes" on zero queries).
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // Queries dump CONCURRENTLY (SPARK_GRAFT_VERIFY_PAR threads,
@@ -52,7 +59,19 @@ object Verify {
         }
       })
     }
-    tasks.foreach(_.get())
+    // A fatal error (OOM etc.) escapes the Runnable BY DESIGN — but
+    // FutureTask captures it rather than killing anything: main would
+    // die here in ExecutionException while the non-daemon pool threads
+    // keep writing parquet from a poisoned JVM and then hold it alive
+    // forever (a hang, with oracle_sql.json never written). halt() is
+    // the only call that stops in-flight writers immediately.
+    try tasks.foreach(_.get())
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[verify] FATAL, halting: ${e.getMessage}")
+        e.printStackTrace()
+        Runtime.getRuntime.halt(1)
+    }
     pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

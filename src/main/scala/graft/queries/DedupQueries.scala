@@ -43,6 +43,12 @@ object DedupQueries {
     */
   final val SubstrMaxDf = 50
 
+  /** Salt for dedup_substring_scrub's clean_text fingerprint — the
+    * BIGINT compare surface the driver's single-shot DuckDB checker
+    * reads instead of the raw long-VARCHAR text (the r17 flake class).
+    */
+  final val ScrubSalt = 31
+
   /** dedup_embedding blocking: 4 bands x 16 sign bits over the 64 dims. */
   final val EmbBands = 4
   final val EmbBitsPerBand = 16
@@ -432,6 +438,60 @@ object DedupQueries {
     }
   }
 
+
+  /** The applied ExactSubstr scrub with the RAW rebuilt text (keep-first
+    * span removal + positional anti-join rebuild — plan commentary on
+    * the registered `dedup_substring_scrub` entry). Exposed separately
+    * so PipelineSurfaceSpec can pin clean_text BYTE-LEVEL while the
+    * registered query ships only its (length, md5-60) BIGINT folds to
+    * the driver's single-shot DuckDB compare.
+    */
+  private[graft] def substringScrubbed(s: SparkSession, dir: String): DataFrame = {
+    val L = SubstrLen
+      val spans0 = substringRuns(s, dir)
+        .select(col("id_b").as("doc_id"), col("start_b").cast("long").as("s"),
+          (col("start_b") + col("run") + lit(L - 2)).cast("long").as("e"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("s", "e")
+      val merged = spans0
+        .withColumn("pmax", max("e").over(wOrd.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+        .withColumn("flag",
+          when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+        .withColumn("grp", sum("flag").over(wOrd.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "grp")
+        .agg(min("s").as("s"), max("e").as("e"))
+        .localCheckpoint(true) // feeds stats, the anti-join, and affected
+      val affected = merged.select("doc_id").distinct()
+      val stats = merged.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e") - col("s") + 1).cast("long").as("tokens_removed"))
+      val tokPos = corpus(s, dir).join(affected, "doc_id")
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          posexplode(col("toks")))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("pos") + 1).cast("long").as("pos"), col("col").as("tok"))
+        .localCheckpoint(true) // n_tokens side + kept side
+      val sp = merged.select(col("doc_id").as("m_doc"), col("s"), col("e"))
+      val rebuilt = tokPos
+        .join(sp, tokPos("doc_id") === sp("m_doc")
+          && tokPos("pos") >= sp("s") && tokPos("pos") <= sp("e"), "left_outer")
+        .filter(col("s").isNull)
+        .groupBy("doc_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("clean_text"))
+      tokPos.select("doc_id", "n_tokens").distinct()
+        .join(stats, "doc_id")
+        .join(rebuilt, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+          col("tokens_removed"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy on the text fingerprint.
@@ -611,51 +671,22 @@ object DedupQueries {
     // predicate — never a non-equi-only join) and an order-restoring
     // sorted fold. Per-doc span counts are pair-bounded, so the rebuild
     // is linear in affected-doc tokens.
-    "dedup_substring_scrub" -> ((s, dir) => {
-      val L = SubstrLen
-      val spans0 = substringRuns(s, dir)
-        .select(col("id_b").as("doc_id"), col("start_b").cast("long").as("s"),
-          (col("start_b") + col("run") + lit(L - 2)).cast("long").as("e"))
-      val wOrd = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("s", "e")
-      val merged = spans0
-        .withColumn("pmax", max("e").over(wOrd.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
-        .withColumn("flag",
-          when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
-        .withColumn("grp", sum("flag").over(wOrd.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-        .groupBy("doc_id", "grp")
-        .agg(min("s").as("s"), max("e").as("e"))
-        .localCheckpoint(true) // feeds stats, the anti-join, and affected
-      val affected = merged.select("doc_id").distinct()
-      val stats = merged.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(col("e") - col("s") + 1).cast("long").as("tokens_removed"))
-      val tokPos = corpus(s, dir).join(affected, "doc_id")
-        .withColumn("toks", TextAnalysis.tokens(col("text")))
-        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-          posexplode(col("toks")))
-        .select(col("doc_id"), col("n_tokens"),
-          (col("pos") + 1).cast("long").as("pos"), col("col").as("tok"))
-        .localCheckpoint(true) // n_tokens side + kept side
-      val sp = merged.select(col("doc_id").as("m_doc"), col("s"), col("e"))
-      val rebuilt = tokPos
-        .join(sp, tokPos("doc_id") === sp("m_doc")
-          && tokPos("pos") >= sp("s") && tokPos("pos") <= sp("e"), "left_outer")
-        .filter(col("s").isNull)
-        .groupBy("doc_id")
-        .agg(array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-            x => x.getField("tok")), " ").as("clean_text"))
-      tokPos.select("doc_id", "n_tokens").distinct()
-        .join(stats, "doc_id")
-        .join(rebuilt, Seq("doc_id"), "left_outer")
+    // COMPARE SURFACE = (length, 60-bit salted md5) of the rebuilt
+    // text, both BIGINT, NOT the raw clean_text VARCHAR: r17's driver
+    // artifact recorded hash_match=false on this query while two idle
+    // re-runs passed bit-exact — the same DuckDB-under-load single-shot
+    // value-compare flake class as r16's sim_ann_opq_drift, rotated to
+    // the next-widest compare surface (the scrub's long VARCHAR). The
+    // raw text itself stays pinned byte-level by PipelineSurfaceSpec
+    // (token-reconcile + fp/len tie-back over [[substringScrubbed]]).
+    "dedup_substring_scrub" -> ((s, dir) =>
+      substringScrubbed(s, dir)
         .select(col("doc_id"), col("n_tokens"), col("n_spans"),
           col("tokens_removed"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"))
-        .orderBy("doc_id")
-    }),
+          length(col("clean_text")).cast("long").as("clean_len"),
+          graft.functions.Md5Long60Expr(col("clean_text"), ScrubSalt)
+            .as("clean_fp"))
+        .orderBy("doc_id")),
 
     // INCREMENTAL dedup (cross-snapshot): today's crawl — the exact/near
     // variants — deduped against the STORED corpus, whose signatures are
@@ -1080,7 +1111,9 @@ object DedupQueries {
          |  FROM merged GROUP BY doc_id
          |)
          |SELECT a.doc_id, nt.n_tokens, st.n_spans, st.tokens_removed,
-         |       COALESCE(r.clean_text, '') AS clean_text
+         |       CAST(length(COALESCE(r.clean_text, '')) AS BIGINT) AS clean_len,
+         |       CAST(concat('0x', substr(md5(concat('$ScrubSalt:',
+         |         COALESCE(r.clean_text, ''))), 1, 15)) AS BIGINT) AS clean_fp
          |FROM affected a
          |JOIN (SELECT DISTINCT doc_id, n_tokens FROM tokpos) nt USING (doc_id)
          |JOIN stats st USING (doc_id)

@@ -32,6 +32,12 @@ object ForgetQueries {
     */
   final val JsonPageSize = 64
 
+  /** Salt for ft_json's data_json fingerprint — the BIGINT compare
+    * surface shipped to the driver instead of the raw JSON VARCHAR
+    * (the single-shot DuckDB wide-value flake class, r16/r17).
+    */
+  final val JsonFpSalt = 37
+
   /** ft_heavy_hitters_invariant: top-K report size, CMS relative-error
     * eps (error bound eps * stream length), confidence, and the fixed
     * seed that makes the sketch replay-deterministic.
@@ -101,6 +107,56 @@ object ForgetQueries {
   }
 
   // -------------------------------------------------------------- queries
+
+  /** The §1.4 JSON wire pages with the RAW serialized data_json —
+    * byte-level surface behind the registered ft_json query, which
+    * ships only (length, md5-60) BIGINT folds of each page to the
+    * driver's single-shot DuckDB compare (the r16/r17 wide-VARCHAR
+    * flake class). Shape pinned value-level by PipelineSurfaceSpec
+    * (parse + mass reconcile + fp/len tie-back), plan shape by
+    * PlanShapeSpec (bucket-bounded ranks only).
+    */
+  private[graft] def jsonPages(s: SparkSession, dir: String): DataFrame = {
+      val t = ft(s, dir)
+      def esc(c: org.apache.spark.sql.Column) =
+        replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\""))
+      val counts = t.counts
+      val zs = counts.groupBy("dist").agg(sum("count").as("z"))
+      val bucketed = counts.withColumn("bkt", substring(col("bin"), 1, 2))
+      val perBkt = bucketed.groupBy("dist", "bkt").agg(count(lit(1)).as("n"))
+      val lower = perBkt.select(col("dist").as("o_dist"),
+        col("bkt").as("o_bkt"), col("n").as("o_n"))
+      val off = perBkt
+        .join(lower,
+          col("dist") === col("o_dist") && col("o_bkt") < col("bkt"), "left")
+        .groupBy("dist", "bkt")
+        .agg(coalesce(sum("o_n"), lit(0L)).as("offset"))
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy("dist", "bkt").orderBy("bin")
+      bucketed
+        .join(broadcast(off), Seq("dist", "bkt"))
+        .withColumn("rank", col("offset") + row_number().over(wB))
+        .withColumn("page", ((col("rank") - 1) / lit(JsonPageSize)).cast("long"))
+        .join(broadcast(zs), Seq("dist"))
+        .withColumn("p",
+          round(col("count").cast("double") / col("z").cast("double"), 9))
+        .groupBy("dist", "page")
+        .agg(
+          max("z").as("z"),
+          concat(lit("["),
+            array_join(
+              transform(
+                sort_array(collect_list(struct(col("bin"), col("count"), col("p")))),
+                e => format_string("""{"bin":"%s","count":%d,"p":%.9f}""",
+                  esc(e.getField("bin")), e.getField("count"), e.getField("p"))),
+              ","),
+            lit("]")).as("data_json"))
+        .join(t.meta.select(col("dist"), col("rate")), Seq("dist"))
+        .select(col("dist"), col("page"), col("z"),
+          col("rate"), lit(true).as("prune"),
+          col("data_json"))
+        .orderBy("dist", "page")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ft_counts" -> ((s, dir) =>
@@ -759,47 +815,14 @@ object ForgetQueries {
     // self-join on that aggregate, and the only row_number runs inside
     // bounded (dist,bucket) partitions. A 10^8-bin hot distribution
     // spreads across its buckets instead of landing on one straggler.
-    "ft_json" -> ((s, dir) => {
-      val t = ft(s, dir)
-      def esc(c: org.apache.spark.sql.Column) =
-        replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\""))
-      val counts = t.counts
-      val zs = counts.groupBy("dist").agg(sum("count").as("z"))
-      val bucketed = counts.withColumn("bkt", substring(col("bin"), 1, 2))
-      val perBkt = bucketed.groupBy("dist", "bkt").agg(count(lit(1)).as("n"))
-      val lower = perBkt.select(col("dist").as("o_dist"),
-        col("bkt").as("o_bkt"), col("n").as("o_n"))
-      val off = perBkt
-        .join(lower,
-          col("dist") === col("o_dist") && col("o_bkt") < col("bkt"), "left")
-        .groupBy("dist", "bkt")
-        .agg(coalesce(sum("o_n"), lit(0L)).as("offset"))
-      val wB = org.apache.spark.sql.expressions.Window
-        .partitionBy("dist", "bkt").orderBy("bin")
-      bucketed
-        .join(broadcast(off), Seq("dist", "bkt"))
-        .withColumn("rank", col("offset") + row_number().over(wB))
-        .withColumn("page", ((col("rank") - 1) / lit(JsonPageSize)).cast("long"))
-        .join(broadcast(zs), Seq("dist"))
-        .withColumn("p",
-          round(col("count").cast("double") / col("z").cast("double"), 9))
-        .groupBy("dist", "page")
-        .agg(
-          max("z").as("z"),
-          concat(lit("["),
-            array_join(
-              transform(
-                sort_array(collect_list(struct(col("bin"), col("count"), col("p")))),
-                e => format_string("""{"bin":"%s","count":%d,"p":%.9f}""",
-                  esc(e.getField("bin")), e.getField("count"), e.getField("p"))),
-              ","),
-            lit("]")).as("data_json"))
-        .join(t.meta.select(col("dist"), col("rate")), Seq("dist"))
-        .select(col("dist"), col("page"), col("z"),
-          col("rate"), lit(true).as("prune"),
-          col("data_json"))
-        .orderBy("dist", "page")
-    })
+    "ft_json" -> ((s, dir) =>
+      jsonPages(s, dir)
+        .select(col("dist"), col("page"), col("z"), col("rate"),
+          col("prune"),
+          length(col("data_json")).cast("long").as("data_len"),
+          graft.functions.Md5Long60Expr(col("data_json"), JsonFpSalt)
+            .as("data_fp"))
+        .orderBy("dist", "page"))
   )
 
   // -------------------------------------------------------------- oracles
@@ -1172,14 +1195,21 @@ object ForgetQueries {
          |         CAST((ROW_NUMBER() OVER (PARTITION BY c.dist ORDER BY c.bin) - 1)
          |              // $JsonPageSize AS BIGINT) AS page
          |  FROM counts c JOIN zs USING (dist)
+         |),
+         |pages AS (
+         |  SELECT dist, page, z, m.rate, TRUE AS prune,
+         |         '[' || string_agg(
+         |           printf('{"bin":"%s","count":%d,"p":%.9f}',
+         |                  replace(replace(bin, '\', '\\'), '"', '\"'), "count", p),
+         |           ',' ORDER BY bin) || ']' AS data_json
+         |  FROM pg JOIN mrate m USING (dist)
+         |  GROUP BY dist, page, z, m.rate
          |)
-         |SELECT dist, page, z, m.rate, TRUE AS prune,
-         |       '[' || string_agg(
-         |         printf('{"bin":"%s","count":%d,"p":%.9f}',
-         |                replace(replace(bin, '\', '\\'), '"', '\"'), "count", p),
-         |         ',' ORDER BY bin) || ']' AS data_json
-         |FROM pg JOIN mrate m USING (dist)
-         |GROUP BY dist, page, z, m.rate ORDER BY dist, page""".stripMargin,
+         |SELECT dist, page, z, rate, prune,
+         |       CAST(length(data_json) AS BIGINT) AS data_len,
+         |       CAST(concat('0x', substr(md5(concat('$JsonFpSalt:', data_json)),
+         |         1, 15)) AS BIGINT) AS data_fp
+         |FROM pages ORDER BY dist, page""".stripMargin,
 
     // deterministic booleans (seeded replay) -> literal-TRUE oracle,
     // hash-gated like ft_sampled_invariant

@@ -1333,9 +1333,21 @@ object PipelineQueries {
     }),
 
     // dataloader-final shape: per-sequence ordered token stream +
-    // doc-boundary positions (the attention/loss-mask input)
+    // doc-boundary positions (the attention/loss-mask input).
+    // COMPARE SURFACE = (length, md5-60) folds of the two CSV streams,
+    // all BIGINT, NOT the raw multi-KB token strings (the r16/r17
+    // single-shot DuckDB wide-value flake class); the raw streams stay
+    // value-pinned by PipelineSurfaceSpec over [[seqTokensPacked]].
     "pipe_seqs_tokens_packed" -> ((s, dir) =>
-      seqTokensPacked(s, dir).orderBy("shard", "seq_id")),
+      seqTokensPacked(s, dir)
+        .select(col("shard"), col("seq_id"), col("n_toks"), col("n_docs"),
+          length(col("tokens")).cast("long").as("tokens_len"),
+          graft.functions.Md5Long60Expr(col("tokens"), PackSalt)
+            .as("tokens_fp"),
+          length(col("doc_starts")).cast("long").as("starts_len"),
+          graft.functions.Md5Long60Expr(col("doc_starts"), PackSalt)
+            .as("starts_fp"))
+        .orderBy("shard", "seq_id")),
 
     // MULTIMODAL sequences: image docs' text tokens followed by their
     // patch-placeholder slots, packed under the same shard-stream law;
@@ -2669,7 +2681,13 @@ object PipelineQueries {
        |    string_agg(CAST(p0 AS VARCHAR), ',' ORDER BY p0) AS doc_starts
        |  FROM starts GROUP BY shard, seq_id
        |)
-       |SELECT p.shard, p.seq_id, p.n_toks, b.n_docs, p.tokens, b.doc_starts
+       |SELECT p.shard, p.seq_id, p.n_toks, b.n_docs,
+       |  CAST(length(p.tokens) AS BIGINT) AS tokens_len,
+       |  CAST(concat('0x', substr(md5(concat('$PackSalt:', p.tokens)),
+       |    1, 15)) AS BIGINT) AS tokens_fp,
+       |  CAST(length(b.doc_starts) AS BIGINT) AS starts_len,
+       |  CAST(concat('0x', substr(md5(concat('$PackSalt:', b.doc_starts)),
+       |    1, 15)) AS BIGINT) AS starts_fp
        |FROM packed p JOIN bounds b USING (shard, seq_id)
        |ORDER BY p.shard, p.seq_id""".stripMargin)
 

@@ -1067,13 +1067,21 @@ object SimilarityQueries {
       // unpartitioned window enters the registered plan
       val ext = scored.agg(max(col("var_score")).as("max_var"),
         min(col("var_score")).as("min_var"))
+      // DIVIDE-FIRST dials: `var_score * 1000` on DECIMAL(38,0) caps at
+      // precision 38 (null/ANSI-error past ~1e35) while the DuckDB twin
+      // runs on HUGEINT (~1.7e38) — a narrow magnitude band where the
+      // engines would diverge instead of both failing. Dividing the
+      // EXTREME first keeps every intermediate <= max_var: permille's
+      // quotient is <= ~1001 by construction, and the unbounded ratio
+      // dial saturates at 1e15 (any policy threshold sits orders of
+      // magnitude below) so the BIGINT cast can never overflow.
+      val one38 = "CAST(1 AS DECIMAL(38,0))"
       scored.crossJoin(broadcast(ext))
         .select(col("subspace"), col("n_dims"),
-          expr("CAST((var_score * 1000) DIV " +
-            "greatest(max_var, CAST(1 AS DECIMAL(38,0))) AS BIGINT)")
+          expr(s"CAST(var_score DIV greatest(max_var DIV 1000, $one38) AS BIGINT)")
             .as("permille_of_max"),
-          expr("CAST((max_var * 100) DIV " +
-            "greatest(min_var, CAST(1 AS DECIMAL(38,0))) AS BIGINT)")
+          expr("CAST(least(max_var DIV greatest(min_var DIV 100, " +
+            s"$one38), CAST(1000000000000000 AS DECIMAL(38,0))) AS BIGINT)")
             .as("ratio_pct"))
         .orderBy("subspace")
     }),
@@ -1771,9 +1779,10 @@ object SimilarityQueries {
          |  FROM scored
          |)
          |SELECT subspace, n_dims,
-         |  CAST((var_score * 1000) // GREATEST(max_var, 1) AS BIGINT)
+         |  CAST(var_score // GREATEST(max_var // 1000, 1) AS BIGINT)
          |    AS permille_of_max,
-         |  CAST((max_var * 100) // GREATEST(min_var, 1) AS BIGINT)
+         |  CAST(LEAST(max_var // GREATEST(min_var // 100, 1),
+         |             CAST(1000000000000000 AS HUGEINT)) AS BIGINT)
          |    AS ratio_pct
          |FROM scored, ext ORDER BY subspace""".stripMargin,
 

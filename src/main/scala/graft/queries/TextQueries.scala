@@ -57,6 +57,12 @@ object TextQueries {
     */
   final val BpeMerges = 6
 
+  /** Salt for text_pii's redacted-text fingerprint — the BIGINT compare
+    * surface shipped to the driver instead of the raw redacted VARCHAR
+    * (the single-shot DuckDB wide-value flake class, r16/r17).
+    */
+  final val PiiSalt = 41
+
   private val langHitsSql: String = LangProfiles.map { case (lang, words) =>
     val list = words.map(w => s"'$w'").mkString(", ")
     s"len(list_filter(toks, t -> t IN ($list))) AS h_$lang"
@@ -588,6 +594,42 @@ object TextQueries {
           lit(0L), (acc, x) => acc + x).as("n_toks"))
   }
 
+  /** PII detection + redaction with the RAW redacted text — the
+    * byte-level surface behind the registered text_pii query, which
+    * ships only (length, md5-60) BIGINT folds of `redacted` to the
+    * driver's single-shot DuckDB compare. Pure row-local column
+    * algebra (regexp_count / chained regexp_replace, whole-stage
+    * codegen); the synthetic corpus carries no PII, so both engines
+    * deterministically inject email/phone/IP substrings into
+    * overlapping doc_id subsets first (doc_id mod 7/11/13). Patterns
+    * stick to the regex subset Java and RE2 (DuckDB) evaluate
+    * identically: character classes, bounded repeats, \b.
+    */
+  private[graft] def piiReport(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val id = col("doc_id")
+    val aug = concat(
+      col("text"),
+      when(id % 7 === 0,
+        concat(lit(" reach agent"), id.cast("string"), lit("@mail-example.org")))
+        .otherwise(lit("")),
+      when(id % 11 === 0,
+        concat(lit(" call 555-"), lpad((id % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad((id % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(id % 13 === 0,
+        concat(lit(" from 10."), (id % 200).cast("string"),
+          lit("."), (id % 250).cast("string"),
+          lit("."), (id % 256).cast("string")))
+        .otherwise(lit("")))
+    d.select(
+      col("doc_id"),
+      piiCount(aug, EmailRe).as("n_emails"),
+      piiCount(aug, PhoneRe).as("n_phones"),
+      piiCount(aug, IpRe).as("n_ips"),
+      piiRedact(aug).as("redacted"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "text_stats" -> ((s, dir) => {
@@ -708,41 +750,21 @@ object TextQueries {
     }),
 
     // PII detection + redaction — the scrub pass every training-data
-    // pipeline runs before anything ships. Pure row-local column algebra
-    // (regexp_count / chained regexp_replace, all whole-stage codegen):
-    // linear scan, no shuffle except the output sort — the same scale
-    // shape as text_quality. The synthetic documents carry no PII, so
-    // both engines deterministically inject email/phone/IP substrings
-    // into overlapping doc_id subsets first (doc_id mod 7/11/13 — same
-    // corpus-synthesis trick as DedupQueries): match counts are
-    // non-trivial and the redacted text is hash-compared byte-for-byte.
-    // Patterns stick to the regex subset Java and RE2 (DuckDB) evaluate
-    // identically: character classes, bounded repeats, \b.
-    "text_pii" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val id = col("doc_id")
-      val aug = concat(
-        col("text"),
-        when(id % 7 === 0,
-          concat(lit(" reach agent"), id.cast("string"), lit("@mail-example.org")))
-          .otherwise(lit("")),
-        when(id % 11 === 0,
-          concat(lit(" call 555-"), lpad((id % 1000).cast("string"), 3, "0"),
-            lit("-"), lpad((id % 10000).cast("string"), 4, "0")))
-          .otherwise(lit("")),
-        when(id % 13 === 0,
-          concat(lit(" from 10."), (id % 200).cast("string"),
-            lit("."), (id % 250).cast("string"),
-            lit("."), (id % 256).cast("string")))
-          .otherwise(lit("")))
-      d.select(
-          col("doc_id"),
-          piiCount(aug, EmailRe).as("n_emails"),
-          piiCount(aug, PhoneRe).as("n_phones"),
-          piiCount(aug, IpRe).as("n_ips"),
-          piiRedact(aug).as("redacted"))
-        .orderBy("doc_id")
-    }),
+    // pipeline runs before anything ships (plumbing + scale notes on
+    // [[piiReport]]).
+    // COMPARE SURFACE = (length, md5-60) of the redacted text, both
+    // BIGINT, NOT the raw redacted VARCHAR (the r16/r17 single-shot
+    // DuckDB wide-value flake class). The raw redaction stays
+    // byte-level pinned by PipelineSurfaceSpec over [[piiReport]]
+    // (no residual matches + injected markers scrubbed + fp tie-back).
+    "text_pii" -> ((s, dir) =>
+      piiReport(s, dir)
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ips"),
+          length(col("redacted")).cast("long").as("redacted_len"),
+          graft.functions.Md5Long60Expr(col("redacted"), PiiSalt)
+            .as("redacted_fp"))
+        .orderBy("doc_id")),
 
     // BOILERPLATE report: the BoilerplateTopN highest-document-frequency
     // 3-gram shingles with their corpus share — the review artifact
@@ -1244,16 +1266,23 @@ object TextQueries {
          |           ELSE '' END) AS t
          |  FROM documents
          |)
-         |SELECT doc_id,
-         |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
-         |  CAST(len(regexp_extract_all(t, '$IpRe')) AS BIGINT) AS n_ips,
-         |  regexp_replace(
+         |, red AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+         |    CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |    CAST(len(regexp_extract_all(t, '$IpRe')) AS BIGINT) AS n_ips,
          |    regexp_replace(
-         |      regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
-         |      '$PhoneRe', '<PHONE>', 'g'),
-         |    '$IpRe', '<IP>', 'g') AS redacted
-         |FROM aug ORDER BY doc_id""".stripMargin,
+         |      regexp_replace(
+         |        regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+         |        '$PhoneRe', '<PHONE>', 'g'),
+         |      '$IpRe', '<IP>', 'g') AS redacted
+         |  FROM aug
+         |)
+         |SELECT doc_id, n_emails, n_phones, n_ips,
+         |  CAST(length(redacted) AS BIGINT) AS redacted_len,
+         |  CAST(concat('0x', substr(md5(concat('$PiiSalt:', redacted)),
+         |    1, 15)) AS BIGINT) AS redacted_fp
+         |FROM red ORDER BY doc_id""".stripMargin,
 
     // the sketch's accuracy contract, not its bits: TRUE per lang
     "text_len_quantiles_approx_invariant" ->
@@ -1485,7 +1514,14 @@ object TextQueries {
     * ` AS (` would otherwise be silently rewritten into invalid SQL.
     */
   private[graft] def mat(sql: String): String = {
-    require(!sql.toUpperCase.contains("WINDOW "),
+    // Named-WINDOW detection anchored to the actual clause shape
+    // (`WINDOW w AS (`) over the NON-literal segments of a quote
+    // split: a bare substring test false-positived on any identifier
+    // ending in "window" (e.g. a column t_window) and threw at
+    // oracle-registration time for a perfectly valid oracle.
+    val namedWindow = "(?i)\\bWINDOW\\s+\\w+\\s+AS\\s*\\(".r
+    require(!sql.split("'", -1).zipWithIndex.exists { case (seg, i) =>
+        i % 2 == 0 && namedWindow.findFirstIn(seg).isDefined },
       "mat(): oracle uses a named WINDOW clause — the blind ' AS (' " +
         "rewrite would corrupt it; anchor the pin by hand for this oracle")
     // odd-indexed segments of a quote-split are the literal bodies

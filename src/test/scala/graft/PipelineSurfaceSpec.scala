@@ -12,6 +12,14 @@ class PipelineSurfaceSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.sources.GraftSession.local()
   private val dir = "/root/testdata/sf0.001"
 
+  /** Low 60 bits (first 15 hex chars) of md5 — the Md5Long60Expr /
+    * DuckDB md5-prefix twin used by the fp-fold tie-back pins. */
+  private def md5_60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.take(15), 16)
+  }
+
   test("pipe_export_incremental: a sparse append rewrites ONLY its touched shard dirs; result equals the one-shot pack") {
     import org.apache.spark.sql.functions._
     import graft.queries.PipelineQueries
@@ -241,10 +249,127 @@ class PipelineSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("text_pii: raw redaction is complete and ties back to the fp fold") {
+    import graft.queries.TextQueries
+    val raw = TextQueries.piiReport(spark, dir).orderBy("doc_id").collect()
+    assert(raw.nonEmpty)
+    val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""".r
+    var injected = 0
+    raw.foreach { r =>
+      val red = r.getString(4)
+      // redaction is COMPLETE: no residual email survives, and every
+      // injected marker class got its placeholder
+      assert(email.findFirstIn(red).isEmpty, s"doc ${r.getLong(0)} leaks email")
+      if (r.getLong(0) % 7 == 0) {
+        assert(red.contains("<EMAIL>"), s"doc ${r.getLong(0)} email not redacted")
+        injected += 1
+      }
+      if (r.getLong(0) % 11 == 0)
+        assert(red.contains("<PHONE>"), s"doc ${r.getLong(0)} phone not redacted")
+      if (r.getLong(0) % 13 == 0)
+        assert(red.contains("<IP>"), s"doc ${r.getLong(0)} ip not redacted")
+    }
+    assert(injected > 0)
+    // tie-back: registered compare columns == (length, md5-60) of raw
+    val reg = graft.queries.TextQueries.queries("text_pii")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(reg.size == raw.length)
+    raw.foreach { r =>
+      val (len, fp) = reg(r.getLong(0))
+      assert(len == r.getString(4).length.toLong)
+      assert(fp == md5_60(s"${TextQueries.PiiSalt}:${r.getString(4)}"))
+    }
+  }
+
+  test("pipe_seqs_tokens_packed: raw streams reconcile and tie back to the fp folds") {
+    import graft.queries.PipelineQueries
+    val raw = PipelineQueries.seqTokensPacked(spark, dir)
+      .orderBy("shard", "seq_id").collect()
+    assert(raw.nonEmpty)
+    raw.foreach { r =>
+      val (nToks, nDocs) = (r.getLong(2), r.getLong(3))
+      val toks = r.getString(4).split(",")
+      val starts = r.getString(5).split(",").map(_.toLong)
+      assert(toks.length.toLong == nToks, "tokens CSV length != n_toks")
+      assert(starts.length.toLong == nDocs, "doc_starts CSV length != n_docs")
+      assert(starts.head == 0L && starts.forall(p => p >= 0 && p < nToks))
+      assert(starts.sorted.sameElements(starts), "doc_starts not ascending")
+    }
+    val reg = PipelineQueries.queries("pipe_seqs_tokens_packed")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(reg.size == raw.length)
+    raw.foreach { r =>
+      val (tl, tf, sl, sf) = reg((r.getLong(0), r.getLong(1)))
+      assert(tl == r.getString(4).length.toLong)
+      assert(tf == md5_60(s"${PipelineQueries.PackSalt}:${r.getString(4)}"))
+      assert(sl == r.getString(5).length.toLong)
+      assert(sf == md5_60(s"${PipelineQueries.PackSalt}:${r.getString(5)}"))
+    }
+  }
+
+  test("ft_json: raw wire pages parse, reconcile, and tie back to the fp fold") {
+    import graft.queries.ForgetQueries
+    // RAW §1.4 JSON pages — the byte-level surface behind the
+    // registered query's (data_len, data_fp) BIGINT folds
+    val pages = ForgetQueries.jsonPages(spark, dir)
+      .orderBy("dist", "page").collect()
+    assert(pages.nonEmpty)
+    val binRe = """\{"bin":"((?:[^"\\]|\\.)*)","count":(\d+),"p":(\d\.\d{9})\}""".r
+    pages.groupBy(_.getString(0)).foreach { case (dist, rs) =>
+      val z = rs.head.getLong(2)
+      var total = 0L
+      rs.foreach { r =>
+        val data = r.getString(5)
+        assert(data.startsWith("[") && data.endsWith("]"), s"$dist page envelope")
+        val entries = binRe.findAllMatchIn(data).toSeq
+        // every page entry matches the wire grammar exactly (no partial
+        // matches hiding malformed records between them)
+        assert(entries.map(_.matched).mkString("[", ",", "]") == data,
+          s"$dist page has bytes outside the bin-record grammar")
+        entries.foreach { m =>
+          total += m.group(2).toLong
+          // rendered p is count/z rounded to 9 places (HALF_UP) — gate
+          // with a half-ulp tolerance, not a re-rounding (rint is
+          // half-even and could disagree exactly on .5 boundaries)
+          val p = m.group(3).toDouble
+          assert(math.abs(p - m.group(2).toDouble / z) <= 5e-10 + 1e-12)
+        }
+      }
+      assert(total == z, s"$dist: page masses $total != z $z")
+    }
+    // tie-back: registered compare columns == (length, md5-60) of raw
+    val reg = ForgetQueries.queries("ft_json")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(reg.size == pages.length)
+    pages.foreach { r =>
+      val (len, fp) = reg((r.getString(0), r.getLong(1)))
+      assert(len == r.getString(5).length.toLong)
+      assert(fp == md5_60(s"${ForgetQueries.JsonFpSalt}:${r.getString(5)}"))
+    }
+  }
+
   test("dedup_substring_scrub: keep-first, exact copies die, counts reconcile") {
     import graft.queries.DedupQueries
-    val rows = DedupQueries.queries("dedup_substring_scrub")(spark, dir).collect()
+    // the RAW rebuilt text — byte-level surface behind the registered
+    // query's (clean_len, clean_fp) BIGINT folds
+    val rows = DedupQueries.substringScrubbed(spark, dir)
+      .orderBy("doc_id").collect()
     assert(rows.nonEmpty)
+    // tie-back: the registered compare columns are exactly
+    // (length, md5-60("ScrubSalt:" + text)) of the raw clean_text
+    val reg = DedupQueries.queries("dedup_substring_scrub")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(reg.size == rows.length)
+    rows.foreach { r =>
+      val (id, clean) = (r.getLong(0), r.getString(4))
+      val (len, fp) = reg(id)
+      assert(len == clean.length.toLong, s"doc $id clean_len mismatch")
+      assert(fp == md5_60(s"${DedupQueries.ScrubSalt}:$clean"),
+        s"doc $id clean_fp mismatch")
+    }
     rows.foreach { r =>
       val (id, nTok, removed, clean) =
         (r.getLong(0), r.getLong(1), r.getLong(3), r.getString(4))
