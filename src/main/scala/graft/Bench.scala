@@ -40,7 +40,14 @@ object Bench {
     // targeted near-idle re-measurement of a flagged query without
     // paying the full suite (driver leaves it unset -> full run).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A typo'd name must fail loudly, not yield an empty timed set and
+    // a readings-free bench_last.json that looks like a completed run.
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val bench = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val warmDir = "/root/testdata/sf0.001"
@@ -144,21 +151,36 @@ object Bench {
     // contention-adjusted reading the judge otherwise reconstructs
     val totalMin2 = total - repeats.map { case (_, (a, b)) => a - math.min(a, b) }.sum
     val full = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"repeat2":$rep,"loadavg_samples":$ld,"total_min2":${r4(totalMin2)}}"""
-    println(full)
-    // The driver records only the LAST 2000 chars of stdout (incl.
-    // sbt's `[success]` trailer) and json-parses what it finds there;
-    // the full line above is ~10 KB at 142 queries, so its head gets
-    // clipped and the driver has logged `parsed: null` for three
-    // rounds. Two-part fix: (1) persist the COMPLETE object to a
-    // sidecar file anyone can read whole, (2) end stdout with a
-    // compact (<400 B) summary line that carries the headline numbers
-    // + the sidecar path and always fits the capture window intact.
+    // The driver records only the LAST 2000 chars of stdout and
+    // json-parses what it finds there. Printing the ~10 KB full object
+    // put its clipped MIDDLE at the head of that window, so a parser
+    // scanning forward from the first '{' hit a fragment of the
+    // queries map and BENCH_r{N} logged `parsed: null` even though a
+    // compact trailer followed (r17). Fix: stdout carries ONLY the
+    // compact summary (one <1 KB line, nothing else brace-shaped in
+    // the window), the complete object goes to TWO sidecar files
+    // (bench_last.json = full per-query record, bench_summary.json =
+    // the same compact object) that anyone can read whole.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$fs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"total_min2":${r4(totalMin2)},"queries_file":"$outPath"}""")
+    // top-5 most expensive by min-of-passes: a non-empty "queries" map
+    // for the driver's schema, small enough to never clip
+    val top5 = repeats.sortBy { case (_, (_, m)) => -m }.take(5)
+      .map { case (k, (_, m)) => s"\"" + k + "\":" + r4(m) }
+      .mkString("{", ",", "}")
+    val summary = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$top5,"sf":"$sfDir","n_queries":${results.size},"failed":$fs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"total_min2":${r4(totalMin2)},"queries_file":"$outPath"}"""
+    val sumPath = {
+      val p = java.nio.file.Paths.get(outPath).toAbsolutePath
+      p.getParent.resolve("bench_summary.json").toString
+    }
+    try java.nio.file.Files.write(java.nio.file.Paths.get(sumPath),
+      (summary + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] summary write failed: ${e.getMessage}") }
+    println(summary)
     System.out.flush()
     spark.stop()
   }
