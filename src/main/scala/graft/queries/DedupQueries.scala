@@ -138,7 +138,7 @@ object DedupQueries {
     * corpus-without (arms untouched: a takedown removes the stored
     * source docs; the re-crawled copies keep arriving).
     */
-  private def corpusCteWhere(basePred: String): String =
+  private[queries] def corpusCteWhere(basePred: String): String =
     s"""corpus AS (
       |  SELECT doc_id, text FROM documents WHERE $basePred
       |  UNION ALL
@@ -173,8 +173,19 @@ object DedupQueries {
     * shingle+signature subtree per reference. At pipeline scale this is
     * the materialized signatures table every LSH dedup job writes.
     */
-  private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
+  private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOver(corpus(s, dir))
+
+  /** [[minhashPairs]] over an arbitrary (doc_id, text) relation — the
+    * batch-internal half of an incremental ingest's pair stream (the
+    * cross-boundary half comes from the stored-index probe,
+    * [[crossDupPairsOf]]). Same frozen signature family, so the split
+    * derivation equals the union pipeline's pairs wherever bucket caps
+    * don't differentially bind (they fire in neither regime at gate
+    * SFs — the dedup_incremental equivalence argument).
+    */
+  private[queries] def minhashPairsOver(c0: DataFrame): DataFrame = {
+    val c = c0
       .withColumn("sh", Dedup.shingleSet(col("text")))
       .withColumn("sig", Dedup.minhashSignature(col("sh"), MinhashK))
       .withColumn("keys", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
@@ -326,12 +337,53 @@ object DedupQueries {
     * of the union — so the staged form converges bit-exactly to the
     * one-shot oracle regardless of how pairs are batched.
     */
+  /** Register a batch of NEW docs as singleton components before their
+    * pairs ingest — the missing half of [[ccIngest]]'s contract (it
+    * merges labels of docs the store already knows). Touched `part`
+    * dirs are read + unioned + dynamically overwritten (the AnnIndex
+    * upsert discipline); ids must be fresh (an id the store already
+    * holds would duplicate its row — the caller's batch contract).
+    */
+  private[graft] def ccSeedAppend(s: SparkSession, storePath: String,
+      ids: DataFrame): Unit = {
+    val nw = ids.select(col("id"), col("id").as("label"))
+      .withColumn("part", pmod(col("label"), lit(CcParts)))
+      .localCheckpoint(true) // part probe + union read it
+    val touched = nw.select("part").distinct()
+      .collect().map(_.getLong(0)) // <= CcParts rows
+    if (touched.isEmpty) return
+    val cur = s.read.parquet(storePath)
+      .filter(col("part").isin(touched.map(Long.box): _*))
+      .select("id", "label", "part")
+    val updated = cur.unionByName(nw)
+      .localCheckpoint(true) // materialize before overwriting source
+    updated.repartition(col("part"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part").parquet(storePath)
+  }
+
   private[graft] def ccIngest(s: SparkSession, storePath: String,
       pairBatch: DataFrame): Unit = {
     def assign = s.read.parquet(storePath)
-    val edges = pairBatch
-      .join(assign.select(col("id").as("id_a"), col("label").as("la")), "id_a")
-      .join(assign.select(col("id").as("id_b"), col("label").as("lb")), "id_b")
+    // LOUD on an unseeded endpoint: an inner join would silently DROP
+    // a pair whose doc was never registered ([[ccSeedAppend]] must run
+    // before the batch's pairs ingest — the one-maintainer ordering),
+    // and a silently vanished edge corrupts every later clustering.
+    val lifted = pairBatch
+      .join(assign.select(col("id").as("id_a"), col("label").as("la")),
+        Seq("id_a"), "left")
+      .join(assign.select(col("id").as("id_b"), col("label").as("lb")),
+        Seq("id_b"), "left")
+      .localCheckpoint(true) // orphan gate + edge derivation read it
+    val orphans = lifted.filter(col("la").isNull || col("lb").isNull)
+      .select(when(col("la").isNull, col("id_a")).otherwise(col("id_b"))
+        .as("id"))
+      .limit(5).collect().map(_.getLong(0))
+    require(orphans.isEmpty,
+      s"ccIngest: pair endpoints not in the assignment store " +
+        s"(seed the batch first): ${orphans.mkString(", ")}")
+    val edges = lifted
       .filter(col("la") =!= col("lb")) // same-component pairs are no-ops
       .select(col("la").as("id_a"), col("lb").as("id_b"))
       .distinct().localCheckpoint(true) // label-graph CC + emptiness read it

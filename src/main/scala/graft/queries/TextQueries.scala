@@ -57,6 +57,17 @@ object TextQueries {
     */
   final val BpeMerges = 6
 
+  /** text_bpe_retrain's policy threshold: the gauge dial is the batch
+    * fertility (pieces-per-word permille under the FROZEN merges) as a
+    * permille of the artifact's training fertility; at >= 1100 (+10%
+    * degradation) the response is a staged retrain. A no-drift batch
+    * reads ~1000 by construction; the reversed-token wave reads far
+    * above (the frozen merges stop applying) — both arms are
+    * require()-gated in the query, the cadence spec-pinned in
+    * BpeArtifactSpec.
+    */
+  final val BpeDriftPermille = 1100L
+
   /** Salt for text_pii's redacted-text fingerprint — the BIGINT compare
     * surface shipped to the driver instead of the raw redacted VARCHAR
     * (the single-shot DuckDB wide-value flake class, r16/r17).
@@ -450,12 +461,72 @@ object TextQueries {
     * time (the artifact freezes it) and never again.
     */
   private def bpeDeriveAlphabet(s: SparkSession, dir: String): Seq[String] =
-    Tables.documents(s, dir)
-      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+    bpeDeriveAlphabetOf(Tables.documents(s, dir))
+
+  private def bpeDeriveAlphabetOf(d: DataFrame): Seq[String] =
+    d.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
       .select(explode(transform(sequence(lit(1), length(col("t"))),
         i => col("t").substr(i, lit(1)))).as("p"))
       .distinct()
       .collect().map(_.getString(0)).sorted.toSeq // bounded: the alphabet
+
+  /** Exact pieces-per-word of the FROZEN merges over a batch, in
+    * permille (pieces * 1000 DIV words — BIGINT end to end): the
+    * tokenizer's drift gauge. Entirely row-local (wrap + K chained
+    * replaces + piece count per token) feeding one aggregate — a
+    * maintenance batch pays one linear pass, never a corpus scan.
+    * The policy dial is this permille over the artifact's TRAINING
+    * fertility ([[graft.sources.BpeStore.Meta.trainPermille]]); at
+    * [[BpeDriftPermille]] the response is a staged retrain
+    * ([[graft.sources.BpeStore.retrainSwap]]).
+    */
+  private[graft] def bpeFertilityPermille(merges: Seq[(String, String)],
+      batch: DataFrame): Long = {
+    val r = batch
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .agg(count(lit(1)).cast("long").as("w"),
+        sum(bpePieceLen(bpeApplied(merges)(col("t")))).cast("long").as("p"))
+      .head()
+    if (r.isNullAt(0) || r.getLong(0) == 0L) 0L
+    else r.getLong(1) * 1000L / r.getLong(0)
+  }
+
+  /** text_bpe_retrain's drift wave: every third doc re-enters with its
+    * tokens CHARACTER-REVERSED at offset ids — same alphabet mass,
+    * same word lengths, but the frozen merges (trained on forward
+    * pairs) largely stop applying, which is exactly the
+    * fertility-degradation signature of a language/domain-mix shift.
+    * Deterministic and replayable in DuckDB (reverse() both engines).
+    */
+  private[graft] def bpeDriftWave(base: DataFrame): DataFrame =
+    base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        array_join(transform(TextAnalysis.tokens(col("text")),
+          t => reverse(t)), " ").as("text"))
+
+  /** Train a versioned tokenizer artifact from `corpus` into `aDir`
+    * (merges + alphabet + version/fertility meta — the full shipped
+    * shape). `swap = false` writes in place (the initial train);
+    * `swap = true` routes through [[graft.sources.BpeStore
+    * .retrainSwap]]'s staged two-rename promotion (the retrain
+    * response, crash-recoverable).
+    */
+  private[graft] def bpeTrainArtifact(s: SparkSession, corpus: DataFrame,
+      aDir: String, version: Long, swap: Boolean): Unit = {
+    val rounds = bpeTrainRounds(s, corpus)
+    require(rounds.nonEmpty, "bpe train: degenerate corpus (no pairs)")
+    val nWords = corpus
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t")).count()
+    val meta = graft.sources.BpeStore.Meta(version, nWords, rounds.last._5)
+    val alphabet = bpeDeriveAlphabetOf(corpus)
+    if (swap)
+      graft.sources.BpeStore.retrainSwap(s, aDir, rounds, alphabet, meta)
+    else {
+      graft.sources.BpeStore.saveAlphabet(s, aDir, alphabet)
+      graft.sources.BpeStore.saveMeta(s, aDir, meta)
+      graft.sources.BpeStore.save(s, aDir, rounds)
+    }
+  }
 
   // train-once under CONCURRENT callers: Verify dumps queries from a
   // thread pool, and the token-family queries all funnel through this
@@ -943,6 +1014,53 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // TOKENIZER RETRAIN LIFECYCLE — the last trained-and-frozen
+    // structure gains the AnnIndex drift-gauge -> policy -> staged-
+    // retrain arm (VERDICT r17 missing #2): v1 merges train + freeze
+    // on the BASE corpus with a version/fertility-stamped meta; a
+    // no-drift batch reads the fertility gauge at ~1000 permille-of-
+    // training and the policy SKIPS (require-gated); a drifted wave
+    // (reversed-token docs — the frozen merges stop applying, the
+    // fertility signal every production tokenizer monitors) fires the
+    // [[BpeDriftPermille]] dial; the response trains v2 on the full
+    // current corpus and promotes it via the staged two-rename swap
+    // ([[graft.sources.BpeStore.retrainSwap]], crash-recoverable).
+    // After a takedown the same arm retrains from survivors — the
+    // GDPR-complete answer for trained tokenizer state. Output = the
+    // LIVE artifact's training report; the oracle replays the merge
+    // chain over the union corpus, so the gate is convergence:
+    // maintained retrain == fresh train on the final corpus,
+    // bit-exact. Dependent artifact re-encode cost is the priced
+    // 100 TB line item (graft.TokenProbe receipts).
+    "text_bpe_retrain" -> ((s, dir) => {
+      import s.implicits._
+      val aDir = graft.sources.TempDirs.scratch("graft_bperetrain_") +
+        "/tokenizer"
+      val base = Tables.documents(s, dir).select("doc_id", "text")
+        .localCheckpoint(true) // train + gauge + wave + union read it
+      bpeTrainArtifact(s, base, aDir, version = 1L, swap = false)
+      val merges = graft.sources.BpeStore.load(s, aDir).map(r => (r._2, r._3))
+      val meta = graft.sources.BpeStore.loadMeta(s, aDir).get
+      val trainP = math.max(meta.trainPermille, 1L)
+      // policy cadence, calm arm: a base-distribution batch must not fire
+      val calmDial = bpeFertilityPermille(merges,
+        base.filter(col("doc_id") % 5 === 1)) * 1000L / trainP
+      require(calmDial < BpeDriftPermille,
+        s"BPE gauge misfired on a no-drift batch: dial $calmDial")
+      val wave = bpeDriftWave(base).localCheckpoint(true)
+      val driftDial = bpeFertilityPermille(merges, wave) * 1000L / trainP
+      require(driftDial >= BpeDriftPermille,
+        s"BPE drift gauge did not fire: dial $driftDial")
+      bpeTrainArtifact(s, base.unionByName(wave), aDir,
+        version = meta.version + 1L, swap = true)
+      val after = graft.sources.BpeStore.loadMeta(s, aDir).get
+      require(after.version == meta.version + 1L,
+        s"retrain swap did not bump the version: ${after.version}")
+      graft.sources.BpeStore.load(s, aDir)
+        .toDF("merge_rank", "lhs", "rhs", "pair_count", "n_pieces",
+          "n_piece_types").orderBy("merge_rank")
+    }),
+
     // LM-SURPRISAL quality filter (the CCNet/KenLM-perplexity signal
     // class): a token-bigram language model is TRAINED on 90% of the
     // corpus (doc_id % 10 != 0) and the held-out 10% is SCORED by mean
@@ -1333,6 +1451,24 @@ object TextQueries {
          |SELECT * FROM ($sels) ORDER BY merge_rank""".stripMargin)
     },
 
+    // convergence gate: the maintained gauge -> staged-retrain -> swap
+    // lifecycle must land EXACTLY on a fresh train over the final
+    // corpus — the identical unrolled chain, with v0's word counts
+    // drawn from base ∪ the reversed-token wave
+    "text_bpe_retrain" -> {
+      val sels = (1 to BpeMerges).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_rank, t$r.a AS lhs, t$r.b AS rhs, " +
+          s"t$r.pc AS pair_count, s$r.np AS n_pieces, s$r.nt AS n_piece_types " +
+          s"FROM t$r, s$r").mkString(" UNION ALL ")
+      val union = "(SELECT text FROM documents UNION ALL " +
+        "SELECT array_to_string(list_transform(" +
+        "list_filter(string_split(text, ' '), t -> t != ''), " +
+        "t -> reverse(t)), ' ') AS text " +
+        "FROM documents WHERE doc_id % 3 = 0) u"
+      mat(s"""WITH ${bpeRoundsCtesOver(union)}
+         |SELECT * FROM ($sels) ORDER BY merge_rank""".stripMargin)
+    },
+
     // the trained sequence re-derived (same unrolled rounds), the K
     // winners gathered into one broadcastable row, and the apply is
     // the identical non-overlapping replace chain in rank order
@@ -1538,7 +1674,12 @@ object TextQueries {
     * (pairs, top-1, apply, stats) block per round) — shared by the
     * text_bpe_train oracle and text_bpe_apply's re-derivation.
     */
-  private lazy val bpeRoundsCtes: String = {
+  /** [[bpeRoundsCtes]] with the training corpus parametrized (a table
+    * name or parenthesized aliased subquery exposing `text`) — the
+    * text_bpe_retrain oracle replays the identical chain over the
+    * base ∪ drift-wave union.
+    */
+  private def bpeRoundsCtesOver(corpusRel: String): String = {
     val rounds = (1 to BpeMerges).map { r =>
       s"""p$r AS (
          |  SELECT p[1] AS a, p[2] AS b, CAST(SUM(cnt) AS BIGINT) AS pc
@@ -1574,10 +1715,12 @@ object TextQueries {
        |      generate_series(1, length(w)), i -> substr(w, i, 1)), '><'),
        |      '>') AS wrapped
        |  FROM (SELECT UNNEST(list_filter(string_split(text, ' '),
-       |          t -> t != '')) AS w FROM documents)
+       |          t -> t != '')) AS w FROM $corpusRel)
        |  GROUP BY w
        |), $rounds""".stripMargin
   }
+
+  private lazy val bpeRoundsCtes: String = bpeRoundsCtesOver("documents")
 
   /** Shared by text_bm25 and text_bm25_incremental: the maintained
     * stats are additive partial sums of the same BIGINT aggregates, so

@@ -151,5 +151,64 @@ class BpeArtifactSpec extends AnyFunSuite {
     assert(M.mat("WITH a AS (SELECT concat('p:', x) AS s FROM t), " +
         "b AS (SELECT 'q' AS u) SELECT * FROM a, b")
       .contains("b AS MATERIALIZED ("))
+    // an identifier merely ENDING in "window" must not trip the named-
+    // WINDOW guard (the r17 substring check would throw here)
+    assert(M.mat("WITH a AS (SELECT t_window AS w FROM t) SELECT * FROM a")
+      .contains("a AS MATERIALIZED ("))
+  }
+
+  test("retrain lifecycle: calm batch skips, drift fires, staged swap converges and recovers") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.TextQueries
+    import graft.sources.BpeStore
+    val dir = "/root/testdata/sf0.001"
+    val base = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").localCheckpoint(true)
+    val aDir = graft.sources.TempDirs.scratch("graft_bpert_spec_") + "/tok"
+    TextQueries.bpeTrainArtifact(spark, base, aDir, version = 1L, swap = false)
+    val meta1 = BpeStore.loadMeta(spark, aDir).get
+    assert(meta1.version == 1L && meta1.trainNWords > 0L)
+    val v1 = BpeStore.load(spark, aDir)
+    val merges = v1.map(r => (r._2, r._3))
+    val trainP = math.max(meta1.trainPermille, 1L)
+    // POLICY CADENCE, calm arm: a base-distribution batch reads ~1000
+    // permille-of-training — below the dial, the policy skips and the
+    // artifact is untouched
+    val calmDial = TextQueries.bpeFertilityPermille(merges,
+      base.filter(col("doc_id") % 5 === 1)) * 1000L / trainP
+    assert(calmDial < TextQueries.BpeDriftPermille, s"calm dial $calmDial")
+    assert(BpeStore.load(spark, aDir) == v1 &&
+      BpeStore.loadMeta(spark, aDir).get == meta1, "calm arm mutated the artifact")
+    // drift arm: the reversed-token wave fires the gauge
+    val wave = TextQueries.bpeDriftWave(base).localCheckpoint(true)
+    val driftDial = TextQueries.bpeFertilityPermille(merges, wave) * 1000L / trainP
+    assert(driftDial >= TextQueries.BpeDriftPermille, s"drift dial $driftDial")
+    // response: staged retrain on the union, version bump, convergence
+    val union = base.unionByName(wave)
+    TextQueries.bpeTrainArtifact(spark, union, aDir, version = 2L, swap = true)
+    assert(BpeStore.loadMeta(spark, aDir).get.version == 2L)
+    assert(BpeStore.load(spark, aDir) ==
+      TextQueries.bpeTrainRounds(spark, union),
+      "swapped artifact diverged from a fresh train on the final corpus")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(aDir).getFileSystem(conf)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$aDir.retrain")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$aDir.pre-retrain")),
+      "swap left staging debris")
+    // crash recovery: simulate dying between the two renames (live dir
+    // retired, staged build complete) — recovery promotes the staging
+    val snapshot = BpeStore.load(spark, aDir)
+    require(fs.rename(new org.apache.hadoop.fs.Path(aDir),
+      new org.apache.hadoop.fs.Path(s"$aDir.retrain")))
+    BpeStore.recoverRetrain(spark, aDir)
+    assert(BpeStore.exists(spark, aDir) &&
+      BpeStore.load(spark, aDir) == snapshot, "recovery lost the artifact")
+    // GDPR arm: retrain-from-survivors converges to a fresh train that
+    // never saw the retracted docs
+    val survivors = union.filter(col("doc_id") % 50 =!= 7)
+    TextQueries.bpeTrainArtifact(spark, survivors, aDir, version = 3L, swap = true)
+    assert(BpeStore.load(spark, aDir) ==
+      TextQueries.bpeTrainRounds(spark, survivors),
+      "survivor retrain diverged from the fresh survivor train")
   }
 }
