@@ -140,7 +140,13 @@ object ScaleProbe {
       "text_bm25_incremental", "rel_funnel_bloom_stats", "text_bpe_train",
       "text_bpe_apply", "dedup_clusters_incremental", "dedup_retract",
       "ft_counts_retract", "ft_tombstones", "ft_counts_asof",
-      "sample_weighted")
+      "sample_weighted",
+      // the composed curate->pack->ship chain + its maintenance legs
+      // and the tokenizer retrain lifecycle (r18): the compositions'
+      // scaling is measured, not inherited from their parts
+      "pipe_seqs_curated", "pipe_seqs_curated_incremental",
+      "pipe_seqs_curated_retract", "pipe_seqs_mm_curated_loader",
+      "text_bpe_retrain")
     // arg 2+: restrict to named queries (fast re-probe of one operator);
     // any SparkEntry query name is probeable, not just the default list
     val targets =

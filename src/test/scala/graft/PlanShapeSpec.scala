@@ -462,7 +462,7 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("pipe_seqs_loader_batches: loader read range-partitions on order_key, never globally sorts the keys") {
     Seq("pipe_seqs_loader_batches", "pipe_seqs_mm_loader_batches",
-        "pipe_seqs_curated_loader").foreach { n =>
+        "pipe_seqs_curated_loader", "pipe_seqs_mm_curated_loader").foreach { n =>
       val plan = qe(n).executedPlan.toString
       // the consumer contract: the ONE exchange is RangePartitioning on
       // the order key (the loader's split assignment)...
