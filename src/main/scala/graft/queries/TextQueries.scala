@@ -57,16 +57,21 @@ object TextQueries {
     */
   final val BpeMerges = 6
 
-  /** text_bpe_retrain's policy threshold: the gauge dial is the batch
-    * fertility (pieces-per-word permille under the FROZEN merges) as a
-    * permille of the artifact's training fertility; at >= 1100 (+10%
-    * degradation) the response is a staged retrain. A no-drift batch
-    * reads ~1000 by construction; the reversed-token wave reads far
-    * above (the frozen merges stop applying) — both arms are
-    * require()-gated in the query, the cadence spec-pinned in
-    * BpeArtifactSpec.
+  /** text_bpe_retrain's policy threshold, in permille of MERGE BENEFIT
+    * LOST: dial = (batch_fertility − train_fertility) · 1000 DIV
+    * (batch_raw_fertility − train_fertility), all exact BIGINT
+    * permilles — 0 when the frozen merges compress the batch exactly
+    * as well as their training corpus, ~1000 when they stop applying
+    * entirely. Fire at >= 500 (half the benefit gone). The dial is
+    * SCALE-FREE by construction: an absolute +10%-fertility threshold
+    * (the first draft) could never fire on a corpus whose merge
+    * budget compresses little — graft.ScaleProbe's 10x letter-permuted
+    * staging read 1025/1100 there while the reversed wave had in fact
+    * destroyed the merges' entire benefit. Both arms (calm batch must
+    * NOT fire, reversed-token wave must) are require()-gated in the
+    * query, the cadence spec-pinned in BpeArtifactSpec.
     */
-  final val BpeDriftPermille = 1100L
+  final val BpeDriftPermille = 500L
 
   /** Salt for text_pii's redacted-text fingerprint — the BIGINT compare
     * surface shipped to the driver instead of the raw redacted VARCHAR
@@ -481,14 +486,35 @@ object TextQueries {
     * ([[graft.sources.BpeStore.retrainSwap]]).
     */
   private[graft] def bpeFertilityPermille(merges: Seq[(String, String)],
-      batch: DataFrame): Long = {
+      batch: DataFrame): Long = bpeFertilityStats(merges, batch)._1
+
+  /** (merged-fertility permille, RAW-fertility permille) of a batch
+    * under the frozen merges, in ONE aggregate pass: pieces-per-word
+    * with the merges applied, and chars-per-word (= pieces-per-word of
+    * the unmerged wrap — the fertility ceiling). The drift dial reads
+    * the batch's position between the two ([[BpeDriftPermille]]).
+    */
+  private[graft] def bpeFertilityStats(merges: Seq[(String, String)],
+      batch: DataFrame): (Long, Long) = {
     val r = batch
       .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
       .agg(count(lit(1)).cast("long").as("w"),
-        sum(bpePieceLen(bpeApplied(merges)(col("t")))).cast("long").as("p"))
+        sum(bpePieceLen(bpeApplied(merges)(col("t")))).cast("long").as("p"),
+        sum(length(col("t")).cast("long")).cast("long").as("chars"))
       .head()
-    if (r.isNullAt(0) || r.getLong(0) == 0L) 0L
-    else r.getLong(1) * 1000L / r.getLong(0)
+    if (r.isNullAt(0) || r.getLong(0) == 0L) (0L, 0L)
+    else (r.getLong(1) * 1000L / r.getLong(0),
+      r.getLong(2) * 1000L / r.getLong(0))
+  }
+
+  /** The scale-free drift dial ([[BpeDriftPermille]]'s scaladoc): the
+    * permille of the frozen merges' benefit the batch has lost.
+    */
+  private[graft] def bpeDriftDial(merges: Seq[(String, String)],
+      batch: DataFrame, trainPermille: Long): Long = {
+    val (batchP, rawP) = bpeFertilityStats(merges, batch)
+    math.max(batchP - trainPermille, 0L) * 1000L /
+      math.max(rawP - trainPermille, 1L)
   }
 
   /** text_bpe_retrain's drift wave: every third doc re-enters with its
@@ -1041,14 +1067,13 @@ object TextQueries {
       bpeTrainArtifact(s, base, aDir, version = 1L, swap = false)
       val merges = graft.sources.BpeStore.load(s, aDir).map(r => (r._2, r._3))
       val meta = graft.sources.BpeStore.loadMeta(s, aDir).get
-      val trainP = math.max(meta.trainPermille, 1L)
       // policy cadence, calm arm: a base-distribution batch must not fire
-      val calmDial = bpeFertilityPermille(merges,
-        base.filter(col("doc_id") % 5 === 1)) * 1000L / trainP
+      val calmDial = bpeDriftDial(merges,
+        base.filter(col("doc_id") % 5 === 1), meta.trainPermille)
       require(calmDial < BpeDriftPermille,
         s"BPE gauge misfired on a no-drift batch: dial $calmDial")
       val wave = bpeDriftWave(base).localCheckpoint(true)
-      val driftDial = bpeFertilityPermille(merges, wave) * 1000L / trainP
+      val driftDial = bpeDriftDial(merges, wave, meta.trainPermille)
       require(driftDial >= BpeDriftPermille,
         s"BPE drift gauge did not fire: dial $driftDial")
       bpeTrainArtifact(s, base.unionByName(wave), aDir,

@@ -170,18 +170,18 @@ class BpeArtifactSpec extends AnyFunSuite {
     assert(meta1.version == 1L && meta1.trainNWords > 0L)
     val v1 = BpeStore.load(spark, aDir)
     val merges = v1.map(r => (r._2, r._3))
-    val trainP = math.max(meta1.trainPermille, 1L)
-    // POLICY CADENCE, calm arm: a base-distribution batch reads ~1000
-    // permille-of-training — below the dial, the policy skips and the
-    // artifact is untouched
-    val calmDial = TextQueries.bpeFertilityPermille(merges,
-      base.filter(col("doc_id") % 5 === 1)) * 1000L / trainP
+    // POLICY CADENCE, calm arm: a base-distribution batch loses ~none
+    // of the merges' benefit — below the dial, the policy skips and
+    // the artifact is untouched
+    val calmDial = TextQueries.bpeDriftDial(merges,
+      base.filter(col("doc_id") % 5 === 1), meta1.trainPermille)
     assert(calmDial < TextQueries.BpeDriftPermille, s"calm dial $calmDial")
     assert(BpeStore.load(spark, aDir) == v1 &&
       BpeStore.loadMeta(spark, aDir).get == meta1, "calm arm mutated the artifact")
-    // drift arm: the reversed-token wave fires the gauge
+    // drift arm: the reversed-token wave destroys most of the merges'
+    // benefit and fires the scale-free dial
     val wave = TextQueries.bpeDriftWave(base).localCheckpoint(true)
-    val driftDial = TextQueries.bpeFertilityPermille(merges, wave) * 1000L / trainP
+    val driftDial = TextQueries.bpeDriftDial(merges, wave, meta1.trainPermille)
     assert(driftDial >= TextQueries.BpeDriftPermille, s"drift dial $driftDial")
     // response: staged retrain on the union, version bump, convergence
     val union = base.unionByName(wave)
