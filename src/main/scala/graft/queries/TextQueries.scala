@@ -62,16 +62,22 @@ object TextQueries {
     * (batch_raw_fertility − train_fertility), all exact BIGINT
     * permilles — 0 when the frozen merges compress the batch exactly
     * as well as their training corpus, ~1000 when they stop applying
-    * entirely. Fire at >= 500 (half the benefit gone). The dial is
-    * SCALE-FREE by construction: an absolute +10%-fertility threshold
-    * (the first draft) could never fire on a corpus whose merge
-    * budget compresses little — graft.ScaleProbe's 10x letter-permuted
-    * staging read 1025/1100 there while the reversed wave had in fact
-    * destroyed the merges' entire benefit. Both arms (calm batch must
-    * NOT fire, reversed-token wave must) are require()-gated in the
-    * query, the cadence spec-pinned in BpeArtifactSpec.
+    * entirely. Fire at >= 400 — two-fifths of the benefit gone
+    * (production tokenizers retrain on far smaller regressions; the
+    * gate needs clear separation between the calm arm, ~0-150 across
+    * corpora, and the drift arm, which bottoms out near ~470 on the
+    * least favorable corpus measured: ScaleProbe's 30x staging mixes
+    * 30 letter permutations, making the pair distribution
+    * near-symmetric so token reversal destroys only ~half the
+    * benefit). The dial is SCALE-FREE by construction: an absolute
+    * +10%-fertility threshold (the first draft) could never fire on a
+    * corpus whose merge budget compresses little — the 10x probe read
+    * 1025/1100 there while the reversed wave had in fact destroyed
+    * the merges' entire benefit. Both arms (calm batch must NOT fire,
+    * reversed-token wave must) are require()-gated in the query, the
+    * cadence spec-pinned in BpeArtifactSpec.
     */
-  final val BpeDriftPermille = 500L
+  final val BpeDriftPermille = 400L
 
   /** Salt for text_pii's redacted-text fingerprint — the BIGINT compare
     * surface shipped to the driver instead of the raw redacted VARCHAR
