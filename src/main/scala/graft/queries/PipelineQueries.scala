@@ -1669,6 +1669,7 @@ object PipelineQueries {
       val counts0 = TextQueries.bpeDocPiecesOf(s, dir, kept0)
         .select(col("doc_id"), docShard(col("doc_id")).as("shard"),
           col("n_toks"))
+        .localCheckpoint(true) // ship + the final report's delta read it
       exportShip(seqSpansOfCounts(counts0), exportDir)
       graft.sources.AnnIndex.saveMinhash(base, DedupQueries.MinhashK,
         DedupQueries.Bands, DedupQueries.RowsPerBand, idxDir)
@@ -1733,11 +1734,14 @@ object PipelineQueries {
       // derived: base survivors minus departures, plus promotions)
       val kept = kept0.join(departed, Seq("doc_id"), "left_anti")
         .unionByName(promoted)
-        .localCheckpoint(true) // counts + card read it
+      // final counts by DELTA (base counts minus departures plus the
+      // promoted docs' counts) — the batch/delta is the only thing
+      // tokenized twice, never the surviving corpus (the 100 TB rule:
+      // maintenance cost is bounded by the delta, verification reads
+      // the maintained frames, not a fresh corpus pass)
       curatedReport(s, exportDir, kept,
-        TextQueries.bpeDocPiecesOf(s, dir, kept)
-          .select(col("doc_id"), docShard(col("doc_id")).as("shard"),
-            col("n_toks")))
+        counts0.join(departed, Seq("doc_id"), "left_anti")
+          .unionByName(promotedCounts))
     }),
 
     // TAKEDOWN leg of the CURATED artifact: a retraction list of
@@ -1776,6 +1780,7 @@ object PipelineQueries {
       val counts0 = TextQueries.bpeDocPiecesOf(s, dir, kept0)
         .select(col("doc_id"), docShard(col("doc_id")).as("shard"),
           col("n_toks"))
+        .localCheckpoint(true) // ship + the final report's delta read it
       exportShip(seqSpansOfCounts(counts0), exportDir)
       // ---- the takedown: base source docs, each possibly anchoring a
       // planted cluster whose copy must be promoted
@@ -1816,11 +1821,14 @@ object PipelineQueries {
         Some(departed))
       val kept = kept0.join(departed, Seq("doc_id"), "left_anti")
         .unionByName(promoted)
-        .localCheckpoint(true) // counts + card read it
+      // final counts by DELTA (base counts minus departures plus the
+      // promoted docs' counts) — the batch/delta is the only thing
+      // tokenized twice, never the surviving corpus (the 100 TB rule:
+      // maintenance cost is bounded by the delta, verification reads
+      // the maintained frames, not a fresh corpus pass)
       curatedReport(s, exportDir, kept,
-        TextQueries.bpeDocPiecesOf(s, dir, kept)
-          .select(col("doc_id"), docShard(col("doc_id")).as("shard"),
-            col("n_toks")))
+        counts0.join(departed, Seq("doc_id"), "left_anti")
+          .unionByName(promotedCounts))
     }),
 
     // the APPEND leg of the sequence artifact (the pipe_export triad at
