@@ -146,6 +146,7 @@ object ScaleProbe {
       // scaling is measured, not inherited from their parts
       "pipe_seqs_curated", "pipe_seqs_curated_incremental",
       "pipe_seqs_curated_retract", "pipe_seqs_mm_curated_loader",
+      "pipe_seqs_mm_curated_incremental", "pipe_seqs_mm_curated_retract",
       "text_bpe_retrain")
     // arg 2+: restrict to named queries (fast re-probe of one operator);
     // any SparkEntry query name is probeable, not just the default list

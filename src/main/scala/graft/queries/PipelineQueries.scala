@@ -1398,21 +1398,51 @@ object PipelineQueries {
         .localCheckpoint(true) // pack + reconciliation both read it
       exportShip(seqMmTokensOf(s, dir, kept), exportDir)
       shipTokenizer(s, dir, exportDir)
-      val man = seqMmManifest(s, exportDir)
-        .localCheckpoint(true) // shard rows + shipped-slot total
-      val P = lit(MmSeqPatches.toLong)
-      val rec = TextQueries.bpeDocPiecesOf(s, dir, kept).agg(
-        count(lit(1)).cast("long").as("kept_docs"),
-        coalesce(sum(when(col("doc_id") % 3 === 0, 1L).otherwise(0L)),
-          lit(0L)).cast("long").as("kept_image_docs"),
-        coalesce(sum(col("n_toks") +
-          when(col("doc_id") % 3 === 0, P).otherwise(lit(0L))), lit(0L))
-          .cast("long").as("kept_slots"))
-      val shipped = man.agg(coalesce(sum("n_slots"), lit(0L))
-        .cast("long").as("shipped_slots"))
-      man.crossJoin(broadcast(rec)).crossJoin(broadcast(shipped))
-        .withColumn("slots_ok", col("shipped_slots") === col("kept_slots"))
-        .orderBy("shard")
+      mmCuratedReport(s, exportDir,
+        TextQueries.bpeDocPiecesOf(s, dir, kept)
+          .select("doc_id", "n_toks"))
+    }),
+
+    // TAKEDOWN leg of the curated VLM artifact: the retracted keeper's
+    // patch slots leave with its text in the same touched-shard slot
+    // re-pack, and a surviving near-dup is PROMOTED (its own patch
+    // run included when it is an image doc) — composing ccRetract's
+    // bounded re-split with the mm pack. Oracle: the one-shot mm
+    // curate→pack→ship over the corpus-without. Freshness: the
+    // one-maintainer contract on pipe_seqs_curated_incremental.
+    "pipe_seqs_mm_curated_retract" -> ((s, dir) => {
+      val exportDir = graft.sources.TempDirs.scratch("graft_seqmmcurret_")
+      val ccDir = s"${graft.sources.TempDirs.scratch("graft_mmcrcc_")}/assign"
+      val (base, basePairs, kept0) = stageCuratedState(s, dir, ccDir)
+      val counts0 = TextQueries.bpeDocPiecesOf(s, dir, kept0)
+        .select("doc_id", "n_toks")
+        .localCheckpoint(true) // the final report's delta reads it
+      exportShip(seqMmTokensOf(s, dir, kept0), exportDir)
+      shipTokenizer(s, dir, exportDir)
+      val retracted = base.filter(col("doc_id") < 10000000L &&
+          col("doc_id") % 50 === 3)
+        .select("doc_id").localCheckpoint(true)
+      val (departed, promoted) = curatedKeeperDelta(s, ccDir,
+        retracted.select(col("doc_id").as("id")), None, base, kept0) {
+        DedupQueries.ccRetract(s, ccDir,
+          retracted.select(col("doc_id").as("id")), basePairs)
+      }
+      val promotedRows = batchMmRows(s, dir, promoted)
+        .localCheckpoint(true) // shard probe + repack + report read it
+      val touched = promotedRows.select("shard")
+        .unionByName(departed.select(docShard(col("doc_id")).as("shard")))
+        .distinct().collect().map(_.getLong(0)).toSeq // <= PackShards
+      seqRepackMmShards(s, exportDir, touched, Some(promotedRows),
+        Some(departed))
+      val promotedCounts = promoted.select("doc_id")
+        .join(promotedRows.filter(col("patch_idx") === -1L)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_toks")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_toks"), lit(0L)).as("n_toks"))
+      mmCuratedReport(s, exportDir,
+        counts0.join(departed, Seq("doc_id"), "left_anti")
+          .unionByName(promotedCounts))
     }),
 
     // TAKEDOWN leg: a retracted image doc's PATCH SLOTS leave with its
@@ -1653,74 +1683,25 @@ object PipelineQueries {
       val idxDir = graft.sources.TempDirs.scratch("graft_seqcuridx_")
       // ---- stored state: one-shot curated artifact over the base
       // corpus + its assignment store + its MinHash signature index
-      val base = DedupQueries.corpus(s, dir).localCheckpoint(true)
-      val basePairs = DedupQueries.minhashPairs(s, dir)
-        .select("id_a", "id_b").localCheckpoint(true)
-      base.select(col("doc_id").as("id"), col("doc_id").as("label"))
-        .withColumn("part", pmod(col("label"), lit(DedupQueries.CcParts)))
-        .repartition(col("part"))
-        .write.partitionBy("part").parquet(ccDir)
-      DedupQueries.ccIngest(s, ccDir, basePairs)
-      def assign = s.read.parquet(ccDir)
-      val kept0 = curateGates(
-          base.join(assign.filter(col("id") === col("label"))
-            .select(col("id").as("doc_id")), "doc_id"))
-        .select("doc_id", "text").localCheckpoint(true)
+      val (base, _, kept0) = stageCuratedState(s, dir, ccDir)
       val counts0 = TextQueries.bpeDocPiecesOf(s, dir, kept0)
         .select(col("doc_id"), docShard(col("doc_id")).as("shard"),
           col("n_toks"))
         .localCheckpoint(true) // ship + the final report's delta read it
       exportShip(seqSpansOfCounts(counts0), exportDir)
-      graft.sources.AnnIndex.saveMinhash(base, DedupQueries.MinhashK,
-        DedupQueries.Bands, DedupQueries.RowsPerBand, idxDir)
-      // ---- the daily batch: genuinely-new docs (token-reversed, the
-      // pipe_curate_incremental fresh arm — order-independent gates
-      // unchanged, no shared 3-shingle with any stored doc)
-      val batch = Tables.documents(s, dir)
-        .filter(col("doc_id") % 10 === 4)
-        .select((col("doc_id") + 30000000L).as("doc_id"),
-          array_join(reverse(TextAnalysis.tokens(col("text"))), " ")
-            .as("text"))
-        .localCheckpoint(true) // probe + pairs + gates + repack read it
-      // cross-snapshot pairs from the STORED index + batch-internal
-      // pairs; keeper-delta needs the pre-ingest labels of every
-      // touched stored endpoint
-      val cross = DedupQueries.probeMinhash(s, idxDir, batch)
-        .select(col("id_old").as("id_a"), col("id_new").as("id_b"))
-      val internal = DedupQueries.minhashPairsOver(batch)
-        .select("id_a", "id_b")
-      val batchPairs = cross.unionByName(internal).localCheckpoint(true)
-      val affectedBefore = assign
-        .join(batchPairs.select(col("id_a").as("lift_id"))
-            .unionByName(batchPairs.select(col("id_b").as("lift_id")))
-            .distinct(),
-          col("id") === col("lift_id"), "left_semi")
-        .select("label").distinct()
-        .join(assign, "label").select("id", "label")
-        .localCheckpoint(true) // pre-ingest snapshot of touched comps
-      // ---- maintenance: seed the batch, merge the pair graph
-      DedupQueries.ccSeedAppend(s, ccDir, batch.select(col("doc_id").as("id")))
-      DedupQueries.ccIngest(s, ccDir, batchPairs)
-      // ---- keeper delta over the touched ids only (bounded by the
-      // affected components + the batch, never the corpus)
-      val scopeIds = affectedBefore.select("id")
-        .unionByName(batch.select(col("doc_id").as("id"))).distinct()
-      val keepersAfter = assign.join(scopeIds, Seq("id"), "left_semi")
-        .filter(col("id") === col("label")).select(col("id").as("doc_id"))
-        .localCheckpoint(true)
-      val keepersBefore = affectedBefore.filter(col("id") === col("label"))
-        .select(col("id").as("doc_id"))
-      // departures: stored keepers dethroned by the merge AND actually
-      // in the artifact (they passed the gates at build time)
-      val departed = keepersBefore
-        .join(keepersAfter, Seq("doc_id"), "left_anti")
-        .join(kept0.select("doc_id"), Seq("doc_id"), "left_semi")
-        .localCheckpoint(true)
-      // promotions: new keepers through the IDENTICAL gates
-      val promoted = curateGates(
-          keepersAfter.join(keepersBefore, Seq("doc_id"), "left_anti")
-            .join(base.unionByName(batch), "doc_id"))
-        .select("doc_id", "text")
+      // ---- the daily batch + its pair stream; then the keeper delta
+      // around the seed+ingest event (bounded by affected components +
+      // the batch, never the corpus)
+      val (batch, batchPairs) = curatedBatch(s, dir, idxDir, base)
+      val (departed, promoted) = curatedKeeperDelta(s, ccDir,
+        batchPairs.select(col("id_a").as("id"))
+          .unionByName(batchPairs.select(col("id_b").as("id"))),
+        Some(batch.select(col("doc_id").as("id"))),
+        base.unionByName(batch), kept0) {
+        DedupQueries.ccSeedAppend(s, ccDir,
+          batch.select(col("doc_id").as("id")))
+        DedupQueries.ccIngest(s, ccDir, batchPairs)
+      }
       val promotedCounts = TextQueries.bpeDocPiecesOf(s, dir, promoted)
         .select(col("doc_id"), docShard(col("doc_id")).as("shard"),
           col("n_toks"))
@@ -1730,16 +1711,61 @@ object PipelineQueries {
         .distinct().collect().map(_.getLong(0)).toSeq // <= PackShards
       seqRepackShards(s, exportDir, touched, Some(promotedCounts),
         Some(departed))
-      // ---- report over the FINAL survivor set (maintained-state
-      // derived: base survivors minus departures, plus promotions)
-      val kept = kept0.join(departed, Seq("doc_id"), "left_anti")
-        .unionByName(promoted)
-      // final counts by DELTA (base counts minus departures plus the
-      // promoted docs' counts) — the batch/delta is the only thing
-      // tokenized twice, never the surviving corpus (the 100 TB rule:
-      // maintenance cost is bounded by the delta, verification reads
-      // the maintained frames, not a fresh corpus pass)
-      curatedReport(s, exportDir, kept,
+      // ---- report over the FINAL survivor set, counts by DELTA (base
+      // counts minus departures plus the promoted docs' counts) — the
+      // delta is the only thing tokenized twice, never the surviving
+      // corpus
+      curatedReport(s, exportDir,
+        kept0.join(departed, Seq("doc_id"), "left_anti")
+          .unionByName(promoted),
+        counts0.join(departed, Seq("doc_id"), "left_anti")
+          .unionByName(promotedCounts))
+    }),
+
+    // APPEND leg of the curated VLM artifact — the same maintenance
+    // composition as pipe_seqs_curated_incremental with the mm slot
+    // law: the batch's promotions render through [[batchMmRows]] (only
+    // the batch pays the tokenizer; image promotions carry their patch
+    // run), land by touched-shard slot re-pack, and the report closes
+    // slots_ok against the maintained survivor set. Oracle: the
+    // one-shot mm curate→pack→ship over base ∪ batch.
+    "pipe_seqs_mm_curated_incremental" -> ((s, dir) => {
+      val exportDir = graft.sources.TempDirs.scratch("graft_seqmmcurinc_")
+      val ccDir = s"${graft.sources.TempDirs.scratch("graft_mmcurcc_")}/assign"
+      val idxDir = graft.sources.TempDirs.scratch("graft_mmcuridx_")
+      val (base, _, kept0) = stageCuratedState(s, dir, ccDir)
+      val counts0 = TextQueries.bpeDocPiecesOf(s, dir, kept0)
+        .select("doc_id", "n_toks")
+        .localCheckpoint(true) // the final report's delta reads it
+      exportShip(seqMmTokensOf(s, dir, kept0), exportDir)
+      shipTokenizer(s, dir, exportDir)
+      val (batch, batchPairs) = curatedBatch(s, dir, idxDir, base)
+      val (departed, promoted) = curatedKeeperDelta(s, ccDir,
+        batchPairs.select(col("id_a").as("id"))
+          .unionByName(batchPairs.select(col("id_b").as("id"))),
+        Some(batch.select(col("doc_id").as("id"))),
+        base.unionByName(batch), kept0) {
+        DedupQueries.ccSeedAppend(s, ccDir,
+          batch.select(col("doc_id").as("id")))
+        DedupQueries.ccIngest(s, ccDir, batchPairs)
+      }
+      val promotedRows = batchMmRows(s, dir, promoted)
+        .localCheckpoint(true) // shard probe + repack + report read it
+      val touched = promotedRows.select("shard")
+        .unionByName(departed.select(docShard(col("doc_id")).as("shard")))
+        .distinct().collect().map(_.getLong(0)).toSeq // <= PackShards
+      seqRepackMmShards(s, exportDir, touched, Some(promotedRows),
+        Some(departed))
+      // promoted docs' text-token counts by delta off their rendered
+      // rows (patch rows excluded; a zero-token survivor still counts
+      // as a kept doc), never a second corpus tokenize
+      val promotedCounts = promoted.select("doc_id")
+        .join(promotedRows.filter(col("patch_idx") === -1L)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_toks")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_toks"), lit(0L)).as("n_toks"))
+      mmCuratedReport(s, exportDir,
         counts0.join(departed, Seq("doc_id"), "left_anti")
           .unionByName(promotedCounts))
     }),
@@ -1764,52 +1790,23 @@ object PipelineQueries {
       val exportDir = graft.sources.TempDirs.scratch("graft_seqcurret_")
       val ccDir = s"${graft.sources.TempDirs.scratch("graft_seqcrcc_")}/assign"
       // ---- stored state (as the append leg)
-      val base = DedupQueries.corpus(s, dir).localCheckpoint(true)
-      val basePairs = DedupQueries.minhashPairs(s, dir)
-        .select("id_a", "id_b").localCheckpoint(true)
-      base.select(col("doc_id").as("id"), col("doc_id").as("label"))
-        .withColumn("part", pmod(col("label"), lit(DedupQueries.CcParts)))
-        .repartition(col("part"))
-        .write.partitionBy("part").parquet(ccDir)
-      DedupQueries.ccIngest(s, ccDir, basePairs)
-      def assign = s.read.parquet(ccDir)
-      val kept0 = curateGates(
-          base.join(assign.filter(col("id") === col("label"))
-            .select(col("id").as("doc_id")), "doc_id"))
-        .select("doc_id", "text").localCheckpoint(true)
+      val (base, basePairs, kept0) = stageCuratedState(s, dir, ccDir)
       val counts0 = TextQueries.bpeDocPiecesOf(s, dir, kept0)
         .select(col("doc_id"), docShard(col("doc_id")).as("shard"),
           col("n_toks"))
         .localCheckpoint(true) // ship + the final report's delta read it
       exportShip(seqSpansOfCounts(counts0), exportDir)
       // ---- the takedown: base source docs, each possibly anchoring a
-      // planted cluster whose copy must be promoted
+      // planted cluster whose copy must be promoted; keeper delta
+      // around the bounded re-split
       val retracted = base.filter(col("doc_id") < 10000000L &&
           col("doc_id") % 50 === 3)
         .select("doc_id").localCheckpoint(true)
-      val affectedBefore = assign
-        .join(retracted.select(col("doc_id").as("id")), Seq("id"),
-          "left_semi")
-        .select("label").distinct()
-        .join(assign, "label").select("id", "label")
-        .localCheckpoint(true) // pre-retract snapshot of touched comps
-      DedupQueries.ccRetract(s, ccDir,
-        retracted.select(col("doc_id").as("id")), basePairs)
-      // ---- keeper delta over the affected components only
-      val scopeIds = affectedBefore.select("id")
-      val keepersAfter = assign.join(scopeIds, Seq("id"), "left_semi")
-        .filter(col("id") === col("label")).select(col("id").as("doc_id"))
-        .localCheckpoint(true)
-      val keepersBefore = affectedBefore.filter(col("id") === col("label"))
-        .select(col("id").as("doc_id"))
-      val departed = keepersBefore
-        .join(keepersAfter, Seq("doc_id"), "left_anti")
-        .join(kept0.select("doc_id"), Seq("doc_id"), "left_semi")
-        .localCheckpoint(true)
-      val promoted = curateGates(
-          keepersAfter.join(keepersBefore, Seq("doc_id"), "left_anti")
-            .join(base, "doc_id"))
-        .select("doc_id", "text")
+      val (departed, promoted) = curatedKeeperDelta(s, ccDir,
+        retracted.select(col("doc_id").as("id")), None, base, kept0) {
+        DedupQueries.ccRetract(s, ccDir,
+          retracted.select(col("doc_id").as("id")), basePairs)
+      }
       val promotedCounts = TextQueries.bpeDocPiecesOf(s, dir, promoted)
         .select(col("doc_id"), docShard(col("doc_id")).as("shard"),
           col("n_toks"))
@@ -1819,14 +1816,11 @@ object PipelineQueries {
         .distinct().collect().map(_.getLong(0)).toSeq // <= PackShards
       seqRepackShards(s, exportDir, touched, Some(promotedCounts),
         Some(departed))
-      val kept = kept0.join(departed, Seq("doc_id"), "left_anti")
-        .unionByName(promoted)
-      // final counts by DELTA (base counts minus departures plus the
-      // promoted docs' counts) — the batch/delta is the only thing
-      // tokenized twice, never the surviving corpus (the 100 TB rule:
-      // maintenance cost is bounded by the delta, verification reads
-      // the maintained frames, not a fresh corpus pass)
-      curatedReport(s, exportDir, kept,
+      // final counts by DELTA — only the delta is tokenized twice,
+      // never the surviving corpus
+      curatedReport(s, exportDir,
+        kept0.join(departed, Seq("doc_id"), "left_anti")
+          .unionByName(promoted),
         counts0.join(departed, Seq("doc_id"), "left_anti")
           .unionByName(promotedCounts))
     }),
@@ -2531,6 +2525,120 @@ object PipelineQueries {
     d.withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .withColumn("lang_pred", TextAnalysis.langId(col("text")))
       .filter(col("quality") >= lit(QualityMin) && col("lang_pred") === "en")
+
+  /** Stage the curated artifacts' STORED STATE: the dedup corpus, its
+    * verified pair stream, the cluster-assignment store (seed
+    * singletons + one ccIngest), and the curate survivor set the
+    * one-shot artifact ships. Shared by all four curated maintenance
+    * legs (text/mm × incremental/retract).
+    */
+  private def stageCuratedState(s: SparkSession, dir: String,
+      ccDir: String): (DataFrame, DataFrame, DataFrame) = {
+    val base = DedupQueries.corpus(s, dir).localCheckpoint(true)
+    val basePairs = DedupQueries.minhashPairs(s, dir)
+      .select("id_a", "id_b").localCheckpoint(true)
+    base.select(col("doc_id").as("id"), col("doc_id").as("label"))
+      .withColumn("part", pmod(col("label"), lit(DedupQueries.CcParts)))
+      .repartition(col("part"))
+      .write.partitionBy("part").parquet(ccDir)
+    DedupQueries.ccIngest(s, ccDir, basePairs)
+    val kept0 = curateGates(
+        base.join(s.read.parquet(ccDir)
+          .filter(col("id") === col("label"))
+          .select(col("id").as("doc_id")), "doc_id"))
+      .select("doc_id", "text").localCheckpoint(true)
+    (base, basePairs, kept0)
+  }
+
+  /** The keeper DELTA of one cluster-store maintenance event: snapshot
+    * the affected components (everything reachable from `touchIds` —
+    * the pre-event labels bound the work, never the corpus), run
+    * `event` (a seed+ingest or a retract), and compare keepers.
+    * Departures are dethroned keepers that were actually shipped
+    * (kept0-gated); promotions are new keepers through the IDENTICAL
+    * curate gates. `extraScopeIds` adds ids absent before the event
+    * (an incoming batch).
+    */
+  private def curatedKeeperDelta(s: SparkSession, ccDir: String,
+      touchIds: DataFrame, extraScopeIds: Option[DataFrame],
+      corpusText: DataFrame, kept0: DataFrame)(event: => Unit)
+      : (DataFrame, DataFrame) = {
+    def assign = s.read.parquet(ccDir)
+    val affectedBefore = assign
+      .join(touchIds.select(col("id")).distinct(), Seq("id"), "left_semi")
+      .select("label").distinct()
+      .join(assign, "label").select("id", "label")
+      .localCheckpoint(true) // pre-event snapshot of touched comps
+    event
+    val scopeIds = extraScopeIds
+      .map(e => affectedBefore.select("id").unionByName(e).distinct())
+      .getOrElse(affectedBefore.select("id"))
+    val keepersAfter = assign.join(scopeIds, Seq("id"), "left_semi")
+      .filter(col("id") === col("label")).select(col("id").as("doc_id"))
+      .localCheckpoint(true)
+    val keepersBefore = affectedBefore.filter(col("id") === col("label"))
+      .select(col("id").as("doc_id"))
+    val departed = keepersBefore
+      .join(keepersAfter, Seq("doc_id"), "left_anti")
+      .join(kept0.select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true) // shard probe + repack + report read it
+    val promoted = curateGates(
+        keepersAfter.join(keepersBefore, Seq("doc_id"), "left_anti")
+          .join(corpusText, "doc_id"))
+      .select("doc_id", "text")
+    (departed, promoted)
+  }
+
+  /** The curated incremental legs' daily batch: genuinely-new docs
+    * (token-reversed %10==4 at +30M — the pipe_curate_incremental
+    * fresh arm: order-independent gates unchanged, no shared 3-shingle
+    * with any stored doc) plus its pair stream against the stored
+    * state (stored-index probe for cross pairs + batch-internal
+    * pairs).
+    */
+  private def curatedBatch(s: SparkSession, dir: String,
+      idxDir: String, base: DataFrame): (DataFrame, DataFrame) = {
+    graft.sources.AnnIndex.saveMinhash(base, DedupQueries.MinhashK,
+      DedupQueries.Bands, DedupQueries.RowsPerBand, idxDir)
+    val batch = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 4)
+      .select((col("doc_id") + 30000000L).as("doc_id"),
+        array_join(reverse(TextAnalysis.tokens(col("text"))), " ")
+          .as("text"))
+      .localCheckpoint(true) // probe + pairs + gates + repack read it
+    val cross = DedupQueries.probeMinhash(s, idxDir, batch)
+      .select(col("id_old").as("id_a"), col("id_new").as("id_b"))
+    val internal = DedupQueries.minhashPairsOver(batch)
+      .select("id_a", "id_b")
+    (batch, cross.unionByName(internal).localCheckpoint(true))
+  }
+
+  /** The curated VLM artifact's manifest + reconciliation report — the
+    * output shape of pipe_seqs_mm_curated and both its maintenance
+    * legs: the per-shard mm manifest FROM DISK (n_patches +
+    * tokenizer_fp self-identification) with the slots_ok closure
+    * against the survivor population. `counts` is the FINAL survivor
+    * set's (doc_id, n_toks) under the frozen tokenizer; image docs
+    * (doc_id % 3 == 0) contribute their patch run to kept_slots.
+    */
+  private def mmCuratedReport(s: SparkSession, exportDir: String,
+      counts: DataFrame): DataFrame = {
+    val man = seqMmManifest(s, exportDir)
+      .localCheckpoint(true) // shard rows + shipped-slot total
+    val P = lit(MmSeqPatches.toLong)
+    val rec = counts.agg(
+      count(lit(1)).cast("long").as("kept_docs"),
+      coalesce(sum(when(col("doc_id") % 3 === 0, 1L).otherwise(0L)),
+        lit(0L)).cast("long").as("kept_image_docs"),
+      coalesce(sum(col("n_toks") +
+        when(col("doc_id") % 3 === 0, P).otherwise(lit(0L))), lit(0L))
+        .cast("long").as("kept_slots"))
+    val shipped = man.agg(coalesce(sum("n_slots"), lit(0L))
+      .cast("long").as("shipped_slots"))
+    man.crossJoin(broadcast(rec)).crossJoin(broadcast(shipped))
+      .withColumn("slots_ok", col("shipped_slots") === col("kept_slots"))
+      .orderBy("shard")
+  }
 
   /** The curated artifact's manifest + reconciliation report — the
     * output shape of pipe_seqs_curated and both its maintenance legs:
@@ -3394,41 +3502,20 @@ object PipelineQueries {
     // interleave chain (patch runs for image survivors included), the
     // manifest reduce replays the shipped artifact, reconciliation
     // constants ride along
-    "pipe_seqs_mm_curated" -> (curateKeptSql + s""",
-       |curated_text AS (
-       |  SELECT cu.doc_id, c.text
-       |  FROM curated cu JOIN corpus c ON c.doc_id = cu.doc_id
-       |),
-       |""".stripMargin +
-      TextQueries.mat(
-        s"""${seqMmIdCtesOf("curated_text", "TRUE")}, mc_rec AS (
-           |  SELECT CAST(COUNT(*) AS BIGINT) AS kept_docs,
-           |    CAST(COALESCE(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END), 0)
-           |      AS BIGINT) AS kept_image_docs,
-           |    CAST(COALESCE(SUM(n_toks + n_patch), 0) AS BIGINT) AS kept_slots
-           |  FROM mm_b
-           |), mc_ship AS (
-           |  SELECT CAST(COUNT(*) AS BIGINT) AS shipped_slots FROM mm_ids
-           |), mc_man AS (
-           |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_slots,
-           |    CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
-           |    CAST(SUM(CASE WHEN patch_idx >= 0 THEN 1 ELSE 0 END) AS BIGINT)
-           |      AS n_patches,
-           |    CAST(bit_xor(CAST(concat('0x', substr(md5(concat('$PackSalt:',
-           |      CAST(seq_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':' ||
-           |      CAST(doc_id AS VARCHAR) || ':' ||
-           |      CAST(token_id AS VARCHAR) || ':' ||
-           |      CAST(patch_idx AS VARCHAR))), 1, 15)) AS BIGINT)) AS BIGINT)
-           |      AS content_fp,
-           |    (SELECT CAST(bit_xor(CAST(concat('0x', substr(md5(concat('$PackSalt:',
-           |      piece || ':' || CAST(token_id AS VARCHAR))), 1, 15))
-           |      AS BIGINT)) AS BIGINT) FROM bpe_vocab) AS tokenizer_fp
-           |  FROM mm_ids GROUP BY shard
-           |)
-           |SELECT shard, n_slots, n_seqs, n_patches, content_fp,
-           |  tokenizer_fp, kept_docs, kept_image_docs, kept_slots,
-           |  shipped_slots, shipped_slots = kept_slots AS slots_ok
-           |FROM mc_man, mc_rec, mc_ship ORDER BY shard""".stripMargin)),
+    "pipe_seqs_mm_curated" -> (curateKeptSql + mmCuratedReportSql),
+
+    // the maintained VLM append leg converges to the one-shot mm
+    // curate→pack→ship over base ∪ batch
+    "pipe_seqs_mm_curated_incremental" ->
+      (curateKeptSqlOver(corpusWithFreshCte) + mmCuratedReportSql),
+
+    // the VLM takedown leg converges to the one-shot over the
+    // corpus-without (retracted keepers' patch slots gone, promoted
+    // survivors' runs present)
+    "pipe_seqs_mm_curated_retract" ->
+      (curateKeptSqlOver(
+        DedupQueries.corpusCteWhere("doc_id % 50 != 3")) +
+        mmCuratedReportSql),
 
     // the delta-maintained span artifact converges to the one-shot
     // export: same oracle by design
@@ -3719,6 +3806,49 @@ object PipelineQueries {
     * [[curateKeptSqlOver]] head) into the span arithmetic, manifest
     * reduce, and the docs_ok/tokens_ok reconciliation.
     */
+  /** The mm curate→pack→ship report tail shared by
+    * pipe_seqs_mm_curated and both its maintenance legs: chains
+    * `curated`/`corpus` (from a [[curateKeptSqlOver]] head) into the
+    * mm interleave, the manifest reduce, and the slots_ok closure.
+    */
+  private lazy val mmCuratedReportSql: String = (
+    s""",
+       |curated_text AS (
+       |  SELECT cu.doc_id, c.text
+       |  FROM curated cu JOIN corpus c ON c.doc_id = cu.doc_id
+       |),
+       |""".stripMargin +
+      TextQueries.mat(
+        s"""${seqMmIdCtesOf("curated_text", "TRUE")}, mc_rec AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS kept_docs,
+           |    CAST(COALESCE(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END), 0)
+           |      AS BIGINT) AS kept_image_docs,
+           |    CAST(COALESCE(SUM(n_toks + n_patch), 0) AS BIGINT) AS kept_slots
+           |  FROM mm_b
+           |), mc_ship AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS shipped_slots FROM mm_ids
+           |), mc_man AS (
+           |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_slots,
+           |    CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+           |    CAST(SUM(CASE WHEN patch_idx >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_patches,
+           |    CAST(bit_xor(CAST(concat('0x', substr(md5(concat('$PackSalt:',
+           |      CAST(seq_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':' ||
+           |      CAST(doc_id AS VARCHAR) || ':' ||
+           |      CAST(token_id AS VARCHAR) || ':' ||
+           |      CAST(patch_idx AS VARCHAR))), 1, 15)) AS BIGINT)) AS BIGINT)
+           |      AS content_fp,
+           |    (SELECT CAST(bit_xor(CAST(concat('0x', substr(md5(concat('$PackSalt:',
+           |      piece || ':' || CAST(token_id AS VARCHAR))), 1, 15))
+           |      AS BIGINT)) AS BIGINT) FROM bpe_vocab) AS tokenizer_fp
+           |  FROM mm_ids GROUP BY shard
+           |)
+           |SELECT shard, n_slots, n_seqs, n_patches, content_fp,
+           |  tokenizer_fp, kept_docs, kept_image_docs, kept_slots,
+           |  shipped_slots, shipped_slots = kept_slots AS slots_ok
+           |FROM mc_man, mc_rec, mc_ship ORDER BY shard""".stripMargin)
+  )
+
   private lazy val curatedSeqReportSql: String = (
       s""",
          |curated_text AS (

@@ -106,6 +106,29 @@ class CuratedMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("mm curated triad: both legs close slots_ok and the takedown moves the artifact") {
+    import graft.queries.PipelineQueries
+    val oneShot = PipelineQueries.queries("pipe_seqs_mm_curated")(spark, dir)
+      .collect()
+    val inc = PipelineQueries
+      .queries("pipe_seqs_mm_curated_incremental")(spark, dir).collect()
+    val ret = PipelineQueries
+      .queries("pipe_seqs_mm_curated_retract")(spark, dir).collect()
+    Seq("one-shot" -> oneShot, "incremental" -> inc, "retract" -> ret)
+      .foreach { case (tag, rows) =>
+        assert(rows.nonEmpty, s"$tag empty")
+        rows.foreach(r => assert(r.getAs[Boolean]("slots_ok"),
+          s"$tag slots_ok failed"))
+      }
+    // the batch grew the artifact; the takedown changed its content
+    def fp(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("shard") -> r.getAs[Long]("content_fp")).toMap
+    assert(fp(inc) != fp(oneShot), "append leg was a no-op")
+    assert(fp(ret) != fp(oneShot), "takedown leg was a no-op")
+    assert(inc.head.getAs[Long]("kept_docs") > oneShot.head.getAs[Long]("kept_docs"),
+      "append leg admitted no promotions")
+  }
+
   test("freshness contract negative path: pairs ingested before their docs are seeded fail loudly") {
     import spark.implicits._
     import graft.queries.DedupQueries
