@@ -123,6 +123,127 @@ object VecKernels {
     m
   }
 
+  /** Nearest PQ sub-centroid — the encode step as ONE row-local call,
+    * replacing the crossJoin(k) + per-vec_id rank window + m-way join
+    * chain. Arithmetic replicates the crossJoin form bit-for-bit: the
+    * expanded L2 is three sequential ascending-order fold dots combined
+    * as `(sv·sv − 2.0·(sv·cv)) + cv·cv` (the `Dedup.dot` op sequence),
+    * and the minimizer is picked with Spark's double sort semantics
+    * (java.lang.Double.compare: NaN greatest, −0.0 < 0.0), ties to the
+    * FIRST row — equal to `orderBy(l2, cent_id)` rank 1 when `cb` rows
+    * arrive cent_id-ascending. Returns the winning `centIds` entry.
+    */
+  def pqNearestCode(v: ArrayData, cb: Array[Array[Double]],
+                    centIds: Array[Long], off: Int, sub: Int): Long = {
+    val lim = math.min(sub, math.max(v.numElements() - off, 0))
+    var dss = 0.0
+    var i = 0
+    while (i < lim) { val x = v.getDouble(off + i); dss += x * x; i += 1 }
+    var bestIdx = -1
+    var bestL2 = 0.0
+    var j = 0
+    while (j < cb.length) {
+      val cv = cb(j)
+      var dsc = 0.0
+      var dcc = 0.0
+      var d = 0
+      val m2 = math.min(lim, cv.length)
+      while (d < m2) { dsc += v.getDouble(off + d) * cv(d); d += 1 }
+      d = 0
+      while (d < cv.length) { val c = cv(d); dcc += c * c; d += 1 }
+      val l2 = dss - 2.0 * dsc + dcc
+      if (bestIdx < 0 || java.lang.Double.compare(l2, bestL2) < 0) {
+        bestIdx = j; bestL2 = l2
+      }
+      j += 1
+    }
+    centIds(bestIdx)
+  }
+
+  /** Cosine against a plain double[] — the [[cosine]] op sequence with
+    * a driver-collected right side (used by [[ivfNearest]]).
+    */
+  def cosineArr(a: ArrayData, b: Array[Double]): Double = {
+    val n = math.min(a.numElements(), b.length)
+    var dab = 0.0
+    var daa = 0.0
+    var dbb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b(i)
+      dab += x * y
+      daa += x * x
+      dbb += y * y
+      i += 1
+    }
+    dab / (math.sqrt(daa) * math.sqrt(dbb))
+  }
+
+  /** Nearest IVF centroid — the cell assignment as one row-local call,
+    * replacing crossJoin(k) + the per-vec_id rank window. Picks the
+    * centroid maximizing the shared-op-sequence cosine with Spark's
+    * descending double sort semantics (Double.compare: NaN greatest =
+    * ranked first, −0.0 < 0.0), ties to the FIRST row (= smallest
+    * cent_id when rows arrive cent_id-ascending). Returns
+    * `(centIds(best), ccos(best))` as an InternalRow struct.
+    */
+  def ivfNearest(v: ArrayData, cents: Array[Array[Double]],
+                 centIds: Array[Long]): org.apache.spark.sql.catalyst.InternalRow = {
+    var bestIdx = -1
+    var bestCc = 0.0
+    var j = 0
+    while (j < cents.length) {
+      val cc = cosineArr(v, cents(j))
+      if (bestIdx < 0 || java.lang.Double.compare(cc, bestCc) > 0) {
+        bestIdx = j; bestCc = cc
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](centIds(bestIdx), bestCc))
+  }
+
+  /** Top-`n` IVF cells by the [[ivfNearest]] ordering (ccos DESC with
+    * Double.compare semantics, ties to the smaller cent_id) — the
+    * row-local form of `row_number over (ccos DESC, cent_id) <= n`.
+    * Returns an array of `struct(cell, ccos)` in rank order (entry i =
+    * rank i+1), at most min(n, k) entries.
+    */
+  def ivfTopN(v: ArrayData, cents: Array[Array[Double]],
+              centIds: Array[Long], n: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val k = cents.length
+    val keep = math.min(n, k)
+    val idx = new Array[Int](keep)
+    val ccs = new Array[Double](keep)
+    var filled = 0
+    var j = 0
+    while (j < k) {
+      val cc = cosineArr(v, cents(j))
+      // stable descending insertion: strictly-greater moves ahead of an
+      // earlier entry; ties keep insertion (= ascending cent_id) order
+      var pos = filled
+      while (pos > 0 && java.lang.Double.compare(cc, ccs(pos - 1)) > 0) pos -= 1
+      if (pos < keep) {
+        var t = math.min(filled, keep - 1)
+        while (t > pos) { idx(t) = idx(t - 1); ccs(t) = ccs(t - 1); t -= 1 }
+        idx(pos) = j
+        ccs(pos) = cc
+        if (filled < keep) filled += 1
+      }
+      j += 1
+    }
+    val out = new Array[Any](filled)
+    var i = 0
+    while (i < filled) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](centIds(idx(i)), ccs(i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Sign-hyperplane LSH bucket: bit p set iff v · signs(p) >= 0. */
   def lshBucket(v: ArrayData, signs: Array[Array[Double]]): Long = {
     var bucket = 0L
@@ -189,6 +310,104 @@ case class LshBucketExpr(child: Expression, signs: Array[Array[Double]])
 object LshBucketExpr {
   def apply(v: Column, signs: Array[Array[Double]]): Column =
     ExpressionUtils.column(LshBucketExpr(ExpressionUtils.expression(v), signs))
+}
+
+/** Codegen nearest-PQ-sub-centroid encode of an `array<double>` column
+  * against a literal codebook; see [[VecKernels.pqNearestCode]] for the
+  * exact op order and tie semantics.
+  */
+case class PqNearestCodeExpr(child: Expression, cb: Array[Array[Double]],
+                             centIds: Array[Long], off: Int, sub: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_nearest_code"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.pqNearestCode(v.asInstanceOf[ArrayData], cb, centIds, off, sub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("cb", cb, "double[][]")
+    val idRef = ctx.addReferenceObj("centIds", centIds, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecKernels.pqNearestCode($c, $cbRef, $idRef, $off, $sub)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqNearestCodeExpr =
+    copy(child = newChild)
+}
+
+object PqNearestCodeExpr {
+  def apply(v: Column, cb: Array[Array[Double]], centIds: Array[Long],
+            off: Int, sub: Int): Column =
+    ExpressionUtils.column(
+      PqNearestCodeExpr(ExpressionUtils.expression(v), cb, centIds, off, sub))
+}
+
+/** Codegen nearest-IVF-centroid assignment of an `array<double>` column
+  * against literal centroids — returns `struct(cell: long, ccos:
+  * double)`; see [[VecKernels.ivfNearest]] for tie semantics.
+  */
+case class IvfNearestExpr(child: Expression, cents: Array[Array[Double]],
+                          centIds: Array[Long])
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cell", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("ccos", DoubleType, nullable = false)))
+  override def prettyName: String = "ivf_nearest"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.ivfNearest(v.asInstanceOf[ArrayData], cents, centIds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val idRef = ctx.addReferenceObj("centIds", centIds, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecKernels.ivfNearest($c, $cRef, $idRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfNearestExpr =
+    copy(child = newChild)
+}
+
+object IvfNearestExpr {
+  def apply(v: Column, cents: Array[Array[Double]], centIds: Array[Long]): Column =
+    ExpressionUtils.column(
+      IvfNearestExpr(ExpressionUtils.expression(v), cents, centIds))
+}
+
+/** Codegen top-n IVF cell ranking of an `array<double>` column against
+  * literal centroids — returns `array<struct(cell, ccos)>` in rank
+  * order; see [[VecKernels.ivfTopN]].
+  */
+case class IvfTopNExpr(child: Expression, cents: Array[Array[Double]],
+                       centIds: Array[Long], n: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("ccos", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "ivf_top_n"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.ivfTopN(v.asInstanceOf[ArrayData], cents, centIds, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val idRef = ctx.addReferenceObj("centIds", centIds, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecKernels.ivfTopN($c, $cRef, $idRef, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfTopNExpr =
+    copy(child = newChild)
+}
+
+object IvfTopNExpr {
+  def apply(v: Column, cents: Array[Array[Double]], centIds: Array[Long],
+            n: Int): Column =
+    ExpressionUtils.column(
+      IvfTopNExpr(ExpressionUtils.expression(v), cents, centIds, n))
 }
 
 /** Codegen max-abs-coordinate of an `array<double>` column. */

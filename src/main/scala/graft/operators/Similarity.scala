@@ -3,7 +3,7 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -81,51 +81,110 @@ object Similarity {
   def kmeansCentroids(vecs: DataFrame, k: Int, sampleSize: Int, iters: Int,
                       dim: Int, salt: Int,
                       idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val sample = kmeansSample(vecs, sampleSize, salt, idCol, vecCol)
+    localCentroidsFrame(vecs.sparkSession,
+      kmeansFitLocal(sample, k, iters, dim),
+      vecs.schema(vecCol).dataType)
+  }
+
+  /** The deterministic `sampleSize`-row training sample as driver-local
+    * `(vec_id, v)` pairs in (md5-hash, vec_id) order — ONE
+    * TakeOrderedAndProject pass over the corpus; everything downstream
+    * of it (seeding, Lloyd) is O(sampleSize·k·dim) driver arithmetic.
+    */
+  private[graft] def kmeansSample(vecs: DataFrame, sampleSize: Int, salt: Int,
+      idCol: String = "vec_id", vecCol: String = "v"): Array[(Long, Array[Double])] = {
     val h = Dedup.md5Long(col(idCol).cast("string"), salt)
-    val samp = vecs
-      .select(col(idCol).as("vec_id"), col(vecCol).as("v"), h.as("h"))
+    vecs.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"), h.as("h"))
       .orderBy("h", "vec_id").limit(sampleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-    // Number the <= k seed rows driver-side: the frame is already
-    // limit(k)-bounded (TakeOrderedAndProject), and ranking it with an
-    // unpartitioned window would make WindowExec warn "Moving all data to
-    // a single partition" — noise indistinguishable from a real scale bug
-    // in log review (Catalyst strips foldable partitionBy(lit) exprs, so
-    // that spelling doesn't avoid it either). collect() here is k rows.
-    val spark = vecs.sparkSession
-    val seedSchema = org.apache.spark.sql.types.StructType(Seq(
+      .collect() // <= sampleSize rows, driver-safe by design
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+  }
+
+  /** Driver-local cosine with the exact IEEE op sequence of the codegen
+    * kernel ([[graft.functions.VecKernels.cosine]]) and of the
+    * sequential-fold HOF form — one ascending pass accumulating a·b,
+    * a·a, b·b, combined as dab / (sqrt(daa)·sqrt(dbb)).
+    */
+  private def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dab += x * y; daa += x * x; dbb += y * y
+      i += 1
+    }
+    dab / (math.sqrt(daa) * math.sqrt(dbb))
+  }
+
+  /** Lloyd over an in-memory sample, replicating the distributed form's
+    * arithmetic BIT-FOR-BIT (the oracle replays it in SQL): seeds are
+    * the first `k` sample rows numbered 1..k; assignment picks the
+    * centroid maximizing the shared sequential-fold cosine with Spark's
+    * sort semantics on doubles (java.lang.Double.compare — NaN greatest,
+    * -0.0 < 0.0), ties to the smaller cent_id; the update sums member
+    * vectors in ascending-vec_id order (a left fold, exactly the
+    * sort_array + aggregate(zip_with(+)) sequence) and divides by the
+    * member count; a cell whose population empties drops out. Returns
+    * (cent_id, centroid) in ascending cent_id order.
+    */
+  private[graft] def kmeansFitLocal(sample: Array[(Long, Array[Double])],
+      k: Int, iters: Int, dim: Int): Seq[(Long, Array[Double])] = {
+    val seeds: Seq[(Long, Array[Double])] =
+      sample.take(k).zipWithIndex.map { case ((_, v), i) => ((i + 1).toLong, v) }.toSeq
+    (1 to iters).foldLeft(seeds) { (cents, _) =>
+      // members per centroid, then mean in ascending-vec_id member order
+      val byCent = scala.collection.mutable.LinkedHashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]]
+      sample.foreach { case (id, v) =>
+        var bestCent = -1L
+        var bestCc = 0.0
+        var first = true
+        cents.foreach { case (cid, cv) =>
+          val cc = cosineLocal(v, cv)
+          // row_number over (cc DESC, cent_id ASC): strict Double.compare
+          // win replaces; ties keep the earlier (smaller) cent_id since
+          // cents iterates in ascending cent_id order
+          if (first || java.lang.Double.compare(cc, bestCc) > 0) {
+            bestCent = cid; bestCc = cc; first = false
+          }
+        }
+        byCent.getOrElseUpdate(bestCent,
+          scala.collection.mutable.ArrayBuffer.empty) += ((id, v))
+      }
+      cents.flatMap { case (cid, _) =>
+        byCent.get(cid).map { ms =>
+          val sorted = ms.sortBy(_._1)
+          val acc = new Array[Double](dim)
+          sorted.foreach { case (_, v) =>
+            var i = 0
+            while (i < dim && i < v.length) { acc(i) += v(i); i += 1 }
+          }
+          val n = sorted.size.toDouble
+          var i = 0
+          while (i < dim) { acc(i) = acc(i) / n; i += 1 }
+          (cid, acc)
+        }
+      }
+    }
+  }
+
+  /** Wrap driver-fit centroids as the small DataFrame the assignment
+    * crossJoins broadcast — the exact schema the distributed form
+    * produced: (cent_id: long not-null, cv: the input vector type).
+    */
+  private[graft] def localCentroidsFrame(spark: SparkSession,
+      cents: Seq[(Long, Array[Double])],
+      vecType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("cent_id",
         org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("cv", samp.schema("v").dataType)))
-    val seedRows = samp.orderBy("h", "vec_id").limit(k).select("v").collect()
-      .zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row((i + 1).toLong, r.get(0))
-      }
-    val seeds = spark.createDataFrame(
-      java.util.Arrays.asList(seedRows: _*), seedSchema)
-    val fitted = (1 to iters).foldLeft(seeds) { (cents, _) =>
-      val wA = Window.partitionBy("vec_id").orderBy(col("cc").desc, col("cent_id"))
-      val assigned = samp.crossJoin(broadcast(cents))
-        .withColumn("cc", Dedup.cosine(col("v"), col("cv")))
-        .withColumn("rn", row_number().over(wA))
-        .filter(col("rn") === 1)
-      assigned.groupBy("cent_id")
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("ms"))
-        .select(col("cent_id"),
-          transform(
-            aggregate(col("ms"), array_repeat(lit(0.0), dim),
-              (acc, m) => zip_with(acc, m.getField("v"), (x, y) => x + y)),
-            x => x / size(col("ms")).cast("double")).as("cv"))
+      org.apache.spark.sql.types.StructField("cv", vecType)))
+    val rows = cents.map { case (cid, cv) =>
+      org.apache.spark.sql.Row(cid, cv.toSeq)
     }
-    // Materialize the k centroid rows so (a) the training sample cache can
-    // be released immediately — callers invoke this repeatedly per session
-    // and the cached copies otherwise accumulate — and (b) downstream
-    // consumers (an O(N*k) assignment crossJoin, reused by both sim_ann_ivf
-    // and sim_ann_recall) never re-execute the Lloyd subtree.
-    val centRows = fitted.collect()
-    spark.createDataFrame(java.util.Arrays.asList(centRows: _*), fitted.schema)
-    } finally samp.unpersist() // release even when Lloyd/collect throws
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Exact cosine top-k of `queries` (small: broadcast) against `corpus`.

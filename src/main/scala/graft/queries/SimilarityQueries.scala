@@ -329,14 +329,20 @@ object SimilarityQueries {
     */
   private def ivfRanked(s: SparkSession, dir: String, maxProbe: Int): DataFrame = {
     val all = vecs(s, dir)
-    val cents = broadcast(
-      Similarity.kmeansCentroids(all, IvfK, IvfSample, IvfIters, Dim, IvfSalt))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-    all.crossJoin(cents)
-      .withColumn("ccos", Dedup.cosine(col("v"), col("cv")))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") <= maxProbe)
-      .select("vec_id", "v", "cent_id", "crn", "ccos")
+    // k centroid rows driver-local; the top-maxProbe cell ranking is ONE
+    // row-local codegen call + posexplode — no crossJoin blow-up, no
+    // per-vec_id rank-window shuffle (VecKernels.ivfTopN replicates the
+    // (ccos DESC, cent_id) row_number semantics bit-for-bit)
+    val cents = Similarity.kmeansCentroids(all, IvfK, IvfSample, IvfIters, Dim, IvfSalt)
+      .select("cent_id", "cv").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    all
+      .select(col("vec_id"), col("v"),
+        posexplode(graft.functions.IvfTopNExpr(col("v"),
+          cents.map(_._2), cents.map(_._1), maxProbe)).as(Seq("p", "c")))
+      .select(col("vec_id"), col("v"), col("c.cell").as("cent_id"),
+        (col("p") + lit(1)).as("crn"), col("c.ccos").as("ccos"))
       .localCheckpoint(true)
   }
 
@@ -398,16 +404,18 @@ object SimilarityQueries {
     // nearest centroid in L2, not by angular similarity). Expanded form
     // dot(v,v) - 2*dot(v,c) + dot(c,c) with the shared sequential fold,
     // identical arithmetic order in the oracle; ties -> cent_id.
-    val codesWide = (0 until PqM).map { m =>
-      val w = Window.partitionBy("vec_id").orderBy(col("l2"), col("cent_id"))
-      all.select(col("vec_id"), slice(col("v"), m * PqSub + 1, PqSub).as("sv"))
-        .crossJoin(broadcast(cents(m)))
-        .withColumn("l2",
-          Dedup.dot(col("sv"), col("sv")) - lit(2.0) * Dedup.dot(col("sv"), col("cv"))
-            + Dedup.dot(col("cv"), col("cv")))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("cent_id").as(s"code$m"))
-    }.reduce((a, b) => a.join(b, "vec_id"))
+    // row-local encode against the driver-collected codebooks — no
+    // crossJoin blow-up, no per-vec_id rank window, no PqM-way join
+    // chain (VecKernels.pqNearestCode replicates the expanded-L2 fold
+    // order and (l2, cent_id) tie semantics bit-for-bit)
+    val codesWide = all.select(
+      col("vec_id") +: (0 until PqM).map { m =>
+        val rows = cents(m).select("cent_id", "cv").collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+        graft.functions.PqNearestCodeExpr(col("v"),
+          rows.map(_._2), rows.map(_._1), m * PqSub, PqSub).as(s"code$m")
+      }: _*)
     // LUT: dots of each query's subvector against every sub-centroid —
     // Q x PqM x PqK rows total, each side of the scoring join broadcast
     val luts = (0 until PqM).map { m =>

@@ -365,12 +365,8 @@ object AnnIndex {
               dim: Int, salt: Int, dir: String): Unit = {
     val cents = Similarity.kmeansCentroids(vecs, k, sampleSize, iters, dim, salt)
     cents.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("ccos", Dedup.cosine(col("v"), col("cv")))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
+    assignIvf(vecs, cents)
+      .select(col("vec_id"), col("cell"), col("v"))
       .repartition(col("cell")) // one file per cell dir, any cluster width
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
@@ -578,12 +574,19 @@ object AnnIndex {
     * upsert stores (no second cross-join).
     */
   private def assignIvf(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-    vecs.crossJoin(cents)
-      .withColumn("ccos", Dedup.cosine(col("v"), col("cv")))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"), col("v"), col("ccos"))
+    // Collect the k centroid rows (bounded) and assign in ONE row-local
+    // codegen projection — no crossJoin blow-up, no per-vec_id rank
+    // window. [[graft.functions.VecKernels.ivfNearest]] replicates the
+    // cosine op sequence and the (ccos DESC, cent_id ASC) tie semantics
+    // bit-for-bit.
+    val rows = cents.select("cent_id", "cv").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    vecs
+      .withColumn("_best", graft.functions.IvfNearestExpr(col("v"),
+        rows.map(_._2), rows.map(_._1)))
+      .select(col("vec_id"), col("_best.cell").as("cell"), col("v"),
+        col("_best.ccos").as("ccos"))
   }
 
   /** The merge half of [[upsertIvf]], over an already-materialized
@@ -740,14 +743,27 @@ object AnnIndex {
   private def trainPqCodebooks(vecs: DataFrame, m: Int, sub: Int, k: Int,
                                sampleSize: Int, iters: Int, salt: Int,
                                dir: String, parts: Int): Seq[DataFrame] = {
-    val cbs = (0 until m).map { mm =>
-      val subV = vecs.select(col("vec_id"),
-        slice(col("v"), mm * sub + 1, sub).as("v"))
-      val cents = Similarity.kmeansCentroids(subV, k, sampleSize, iters, sub, salt)
-      cents.coalesce(1).write.mode(SaveMode.Overwrite)
-        .parquet(s"$dir/codebook/m=$mm")
-      cents
+    // ONE deterministic sample pass over the corpus for all m subspace
+    // codebooks: the per-subspace sample key is md5(vec_id, salt) —
+    // independent of the vector slice — so sampling full-dim once and
+    // slicing driver-side selects the identical rows per subspace that
+    // m separate TakeOrdered passes did (bit-identical codebooks, m-1
+    // fewer corpus scans).
+    val spark = vecs.sparkSession
+    val sample = Similarity.kmeansSample(vecs, sampleSize, salt)
+    val vType = vecs.schema("v").dataType
+    val fitted = (0 until m).map { mm =>
+      val sliced = sample.map { case (id, v) =>
+        (id, java.util.Arrays.copyOfRange(v, mm * sub,
+          math.min(mm * sub + sub, v.length)))
+      }
+      Similarity.kmeansFitLocal(sliced, k, iters, sub)
     }
+    // ONE codebook table (m, cent_id, cv) — a single small write/read
+    // instead of m directory round-trips per train/load
+    codebookFrame(spark, fitted, vType)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/codebook")
+    val cbs = fitted.map(f => Similarity.localCentroidsFrame(spark, f, vType))
     import vecs.sparkSession.implicits._
     Seq((m, sub, k, parts)).toDF("m", "sub", "k", "parts")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
@@ -760,22 +776,54 @@ object AnnIndex {
     */
   private def encodeWithCodebooks(vecs: DataFrame, m: Int, sub: Int,
                                   cbs: Seq[DataFrame]): DataFrame = {
-    val codeFrames = (0 until m).map { mm =>
-      val w = Window.partitionBy("vec_id").orderBy(col("l2"), col("cent_id"))
-      vecs.select(col("vec_id"), slice(col("v"), mm * sub + 1, sub).as("sv"))
-        .crossJoin(broadcast(cbs(mm)))
-        .withColumn("l2",
-          Dedup.dot(col("sv"), col("sv")) - lit(2.0) * Dedup.dot(col("sv"), col("cv"))
-            + Dedup.dot(col("cv"), col("cv")))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("cent_id").as(s"code$mm"))
+    // Collect the k-row codebooks (bounded: m·k rows) and encode in ONE
+    // row-local codegen projection — no crossJoin row blow-up, no
+    // per-vec_id rank-window shuffle per subspace, no m-way join chain.
+    // [[graft.functions.VecKernels.pqNearestCode]] replicates the
+    // crossJoin form's fold order and (l2, cent_id) tie semantics
+    // bit-for-bit, so the codes table is unchanged.
+    val codeCols = (0 until m).map { mm =>
+      val rows = cbs(mm).select("cent_id", "cv").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      graft.functions.PqNearestCodeExpr(col("v"),
+        rows.map(_._2), rows.map(_._1), mm * sub, sub).as(s"code$mm")
     }
-    codeFrames.reduce((a, b) => a.join(b, "vec_id"))
+    vecs.select(col("vec_id") +: codeCols: _*)
   }
 
-  /** The stored per-subspace codebooks. */
-  private def storedCodebooks(spark: SparkSession, dir: String, m: Int): Seq[DataFrame] =
-    (0 until m).map(mm => spark.read.parquet(s"$dir/codebook/m=$mm"))
+  /** All m codebooks as one small frame `(m, cent_id, cv)`. */
+  private def codebookFrame(spark: SparkSession,
+      fitted: Seq[Seq[(Long, Array[Double])]],
+      vType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("m",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cent_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cv", vType)))
+    val rows = fitted.zipWithIndex.flatMap { case (cents, mm) =>
+      cents.map { case (cid, cv) =>
+        org.apache.spark.sql.Row(mm, cid, cv.toSeq) }
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** The stored per-subspace codebooks — ONE read+collect of the
+    * consolidated `(m, cent_id, cv)` table (bounded: m·k rows), split
+    * driver-side into the per-subspace local frames every consumer
+    * collects anyway.
+    */
+  private def storedCodebooks(spark: SparkSession, dir: String, m: Int): Seq[DataFrame] = {
+    val all = readIndex(spark, dir, "codebook")
+    val vType = all.schema("cv").dataType
+    val rows = all.select("m", "cent_id", "cv").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    (0 until m).map { mm =>
+      Similarity.localCentroidsFrame(spark,
+        rows.filter(_._1 == mm).map(r => (r._2, r._3)).sortBy(_._1).toSeq, vType)
+    }
+  }
 
   /** Gauge-cadence counter for the `*WithPolicy` ingest loops — the
     * "check every Nth batch" dial the wired policies' scaladoc names.
@@ -948,16 +996,18 @@ object AnnIndex {
   private def pqMeanCcosFrame(spark: SparkSession, dir: String,
       joined: DataFrame, m: Int, sub: Int,
       suspect: org.apache.spark.sql.Column): DataFrame = {
-    val scored = (0 until m).foldLeft(joined) { (acc, mm) =>
-      val cb = broadcast(spark.read.parquet(s"$dir/codebook/m=$mm")
-        .select(col("cent_id").as(s"code$mm"), col("cv").as(s"cv$mm")))
-      acc.join(cb, Seq(s"code$mm"))
-    }
+    // codebooks as literal maps (bounded: m·k rows, one stored read) —
+    // the per-row sub-centroid lookup is row-local element_at instead
+    // of m broadcast joins; the scored cosine expression is unchanged
+    val cbs = storedCodebooks(spark, dir, m)
     val qsum = (0 until m).map { mm =>
-      floor(Dedup.cosine(slice(col("v"), mm * sub + 1, sub), col(s"cv$mm"))
+      val cbMap = cbs(mm).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      floor(Dedup.cosine(slice(col("v"), mm * sub + 1, sub),
+          element_at(typedLit(cbMap), col(s"code$mm")))
         * lit(1.0e9)).cast("long")
     }.reduce(_ + _)
-    scored.select(suspect.as("is_suspect"), qsum.as("qcos"))
+    joined.select(suspect.as("is_suspect"), qsum.as("qcos"))
       .groupBy("is_suspect")
       .agg(count(lit(1)).as("pop"), sum("qcos").as("sum_qcos"))
       .select(col("is_suspect"), col("pop"),
@@ -1114,10 +1164,11 @@ object AnnIndex {
     // queries enter the stored code space through the same frozen OPQ
     // permutation the encode side applied (identity when absent)
     val qp = applyPerm(queries, storedPerm(spark, dir), "v")
+    val cbs = storedCodebooks(spark, dir, m) // one stored read, m local frames
     val joined = (0 until m).foldLeft(codes) { (acc, mm) =>
       val lut = qp
         .select(col("vec_id").as("q_id"), slice(col("v"), mm * sub + 1, sub).as("qv"))
-        .crossJoin(broadcast(spark.read.parquet(s"$dir/codebook/m=$mm")))
+        .crossJoin(broadcast(cbs(mm)))
         .select(col("q_id"), col("cent_id").as(s"code$mm"),
           Dedup.dot(col("qv"), col("cv")).as(s"d$mm"))
       if (mm == 0) acc.join(broadcast(lut), Seq(s"code$mm"))
@@ -1403,10 +1454,11 @@ object AnnIndex {
       .filter(col("cell").isin(cellIds.map(Long.box): _*))
     val cand = codes.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
+    val cbs = storedCodebooks(spark, dir, m) // one stored read, m local frames
     val scored = (0 until m).foldLeft(cand) { (acc, mm) =>
       val lut = qPerm
         .select(col("q_id"), slice(col("q_v"), mm * sub + 1, sub).as("qv"))
-        .crossJoin(broadcast(spark.read.parquet(s"$dir/codebook/m=$mm")))
+        .crossJoin(broadcast(cbs(mm)))
         .select(col("q_id"), col("cent_id").as(s"code$mm"),
           Dedup.dot(col("qv"), col("cv")).as(s"d$mm"))
       acc.join(broadcast(lut), Seq(s"code$mm", "q_id"))
