@@ -196,6 +196,14 @@ object Dedup {
     *              least transient)
     * @return (id, label) — label = min id of the component
     */
+  /** Edge-count ceiling for the driver-local union-find fast path: two
+    * longs per edge, so the collect is bounded at ~8 MB. The label of a
+    * component is its min id — an exact integer — so the local result
+    * is bit-identical to the BSP fixpoint; graphs above the ceiling
+    * (the genuinely-at-scale case) take the BSP loop unchanged.
+    */
+  final val LocalCcMaxEdges = 500000L
+
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25,
       requireConverged: Boolean = false): DataFrame = {
     // localCheckpoint (eager), NOT persist: persist caches the DATA but
@@ -210,7 +218,48 @@ object Dedup {
     val sym = edges
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true) // re-joined every round
+      .localCheckpoint(true) // re-joined every round (or collected once)
+    // SMALL-GRAPH FAST PATH: the dup graph of a maintenance batch (and
+    // of a test-SF corpus) is a few thousand edges — running 3-8 BSP
+    // rounds of join+agg+checkpoint+emptiness jobs over it costs far
+    // more in per-job latency than the data justifies. Under the edge
+    // ceiling, collect the symmetrized edges once and union-find on the
+    // driver: min-label components of exact integers, bit-identical to
+    // the BSP fixpoint, convergence unconditional. The count() is one
+    // cheap action against the just-materialized blocks.
+    val nEdges = sym.count()
+    if (nEdges <= LocalCcMaxEdges) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      sym.select("src", "dst").collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        // union by MIN id so every root is its component's min label
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val spark = nodes.sparkSession
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      parent.keySet().forEach { id => rows.add(
+        org.apache.spark.sql.Row(id.longValue(), find(id).longValue())) }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val labels = spark.createDataFrame(rows, schema)
+      return nodes.select(col("id")).join(broadcast(labels), Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    }
     // Iterate ONLY over edge-touched nodes: an isolated doc's label can
     // never change, so keeping it in the loop would drag the full corpus
     // through every round's shuffle. At pipeline scale the dup graph is

@@ -184,12 +184,28 @@ object DedupQueries {
     * don't differentially bind (they fire in neither regime at gate
     * SFs — the dedup_incremental equivalence argument).
     */
-  private[queries] def minhashPairsOver(c0: DataFrame): DataFrame = {
-    val c = c0
+  private[queries] def minhashPairsOver(c0: DataFrame): DataFrame =
+    minhashPairsOverSigs(minhashSigsOver(c0))
+
+  /** The frozen signature columns over a `(doc_id, text)` relation,
+    * MATERIALIZED (localCheckpoint): candidate generation, both verify
+    * joins, and — in the curated maintenance legs — the stored-index
+    * build ([[graft.sources.AnnIndex.saveMinhashSigs]]) all read this
+    * one frame, so the shingle+signature pass over the corpus runs
+    * exactly once per staging.
+    */
+  private[graft] def minhashSigsOver(c0: DataFrame): DataFrame =
+    c0
       .withColumn("sh", Dedup.shingleSet(col("text")))
       .withColumn("sig", Dedup.minhashSignature(col("sh"), MinhashK))
       .withColumn("keys", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
       .localCheckpoint(true)
+
+  /** The pair derivation over an already-signed (and materialized)
+    * frame — [[minhashPairsOver]]'s tail, factored so a caller holding
+    * the signature frame for other uses never re-signs the corpus.
+    */
+  private[graft] def minhashPairsOverSigs(c: DataFrame): DataFrame = {
     val pairs = Dedup.candidatePairs(c, "doc_id", "keys", MaxBucket)
     pairs
       .join(c.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -344,6 +360,24 @@ object DedupQueries {
     * upsert discipline); ids must be fresh (an id the store already
     * holds would duplicate its row — the caller's batch contract).
     */
+  /** BULK-BUILD a cluster-assignment store: write the min-label
+    * components of `(ids, pairs)` directly — the store content is
+    * bit-identical to seeding every id as a singleton and replaying
+    * the full pair stream through [[ccIngest]] (the staged form's
+    * invariant: min-label components of all pairs seen so far), without
+    * the second full-store rewrite, the orphan-gate join, or the
+    * label-graph lift that the incremental path must pay per batch.
+    * This is how a store is STAGED (bootstrap); batches flow through
+    * [[ccSeedAppend]]/[[ccIngest]]/[[ccRetract]] afterwards.
+    */
+  private[graft] def ccBulkStage(s: SparkSession, storePath: String,
+      ids: DataFrame, pairs: DataFrame): Unit =
+    Dedup.connectedComponents(ids, pairs.select("id_a", "id_b"),
+        requireConverged = true)
+      .withColumn("part", pmod(col("label"), lit(CcParts)))
+      .repartition(col("part"))
+      .write.partitionBy("part").parquet(storePath)
+
   private[graft] def ccSeedAppend(s: SparkSession, storePath: String,
       ids: DataFrame): Unit = {
     val nw = ids.select(col("id"), col("id").as("label"))
@@ -624,14 +658,13 @@ object DedupQueries {
     // which is exactly what "the doc is gone" must mean downstream.
     "dedup_clusters_retract" -> ((s, dir) => {
       val storePath = s"${graft.sources.TempDirs.scratch("graft_ccr_")}/assign"
-      corpus(s, dir).select(col("doc_id").as("id"))
-        .select(col("id"), col("id").as("label"))
-        .withColumn("part", pmod(col("label"), lit(CcParts)))
-        .repartition(col("part"))
-        .write.partitionBy("part").parquet(storePath)
       val pairs = minhashPairs(s, dir).select("id_a", "id_b")
-        .localCheckpoint(true) // ingest + retraction graph read it
-      ccIngest(s, storePath, pairs)
+        .localCheckpoint(true) // staging + retraction graph read it
+      // stage the absorbed store in one bulk build (content identical
+      // to seed-singletons + one full-stream ccIngest — see ccBulkStage);
+      // the measured event is the retraction below
+      ccBulkStage(s, storePath, corpus(s, dir).select(col("doc_id").as("id")),
+        pairs)
       ccRetract(s, storePath,
         corpus(s, dir).filter(col("doc_id") < 10000000L &&
           col("doc_id") % 10 === 3).select(col("doc_id").as("id")),

@@ -372,7 +372,18 @@ object PipelineQueries {
     * doc_id % 3 == 0 still reserves its patch run).
     */
   private[graft] def seqMmTokensOf(s: SparkSession, dir: String,
-      docs: DataFrame): DataFrame = {
+      docs: DataFrame): DataFrame =
+    seqMmTokensAndCounts(s, dir, docs)._1
+
+  /** [[seqMmTokensOf]] plus the per-doc TEXT-TOKEN counts `(doc_id,
+    * n_toks)` of the SAME tokenize pass — derived off the materialized
+    * offset frame (zero-slot docs restored by a left join against
+    * `docs`, the [[batchMmRows]] promoted-counts pattern), so a caller
+    * needing both the packed slots and the survivor counts (the curated
+    * VLM report) never tokenizes the survivor set twice.
+    */
+  private[graft] def seqMmTokensAndCounts(s: SparkSession, dir: String,
+      docs: DataFrame): (DataFrame, DataFrame) = {
     val P = lit(MmSeqPatches.toLong)
     val base = TextQueries.bpeDocPieceListOf(s, dir, docs)
       .select(col("doc_id"),
@@ -401,12 +412,16 @@ object PipelineQueries {
       .select(col("shard"), col("doc_id"),
         (col("tok_off") + col("n_toks") + col("k")).as("g"),
         lit(MmPatchTok).as("token_id"), col("k").as("patch_idx"))
-    text.unionByName(patch)
+    val toks = text.unionByName(patch)
       .select(col("shard"),
         floor(col("g").cast("double") / lit(PackSeqLen.toDouble)).cast("long")
           .as("seq_id"),
         pmod(col("g"), lit(PackSeqLen.toLong)).as("pos"),
         col("doc_id"), col("token_id"), col("patch_idx"))
+    val counts = docs.select("doc_id")
+      .join(offs.select("doc_id", "n_toks"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_toks"), lit(0L)).as("n_toks"))
+    (toks, counts)
   }
 
   /** Re-pack ONLY the `touched` shard directories of a shipped TOKEN
@@ -1396,11 +1411,12 @@ object PipelineQueries {
       val exportDir = graft.sources.TempDirs.scratch("graft_seqmmcur_")
       val kept = curateKept(s, dir).select("doc_id", "text")
         .localCheckpoint(true) // pack + reconciliation both read it
-      exportShip(seqMmTokensOf(s, dir, kept), exportDir)
+      // one tokenize pass: the reconciliation counts come from the same
+      // materialized offset frame the ship packs
+      val (toks, counts) = seqMmTokensAndCounts(s, dir, kept)
+      exportShip(toks, exportDir)
       shipTokenizer(s, dir, exportDir)
-      mmCuratedReport(s, exportDir,
-        TextQueries.bpeDocPiecesOf(s, dir, kept)
-          .select("doc_id", "n_toks"))
+      mmCuratedReport(s, exportDir, counts)
     }),
 
     // TAKEDOWN leg of the curated VLM artifact: the retracted keeper's
@@ -1413,11 +1429,12 @@ object PipelineQueries {
     "pipe_seqs_mm_curated_retract" -> ((s, dir) => {
       val exportDir = graft.sources.TempDirs.scratch("graft_seqmmcurret_")
       val ccDir = s"${graft.sources.TempDirs.scratch("graft_mmcrcc_")}/assign"
-      val (base, basePairs, kept0) = stageCuratedState(s, dir, ccDir)
-      val counts0 = TextQueries.bpeDocPiecesOf(s, dir, kept0)
-        .select("doc_id", "n_toks")
+      val (base, _, basePairs, kept0) = stageCuratedState(s, dir, ccDir)
+      // counts from the ship's own tokenize pass (see the append leg)
+      val (toks0, countsOf0) = seqMmTokensAndCounts(s, dir, kept0)
+      exportShip(toks0, exportDir)
+      val counts0 = countsOf0
         .localCheckpoint(true) // the final report's delta reads it
-      exportShip(seqMmTokensOf(s, dir, kept0), exportDir)
       shipTokenizer(s, dir, exportDir)
       val retracted = base.filter(col("doc_id") < 10000000L &&
           col("doc_id") % 50 === 3)
@@ -1683,7 +1700,7 @@ object PipelineQueries {
       val idxDir = graft.sources.TempDirs.scratch("graft_seqcuridx_")
       // ---- stored state: one-shot curated artifact over the base
       // corpus + its assignment store + its MinHash signature index
-      val (base, _, kept0) = stageCuratedState(s, dir, ccDir)
+      val (base, baseSigs, _, kept0) = stageCuratedState(s, dir, ccDir)
       val counts0 = TextQueries.bpeDocPiecesOf(s, dir, kept0)
         .select(col("doc_id"), docShard(col("doc_id")).as("shard"),
           col("n_toks"))
@@ -1692,7 +1709,7 @@ object PipelineQueries {
       // ---- the daily batch + its pair stream; then the keeper delta
       // around the seed+ingest event (bounded by affected components +
       // the batch, never the corpus)
-      val (batch, batchPairs) = curatedBatch(s, dir, idxDir, base)
+      val (batch, batchPairs) = curatedBatch(s, dir, idxDir, baseSigs)
       val (departed, promoted) = curatedKeeperDelta(s, ccDir,
         batchPairs.select(col("id_a").as("id"))
           .unionByName(batchPairs.select(col("id_b").as("id"))),
@@ -1733,13 +1750,15 @@ object PipelineQueries {
       val exportDir = graft.sources.TempDirs.scratch("graft_seqmmcurinc_")
       val ccDir = s"${graft.sources.TempDirs.scratch("graft_mmcurcc_")}/assign"
       val idxDir = graft.sources.TempDirs.scratch("graft_mmcuridx_")
-      val (base, _, kept0) = stageCuratedState(s, dir, ccDir)
-      val counts0 = TextQueries.bpeDocPiecesOf(s, dir, kept0)
-        .select("doc_id", "n_toks")
+      val (base, baseSigs, _, kept0) = stageCuratedState(s, dir, ccDir)
+      // counts come from the SAME tokenize pass the ship materializes —
+      // never a second corpus tokenize of the survivor set
+      val (toks0, countsOf0) = seqMmTokensAndCounts(s, dir, kept0)
+      exportShip(toks0, exportDir)
+      val counts0 = countsOf0
         .localCheckpoint(true) // the final report's delta reads it
-      exportShip(seqMmTokensOf(s, dir, kept0), exportDir)
       shipTokenizer(s, dir, exportDir)
-      val (batch, batchPairs) = curatedBatch(s, dir, idxDir, base)
+      val (batch, batchPairs) = curatedBatch(s, dir, idxDir, baseSigs)
       val (departed, promoted) = curatedKeeperDelta(s, ccDir,
         batchPairs.select(col("id_a").as("id"))
           .unionByName(batchPairs.select(col("id_b").as("id"))),
@@ -1790,7 +1809,7 @@ object PipelineQueries {
       val exportDir = graft.sources.TempDirs.scratch("graft_seqcurret_")
       val ccDir = s"${graft.sources.TempDirs.scratch("graft_seqcrcc_")}/assign"
       // ---- stored state (as the append leg)
-      val (base, basePairs, kept0) = stageCuratedState(s, dir, ccDir)
+      val (base, _, basePairs, kept0) = stageCuratedState(s, dir, ccDir)
       val counts0 = TextQueries.bpeDocPiecesOf(s, dir, kept0)
         .select(col("doc_id"), docShard(col("doc_id")).as("shard"),
           col("n_toks"))
@@ -2533,21 +2552,25 @@ object PipelineQueries {
     * legs (text/mm × incremental/retract).
     */
   private def stageCuratedState(s: SparkSession, dir: String,
-      ccDir: String): (DataFrame, DataFrame, DataFrame) = {
+      ccDir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val base = DedupQueries.corpus(s, dir).localCheckpoint(true)
-    val basePairs = DedupQueries.minhashPairs(s, dir)
+    // ONE shingle+signature pass over the staged corpus: pair
+    // generation here AND the stored-index build in [[curatedBatch]]
+    // (the incremental legs) read the same materialized frame
+    val baseSigs = DedupQueries.minhashSigsOver(base)
+    val basePairs = DedupQueries.minhashPairsOverSigs(baseSigs)
       .select("id_a", "id_b").localCheckpoint(true)
-    base.select(col("doc_id").as("id"), col("doc_id").as("label"))
-      .withColumn("part", pmod(col("label"), lit(DedupQueries.CcParts)))
-      .repartition(col("part"))
-      .write.partitionBy("part").parquet(ccDir)
-    DedupQueries.ccIngest(s, ccDir, basePairs)
+    // bulk-build the assignment store (content identical to
+    // seed-singletons + one full-stream ccIngest — see ccBulkStage);
+    // the measured maintenance event is the leg's later delta
+    DedupQueries.ccBulkStage(s, ccDir,
+      base.select(col("doc_id").as("id")), basePairs)
     val kept0 = curateGates(
         base.join(s.read.parquet(ccDir)
           .filter(col("id") === col("label"))
           .select(col("id").as("doc_id")), "doc_id"))
       .select("doc_id", "text").localCheckpoint(true)
-    (base, basePairs, kept0)
+    (base, baseSigs, basePairs, kept0)
   }
 
   /** The keeper DELTA of one cluster-store maintenance event: snapshot
@@ -2597,8 +2620,8 @@ object PipelineQueries {
     * pairs).
     */
   private def curatedBatch(s: SparkSession, dir: String,
-      idxDir: String, base: DataFrame): (DataFrame, DataFrame) = {
-    graft.sources.AnnIndex.saveMinhash(base, DedupQueries.MinhashK,
+      idxDir: String, baseSigs: DataFrame): (DataFrame, DataFrame) = {
+    graft.sources.AnnIndex.saveMinhashSigs(baseSigs, DedupQueries.MinhashK,
       DedupQueries.Bands, DedupQueries.RowsPerBand, idxDir)
     val batch = Tables.documents(s, dir)
       .filter(col("doc_id") % 10 === 4)

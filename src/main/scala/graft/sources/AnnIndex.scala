@@ -1487,18 +1487,31 @@ object AnnIndex {
     * the directories a batch touches.
     */
   def saveMinhash(corpus: DataFrame, k: Int, bands: Int, rowsPerBand: Int,
-                  dir: String, parts: Int = DefaultParts): Unit = {
-    corpus
+                  dir: String, parts: Int = DefaultParts): Unit =
+    saveMinhashSigs(corpus
       .withColumn("sh", Dedup.shingleSet(col("text")))
       .withColumn("sig", Dedup.minhashSignature(col("sh"), k))
-      .withColumn("keys", Dedup.bandKeys(col("sig"), bands, rowsPerBand))
+      .withColumn("keys", Dedup.bandKeys(col("sig"), bands, rowsPerBand)),
+      k, bands, rowsPerBand, dir, parts)
+
+  /** [[saveMinhash]] over an ALREADY-SIGNED `(doc_id, sh, sig, keys)`
+    * frame — a caller that materialized the signature pass for pair
+    * generation (the curated maintenance staging) builds the stored
+    * index from the same frame instead of re-signing the corpus. The
+    * frame's signature family must match the k/bands/rowsPerBand stamped
+    * into meta (the maintenance paths derive both from one constant
+    * set).
+    */
+  def saveMinhashSigs(sigs: DataFrame, k: Int, bands: Int, rowsPerBand: Int,
+                      dir: String, parts: Int = DefaultParts): Unit = {
+    sigs
       .select(col("doc_id"), col("sh"), col("sig"), col("keys"),
         pmod(col("doc_id"), lit(parts.toLong)).as("part"))
       .repartition(col("part")) // one file per dir, any cluster width
       .write.mode(SaveMode.Overwrite)
       .partitionBy("part")
       .parquet(s"$dir/sigs")
-    import corpus.sparkSession.implicits._
+    import sigs.sparkSession.implicits._
     Seq((k, bands, rowsPerBand, parts)).toDF("k", "bands", "rows_per_band", "parts")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
   }

@@ -29,13 +29,40 @@ object BpeStore {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/merges")
   }
 
-  def load(spark: SparkSession, dir: String): Seq[Round] =
-    spark.read.parquet(s"$dir/merges")
-      .orderBy("merge_rank")
-      .collect() // K rows — the artifact is constant-sized
-      .toSeq.map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("lhs"),
-        r.getAs[String]("rhs"), r.getAs[Long]("pair_count"),
-        r.getAs[Long]("n_pieces"), r.getAs[Long]("n_piece_types")))
+  // Driver-side copies of the frozen artifact, keyed by (path, mtime of
+  // the merges/alphabet dir): the artifact is written once per corpus
+  // and read by every tokenize/vocab call of every query in a session —
+  // without the cache each call pays a parquet read+collect job for a
+  // K-row constant. A retrainSwap promotes a NEW directory (fresh
+  // mtime), so a stale entry can never serve a retrained artifact; the
+  // cache never persists across JVMs, so every run still derives the
+  // artifact from the parquet inputs.
+  private val mergesCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[Round]]()
+  private val alphabetCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Option[Seq[String]]]()
+
+  private def mtimeOf(spark: SparkSession, path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try Some(fs.getFileStatus(p).getModificationTime)
+    catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  def load(spark: SparkSession, dir: String): Seq[Round] = {
+    def read(): Seq[Round] =
+      spark.read.parquet(s"$dir/merges")
+        .orderBy("merge_rank")
+        .collect() // K rows — the artifact is constant-sized
+        .toSeq.map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("lhs"),
+          r.getAs[String]("rhs"), r.getAs[Long]("pair_count"),
+          r.getAs[Long]("n_pieces"), r.getAs[Long]("n_piece_types")))
+    mtimeOf(spark, s"$dir/merges") match {
+      case Some(mt) =>
+        mergesCache.computeIfAbsent((s"$dir/merges", mt), _ => read())
+      case None => read() // missing artifact: fail with the reader's error
+    }
+  }
 
   def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/merges")
@@ -62,12 +89,19 @@ object BpeStore {
     * the train query directly) — callers derive once and backfill.
     */
   def loadAlphabet(spark: SparkSession, dir: String): Option[Seq[String]] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/alphabet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) ||
-      !fs.listStatus(p).exists(_.getPath.getName.startsWith("part-"))) None
-    else Some(spark.read.parquet(s"$dir/alphabet")
-      .orderBy("ord").collect().map(_.getAs[String]("ch")).toSeq)
+    def read(): Option[Seq[String]] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/alphabet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p) ||
+        !fs.listStatus(p).exists(_.getPath.getName.startsWith("part-"))) None
+      else Some(spark.read.parquet(s"$dir/alphabet")
+        .orderBy("ord").collect().map(_.getAs[String]("ch")).toSeq)
+    }
+    mtimeOf(spark, s"$dir/alphabet") match {
+      case Some(mt) =>
+        alphabetCache.computeIfAbsent((s"$dir/alphabet", mt), _ => read())
+      case None => read() // absent: the backfill arm derives + saves
+    }
   }
 
   // ------------------------------------------------- retrain lifecycle
