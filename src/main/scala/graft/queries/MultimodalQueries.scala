@@ -234,12 +234,15 @@ object MultimodalQueries {
       graft.sources.AnnIndex.trainPhash(s, idxDir, nPatch)
       val pairs = (0 until 3).map { i =>
         val b = media.filter(pmod(col("doc_id"), lit(3L)) === i)
+        // hash the round's batch ONCE (payload decode + banding), then
+        // probe and append off the same staged frame
+        val staged = graft.sources.AnnIndex.stagePhashBatch(s, idxDir, b)
         // materialize the probe BEFORE the append mutates the store it
         // reads — load-bearing, not an optimization
         val p = graft.sources.AnnIndex
-          .probePhash(s, idxDir, b, PHashHammingMax)
+          .probePhashStaged(s, idxDir, staged, PHashHammingMax)
           .localCheckpoint(true)
-        graft.sources.AnnIndex.upsertPhash(s, idxDir, b)
+        graft.sources.AnnIndex.upsertPhashStaged(s, idxDir, staged)
         p
       }.reduce(_ unionByName _)
       pairs

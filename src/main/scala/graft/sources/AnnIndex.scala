@@ -1655,12 +1655,26 @@ object AnnIndex {
     * `part` dirs — the idempotence read is touched-dirs-sized, never
     * the posting store. Works as the bulk load after [[trainPhash]].
     */
-  def upsertPhash(spark: SparkSession, dir: String, media: DataFrame): Unit = {
+  /** The batch's posting rows under the stored frozen width,
+    * MATERIALIZED once — a probe-then-append ingest passes this one
+    * frame to [[probePhashStaged]] and [[upsertPhashStaged]] so the
+    * payload bytes are decoded and hashed exactly once per round
+    * (plain [[probePhash]] + [[upsertPhash]] each re-hash the batch).
+    */
+  def stagePhashBatch(spark: SparkSession, dir: String,
+                      media: DataFrame): DataFrame = {
     // check the RAW batch (a per-doc posting row count is a multiple of
     // PHashBands, so checking the exploded frame would be vacuous)
     requireUniqueKeys(media.select("doc_id"), "doc_id")
-    val (posted, _, _) = phashPostings(spark, dir, media)
-    val staged = posted.localCheckpoint(true)
+    phashPostings(spark, dir, media)._1.localCheckpoint(true)
+  }
+
+  def upsertPhash(spark: SparkSession, dir: String, media: DataFrame): Unit =
+    upsertPhashStaged(spark, dir, stagePhashBatch(spark, dir, media))
+
+  /** The merge half of [[upsertPhash]] over a [[stagePhashBatch]] frame. */
+  def upsertPhashStaged(spark: SparkSession, dir: String,
+                        staged: DataFrame): Unit = {
     if (staged.isEmpty) return
     // a doc's postings land all-or-nothing (one job commit), and every
     // posting of a doc lives in a part dir its own keys name — so
@@ -1781,7 +1795,14 @@ object AnnIndex {
   def probePhash(spark: SparkSession, dir: String, media: DataFrame,
                  hammingMax: Int): DataFrame = {
     val (posted, _, _) = phashPostings(spark, dir, media)
-    val batch = posted.localCheckpoint(true) // feeds parts probe + joins
+    probePhashStaged(spark, dir, posted.localCheckpoint(true), hammingMax)
+  }
+
+  /** [[probePhash]] over a [[stagePhashBatch]] frame — the probe half
+    * of a probe-then-append round that hashes the batch once.
+    */
+  def probePhashStaged(spark: SparkSession, dir: String, batch: DataFrame,
+                       hammingMax: Int): DataFrame = {
     val ham = bit_count(col("ba").bitwiseXOR(col("bb"))).cast("long")
     def verify(cand: DataFrame, bandsA: DataFrame, bandsB: DataFrame): DataFrame =
       cand

@@ -8,8 +8,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pushdown (verify `PushedFilters` / `ReadSchema` in explain output).
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  // Per-(session, path) memo of the RESOLVED scan plan: `read.parquet`
+  // pays file listing + parquet footer schema inference on every call,
+  // and a 200-query session re-reads the same immutable testdata files
+  // thousands of times. The cached object is a lazy DataFrame — a plan,
+  // not data: every action still scans the parquet input; nothing about
+  // query RESULTS is cached. Keyed by session so a fresh session (new
+  // JVM or new conf) re-resolves.
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // bound the memo so long test runs cycling sessions can't accumulate
+    // plans of stopped sessions (a plan is small; 512 is generous)
+    if (planCache.size > 512) planCache.clear()
+    planCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
+  }
 
   /** `events.ts` normalized to TimestampType regardless of how the
     * driver generated the file — the physical parquet type has changed
