@@ -418,6 +418,112 @@ object RelationalQueries {
     funnelStoreRead(s, resPath, pendPath, chain(ev))
   }
 
+  /** BULK-STAGE the maintained funnel store — write the state the staged
+    * 3-ingest schedule of [[funnelIncremental]] ends in DIRECTLY (the
+    * ccBulkStage discipline applied to the funnel store), for queries
+    * whose MEASURED event happens after staging (the takedown of
+    * rel_funnel_retract, the sidecar report of rel_funnel_bloom_stats).
+    * rel_funnel_incremental keeps the per-batch ingests: they ARE that
+    * query's subject.
+    *
+    * Content equality with the staged sequence, leg by leg:
+    *   - `results`: a user finalizes at the first batch whose watermark
+    *     exceeds v + horizon, and every chain-relevant event (all inside
+    *     [v, v+horizon], below that watermark) has arrived by then — so
+    *     the finalized row set is exactly chain(all events) restricted to
+    *     t_view + horizon < the FINAL watermark, whatever the batching.
+    *   - `bloom`: BloomFilter insertion is an idempotent bit-OR, so the
+    *     staged per-batch build/merge (and any fill-triggered rebuild)
+    *     ends bit-identical to ONE build over the full finalized id set
+    *     at the doubling-grown capacity; n_items sums the same disjoint
+    *     batch counts.
+    *   - `pending`: the tighten-only prune is monotone in the watermark
+    *     (lb = min(wm, v) only grows; the kept-click/purchase windows
+    *     only shrink; the min-view row survives every round), so the
+    *     iterated prune at wm1..wm3 equals one prune at the final
+    *     watermark over the full non-finalized event set.
+    * FunnelStoreSpec pins store-content equality against the staged
+    * ingests; the oracle gates both queries' outputs end-to-end.
+    */
+  private[graft] def funnelBulkStage(s: SparkSession, storeDir: String,
+      ev: DataFrame, bloomItems: Long = FunnelBloomItems): Unit = {
+    val parts = 16L
+    val w1Ms = FunnelClickWindowHours * 3600L * 1000L
+    val w2Ms = FunnelBuyWindowHours * 3600L * 1000L
+    val horizon = s"INTERVAL ${w1Ms + w2Ms} MILLISECONDS"
+    // the staged schedule's FINAL watermark (see funnelIncremental)
+    val wm = lit("2024-01-06 00:00:00").cast("timestamp")
+    val fev = ev
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .localCheckpoint(true) // chain + the pending prune read it
+    val ch = graft.streaming.StreamOps.funnel(fev, w1Ms, w2Ms, "1 hour")
+      .localCheckpoint(true) // results write, bloom build, prune's v
+    val fin = ch.filter(col("t_view") + expr(horizon) < wm)
+    fin.withColumn("part", pmod(col("user_id"), lit(parts)))
+      .repartition(col("part"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("part").parquet(s"$storeDir/results")
+    val finIds = fin.filter(col("user_id").isNotNull).select("user_id")
+    val n = finIds.count()
+    if (n > 0) {
+      var cap = bloomItems
+      while (2L * n > cap) cap *= 2L
+      val bf = finIds.agg(graft.functions.SketchExprs.bloomFilterAgg(
+        col("user_id"), cap, cap * FunnelBloomBitsPerItem).as("bf"))
+        .head().getAs[Array[Byte]]("bf") // ONE row, numBits/8 bytes
+      import s.implicits._
+      Seq((bf, n, cap)).toDF("bf", "n_items", "capacity").coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$storeDir/bloom")
+    }
+    // pending: the identical tighten-only keep rule funnelIngest applies,
+    // once, at the final watermark (null-handling comments there)
+    val v = ch.select(col("user_id"), col("t_view").as("v"))
+    val lb = least(wm, col("v"))
+    val keep = fev
+      .join(fin.select("user_id"), Seq("user_id"), "left_anti")
+      .join(v, Seq("user_id"), "left")
+      .filter(
+        when(col("event_type") === "view", col("ts") <=> col("v"))
+          .when(col("event_type") === "click",
+            col("ts") > lb && coalesce(
+              col("ts") <= col("v") +
+                expr(s"INTERVAL $w1Ms MILLISECONDS"), lit(true)))
+          .otherwise(
+            col("ts") > lb && coalesce(
+              col("ts") <= col("v") + expr(horizon), lit(true))))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .distinct()
+      .withColumn("part", pmod(col("user_id"), lit(parts)))
+    keep.repartition(col("part"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("part").parquet(s"$storeDir/pending")
+  }
+
+  /** BULK-STAGE the maintained retention stores — the staged 3-ingest of
+    * [[retentionIngestStaged]] collapsed to its fixpoint, for the query
+    * whose measured event is the takedown (rel_retention_retract;
+    * rel_retention_incremental keeps the ingests — its subject). Content
+    * equality: cohort inserts are first-batch-wins over time-ordered
+    * batches (= the global MIN signup day), pair inserts are idempotent
+    * set unions (= one distinct over the history) — so the staged stores
+    * hold exactly these two frames, whatever the batching.
+    */
+  private[graft] def retentionBulkStage(s: SparkSession, storeDir: String,
+      ev: DataFrame): Unit = {
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_day"))
+      .withColumn("part", pmod(col("user_id"), lit(RetentionParts)))
+    cohort.repartition(col("part"))
+      .write.partitionBy("part").parquet(s"$storeDir/cohort")
+    val pairs = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("part", pmod(col("user_id"), lit(RetentionParts)))
+    pairs.repartition(col("part"))
+      .write.partitionBy("part").parquet(s"$storeDir/pairs")
+  }
+
   /** The maintained funnel's read-time union — finalized `results` ∪
     * the pending carry-over's chain — with `fallback` (the one-shot
     * chain over whatever corpus the store would have held) when both
@@ -1232,7 +1338,10 @@ object RelationalQueries {
     "rel_retention_retract" -> ((s, dir) => {
       val storeDir = graft.sources.TempDirs.scratch("graft_retr_")
       val ev = Tables.events(s, dir)
-      retentionIngestStaged(s, storeDir, ev)
+      // staging is SETUP here (the takedown is the measured event) —
+      // bulk-write the staged ingests' fixpoint (see retentionBulkStage;
+      // rel_retention_incremental keeps the per-batch ingests)
+      retentionBulkStage(s, storeDir, ev)
       val del = ev
         .filter(col("user_id").isNotNull && col("user_id") % 10 === 7)
         .select("user_id").distinct()
@@ -1326,7 +1435,10 @@ object RelationalQueries {
       val storeDir = graft.sources.TempDirs.scratch("graft_funr_")
       val parts = 16L
       val ev = Tables.events(s, dir)
-      funnelIncremental(s, ev, Some(storeDir)) // staged ingests run here
+      // staging is SETUP here (the takedown is the measured event) —
+      // bulk-write the staged schedule's fixpoint (see funnelBulkStage;
+      // rel_funnel_incremental keeps the per-batch ingests)
+      funnelBulkStage(s, storeDir, ev)
       val resPath = s"$storeDir/results"
       val pendPath = s"$storeDir/pending"
       val bloomPath = s"$storeDir/bloom"
@@ -1380,7 +1492,10 @@ object RelationalQueries {
     "rel_funnel_bloom_stats" -> ((s, dir) => {
       val storeDir = graft.sources.TempDirs.scratch("graft_fbs_")
       val ev = Tables.events(s, dir)
-      funnelIncremental(s, ev, Some(storeDir)) // ingests run eagerly
+      // staging is SETUP here (the sidecar report is the measured event)
+      // — bulk-write the staged schedule's fixpoint, bit-identical
+      // sidecar included (see funnelBulkStage's bloom argument)
+      funnelBulkStage(s, storeDir, ev)
       import s.implicits._
       val bloomDf = (
         // a corpus where no non-null user ever finalizes leaves no

@@ -528,7 +528,9 @@ object AnnIndex {
       minMeanCcos: Double,
       minBatchMeanCcos: Double = Double.NegativeInfinity,
       checkEvery: Int = 1, gaugeSampleMod: Long = 1L): Boolean = {
-    val cents = broadcast(ivfCentroids(spark, dir))
+    // no broadcast hint: assignIvf collects the k-row frame driver-side
+    // (a hint here rides a joinless plan — HintErrorLogger noise)
+    val cents = ivfCentroids(spark, dir)
     requireUniqueKeys(batch.select("vec_id"), "vec_id")
     val staged = assignIvf(batch, cents).localCheckpoint(true)
     upsertIvfStaged(spark, dir, staged.drop("ccos"))
@@ -558,7 +560,8 @@ object AnnIndex {
     * upsert.
     */
   def upsertIvf(spark: SparkSession, dir: String, vecs: DataFrame): Unit = {
-    val cents = broadcast(ivfCentroids(spark, dir))
+    // no broadcast hint: assignIvf collects the k-row frame driver-side
+    val cents = ivfCentroids(spark, dir)
     // check the RAW batch: the assignment's per-vec_id rank window would
     // silently collapse a duplicate key (keeping an arbitrary vector's
     // cell) before a post-assignment check could see it — the same
@@ -1249,7 +1252,8 @@ object AnnIndex {
     // batch gauge reads it straight off the stage; both writers drop
     // the column before the codes table lands (on-disk schema is
     // unchanged)
-    val cells = assignIvf(vecs, broadcast(cents))
+    // no broadcast hint: assignIvf collects the k-row frame driver-side
+    val cells = assignIvf(vecs, cents)
       .select(col("vec_id"), col("cell"), col("ccos"))
     encodeWithCodebooks(vecs, m, sub, cbs).join(cells, "vec_id")
   }

@@ -8,21 +8,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pushdown (verify `PushedFilters` / `ReadSchema` in explain output).
   */
 object Tables {
-  // Per-(session, path) memo of the RESOLVED scan plan: `read.parquet`
-  // pays file listing + parquet footer schema inference on every call,
-  // and a 200-query session re-reads the same immutable testdata files
-  // thousands of times. The cached object is a lazy DataFrame — a plan,
-  // not data: every action still scans the parquet input; nothing about
-  // query RESULTS is cached. Keyed by session so a fresh session (new
-  // JVM or new conf) re-resolves.
+  // Per-(session, path, mtime) memo of the RESOLVED scan plan:
+  // `read.parquet` pays file listing + parquet footer schema inference
+  // on every call, and a 200-query session re-reads the same immutable
+  // testdata files thousands of times. The cached object is a lazy
+  // DataFrame — a plan, not data: every action still scans the parquet
+  // input; nothing about query RESULTS is cached. Keyed by session so a
+  // fresh session (new JVM or new conf) re-resolves, and by the
+  // directory mtime (the BpeStore discipline) so a path that is ever
+  // rewritten and re-read through this memo can never serve a stale
+  // file listing — today's callers only pass immutable $sfDir tables,
+  // but the key makes that safety structural, not conventional.
   private val planCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // bound the memo so long test runs cycling sessions can't accumulate
     // plans of stopped sessions (a plan is small; 512 is generous)
     if (planCache.size > 512) planCache.clear()
-    planCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+    val path = s"$sfDir/$name.parquet"
+    planCache.computeIfAbsent(
+      (spark, path, new java.io.File(path).lastModified),
       key => key._1.read.parquet(key._2))
   }
 

@@ -45,6 +45,18 @@ class CacheHygieneSpec extends AnyFunSuite {
     "rel_funnel_bloom_stats", "text_bpe_train", "text_bpe_apply",
     "dedup_clusters_incremental")
 
+  test("Tables.table plan memo cannot serve a stale listing after a rewrite") {
+    import spark.implicits._
+    val scratch = graft.sources.TempDirs.scratch("graft_memo_")
+    Seq((1L, "a")).toDF("k", "txt").write.parquet(s"$scratch/t.parquet")
+    assert(graft.sources.Tables.table(spark, scratch, "t").count() == 1)
+    Thread.sleep(1100) // File.lastModified is ms-granular; step past it
+    Seq((1L, "a"), (2L, "b")).toDF("k", "txt")
+      .write.mode("overwrite").parquet(s"$scratch/t.parquet")
+    assert(graft.sources.Tables.table(spark, scratch, "t").count() == 2,
+      "memo served a stale scan plan after the path was rewritten")
+  }
+
   test("cacheManager gains no entries after each reusing query builder runs") {
     // SharedState (and its CacheManager) is per-SparkContext, shared with
     // every other suite's session in this test JVM — start from a clean

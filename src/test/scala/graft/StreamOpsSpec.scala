@@ -583,4 +583,41 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(inc.exists(r => r.head == 1L && r(1) == null),
       "the all-null-view user's row went missing")
   }
+
+  test("bulk-staged funnel store is content-identical to the staged ingests") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val stagedDir = graft.sources.TempDirs.scratch("graft_fbulk_a_")
+    val bulkDir = graft.sources.TempDirs.scratch("graft_fbulk_b_")
+    graft.queries.RelationalQueries.funnelIncremental(spark, ev, Some(stagedDir))
+    graft.queries.RelationalQueries.funnelBulkStage(spark, bulkDir, ev)
+    def rows(p: String) = spark.read.parquet(p)
+      .collect().map(_.toSeq).toSet
+    for (leg <- Seq("results", "pending"))
+      assert(rows(s"$stagedDir/$leg") == rows(s"$bulkDir/$leg"),
+        s"funnel $leg diverged between staged and bulk staging")
+    // the sidecar must be BIT-identical (bloom insert is an idempotent
+    // OR, so one build over the full finalized set at the grown
+    // capacity equals the per-batch merge), geometry row included
+    val a = spark.read.parquet(s"$stagedDir/bloom").head()
+    val b = spark.read.parquet(s"$bulkDir/bloom").head()
+    assert(a.getAs[Long]("n_items") == b.getAs[Long]("n_items") &&
+      a.getAs[Long]("capacity") == b.getAs[Long]("capacity"),
+      "bloom geometry diverged")
+    assert(java.util.Arrays.equals(
+      a.getAs[Array[Byte]]("bf"), b.getAs[Array[Byte]]("bf")),
+      "bloom bit pattern diverged between staged merge and bulk build")
+  }
+
+  test("bulk-staged retention stores are content-identical to the staged ingests") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val stagedDir = graft.sources.TempDirs.scratch("graft_rbulk_a_")
+    val bulkDir = graft.sources.TempDirs.scratch("graft_rbulk_b_")
+    graft.queries.RelationalQueries.retentionIngestStaged(spark, stagedDir, ev)
+    graft.queries.RelationalQueries.retentionBulkStage(spark, bulkDir, ev)
+    def rows(p: String) = spark.read.parquet(p)
+      .collect().map(_.toSeq).toSet
+    for (leg <- Seq("cohort", "pairs"))
+      assert(rows(s"$stagedDir/$leg") == rows(s"$bulkDir/$leg"),
+        s"retention $leg diverged between staged and bulk staging")
+  }
 }
