@@ -94,13 +94,16 @@ object DedupQueries {
     * is one code path.
     */
   private[queries] def probeMinhash(s: SparkSession, idxDir: String,
-                                    incoming: DataFrame): DataFrame = {
+                                    incoming: DataFrame): DataFrame =
+    probeMinhashSigs(s, idxDir, minhashSigsOver(incoming))
+
+  /** [[probeMinhash]] over an already-signed (and materialized) batch
+    * frame ([[minhashSigsOver]]'s shape) — so a caller that also needs
+    * the batch's internal pairs signs the batch exactly once.
+    */
+  private[graft] def probeMinhashSigs(s: SparkSession, idxDir: String,
+                                      nw: DataFrame): DataFrame = {
     val old = graft.sources.AnnIndex.minhashSigs(s, idxDir)
-    val nw = incoming
-      .withColumn("sh", Dedup.shingleSet(col("text")))
-      .withColumn("sig", Dedup.minhashSignature(col("sh"), MinhashK))
-      .withColumn("keys", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
-      .localCheckpoint(true)
     Dedup.candidatePairsAcross(old, nw, "doc_id", "keys", MaxBucket)
       .join(nw.select(col("doc_id").as("id_new"), col("sh").as("sh_n")), "id_new")
       .join(old.select(col("doc_id").as("id_old"), col("sh").as("sh_o")), "id_old")

@@ -486,10 +486,36 @@ object PipelineQueries {
     }
   }
 
+  /** Derive the touched-shard set FROM the batch/retraction frames
+    * themselves — ONE tagged-union probe job instead of the caller's
+    * union probe plus the two cover-guard re-collects (each a separate
+    * Spark action over the same small frames). The cover guard holds by
+    * construction: touched IS the union of both sides' shards. The
+    * explicit-`touched` repack entries keep their loud checks for
+    * callers (and the negative-path specs) that derive the set
+    * separately.
+    */
+  private def touchedShardsOf(extra: Option[DataFrame],
+      without: Option[DataFrame]): Seq[Long] = {
+    val probes = extra.map(_.select(col("shard"))).toSeq ++
+      without.map(_.select(docShard(col("doc_id")).as("shard"))).toSeq
+    if (probes.isEmpty) Seq.empty
+    else probes.reduce(_ unionByName _).distinct()
+      .collect().map(_.getLong(0)).toSeq // <= PackShards rows
+  }
+
   private[graft] def seqRepackTokenShards(s: SparkSession, exportDir: String,
       touched: Seq[Long], extra: Option[DataFrame],
       without: Option[DataFrame]): Unit =
     repackSlotShards(s, exportDir, touched, extra, without, Seq("token_id"))
+
+  /** [[seqRepackTokenShards]] with the touched set derived inside the
+    * call ([[touchedShardsOf]]) — cover guard by construction.
+    */
+  private[graft] def seqRepackTokenShardsOf(s: SparkSession, exportDir: String,
+      extra: Option[DataFrame], without: Option[DataFrame]): Unit =
+    repackSlotShards(s, exportDir, touchedShardsOf(extra, without),
+      extra, without, Seq("token_id"), checkCovers = false)
 
   /** The multimodal form: rows additionally carry `patch_idx` — the
     * same slot arithmetic, one more value column.
@@ -500,6 +526,14 @@ object PipelineQueries {
     repackSlotShards(s, exportDir, touched, extra, without,
       Seq("token_id", "patch_idx"))
 
+  /** [[seqRepackMmShards]] with the touched set derived inside the call
+    * ([[touchedShardsOf]]) — cover guard by construction.
+    */
+  private[graft] def seqRepackMmShardsOf(s: SparkSession, exportDir: String,
+      extra: Option[DataFrame], without: Option[DataFrame]): Unit =
+    repackSlotShards(s, exportDir, touchedShardsOf(extra, without),
+      extra, without, Seq("token_id", "patch_idx"), checkCovers = false)
+
   /** The shared slot-repack engine behind [[seqRepackTokenShards]] and
     * [[seqRepackMmShards]]: the artifact's rows are (shard, seq_id,
     * pos, doc_id, `valueCols`...), a doc's slots are contiguous in
@@ -509,9 +543,10 @@ object PipelineQueries {
     */
   private def repackSlotShards(s: SparkSession, exportDir: String,
       touched: Seq[Long], extra: Option[DataFrame],
-      without: Option[DataFrame], valueCols: Seq[String]): Unit = {
+      without: Option[DataFrame], valueCols: Seq[String],
+      checkCovers: Boolean = true): Unit = {
     if (touched.isEmpty) return
-    requireRepackCovers(touched, extra, without)
+    if (checkCovers) requireRepackCovers(touched, extra, without)
     val L = lit(PackSeqLen.toLong)
     val rowCols = Seq("shard", "doc_id", "j") ++ valueCols
     val root = new org.apache.hadoop.fs.Path(exportDir)
@@ -541,10 +576,14 @@ object PipelineQueries {
         .select(rowCols.map(col): _*)
         .unionByName(b.select(rowCols.map(col): _*)))
       .getOrElse(survTok)
+    // no checkpoint here: the rows checkpoint below materializes the
+    // whole plan (tok included) before the dynamic overwrite touches its
+    // own source, and tok's two consumers (the recount agg and the
+    // re-slot join) hash-partition on the same (shard, doc_id) key, so
+    // the stored-read subtree is computed once behind a ReusedExchange
     val tok = without
       .map(del => upserted.join(del.select("doc_id"), Seq("doc_id"), "left_anti"))
       .getOrElse(upserted)
-      .localCheckpoint(true) // materialize before overwriting the source
     val w = Window
       .partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -944,9 +983,23 @@ object PipelineQueries {
     */
   private[graft] def seqRepackShards(s: SparkSession, exportDir: String,
       touched: Seq[Long], extra: Option[DataFrame],
-      without: Option[DataFrame]): Unit = {
+      without: Option[DataFrame]): Unit =
+    seqRepackShardsImpl(s, exportDir, touched, extra, without,
+      checkCovers = true)
+
+  /** [[seqRepackShards]] with the touched set derived inside the call
+    * ([[touchedShardsOf]]) — cover guard by construction.
+    */
+  private[graft] def seqRepackShardsOf(s: SparkSession, exportDir: String,
+      extra: Option[DataFrame], without: Option[DataFrame]): Unit =
+    seqRepackShardsImpl(s, exportDir, touchedShardsOf(extra, without),
+      extra, without, checkCovers = false)
+
+  private def seqRepackShardsImpl(s: SparkSession, exportDir: String,
+      touched: Seq[Long], extra: Option[DataFrame],
+      without: Option[DataFrame], checkCovers: Boolean): Unit = {
     if (touched.isEmpty) return
-    requireRepackCovers(touched, extra, without)
+    if (checkCovers) requireRepackCovers(touched, extra, without)
     val stored = s.read.parquet(exportDir)
       .filter(col("shard").isin(touched.map(Long.box): _*))
       .groupBy(col("doc_id"), col("shard").cast("long").as("shard"))
@@ -954,8 +1007,11 @@ object PipelineQueries {
     val survivors = without
       .map(del => stored.join(del, Seq("doc_id"), "left_anti"))
       .getOrElse(stored)
+    // counts has ONE consumer (the span arithmetic), so the spans
+    // checkpoint below already materializes everything before the
+    // dynamic overwrite touches its own source — a counts checkpoint
+    // would be a redundant extra materialization action
     val counts = extra.map(survivors.unionByName(_)).getOrElse(survivors)
-      .localCheckpoint(true) // materialize before overwriting the source
     val spans = seqSpansOfCounts(counts).localCheckpoint(true)
     spans.repartition(col("shard"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -976,10 +1032,12 @@ object PipelineQueries {
     * content fingerprint.
     */
   private def seqExportManifest(s: SparkSession, exportDir: String): DataFrame = {
+    // no checkpoint: the span agg and the fill agg each scan the
+    // column-pruned parquet once inside ONE job — cheaper than an
+    // extra materialization action holding every shipped row
     val back = s.read.parquet(exportDir)
       .select(col("shard").cast("long").as("shard"), col("seq_id"),
         col("doc_id"), col("tok_begin"), col("tok_end"), col("seq_off"))
-      .localCheckpoint(true) // span agg + fill agg both read it
     val fp = graft.functions.Md5Long60Expr(
       concat_ws(":", col("doc_id"), col("seq_id"), col("tok_begin"),
         col("tok_end"), col("seq_off")),
@@ -1323,9 +1381,7 @@ object PipelineQueries {
       val batchDocs = Tables.documents(s, dir)
         .filter(col("doc_id") % 7 === 3).select("doc_id", "text")
       val batch = batchTokenRows(s, dir, batchDocs).localCheckpoint(true)
-      val touched = batch.select("shard").distinct()
-        .collect().map(_.getLong(0)).toSeq // <= PackShards rows
-      seqRepackTokenShards(s, exportDir, touched, Some(batch), None)
+      seqRepackTokenShardsOf(s, exportDir, Some(batch), None)
       seqTokensManifest(s, exportDir)
     }),
 
@@ -1340,10 +1396,7 @@ object PipelineQueries {
       val retracted = Tables.documents(s, dir)
         .filter(col("doc_id") % 50 === 7).select("doc_id")
         .localCheckpoint(true) // shard probe + anti-join read it
-      val touched = retracted
-        .select(docShard(col("doc_id")).as("shard"))
-        .distinct().collect().map(_.getLong(0)).toSeq // <= PackShards rows
-      seqRepackTokenShards(s, exportDir, touched, None, Some(retracted))
+      seqRepackTokenShardsOf(s, exportDir, None, Some(retracted))
       seqTokensManifest(s, exportDir)
     }),
 
@@ -1393,9 +1446,7 @@ object PipelineQueries {
       val batchDocs = Tables.documents(s, dir)
         .filter(col("doc_id") % 7 === 3).select("doc_id", "text")
       val batch = batchMmRows(s, dir, batchDocs).localCheckpoint(true)
-      val touched = batch.select("shard").distinct()
-        .collect().map(_.getLong(0)).toSeq // <= PackShards rows
-      seqRepackMmShards(s, exportDir, touched, Some(batch), None)
+      seqRepackMmShardsOf(s, exportDir, Some(batch), None)
       seqMmManifest(s, exportDir)
     }),
 
@@ -1446,10 +1497,7 @@ object PipelineQueries {
       }
       val promotedRows = batchMmRows(s, dir, promoted)
         .localCheckpoint(true) // shard probe + repack + report read it
-      val touched = promotedRows.select("shard")
-        .unionByName(departed.select(docShard(col("doc_id")).as("shard")))
-        .distinct().collect().map(_.getLong(0)).toSeq // <= PackShards
-      seqRepackMmShards(s, exportDir, touched, Some(promotedRows),
+      seqRepackMmShardsOf(s, exportDir, Some(promotedRows),
         Some(departed))
       val promotedCounts = promoted.select("doc_id")
         .join(promotedRows.filter(col("patch_idx") === -1L)
@@ -1472,10 +1520,7 @@ object PipelineQueries {
       val retracted = Tables.documents(s, dir)
         .filter(col("doc_id") % 50 === 7).select("doc_id")
         .localCheckpoint(true) // shard probe + anti-join read it
-      val touched = retracted
-        .select(docShard(col("doc_id")).as("shard"))
-        .distinct().collect().map(_.getLong(0)).toSeq // <= PackShards rows
-      seqRepackMmShards(s, exportDir, touched, None, Some(retracted))
+      seqRepackMmShardsOf(s, exportDir, None, Some(retracted))
       seqMmManifest(s, exportDir)
     }),
 
@@ -1723,10 +1768,7 @@ object PipelineQueries {
         .select(col("doc_id"), docShard(col("doc_id")).as("shard"),
           col("n_toks"))
         .localCheckpoint(true) // shard probe + repack read it
-      val touched = promotedCounts.select("shard")
-        .unionByName(departed.select(docShard(col("doc_id")).as("shard")))
-        .distinct().collect().map(_.getLong(0)).toSeq // <= PackShards
-      seqRepackShards(s, exportDir, touched, Some(promotedCounts),
+      seqRepackShardsOf(s, exportDir, Some(promotedCounts),
         Some(departed))
       // ---- report over the FINAL survivor set, counts by DELTA (base
       // counts minus departures plus the promoted docs' counts) — the
@@ -1770,10 +1812,7 @@ object PipelineQueries {
       }
       val promotedRows = batchMmRows(s, dir, promoted)
         .localCheckpoint(true) // shard probe + repack + report read it
-      val touched = promotedRows.select("shard")
-        .unionByName(departed.select(docShard(col("doc_id")).as("shard")))
-        .distinct().collect().map(_.getLong(0)).toSeq // <= PackShards
-      seqRepackMmShards(s, exportDir, touched, Some(promotedRows),
+      seqRepackMmShardsOf(s, exportDir, Some(promotedRows),
         Some(departed))
       // promoted docs' text-token counts by delta off their rendered
       // rows (patch rows excluded; a zero-token survivor still counts
@@ -1830,10 +1869,7 @@ object PipelineQueries {
         .select(col("doc_id"), docShard(col("doc_id")).as("shard"),
           col("n_toks"))
         .localCheckpoint(true) // shard probe + repack read it
-      val touched = promotedCounts.select("shard")
-        .unionByName(departed.select(docShard(col("doc_id")).as("shard")))
-        .distinct().collect().map(_.getLong(0)).toSeq // <= PackShards
-      seqRepackShards(s, exportDir, touched, Some(promotedCounts),
+      seqRepackShardsOf(s, exportDir, Some(promotedCounts),
         Some(departed))
       // final counts by DELTA — only the delta is tokenized twice,
       // never the surviving corpus
@@ -1861,9 +1897,7 @@ object PipelineQueries {
       exportShip(seqSpansOfCounts(counts.filter(col("doc_id") % 7 =!= 3)),
         exportDir)
       val batch = counts.filter(col("doc_id") % 7 === 3)
-      val touched = batch.select("shard").distinct()
-        .collect().map(_.getLong(0)).toSeq // <= PackShards rows
-      seqRepackShards(s, exportDir, touched, Some(batch), None)
+      seqRepackShardsOf(s, exportDir, Some(batch), None)
       seqExportManifest(s, exportDir)
     }),
 
@@ -1880,10 +1914,7 @@ object PipelineQueries {
       val retracted = Tables.documents(s, dir)
         .filter(col("doc_id") % 50 === 7).select("doc_id")
         .localCheckpoint(true) // shard probe + anti-join read it
-      val touched = retracted
-        .select(docShard(col("doc_id")).as("shard"))
-        .distinct().collect().map(_.getLong(0)).toSeq // <= PackShards rows
-      seqRepackShards(s, exportDir, touched, None, Some(retracted))
+      seqRepackShardsOf(s, exportDir, None, Some(retracted))
       seqExportManifest(s, exportDir)
     }),
 
@@ -2646,8 +2677,11 @@ object PipelineQueries {
     */
   private def mmCuratedReport(s: SparkSession, exportDir: String,
       counts: DataFrame): DataFrame = {
+    // no manifest checkpoint: the shipped-slot total comes from a
+    // full-frame window over the same manifest rows (<= PackShards of
+    // them), so the report is ONE plan with one export read — the
+    // checkpoint was a whole extra materialization action per query
     val man = seqMmManifest(s, exportDir)
-      .localCheckpoint(true) // shard rows + shipped-slot total
     val P = lit(MmSeqPatches.toLong)
     val rec = counts.agg(
       count(lit(1)).cast("long").as("kept_docs"),
@@ -2656,9 +2690,11 @@ object PipelineQueries {
       coalesce(sum(col("n_toks") +
         when(col("doc_id") % 3 === 0, P).otherwise(lit(0L))), lit(0L))
         .cast("long").as("kept_slots"))
-    val shipped = man.agg(coalesce(sum("n_slots"), lit(0L))
-      .cast("long").as("shipped_slots"))
-    man.crossJoin(broadcast(rec)).crossJoin(broadcast(shipped))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    man.crossJoin(broadcast(rec))
+      .withColumn("shipped_slots",
+        coalesce(sum("n_slots").over(wAll), lit(0L)).cast("long"))
       .withColumn("slots_ok", col("shipped_slots") === col("kept_slots"))
       .orderBy("shard")
   }
@@ -2673,8 +2709,11 @@ object PipelineQueries {
     */
   private def curatedReport(s: SparkSession, exportDir: String,
       kept: DataFrame, counts: DataFrame): DataFrame = {
+    // no manifest checkpoint: the shipped-token total comes from a
+    // full-frame window over the manifest rows (<= PackShards), so the
+    // report stays ONE plan — the checkpoint was an extra
+    // materialization action per query
     val man = seqExportManifest(s, exportDir)
-      .localCheckpoint(true) // shard rows + shipped-token total
     val rec = counts.agg(
       count(lit(1)).cast("long").as("kept_docs"),
       coalesce(sum(when(col("n_toks") > 0L, 1L).otherwise(0L)), lit(0L))
@@ -2687,12 +2726,14 @@ object PipelineQueries {
     val card = kept.agg(coalesce(sum(
         TextAnalysis.tokenCount(col("text")).cast("long")), lit(0L))
       .cast("long").as("kept_ws_tokens"))
-    val shipTot = man.agg(coalesce(sum("n_tokens"), lit(0L))
-      .cast("long").as("shipped_tokens"))
     val shipDocs = s.read.parquet(exportDir)
       .agg(countDistinct(col("doc_id")).cast("long").as("shipped_docs"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     man.crossJoin(broadcast(rec)).crossJoin(broadcast(shipDocs))
-      .crossJoin(broadcast(shipTot)).crossJoin(broadcast(card))
+      .crossJoin(broadcast(card))
+      .withColumn("shipped_tokens",
+        coalesce(sum("n_tokens").over(wAll), lit(0L)).cast("long"))
       .select(col("shard"), col("n_spans"), col("n_seqs"), col("n_full"),
         col("n_tokens"), col("content_fp"), col("kept_docs"),
         col("packable_docs"), col("shipped_docs"),
