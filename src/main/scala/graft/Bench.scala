@@ -150,7 +150,10 @@ object Bench {
     // total with each repeated query charged its min-of-2 — the
     // contention-adjusted reading the judge otherwise reconstructs
     val totalMin2 = total - repeats.map { case (_, (a, b)) => a - math.min(a, b) }.sum
-    val full = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"repeat2":$rep,"loadavg_samples":$ld,"total_min2":${r4(totalMin2)}}"""
+    // "cpus" stamps the core count into both sidecars so committed
+    // low-core vs high-core captures are self-describing (additive
+    // field; the stdout contract line is unchanged in shape)
+    val full = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir","cpus":$cpus,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"repeat2":$rep,"loadavg_samples":$ld,"total_min2":${r4(totalMin2)}}"""
     // The driver records only the LAST 2000 chars of stdout and
     // json-parses what it finds there. Printing the ~10 KB full object
     // put its clipped MIDDLE at the head of that window, so a parser
@@ -171,7 +174,7 @@ object Bench {
     val top5 = repeats.sortBy { case (_, (_, m)) => -m }.take(5)
       .map { case (k, (_, m)) => s"\"" + k + "\":" + r4(m) }
       .mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$top5,"sf":"$sfDir","n_queries":${results.size},"failed":$fs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"total_min2":${r4(totalMin2)},"queries_file":"$outPath"}"""
+    val summary = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$top5,"sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"failed":$fs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"total_min2":${r4(totalMin2)},"queries_file":"$outPath"}"""
     val sumPath = {
       val p = java.nio.file.Paths.get(outPath).toAbsolutePath
       p.getParent.resolve("bench_summary.json").toString

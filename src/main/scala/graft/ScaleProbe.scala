@@ -18,7 +18,12 @@ object ScaleProbe {
     val factor = if (args.nonEmpty) args(0).toInt else 4
     val base = "/root/testdata/sf0.1"
     val stage = graft.sources.TempDirs.scratch("graft_scale_")
-    val spark = graft.sources.GraftSession.local("local[4]", 8)
+    // SPARK_GRAFT_CPUS (default 4, the historical probe width) so the
+    // SAME blown-up workload can be probed at two core counts — the
+    // core-scaling receipt the sf0.1 bench cannot produce (its queries
+    // are per-action-latency-bound at that SF)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = graft.sources.GraftSession.local(s"local[$cpus]", math.max(cpus, 8))
     spark.sparkContext.setLogLevel("WARN")
 
     // Nx documents: shift doc_id per copy and substitute letters through

@@ -244,6 +244,82 @@ object VecKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Driver-side dot of a query slice against a codebook centroid —
+    * the LUT builder for the ADC probe kernels. Replicates
+    * `Dedup.dot(slice(v, off+1, sub), cv)` bit-for-bit: accumulator
+    * starts 0.0, ascending index order, over the common length (the
+    * HOF form's zip_with nulls can only arise on a length mismatch our
+    * schema cannot represent).
+    */
+  def dotSlice(q: Array[Double], off: Int, cv: Array[Double]): Double = {
+    val n = math.min(cv.length, math.max(q.length - off, 0))
+    var d = 0.0
+    var i = 0
+    while (i < n) { d += q(off + i) * cv(i); i += 1 }
+    d
+  }
+
+  /** ADC score of one stored code row against ONE probe query (index
+    * `qi` into the LUT stack): looks each subspace's code up in that
+    * subspace's sorted cent_id directory and folds the per-subspace LUT
+    * dots in ascending-subspace order — `adc = ((d0 + d1) + d2)...`,
+    * exactly the `reduce(_ + _)` fold of the broadcast-join form it
+    * replaces (the first term SEEDS the accumulator, so a -0.0 d0
+    * survives where `0.0 + d0` would flush it).
+    */
+  def pqAdc(codes: ArrayData, qi: Int, luts: Array[Array[Array[Double]]],
+            centIds: Array[Array[Long]]): Double = {
+    val m = centIds.length
+    val lut = luts(qi)
+    var adc = lut(0)(java.util.Arrays.binarySearch(centIds(0), codes.getLong(0)))
+    var mm = 1
+    while (mm < m) {
+      adc += lut(mm)(java.util.Arrays.binarySearch(centIds(mm), codes.getLong(mm)))
+      mm += 1
+    }
+    adc
+  }
+
+  /** [[pqAdc]] against EVERY probe query — one code row in, an
+    * `array<struct(q_id, adc)>` out (entry order = ascending q_id, the
+    * order the LUT stack was built in). The exploded form replaces the
+    * m-way broadcast-LUT join chain of the pure-ADC probe.
+    */
+  def pqAdcAll(codes: ArrayData, qIds: Array[Long],
+               luts: Array[Array[Array[Double]]],
+               centIds: Array[Array[Long]]): ArrayData = {
+    val out = new Array[Any](qIds.length)
+    var qi = 0
+    while (qi < qIds.length) {
+      out(qi) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](qIds(qi), pqAdc(codes, qi, luts, centIds)))
+      qi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** [[pqAdc]] keyed by q_id value (binary search over the sorted id
+    * directory) — the scalar form for rows that already carry their
+    * query (the IVF+PQ probe's cell-routed candidates).
+    */
+  def pqAdcFor(codes: ArrayData, qId: Long, qIds: Array[Long],
+               luts: Array[Array[Array[Double]]],
+               centIds: Array[Array[Long]]): Double =
+    pqAdc(codes, java.util.Arrays.binarySearch(qIds, qId), luts, centIds)
+
+  /** Driver-side [[ivfTopN]] over a plain double[] query — returns the
+    * routed cell ids in rank order. Same kernel, same tie semantics;
+    * used to fold probe routing into the driver where the probe set is
+    * contract-bounded small.
+    */
+  def ivfTopNCells(qv: Array[Double], cents: Array[Array[Double]],
+                   centIds: Array[Long], n: Int): Array[Long] = {
+    val ad = ivfTopN(
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(qv),
+      cents, centIds, n)
+    Array.tabulate(ad.numElements())(i => ad.getStruct(i, 2).getLong(0))
+  }
+
   /** Sign-hyperplane LSH bucket: bit p set iff v · signs(p) >= 0. */
   def lshBucket(v: ArrayData, signs: Array[Array[Double]]): Long = {
     var bucket = 0L
@@ -500,4 +576,80 @@ case class FloatToDoubleVecExpr(child: Expression)
 object FloatToDoubleVecExpr {
   def apply(v: Column): Column =
     ExpressionUtils.column(FloatToDoubleVecExpr(ExpressionUtils.expression(v)))
+}
+
+/** Codegen all-queries ADC of a code row (`array<long>` of the m
+  * subspace codes) against a literal probe LUT stack — returns
+  * `array<struct(q_id, adc)>`; see [[VecKernels.pqAdcAll]] for the
+  * exact fold order. Replaces the m-way broadcast-LUT join chain of
+  * the pure-ADC PQ probe with one projection + explode.
+  */
+case class PqAdcAllExpr(child: Expression, qIds: Array[Long],
+                        luts: Array[Array[Array[Double]]],
+                        centIds: Array[Array[Long]])
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q_id", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("adc", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "pq_adc_all"
+
+  override protected def nullSafeEval(codes: Any): Any =
+    VecKernels.pqAdcAll(codes.asInstanceOf[ArrayData], qIds, luts, centIds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qRef = ctx.addReferenceObj("qIds", qIds, "long[]")
+    val lRef = ctx.addReferenceObj("luts", luts, "double[][][]")
+    val cRef = ctx.addReferenceObj("centIds", centIds, "long[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecKernels.pqAdcAll($c, $qRef, $lRef, $cRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcAllExpr =
+    copy(child = newChild)
+}
+
+object PqAdcAllExpr {
+  def apply(codes: Column, qIds: Array[Long], luts: Array[Array[Array[Double]]],
+            centIds: Array[Array[Long]]): Column =
+    ExpressionUtils.column(
+      PqAdcAllExpr(ExpressionUtils.expression(codes), qIds, luts, centIds))
+}
+
+/** Codegen single-query ADC of a code row already paired with its
+  * `q_id` (the cell-routed IVF+PQ candidates) — the scalar form of
+  * [[PqAdcAllExpr]]; see [[VecKernels.pqAdcFor]].
+  */
+case class PqAdcForExpr(left: Expression, right: Expression, qIds: Array[Long],
+                        luts: Array[Array[Array[Double]]],
+                        centIds: Array[Array[Long]])
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_for"
+
+  override protected def nullSafeEval(codes: Any, qId: Any): Any =
+    VecKernels.pqAdcFor(codes.asInstanceOf[ArrayData], qId.asInstanceOf[Long],
+      qIds, luts, centIds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qRef = ctx.addReferenceObj("qIds", qIds, "long[]")
+    val lRef = ctx.addReferenceObj("luts", luts, "double[][][]")
+    val cRef = ctx.addReferenceObj("centIds", centIds, "long[][]")
+    defineCodeGen(ctx, ev, (c, q) =>
+      s"graft.functions.VecKernels.pqAdcFor($c, $q, $qRef, $lRef, $cRef)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcForExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcForExpr {
+  def apply(codes: Column, qId: Column, qIds: Array[Long],
+            luts: Array[Array[Array[Double]]],
+            centIds: Array[Array[Long]]): Column =
+    ExpressionUtils.column(
+      PqAdcForExpr(ExpressionUtils.expression(codes), ExpressionUtils.expression(qId),
+        qIds, luts, centIds))
 }

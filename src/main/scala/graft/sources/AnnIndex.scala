@@ -198,7 +198,9 @@ object AnnIndex {
       .join(staged.select("vec_id"), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("v"), col("bucket"),
         col("part").cast("long").as("part"))
-      .localCheckpoint(true)
+    // one checkpoint guards the overwrite-of-source: merged materializes
+    // kept (its only consumer) in the same pass — a kept checkpoint
+    // would be a second full materialization action for nothing
     val merged = kept.unionByName(staged.select("vec_id", "v", "bucket", "part"))
       .localCheckpoint(true)
     merged.repartition(col("part"))
@@ -609,7 +611,9 @@ object AnnIndex {
       .filter(col("cell").isin(cellIds.map(Long.box): _*))
       .join(staged.select("vec_id"), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell").cast("long").as("cell"), col("v"))
-      .localCheckpoint(true)
+    // one checkpoint guards the overwrite-of-source: merged materializes
+    // kept (its only consumer) in the same pass — a kept checkpoint
+    // would be a second full materialization action for nothing
     val merged = kept.unionByName(staged.select("vec_id", "cell", "v"))
       .localCheckpoint(true)
     merged.repartition(col("cell"))
@@ -632,15 +636,21 @@ object AnnIndex {
     */
   def probeIvf(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
                nProbe: Int): DataFrame = {
-    val cents = broadcast(ivfCentroids(spark, dir))
-    val wRank = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cent_id"))
-    val probes = queries.crossJoin(cents)
-      .withColumn("ccos", Dedup.cosine(col("q_v"), col("cv")))
-      .withColumn("crn", row_number().over(wRank))
-      .filter(col("crn") <= nProbe)
-      .select(col("q_id"), col("q_v"), col("cent_id").as("cell"))
-      .localCheckpoint(true)
-    val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
+    // Routing runs DRIVER-side: one probe-set collect + the k-row
+    // centroid collect feed VecKernels.ivfTopN (the row_number over
+    // (ccos DESC, cent_id) <= nProbe ordering, bit-for-bit — the
+    // assignIvf kernel discipline), replacing crossJoin(k) + rank
+    // window + checkpoint + cells collect with zero Spark jobs.
+    val centRows = ivfCentroids(spark, dir).select("cent_id", "cv").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val qRows = collectQueries(queries, "q_id", "q_v")
+    val probePairs = qRows.flatMap { case (qid, qv) =>
+      graft.functions.VecKernels
+        .ivfTopNCells(qv, centRows.map(_._2), centRows.map(_._1), nProbe)
+        .map(cell => (qid, qv, cell))
+    }
+    val cells = probePairs.map(_._3).distinct
+    val probes = localProbesFrame(spark, probePairs)
     val assign = readIndex(spark, dir, "assign")
       .filter(col("cell").isin(cells.map(Long.box): _*))
       .select(col("vec_id").as("c_id"), col("v").as("c_v"), col("cell"))
@@ -651,6 +661,17 @@ object AnnIndex {
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select("q_id", "rnk", "c_id", "cosine")
+  }
+
+  /** Local `(q_id, q_v, cell)` probe frame from driver-routed pairs —
+    * the collected doubles round-trip exactly, so downstream cosines
+    * see the same values the distributed routing would have carried.
+    */
+  private def localProbesFrame(spark: SparkSession,
+      pairs: Array[(Long, Array[Double], Long)]): DataFrame = {
+    import spark.implicits._
+    pairs.toSeq.map { case (q, v, c) => (q, v.toSeq, c) }
+      .toDF("q_id", "q_v", "cell")
   }
 
   // --------------------------------------------------------------- PQ
@@ -827,6 +848,45 @@ object AnnIndex {
         rows.filter(_._1 == mm).map(r => (r._2, r._3)).sortBy(_._1).toSeq, vType)
     }
   }
+
+  /** [[storedCodebooks]] as raw arrays: per subspace, cent_ids sorted
+    * ascending + the centroid vectors aligned to them — the literal
+    * form the ADC probe kernels take. Same one read+collect of the
+    * consolidated `(m, cent_id, cv)` table.
+    */
+  private def collectCodebookArrays(spark: SparkSession, dir: String,
+      m: Int): Array[(Array[Long], Array[Array[Double]])] = {
+    val rows = readIndex(spark, dir, "codebook").select("m", "cent_id", "cv")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    Array.tabulate(m) { mm =>
+      val s = rows.filter(_._1 == mm).sortBy(_._2)
+      (s.map(_._2), s.map(_._3))
+    }
+  }
+
+  /** Driver-collected probe set `(q_id ascending, vector)` — probe sets
+    * are contract-bounded small (the [[probeLsh]] "broadcast-small"
+    * rule), so the collect is one bounded action replacing the per-LUT
+    * broadcast builds.
+    */
+  private def collectQueries(df: DataFrame, idCol: String,
+      vCol: String): Array[(Long, Array[Double])] =
+    df.select(col(idCol), col(vCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+
+  /** Per-query ADC lookup tables over collected codebooks:
+    * `luts(qi)(mm)(slot) = dot(query slice mm, centroid slot)` in the
+    * exact `Dedup.dot` op order ([[graft.functions.VecKernels.dotSlice]]).
+    */
+  private def adcLuts(qRows: Array[(Long, Array[Double])],
+      cb: Array[(Array[Long], Array[Array[Double]])],
+      sub: Int): Array[Array[Array[Double]]] =
+    qRows.map { case (_, qv) =>
+      Array.tabulate(cb.length) { mm =>
+        cb(mm)._2.map(cv => graft.functions.VecKernels.dotSlice(qv, mm * sub, cv))
+      }
+    }
 
   /** Gauge-cadence counter for the `*WithPolicy` ingest loops — the
     * "check every Nth batch" dial the wired policies' scaladoc names.
@@ -1167,19 +1227,21 @@ object AnnIndex {
     // queries enter the stored code space through the same frozen OPQ
     // permutation the encode side applied (identity when absent)
     val qp = applyPerm(queries, storedPerm(spark, dir), "v")
-    val cbs = storedCodebooks(spark, dir, m) // one stored read, m local frames
-    val joined = (0 until m).foldLeft(codes) { (acc, mm) =>
-      val lut = qp
-        .select(col("vec_id").as("q_id"), slice(col("v"), mm * sub + 1, sub).as("qv"))
-        .crossJoin(broadcast(cbs(mm)))
-        .select(col("q_id"), col("cent_id").as(s"code$mm"),
-          Dedup.dot(col("qv"), col("cv")).as(s"d$mm"))
-      if (mm == 0) acc.join(broadcast(lut), Seq(s"code$mm"))
-      else acc.join(broadcast(lut), Seq(s"code$mm", "q_id"))
-    }
+    // The LUT stack (|queries| x m x PqK dots) is built DRIVER-side from
+    // one probe-set collect + one codebook read, and applied in ONE
+    // codegen projection over the codes scan — replacing m broadcast-LUT
+    // builds + an m-way join chain. pqAdcAll replicates the join form's
+    // Dedup.dot + left-fold adc arithmetic bit-for-bit (VecExprsSpec).
+    val qRows = collectQueries(qp, "vec_id", "v")
+    val cb = collectCodebookArrays(spark, dir, m)
+    val scores = graft.functions.PqAdcAllExpr(
+      array((0 until m).map(i => col(s"code$i")): _*),
+      qRows.map(_._1), adcLuts(qRows, cb, sub), cb.map(_._1))
     val w = Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))
-    joined.filter(col("q_id") =!= col("vec_id"))
-      .withColumn("adc", (0 until m).map(mm => col(s"d$mm")).reduce(_ + _))
+    codes
+      .select(col("vec_id"), explode(scores).as("s"))
+      .select(col("s.q_id").as("q_id"), col("vec_id"), col("s.adc").as("adc"))
+      .filter(col("q_id") =!= col("vec_id"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("vec_id").as("c_id"), col("adc"))
@@ -1371,7 +1433,8 @@ object AnnIndex {
       .filter(col("cell").isin(cellIds.map(Long.box): _*))
       .join(staged.select("vec_id"), Seq("vec_id"), "left_anti")
       .select(dataCols.map(col) :+ col("cell").cast("long").as("cell"): _*)
-      .localCheckpoint(true)
+    // merged's checkpoint materializes kept (its only consumer) in the
+    // same pass — one overwrite guard, not two materializations
     val merged = kept.unionByName(staged).localCheckpoint(true)
     merged.repartition(col("cell"))
       .write.mode(SaveMode.Overwrite)
@@ -1437,7 +1500,6 @@ object AnnIndex {
   def probeIvfPq(spark: SparkSession, dir: String, queries: DataFrame,
                  corpus: DataFrame, k: Int, nProbe: Int, m: Int, sub: Int,
                  shortK: Int): DataFrame = {
-    val cents = broadcast(readIndex(spark, dir, "centroids"))
     // the stored quantizers live in the index's (possibly OPQ-permuted)
     // space: routing, ADC, and the exact-cosine rerank all run there —
     // the rerank VALUE is permutation-invariant, but summing the dot in
@@ -1445,32 +1507,38 @@ object AnnIndex {
     // permuted-corpus oracle (fp addition isn't associative)
     val perm = storedPerm(spark, dir)
     val qPerm = applyPerm(queries, perm, "q_v")
-    val wRank = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cent_id"))
-    val probes = qPerm.crossJoin(cents)
-      .withColumn("ccos", Dedup.cosine(col("q_v"), col("cv")))
-      .withColumn("crn", row_number().over(wRank))
-      .filter(col("crn") <= nProbe)
-      .select(col("q_id"), col("cent_id").as("cell"))
-      .localCheckpoint(true)
-    val cellIds = probes.select("cell").distinct()
-      .collect().map(_.getLong(0)) // bounded by ivfK, driver-safe
+    // Routing and the ADC LUT stack both run DRIVER-side from one
+    // probe-set collect (the probeIvf / probePq kernel discipline):
+    // ivfTopNCells replicates the row_number-over-(ccos DESC, cent_id)
+    // routing bit-for-bit, and pqAdcFor the m-way LUT join's
+    // Dedup.dot + left-fold adc — one projection over the cell-pruned
+    // codes scan instead of crossJoin + rank window + checkpoint +
+    // m broadcast-LUT joins.
+    val qRows = collectQueries(qPerm, "q_id", "q_v")
+    val centRows = readIndex(spark, dir, "centroids").select("cent_id", "cv")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val probePairs = qRows.flatMap { case (qid, qv) =>
+      graft.functions.VecKernels
+        .ivfTopNCells(qv, centRows.map(_._2), centRows.map(_._1), nProbe)
+        .map(cell => (qid, cell))
+    }
+    val cellIds = probePairs.map(_._2).distinct // bounded by ivfK
+    import spark.implicits._
+    val probes = probePairs.toSeq.toDF("q_id", "cell")
     val codes = readIndex(spark, dir, "codes")
       .filter(col("cell").isin(cellIds.map(Long.box): _*))
     val cand = codes.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
-    val cbs = storedCodebooks(spark, dir, m) // one stored read, m local frames
-    val scored = (0 until m).foldLeft(cand) { (acc, mm) =>
-      val lut = qPerm
-        .select(col("q_id"), slice(col("q_v"), mm * sub + 1, sub).as("qv"))
-        .crossJoin(broadcast(cbs(mm)))
-        .select(col("q_id"), col("cent_id").as(s"code$mm"),
-          Dedup.dot(col("qv"), col("cv")).as(s"d$mm"))
-      acc.join(broadcast(lut), Seq(s"code$mm", "q_id"))
-    }.withColumn("adc", (0 until m).map(mm => col(s"d$mm")).reduce(_ + _))
+    val cb = collectCodebookArrays(spark, dir, m)
+    val scored = cand.withColumn("adc", graft.functions.PqAdcForExpr(
+      array((0 until m).map(i => col(s"code$i")): _*), col("q_id"),
+      qRows.map(_._1), adcLuts(qRows, cb, sub), cb.map(_._1)))
     val wS = Window.partitionBy("q_id").orderBy(col("adc").desc, col("vec_id"))
     val short = scored.withColumn("srn", row_number().over(wS))
       .filter(col("srn") <= shortK)
-    val qv = broadcast(qPerm.select(col("q_id"), col("q_v")))
+    val qv = broadcast(qRows.toSeq.map { case (q, v) => (q, v.toSeq) }
+      .toDF("q_id", "q_v"))
     val rr = short.select("q_id", "vec_id")
       .join(applyPerm(corpus, perm, "v")
         .select(col("vec_id"), col("v").as("c_v")), "vec_id")
@@ -1696,9 +1764,13 @@ object AnnIndex {
           .filter(col("part").isin(touched.map(Long.box): _*))
           .select("doc_id").distinct()
       else staged.select("doc_id").limit(0)
+    // No checkpoint and no emptiness probe: the write is an APPEND —
+    // it deletes nothing, and the anti-join's store scan pins its file
+    // list at planning, before any output commits, so the overwrite
+    // paths' materialize-before-rewrite rule does not apply. An
+    // all-duplicate re-delivery appends zero rows — the same no-op the
+    // early return produced, one action instead of three.
     val fresh = staged.join(existing, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true) // materialize before writing into its source
-    if (fresh.isEmpty) return // re-delivered batch: a no-op
     fresh.repartition(col("part"))
       .write.mode(SaveMode.Append)
       .partitionBy("part")
