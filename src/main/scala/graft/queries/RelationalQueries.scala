@@ -1917,11 +1917,12 @@ object RelationalQueries {
           levenshtein(col("dirty_name"), col("c_name"), FuzzyK))
       val w = Window.partitionBy("probe_key")
         .orderBy(col("dist").asc, col("c_custkey").asc)
+      // no checkpoint: cover (checkpointed below) is best's only
+      // consumer — nb/covered/marginal all read cover, not best
       val best = verified.filter(col("dist") >= 0)
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") === 1)
         .select(col("probe_key"), col("c_custkey").as("match_key"))
-        .localCheckpoint(true) // coverage join + nb count read it
       // which bands admitted each probe's WINNING pair (renamed join
       // keys: best derives from candsB, so qualified refs are ambiguous)
       val cover = best

@@ -533,8 +533,12 @@ object AnnIndex {
     // no broadcast hint: assignIvf collects the k-row frame driver-side
     // (a hint here rides a joinless plan — HintErrorLogger noise)
     val cents = ivfCentroids(spark, dir)
-    requireUniqueKeys(batch.select("vec_id"), "vec_id")
     val staged = assignIvf(batch, cents).localCheckpoint(true)
+    // the kernel assignment is row-1:1 (no rank window to collapse a
+    // duplicate key), so the uniqueness gate reads the materialized
+    // stage instead of re-deriving the raw batch — and still throws
+    // before any store mutation
+    requireUniqueKeys(staged.select("vec_id"), "vec_id")
     upsertIvfStaged(spark, dir, staged.drop("ccos"))
     // bump ONCE per ingest call, before any retrain (the counter file
     // dies with the dir on the swap — a healed store restarts cadence)
@@ -564,12 +568,12 @@ object AnnIndex {
   def upsertIvf(spark: SparkSession, dir: String, vecs: DataFrame): Unit = {
     // no broadcast hint: assignIvf collects the k-row frame driver-side
     val cents = ivfCentroids(spark, dir)
-    // check the RAW batch: the assignment's per-vec_id rank window would
-    // silently collapse a duplicate key (keeping an arbitrary vector's
-    // cell) before a post-assignment check could see it — the same
-    // ordering upsertPq/upsertIvfPq use
-    requireUniqueKeys(vecs.select("vec_id"), "vec_id")
     val staged = assignIvf(vecs, cents).drop("ccos").localCheckpoint(true)
+    // the kernel assignment is row-1:1 (no rank window to collapse a
+    // duplicate key), so the uniqueness gate reads the materialized
+    // stage instead of re-deriving the raw batch — and still throws
+    // before any store mutation (upsertPq/upsertIvfPq use the same order)
+    requireUniqueKeys(staged.select("vec_id"), "vec_id")
     upsertIvfStaged(spark, dir, staged)
   }
 
@@ -991,14 +995,15 @@ object AnnIndex {
     val m = meta.getAs[Int]("m")
     val sub = meta.getAs[Int]("sub")
     val parts = meta.getAs[Int]("parts")
-    // check the RAW batch: the encoder's per-vec_id rank window would
-    // silently collapse a duplicate key (keeping an arbitrary vector's
-    // codes) before a post-encode check could see it
-    requireUniqueKeys(vecs.select("vec_id"), "vec_id")
     val staged = encodeWithCodebooks(applyPerm(vecs, storedPerm(spark, dir), "v"),
         m, sub, storedCodebooks(spark, dir, m))
       .withColumn("part", pmod(col("vec_id"), lit(parts.toLong)))
       .localCheckpoint(true) // materialize before overwriting the source
+    // the kernel encode is row-1:1 (no rank window to collapse a
+    // duplicate key), so the uniqueness gate reads the materialized
+    // stage instead of re-deriving the raw batch — and still throws
+    // before any store mutation
+    requireUniqueKeys(staged.select("vec_id"), "vec_id")
     upsertPqStaged(spark, dir, staged)
   }
 
@@ -1099,12 +1104,14 @@ object AnnIndex {
     val m = meta.getAs[Int]("m")
     val sub = meta.getAs[Int]("sub")
     val parts = meta.getAs[Int]("parts")
-    requireUniqueKeys(batch.select("vec_id"), "vec_id")
     val permuted = applyPerm(batch, storedPerm(spark, dir), "v")
     val staged = encodeWithCodebooks(permuted, m, sub,
         storedCodebooks(spark, dir, m))
       .withColumn("part", pmod(col("vec_id"), lit(parts.toLong)))
       .localCheckpoint(true)
+    // row-1:1 kernel encode: the uniqueness gate reads the stage (see
+    // upsertPq)
+    requireUniqueKeys(staged.select("vec_id"), "vec_id")
     upsertPqStaged(spark, dir, staged)
     val storeCheckDue = policyCounterBump(spark, dir, checkEvery)
     def retrain(): Boolean = {
@@ -1396,13 +1403,13 @@ object AnnIndex {
     val m = meta.getAs[Int]("m")
     val sub = meta.getAs[Int]("sub")
     val cents = readIndex(spark, dir, "centroids")
-    // raw-batch check: both the cell-assignment and per-subspace encode
-    // windows would silently collapse a duplicate key otherwise
-    requireUniqueKeys(vecs.select("vec_id"), "vec_id")
     val staged = encodeIvfPq(applyPerm(vecs, storedPerm(spark, dir), "v"),
         m, sub, cents, storedCodebooks(spark, dir, m))
       .drop("ccos")
       .localCheckpoint(true) // materialize before overwriting the source
+    // row-1:1 kernel assignment+encode: the uniqueness gate reads the
+    // stage (see upsertPq)
+    requireUniqueKeys(staged.select("vec_id"), "vec_id")
     upsertIvfPqStaged(spark, dir, staged)
   }
 
@@ -1471,10 +1478,12 @@ object AnnIndex {
     val m = meta.getAs[Int]("m")
     val sub = meta.getAs[Int]("sub")
     val cents = readIndex(spark, dir, "centroids")
-    requireUniqueKeys(batch.select("vec_id"), "vec_id")
     val staged = encodeIvfPq(applyPerm(batch, storedPerm(spark, dir), "v"),
         m, sub, cents, storedCodebooks(spark, dir, m))
       .localCheckpoint(true)
+    // row-1:1 kernel assignment+encode: the uniqueness gate reads the
+    // stage (see upsertPq)
+    requireUniqueKeys(staged.select("vec_id"), "vec_id")
     upsertIvfPqStaged(spark, dir, staged.drop("ccos"))
     val storeCheckDue = policyCounterBump(spark, dir, checkEvery)
     def retrain(): Boolean = {
